@@ -1,0 +1,78 @@
+"""Engine configuration.
+
+Mirrors the *behavioral* knobs of the reference configuration
+(``/root/reference/src/deid_pipeline/config.py:42-149``) that affect the
+deterministic default pipeline (regex detection + deterministic fallback
+replacement, ``USE_STUB=true`` test matrix per
+``/root/reference/tests/conftest.py:8-29``).  Model paths / OCR / GPU knobs of
+the reference are irrelevant here: stateful backends are injected explicitly
+into pipeline builders instead of being read from env vars.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from pathlib import Path
+
+RULES_DIR = Path(__file__).resolve().parent / "rules"
+
+# Conflict-resolution priorities; unknown types default to 50.
+# Semantics of /root/reference/src/deid_pipeline/config.py:127-137.
+ENTITY_PRIORITY: dict[str, int] = {
+    "ID": 100,
+    "PASSPORT": 95,
+    "PHONE": 90,
+    "UNIFIED_BUSINESS_NO": 85,
+    "EMAIL": 80,
+    "NAME": 75,
+    "ADDRESS": 70,
+    "ORGANIZATION": 65,
+    "MEDICAL_ID": 60,
+}
+DEFAULT_PRIORITY = 50
+
+# Overlap threshold for composite conflict resolution
+# (/root/reference/src/deid_pipeline/pii/detectors/composite.py:49).
+OVERLAP_THRESHOLD = 0.5
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    """Immutable pipeline configuration, captured in task closures.
+
+    A frozen snapshot replaces the reference's hot-reloading env-var driven
+    ``Config`` class: on a multi-node cluster every task must see the same
+    rules, so the config is resolved once on the driver and shipped in the
+    function closure (small: a few KiB of YAML).
+    """
+
+    # regex rule file per language (same rule semantics as the reference's
+    # configs/regex_zh.yaml / regex_en.yaml).
+    rules_zh: Path = RULES_DIR / "regex_zh.yaml"
+    rules_en: Path = RULES_DIR / "regex_en.yaml"
+
+    # replacement provider locale (reference default FAKER_LOCALE=zh_TW,
+    # config.py:122).
+    faker_locale: str = "zh_TW"
+
+    # "replace" or "blackbox"
+    mode: str = "replace"
+
+    # main-content extraction: "full" = BeautifulSoup-get_text parity;
+    # "main_content" = boilerplate-stripping DOM heuristics (north-star cap 1,
+    # validated against our own golden outputs — the reference has no such mode).
+    extract_mode: str = "full"
+
+    # NER stage (None = regex-only, the reference's USE_STUB default matrix)
+    ner_backend: str | None = None
+    ner_window: int = 512          # MAX_SEQ_LENGTH, config.py:102
+    ner_stride: float = 0.5        # WINDOW_STRIDE, config.py:103
+    ner_confidence: float = 0.85   # BERT_CONFIDENCE_THRESHOLD, config.py:101
+
+    # physical execution
+    num_partitions: int = 64       # url-hash partition count (pid = hash(url) % P)
+    batch_size: int = 256          # rows per batch for the fused deid stage
+    entity_priority: dict[str, int] = field(default_factory=lambda: dict(ENTITY_PRIORITY))
+
+    def rules_path(self, lang: str) -> Path:
+        return self.rules_zh if lang == "zh" else self.rules_en

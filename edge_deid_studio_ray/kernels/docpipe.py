@@ -1,0 +1,149 @@
+"""Fused per-document de-identification pipeline (extract → detect → resolve
+→ replace → normalize → anchors).
+
+This single pure function is both:
+
+- the body of the hot ``map_batches`` stage (stages/deid.py) — one call per
+  row inside a vectorized batch loop, and
+- the plain-Python oracle that the Dataset pipeline is byte-identity tested
+  against.
+
+Stage order and IR mirror ``DeidPipeline.process``
+(/root/reference/src/deid_pipeline/__init__.py:49-148) restricted to the
+deterministic default matrix (regex detection + deterministic fallback
+replacement; tests/conftest.py:8-29).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from ..config import EngineConfig
+from .anchors import attach_segment_anchors
+from .boilerplate import extract_main_content
+from .contracts import context_hash, normalize_entity, replacement_key
+from .detect import compile_rules, regex_detect, resolve_conflicts
+from .html_text import decode_html_bytes, html_to_text
+from .pdf_text import is_pdf, pdf_extract_blocks
+from .replace import replace_text
+from .segments import build_text_from_segments
+
+
+def extract_page(
+    html: bytes | None,
+    text: str | None,
+    *,
+    extract_mode: str = "full",
+) -> tuple[str, list[dict[str, Any]], str, str | None]:
+    """Extract text from a page row; returns (text, segments, route, error).
+
+    Routing:
+    - pre-extracted ``text`` present → passthrough (single segment);
+    - ``%PDF-`` payload → layout-aware block extractor (pdf.py:13-42
+      semantics: per-block segments with page_index + bbox, "\\n" join);
+    - otherwise HTML → all-text extraction (text.py:17-24 semantics) or
+      main-content boilerplate strip when ``extract_mode="main_content"``.
+    """
+    if text is not None:
+        extracted, segments = build_text_from_segments([{"text": text}])
+        return extracted, segments, "text", None
+
+    raw = html or b""
+    if is_pdf(raw):
+        try:
+            specs = pdf_extract_blocks(raw)
+        except NotImplementedError:
+            extracted, segments = build_text_from_segments([{"text": ""}])
+            return extracted, segments, "pdf", "pdf_backend_unavailable"
+        extracted, segments = build_text_from_segments(specs or [{"text": ""}])
+        return extracted, segments, "pdf", None
+
+    decoded = decode_html_bytes(raw)
+    if extract_mode == "main_content":
+        extracted = extract_main_content(decoded)
+    else:
+        extracted = html_to_text(decoded)
+    extracted_text, segments = build_text_from_segments([{"text": extracted}])
+    return extracted_text, segments, "html", None
+
+
+def process_document(
+    *,
+    html: bytes | None = None,
+    text: str | None = None,
+    lang: str = "zh",
+    cfg: EngineConfig | None = None,
+) -> dict[str, Any]:
+    """Run the full deid pipeline on one page; returns the output row dict.
+
+    Output columns (Arrow-encodable):
+    ``extracted_text, context_hash, clean_text, entities, events, route,
+    error, n_spans, n_chars, n_bytes``.
+    """
+    cfg = cfg or EngineConfig()
+
+    extracted_text, segments, route, error = extract_page(
+        html, text, extract_mode=cfg.extract_mode
+    )
+    doc_hash = context_hash(extracted_text)
+
+    patterns = compile_rules(str(cfg.rules_path(lang)))
+    raw_entities = resolve_conflicts(
+        regex_detect(extracted_text, patterns), cfg.entity_priority
+    )
+
+    clean_text, raw_events = replace_text(
+        extracted_text,
+        raw_entities,
+        cfg.mode,
+        context_hash=doc_hash,
+        locale=cfg.faker_locale,
+    )
+
+    entities = [normalize_entity(e, language=lang, text=extracted_text) for e in raw_entities]
+    attach_segment_anchors(entities, segments)
+
+    # canonical events + replacement map (DeidPipeline.process, __init__.py:100-117):
+    # blackbox events carry no original/replacement and are skipped.
+    events: list[dict[str, Any]] = []
+    replacement_map: dict[str, str] = {}
+    for ev in raw_events:
+        original = ev.get("original")
+        replacement = ev.get("replacement")
+        entity_type = ev.get("type")
+        if original is not None and replacement is not None and entity_type is not None:
+            replacement_map[replacement_key(str(entity_type), str(original))] = str(replacement)
+            events.append(
+                {
+                    "entity_type": str(entity_type),
+                    "original": str(original),
+                    "replacement": str(replacement),
+                    "start": int(ev["span"][0]),
+                    "end": int(ev["span"][1]),
+                    "source": str(ev.get("source", "unknown")),
+                }
+            )
+
+    return {
+        "extracted_text": extracted_text,
+        "context_hash": doc_hash,
+        "clean_text": clean_text,
+        "entities": [
+            {
+                "type": e["type"],
+                "start": int(e["span"][0]),
+                "end": int(e["span"][1]),
+                "confidence": float(e["confidence"]),
+                "source": e["source"],
+                "text": e.get("text", ""),
+            }
+            for e in entities
+        ],
+        "events": events,
+        "replacement_map": replacement_map,
+        "route": route,
+        "error": error,
+        "n_spans": len(entities),
+        "n_chars": len(extracted_text),
+        "n_bytes": len(html) if html is not None else len((text or "").encode("utf-8", "replace")),
+    }

@@ -1,0 +1,313 @@
+"""Unit tests for the pure kernels (no Ray).
+
+Case tables mirror the reference test strategy (SURVEY.md §5):
+tests/pii_test_suite.py, test_contracts.py, test_anchors.py, test_replacer.py,
+test_fake_provider.py.
+"""
+
+from __future__ import annotations
+
+from edge_deid_studio_ray.config import RULES_DIR, EngineConfig
+from edge_deid_studio_ray.kernels import (
+    compile_rules,
+    context_hash,
+    fallback_generate,
+    html_to_text,
+    normalize_entity,
+    process_document,
+    regex_detect,
+    replace_text,
+    replacement_key,
+    resolve_conflicts,
+)
+from edge_deid_studio_ray.kernels.anchors import attach_segment_anchors
+from edge_deid_studio_ray.kernels.boilerplate import extract_main_content
+from edge_deid_studio_ray.kernels.pdf_text import graft_pdf_extract_blocks
+from edge_deid_studio_ray.kernels.segments import build_text_from_segments, csv_to_segments
+
+ZH = str(RULES_DIR / "regex_zh.yaml")
+EN = str(RULES_DIR / "regex_en.yaml")
+
+
+class TestRegexDetect:
+    def test_rule_order_is_yaml_insertion_order(self):
+        types = [t for t, _ in compile_rules(ZH)]
+        assert types[0] == "ID"
+        assert types[1] == "PHONE"
+        assert types[2] == "EMAIL"
+        assert types[-1] == "MEDICAL_ID"
+        assert types.count("ADDRESS") == 7
+
+    def test_zh_basic_matches(self):
+        text = "身分證A123456789，電話0912-345-678，信箱 test@example.com"
+        ents = regex_detect(text, compile_rules(ZH))
+        found = {(e["type"], text[e["span"][0]:e["span"][1]]) for e in ents}
+        assert ("ID", "A123456789") in found
+        assert ("PHONE", "0912-345-678") in found
+        assert ("EMAIL", "test@example.com") in found
+        # Python re \w matches CJK: adjacent ideographs join an email match,
+        # mirroring the reference pattern's behavior.
+        cjk = regex_detect("信箱test@example.com", compile_rules(ZH))
+        assert ("EMAIL", (0, 18)) in {(e["type"], e["span"]) for e in cjk}
+        for e in ents:
+            assert e["score"] == 1.0 and e["source"] == "regex"
+
+    def test_en_ssn_and_phone(self):
+        text = "SSN 123-45-6789 phone 555-123-4567"
+        ents = regex_detect(text, compile_rules(EN))
+        found = {(e["type"], text[e["span"][0]:e["span"][1]]) for e in ents}
+        assert ("ID", "123-45-6789") in found
+        assert ("PHONE", "555-123-4567") in found
+
+    def test_emission_order_rule_major(self):
+        # EMAIL rule comes after PHONE: even though the email appears first in
+        # the text, phone matches are emitted first.
+        text = "a@b.com then 0912-345-678"
+        ents = regex_detect(text, compile_rules(ZH))
+        types = [e["type"] for e in ents]
+        assert types.index("PHONE") < types.index("EMAIL")
+
+
+class TestResolveConflicts:
+    def test_non_overlapping_kept(self):
+        ents = [
+            {"span": (0, 5), "type": "PHONE", "score": 1.0, "source": "regex"},
+            {"span": (10, 15), "type": "EMAIL", "score": 1.0, "source": "regex"},
+        ]
+        assert len(resolve_conflicts(ents)) == 2
+
+    def test_high_overlap_resolved_by_priority(self):
+        # ID (100) beats PASSPORT (95) on full overlap
+        ents = [
+            {"span": (0, 10), "type": "PASSPORT", "score": 1.0, "source": "regex"},
+            {"span": (0, 10), "type": "ID", "score": 1.0, "source": "regex"},
+        ]
+        out = resolve_conflicts(ents)
+        assert [e["type"] for e in out] == ["ID"]
+
+    def test_low_overlap_keeps_both(self):
+        # overlap 2 chars of min-len 10 → ratio 0.2 <= 0.5 → keep both
+        ents = [
+            {"span": (0, 10), "type": "ID", "score": 1.0, "source": "regex"},
+            {"span": (8, 18), "type": "PHONE", "score": 1.0, "source": "regex"},
+        ]
+        assert len(resolve_conflicts(ents)) == 2
+
+    def test_score_tiebreak(self):
+        ents = [
+            {"span": (0, 10), "type": "ID", "score": 0.7, "source": "regex"},
+            {"span": (0, 10), "type": "ID", "score": 0.9, "source": "regex"},
+        ]
+        out = resolve_conflicts(ents)
+        assert len(out) == 1 and out[0]["score"] == 0.9
+
+    def test_shorter_source_tiebreak_and_first_wins(self):
+        ents = [
+            {"span": (0, 10), "type": "ID", "score": 1.0, "source": "bert_onnx"},
+            {"span": (0, 10), "type": "ID", "score": 1.0, "source": "regex"},
+        ]
+        assert resolve_conflicts(ents)[0]["source"] == "regex"
+        ents2 = [
+            {"span": (0, 10), "type": "ID", "score": 1.0, "source": "regex"},
+            {"span": (0, 10), "type": "ID", "score": 1.0, "source": "xegex"},
+        ]
+        # equal-length sources → first kept entity wins
+        assert resolve_conflicts(ents2)[0]["source"] == "regex"
+
+    def test_sequential_last_kept_semantics(self):
+        # c overlaps b (kept) but not a; b loses to c; result = [a, c]
+        ents = [
+            {"span": (0, 4), "type": "MEDICAL_ID", "score": 1.0, "source": "regex"},
+            {"span": (4, 8), "type": "MEDICAL_ID", "score": 1.0, "source": "regex"},
+            {"span": (4, 8), "type": "ID", "score": 1.0, "source": "regex"},
+        ]
+        out = resolve_conflicts(ents)
+        assert [(e["span"], e["type"]) for e in out] == [((0, 4), "MEDICAL_ID"), ((4, 8), "ID")]
+
+
+class TestReplace:
+    def test_deterministic_same_context(self):
+        ents = [{"span": (0, 10), "type": "ID", "score": 1.0, "source": "regex"}]
+        t = "A123456789 hello"
+        ch = context_hash(t)
+        out1, ev1 = replace_text(t, ents, "replace", context_hash=ch)
+        out2, ev2 = replace_text(t, ents, "replace", context_hash=ch)
+        assert out1 == out2 and ev1 == ev2
+
+    def test_different_context_differs(self):
+        ents = [{"span": (0, 10), "type": "ID", "score": 1.0, "source": "regex"}]
+        t = "A123456789 hello"
+        out1, _ = replace_text(t, ents, "replace", context_hash="a" * 64)
+        out2, _ = replace_text(t, ents, "replace", context_hash="b" * 64)
+        assert out1 != out2
+
+    def test_right_to_left_offsets(self):
+        t = "x A123456789 y 0912-345-678 z"
+        ents = [
+            {"span": (2, 12), "type": "ID", "score": 1.0, "source": "regex"},
+            {"span": (15, 27), "type": "PHONE", "score": 1.0, "source": "regex"},
+        ]
+        clean, events = replace_text(t, ents, "replace", context_hash="c" * 64)
+        assert "A123456789" not in clean and "0912-345-678" not in clean
+        assert clean.startswith("x ") and clean.endswith(" z")
+        # events emitted in descending start order
+        assert events[0]["type"] == "PHONE" and events[1]["type"] == "ID"
+
+    def test_blackbox_length_preserving(self):
+        t = "id A123456789 end"
+        ents = [{"span": (3, 13), "type": "ID", "score": 1.0, "source": "regex"}]
+        clean, events = replace_text(t, ents, "blackbox")
+        assert len(clean) == len(t)
+        assert clean == "id " + "█" * 10 + " end"
+        assert "original" not in events[0]
+
+    def test_mode_aliases(self):
+        t = "A123456789"
+        ents = [{"span": (0, 10), "type": "ID", "score": 1.0, "source": "regex"}]
+        for alias in ("black", "redact", "mask", "BLACKBOX"):
+            clean, _ = replace_text(t, ents, alias)
+            assert clean == "█" * 10
+
+    def test_fallback_formats(self):
+        ch = "d" * 64
+        tw_id = fallback_generate("ID", "A123456789", ch, "zh_TW")
+        assert len(tw_id) == 10 and tw_id[0].isalpha() and tw_id[1] in "12"
+        phone = fallback_generate("PHONE", "0912345678", ch, "zh_TW")
+        assert phone.startswith("09") and len(phone) == 10
+        email = fallback_generate("EMAIL", "a@b.com", ch, "zh_TW")
+        assert email.startswith("user") and email.endswith("@example.com")
+        ssn = fallback_generate("ID", "123-45-6789", ch, "en_US")
+        assert len(ssn.split("-")) == 3
+        unknown = fallback_generate("WEIRD_TYPE", "x", ch, "zh_TW")
+        assert unknown.startswith("<WEIRD_TYPE:") and unknown.endswith(">")
+
+
+class TestContracts:
+    def test_normalize_entity(self):
+        e = normalize_entity(
+            {"type": "ID", "span": [1, 3], "score": 0.5}, language="zh", text="abcdef"
+        )
+        assert e["span"] == (1, 3)
+        assert e["confidence"] == 0.5 and e["score"] == 0.5
+        assert e["text"] == "bc"
+        assert e["source"] == "unknown" and e["language"] == "zh"
+
+    def test_replacement_key(self):
+        assert replacement_key("ID", "A123") == "ID:A123"
+
+    def test_context_hash_sha256(self):
+        import hashlib
+
+        assert context_hash("héllo") == hashlib.sha256("héllo".encode()).hexdigest()
+
+
+class TestAnchorsSegments:
+    def test_segment_offsets_with_separator(self):
+        text, segs = build_text_from_segments([{"text": "ab"}, {"text": "cd"}, {"text": ""}])
+        assert text == "ab\ncd\n"
+        assert [(s["start"], s["end"]) for s in segs] == [(0, 2), (3, 5), (6, 6)]
+
+    def test_anchor_inside_segment(self):
+        text, segs = build_text_from_segments(
+            [{"text": "abc", "page_index": 0, "bbox": (1, 2, 3, 4)}, {"text": "defg", "page_index": 1}]
+        )
+        ents = [{"type": "ID", "span": (4, 6)}]
+        attach_segment_anchors(ents, segs)
+        assert ents[0]["page_index"] == 1
+
+    def test_anchor_not_attached_across_segments(self):
+        text, segs = build_text_from_segments(
+            [{"text": "abc", "page_index": 0}, {"text": "def", "page_index": 1}]
+        )
+        ents = [{"type": "ID", "span": (1, 5)}]  # crosses the separator
+        attach_segment_anchors(ents, segs)
+        assert "page_index" not in ents[0]
+
+    def test_csv_cells(self):
+        specs = csv_to_segments("id,phone\nA123456789,0912345678\n")
+        assert [s["cell"]["address"] for s in specs] == ["R1C1", "R1C2", "R2C1", "R2C2"]
+        text, segs = build_text_from_segments(specs)
+        assert text == "id\nphone\nA123456789\n0912345678"
+
+
+class TestHtmlText:
+    def test_basic_join(self):
+        assert html_to_text("<p>a</p><p>b</p>") == "a\nb"
+
+    def test_script_style_comments_excluded(self):
+        h = "<html><head><script>var x;</script><style>.c{}</style></head><body>hi<!-- no --></body></html>"
+        assert html_to_text(h) == "hi"
+
+    def test_entities_decoded_inline(self):
+        assert html_to_text("<p>a&amp;b</p>") == "a&b"
+
+    def test_whitespace_nodes_joined(self):
+        assert html_to_text("<p>a</p>\n<p>b</p>") == "a\n\n\nb"
+
+    def test_malformed_utf8_replacement(self):
+        from edge_deid_studio_ray.kernels.html_text import decode_html_bytes
+
+        s = decode_html_bytes(b"<p>ok\xff</p>")
+        assert "�" in s and html_to_text(s) == "ok�"
+
+
+class TestPdfBlocks:
+    def test_sorting_and_filtering(self):
+        import json
+
+        blocks = [
+            {"page": 1, "bbox": [10, 50, 100, 70], "btype": 0, "text": "page1"},
+            {"page": 0, "bbox": [10, 200, 100, 220], "btype": 0, "text": "low"},
+            {"page": 0, "bbox": [10, 50, 100, 70], "btype": 0, "text": " high "},
+            {"page": 0, "bbox": [0, 0, 5, 5], "btype": 1, "text": "img"},
+            {"page": 0, "bbox": [0, 0, 5, 5], "btype": 0, "text": "   "},
+        ]
+        raw = ("%PDF-GRAFT1\n" + "\n".join(json.dumps(b) for b in blocks)).encode()
+        specs = graft_pdf_extract_blocks(raw)
+        assert [s["text"] for s in specs] == ["high", "low", "page1"]
+        assert specs[0]["page_index"] == 0 and specs[0]["bbox"] == (10, 50, 100, 70)
+
+
+class TestBoilerplate:
+    def test_nav_footer_stripped(self):
+        html = (
+            "<html><body><nav><a href='/'>Home</a> <a href='/a'>About</a></nav>"
+            "<div><p>This is a long enough content paragraph about data engines.</p></div>"
+            "<footer><a href='/p'>Privacy</a></footer></body></html>"
+        )
+        out = extract_main_content(html)
+        assert "content paragraph" in out
+        assert "Home" not in out and "Privacy" not in out
+
+    def test_link_dense_block_dropped(self):
+        html = "<body><p><a href='/1'>one two three four five six seven eight</a></p><p>Real sentence content that is definitely long enough.</p></body>"
+        out = extract_main_content(html)
+        assert "Real sentence" in out and "one two three" not in out
+
+
+class TestProcessDocument:
+    def test_text_passthrough_route(self):
+        row = process_document(text="call 0912-345-678", lang="zh")
+        assert row["route"] == "text"
+        assert row["n_spans"] == 1
+        assert row["entities"][0]["type"] == "PHONE"
+        assert "0912-345-678" not in row["clean_text"]
+        assert row["events"][0]["original"] == "0912-345-678"
+
+    def test_blackbox_mode_events_empty_map(self):
+        cfg = EngineConfig(mode="blackbox")
+        row = process_document(text="id A123456789", lang="zh", cfg=cfg)
+        assert "█" in row["clean_text"]
+        assert row["events"] == [] and row["replacement_map"] == {}
+        assert len(row["clean_text"]) == len(row["extracted_text"])
+
+    def test_html_route(self):
+        row = process_document(html=b"<p>mail a@b.com</p>", lang="zh")
+        assert row["route"] == "html"
+        assert row["extracted_text"] == "mail a@b.com"
+        assert row["entities"][0]["type"] == "EMAIL"
+
+    def test_deterministic_across_calls(self):
+        a = process_document(text="A123456789 and 0912-345-678", lang="zh")
+        b = process_document(text="A123456789 and 0912-345-678", lang="zh")
+        assert a == b

@@ -1,0 +1,127 @@
+"""Dataset-level pipeline tests (Ray; session fixture from conftest)."""
+
+from __future__ import annotations
+
+import shutil
+
+import pyarrow as pa
+import pytest
+
+
+def _shard_factory(lo: int, hi: int, **kw):
+    import ray.data as rd
+
+    from edge_deid_studio_ray.sources.pages import synthesize_pages_table
+
+    def factory():
+        def gen(batch: pa.Table) -> pa.Table:
+            return synthesize_pages_table([i + lo for i in batch["id"].to_pylist()], **kw)
+
+        return rd.range(hi - lo).map_batches(gen, batch_format="pyarrow", batch_size=128)
+
+    return factory
+
+
+def test_pipeline_matches_kernel_oracle_per_url(ray_session):
+    """Byte-identity: the Dataset pipeline vs the pure-Python oracle."""
+    from edge_deid_studio_ray.kernels import process_document
+    from edge_deid_studio_ray.pipelines.deid import build_deid_pipeline
+    from edge_deid_studio_ray.sources.pages import pages_dataset, synthesize_page
+
+    n = 200
+    ds = build_deid_pipeline(pages_dataset(n))
+    got = {r["url"]: r for r in ds.take_all()}
+    assert len(got) == n
+
+    for i in range(n):
+        page = synthesize_page(i)
+        oracle = process_document(html=page["html"], text=page["text"], lang=page["lang"])
+        row = got[page["url"]]
+        assert row["extracted_text"] == oracle["extracted_text"], page["url"]
+        assert row["clean_text"] == oracle["clean_text"], page["url"]
+        assert row["context_hash"] == oracle["context_hash"]
+        assert row["n_spans"] == oracle["n_spans"]
+        got_entities = [dict(e) for e in row["entities"]]
+        assert got_entities == oracle["entities"], page["url"]
+
+
+def test_pipeline_output_schema(ray_session):
+    from edge_deid_studio_ray.pipelines.deid import build_deid_pipeline
+    from edge_deid_studio_ray.sources.pages import pages_dataset
+    from edge_deid_studio_ray.stages.deid import DEID_OUTPUT_SCHEMA
+
+    ds = build_deid_pipeline(pages_dataset(50))
+    schema = ds.schema()
+    assert schema.names == DEID_OUTPUT_SCHEMA.names
+
+
+def test_resumable_job_skips_committed_shards(ray_session, tmp_path):
+    from edge_deid_studio_ray.pipelines.deid import run_deid_job
+    from edge_deid_studio_ray.state.manifest import committed_shards
+
+    out = str(tmp_path / "out")
+    shards = [("s0", _shard_factory(0, 120)), ("s1", _shard_factory(120, 240))]
+
+    report = run_deid_job(shards, out)
+    assert report["shards_run"] == 2 and report["docs"] == 240
+    manifests = committed_shards(out)
+    assert set(manifests) == {"s0", "s1"}
+    assert sum(m.docs for m in manifests.values()) == 240
+    # per-pid counters must sum to the shard totals (lineage invariant)
+    for m in manifests.values():
+        assert sum(v["docs"] for v in m.per_pid.values()) == m.docs
+        assert sum(v["spans"] for v in m.per_pid.values()) == m.spans
+
+    report2 = run_deid_job(shards, out)
+    assert report2["shards_run"] == 0 and report2["shards_skipped"] == 2
+    assert report2["docs"] == 240 and report2["spans"] == report["spans"]
+
+
+def test_resume_after_partial_failure(ray_session, tmp_path):
+    """Kill-and-resume: an uncommitted shard is cleared and reprocessed."""
+    import os
+
+    from edge_deid_studio_ray.pipelines.deid import run_deid_job
+    from edge_deid_studio_ray.state.manifest import shard_output_dir
+
+    out = str(tmp_path / "out")
+    shards = [("s0", _shard_factory(0, 60)), ("s1", _shard_factory(60, 120))]
+    run_deid_job(shards[:1], out)  # only s0 committed
+
+    # simulate a crash mid-s1: partial output, no manifest
+    partial = shard_output_dir(out, "s1")
+    os.makedirs(partial, exist_ok=True)
+    with open(os.path.join(partial, "garbage.parquet"), "w") as f:
+        f.write("partial")
+
+    report = run_deid_job(shards, out)
+    assert report["shards_skipped"] == 1 and report["shards_run"] == 1
+    assert report["docs"] == 120
+
+    import pyarrow.dataset as pads
+
+    table = pads.dataset(partial, format="parquet").to_table(columns=["url"])
+    assert table.num_rows == 60  # garbage replaced by a clean rerun
+
+
+def test_blackbox_mode_pipeline(ray_session):
+    from edge_deid_studio_ray.config import EngineConfig
+    from edge_deid_studio_ray.pipelines.deid import build_deid_pipeline
+    from edge_deid_studio_ray.sources.pages import pages_dataset
+
+    cfg = EngineConfig(mode="blackbox")
+    rows = build_deid_pipeline(pages_dataset(40), cfg).take_all()
+    for row in rows:
+        assert len(row["clean_text"]) == len(row["extracted_text"])
+        assert len(row["events"]) == 0
+
+
+def test_mega_page_skew_rows_survive(ray_session):
+    """Mega-page fixture: oversized rows flow through without OOM/split issues."""
+    from edge_deid_studio_ray.pipelines.deid import build_deid_pipeline
+    from edge_deid_studio_ray.sources.pages import pages_dataset
+
+    ds = build_deid_pipeline(pages_dataset(30, mega_every=10))
+    rows = ds.take_all()
+    assert len(rows) == 30
+    assert max(r["n_chars"] for r in rows) > 10_000
