@@ -1,0 +1,544 @@
+"""Driver-contract query suite: one entry per engine operator.
+
+Each ``q_*`` function takes ``sf_dir`` (a /root/testdata/sf* directory) and
+returns a Dataset / pandas DataFrame / pyarrow Table.  ``ORACLE_SQL`` holds
+the DuckDB-equivalent SQL over the same parquet tables (views: region nation
+customer supplier part orders lineitem events documents embeddings).
+
+Correctness-harness rules honored throughout:
+- aggregate/computed column names identical in Ray and SQL;
+- exact arithmetic only in value-checked columns (ints, min/max, sums of
+  integral values; float columns only when both engines reproduce the stored
+  value bit-for-bit or after explicit rounding);
+- DuckDB ``sum(BIGINT)`` returns HUGEINT → always ``CAST(... AS BIGINT)``.
+
+Queries with no SQL entry (near-dup, simhash, lang-id, pages flagship) are
+deterministic rows-only checks by design — the byte-level guarantees for
+those come from tests/test_reference_parity.py.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..config import EngineConfig
+from ..functions.dedup import add_md5_column, minhash_candidates
+from ..functions.simsearch import knn_bruteforce
+from ..functions.textstats import lang_id, quality_counts, simhash64, fingerprint64
+from ..kernels.docpipe import process_document
+from ..stages.deid import make_deid_batch_fn
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# Grouped aggregations (SURVEY §2.5 → Ray groupby/aggregate)
+# ---------------------------------------------------------------------------
+
+
+def q_doc_stats_by_lang(sf_dir: str):
+    """Per-language document stats (counts + exact int sums/extremes)."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    return ds.groupby("lang").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_chars", alias_name="sum_chars"),
+        Min("n_chars", alias_name="min_chars"),
+        Max("n_chars", alias_name="max_chars"),
+    )
+
+
+def q_doc_token_stats(sf_dir: str):
+    """Token/stopword counts per language — partial-aggregated per batch
+    inside map_batches, then a tiny groupby-sum (pre-aggregation pattern)."""
+    from ray.data.aggregate import Sum
+
+    stop = ("the", "of", "and", "to", "a", "in", "is", "it", "you", "that")
+    token_re = re.compile(r"\S+")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        agg: dict[str, list[int]] = {}
+        for lang, text in zip(batch["lang"].to_pylist(), batch["text"].to_pylist()):
+            toks = token_re.findall((text or "").lower())
+            slot = agg.setdefault(lang, [0, 0])
+            slot[0] += len(toks)
+            slot[1] += sum(1 for t in toks if t in stop)
+        return pa.table(
+            {
+                "lang": pa.array(list(agg.keys()), pa.string()),
+                "t": pa.array([v[0] for v in agg.values()], pa.int64()),
+                "s": pa.array([v[1] for v in agg.values()], pa.int64()),
+            }
+        )
+
+    ds = _read(sf_dir, "documents", ["lang", "text"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    return ds.groupby("lang").aggregate(
+        Sum("t", alias_name="n_tokens"), Sum("s", alias_name="n_stopwords")
+    )
+
+
+def q_word_freq_top20(sf_dir: str):
+    """Global word frequency top-20 (batch-partial counts → groupby-sum →
+    multi-key sort → limit)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counter: Counter[str] = Counter()
+        for text in batch["text"].to_pylist():
+            counter.update((text or "").split())
+        return pa.table(
+            {
+                "word": pa.array(list(counter.keys()), pa.string()),
+                "partial": pa.array(list(counter.values()), pa.int64()),
+            }
+        )
+
+    ds = _read(sf_dir, "documents", ["text"]).map_batches(partial, batch_format="pyarrow")
+    counts = ds.groupby("word").aggregate(Sum("partial", alias_name="n"))
+    return counts.sort(["n", "word"], descending=[True, False]).limit(20)
+
+
+def q_lineitem_pricing_summary(sf_dir: str):
+    """TPC-H-Q1-style grouped aggregate with a read-level row filter."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity", "l_shipdate"])
+    cutoff = pa.scalar(np.datetime64("1998-09-01", "us"), pa.timestamp("us"))
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.less_equal(t["l_shipdate"], cutoff)), batch_format="pyarrow"
+    )
+    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Count(alias_name="n_rows"),
+    )
+    return out
+
+
+def q_events_hourly(sf_dir: str):
+    """Tumbling 1-hour window counts per event type (exact int window keys)."""
+    from ray.data.aggregate import Count
+
+    def to_window(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.int64())
+        window = pc.multiply(pc.divide(us, 3_600_000_000), 3_600_000_000)
+        return pa.table({"event_type": batch["event_type"], "window_us": window})
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"]).map_batches(
+        to_window, batch_format="pyarrow"
+    )
+    return ds.groupby(["event_type", "window_us"]).aggregate(Count(alias_name="n_events"))
+
+
+# ---------------------------------------------------------------------------
+# Joins / sort / limit
+# ---------------------------------------------------------------------------
+
+
+def q_customer_per_nation(sf_dir: str):
+    """Broadcast hash join: customer × nation (small side shipped once via
+    ray.put, dict lookup per batch — no shuffle)."""
+    import ray
+    from ray.data.aggregate import Count
+
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).take_all()
+    lookup_ref = ray.put({r["n_nationkey"]: r["n_name"] for r in nation})
+
+    def join_batch(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(lookup_ref)
+        names = [lookup.get(k) for k in batch["c_nationkey"].to_pylist()]
+        return pa.table({"n_name": pa.array(names, pa.string())})
+
+    ds = _read(sf_dir, "customer", ["c_nationkey"]).map_batches(
+        join_batch, batch_format="pyarrow"
+    )
+    return ds.groupby("n_name").aggregate(Count(alias_name="n_customers"))
+
+
+def q_orders_top10(sf_dir: str):
+    """Top-k by value: distributed sort + limit (deterministic tie-break)."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+
+
+# ---------------------------------------------------------------------------
+# De-identification operators (the reference surface)
+# ---------------------------------------------------------------------------
+
+
+def _documents_as_pages(sf_dir: str, columns=("doc_id", "text", "lang")):
+    ds = _read(sf_dir, "documents", list(columns))
+
+    def to_pages(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": pa.array([f"doc://{d}" for d in batch["doc_id"].to_pylist()], pa.string()),
+                "doc_id": batch["doc_id"],
+                "html": pa.array([None] * batch.num_rows, pa.binary()),
+                "text": batch["text"],
+                "lang": batch["lang"],
+            }
+        )
+
+    return ds.map_batches(to_pages, batch_format="pyarrow")
+
+
+def q_deid_entity_counts(sf_dir: str):
+    """Resolved entity counts by (lang, type) over documents — the regex
+    detect + conflict-resolve path, entities exploded then pre-aggregated."""
+    from ray.data.aggregate import Sum
+
+    cfg = EngineConfig()
+    deid = make_deid_batch_fn(cfg)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        out = deid(batch)
+        agg: dict[tuple[str, str], int] = {}
+        for lang, ents in zip(out["lang"].to_pylist(), out["entities"].to_pylist()):
+            for e in ents:
+                key = (lang, e["type"])
+                agg[key] = agg.get(key, 0) + 1
+        return pa.table(
+            {
+                "lang": pa.array([k[0] for k in agg], pa.string()),
+                "type": pa.array([k[1] for k in agg], pa.string()),
+                "partial": pa.array(list(agg.values()), pa.int64()),
+            }
+        )
+
+    ds = _documents_as_pages(sf_dir).map_batches(partial, batch_format="pyarrow")
+    return ds.groupby(["lang", "type"]).aggregate(Sum("partial", alias_name="n"))
+
+
+def q_deid_blackbox_stats(sf_dir: str):
+    """Per-document blackbox-mode span accounting: span count, masked char
+    total, and length preservation (n_chars == clean length)."""
+    cfg = EngineConfig(mode="blackbox")
+
+    def stats(batch: pa.Table) -> pa.Table:
+        out: dict[str, list] = {"doc_id": [], "n_spans": [], "masked_chars": [], "n_chars": []}
+        for doc_id, text, lang in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist(), batch["lang"].to_pylist()
+        ):
+            row = process_document(text=text, lang=lang, cfg=cfg)
+            assert len(row["clean_text"]) == row["n_chars"]  # length-preserving
+            out["doc_id"].append(doc_id)
+            out["n_spans"].append(row["n_spans"])
+            out["masked_chars"].append(sum(e["end"] - e["start"] for e in row["entities"]))
+            out["n_chars"].append(row["n_chars"])
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"], pa.int64()),
+                "n_spans": pa.array(out["n_spans"], pa.int64()),
+                "masked_chars": pa.array(out["masked_chars"], pa.int64()),
+                "n_chars": pa.array(out["n_chars"], pa.int64()),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text", "lang"]).map_batches(
+        stats, batch_format="pyarrow"
+    )
+
+
+def q_deid_replace_documents(sf_dir: str):
+    """Full replace-mode deid over documents (deterministic surrogates).
+
+    Not SQL-expressible (seeded RNG surrogates) → rows-only driver check;
+    byte-identity is guaranteed by tests/test_reference_parity.py.
+    """
+    cfg = EngineConfig()
+    deid = make_deid_batch_fn(cfg)
+
+    def run(batch: pa.Table) -> pa.Table:
+        out = deid(batch)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "context_hash": out["context_hash"],
+                "clean_text": out["clean_text"],
+                "n_spans": out["n_spans"],
+            }
+        )
+
+    return _documents_as_pages(sf_dir).map_batches(run, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Dedup / fingerprints / language / quality
+# ---------------------------------------------------------------------------
+
+
+def q_exact_dedup_groups(sf_dir: str):
+    """Exact dedup groups over documents ∪ documents (forced duplicates):
+    md5 content hash → single groupby → (copies, keeper=min id)."""
+    from ray.data.aggregate import Count, Min
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    doubled = ds.union(ds)
+    hashed = doubled.map_batches(lambda t: add_md5_column(t), batch_format="pyarrow")
+    return hashed.groupby("text_md5").aggregate(
+        Count(alias_name="n_copies"), Min("doc_id", alias_name="keeper")
+    )
+
+
+def q_minhash_near_dups(sf_dir: str):
+    """MinHash-LSH near-duplicate pairs: documents plus perturbed copies
+    (one word appended, id+1_000_000) must pair with their originals."""
+
+    def perturb(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pa.array([d + 1_000_000 for d in batch["doc_id"].to_pylist()], pa.int64()),
+                "text": pa.array(
+                    [(t or "") + " appended" for t in batch["text"].to_pylist()], pa.string()
+                ),
+            }
+        )
+
+    base = _read(sf_dir, "documents", ["doc_id", "text"])
+    mutated = base.map_batches(perturb, batch_format="pyarrow")
+    pairs = minhash_candidates(
+        base.union(mutated), jaccard_threshold=0.7, num_hashes=64, num_bands=16
+    )
+    return pairs.select_columns(["left", "right", "jaccard"])
+
+
+def q_text_fingerprints(sf_dir: str):
+    """Deterministic per-doc fingerprints: rolling-hash + SimHash-64 +
+    heuristic language ID (rows-only; values stable across runs)."""
+
+    def fp(batch: pa.Table) -> pa.Table:
+        texts = [t or "" for t in batch["text"].to_pylist()]
+        sims = [simhash64(t) for t in texts]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "fingerprint": pa.array([fingerprint64(t) for t in texts], pa.int64()),
+                "simhash": pa.array(
+                    [s - (1 << 64) if s >= (1 << 63) else s for s in sims], pa.int64()
+                ),
+                "lang_pred": pa.array([lang_id(t) for t in texts], pa.string()),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(fp, batch_format="pyarrow")
+
+
+def q_doc_quality_counts(sf_dir: str):
+    """Per-document integer quality signals (SQL-checkable exact counts)."""
+
+    def qc(batch: pa.Table) -> pa.Table:
+        rows = [quality_counts(t or "") for t in batch["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array([r["n_tokens"] for r in rows], pa.int64()),
+                "n_alpha": pa.array([r["n_alpha"] for r in rows], pa.int64()),
+                "n_stopwords": pa.array([r["n_stopwords"] for r in rows], pa.int64()),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(qc, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+def q_knn_bruteforce(sf_dir: str):
+    """Exact cosine top-5 for query vectors 0/1/2 (broadcast query matrix,
+    per-batch matmul partials, final per-query merge)."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    queries = (
+        ds.filter(lambda r: r["vec_id"] in (0, 1, 2))
+        .take_all()
+    )
+    queries.sort(key=lambda r: r["vec_id"])
+    qmat = np.array([r["embedding"] for r in queries], dtype=np.float64)
+    out = knn_bruteforce(ds, qmat, k=5)
+    return out.select_columns(["query_id", "vec_id"])
+
+
+# ---------------------------------------------------------------------------
+# Flagship pages pipeline (synthetic Common-Crawl-style input)
+# ---------------------------------------------------------------------------
+
+_SF_PAGES = {"0.001": 500, "0.01": 2000, "0.1": 20000}
+
+
+def pages_rows_for(sf_dir: str) -> int:
+    tail = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    return _SF_PAGES.get(tail, 500)
+
+
+def q_pages_pipeline_counters(sf_dir: str):
+    """Flagship extraction+deid over synthetic pages; per-partition lineage
+    counters (pid → docs/spans/bytes) — the north-rule metrics surface."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..pipelines.deid import build_deid_pipeline
+    from ..sources.pages import pages_dataset
+
+    ds = build_deid_pipeline(pages_dataset(pages_rows_for(sf_dir)))
+    return ds.groupby("pid").aggregate(
+        Count(alias_name="docs"),
+        Sum("n_spans", alias_name="spans"),
+        Sum("n_bytes", alias_name="bytes"),
+    )
+
+
+def q_pages_extract_hashes(sf_dir: str):
+    """Per-url extracted/clean text hashes on the synthetic pages corpus
+    (deterministic; byte-identity enforced by the parity test suite)."""
+    from ..pipelines.deid import build_deid_pipeline
+    from ..sources.pages import pages_dataset
+
+    ds = build_deid_pipeline(pages_dataset(pages_rows_for(sf_dir)))
+
+    def hashes(batch: pa.Table) -> pa.Table:
+        from ..functions.dedup import md5_hex
+
+        return pa.table(
+            {
+                "url": batch["url"],
+                "route": batch["route"],
+                "context_hash": batch["context_hash"],
+                "clean_md5": pa.array(
+                    [md5_hex(t) for t in batch["clean_text"].to_pylist()], pa.string()
+                ),
+                "n_spans": batch["n_spans"],
+            }
+        )
+
+    return ds.map_batches(hashes, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Registry + oracle SQL
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "doc_stats_by_lang": q_doc_stats_by_lang,
+    "doc_token_stats": q_doc_token_stats,
+    "word_freq_top20": q_word_freq_top20,
+    "lineitem_pricing_summary": q_lineitem_pricing_summary,
+    "events_hourly": q_events_hourly,
+    "customer_per_nation": q_customer_per_nation,
+    "orders_top10": q_orders_top10,
+    "deid_entity_counts": q_deid_entity_counts,
+    "deid_blackbox_stats": q_deid_blackbox_stats,
+    "deid_replace_documents": q_deid_replace_documents,
+    "exact_dedup_groups": q_exact_dedup_groups,
+    "minhash_near_dups": q_minhash_near_dups,
+    "text_fingerprints": q_text_fingerprints,
+    "doc_quality_counts": q_doc_quality_counts,
+    "knn_bruteforce": q_knn_bruteforce,
+    "pages_pipeline_counters": q_pages_pipeline_counters,
+    "pages_extract_hashes": q_pages_extract_hashes,
+}
+
+_STOP_SQL = "['the','of','and','to','a','in','is','it','you','that']"
+_MEDICAL_RE = "\\b[A-Za-z0-9]{6,12}\\b"
+
+ORACLE_SQL = {
+    "doc_stats_by_lang": """
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               CAST(min(n_chars) AS BIGINT) AS min_chars,
+               CAST(max(n_chars) AS BIGINT) AS max_chars
+        FROM documents GROUP BY lang
+    """,
+    "doc_token_stats": f"""
+        SELECT lang,
+               CAST(sum(len(regexp_extract_all(lower(text), '\\S+'))) AS BIGINT) AS n_tokens,
+               CAST(sum(len(list_filter(regexp_extract_all(lower(text), '\\S+'),
+                                        x -> list_contains({_STOP_SQL}, x)))) AS BIGINT) AS n_stopwords
+        FROM documents GROUP BY lang
+    """,
+    "word_freq_top20": """
+        SELECT word, CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT unnest(regexp_extract_all(text, '\\S+')) AS word FROM documents)
+        GROUP BY word ORDER BY n DESC, word ASC LIMIT 20
+    """,
+    "lineitem_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               sum(l_quantity) AS sum_qty,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "events_hourly": """
+        SELECT event_type,
+               (epoch_us(ts) // 3600000000) * 3600000000 AS window_us,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1, 2
+    """,
+    "customer_per_nation": """
+        SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_customers
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    """,
+    "orders_top10": """
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    """,
+    "deid_entity_counts": f"""
+        SELECT lang, 'MEDICAL_ID' AS type,
+               CAST(sum(len(regexp_extract_all(text, '{_MEDICAL_RE}'))) AS BIGINT) AS n
+        FROM documents WHERE lang <> 'zh' GROUP BY lang
+    """,
+    "deid_blackbox_stats": f"""
+        SELECT doc_id,
+               CASE WHEN lang = 'zh' THEN 0
+                    ELSE CAST(len(regexp_extract_all(text, '{_MEDICAL_RE}')) AS BIGINT)
+               END AS n_spans,
+               CASE WHEN lang = 'zh' THEN 0
+                    ELSE CAST(coalesce(list_aggregate(
+                         list_transform(regexp_extract_all(text, '{_MEDICAL_RE}'),
+                                        x -> len(x)), 'sum'), 0) AS BIGINT)
+               END AS masked_chars,
+               CAST(len(text) AS BIGINT) AS n_chars
+        FROM documents
+    """,
+    "exact_dedup_groups": """
+        SELECT md5(text) AS text_md5,
+               CAST(count(*) AS BIGINT) AS n_copies,
+               CAST(min(doc_id) AS BIGINT) AS keeper
+        FROM (SELECT doc_id, text FROM documents
+              UNION ALL SELECT doc_id, text FROM documents)
+        GROUP BY md5(text)
+    """,
+    "doc_quality_counts": f"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_alpha,
+               CAST(len(list_filter(regexp_extract_all(lower(text), '\\S+'),
+                                    x -> list_contains({_STOP_SQL}, x))) AS BIGINT) AS n_stopwords
+        FROM documents
+    """,
+    "knn_bruteforce": """
+        WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id IN (0,1,2))
+        SELECT q.qid AS query_id, top.vec_id
+        FROM q, LATERAL (
+            SELECT e.vec_id
+            FROM embeddings e
+            ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id ASC
+            LIMIT 5
+        ) top
+    """,
+}

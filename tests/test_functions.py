@@ -1,0 +1,147 @@
+"""Tests for corpus-level functions: text stats, dedup, similarity search."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from edge_deid_studio_ray.functions import (
+    MinHasher,
+    fingerprint64,
+    hamming64,
+    jaccard,
+    lang_id,
+    md5_hex,
+    quality_counts,
+    quality_score,
+    simhash64,
+    token_count,
+    word_ngram_jaccard,
+)
+
+
+class TestTextStats:
+    def test_token_count(self):
+        assert token_count("a b  c\n d") == 4
+        assert token_count("") == 0
+
+    def test_quality_counts_exact(self):
+        c = quality_counts("The cat, 42 dogs!")
+        assert c["n_tokens"] == 4
+        assert c["n_digit"] == 2
+        assert c["n_punct"] == 2  # "," and "!"
+        assert c["n_stopwords"] == 1  # "The"
+
+    def test_quality_score_range(self):
+        assert quality_score("") == 0.0
+        long_text = "the quick brown fox jumps over the lazy dog " * 10
+        assert 0.5 <= quality_score(long_text) <= 1.0
+
+    def test_lang_id(self):
+        assert lang_id("資料處理引擎批次串流") == "zh"
+        assert lang_id("the cat sat on the mat and it was happy") == "en"
+        assert lang_id("der hund und die katze sind im haus von den") == "de"
+        assert lang_id("") == "und"
+
+    def test_fingerprint_deterministic_and_whitespace_normalized(self):
+        assert fingerprint64("a  b") == fingerprint64("a b")
+        assert fingerprint64("a b") != fingerprint64("a c")
+
+    def test_simhash_similar_texts_close(self):
+        a = "the quick brown fox jumps over the lazy dog near the river bank"
+        b = "the quick brown fox jumps over the lazy dog near the river bend"
+        c = "completely different words appear here without any shared tokens"
+        assert hamming64(simhash64(a), simhash64(b)) < hamming64(simhash64(a), simhash64(c))
+
+
+class TestDedupKernels:
+    def test_md5_matches_hashlib(self):
+        import hashlib
+
+        assert md5_hex("abc") == hashlib.md5(b"abc").hexdigest()
+
+    def test_jaccard_bounds(self):
+        assert jaccard("hello world", "hello world") == 1.0
+        assert jaccard("aaaaaaaa", "zzzzzzzz") == 0.0
+        near = jaccard("the quick brown fox jumps", "the quick brown fox jumped")
+        assert 0.5 < near < 1.0
+
+    def test_word_ngram_jaccard(self):
+        assert word_ngram_jaccard("a b c d", "a b c d") == 1.0
+        assert word_ngram_jaccard("a b c d e", "a b c d x") < 1.0
+
+    def test_minhash_estimates_jaccard(self):
+        hasher = MinHasher(num_hashes=256)
+        a = "the quick brown fox jumps over the lazy dog " * 5
+        b = a + "and then some extra trailing words here"
+        sig_a, sig_b = hasher.signature(a), hasher.signature(b)
+        est = (sig_a == sig_b).mean()
+        true = jaccard(a, b)
+        assert abs(est - true) < 0.15
+
+    def test_minhash_deterministic(self):
+        h1, h2 = MinHasher(64), MinHasher(64)
+        assert (h1.signature("some text") == h2.signature("some text")).all()
+
+
+class TestDatasetOps:
+    def test_exact_dedup(self, ray_session):
+        import ray.data as rd
+
+        from edge_deid_studio_ray.functions import exact_dedup
+
+        ds = rd.from_arrow(
+            pa.table({"doc_id": [3, 1, 2, 4], "text": ["x", "x", "y", "y"]})
+        )
+        out = exact_dedup(ds).to_pandas()
+        assert sorted(out["doc_id"].tolist()) == [1, 2]
+
+    def test_minhash_candidates_finds_near_dups(self, ray_session):
+        import ray.data as rd
+
+        from edge_deid_studio_ray.functions import minhash_candidates
+
+        base = "the quick brown fox jumps over the lazy dog and runs far away " * 4
+        rows = {
+            "doc_id": [1, 2, 3],
+            "text": [base, base + " tail", "entirely different content with no overlap at all here"],
+        }
+        pairs = minhash_candidates(
+            rd.from_arrow(pa.table(rows)), num_hashes=64, num_bands=16, jaccard_threshold=0.6
+        ).to_pandas()
+        got = set(zip(pairs["left"], pairs["right"]))
+        assert (1, 2) in got
+        assert all(3 not in p for p in got)
+
+    def test_knn_bruteforce_self_is_top1(self, ray_session):
+        import ray.data as rd
+
+        from edge_deid_studio_ray.functions import knn_bruteforce
+
+        rng = np.random.RandomState(0)
+        mat = rng.standard_normal((50, 16))
+        ds = rd.from_arrow(
+            pa.table({"vec_id": list(range(50)), "embedding": [list(map(float, v)) for v in mat]})
+        )
+        out = knn_bruteforce(ds, mat[:3], k=3).to_pandas()
+        for qid in range(3):
+            top = out[out["query_id"] == qid].sort_values("cosine", ascending=False)
+            assert top.iloc[0]["vec_id"] == qid  # self is nearest
+            assert len(top) == 3
+
+    def test_knn_lsh_subset_of_corpus(self, ray_session):
+        import ray.data as rd
+
+        from edge_deid_studio_ray.functions import knn_lsh
+
+        rng = np.random.RandomState(1)
+        mat = rng.standard_normal((80, 16))
+        ds = rd.from_arrow(
+            pa.table({"vec_id": list(range(80)), "embedding": [list(map(float, v)) for v in mat]})
+        )
+        out = knn_lsh(ds, mat[:2], k=3, num_planes=4).to_pandas()
+        # self shares its own bucket → always recalled as top-1
+        for qid in range(2):
+            rows = out[out["query_id"] == qid].sort_values("cosine", ascending=False)
+            assert rows.iloc[0]["vec_id"] == qid
