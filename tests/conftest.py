@@ -19,5 +19,7 @@ def ray_session():
         )
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    # deterministic observed row order for seeded shuffles / ordered sinks
+    ctx.execution_options.preserve_order = True
     yield
     ray.shutdown()

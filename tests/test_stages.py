@@ -1,0 +1,214 @@
+"""Tests for the NER actor-pool stage, training-data pipelines, quality
+report aggregation, and multimodal stages."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+
+
+class TestNerStage:
+    def test_stub_detection_semantics(self):
+        # Expected spans mirror the reference stub (_stub_detection,
+        # bert_detector.py:162-177: [A-Z][12]\d{8} → ID, 09\d{2}-?\d{3}-?\d{3}
+        # → PHONE, source=regex_stub).  The reference module itself imports
+        # torch at module scope, so parity is asserted against the literal
+        # pattern semantics instead of the import.
+        from edge_deid_studio_ray.stages.ner import StubNerBackend, detect_with_windows
+
+        text = "id A123456789 phone 0912-345-678 end"
+        mine = detect_with_windows(text, StubNerBackend(), window=512)
+        assert [(tuple(e["span"]), e["type"], e["source"]) for e in mine] == [
+            ((3, 13), "ID", "regex_stub"),
+            ((20, 32), "PHONE", "regex_stub"),
+        ]
+        assert detect_with_windows("no entities here", StubNerBackend()) == []
+
+    def test_window_merge_across_boundaries(self):
+        from edge_deid_studio_ray.stages.ner import StubNerBackend, detect_with_windows
+
+        # place an ID right on a window boundary: stride windows overlap it,
+        # both windows detect it, merge must collapse to one entity
+        pad = "x" * 250
+        text = pad + " A123456789 " + "y" * 300
+        entities = detect_with_windows(text, StubNerBackend(), window=512)
+        assert len(entities) == 1
+        start, end = entities[0]["span"]
+        assert text[start:end] == "A123456789"
+
+    def test_actor_pool_stage(self, ray_session):
+        import ray.data as rd
+
+        from edge_deid_studio_ray.stages.ner import NerDetectStage
+
+        table = pa.table(
+            {
+                "text": ["id A123456789 mail a@b.com", "phone 0912-345-678", ""],
+                "lang": ["zh", "zh", "en"],
+            }
+        )
+        out = rd.from_arrow(table).map_batches(
+            NerDetectStage,
+            batch_format="pyarrow",
+            batch_size=2,
+            concurrency=2,
+            num_cpus=1,
+        ).take_all()
+        types0 = {e["type"] for e in out[0]["entities"]}
+        assert "ID" in types0 and "EMAIL" in types0
+        # regex_stub ID and regex ID overlap fully → conflict resolution keeps one
+        id_entities = [e for e in out[0]["entities"] if e["type"] == "ID"]
+        assert len(id_entities) == 1
+        assert out[2]["entities"] == []
+
+
+class TestTrainingData:
+    def test_synthetic_dataset_distributed_matches_sequential(self, ray_session):
+        from edge_deid_studio_ray.kernels.synthetic import generate_synthetic_span_examples
+        from edge_deid_studio_ray.pipelines.training_data import synthetic_span_dataset
+
+        rows = {r["example_id"]: r for r in synthetic_span_dataset(40, seed=3).take_all()}
+        oracle = generate_synthetic_span_examples(num_examples=40, seed=3)
+        for idx, ex in enumerate(oracle):
+            assert rows[idx]["text"] == ex["text"]
+            assert [e["type"] for e in rows[idx]["entities"]] == [
+                e["type"] for e in ex["entities"]
+            ]
+
+    def test_mix_caps_and_shuffles_deterministically(self, ray_session):
+        from edge_deid_studio_ray.pipelines.training_data import (
+            mix_datasets,
+            synthetic_span_dataset,
+        )
+
+        a = synthetic_span_dataset(30, seed=1)
+        b = synthetic_span_dataset(30, seed=2, language="en")
+        mixed = mix_datasets([(a, 10), (b, 20)], seed=5)
+        assert mixed.count() == 30
+        ids1 = [r["example_id"] for r in mix_datasets([(a, 10), (b, 20)], seed=5).take_all()]
+        ids2 = [r["example_id"] for r in mix_datasets([(a, 10), (b, 20)], seed=5).take_all()]
+        assert ids1 == ids2  # seeded shuffle is reproducible
+
+    def test_placeholder_corpus_roundtrip(self, ray_session):
+        from edge_deid_studio_ray.pipelines.training_data import (
+            placeholder_corpus,
+            synthetic_span_dataset,
+        )
+
+        rows = placeholder_corpus(synthetic_span_dataset(5, seed=0)).take_all()
+        for row in rows:
+            assert "<NAME>" in row["masked_text"]
+            assert "<PHONE>" in row["masked_text"]
+            # refill replaced every placeholder with a concrete value
+            assert "<NAME>" not in row["filled_text"]
+            for ent in row["entities"]:
+                assert ent["text"] not in row["masked_text"]
+
+    def test_masked_pair_recovery_dataset(self, ray_session):
+        import ray.data as rd
+
+        from edge_deid_studio_ray.pipelines.training_data import masked_pair_recovery
+
+        table = pa.table(
+            {
+                "original_text": ["John called 0912345678 now"],
+                "masked_text": ["<NAME> called <PHONE> now"],
+            }
+        )
+        rows = masked_pair_recovery(rd.from_arrow(table)).take_all()
+        got = [(e["type"], e["text"]) for e in rows[0]["entities"]]
+        assert ("NAME", "John") in got and ("PHONE", "0912345678") in got
+
+
+class TestQualityReport:
+    def test_matches_reference_analyze(self, ray_session):
+        import os
+        import sys
+
+        if not os.path.isdir("/root/reference/src"):
+            pytest.skip("no reference")
+        sys.path.insert(0, "/root/reference/src")
+        from deid_pipeline.training.datasets import SpanExample
+        from deid_pipeline.training.quality import analyze_span_examples
+
+        from edge_deid_studio_ray.kernels.synthetic import generate_synthetic_span_examples
+        from edge_deid_studio_ray.pipelines.training_data import synthetic_span_dataset
+        from edge_deid_studio_ray.stages.quality import quality_report
+
+        n = 60
+        ref_examples = [
+            SpanExample(text=ex["text"], entities=tuple(ex["entities"]))
+            for ex in generate_synthetic_span_examples(num_examples=n, seed=9)
+        ]
+        ref_report = analyze_span_examples(ref_examples)["summary"]
+
+        my_report = quality_report(synthetic_span_dataset(n, seed=9))["summary"]
+
+        assert my_report["examples"] == ref_report["examples"]
+        assert my_report["entities"] == ref_report["entities"]
+        assert my_report["invalid_examples"] == ref_report["invalid_examples"]
+        assert my_report["entity_type_counts"] == ref_report["entity_type_counts"]
+        for dist in ("text_length", "entities_per_example", "entity_span_length"):
+            for stat in ("min", "max", "mean", "p50", "p95"):
+                assert my_report[dist][stat] == pytest.approx(ref_report[dist][stat]), (dist, stat)
+
+    def test_eval_aggregate(self, ray_session):
+        import ray.data as rd
+
+        from edge_deid_studio_ray.stages.quality import eval_aggregate
+
+        table = pa.table(
+            {
+                "example_id": ["a", "b"],
+                "input_text": [
+                    "id [ID]A123456789[/ID] ok",
+                    "mail [EMAIL]x@y.com[/EMAIL] ok",
+                ],
+                "prediction_text": ["id B234567890 ok", "mail x@y.com ok"],  # b leaks
+            }
+        )
+        agg = eval_aggregate(rd.from_arrow(table))
+        assert agg["count"] == 2
+        assert agg["pii_total"] == 2
+        assert agg["pii_leak_count"] == 1
+        assert agg["pii_leak_rate"] == 0.5
+
+
+class TestMultimodal:
+    def test_image_feature_stage(self, ray_session):
+        import ray.data as rd
+
+        from edge_deid_studio_ray.stages.multimodal import IMAGE_FEATURE_SCHEMA, ImageFeatureStage
+
+        table = pa.table(
+            {
+                "media_id": ["m1", "m2"],
+                "payload": pa.array([b"fakejpegbytes1", b"fakejpegbytes2"], pa.binary()),
+            }
+        )
+        out = rd.from_arrow(table).map_batches(
+            ImageFeatureStage, batch_format="pyarrow", batch_size=16, concurrency=1
+        )
+        rows = out.take_all()
+        assert len(rows) == 2
+        assert len(rows[0]["feature"]) == 16 * 16
+        assert rows[0]["decode_backend"] in ("fake", "cv2")
+        # determinism: same payload → same feature
+        rows2 = rd.from_arrow(table).map_batches(
+            ImageFeatureStage, batch_format="pyarrow", batch_size=16, concurrency=1
+        ).take_all()
+        assert rows[0]["feature"] == rows2[0]["feature"]
+
+    def test_audio_frame_stage(self, ray_session):
+        import ray.data as rd
+
+        from edge_deid_studio_ray.stages.multimodal import AudioFrameStage
+
+        table = pa.table(
+            {"media_id": ["a1"], "payload": pa.array([b"fakewav"], pa.binary())}
+        )
+        rows = rd.from_arrow(table).map_batches(
+            AudioFrameStage, batch_format="pyarrow", concurrency=1
+        ).take_all()
+        assert rows[0]["n_frames"] == 10
+        assert len(rows[0]["frame_energy"]) == 10
