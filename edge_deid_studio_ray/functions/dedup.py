@@ -142,15 +142,30 @@ def minhash_candidates(
     num_bands: int = 16,
     shingle_k: int = 5,
     jaccard_threshold: float = 0.8,
+    verify: str = "text",
 ):
-    """MinHash-LSH near-dup candidate pairs, Jaccard-verified in-group.
+    """MinHash-LSH near-dup candidate pairs, verified in-group.
 
     Returns a Dataset of ``(left, right, jaccard)`` with left < right.
+
+    ``verify``:
+    - ``"text"``  — exact shingle-Jaccard verification; band rows carry the
+      text, so the shuffle ships num_bands× the corpus bytes.  Right for
+      small/medium corpora or when exactness is required.
+    - ``"signature"`` — the 100-TB scale path: band rows carry only the
+      fixed-size MinHash signature (num_hashes × 8 bytes); similarity is the
+      signature agreement estimate (±1/sqrt(num_hashes) error).  Shuffle
+      volume is independent of document sizes.
+
     Partitioning assumption: a candidate bucket (same band hash) fits in one
     group task — true for near-dup buckets; pathological buckets are capped
     at 64 members (cap recorded in the ``truncated`` column, no silent drop).
     """
     hasher = MinHasher(num_hashes)
+    if verify == "signature":
+        return _minhash_candidates_sig(
+            ds, hasher, text_col, key_col, num_bands, shingle_k, jaccard_threshold
+        )
 
     def explode(batch: pa.Table) -> pa.Table:
         keys, bands, texts = [], [], []
@@ -169,13 +184,21 @@ def minhash_candidates(
         truncated = len(rows) > 64
         rows = rows.head(64)
         out = {"left": [], "right": [], "jaccard": [], "truncated": []}
-        values = list(zip(rows[key_col], rows[text_col]))
-        for i in range(len(values)):
-            for j in range(i + 1, len(values)):
-                sim = jaccard(values[i][1], values[j][1], shingle_k)
+        keys = list(rows[key_col])
+        # shingle each member once, not once per pair
+        shingles = [shingle_hashes(t, shingle_k) for t in rows[text_col]]
+        for i in range(len(keys)):
+            for j in range(i + 1, len(keys)):
+                a, b = shingles[i], shingles[j]
+                if len(a) == 0 and len(b) == 0:
+                    sim = 1.0
+                else:
+                    inter = len(np.intersect1d(a, b, assume_unique=True))
+                    union = len(a) + len(b) - inter
+                    sim = inter / union if union else 1.0
                 if sim >= jaccard_threshold:
-                    out["left"].append(values[i][0])
-                    out["right"].append(values[j][0])
+                    out["left"].append(keys[i])
+                    out["right"].append(keys[j])
                     out["jaccard"].append(round(sim, 6))
                     out["truncated"].append(truncated)
         return pd.DataFrame(out)
@@ -187,6 +210,57 @@ def minhash_candidates(
     )
 
     # a pair can surface from multiple bands → distinct
+    def dedup_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        return group.head(1)
+
+    return pairs.groupby(["left", "right"]).map_groups(dedup_pairs, batch_format="pandas")
+
+
+def _minhash_candidates_sig(
+    ds, hasher: "MinHasher", text_col: str, key_col: str, num_bands: int, shingle_k: int, threshold: float
+):
+    """Signature-carrying LSH variant (see minhash_candidates docstring)."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        keys, bands, sigs = [], [], []
+        for key, text in zip(batch[key_col].to_pylist(), batch[text_col].to_pylist()):
+            sig = hasher.signature(text or "", shingle_k)
+            raw = sig.tobytes()
+            for bk in band_keys(sig, num_bands):
+                keys.append(key)
+                bands.append(bk)
+                sigs.append(raw)
+        return pa.table(
+            {
+                "band_key": pa.array(bands, pa.string()),
+                key_col: keys,
+                "sig": pa.array(sigs, pa.binary()),
+            }
+        )
+
+    def verify(group: pd.DataFrame) -> pd.DataFrame:
+        rows = group.drop_duplicates(subset=[key_col]).sort_values(key_col)
+        truncated = len(rows) > 64
+        rows = rows.head(64)
+        keys = list(rows[key_col])
+        sigs = [np.frombuffer(s, dtype=np.uint64) for s in rows["sig"]]
+        out = {"left": [], "right": [], "jaccard": [], "truncated": []}
+        for i in range(len(keys)):
+            for j in range(i + 1, len(keys)):
+                est = float((sigs[i] == sigs[j]).mean())
+                if est >= threshold:
+                    out["left"].append(keys[i])
+                    out["right"].append(keys[j])
+                    out["jaccard"].append(round(est, 6))
+                    out["truncated"].append(truncated)
+        return pd.DataFrame(out)
+
+    pairs = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("band_key")
+        .map_groups(verify, batch_format="pandas")
+    )
+
     def dedup_pairs(group: pd.DataFrame) -> pd.DataFrame:
         return group.head(1)
 

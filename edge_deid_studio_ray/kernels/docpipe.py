@@ -33,12 +33,15 @@ def extract_page(
     html: bytes | None,
     text: str | None,
     *,
+    url: str | None = None,
     extract_mode: str = "full",
 ) -> tuple[str, list[dict[str, Any]], str, str | None]:
     """Extract text from a page row; returns (text, segments, route, error).
 
-    Routing:
+    Routing (HandlerRegistry-by-extension analogue, handlers/registry.py):
     - pre-extracted ``text`` present → passthrough (single segment);
+    - url ending ``.csv`` → per-cell segments with R{r}C{c} cell refs
+      (csv.py:14-39 semantics, "\\n" join);
     - ``%PDF-`` payload → layout-aware block extractor (pdf.py:13-42
       semantics: per-block segments with page_index + bbox, "\\n" join);
     - otherwise HTML → all-text extraction (text.py:17-24 semantics) or
@@ -49,6 +52,13 @@ def extract_page(
         return extracted, segments, "text", None
 
     raw = html or b""
+    if url is not None and url.lower().endswith(".csv"):
+        from .segments import csv_to_segments
+
+        specs = csv_to_segments(decode_html_bytes(raw))
+        extracted, segments = build_text_from_segments(specs)
+        return extracted, segments, "csv", None
+
     if is_pdf(raw):
         try:
             specs = pdf_extract_blocks(raw)
@@ -71,6 +81,7 @@ def process_document(
     *,
     html: bytes | None = None,
     text: str | None = None,
+    url: str | None = None,
     lang: str = "zh",
     cfg: EngineConfig | None = None,
 ) -> dict[str, Any]:
@@ -83,7 +94,7 @@ def process_document(
     cfg = cfg or EngineConfig()
 
     extracted_text, segments, route, error = extract_page(
-        html, text, extract_mode=cfg.extract_mode
+        html, text, url=url, extract_mode=cfg.extract_mode
     )
     doc_hash = context_hash(extracted_text)
 
@@ -136,6 +147,9 @@ def process_document(
                 "confidence": float(e["confidence"]),
                 "source": e["source"],
                 "text": e.get("text", ""),
+                "page_index": e.get("page_index"),
+                "bbox": list(e["bbox"]) if e.get("bbox") is not None else None,
+                "cell_address": (e.get("cell") or {}).get("address"),
             }
             for e in entities
         ],

@@ -148,6 +148,68 @@ def q_events_hourly(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
+def q_events_sessions(sf_dir: str):
+    """Session windows (30-min inactivity gap) per user: the event log is
+    partitioned by key (``groupby(user_id)``) and windowed inside the sorted
+    group with pandas — the streaming-shaped pattern for a batch engine.
+
+    Ordering assumption: sessionization is computed after an in-group sort by
+    ts; ties in ts are gap-0 so session membership is tie-order invariant.
+    """
+    import pandas as pd
+
+    gap_us = 1_800_000_000
+
+    def to_us(batch: pa.Table) -> pa.Table:
+        return pa.table({"user_id": batch["user_id"], "us": batch["ts"].cast(pa.int64())})
+
+    def sessionize(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("us")
+        new_session = (g["us"].diff().fillna(gap_us + 1) > gap_us).cumsum()
+        out = g.groupby(new_session).agg(
+            session_start_us=("us", "min"),
+            session_end_us=("us", "max"),
+            n_events=("us", "size"),
+        )
+        out["user_id"] = g["user_id"].iloc[0]
+        out["n_events"] = out["n_events"].astype("int64")
+        return out.reset_index(drop=True)[
+            ["user_id", "session_start_us", "session_end_us", "n_events"]
+        ]
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"]).map_batches(to_us, batch_format="pyarrow")
+    return ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+
+
+def q_events_sliding_window(sf_dir: str):
+    """Hopping windows (size 1h, hop 30min): each event explodes to its two
+    covering windows inside map_batches (pre-aggregated per batch), then one
+    small groupby-sum."""
+    from ray.data.aggregate import Sum
+
+    hop_us = 1_800_000_000
+
+    def explode(batch: pa.Table) -> pa.Table:
+        agg: dict[tuple[str, int], int] = {}
+        types = batch["event_type"].to_pylist()
+        us = batch["ts"].cast(pa.int64()).to_pylist()
+        for etype, t in zip(types, us):
+            base = (t // hop_us) * hop_us
+            for ws in (base, base - hop_us):
+                key = (etype, ws)
+                agg[key] = agg.get(key, 0) + 1
+        return pa.table(
+            {
+                "event_type": pa.array([k[0] for k in agg], pa.string()),
+                "window_us": pa.array([k[1] for k in agg], pa.int64()),
+                "partial": pa.array(list(agg.values()), pa.int64()),
+            }
+        )
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"]).map_batches(explode, batch_format="pyarrow")
+    return ds.groupby(["event_type", "window_us"]).aggregate(Sum("partial", alias_name="n_events"))
+
+
 def q_customer_per_nation(sf_dir: str):
     """Broadcast hash join: customer × nation (small side shipped once via
     ray.put, dict lookup per batch — no shuffle)."""
@@ -581,6 +643,8 @@ QUERIES = {
     "word_freq_top20": q_word_freq_top20,
     "lineitem_pricing_summary": q_lineitem_pricing_summary,
     "events_hourly": q_events_hourly,
+    "events_sessions": q_events_sessions,
+    "events_sliding_window": q_events_sliding_window,
     "customer_per_nation": q_customer_per_nation,
     "orders_top10": q_orders_top10,
     "deid_entity_counts": q_deid_entity_counts,
@@ -636,6 +700,30 @@ ORACLE_SQL = {
                (epoch_us(ts) // 3600000000) * 3600000000 AS window_us,
                CAST(count(*) AS BIGINT) AS n_events
         FROM events GROUP BY 1, 2
+    """,
+    "events_sessions": """
+        WITH o AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        m AS (SELECT user_id, us,
+                     CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+                               OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us) > 1800000000
+                          THEN 1 ELSE 0 END AS new_s
+              FROM o),
+        s AS (SELECT user_id, us,
+                     sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+              FROM m)
+        SELECT user_id,
+               min(us) AS session_start_us,
+               max(us) AS session_end_us,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM s GROUP BY user_id, sid
+    """,
+    "events_sliding_window": """
+        SELECT event_type,
+               (epoch_us(ts) // 1800000000 - k.k) * 1800000000 AS window_us,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events, (VALUES (0), (1)) k(k)
+        GROUP BY 1, 2
     """,
     "customer_per_nation": """
         SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_customers

@@ -145,10 +145,18 @@ def synthesize_page(row_id: int, seed: int = 42, *, mega_every: int = 0) -> dict
     is_mega = mega_every > 0 and row_id % mega_every == 0 and row_id > 0
     if kind < 0.05:
         html: bytes = _pdf_payload(rng, lang)
+    elif kind < 0.07:  # ~2%: CSV payload routed by the .csv url suffix
+        url += ".csv"
+        header = "name,phone,note" if lang == "en" else "姓名,電話,備註"
+        rows = []
+        for _ in range(rng.randint(1, 4)):
+            typ, value = _pii_values(rng, lang)[0]
+            rows.append(f"{_sentence(rng, lang, 2)},{value},{_sentence(rng, lang, 3)}")
+        html = ("\n".join([header] + rows) + "\n").encode("utf-8")
     else:
         page = _html_page(rng, lang, f"site{site} doc{row_id}", scale=40 if is_mega else 1)
         raw = page.encode("utf-8")
-        if kind < 0.07:  # ~2%: inject malformed UTF-8 bytes mid-document
+        if kind < 0.09:  # ~2%: inject malformed UTF-8 bytes mid-document
             cut = len(raw) // 2
             raw = raw[:cut] + b"\xff\xfe\xfa" + raw[cut:]
         html = raw

@@ -30,6 +30,11 @@ ENTITY_STRUCT = pa.struct(
         ("confidence", pa.float64()),
         ("source", pa.string()),
         ("text", pa.string()),
+        # structural anchors (attach_segment_anchors, core/anchors.py:10-48);
+        # null when the span is not fully inside one anchored segment
+        ("page_index", pa.int32()),
+        ("bbox", pa.list_(pa.int32())),  # 4 ints when present, null otherwise
+        ("cell_address", pa.string()),
     ]
 )
 
@@ -96,7 +101,7 @@ def make_deid_batch_fn(cfg: EngineConfig | None = None) -> Callable[[pa.Table], 
 
         out: dict[str, list[Any]] = {k: [] for k in DEID_OUTPUT_SCHEMA.names}
         for url, lang, html, text, pid in zip(urls, langs, htmls, texts, pids):
-            row = process_document(html=html, text=text, lang=lang or "zh", cfg=cfg)
+            row = process_document(html=html, text=text, url=url, lang=lang or "zh", cfg=cfg)
             out["url"].append(url)
             out["lang"].append(lang)
             out["pid"].append(pid)

@@ -35,7 +35,7 @@ def test_pipeline_matches_kernel_oracle_per_url(ray_session):
 
     for i in range(n):
         page = synthesize_page(i)
-        oracle = process_document(html=page["html"], text=page["text"], lang=page["lang"])
+        oracle = process_document(html=page["html"], text=page["text"], url=page["url"], lang=page["lang"])
         row = got[page["url"]]
         assert row["extracted_text"] == oracle["extracted_text"], page["url"]
         assert row["clean_text"] == oracle["clean_text"], page["url"]
@@ -125,3 +125,54 @@ def test_mega_page_skew_rows_survive(ray_session):
     rows = ds.take_all()
     assert len(rows) == 30
     assert max(r["n_chars"] for r in rows) > 10_000
+
+
+def test_csv_route_with_cell_anchors(ray_session):
+    """CSV payloads route by url suffix; entities get R{r}C{c} cell anchors."""
+    import ray.data as rd
+
+    table = pa.table(
+        {
+            "url": ["https://x.example/a.csv"],
+            "warc_ts": pa.array([0], pa.timestamp("us")),
+            "html": pa.array([b"id,phone\nA123456789,0912345678\n"], pa.binary()),
+            "text": pa.array([None], pa.string()),
+            "lang": ["zh"],
+        }
+    )
+    from edge_deid_studio_ray.pipelines.deid import build_deid_pipeline
+
+    rows = build_deid_pipeline(rd.from_arrow(table)).take_all()
+    row = rows[0]
+    assert row["route"] == "csv"
+    assert row["extracted_text"] == "id\nphone\nA123456789\n0912345678"
+    anchored = {e["text"]: e["cell_address"] for e in row["entities"]}
+    assert anchored.get("A123456789") == "R2C1"
+    assert anchored.get("0912345678") == "R2C2"
+
+
+def test_pdf_route_bbox_anchors(ray_session):
+    """Faux-PDF blocks carry page_index + bbox anchors through to entities."""
+    import json
+
+    import ray.data as rd
+
+    blocks = [
+        {"page": 0, "bbox": [10, 20, 300, 40], "btype": 0, "text": "id A123456789"},
+    ]
+    payload = ("%PDF-GRAFT1\n" + "\n".join(json.dumps(b) for b in blocks)).encode()
+    table = pa.table(
+        {
+            "url": ["https://x.example/doc1"],
+            "warc_ts": pa.array([0], pa.timestamp("us")),
+            "html": pa.array([payload], pa.binary()),
+            "text": pa.array([None], pa.string()),
+            "lang": ["zh"],
+        }
+    )
+    from edge_deid_studio_ray.pipelines.deid import build_deid_pipeline
+
+    row = build_deid_pipeline(rd.from_arrow(table)).take_all()[0]
+    ent = [e for e in row["entities"] if e["text"] == "A123456789"][0]
+    assert ent["page_index"] == 0
+    assert list(ent["bbox"]) == [10, 20, 300, 40]

@@ -57,7 +57,7 @@ def test_clean_text_byte_identical_on_pages_corpus(reference, mode):
     for i in range(300):
         page = synthesize_page(i)
         lang = page["lang"]
-        text, _, route, _ = extract_page(page["html"], page["text"])
+        text, _, route, _ = extract_page(page["html"], page["text"], url=page["url"])
 
         ref_det = reference["det_zh"] if lang == "zh" else reference["det_en"]
         ref_entities = ref_det.detect(text)
