@@ -236,6 +236,69 @@ def q_orders_top10(sf_dir: str):
     return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
 
 
+def q_orders_join_customers(sf_dir: str):
+    """Large-side hash join (``Dataset.join``, hash-partitioned on the key):
+    order counts + exact quantity-free aggregates per customer market
+    segment."""
+    from ray.data.aggregate import Count
+
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+    customer = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    joined = orders.join(
+        customer, join_type="inner", num_partitions=16, on=("o_custkey",), right_on=("c_custkey",)
+    )
+    return joined.groupby("c_mktsegment").aggregate(Count(alias_name="n_orders"))
+
+
+def q_customers_without_orders(sf_dir: str):
+    """Broadcast anti-join: customers with no high-value order.  The
+    filtered order-customer key set ships once via ``ray.put`` (a Bloom
+    filter at 10^12 scale); customers filter against it in map_batches —
+    no shuffle."""
+    import ray
+    from ray.data.aggregate import Count
+
+    custkeys = set()
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], 300000.0)), batch_format="pyarrow"
+    )
+    for batch in orders.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        custkeys.update(batch["o_custkey"].to_pylist())
+    keys_ref = ray.put(custkeys)
+
+    def anti(batch: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)
+        mask = [k not in keys for k in batch["c_custkey"].to_pylist()]
+        return batch.filter(pa.array(mask))
+
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        anti, batch_format="pyarrow"
+    )
+    return ds.groupby("c_mktsegment").aggregate(Count(alias_name="n_customers"))
+
+
+def q_doc_length_percentiles(sf_dir: str):
+    """Exact per-language length percentiles (G1 distribution semantics:
+    p50 = median with even-count interpolation, p95 = sorted[int(.95*(n-1))])
+    computed per sorted group."""
+    import pandas as pd
+
+    def pct(group: pd.DataFrame) -> pd.DataFrame:
+        values = sorted(group["n_chars"].tolist())
+        n = len(values)
+        if n % 2 == 1:
+            p50 = float(values[n // 2])
+        else:
+            p50 = (values[n // 2 - 1] + values[n // 2]) / 2.0
+        p95 = float(values[int(0.95 * (n - 1))])
+        return pd.DataFrame(
+            {"lang": [group["lang"].iloc[0]], "p50_chars": [p50], "p95_chars": [p95]}
+        )
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    return ds.groupby("lang").map_groups(pct, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # De-identification operators (the reference surface)
 # ---------------------------------------------------------------------------
@@ -647,6 +710,9 @@ QUERIES = {
     "events_sliding_window": q_events_sliding_window,
     "customer_per_nation": q_customer_per_nation,
     "orders_top10": q_orders_top10,
+    "orders_join_customers": q_orders_join_customers,
+    "customers_without_orders": q_customers_without_orders,
+    "doc_length_percentiles": q_doc_length_percentiles,
     "deid_entity_counts": q_deid_entity_counts,
     "deid_blackbox_stats": q_deid_blackbox_stats,
     "deid_replace_documents": q_deid_replace_documents,
@@ -733,6 +799,25 @@ ORACLE_SQL = {
     "orders_top10": """
         SELECT o_orderkey, o_totalprice FROM orders
         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    """,
+    "orders_join_customers": """
+        SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
+    """,
+    "customers_without_orders": """
+        SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers
+        FROM customer
+        WHERE c_custkey NOT IN
+              (SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0)
+        GROUP BY c_mktsegment
+    """,
+    "doc_length_percentiles": """
+        SELECT lang,
+               median(n_chars) AS p50_chars,
+               CAST(list_sort(list(n_chars))[CAST(floor(0.95 * (count(*) - 1)) AS INT) + 1]
+                    AS DOUBLE) AS p95_chars
+        FROM documents GROUP BY lang
     """,
     "deid_entity_counts": f"""
         SELECT lang, 'MEDICAL_ID' AS type,
