@@ -277,6 +277,12 @@ def q_customers_without_orders(sf_dir: str):
     return ds.groupby("c_mktsegment").aggregate(Count(alias_name="n_customers"))
 
 
+def q_distinct_sources(sf_dir: str):
+    """Distinct values of a column (``Dataset.unique`` — a shuffle)."""
+    values = _read(sf_dir, "documents", ["source"]).unique("source")
+    return pa.table({"source": pa.array(sorted(values), pa.string())})
+
+
 def q_doc_length_percentiles(sf_dir: str):
     """Exact per-language length percentiles (G1 distribution semantics:
     p50 = median with even-count interpolation, p95 = sorted[int(.95*(n-1))])
@@ -713,6 +719,7 @@ QUERIES = {
     "orders_join_customers": q_orders_join_customers,
     "customers_without_orders": q_customers_without_orders,
     "doc_length_percentiles": q_doc_length_percentiles,
+    "distinct_sources": q_distinct_sources,
     "deid_entity_counts": q_deid_entity_counts,
     "deid_blackbox_stats": q_deid_blackbox_stats,
     "deid_replace_documents": q_deid_replace_documents,
@@ -811,6 +818,9 @@ ORACLE_SQL = {
         WHERE c_custkey NOT IN
               (SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0)
         GROUP BY c_mktsegment
+    """,
+    "distinct_sources": """
+        SELECT DISTINCT source FROM documents ORDER BY source
     """,
     "doc_length_percentiles": """
         SELECT lang,

@@ -212,3 +212,22 @@ class TestMultimodal:
         ).take_all()
         assert rows[0]["n_frames"] == 10
         assert len(rows[0]["frame_energy"]) == 10
+
+
+class TestSpanJsonlIO:
+    def test_roundtrip_write_read_json(self, ray_session, tmp_path):
+        """S10: span datasets persist as JSONL via write_json/read_json."""
+        import ray.data as rd
+
+        from edge_deid_studio_ray.pipelines.training_data import synthetic_span_dataset
+
+        out = str(tmp_path / "spans")
+        ds = synthetic_span_dataset(20, seed=5)
+        ds.write_json(out)
+        back = rd.read_json(out)
+        a = sorted(ds.take_all(), key=lambda r: r["example_id"])
+        b = sorted(back.take_all(), key=lambda r: r["example_id"])
+        assert [r["text"] for r in a] == [r["text"] for r in b]
+        assert [[e["type"] for e in r["entities"]] for r in a] == [
+            [e["type"] for e in r["entities"]] for r in b
+        ]
