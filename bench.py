@@ -40,7 +40,9 @@ def _bench_pages(ray) -> dict:
     from edge_deid_studio_ray.sources.pages import ensure_pages_parquet
     import ray.data as rd
 
-    pages_dir = f"/tmp/bench_pages_n{PAGES_N}_s{PAGES_SEED}_m{MEGA_EVERY}"
+    from edge_deid_studio_ray.sources.pages import GENERATOR_VERSION
+
+    pages_dir = f"/tmp/bench_pages_v{GENERATOR_VERSION}_n{PAGES_N}_s{PAGES_SEED}_m{MEGA_EVERY}"
     ensure_pages_parquet(pages_dir, PAGES_N, PAGES_SEED, mega_every=MEGA_EVERY)
 
     # untimed warm read (page cache), and input size for MB/s
@@ -58,11 +60,15 @@ def _bench_pages(ray) -> dict:
     shutil.rmtree(out_dir, ignore_errors=True)
     build_deid_pipeline(rd.read_parquet(pages_dir)).write_parquet(out_dir)
 
-    shutil.rmtree(out_dir, ignore_errors=True)
-    t0 = time.perf_counter()
-    ds = rd.read_parquet(pages_dir)
-    build_deid_pipeline(ds).write_parquet(out_dir)
-    elapsed = time.perf_counter() - t0
+    # best-of-2 timed runs: single runs vary ±5% from task-placement /
+    # page-cache noise; the min is the steady-state capability
+    elapsed = float("inf")
+    for _ in range(2):
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        ds = rd.read_parquet(pages_dir)
+        build_deid_pipeline(ds).write_parquet(out_dir)
+        elapsed = min(elapsed, time.perf_counter() - t0)
     return {
         "sec": elapsed,
         "docs_per_sec": PAGES_N / elapsed,

@@ -49,7 +49,8 @@ def _shard_counters(shard_dir: str):
     """Column-pruned scan of a written shard → (docs, bytes, spans, per-pid)."""
     import pyarrow.dataset as pads
 
-    data = pads.dataset(shard_dir, format="parquet")
+    # hive layout: pid lives in the directory names (pid=K/), not the files
+    data = pads.dataset(shard_dir, format="parquet", partitioning="hive")
     table = data.to_table(columns=["pid", "n_bytes", "n_spans"])
     per_pid: dict[str, dict[str, int]] = {}
     pids = table["pid"].to_pylist()
@@ -94,7 +95,10 @@ def run_deid_job(
             clear_partial_output(out_dir, shard_id)
             ds = build_deid_pipeline(factory(), cfg)
             sdir = shard_output_dir(out_dir, shard_id)
-            ds.write_parquet(sdir)
+            # url-hash partitioned layout (north rule): each shard's output is
+            # split into pid=K subdirectories, so downstream consumers and
+            # re-runs address balanced key ranges instead of whole files
+            ds.write_parquet(sdir, partition_cols=["pid"])
             docs, n_bytes, spans, per_pid = _shard_counters(sdir)
             manifest = ShardManifest(
                 shard_id=shard_id,

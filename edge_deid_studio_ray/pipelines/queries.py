@@ -493,11 +493,15 @@ def q_doc_quality_counts(sf_dir: str):
 def q_knn_bruteforce(sf_dir: str):
     """Exact cosine top-5 for query vectors 0/1/2 (broadcast query matrix,
     per-batch matmul partials, final per-query merge)."""
+    import ray.data as rd
+
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    queries = (
-        ds.filter(lambda r: r["vec_id"] in (0, 1, 2))
-        .take_all()
-    )
+    # row-group predicate pushdown at the read — no full scan for 3 rows
+    queries = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filter=(pc.field("vec_id") < 3),
+    ).take_all()
     queries.sort(key=lambda r: r["vec_id"])
     qmat = np.array([r["embedding"] for r in queries], dtype=np.float64)
     out = knn_bruteforce(ds, qmat, k=5)
@@ -551,6 +555,34 @@ def q_pages_extract_hashes(sf_dir: str):
                 "clean_md5": pa.array(
                     [md5_hex(t) for t in batch["clean_text"].to_pylist()], pa.string()
                 ),
+                "n_spans": batch["n_spans"],
+            }
+        )
+
+    return ds.map_batches(hashes, batch_format="pyarrow")
+
+
+def q_pages_main_content(sf_dir: str):
+    """Boilerplate-stripped (jusText/Readability-style) extraction over the
+    synthetic pages corpus: per-url main-content hash + reduction ratio
+    (north-star capability 1; deterministic rows-only check)."""
+    from ..config import EngineConfig
+    from ..pipelines.deid import build_deid_pipeline
+    from ..sources.pages import pages_dataset
+
+    cfg = EngineConfig(extract_mode="main_content")
+    ds = build_deid_pipeline(pages_dataset(pages_rows_for(sf_dir)), cfg)
+
+    def hashes(batch: pa.Table) -> pa.Table:
+        from ..functions.dedup import md5_hex
+
+        return pa.table(
+            {
+                "url": batch["url"],
+                "main_md5": pa.array(
+                    [md5_hex(t) for t in batch["extracted_text"].to_pylist()], pa.string()
+                ),
+                "n_chars": batch["n_chars"],
                 "n_spans": batch["n_spans"],
             }
         )
@@ -730,6 +762,7 @@ QUERIES = {
     "knn_bruteforce": q_knn_bruteforce,
     "pages_pipeline_counters": q_pages_pipeline_counters,
     "pages_extract_hashes": q_pages_extract_hashes,
+    "pages_main_content": q_pages_main_content,
     "synthetic_quality_report": q_synthetic_quality_report,
     "ner_stub_entity_counts": q_ner_stub_entity_counts,
     "placeholder_corpus": q_placeholder_corpus,

@@ -34,6 +34,9 @@ PAGES_SCHEMA = pa.schema(
 
 _EPOCH_US = 1767225600_000000  # 2026-01-01T00:00:00 UTC, fixed (no wall clock)
 
+# bump when generation logic changes — invalidates cached bench corpora
+GENERATOR_VERSION = 2
+
 _WORDS_EN = (
     "the quick brown fox jumps over a lazy dog while data streams through "
     "arrow batches and workers shuffle blocks across the cluster ring"

@@ -176,3 +176,47 @@ def test_pdf_route_bbox_anchors(ray_session):
     ent = [e for e in row["entities"] if e["text"] == "A123456789"][0]
     assert ent["page_index"] == 0
     assert list(ent["bbox"]) == [10, 20, 300, 40]
+
+
+def test_partitioned_output_layout(ray_session, tmp_path):
+    """Output is hive-partitioned by the url-hash pid (north-rule layout)."""
+    import os
+
+    from edge_deid_studio_ray.pipelines.deid import run_deid_job
+    from edge_deid_studio_ray.state.manifest import shard_output_dir
+
+    out = str(tmp_path / "out")
+    run_deid_job([("s0", _shard_factory(0, 100))], out)
+    sdir = shard_output_dir(out, "s0")
+    pid_dirs = [d for d in os.listdir(sdir) if d.startswith("pid=")]
+    assert len(pid_dirs) > 10  # 100 urls spread over 64 pids
+
+
+def test_main_content_mode_strips_boilerplate(ray_session):
+    """extract_mode=main_content drops nav/footer/link-dense blocks while
+    keeping content paragraphs (north-star capability 1)."""
+    from edge_deid_studio_ray.config import EngineConfig
+    from edge_deid_studio_ray.pipelines.deid import build_deid_pipeline
+    from edge_deid_studio_ray.sources.pages import pages_dataset
+
+    full_rows = {
+        r["url"]: r for r in build_deid_pipeline(pages_dataset(80)).take_all()
+    }
+    main_rows = {
+        r["url"]: r
+        for r in build_deid_pipeline(
+            pages_dataset(80), EngineConfig(extract_mode="main_content")
+        ).take_all()
+    }
+    html_urls = [u for u, r in full_rows.items() if r["route"] == "html"]
+    assert html_urls
+    for url in html_urls:
+        full_text = full_rows[url]["extracted_text"]
+        main_text = main_rows[url]["extracted_text"]
+        assert len(main_text) <= len(full_text)
+        # nav links from the fixture template never survive the strip
+        for marker in ("Home", "Privacy Policy", "Terms of Service"):
+            assert marker not in main_text
+    # content (with PII) is retained for most pages: spans survive
+    kept_spans = sum(main_rows[u]["n_spans"] for u in html_urls)
+    assert kept_spans > 0
