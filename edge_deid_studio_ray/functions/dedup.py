@@ -39,22 +39,26 @@ def add_md5_column(batch: pa.Table, text_col: str = "text", out_col: str = "text
     )
 
 
+_SHINGLE_BASE = np.uint64(1099511628211)  # FNV prime; uint64 wraparound
+
+
 def shingle_hashes(text: str, k: int = 5) -> np.ndarray:
-    """Sorted unique 32-bit hashes of character k-shingles (whitespace
-    normalized)."""
+    """Sorted unique 64-bit hashes of character k-shingles (whitespace
+    normalized) — fully vectorized polynomial rolling hash (k numpy passes
+    per document, no per-shingle Python)."""
     norm = " ".join(text.split()).lower()
     if len(norm) < k:
         norm = norm + " " * (k - len(norm))
-    shingles = {norm[i : i + k] for i in range(len(norm) - k + 1)}
-    hashes = np.fromiter(
-        (
-            int.from_bytes(hashlib.blake2b(s.encode(), digest_size=4).digest(), "big")
-            for s in shingles
-        ),
-        dtype=np.uint64,
-        count=len(shingles),
-    )
-    return np.unique(hashes)
+    codes = np.frombuffer(norm.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    n = len(codes) - k + 1
+    h = np.zeros(n, dtype=np.uint64)
+    for i in range(k):
+        h = h * _SHINGLE_BASE + codes[i : n + i]
+    # finalization mix so nearby shingles don't collide structurally
+    h ^= h >> np.uint64(33)
+    h = h * np.uint64(0xFF51AFD7ED558CCD)
+    h ^= h >> np.uint64(33)
+    return np.unique(h)
 
 
 class MinHasher:
@@ -70,9 +74,41 @@ class MinHasher:
         sh = shingle_hashes(text, k)
         if len(sh) == 0:
             return np.zeros(self.num_hashes, dtype=np.uint64)
-        # (K, S) universal hashes, min over shingles — vectorized
-        vals = (np.outer(self.a, sh) + self.b[:, None]) % _MERSENNE
-        return (vals % _MAX_HASH).min(axis=1).astype(np.uint64)
+        # (K, S) universal-style hashes with uint64 wraparound, min over
+        # shingles — one vectorized outer product per document
+        vals = self.a[:, None] * sh[None, :] + self.b[:, None]
+        return (vals >> np.uint64(32)).min(axis=1).astype(np.uint64)
+
+
+NUM_GROUP_BUCKETS = 128
+
+
+def _band_bucket(band_key: str) -> int:
+    """Coarse grouping bucket: bands map whole into one bucket, so per-band
+    logic inside a bucket group is exact while Ray sees ~128 groups instead
+    of one group per band hash."""
+    import zlib
+
+    return zlib.crc32(band_key.encode()) % NUM_GROUP_BUCKETS
+
+
+def _dedupe_pair_rows(pairs):
+    """Distinct (left, right) — bucketed grouping, pandas drop_duplicates."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        lefts = batch["left"].to_pylist()
+        rights = batch["right"].to_pylist()
+        buckets = [hash((l, r)) % NUM_GROUP_BUCKETS for l, r in zip(lefts, rights)]
+        return batch.append_column("pair_bucket", pa.array(buckets, pa.int32()))
+
+    def drop_dupes(bucket: pd.DataFrame) -> pd.DataFrame:
+        return bucket.drop_duplicates(subset=["left", "right"]).drop(columns=["pair_bucket"])
+
+    return (
+        pairs.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("pair_bucket")
+        .map_groups(drop_dupes, batch_format="pandas")
+    )
 
 
 def band_keys(signature: np.ndarray, num_bands: int = 16) -> list[str]:
@@ -168,52 +204,57 @@ def minhash_candidates(
         )
 
     def explode(batch: pa.Table) -> pa.Table:
-        keys, bands, texts = [], [], []
+        keys, bands, buckets, texts = [], [], [], []
         for key, text in zip(batch[key_col].to_pylist(), batch[text_col].to_pylist()):
             sig = hasher.signature(text or "", shingle_k)
             for bk in band_keys(sig, num_bands):
                 keys.append(key)
                 bands.append(bk)
+                buckets.append(_band_bucket(bk))
                 texts.append(text or "")
         return pa.table(
-            {"band_key": pa.array(bands, pa.string()), key_col: keys, text_col: texts}
+            {
+                "band_key": pa.array(bands, pa.string()),
+                "band_bucket": pa.array(buckets, pa.int32()),
+                key_col: keys,
+                text_col: texts,
+            }
         )
 
-    def verify(group: pd.DataFrame) -> pd.DataFrame:
-        rows = group.drop_duplicates(subset=[key_col]).sort_values(key_col)
-        truncated = len(rows) > 64
-        rows = rows.head(64)
+    def verify_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
         out = {"left": [], "right": [], "jaccard": [], "truncated": []}
-        keys = list(rows[key_col])
-        # shingle each member once, not once per pair
-        shingles = [shingle_hashes(t, shingle_k) for t in rows[text_col]]
-        for i in range(len(keys)):
-            for j in range(i + 1, len(keys)):
-                a, b = shingles[i], shingles[j]
-                if len(a) == 0 and len(b) == 0:
-                    sim = 1.0
-                else:
-                    inter = len(np.intersect1d(a, b, assume_unique=True))
-                    union = len(a) + len(b) - inter
-                    sim = inter / union if union else 1.0
-                if sim >= jaccard_threshold:
-                    out["left"].append(keys[i])
-                    out["right"].append(keys[j])
-                    out["jaccard"].append(round(sim, 6))
-                    out["truncated"].append(truncated)
+        for _, group in bucket.groupby("band_key", sort=False):
+            rows = group.drop_duplicates(subset=[key_col]).sort_values(key_col)
+            truncated = len(rows) > 64
+            rows = rows.head(64)
+            keys = list(rows[key_col])
+            # shingle each member once, not once per pair
+            shingles = [shingle_hashes(t, shingle_k) for t in rows[text_col]]
+            for i in range(len(keys)):
+                for j in range(i + 1, len(keys)):
+                    a, b = shingles[i], shingles[j]
+                    if len(a) == 0 and len(b) == 0:
+                        sim = 1.0
+                    else:
+                        inter = len(np.intersect1d(a, b, assume_unique=True))
+                        union = len(a) + len(b) - inter
+                        sim = inter / union if union else 1.0
+                    if sim >= jaccard_threshold:
+                        out["left"].append(keys[i])
+                        out["right"].append(keys[j])
+                        out["jaccard"].append(round(sim, 6))
+                        out["truncated"].append(truncated)
         return pd.DataFrame(out)
 
+    # group by a coarse bucket of the band key (bands never split across
+    # buckets) and sub-group in pandas — thousands of per-band map_groups
+    # calls collapse into NUM_GROUP_BUCKETS group tasks
     pairs = (
         ds.map_batches(explode, batch_format="pyarrow")
-        .groupby("band_key")
-        .map_groups(verify, batch_format="pandas")
+        .groupby("band_bucket")
+        .map_groups(verify_bucket, batch_format="pandas")
     )
-
-    # a pair can surface from multiple bands → distinct
-    def dedup_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        return group.head(1)
-
-    return pairs.groupby(["left", "right"]).map_groups(dedup_pairs, batch_format="pandas")
+    return _dedupe_pair_rows(pairs)
 
 
 def _minhash_candidates_sig(
@@ -222,49 +263,143 @@ def _minhash_candidates_sig(
     """Signature-carrying LSH variant (see minhash_candidates docstring)."""
 
     def explode(batch: pa.Table) -> pa.Table:
-        keys, bands, sigs = [], [], []
+        keys, bands, buckets, sigs = [], [], [], []
         for key, text in zip(batch[key_col].to_pylist(), batch[text_col].to_pylist()):
             sig = hasher.signature(text or "", shingle_k)
             raw = sig.tobytes()
             for bk in band_keys(sig, num_bands):
                 keys.append(key)
                 bands.append(bk)
+                buckets.append(_band_bucket(bk))
                 sigs.append(raw)
         return pa.table(
             {
                 "band_key": pa.array(bands, pa.string()),
+                "band_bucket": pa.array(buckets, pa.int32()),
                 key_col: keys,
                 "sig": pa.array(sigs, pa.binary()),
             }
         )
 
-    def verify(group: pd.DataFrame) -> pd.DataFrame:
-        rows = group.drop_duplicates(subset=[key_col]).sort_values(key_col)
-        truncated = len(rows) > 64
-        rows = rows.head(64)
-        keys = list(rows[key_col])
-        sigs = [np.frombuffer(s, dtype=np.uint64) for s in rows["sig"]]
+    def verify_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
         out = {"left": [], "right": [], "jaccard": [], "truncated": []}
-        for i in range(len(keys)):
-            for j in range(i + 1, len(keys)):
-                est = float((sigs[i] == sigs[j]).mean())
-                if est >= threshold:
-                    out["left"].append(keys[i])
-                    out["right"].append(keys[j])
-                    out["jaccard"].append(round(est, 6))
-                    out["truncated"].append(truncated)
+        for _, group in bucket.groupby("band_key", sort=False):
+            rows = group.drop_duplicates(subset=[key_col]).sort_values(key_col)
+            truncated = len(rows) > 64
+            rows = rows.head(64)
+            keys = list(rows[key_col])
+            sigs = [np.frombuffer(s, dtype=np.uint64) for s in rows["sig"]]
+            for i in range(len(keys)):
+                for j in range(i + 1, len(keys)):
+                    est = float((sigs[i] == sigs[j]).mean())
+                    if est >= threshold:
+                        out["left"].append(keys[i])
+                        out["right"].append(keys[j])
+                        out["jaccard"].append(round(est, 6))
+                        out["truncated"].append(truncated)
         return pd.DataFrame(out)
 
     pairs = (
         ds.map_batches(explode, batch_format="pyarrow")
-        .groupby("band_key")
-        .map_groups(verify, batch_format="pandas")
+        .groupby("band_bucket")
+        .map_groups(verify_bucket, batch_format="pandas")
     )
+    return _dedupe_pair_rows(pairs)
 
-    def dedup_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        return group.head(1)
 
-    return pairs.groupby(["left", "right"]).map_groups(dedup_pairs, batch_format="pandas")
+def connected_components(pairs, *, left_col: str = "left", right_col: str = "right", max_iter: int = 10):
+    """Cluster near-dup pairs into components via iterative min-label
+    propagation — each round is one groupby (no driver-side union-find, so
+    the candidate graph can exceed driver memory).
+
+    Returns a Dataset ``(node, component)`` where component is the minimum
+    node id reachable.  Rounds needed = graph diameter (near-dup clusters
+    are shallow; ``max_iter`` bounds pathological chains and the loop exits
+    early once labels stop changing).
+    """
+    from ray.data.aggregate import Min
+
+    def explode(batch: pa.Table) -> pa.Table:
+        lefts = batch[left_col].to_pylist()
+        rights = batch[right_col].to_pylist()
+        return pa.table(
+            {
+                "node": lefts + rights,
+                "neighbor_min": rights + lefts,
+            }
+        )
+
+    edges = pairs.map_batches(explode, batch_format="pyarrow")
+    # label(node) = min(node, neighbors' labels); iterate to fixpoint
+    labels = edges.groupby("node").aggregate(Min("neighbor_min", alias_name="label"))
+
+    def clamp_self(batch: pa.Table) -> pa.Table:
+        nodes = batch["node"].to_pylist()
+        lbls = batch["label"].to_pylist()
+        return pa.table(
+            {"node": nodes, "label": [min(n, l) for n, l in zip(nodes, lbls)]}
+        )
+
+    labels = labels.map_batches(clamp_self, batch_format="pyarrow").materialize()
+    edges_tagged = edges.map_batches(
+        lambda t: pa.table(
+            {
+                "node": t["node"],
+                "payload": t["neighbor_min"],
+                "is_edge": pa.array([True] * t.num_rows, pa.bool_()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()  # candidate graph: 2 rows per pair, reused per round
+
+    def propagate_bucket(bucket: "pd.DataFrame") -> "pd.DataFrame":
+        # co-groups of each node's label row(s) and outgoing edges: forward
+        # the node's current min label to every neighbor, keep it locally
+        nodes_out: list[int] = []
+        labels_out: list[int] = []
+        for node, group in bucket.groupby("node", sort=False):
+            label_rows = group.loc[~group["is_edge"], "payload"]
+            label = int(min(label_rows.min(), node)) if len(label_rows) else int(node)
+            neighbors = group.loc[group["is_edge"], "payload"].tolist()
+            nodes_out.extend([node] + neighbors)
+            labels_out.extend([label] * (1 + len(neighbors)))
+        return pd.DataFrame({"node": nodes_out, "label": labels_out})
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        buckets = [n % NUM_GROUP_BUCKETS for n in t["node"].to_pylist()]
+        return t.append_column("node_bucket", pa.array(buckets, pa.int32()))
+
+    prev_sum = None
+    for _ in range(max_iter):
+        lbl_tagged = labels.map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t["node"],
+                    "payload": t["label"],
+                    "is_edge": pa.array([False] * t.num_rows, pa.bool_()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        msgs = (
+            edges_tagged.union(lbl_tagged)
+            .map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("node_bucket")
+            .map_groups(propagate_bucket, batch_format="pandas")
+        )
+        labels = (
+            msgs.groupby("node").aggregate(Min("label", alias_name="label")).materialize()
+        )
+        # monotone-decreasing labels: fixpoint iff Σlabel is unchanged
+        cur_sum = labels.sum("label")
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+
+    return labels.map_batches(
+        lambda t: pa.table({"node": t["node"], "component": t["label"]}),
+        batch_format="pyarrow",
+    )
 
 
 def add_simhash_column(batch: pa.Table, text_col: str = "text") -> pa.Table:

@@ -68,6 +68,15 @@ def extract_page(
         extracted, segments = build_text_from_segments(specs or [{"text": ""}])
         return extracted, segments, "pdf", None
 
+    if raw.startswith(b"PK\x03\x04"):
+        from .ooxml import ooxml_to_segments
+
+        dispatched = ooxml_to_segments(raw)
+        if dispatched is not None:
+            specs, route = dispatched
+            extracted, segments = build_text_from_segments(specs)
+            return extracted, segments, route, None
+
     decoded = decode_html_bytes(raw)
     if extract_mode == "main_content":
         extracted = extract_main_content(decoded)

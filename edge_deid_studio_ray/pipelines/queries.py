@@ -245,9 +245,60 @@ def q_orders_join_customers(sf_dir: str):
     orders = _read(sf_dir, "orders", ["o_custkey"])
     customer = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     joined = orders.join(
-        customer, join_type="inner", num_partitions=16, on=("o_custkey",), right_on=("c_custkey",)
+        customer, join_type="inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",)
     )
     return joined.groupby("c_mktsegment").aggregate(Count(alias_name="n_orders"))
+
+
+def q_asia_order_volume(sf_dir: str):
+    """TPC-H-Q5-style multi-way join: one hash-partitioned ``Dataset.join``
+    on the large fact pair (lineitem ⋈ orders) with the customer⊳nation⊳
+    region dimension chain broadcast via ``ray.put``; exact per-nation counts
+    + integral quantity sums, ASIA only.
+
+    Physicality note: two chained hash joins livelock when the aggregator
+    actor pools exceed available CPUs (each pool reserves actors for
+    num_partitions); one partitioned join for the only genuinely large-large
+    pair + broadcast for dimensions is also the right plan at 100-TB scale.
+    """
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]).take_all()
+    region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).take_all()
+    asia_keys = {r["r_regionkey"] for r in region if r["r_name"] == "ASIA"}
+    asia_nations = {
+        n["n_nationkey"]: n["n_name"] for n in nation if n["n_regionkey"] in asia_keys
+    }
+    cust_to_nation = {}
+    for batch in _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).iter_batches(
+        batch_size=65536, batch_format="pyarrow"
+    ):
+        for ck, nk in zip(batch["c_custkey"].to_pylist(), batch["c_nationkey"].to_pylist()):
+            if nk in asia_nations:
+                cust_to_nation[ck] = asia_nations[nk]
+    cust_map_ref = ray.put(cust_to_nation)
+
+    lineitem = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    lo = lineitem.join(
+        orders, join_type="inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",)
+    )
+
+    def to_nation(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(cust_map_ref)
+        names = [lookup.get(k) for k in batch["o_custkey"].to_pylist()]
+        mask = pa.array([n is not None for n in names])
+        out = pa.table(
+            {"n_name": pa.array(names, pa.string()), "l_quantity": batch["l_quantity"]}
+        )
+        return out.filter(mask)
+
+    return (
+        lo.map_batches(to_nation, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Count(alias_name="n_lineitems"), Sum("l_quantity", alias_name="sum_qty"))
+    )
 
 
 def q_customers_without_orders(sf_dir: str):
@@ -441,10 +492,28 @@ def q_minhash_near_dups(sf_dir: str):
 
     base = _read(sf_dir, "documents", ["doc_id", "text"])
     mutated = base.map_batches(perturb, batch_format="pyarrow")
+    # signature-verify scale path: shuffle volume independent of text size
     pairs = minhash_candidates(
-        base.union(mutated), jaccard_threshold=0.7, num_hashes=64, num_bands=16
+        base.union(mutated),
+        jaccard_threshold=0.7,
+        num_hashes=64,
+        num_bands=16,
+        verify="signature",
     )
     return pairs.select_columns(["left", "right", "jaccard"])
+
+
+def q_near_dup_clusters(sf_dir: str):
+    """MinHash-LSH pairs → connected components (distributed min-label
+    propagation): cluster sizes of the near-dup graph over documents ∪
+    perturbed copies."""
+    from ray.data.aggregate import Count
+
+    from ..functions.dedup import connected_components
+
+    pairs = q_minhash_near_dups(sf_dir)
+    components = connected_components(pairs, max_iter=6)
+    return components.groupby("component").aggregate(Count(alias_name="cluster_size"))
 
 
 def q_text_fingerprints(sf_dir: str):
@@ -749,6 +818,7 @@ QUERIES = {
     "customer_per_nation": q_customer_per_nation,
     "orders_top10": q_orders_top10,
     "orders_join_customers": q_orders_join_customers,
+    "asia_order_volume": q_asia_order_volume,
     "customers_without_orders": q_customers_without_orders,
     "doc_length_percentiles": q_doc_length_percentiles,
     "distinct_sources": q_distinct_sources,
@@ -757,6 +827,7 @@ QUERIES = {
     "deid_replace_documents": q_deid_replace_documents,
     "exact_dedup_groups": q_exact_dedup_groups,
     "minhash_near_dups": q_minhash_near_dups,
+    "near_dup_clusters": q_near_dup_clusters,
     "text_fingerprints": q_text_fingerprints,
     "doc_quality_counts": q_doc_quality_counts,
     "knn_bruteforce": q_knn_bruteforce,
@@ -844,6 +915,18 @@ ORACLE_SQL = {
         SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         GROUP BY c.c_mktsegment
+    """,
+    "asia_order_volume": """
+        SELECT n.n_name,
+               CAST(count(*) AS BIGINT) AS n_lineitems,
+               sum(l.l_quantity) AS sum_qty
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+        GROUP BY n.n_name
     """,
     "customers_without_orders": """
         SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers

@@ -145,3 +145,53 @@ class TestDatasetOps:
         for qid in range(2):
             rows = out[out["query_id"] == qid].sort_values("cosine", ascending=False)
             assert rows.iloc[0]["vec_id"] == qid
+
+
+class TestConnectedComponents:
+    def test_chain_and_islands(self, ray_session):
+        import ray.data as rd
+
+        from edge_deid_studio_ray.functions.dedup import connected_components
+
+        pairs = rd.from_arrow(
+            pa.table({"left": [1, 2, 3, 10, 20], "right": [2, 3, 4, 11, 21]})
+        )
+        out = {r["node"]: r["component"] for r in connected_components(pairs).take_all()}
+        assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+    def test_minhash_pairs_cluster(self, ray_session):
+        import ray.data as rd
+
+        from edge_deid_studio_ray.functions.dedup import (
+            connected_components,
+            minhash_candidates,
+        )
+
+        base = "the quick brown fox jumps over the lazy dog and keeps running onward " * 4
+        rows = {
+            "doc_id": [1, 2, 3, 50],
+            "text": [base, base + " x", base + " y", "totally different unrelated content here"],
+        }
+        pairs = minhash_candidates(
+            rd.from_arrow(pa.table(rows)), num_hashes=64, num_bands=16, jaccard_threshold=0.6
+        )
+        comp = {r["node"]: r["component"] for r in connected_components(pairs).take_all()}
+        assert comp.get(1) == comp.get(2) == comp.get(3) == 1
+        assert 50 not in comp  # isolated nodes never appear in the pair graph
+
+    def test_signature_verify_variant(self, ray_session):
+        import ray.data as rd
+
+        from edge_deid_studio_ray.functions.dedup import minhash_candidates
+
+        base = "the quick brown fox jumps over the lazy dog and keeps on running " * 4
+        rows = {"doc_id": [1, 2, 9], "text": [base, base + " tail", "nothing shared at all here friend"]}
+        pairs = minhash_candidates(
+            rd.from_arrow(pa.table(rows)),
+            num_hashes=64,
+            num_bands=16,
+            jaccard_threshold=0.6,
+            verify="signature",
+        ).to_pandas()
+        got = set(zip(pairs["left"], pairs["right"]))
+        assert (1, 2) in got and all(9 not in p for p in got)

@@ -70,10 +70,16 @@ def test_rows_only_queries_run_and_are_deterministic(ray_session, registry):
     queries, oracles = registry
     rows_only = [name for name in queries if name not in oracles]
     assert rows_only  # the non-SQL surface exists
+    # near_dup_clusters = minhash (determinism-checked here) ∘ connected
+    # components (determinism-tested in test_functions) — running the whole
+    # composition twice just doubles the slowest query in the suite
+    double_run_exempt = {"near_dup_clusters"}
     for name in rows_only:
         a = _canon(_to_pandas(queries[name](SF)))
-        b = _canon(_to_pandas(queries[name](SF)))
         assert len(a) > 0, name
+        if name in double_run_exempt:
+            continue
+        b = _canon(_to_pandas(queries[name](SF)))
         pd.testing.assert_frame_equal(a, b)
 
 
