@@ -231,3 +231,59 @@ class TestSpanJsonlIO:
         assert [[e["type"] for e in r["entities"]] for r in a] == [
             [e["type"] for e in r["entities"]] for r in b
         ]
+
+
+class TestImageDeid:
+    def test_attach_offset_bboxes_matches_reference(self):
+        """Parity with ImageDeidProcessor._attach_bboxes on a synthetic map.
+
+        The reference module imports cv2 at module scope, so the expected
+        values are computed from the identical pure algorithm spec
+        (processor.py:115-144): min/max envelope over page-0 per-char boxes.
+        """
+        from edge_deid_studio_ray.stages.image_deid import attach_offset_bboxes
+
+        # chars 0-4 on page 0 at x = 10,20,30,40,50; char 3 missing; char 5 page 1
+        offset_map = [
+            ((0, 10, 5, 18, 20), 0),
+            ((0, 20, 5, 28, 20), 1),
+            ((0, 30, 4, 38, 21), 2),
+            ((0, 50, 5, 58, 20), 4),
+            ((1, 99, 99, 100, 100), 5),
+        ]
+        entities = [
+            {"type": "ID", "span": (0, 5)},
+            {"type": "PHONE", "span": (5, 6)},   # only page-1 chars → no bbox
+            {"type": "NAME", "span": (10, 12)},  # unmapped span → untouched
+        ]
+        attach_offset_bboxes(entities, offset_map)
+        assert entities[0]["bbox"] == (10, 4, 58, 21)
+        assert entities[0]["page_index"] == 0
+        assert "bbox" not in entities[1]
+        assert "bbox" not in entities[2]
+
+    def test_image_deid_stage_end_to_end(self, ray_session):
+        import ray.data as rd
+
+        from edge_deid_studio_ray.stages.image_deid import ImageDeidStage
+
+        table = pa.table(
+            {
+                "media_id": ["img1", "img2"],
+                "payload": pa.array([b"imagebytes-a", b"imagebytes-b"], pa.binary()),
+            }
+        )
+        rows = rd.from_arrow(table).map_batches(
+            ImageDeidStage, batch_format="pyarrow", batch_size=8, concurrency=1
+        ).take_all()
+        assert len(rows) == 2
+        for row in rows:
+            if row["n_spans"]:
+                # every detected entity got a merged redaction box
+                assert len(row["redaction_boxes"]) == row["n_spans"]
+                assert "A123456789" not in row["clean_text"]
+        # deterministic across runs
+        rows2 = rd.from_arrow(table).map_batches(
+            ImageDeidStage, batch_format="pyarrow", batch_size=8, concurrency=1
+        ).take_all()
+        assert rows == rows2
