@@ -84,11 +84,15 @@ def _bench_queries(sf_dir: str) -> dict[str, float]:
         "word_freq_top20",
         "lineitem_pricing_summary",
         "events_hourly",
+        "events_sessions",
         "customer_per_nation",
         "orders_top10",
+        "orders_join_customers",
+        "asia_order_volume",
         "deid_entity_counts",
         "deid_replace_documents",
         "exact_dedup_groups",
+        "minhash_near_dups",
         "doc_quality_counts",
         "knn_bruteforce",
     ]
