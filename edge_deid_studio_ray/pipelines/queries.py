@@ -463,6 +463,33 @@ def q_deid_replace_documents(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
+def q_deid_context_hashes(sf_dir: str):
+    """Per-document context hash (sha256 of the extracted text — the
+    deterministic-replacement seed scope, handlers/base.py:54-58) + resolved
+    span count; fully SQL-checkable."""
+
+    def hashes(batch: pa.Table) -> pa.Table:
+        from ..kernels.contracts import context_hash as chash
+
+        rows = []
+        for doc_id, text, lang in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist(), batch["lang"].to_pylist()
+        ):
+            row = process_document(text=text, lang=lang)
+            rows.append((doc_id, row["context_hash"], row["n_spans"]))
+        return pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "context_hash": pa.array([r[1] for r in rows], pa.string()),
+                "n_spans": pa.array([r[2] for r in rows], pa.int64()),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text", "lang"]).map_batches(
+        hashes, batch_format="pyarrow"
+    )
+
+
 def q_exact_dedup_groups(sf_dir: str):
     """Exact dedup groups over documents ∪ documents (forced duplicates):
     md5 content hash → single groupby → (copies, keeper=min id)."""
@@ -575,6 +602,14 @@ def q_knn_bruteforce(sf_dir: str):
     qmat = np.array([r["embedding"] for r in queries], dtype=np.float64)
     out = knn_bruteforce(ds, qmat, k=5)
     return out.select_columns(["query_id", "vec_id"])
+
+
+def q_embedding_near_dups(sf_dir: str):
+    """Embedding-cosine near-dup pairs above 0.4 (exact, broadcast matmul)."""
+    from ..functions.simsearch import embedding_near_dups
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return embedding_near_dups(ds, threshold=0.4).select_columns(["left", "right"])
 
 
 # ---------------------------------------------------------------------------
@@ -825,12 +860,14 @@ QUERIES = {
     "deid_entity_counts": q_deid_entity_counts,
     "deid_blackbox_stats": q_deid_blackbox_stats,
     "deid_replace_documents": q_deid_replace_documents,
+    "deid_context_hashes": q_deid_context_hashes,
     "exact_dedup_groups": q_exact_dedup_groups,
     "minhash_near_dups": q_minhash_near_dups,
     "near_dup_clusters": q_near_dup_clusters,
     "text_fingerprints": q_text_fingerprints,
     "doc_quality_counts": q_doc_quality_counts,
     "knn_bruteforce": q_knn_bruteforce,
+    "embedding_near_dups": q_embedding_near_dups,
     "pages_pipeline_counters": q_pages_pipeline_counters,
     "pages_extract_hashes": q_pages_extract_hashes,
     "pages_main_content": q_pages_main_content,
@@ -963,6 +1000,14 @@ ORACLE_SQL = {
                CAST(len(text) AS BIGINT) AS n_chars
         FROM documents
     """,
+    "deid_context_hashes": f"""
+        SELECT doc_id,
+               sha256(text) AS context_hash,
+               CASE WHEN lang = 'zh' THEN 0
+                    ELSE CAST(len(regexp_extract_all(text, '{_MEDICAL_RE}')) AS BIGINT)
+               END AS n_spans
+        FROM documents
+    """,
     "exact_dedup_groups": """
         SELECT md5(text) AS text_md5,
                CAST(count(*) AS BIGINT) AS n_copies,
@@ -978,6 +1023,12 @@ ORACLE_SQL = {
                CAST(len(list_filter(regexp_extract_all(lower(text), '\\S+'),
                                     x -> list_contains({_STOP_SQL}, x))) AS BIGINT) AS n_stopwords
         FROM documents
+    """,
+    "embedding_near_dups": """
+        SELECT a.vec_id AS left, b.vec_id AS right
+        FROM embeddings a, embeddings b
+        WHERE a.vec_id < b.vec_id
+          AND list_cosine_similarity(a.embedding, b.embedding) > 0.4
     """,
     "knn_bruteforce": """
         WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id IN (0,1,2))

@@ -195,3 +195,45 @@ class TestConnectedComponents:
         ).to_pandas()
         got = set(zip(pairs["left"], pairs["right"]))
         assert (1, 2) in got and all(9 not in p for p in got)
+
+
+class TestSimsearchVariants:
+    def test_embedding_near_dups_exact(self, ray_session):
+        import ray.data as rd
+
+        from edge_deid_studio_ray.functions.simsearch import embedding_near_dups
+
+        rng = np.random.RandomState(3)
+        mat = rng.standard_normal((40, 8))
+        mat[7] = mat[3] + 0.01 * rng.standard_normal(8)  # a near-dup pair
+        ds = rd.from_arrow(
+            pa.table({"vec_id": list(range(40)), "embedding": [list(map(float, v)) for v in mat]})
+        )
+        pairs = embedding_near_dups(ds, threshold=0.95).to_pandas()
+        got = set(zip(pairs["left"], pairs["right"]))
+        assert (3, 7) in got
+        for l, r in got:
+            assert l < r
+
+    def test_knn_ivf_recalls_self(self, ray_session):
+        import ray.data as rd
+
+        from edge_deid_studio_ray.functions.simsearch import knn_bruteforce, knn_ivf
+
+        rng = np.random.RandomState(5)
+        mat = rng.standard_normal((200, 16))
+        ds = rd.from_arrow(
+            pa.table({"vec_id": list(range(200)), "embedding": [list(map(float, v)) for v in mat]})
+        )
+        ivf = knn_ivf(ds, mat[:3], k=3, num_centroids=8, nprobe=8).to_pandas()
+        exact = knn_bruteforce(ds, mat[:3], k=3).to_pandas()
+        # nprobe == num_centroids → no pruning → identical to brute force
+        for qid in range(3):
+            a = ivf[ivf["query_id"] == qid].sort_values("cosine", ascending=False)["vec_id"].tolist()
+            b = exact[exact["query_id"] == qid].sort_values("cosine", ascending=False)["vec_id"].tolist()
+            assert a == b
+        # pruned probe still recalls self as top-1
+        pruned = knn_ivf(ds, mat[:3], k=3, num_centroids=8, nprobe=2).to_pandas()
+        for qid in range(3):
+            top = pruned[pruned["query_id"] == qid].sort_values("cosine", ascending=False)
+            assert top.iloc[0]["vec_id"] == qid
