@@ -100,17 +100,25 @@ def process_document(
     ``extracted_text, context_hash, clean_text, entities, events, route,
     error, n_spans, n_chars, n_bytes``.
     """
+    from time import perf_counter
+
     cfg = cfg or EngineConfig()
 
+    # per-stage wall timings mirror DeidResult.timings_ms
+    # (/root/reference/src/deid_pipeline/__init__.py:133-139); they aggregate
+    # into per-partition metrics in the lineage manifests.
+    t0 = perf_counter()
     extracted_text, segments, route, error = extract_page(
         html, text, url=url, extract_mode=cfg.extract_mode
     )
     doc_hash = context_hash(extracted_text)
+    t1 = perf_counter()
 
     patterns = compile_rules(str(cfg.rules_path(lang)))
     raw_entities = resolve_conflicts(
         regex_detect(extracted_text, patterns), cfg.entity_priority
     )
+    t2 = perf_counter()
 
     clean_text, raw_events = replace_text(
         extracted_text,
@@ -119,6 +127,7 @@ def process_document(
         context_hash=doc_hash,
         locale=cfg.faker_locale,
     )
+    t3 = perf_counter()
 
     entities = [normalize_entity(e, language=lang, text=extracted_text) for e in raw_entities]
     attach_segment_anchors(entities, segments)
@@ -169,4 +178,7 @@ def process_document(
         "n_spans": len(entities),
         "n_chars": len(extracted_text),
         "n_bytes": len(html) if html is not None else len((text or "").encode("utf-8", "replace")),
+        "t_extract_ms": (t1 - t0) * 1000.0,
+        "t_detect_ms": (t2 - t1) * 1000.0,
+        "t_replace_ms": (t3 - t2) * 1000.0,
     }

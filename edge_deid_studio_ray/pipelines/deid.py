@@ -51,7 +51,9 @@ def _shard_counters(shard_dir: str):
 
     # hive layout: pid lives in the directory names (pid=K/), not the files
     data = pads.dataset(shard_dir, format="parquet", partitioning="hive")
-    table = data.to_table(columns=["pid", "n_bytes", "n_spans"])
+    table = data.to_table(
+        columns=["pid", "n_bytes", "n_spans", "t_extract_ms", "t_detect_ms", "t_replace_ms"]
+    )
     per_pid: dict[str, dict[str, int]] = {}
     pids = table["pid"].to_pylist()
     nb = table["n_bytes"].to_pylist()
@@ -61,11 +63,20 @@ def _shard_counters(shard_dir: str):
         slot["docs"] += 1
         slot["bytes"] += int(b)
         slot["spans"] += int(s)
+    timings_ms = {
+        stage: round(sum(table[col].to_pylist()), 1)
+        for stage, col in (
+            ("extract", "t_extract_ms"),
+            ("detect", "t_detect_ms"),
+            ("replace", "t_replace_ms"),
+        )
+    }
     return (
         len(pids),
         sum(int(b) for b in nb),
         sum(int(s) for s in ns),
         per_pid,
+        timings_ms,
     )
 
 
@@ -99,13 +110,14 @@ def run_deid_job(
             # split into pid=K subdirectories, so downstream consumers and
             # re-runs address balanced key ranges instead of whole files
             ds.write_parquet(sdir, partition_cols=["pid"])
-            docs, n_bytes, spans, per_pid = _shard_counters(sdir)
+            docs, n_bytes, spans, per_pid, timings_ms = _shard_counters(sdir)
             manifest = ShardManifest(
                 shard_id=shard_id,
                 docs=docs,
                 bytes=n_bytes,
                 spans=spans,
                 per_pid=per_pid,
+                timings_ms=timings_ms,
                 input_fingerprint=hashlib.sha256(shard_id.encode()).hexdigest()[:16],
             )
             write_manifest(out_dir, manifest)

