@@ -96,9 +96,16 @@ def _dedupe_pair_rows(pairs):
     """Distinct (left, right) — bucketed grouping, pandas drop_duplicates."""
 
     def add_bucket(batch: pa.Table) -> pa.Table:
+        import zlib
+
         lefts = batch["left"].to_pylist()
         rights = batch["right"].to_pylist()
-        buckets = [hash((l, r)) % NUM_GROUP_BUCKETS for l, r in zip(lefts, rights)]
+        # NOT Python hash(): string hashing is PYTHONHASHSEED-salted per
+        # process, and the same pair must bucket identically across workers
+        buckets = [
+            zlib.crc32(f"{l}\x00{r}".encode()) % NUM_GROUP_BUCKETS
+            for l, r in zip(lefts, rights)
+        ]
         return batch.append_column("pair_bucket", pa.array(buckets, pa.int32()))
 
     def drop_dupes(bucket: pd.DataFrame) -> pd.DataFrame:
@@ -409,3 +416,64 @@ def add_simhash_column(batch: pa.Table, text_col: str = "text") -> pa.Table:
     # store as int64 (reinterpret top bit) for Arrow friendliness
     vals = [s - (1 << 64) if s >= (1 << 63) else s for s in sims]
     return batch.append_column("simhash", pa.array(vals, pa.int64()))
+
+
+def simhash_near_dups(
+    ds,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    *,
+    max_hamming: int = 3,
+    num_bands: int = 4,
+):
+    """SimHash near-duplicate pairs: 64-bit signatures banded into
+    ``num_bands`` 16-bit slices — by pigeonhole, any pair within
+    ``max_hamming`` ≤ num_bands - 1 bits shares at least one identical band,
+    so same-band candidates + an in-group Hamming verify find all such
+    pairs.  Same bucketed-grouping shape as the MinHash path.
+    """
+    from .textstats import simhash64
+
+    band_bits = 64 // num_bands
+    band_mask = (1 << band_bits) - 1
+
+    def explode(batch: pa.Table) -> pa.Table:
+        keys, bands, buckets, sims = [], [], [], []
+        for key, text in zip(batch[key_col].to_pylist(), batch[text_col].to_pylist()):
+            sim = simhash64(text or "")
+            for band in range(num_bands):
+                bk = f"{band}:{(sim >> (band * band_bits)) & band_mask:04x}"
+                keys.append(key)
+                bands.append(bk)
+                buckets.append(_band_bucket(bk))
+                sims.append(sim - (1 << 64) if sim >= (1 << 63) else sim)
+        return pa.table(
+            {
+                "band_key": pa.array(bands, pa.string()),
+                "band_bucket": pa.array(buckets, pa.int32()),
+                key_col: keys,
+                "simhash": pa.array(sims, pa.int64()),
+            }
+        )
+
+    def verify_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        out = {"left": [], "right": [], "hamming": []}
+        for _, group in bucket.groupby("band_key", sort=False):
+            rows = group.drop_duplicates(subset=[key_col]).sort_values(key_col).head(64)
+            keys = list(rows[key_col])
+            sims = [int(s) & ((1 << 64) - 1) for s in rows["simhash"]]
+            for i in range(len(keys)):
+                for j in range(i + 1, len(keys)):
+                    d = bin(sims[i] ^ sims[j]).count("1")
+                    if d <= max_hamming:
+                        out["left"].append(keys[i])
+                        out["right"].append(keys[j])
+                        out["hamming"].append(d)
+        return pd.DataFrame(out)
+
+    pairs = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("band_bucket")
+        .map_groups(verify_bucket, batch_format="pandas")
+    )
+    return _dedupe_pair_rows(pairs)

@@ -543,6 +543,28 @@ def q_near_dup_clusters(sf_dir: str):
     return components.groupby("component").aggregate(Count(alias_name="cluster_size"))
 
 
+def q_simhash_near_dups(sf_dir: str):
+    """SimHash banded near-dup pairs over documents ∪ perturbed copies
+    (Hamming ≤ 6 of 64 bits; deterministic rows-only)."""
+    from ..functions.dedup import simhash_near_dups
+
+    def perturb(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    [d + 1_000_000 for d in batch["doc_id"].to_pylist()], pa.int64()
+                ),
+                "text": pa.array(
+                    [(t or "") + " tail" for t in batch["text"].to_pylist()], pa.string()
+                ),
+            }
+        )
+
+    base = _read(sf_dir, "documents", ["doc_id", "text"])
+    mutated = base.map_batches(perturb, batch_format="pyarrow")
+    return simhash_near_dups(base.union(mutated), max_hamming=6)
+
+
 def q_text_fingerprints(sf_dir: str):
     """Deterministic per-doc fingerprints: rolling-hash + SimHash-64 +
     heuristic language ID (rows-only; values stable across runs)."""
@@ -864,6 +886,7 @@ QUERIES = {
     "exact_dedup_groups": q_exact_dedup_groups,
     "minhash_near_dups": q_minhash_near_dups,
     "near_dup_clusters": q_near_dup_clusters,
+    "simhash_near_dups": q_simhash_near_dups,
     "text_fingerprints": q_text_fingerprints,
     "doc_quality_counts": q_doc_quality_counts,
     "knn_bruteforce": q_knn_bruteforce,

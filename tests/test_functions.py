@@ -237,3 +237,20 @@ class TestSimsearchVariants:
         for qid in range(3):
             top = pruned[pruned["query_id"] == qid].sort_values("cosine", ascending=False)
             assert top.iloc[0]["vec_id"] == qid
+
+
+class TestSimhashNearDups:
+    def test_finds_low_hamming_pairs(self, ray_session):
+        import ray.data as rd
+
+        from edge_deid_studio_ray.functions.dedup import simhash_near_dups
+
+        base = "the quick brown fox jumps over the lazy dog while data streams flow " * 3
+        rows = {
+            "doc_id": [1, 2, 50],
+            "text": [base, base + " tail", "utterly different material with no common words whatsoever"],
+        }
+        pairs = simhash_near_dups(rd.from_arrow(pa.table(rows)), max_hamming=6).to_pandas()
+        got = set(zip(pairs["left"], pairs["right"]))
+        assert (1, 2) in got
+        assert all(50 not in p for p in got)
