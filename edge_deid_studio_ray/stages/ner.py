@@ -48,6 +48,55 @@ ENTITY_TYPE_MAP = {
 }
 
 
+def decode_bio_spans(
+    token_offsets: list[tuple[int, int]],
+    labels: list[str],
+    confidences: list[float],
+    *,
+    offset: int = 0,
+    source: str = "bert",
+) -> list[dict[str, Any]]:
+    """Per-token BIO labels → entity spans.
+
+    Exact decode semantics of ``BertNERDetector._process_chunk``
+    (bert_detector.py:95-135): ``B-`` opens an entity (closing any open
+    one), ``I-`` of the SAME normalized type extends the span and keeps the
+    max confidence, anything else closes; ``(0, 0)`` offsets (special
+    tokens) are skipped; types normalize through ENTITY_TYPE_MAP.  A real
+    transformer/ONNX backend only needs to produce (offsets, labels,
+    confidences) per window — this decode + the window merge are the rest.
+    """
+    entities: list[dict[str, Any]] = []
+    current: dict[str, Any] | None = None
+
+    for (token_start, token_end), label, confidence in zip(token_offsets, labels, confidences):
+        if token_start == token_end == 0:
+            continue
+        base_label = label.replace("B-", "").replace("I-", "")
+        normalized_type = ENTITY_TYPE_MAP.get(base_label, base_label)
+
+        if label.startswith("B-"):
+            if current:
+                entities.append(current)
+            current = {
+                "span": [int(token_start) + offset, int(token_end) + offset],
+                "type": normalized_type,
+                "score": float(confidence),
+                "source": source,
+            }
+        elif label.startswith("I-") and current and current["type"] == normalized_type:
+            current["span"][1] = int(token_end) + offset
+            current["score"] = max(float(current["score"]), float(confidence))
+        else:
+            if current:
+                entities.append(current)
+            current = None
+
+    if current:
+        entities.append(current)
+    return entities
+
+
 class StubNerBackend:
     """Deterministic stub scorer — regex parity with bert_detector.py:162-177."""
 

@@ -1,0 +1,91 @@
+"""True kill-and-resume e2e: SIGKILL the CLI driver mid-run, rerun, verify
+committed shards are skipped and output is complete and correct."""
+
+from __future__ import annotations
+
+import json
+import os
+import signal
+import subprocess
+import sys
+import time
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.slow
+def test_sigkill_mid_job_then_resume(tmp_path):
+    # build a small pages corpus (own Ray session in a subprocess so the
+    # pytest session's Ray is untouched)
+    pages_dir = str(tmp_path / "pages")
+    out_dir = str(tmp_path / "out")
+    gen = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import ray; ray.init(address='local', num_cpus=4, include_dashboard=False, logging_level='ERROR');"
+            "from ray.data import DataContext; DataContext.get_current().enable_progress_bars=False;"
+            "from edge_deid_studio_ray.sources.pages import ensure_pages_parquet;"
+            f"ensure_pages_parquet({pages_dir!r}, 1200); ray.shutdown()",
+        ],
+        env={**os.environ, "PYTHONPATH": REPO},
+        capture_output=True,
+        text=True,
+    )
+    assert gen.returncode == 0, gen.stderr[-2000:]
+
+    cli = [
+        sys.executable,
+        "-m",
+        "edge_deid_studio_ray.cli",
+        "-i",
+        pages_dir,
+        "-o",
+        out_dir,
+        "--num-cpus",
+        "4",
+        "--shards",
+        "4",
+    ]
+    env = {**os.environ, "PYTHONPATH": REPO}
+
+    # first run: SIGKILL once at least one shard has committed
+    proc = subprocess.Popen(cli, env=env, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL)
+    manifests = os.path.join(out_dir, "_manifests")
+    deadline = time.time() + 120
+    killed = False
+    while time.time() < deadline:
+        done = len([f for f in os.listdir(manifests)]) if os.path.isdir(manifests) else 0
+        if 1 <= done < 4:
+            proc.send_signal(signal.SIGKILL)
+            killed = True
+            break
+        if proc.poll() is not None:
+            break  # finished before we could kill — fall through to resume
+        time.sleep(0.2)
+    proc.wait(timeout=60)
+
+    committed_before = set(os.listdir(manifests)) if os.path.isdir(manifests) else set()
+    if killed:
+        assert 1 <= len(committed_before) < 4
+
+    # resume run must complete, skipping whatever committed
+    out = subprocess.run(cli, env=env, capture_output=True, text=True, timeout=300)
+    assert out.returncode == 0, out.stderr[-2000:]
+    report = json.loads(out.stdout.strip().splitlines()[-1])
+    assert report["docs"] == 1200
+    assert report["shards_skipped"] >= len(committed_before & {f for f in committed_before})
+    if killed:
+        assert report["shards_skipped"] >= 1
+
+    # output completeness: every url exactly once
+    import pyarrow.dataset as pads
+
+    table = pads.dataset(out_dir, format="parquet", partitioning="hive").to_table(
+        columns=["url"]
+    )
+    urls = table["url"].to_pylist()
+    assert len(urls) == 1200
+    assert len(set(urls)) == 1200

@@ -287,3 +287,40 @@ class TestImageDeid:
             ImageDeidStage, batch_format="pyarrow", batch_size=8, concurrency=1
         ).take_all()
         assert rows == rows2
+
+
+class TestBioDecode:
+    def test_basic_bio_assembly(self):
+        from edge_deid_studio_ray.stages.ner import decode_bio_spans
+
+        # "John Smith lives" → B-PER I-PER O
+        offsets = [(0, 0), (0, 4), (5, 10), (11, 16), (0, 0)]  # CLS ... SEP
+        labels = ["O", "B-PER", "I-PER", "O", "O"]
+        confs = [0.1, 0.9, 0.8, 0.2, 0.1]
+        spans = decode_bio_spans(offsets, labels, confs)
+        assert spans == [
+            {"span": [0, 10], "type": "NAME", "score": 0.9, "source": "bert"}
+        ]
+
+    def test_type_change_breaks_entity(self):
+        from edge_deid_studio_ray.stages.ner import decode_bio_spans
+
+        offsets = [(0, 3), (4, 7), (8, 11)]
+        labels = ["B-LOC", "I-ORG", "I-LOC"]  # I- of different type closes
+        confs = [0.9, 0.8, 0.7]
+        spans = decode_bio_spans(offsets, labels, confs)
+        # B-LOC closed by I-ORG (type mismatch → current dropped per
+        # reference: "else" branch appends current then resets);
+        # trailing I-LOC without an open entity is ignored
+        assert [s["type"] for s in spans] == ["ADDRESS"]
+        assert spans[0]["span"] == [0, 3]
+
+    def test_offset_shift_and_max_confidence(self):
+        from edge_deid_studio_ray.stages.ner import decode_bio_spans
+
+        offsets = [(0, 2), (3, 5)]
+        labels = ["B-PHONE", "I-PHONE"]
+        confs = [0.6, 0.95]
+        spans = decode_bio_spans(offsets, labels, confs, offset=100)
+        assert spans[0]["span"] == [100, 105]
+        assert spans[0]["score"] == 0.95
