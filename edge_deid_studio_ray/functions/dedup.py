@@ -161,18 +161,27 @@ def word_ngram_jaccard(text_a: str, text_b: str, n: int = 3) -> float:
 
 
 def exact_dedup(ds, text_col: str = "text", key_col: str = "doc_id"):
-    """Keep one row (min key) per distinct text: hash stage + one groupby."""
+    """Keep one row (min key) per distinct text: hash stage + one groupby.
+
+    Grouping is by a coarse bucket of the content hash (equal texts always
+    share a bucket), with the per-hash keeper selection done in pandas inside
+    the bucket — a mostly-unique corpus would otherwise create one Ray group
+    per row.
+    """
 
     def hash_stage(batch: pa.Table) -> pa.Table:
-        return add_md5_column(batch, text_col)
+        hashed = add_md5_column(batch, text_col)
+        buckets = [_band_bucket(h) for h in hashed["text_md5"].to_pylist()]
+        return hashed.append_column("hash_bucket", pa.array(buckets, pa.int32()))
 
-    def first(group: pd.DataFrame) -> pd.DataFrame:
-        return group.nsmallest(1, key_col)
+    def keep_first(bucket: pd.DataFrame) -> pd.DataFrame:
+        kept = bucket.sort_values(key_col).drop_duplicates(subset=["text_md5"], keep="first")
+        return kept.drop(columns=["hash_bucket"])
 
     return (
         ds.map_batches(hash_stage, batch_format="pyarrow")
-        .groupby("text_md5")
-        .map_groups(first, batch_format="pandas")
+        .groupby("hash_bucket")
+        .map_groups(keep_first, batch_format="pandas")
     )
 
 

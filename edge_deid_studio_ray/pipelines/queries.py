@@ -159,26 +159,38 @@ def q_events_sessions(sf_dir: str):
     import pandas as pd
 
     gap_us = 1_800_000_000
+    num_buckets = 128
 
     def to_us(batch: pa.Table) -> pa.Table:
-        return pa.table({"user_id": batch["user_id"], "us": batch["ts"].cast(pa.int64())})
-
-    def sessionize(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values("us")
-        new_session = (g["us"].diff().fillna(gap_us + 1) > gap_us).cumsum()
-        out = g.groupby(new_session).agg(
-            session_start_us=("us", "min"),
-            session_end_us=("us", "max"),
-            n_events=("us", "size"),
+        users = batch["user_id"].to_pylist()
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "us": batch["ts"].cast(pa.int64()),
+                # bucketed key co-location: all of a user's events share a
+                # bucket, Ray sees ~128 groups instead of one per user
+                "user_bucket": pa.array([u % num_buckets for u in users], pa.int32()),
+            }
         )
-        out["user_id"] = g["user_id"].iloc[0]
-        out["n_events"] = out["n_events"].astype("int64")
-        return out.reset_index(drop=True)[
-            ["user_id", "session_start_us", "session_end_us", "n_events"]
-        ]
+
+    def sessionize_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in bucket.groupby("user_id", sort=False):
+            g = g.sort_values("us")
+            new_session = (g["us"].diff().fillna(gap_us + 1) > gap_us).cumsum()
+            out = g.groupby(new_session).agg(
+                session_start_us=("us", "min"),
+                session_end_us=("us", "max"),
+                n_events=("us", "size"),
+            )
+            out["user_id"] = g["user_id"].iloc[0]
+            out["n_events"] = out["n_events"].astype("int64")
+            outs.append(out.reset_index(drop=True))
+        combined = pd.concat(outs, ignore_index=True)
+        return combined[["user_id", "session_start_us", "session_end_us", "n_events"]]
 
     ds = _read(sf_dir, "events", ["user_id", "ts"]).map_batches(to_us, batch_format="pyarrow")
-    return ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+    return ds.groupby("user_bucket").map_groups(sessionize_bucket, batch_format="pandas")
 
 
 def q_events_sliding_window(sf_dir: str):

@@ -167,22 +167,56 @@ def eval_aggregate(ds, *, banned_phrases: list[str] | None = None) -> dict[str, 
     map_batches, the tiny per-example report reduces on the driver."""
     banned = banned_phrases or []
 
-    def score(batch: pa.Table) -> pa.Table:
-        rows = []
+    def score_partial(batch: pa.Table) -> pa.Table:
+        # per-example kernels + IN-BATCH partial sums: only one small partial
+        # row per batch reaches the driver (aggregate semantics match
+        # aggregate_reports: leak rate from global sums, plain means else)
+        sums = {
+            "count": 0,
+            "pii_total": 0,
+            "pii_leak_count": 0,
+            "recall_sum": 0.0,
+            "over_sum": 0.0,
+            "type_sum": 0.0,
+            "rep_sum": 0.0,
+            "compliant": 0,
+        }
         for ex_id, inp, pred in zip(
             batch["example_id"].to_pylist(),
             batch["input_text"].to_pylist(),
             batch["prediction_text"].to_pylist(),
         ):
             blocks = extract_pii_blocks(inp or "")
-            rows.append(
-                evaluate_prediction(
-                    str(ex_id), inp or "", pred or "", pii_blocks=blocks, banned_phrases=banned
-                )
+            row = evaluate_prediction(
+                str(ex_id), inp or "", pred or "", pii_blocks=blocks, banned_phrases=banned
             )
-        return pa.table({"report": pa.array([json.dumps(r) for r in rows], pa.string())})
+            sums["count"] += 1
+            sums["pii_total"] += row["pii_total"]
+            sums["pii_leak_count"] += row["pii_leak_count"]
+            sums["recall_sum"] += row["pii_removal_recall"]
+            sums["over_sum"] += row["over_rewrite_rate"]
+            sums["type_sum"] += row["type_consistency"]
+            sums["rep_sum"] += row["repetition_3gram_rate"]
+            sums["compliant"] += 1 if row["format_compliant"] else 0
+        return pa.table({"partial": pa.array([json.dumps(sums)], pa.string())})
 
-    reports = [
-        json.loads(r["report"]) for r in ds.map_batches(score, batch_format="pyarrow").take_all()
+    parts = [
+        json.loads(r["partial"])
+        for r in ds.map_batches(score_partial, batch_format="pyarrow").take_all()
     ]
-    return aggregate_reports(reports)
+    count = sum(p["count"] for p in parts)
+    if count == 0:
+        return aggregate_reports([])
+    total_pii = sum(p["pii_total"] for p in parts)
+    total_leaks = sum(p["pii_leak_count"] for p in parts)
+    return {
+        "count": count,
+        "pii_removal_recall": sum(p["recall_sum"] for p in parts) / count,
+        "pii_total": total_pii,
+        "pii_leak_count": total_leaks,
+        "pii_leak_rate": (total_leaks / total_pii) if total_pii > 0 else 0.0,
+        "over_rewrite_rate": sum(p["over_sum"] for p in parts) / count,
+        "type_consistency": sum(p["type_sum"] for p in parts) / count,
+        "repetition_3gram_rate": sum(p["rep_sum"] for p in parts) / count,
+        "format_compliance_rate": sum(p["compliant"] for p in parts) / count,
+    }
