@@ -112,6 +112,42 @@ def q_word_freq_top20(sf_dir: str):
     return counts.sort(["n", "word"], descending=[True, False]).limit(20)
 
 
+def q_heavy_hitter_words(sf_dir: str):
+    """Top-20 words via Misra–Gries summaries + exact recount of survivors —
+    the sketch path must agree exactly with the full groupby (same oracle as
+    word_freq_top20)."""
+    from ..functions.sketches import heavy_hitters
+
+    def words(batch: pa.Table) -> pa.Table:
+        out: list[str] = []
+        for text in batch["text"].to_pylist():
+            out.extend((text or "").split())
+        return pa.table({"word": pa.array(out, pa.string())})
+
+    ds = _read(sf_dir, "documents", ["text"]).map_batches(words, batch_format="pyarrow")
+    return heavy_hitters(ds, "word", k=20, capacity=256)
+
+
+def q_approx_distinct(sf_dir: str):
+    """HLL approximate distinct counts next to exact ones (rows-only;
+    deterministic — fixed hash, fixed registers)."""
+    from ..functions.sketches import approx_distinct
+
+    rows = []
+    for table, col in (("documents", "source"), ("events", "event_type"), ("orders", "o_custkey")):
+        ds = _read(sf_dir, table, [col])
+        est = approx_distinct(ds, col, p=12)
+        exact = len(ds.unique(col))
+        rows.append((f"{table}.{col}", round(est, 1), exact))
+    return pa.table(
+        {
+            "column": pa.array([r[0] for r in rows], pa.string()),
+            "hll_estimate": pa.array([r[1] for r in rows], pa.float64()),
+            "exact": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+
 def q_lineitem_pricing_summary(sf_dir: str):
     """TPC-H-Q1-style grouped aggregate with a read-level row filter."""
     from ray.data.aggregate import Count, Sum
@@ -880,6 +916,8 @@ QUERIES = {
     "doc_stats_by_lang": q_doc_stats_by_lang,
     "doc_token_stats": q_doc_token_stats,
     "word_freq_top20": q_word_freq_top20,
+    "heavy_hitter_words": q_heavy_hitter_words,
+    "approx_distinct": q_approx_distinct,
     "lineitem_pricing_summary": q_lineitem_pricing_summary,
     "events_hourly": q_events_hourly,
     "events_sessions": q_events_sessions,
@@ -933,6 +971,11 @@ ORACLE_SQL = {
         FROM documents GROUP BY lang
     """,
     "word_freq_top20": """
+        SELECT word, CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT unnest(regexp_extract_all(text, '\\S+')) AS word FROM documents)
+        GROUP BY word ORDER BY n DESC, word ASC LIMIT 20
+    """,
+    "heavy_hitter_words": """
         SELECT word, CAST(count(*) AS BIGINT) AS n
         FROM (SELECT unnest(regexp_extract_all(text, '\\S+')) AS word FROM documents)
         GROUP BY word ORDER BY n DESC, word ASC LIMIT 20

@@ -254,3 +254,38 @@ class TestSimhashNearDups:
         got = set(zip(pairs["left"], pairs["right"]))
         assert (1, 2) in got
         assert all(50 not in p for p in got)
+
+
+class TestSketches:
+    def test_hll_approx_distinct(self, ray_session):
+        import ray.data as rd
+
+        from edge_deid_studio_ray.functions.sketches import approx_distinct
+
+        n_distinct = 5000
+        table = pa.table({"v": [f"item-{i % n_distinct}" for i in range(20000)]})
+        est = approx_distinct(rd.from_arrow(table), "v", p=12)
+        assert abs(est - n_distinct) / n_distinct < 0.05  # ±1.6% expected at p=12
+
+    def test_heavy_hitters_exact_counts(self, ray_session):
+        import ray.data as rd
+
+        from edge_deid_studio_ray.functions.sketches import heavy_hitters
+
+        values = ["hot"] * 500 + ["warm"] * 200 + [f"cold-{i}" for i in range(300)]
+        out = heavy_hitters(rd.from_arrow(pa.table({"v": values})), "v", k=2).to_pandas()
+        assert out.iloc[0]["v"] == "hot" and out.iloc[0]["n"] == 500
+        assert out.iloc[1]["v"] == "warm" and out.iloc[1]["n"] == 200
+
+    def test_reservoir_sample_size_and_determinism(self, ray_session):
+        import ray.data as rd
+
+        from edge_deid_studio_ray.functions.sketches import reservoir_sample
+
+        ds = rd.range(5000)
+        a = reservoir_sample(ds, k=100, seed=7)
+        b = reservoir_sample(rd.range(5000), k=100, seed=7)
+        assert len(a) == 100
+        assert a == b  # same seed + same blocks → same sample
+        ids = {row["id"] for row in a}
+        assert len(ids) == 100
