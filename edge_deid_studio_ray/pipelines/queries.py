@@ -258,6 +258,95 @@ def q_events_sliding_window(sf_dir: str):
     return ds.groupby(["event_type", "window_us"]).aggregate(Sum("partial", alias_name="n_events"))
 
 
+def q_events_running_total(sf_dir: str):
+    """Per-event running count within each user's timeline (cumulative
+    stateful-stream semantics in batch form: user-bucketed co-groups, sorted
+    cumcount)."""
+    import pandas as pd
+
+    num_buckets = 128
+
+    def to_rows(batch: pa.Table) -> pa.Table:
+        users = batch["user_id"].to_pylist()
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "user_id": batch["user_id"],
+                "us": batch["ts"].cast(pa.int64()),
+                "user_bucket": pa.array([u % num_buckets for u in users], pa.int32()),
+            }
+        )
+
+    def running(bucket: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in bucket.groupby("user_id", sort=False):
+            g = g.sort_values(["us", "event_id"]).reset_index(drop=True)
+            g["running_n"] = (g.index + 1).astype("int64")
+            outs.append(g[["event_id", "running_n"]])
+        return pd.concat(outs, ignore_index=True)
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"]).map_batches(
+        to_rows, batch_format="pyarrow"
+    )
+    return ds.groupby("user_bucket").map_groups(running, batch_format="pandas")
+
+
+def q_events_asof_join(sf_dir: str):
+    """Per-key as-of join: odd-id events (stream A) matched to the latest
+    even-id event (stream B) at-or-before their timestamp, per user — the
+    ``pd.merge_asof``-inside-co-group pattern for time-aligned streams.
+
+    B is deduped to one row per (user, ts) (max event id) on both sides so
+    the tie-breaking is well-defined; A rows with no prior B are dropped
+    (inner as-of)."""
+    import pandas as pd
+
+    num_buckets = 128
+
+    def to_rows(batch: pa.Table) -> pa.Table:
+        users = batch["user_id"].to_pylist()
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "user_id": batch["user_id"],
+                "us": batch["ts"].cast(pa.int64()),
+                "user_bucket": pa.array([u % num_buckets for u in users], pa.int32()),
+            }
+        )
+
+    def asof(bucket: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in bucket.groupby("user_id", sort=False):
+            a = g[g["event_id"] % 2 == 1].sort_values("us")
+            b = (
+                g[g["event_id"] % 2 == 0]
+                .groupby("us", as_index=False)
+                .agg(b_event=("event_id", "max"))
+                .sort_values("us")
+            )
+            if a.empty or b.empty:
+                continue
+            joined = pd.merge_asof(
+                a[["event_id", "us"]],
+                b.rename(columns={"us": "b_us"}),
+                left_on="us",
+                right_on="b_us",
+                direction="backward",
+            ).dropna(subset=["b_us"])
+            if joined.empty:
+                continue
+            joined["b_us"] = joined["b_us"].astype("int64")
+            outs.append(joined[["event_id", "b_us"]])
+        if not outs:
+            return pd.DataFrame({"event_id": pd.Series(dtype="int64"), "b_us": pd.Series(dtype="int64")})
+        return pd.concat(outs, ignore_index=True)
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"]).map_batches(
+        to_rows, batch_format="pyarrow"
+    )
+    return ds.groupby("user_bucket").map_groups(asof, batch_format="pandas")
+
+
 def q_customer_per_nation(sf_dir: str):
     """Broadcast hash join: customer × nation (small side shipped once via
     ray.put, dict lookup per batch — no shuffle)."""
@@ -922,6 +1011,8 @@ QUERIES = {
     "events_hourly": q_events_hourly,
     "events_sessions": q_events_sessions,
     "events_sliding_window": q_events_sliding_window,
+    "events_running_total": q_events_running_total,
+    "events_asof_join": q_events_asof_join,
     "customer_per_nation": q_customer_per_nation,
     "orders_top10": q_orders_top10,
     "orders_join_customers": q_orders_join_customers,
@@ -1016,6 +1107,22 @@ ORACLE_SQL = {
                CAST(count(*) AS BIGINT) AS n_events
         FROM events, (VALUES (0), (1)) k(k)
         GROUP BY 1, 2
+    """,
+    "events_running_total": """
+        SELECT event_id,
+               CAST(row_number() OVER (PARTITION BY user_id
+                                       ORDER BY epoch_us(ts), event_id) AS BIGINT) AS running_n
+        FROM events
+    """,
+    "events_asof_join": """
+        WITH a AS (SELECT event_id, user_id, epoch_us(ts) AS us
+                   FROM events WHERE event_id % 2 = 1),
+             b AS (SELECT user_id, us, max(event_id) AS b_event
+                   FROM (SELECT event_id, user_id, epoch_us(ts) AS us
+                         FROM events WHERE event_id % 2 = 0)
+                   GROUP BY user_id, us)
+        SELECT a.event_id, b.us AS b_us
+        FROM a ASOF JOIN b ON a.user_id = b.user_id AND a.us >= b.us
     """,
     "customer_per_nation": """
         SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_customers
