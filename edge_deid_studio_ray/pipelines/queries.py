@@ -680,6 +680,40 @@ def q_near_dup_clusters(sf_dir: str):
     return components.groupby("component").aggregate(Count(alias_name="cluster_size"))
 
 
+def q_ngram_jaccard_pairs(sf_dir: str):
+    """Word 3-gram Jaccard re-verification of the MinHash candidate pairs
+    (token-level near-dup metric layered on the LSH candidates)."""
+    import ray
+
+    from ..functions.dedup import word_ngram_jaccard
+
+    pairs = q_minhash_near_dups(sf_dir)
+    texts: dict[int, str] = {}
+    for batch in _read(sf_dir, "documents", ["doc_id", "text"]).iter_batches(
+        batch_size=4096, batch_format="pyarrow"
+    ):
+        for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            texts[doc_id] = text or ""
+            texts[doc_id + 1_000_000] = (texts[doc_id] + " appended")
+    texts_ref = ray.put(texts)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(texts_ref)
+        sims = [
+            round(word_ngram_jaccard(lookup.get(l, ""), lookup.get(r, ""), 3), 6)
+            for l, r in zip(batch["left"].to_pylist(), batch["right"].to_pylist())
+        ]
+        return pa.table(
+            {
+                "left": batch["left"],
+                "right": batch["right"],
+                "ngram_jaccard": pa.array(sims, pa.float64()),
+            }
+        )
+
+    return pairs.select_columns(["left", "right"]).map_batches(verify, batch_format="pyarrow")
+
+
 def q_simhash_near_dups(sf_dir: str):
     """SimHash banded near-dup pairs over documents ∪ perturbed copies
     (Hamming ≤ 6 of 64 bits; deterministic rows-only)."""
@@ -1028,6 +1062,7 @@ QUERIES = {
     "minhash_near_dups": q_minhash_near_dups,
     "near_dup_clusters": q_near_dup_clusters,
     "simhash_near_dups": q_simhash_near_dups,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "text_fingerprints": q_text_fingerprints,
     "doc_quality_counts": q_doc_quality_counts,
     "knn_bruteforce": q_knn_bruteforce,
