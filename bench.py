@@ -199,8 +199,56 @@ def run_scaling() -> dict:
     }
 
 
+def run_latency_profile(chars: int = 10_000, runs: int = 10, warmup: int = 1) -> dict:
+    """Reference-comparable single-document latency: the same synthetic
+    10k-char text procedure as scripts/benchmark_pipeline.py:35-60, measured
+    through our fused kernel (targets: pipeline < 150 ms p95, replacement
+    < 5 ms — docs/PERFORMANCE.md:7, docs/TASK_BOARD.md:116)."""
+    import statistics
+
+    from edge_deid_studio_ray.kernels.docpipe import process_document
+
+    base = (
+        "ID A123456789 and phone 0912345678. "
+        "Email test@example.com. Address 台北市信義路1號. "
+    )
+    chunks: list[str] = []
+    while sum(len(c) for c in chunks) < chars:
+        chunks.append(base)
+    text = "".join(chunks)[:chars]
+
+    samples = {"total_ms": [], "detect_ms": [], "replace_ms": [], "extract_ms": []}
+    for i in range(warmup + runs):
+        t0 = time.perf_counter()
+        row = process_document(text=text, lang="zh")
+        total = (time.perf_counter() - t0) * 1000.0
+        if i < warmup:
+            continue
+        samples["total_ms"].append(total)
+        samples["detect_ms"].append(row["t_detect_ms"])
+        samples["replace_ms"].append(row["t_replace_ms"])
+        samples["extract_ms"].append(row["t_extract_ms"])
+
+    def summary(values: list) -> dict:
+        ordered = sorted(values)
+        return {
+            "p50": round(statistics.median(ordered), 3),
+            "p95": round(ordered[int(0.95 * (len(ordered) - 1))], 3),
+            "mean": round(sum(ordered) / len(ordered), 3),
+        }
+
+    return {
+        "metric": f"single-doc kernel latency, {chars} chars (reference targets: total p95 < 150 ms, replace < 5 ms)",
+        "chars": chars,
+        "runs": runs,
+        **{k: summary(v) for k, v in samples.items()},
+    }
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--latency" in sys.argv:
+        print(json.dumps(run_latency_profile()))
     else:
         print(json.dumps(run_once()))
