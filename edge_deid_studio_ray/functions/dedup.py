@@ -26,7 +26,6 @@ import pandas as pd
 import pyarrow as pa
 
 _MERSENNE = (1 << 61) - 1
-_MAX_HASH = (1 << 32) - 1
 
 
 def md5_hex(text: str) -> str:
