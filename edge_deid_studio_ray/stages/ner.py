@@ -127,6 +127,39 @@ class StubNerBackend:
         return entities
 
 
+class TokenLabelBackend:
+    """Model-shaped backend: per-token BIO labels → :func:`decode_bio_spans`.
+
+    Stands in for a transformer/ONNX scorer in tests and offline runs: a
+    vocabulary dict maps lowercased tokens to BIO labels (with confidences),
+    tokenization is whitespace-with-offsets.  Exercises the exact plumbing a
+    real model uses — only the label source differs.
+    """
+
+    def __init__(self, vocab: dict[str, tuple[str, float]] | None = None):
+        import re as _re
+
+        self.token_re = _re.compile(r"\S+")
+        self.vocab = vocab or {
+            "john": ("B-PER", 0.95),
+            "smith": ("I-PER", 0.9),
+            "alice": ("B-PER", 0.94),
+            "taipei": ("B-LOC", 0.92),
+            "acme": ("B-ORG", 0.91),
+        }
+
+    def detect_chunk(self, text: str, offset: int) -> list[dict[str, Any]]:
+        offsets: list[tuple[int, int]] = []
+        labels: list[str] = []
+        confidences: list[float] = []
+        for match in self.token_re.finditer(text):
+            label, confidence = self.vocab.get(match.group().lower(), ("O", 0.99))
+            offsets.append((match.start(), match.end()))
+            labels.append(label)
+            confidences.append(confidence)
+        return decode_bio_spans(offsets, labels, confidences, offset=offset)
+
+
 class OnnxNerBackend:  # pragma: no cover - optional dependency
     """ONNX Runtime token-classification backend (import-gated).
 

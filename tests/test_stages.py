@@ -324,3 +324,46 @@ class TestBioDecode:
         spans = decode_bio_spans(offsets, labels, confs, offset=100)
         assert spans[0]["span"] == [100, 105]
         assert spans[0]["score"] == 0.95
+
+
+class TestTokenLabelBackend:
+    def test_full_ner_plumbing_with_model_shaped_backend(self, ray_session):
+        """Windows → per-token BIO labels → decode → merge → composite with
+        regex backstop: the complete path a real model backend rides."""
+        import ray.data as rd
+
+        from edge_deid_studio_ray.stages.ner import NerDetectStage, TokenLabelBackend
+
+        table = pa.table(
+            {
+                "text": ["John Smith phoned 0912-345-678 from Taipei"],
+                "lang": ["zh"],
+            }
+        )
+        rows = rd.from_arrow(table).map_batches(
+            NerDetectStage,
+            fn_constructor_kwargs={"backend_factory": TokenLabelBackend},
+            batch_format="pyarrow",
+            batch_size=8,
+            concurrency=1,
+        ).take_all()
+        entities = {(e["type"], e["text"]): e for e in rows[0]["entities"]}
+        # BIO B-PER + I-PER merged into one NAME span via ENTITY_TYPE_MAP
+        assert ("NAME", "John Smith") in entities
+        assert entities[("NAME", "John Smith")]["source"] == "bert"
+        assert entities[("NAME", "John Smith")]["confidence"] == 0.95
+        # LOC → ADDRESS normalization
+        assert ("ADDRESS", "Taipei") in entities
+        # regex backstop still contributes
+        assert ("PHONE", "0912-345-678") in entities
+
+    def test_window_boundary_merge_with_model_backend(self):
+        from edge_deid_studio_ray.stages.ner import TokenLabelBackend, detect_with_windows
+
+        pad = "x " * 130  # 260 chars; window 256, stride 128 → entity spans both windows
+        text = pad + "John Smith" + " y" * 50
+        entities = detect_with_windows(text, TokenLabelBackend(), window=256)
+        names = [e for e in entities if e["type"] == "NAME"]
+        assert len(names) == 1
+        start, end = names[0]["span"]
+        assert text[start:end] == "John Smith"
