@@ -314,3 +314,27 @@ class TestProcessDocument:
         assert {k: v for k, v in a.items() if k not in timing_keys} == {
             k: v for k, v in b.items() if k not in timing_keys
         }
+
+
+class TestMainContentGolden:
+    def test_golden_hashes(self):
+        """Golden regression pin for the boilerplate-strip mode (the
+        reference has no such operator, SURVEY §7.1 — these fixtures ARE the
+        oracle; regenerate tests/golden/main_content_hashes.json explicitly
+        when the heuristics change on purpose)."""
+        import json
+        import os
+
+        from edge_deid_studio_ray.functions.dedup import md5_hex
+        from edge_deid_studio_ray.kernels.docpipe import extract_page
+        from edge_deid_studio_ray.sources.pages import synthesize_page
+
+        path = os.path.join(os.path.dirname(__file__), "golden", "main_content_hashes.json")
+        golden = json.load(open(path))
+        for key, expected in golden.items():
+            page = synthesize_page(int(key))
+            text, _, route, _ = extract_page(
+                page["html"], page["text"], url=page["url"], extract_mode="main_content"
+            )
+            assert route == expected["route"], key
+            assert md5_hex(text) == expected["main_md5"], key
