@@ -54,7 +54,7 @@ def test_clean_text_byte_identical_on_pages_corpus(reference, mode):
     from edge_deid_studio_ray.kernels.docpipe import extract_page
     from edge_deid_studio_ray.sources.pages import synthesize_page
 
-    for i in range(300):
+    for i in range(500):
         page = synthesize_page(i)
         lang = page["lang"]
         text, _, route, _ = extract_page(page["html"], page["text"], url=page["url"])
