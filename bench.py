@@ -245,10 +245,44 @@ def run_latency_profile(chars: int = 10_000, runs: int = 10, warmup: int = 1) ->
     }
 
 
+def run_stats() -> str:
+    """Print the headline pipeline's ds.stats() per-stage breakdown (wall /
+    cpu / UDF time per operator — evidence that wall time is dominated by
+    useful compute, not scheduling)."""
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import ray.data as rd
+
+    from edge_deid_studio_ray.pipelines.deid import build_deid_pipeline
+    from edge_deid_studio_ray.sources.pages import ensure_pages_parquet, GENERATOR_VERSION
+
+    pages_dir = f"/tmp/bench_pages_v{GENERATOR_VERSION}_n{PAGES_N}_s{PAGES_SEED}_m{MEGA_EVERY}"
+    ensure_pages_parquet(pages_dir, PAGES_N, PAGES_SEED, mega_every=MEGA_EVERY)
+    out_dir = "/tmp/bench_stats_out"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ds = build_deid_pipeline(rd.read_parquet(pages_dir))
+    ds.write_parquet(out_dir)
+    stats = ds.stats()
+    ray.shutdown()
+    return stats
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     elif "--latency" in sys.argv:
         print(json.dumps(run_latency_profile()))
+    elif "--stats" in sys.argv:
+        print(run_stats())
     else:
         print(json.dumps(run_once()))
