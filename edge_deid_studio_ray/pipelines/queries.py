@@ -859,6 +859,32 @@ def q_pages_extract_hashes(sf_dir: str):
     return ds.map_batches(hashes, batch_format="pyarrow")
 
 
+def q_training_data_pipeline(sf_dir: str):
+    """The composite web-text flow (extract+deid → quality filter → exact
+    dedup) over synthetic pages ∪ duplicated pages; per-stage attrition
+    counters (deterministic rows-only)."""
+    from ..pipelines.webtext import training_data_report
+    from ..sources.pages import pages_dataset
+
+    n = pages_rows_for(sf_dir)
+    base = pages_dataset(n)
+    # force duplicates: same rows with different urls → dedup must drop them
+    def relabel(batch: pa.Table) -> pa.Table:
+        # keep the path suffix intact (routing is by extension); the
+        # "z-" host prefix sorts after the original so the original is kept
+        urls = [u.replace("https://", "https://z-") for u in batch["url"].to_pylist()]
+        return batch.set_column(0, "url", pa.array(urls, pa.string()))
+
+    doubled = base.union(base.map_batches(relabel, batch_format="pyarrow"))
+    report = training_data_report(doubled)
+    return pa.table(
+        {
+            "metric": pa.array(sorted(report.keys()), pa.string()),
+            "value": pa.array([report[k] for k in sorted(report.keys())], pa.int64()),
+        }
+    )
+
+
 def q_pages_main_content(sf_dir: str):
     """Boilerplate-stripped (jusText/Readability-style) extraction over the
     synthetic pages corpus: per-url main-content hash + reduction ratio
@@ -1070,6 +1096,7 @@ QUERIES = {
     "pages_pipeline_counters": q_pages_pipeline_counters,
     "pages_extract_hashes": q_pages_extract_hashes,
     "pages_main_content": q_pages_main_content,
+    "training_data_pipeline": q_training_data_pipeline,
     "synthetic_quality_report": q_synthetic_quality_report,
     "ner_stub_entity_counts": q_ner_stub_entity_counts,
     "placeholder_corpus": q_placeholder_corpus,

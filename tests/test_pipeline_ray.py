@@ -247,3 +247,38 @@ def test_warc_source_to_deid_pipeline(ray_session, tmp_path):
     import datetime
 
     ts = rows["https://a.example/1"]["warc_ts"] if "warc_ts" in rows["https://a.example/1"] else None
+
+
+def test_training_data_pipeline_composition(ray_session):
+    """Composite flow: extract+deid → quality filter → exact dedup, with
+    per-stage attrition counters that add up."""
+    from edge_deid_studio_ray.pipelines.webtext import (
+        build_training_data_pipeline,
+        training_data_report,
+    )
+    from edge_deid_studio_ray.sources.pages import pages_dataset
+
+    base = pages_dataset(120)
+
+    def relabel(batch: pa.Table) -> pa.Table:
+        # keep the path suffix intact (routing is by extension); the
+        # "z-" host prefix sorts after the original so the original is kept
+        urls = [u.replace("https://", "https://z-") for u in batch["url"].to_pylist()]
+        return batch.set_column(0, "url", pa.array(urls, pa.string()))
+
+    doubled = base.union(base.map_batches(relabel, batch_format="pyarrow"))
+    out = build_training_data_pipeline(doubled).take_all()
+
+    # dedup kept one representative per distinct extracted text
+    hashes = [r["context_hash"] for r in out]
+    assert len(hashes) == len(set(hashes))
+    # every surviving row passed the filter
+    assert all(r["quality"] >= 0.4 and r["n_chars"] >= 50 for r in out)
+    # keeper is the min url of each dup pair (original sorts before "?dup")
+    assert sum(1 for r in out if "://z-" in r["url"]) == 0
+
+    report = training_data_report(doubled)
+    assert report["rows_in"] == 240
+    assert report["rows_in"] - report["dropped_quality"] - report["dropped_duplicates"] == report["rows_out"]
+    assert report["dropped_duplicates"] >= report["rows_out"]  # every kept row had a dup
+    assert report["rows_out"] == len(out)
