@@ -757,6 +757,26 @@ def q_text_fingerprints(sf_dir: str):
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(fp, batch_format="pyarrow")
 
 
+def q_doc_lang_id(sf_dir: str):
+    """Heuristic language ID per document (CJK ratio → zh, else best
+    stopword overlap with en<de<es<fr tie order) — the full heuristic is
+    SQL-expressible, so this one is oracle-checked."""
+
+    def pred(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang_pred": pa.array(
+                    [lang_id(t or "") for t in batch["text"].to_pylist()], pa.string()
+                ),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        pred, batch_format="pyarrow"
+    )
+
+
 def q_doc_quality_counts(sf_dir: str):
     """Per-document integer quality signals (SQL-checkable exact counts)."""
 
@@ -1091,6 +1111,7 @@ QUERIES = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "text_fingerprints": q_text_fingerprints,
     "doc_quality_counts": q_doc_quality_counts,
+    "doc_lang_id": q_doc_lang_id,
     "knn_bruteforce": q_knn_bruteforce,
     "embedding_near_dups": q_embedding_near_dups,
     "pages_pipeline_counters": q_pages_pipeline_counters,
@@ -1262,6 +1283,34 @@ ORACLE_SQL = {
         FROM (SELECT doc_id, text FROM documents
               UNION ALL SELECT doc_id, text FROM documents)
         GROUP BY md5(text)
+    """,
+    "doc_lang_id": """
+        WITH w AS (
+          SELECT doc_id, text,
+                 list_transform(regexp_extract_all(text, '[A-Za-z]+'), x -> lower(x)) AS words
+          FROM documents
+        ), s AS (
+          SELECT doc_id, text, len(words) AS n_words,
+            len(list_filter(words, x -> list_contains(
+              ['the','of','and','to','a','in','is','it','you','that','he','was','for','on','are'], x))) AS s_en,
+            len(list_filter(words, x -> list_contains(
+              ['der','die','und','den','von','zu','das','mit','sich','des','auf','ist','im'], x))) AS s_de,
+            len(list_filter(words, x -> list_contains(
+              ['de','la','que','el','en','y','a','los','del','se','las','por','un','para','es'], x))) AS s_es,
+            len(list_filter(words, x -> list_contains(
+              ['de','la','le','et','les','des','en','un','du','une','que','est','pour','qui'], x))) AS s_fr,
+            len(regexp_extract_all(text, '[一-鿿]')) AS cjk
+          FROM w
+        )
+        SELECT doc_id,
+          CASE WHEN len(text) > 0 AND cjk * 1.0 / len(text) > 0.15 THEN 'zh'
+               WHEN n_words = 0 THEN 'und'
+               WHEN s_en = 0 AND s_de = 0 AND s_es = 0 AND s_fr = 0 THEN 'und'
+               WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+               WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+               WHEN s_es >= s_fr THEN 'es'
+               ELSE 'fr' END AS lang_pred
+        FROM s
     """,
     "doc_quality_counts": f"""
         SELECT doc_id,
