@@ -381,7 +381,14 @@ def connected_components(pairs, *, left_col: str = "left", right_col: str = "rig
         return pd.DataFrame({"node": nodes_out, "label": labels_out})
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        buckets = [n % NUM_GROUP_BUCKETS for n in t["node"].to_pylist()]
+        import zlib
+
+        buckets = [
+            n % NUM_GROUP_BUCKETS
+            if isinstance(n, int)
+            else zlib.crc32(str(n).encode()) % NUM_GROUP_BUCKETS
+            for n in t["node"].to_pylist()
+        ]
         return t.append_column("node_bucket", pa.array(buckets, pa.int32()))
 
     prev_sum = None
