@@ -129,8 +129,50 @@ def process_document(
     )
     t3 = perf_counter()
 
-    entities = [normalize_entity(e, language=lang, text=extracted_text) for e in raw_entities]
-    attach_segment_anchors(entities, segments)
+    # Fast path for the common single-segment document: normalization +
+    # anchor attachment fuse into the final Arrow-shaped dict build below
+    # (normalize_entity adds nothing observable there beyond confidence
+    # coercion + text slicing, and a lone unanchored segment attaches no
+    # anchors).  Multi-segment docs take the full per-entity path.
+    single_plain_segment = len(segments) == 1 and not (
+        segments[0].get("page_index") is not None
+        or segments[0].get("bbox") is not None
+        or segments[0].get("cell") is not None
+    )
+    if single_plain_segment:
+        arrow_entities = [
+            {
+                "type": str(e["type"]),
+                "start": int(e["span"][0]),
+                "end": int(e["span"][1]),
+                "confidence": float(e.get("confidence", e.get("score", 0.0))),
+                "source": str(e.get("source") or "unknown"),
+                "text": extracted_text[int(e["span"][0]) : int(e["span"][1])],
+                "page_index": None,
+                "bbox": None,
+                "cell_address": None,
+            }
+            for e in raw_entities
+        ]
+    else:
+        entities = [
+            normalize_entity(e, language=lang, text=extracted_text) for e in raw_entities
+        ]
+        attach_segment_anchors(entities, segments)
+        arrow_entities = [
+            {
+                "type": e["type"],
+                "start": int(e["span"][0]),
+                "end": int(e["span"][1]),
+                "confidence": float(e["confidence"]),
+                "source": e["source"],
+                "text": e.get("text", ""),
+                "page_index": e.get("page_index"),
+                "bbox": list(e["bbox"]) if e.get("bbox") is not None else None,
+                "cell_address": (e.get("cell") or {}).get("address"),
+            }
+            for e in entities
+        ]
 
     # canonical events + replacement map (DeidPipeline.process, __init__.py:100-117):
     # blackbox events carry no original/replacement and are skipped.
@@ -157,25 +199,12 @@ def process_document(
         "extracted_text": extracted_text,
         "context_hash": doc_hash,
         "clean_text": clean_text,
-        "entities": [
-            {
-                "type": e["type"],
-                "start": int(e["span"][0]),
-                "end": int(e["span"][1]),
-                "confidence": float(e["confidence"]),
-                "source": e["source"],
-                "text": e.get("text", ""),
-                "page_index": e.get("page_index"),
-                "bbox": list(e["bbox"]) if e.get("bbox") is not None else None,
-                "cell_address": (e.get("cell") or {}).get("address"),
-            }
-            for e in entities
-        ],
+        "entities": arrow_entities,
         "events": events,
         "replacement_map": replacement_map,
         "route": route,
         "error": error,
-        "n_spans": len(entities),
+        "n_spans": len(arrow_entities),
         "n_chars": len(extracted_text),
         "n_bytes": len(html) if html is not None else len((text or "").encode("utf-8", "replace")),
         "t_extract_ms": (t1 - t0) * 1000.0,
