@@ -146,3 +146,53 @@ def test_anchor_attachment_matches_reference(reference):
         ref_attach(ref_ents, ref_doc.segments)
         attach_segment_anchors(our_ents, our_segments)
         assert ref_ents == our_ents, f"anchor mismatch for span {span}"
+
+
+def test_full_reference_pipeline_end_to_end_on_txt(reference, tmp_path):
+    """Strongest contract check: the reference's ACTUAL DeidPipeline.process
+    (extract→detect→replace→normalize→rebuild wiring, __init__.py:49-148)
+    runs end-to-end on .txt inputs (no optional deps on that route; cv2 is
+    stubbed for the handler-registry import) and must agree with our kernel
+    on clean_text, replacement_map, events, and entities."""
+    import os
+    import sys
+    import types
+
+    sys.modules.setdefault("cv2", types.ModuleType("cv2"))
+    os.environ["REGEX_RULES_FILE"] = "/root/reference/configs/regex_zh.yaml"
+    os.environ["REGEX_EN_RULES_FILE"] = "/root/reference/configs/regex_en.yaml"
+    from deid_pipeline import DeidPipeline
+
+    from edge_deid_studio_ray.kernels.docpipe import extract_page, process_document
+    from edge_deid_studio_ray.kernels.synthetic import generate_synthetic_span_examples
+    from edge_deid_studio_ray.sources.pages import synthesize_page
+
+    corpus: list[str] = []
+    corpus += [ex["text"] for ex in generate_synthetic_span_examples(num_examples=20, seed=3)]
+    corpus += [
+        ex["text"] for ex in generate_synthetic_span_examples(num_examples=10, seed=4, language="en")
+    ]
+    for i in range(40):
+        page = synthesize_page(i)
+        text, _, _, _ = extract_page(page["html"], page["text"], url=page["url"])
+        corpus.append(text)
+
+    pipeline = DeidPipeline(language="zh")
+    for idx, text in enumerate(corpus):
+        path = tmp_path / f"doc{idx}.txt"
+        path.write_text(text, encoding="utf-8")
+        ref = pipeline.process(str(path))
+        mine = process_document(text=path.read_text(encoding="utf-8"), lang="zh")
+
+        assert mine["clean_text"] == ref.text, idx
+        assert mine["replacement_map"] == ref.replacement_map, idx
+        assert [
+            (e["entity_type"], e["original"], e["replacement"], (e["start"], e["end"]), e["source"])
+            for e in mine["events"]
+        ] == [
+            (e["entity_type"], e["original"], e["replacement"], tuple(e["span"]), e["source"])
+            for e in ref.events
+        ], idx
+        assert [
+            (e["type"], (e["start"], e["end"]), e["confidence"], e["text"]) for e in mine["entities"]
+        ] == [(e["type"], tuple(e["span"]), e["confidence"], e["text"]) for e in ref.entities], idx
