@@ -76,42 +76,168 @@ def knn_bruteforce(ds, queries: np.ndarray, *, k: int = 5, vec_col: str = "embed
     return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
 
 
-def embedding_near_dups(ds, *, threshold: float = 0.4, vec_col: str = "embedding", key_col: str = "vec_id"):
-    """Embedding-cosine near-duplicate pairs (exact): the full normalized
-    matrix is broadcast once via ``ray.put``; each batch computes its block
-    of the similarity matrix (numpy matmul) and emits pairs above threshold
-    with ``left < right``.
+def embedding_near_dups(
+    ds,
+    *,
+    threshold: float = 0.4,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    num_blocks: int = 8,
+):
+    """Embedding-cosine near-duplicate pairs (exact) via a distributed block
+    cross-join: each row hashes to one of ``num_blocks`` blocks and is
+    replicated to every unordered block-pair group ``(min(b,j), max(b,j))``;
+    each group computes its block-vs-block similarity matrix (numpy matmul)
+    and emits pairs above ``threshold`` with ``left < right``.  A pair lands
+    in exactly one group, so no pair-dedup pass is needed.
 
-    Scale note: exact all-pairs is O(N²/blocks) compute with O(N·d)
-    broadcast — right up to a few 10^6 rows; beyond that, bucket with
-    :func:`hyperplane_bucket` (or IVF) first and run this per bucket.
+    Scale shape: NO driver-side materialization and no full-corpus broadcast
+    (replication factor = num_blocks; each group holds ~2N/num_blocks rows,
+    so pick ``num_blocks ≈ N·d·8B / per-task-memory``).  Exact all-pairs is
+    inherently O(N²) compute — beyond a few 10^6 rows use
+    :func:`embedding_near_dups_lsh`, which prunes candidate pairs with
+    random-hyperplane buckets before the exact verify.
     """
-    import ray
+    import zlib
 
-    rows = ds.select_columns([key_col, vec_col]).take_all()
-    rows.sort(key=lambda r: r[key_col])
-    keys = np.asarray([r[key_col] for r in rows])
-    mat = _normalize(np.array([r[vec_col] for r in rows], dtype=np.float64))
-    corpus_ref = ray.put((keys, mat))
-
-    def pairs_batch(batch: pa.Table) -> pa.Table:
-        all_keys, all_mat = ray.get(corpus_ref)
-        bkeys = np.asarray(batch[key_col].to_pylist())
-        bmat = _normalize(np.array(batch[vec_col].to_pylist(), dtype=np.float64))
-        sims = bmat @ all_mat.T  # (B, N)
-        bi, ni = np.nonzero(sims > threshold)
-        left = bkeys[bi]
-        right = all_keys[ni]
-        mask = left < right  # dedupe symmetric pairs + drop self
+    def explode(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].to_pylist()
+        vecs = batch[vec_col].to_pylist()
+        gids, blks, out_k, out_v = [], [], [], []
+        for key, vec in zip(keys, vecs):
+            b = zlib.crc32(str(key).encode()) % num_blocks
+            for j in range(num_blocks):
+                lo, hi = (b, j) if b <= j else (j, b)
+                gids.append(lo * num_blocks + hi)
+                blks.append(b)
+                out_k.append(key)
+                out_v.append(vec)
         return pa.table(
             {
-                "left": pa.array(left[mask].tolist()),
-                "right": pa.array(right[mask].tolist()),
-                "cosine": pa.array(np.round(sims[bi, ni][mask], 6).tolist(), pa.float64()),
+                "pair_block": pa.array(gids, pa.int32()),
+                "blk": pa.array(blks, pa.int32()),
+                key_col: pa.array(out_k),
+                vec_col: pa.array(out_v),
             }
         )
 
-    return ds.map_batches(pairs_batch, batch_format="pyarrow")
+    def verify_group(group: pd.DataFrame) -> pd.DataFrame:
+        gid = int(group["pair_block"].iloc[0])
+        lo, hi = divmod(gid, num_blocks)
+        group = group.sort_values(key_col)
+        if lo == hi:
+            keys = np.asarray(list(group[key_col]))
+            mat = _normalize(np.array(list(group[vec_col]), dtype=np.float64))
+            sims = mat @ mat.T
+            ii, jj = np.nonzero(np.triu(sims > threshold, k=1))
+            left, right, cos = keys[ii], keys[jj], sims[ii, jj]
+        else:
+            ga = group[group["blk"] == lo]
+            gb = group[group["blk"] == hi]
+            if not len(ga) or not len(gb):
+                return pd.DataFrame({"left": [], "right": [], "cosine": []})
+            ka = np.asarray(list(ga[key_col]))
+            kb = np.asarray(list(gb[key_col]))
+            ma = _normalize(np.array(list(ga[vec_col]), dtype=np.float64))
+            mb = _normalize(np.array(list(gb[vec_col]), dtype=np.float64))
+            sims = ma @ mb.T
+            ai, bi = np.nonzero(sims > threshold)
+            la, lb = ka[ai], kb[bi]
+            left = np.minimum(la, lb)
+            right = np.maximum(la, lb)
+            cos = sims[ai, bi]
+        return pd.DataFrame(
+            {"left": left.tolist(), "right": right.tolist(), "cosine": np.round(cos, 6).tolist()}
+        )
+
+    return (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("pair_block")
+        .map_groups(verify_group, batch_format="pandas")
+    )
+
+
+def embedding_near_dups_lsh(
+    ds,
+    *,
+    threshold: float = 0.4,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    num_planes: int = 6,
+    num_tables: int = 8,
+    seed: int = 29,
+):
+    """Approximate embedding near-dup pairs — the 100-TB path: rows are
+    bucketed by random-hyperplane sign pattern in ``num_tables`` independent
+    tables; only same-bucket candidates are exactly verified (in-group
+    matmul), and pairs found by multiple tables are deduped with one
+    bucketed grouping.  Recall = 1 - (1 - p^planes)^tables where
+    p = 1 - angle/π; misses only pairs near the threshold.
+
+    Shuffle volume is num_tables× the corpus vectors — constant per row,
+    independent of corpus size; no group ever sees more than one bucket.
+    """
+    from .dedup import NUM_GROUP_BUCKETS, _dedupe_pair_rows
+
+    def plane_set(dim: int) -> np.ndarray:
+        return np.random.RandomState(seed).standard_normal((num_tables, num_planes, dim))
+
+    def explode(batch: pa.Table) -> pa.Table:
+        import zlib
+
+        keys = batch[key_col].to_pylist()
+        mat = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
+        if mat.size == 0:
+            return pa.table(
+                {
+                    "tbl_bucket": pa.array([], pa.int32()),
+                    "tbl_key": pa.array([], pa.string()),
+                    key_col: pa.array([]),
+                    vec_col: pa.array([], batch.schema.field(vec_col).type),
+                }
+            )
+        nm = _normalize(mat)
+        all_planes = plane_set(mat.shape[1])
+        buckets_out, tkeys_out, keys_out, vecs_out = [], [], [], []
+        vec_lists = batch[vec_col].to_pylist()
+        for t in range(num_tables):
+            bucket_ids = hyperplane_bucket(nm, all_planes[t])
+            for i, key in enumerate(keys):
+                tk = f"{t}:{bucket_ids[i]}"
+                tkeys_out.append(tk)
+                buckets_out.append(zlib.crc32(tk.encode()) % NUM_GROUP_BUCKETS)
+                keys_out.append(key)
+                vecs_out.append(vec_lists[i])
+        return pa.table(
+            {
+                "tbl_bucket": pa.array(buckets_out, pa.int32()),
+                "tbl_key": pa.array(tkeys_out, pa.string()),
+                key_col: pa.array(keys_out),
+                vec_col: pa.array(vecs_out),
+            }
+        )
+
+    def verify_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        out_l, out_r, out_c = [], [], []
+        for _, group in bucket.groupby("tbl_key", sort=False):
+            rows = group.drop_duplicates(subset=[key_col]).sort_values(key_col)
+            if len(rows) < 2:
+                continue
+            keys = np.asarray(list(rows[key_col]))
+            mat = _normalize(np.array(list(rows[vec_col]), dtype=np.float64))
+            sims = mat @ mat.T
+            ii, jj = np.nonzero(np.triu(sims > threshold, k=1))
+            out_l.extend(keys[ii].tolist())
+            out_r.extend(keys[jj].tolist())
+            out_c.extend(np.round(sims[ii, jj], 6).tolist())
+        return pd.DataFrame({"left": out_l, "right": out_r, "cosine": out_c})
+
+    pairs = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("tbl_bucket")
+        .map_groups(verify_bucket, batch_format="pandas")
+    )
+    return _dedupe_pair_rows(pairs)
 
 
 def hyperplane_bucket(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:

@@ -215,6 +215,44 @@ class TestSimsearchVariants:
         for l, r in got:
             assert l < r
 
+    def test_embedding_near_dups_block_join_matches_allpairs(self, ray_session):
+        """The distributed block cross-join must emit EXACTLY the pairs a
+        naive all-pairs similarity scan finds, each exactly once."""
+        import ray.data as rd
+
+        from edge_deid_studio_ray.functions.simsearch import _normalize, embedding_near_dups
+
+        rng = np.random.RandomState(11)
+        mat = rng.standard_normal((120, 12))
+        ds = rd.from_arrow(
+            pa.table({"vec_id": list(range(120)), "embedding": [list(map(float, v)) for v in mat]})
+        )
+        got = embedding_near_dups(ds, threshold=0.4, num_blocks=5).to_pandas()
+        pair_list = list(zip(got["left"], got["right"]))
+        assert len(pair_list) == len(set(pair_list)), "pair emitted more than once"
+        nm = _normalize(mat.astype(np.float64))
+        sims = nm @ nm.T
+        expect = {
+            (i, j) for i in range(120) for j in range(i + 1, 120) if sims[i, j] > 0.4
+        }
+        assert set(pair_list) == expect
+
+    def test_embedding_near_dups_lsh_recalls_clear_pair(self, ray_session):
+        import ray.data as rd
+
+        from edge_deid_studio_ray.functions.simsearch import embedding_near_dups_lsh
+
+        rng = np.random.RandomState(13)
+        mat = rng.standard_normal((60, 8))
+        mat[9] = mat[4] + 0.01 * rng.standard_normal(8)  # cosine ≈ 1
+        ds = rd.from_arrow(
+            pa.table({"vec_id": list(range(60)), "embedding": [list(map(float, v)) for v in mat]})
+        )
+        pairs = embedding_near_dups_lsh(ds, threshold=0.95, num_planes=4, num_tables=8).to_pandas()
+        got = set(zip(pairs["left"], pairs["right"]))
+        assert (4, 9) in got
+        assert len(got) == len(list(zip(pairs["left"], pairs["right"])))  # deduped across tables
+
     def test_knn_ivf_recalls_self(self, ray_session):
         import ray.data as rd
 

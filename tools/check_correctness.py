@@ -43,7 +43,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
-def main(sf_dir: str) -> int:
+def main(sf_dir: str, only: set[str] | None = None) -> int:
     import ray
 
     ray.init(address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR")
@@ -63,6 +63,8 @@ def main(sf_dir: str) -> int:
     failures = 0
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     for name, fn in qs.items():
+        if only and name not in only:
+            continue
         t0 = time.time()
         try:
             mine = canon(to_pandas(fn(sf_dir)))
@@ -96,13 +98,14 @@ def main(sf_dir: str) -> int:
             failures += 1
 
     # entry smoke
-    try:
-        result = entrymod.entry()
-        df = to_pandas(result)
-        print(f"ok   entry(): {len(df)} rows, {len(df.columns)} cols")
-    except Exception as exc:
-        print(f"FAIL entry(): {exc}")
-        failures += 1
+    if not only:
+        try:
+            result = entrymod.entry()
+            df = to_pandas(result)
+            print(f"ok   entry(): {len(df)} rows, {len(df.columns)} cols")
+        except Exception as exc:
+            print(f"FAIL entry(): {exc}")
+            failures += 1
 
     ray.shutdown()
     return failures
@@ -110,4 +113,5 @@ def main(sf_dir: str) -> int:
 
 if __name__ == "__main__":
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    raise SystemExit(main(sf))
+    names = set(sys.argv[2:]) or None
+    raise SystemExit(main(sf, names))
