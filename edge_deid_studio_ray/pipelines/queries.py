@@ -682,36 +682,33 @@ def q_near_dup_clusters(sf_dir: str):
 
 def q_ngram_jaccard_pairs(sf_dir: str):
     """Word 3-gram Jaccard re-verification of the MinHash candidate pairs
-    (token-level near-dup metric layered on the LSH candidates)."""
-    import ray
+    (token-level near-dup metric layered on the LSH candidates) — pair
+    texts resolved by a distributed bucketed hash join (pair_text_metric),
+    no driver-side corpus state."""
+    from ..functions.dedup import pair_text_metric, word_ngram_jaccard
 
-    from ..functions.dedup import word_ngram_jaccard
-
-    pairs = q_minhash_near_dups(sf_dir)
-    texts: dict[int, str] = {}
-    for batch in _read(sf_dir, "documents", ["doc_id", "text"]).iter_batches(
-        batch_size=4096, batch_format="pyarrow"
-    ):
-        for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            texts[doc_id] = text or ""
-            texts[doc_id + 1_000_000] = (texts[doc_id] + " appended")
-    texts_ref = ray.put(texts)
-
-    def verify(batch: pa.Table) -> pa.Table:
-        lookup = ray.get(texts_ref)
-        sims = [
-            round(word_ngram_jaccard(lookup.get(l, ""), lookup.get(r, ""), 3), 6)
-            for l, r in zip(batch["left"].to_pylist(), batch["right"].to_pylist())
-        ]
+    def perturb(batch: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "left": batch["left"],
-                "right": batch["right"],
-                "ngram_jaccard": pa.array(sims, pa.float64()),
+                "doc_id": pa.array(
+                    [d + 1_000_000 for d in batch["doc_id"].to_pylist()], pa.int64()
+                ),
+                "text": pa.array(
+                    [(t or "") + " appended" for t in batch["text"].to_pylist()],
+                    pa.string(),
+                ),
             }
         )
 
-    return pairs.select_columns(["left", "right"]).map_batches(verify, batch_format="pyarrow")
+    base = _read(sf_dir, "documents", ["doc_id", "text"])
+    corpus = base.union(base.map_batches(perturb, batch_format="pyarrow"))
+    pairs = q_minhash_near_dups(sf_dir)
+    return pair_text_metric(
+        pairs,
+        corpus,
+        lambda a, b: round(word_ngram_jaccard(a, b, 3), 6),
+        out_col="ngram_jaccard",
+    )
 
 
 def q_simhash_near_dups(sf_dir: str):

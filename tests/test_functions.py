@@ -277,6 +277,38 @@ class TestSimsearchVariants:
             assert top.iloc[0]["vec_id"] == qid
 
 
+class TestPairTextMetric:
+    def test_distributed_join_resolves_both_sides(self, ray_session):
+        import ray.data as rd
+
+        from edge_deid_studio_ray.functions.dedup import pair_text_metric, word_ngram_jaccard
+
+        corpus = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                    "text": ["a b c d", "a b c x", "totally different words here", None],
+                }
+            )
+        )
+        pairs = rd.from_arrow(
+            pa.table(
+                {
+                    "left": pa.array([1, 1, 2], pa.int64()),
+                    "right": pa.array([2, 3, 4], pa.int64()),
+                }
+            )
+        )
+        out = pair_text_metric(
+            pairs, corpus, lambda a, b: round(word_ngram_jaccard(a, b, 2), 6), out_col="sim"
+        ).to_pandas()
+        got = {(l, r): s for l, r, s in zip(out["left"], out["right"], out["sim"])}
+        assert len(got) == 3
+        assert got[(1, 2)] == round(word_ngram_jaccard("a b c d", "a b c x", 2), 6)
+        assert got[(1, 3)] == 0.0
+        assert got[(2, 4)] == round(word_ngram_jaccard("a b c x", "", 2), 6)
+
+
 class TestSimhashNearDups:
     def test_finds_low_hamming_pairs(self, ray_session):
         import ray.data as rd
