@@ -68,6 +68,11 @@ def build_training_data_pipeline(
         return batch.append_column("hash_bucket", pa.array(buckets, pa.int32()))
 
     def keep_first(bucket: pd.DataFrame) -> pd.DataFrame:
+        # n_copies = quality-pass rows collapsed into each keeper, so one
+        # pipeline execution yields both the output AND the attrition
+        # counters (sum(n_copies) = rows that survived the quality filter)
+        copies = bucket.groupby("context_hash")["context_hash"].transform("size")
+        bucket = bucket.assign(n_copies=copies.astype("int64"))
         kept = bucket.sort_values("url").drop_duplicates(subset=["context_hash"], keep="first")
         return kept.drop(columns=["hash_bucket"])
 
@@ -79,30 +84,19 @@ def build_training_data_pipeline(
 
 
 def training_data_report(pages_ds, cfg: EngineConfig | None = None, **kwargs: Any) -> dict[str, int]:
-    """Run the pipeline and report per-stage attrition counters."""
+    """Run the pipeline ONCE and report per-stage attrition counters.
+
+    The dedup stage records ``n_copies`` (quality-pass rows collapsed into
+    each keeper), so a single aggregate over the output derives every
+    counter — the expensive extract+deid stage executes exactly once.
+    """
+    from ray.data.aggregate import Count, Sum
+
     rows_in = pages_ds.count()
     out = build_training_data_pipeline(pages_ds, cfg, **kwargs)
-    rows_out = out.count()
-    # re-derive the intermediate count cheaply: quality-pass rows = out rows
-    # + dropped dups; count the filter stage separately for the report
-    deid = build_deid_pipeline(pages_ds, cfg or EngineConfig())
-
-    from ..functions.textstats import quality_score as qs
-
-    min_quality = kwargs.get("min_quality", 0.4)
-    min_chars = kwargs.get("min_chars", 50)
-
-    def count_pass(batch: pa.Table) -> pa.Table:
-        n = sum(
-            1
-            for t in batch["extracted_text"].to_pylist()
-            if qs(t or "") >= min_quality and len(t or "") >= min_chars
-        )
-        return pa.table({"n": pa.array([n], pa.int64())})
-
-    quality_pass = sum(
-        r["n"] for r in deid.map_batches(count_pass, batch_format="pyarrow").take_all()
-    )
+    agg = out.aggregate(Count(alias_name="rows_out"), Sum("n_copies", alias_name="quality_pass"))
+    rows_out = int(agg["rows_out"])
+    quality_pass = int(agg["quality_pass"] or 0)
     return {
         "rows_in": rows_in,
         "dropped_quality": rows_in - quality_pass,
