@@ -434,16 +434,133 @@ def pair_text_metric(
     )
 
 
-def connected_components(pairs, *, left_col: str = "left", right_col: str = "right", max_iter: int = 10):
-    """Cluster near-dup pairs into components via iterative min-label
-    propagation — each round is one groupby (no driver-side union-find, so
-    the candidate graph can exceed driver memory).
+def _node_hash63(value) -> int:
+    """Deterministic 63-bit non-negative int for any node id (PYTHONHASHSEED-
+    independent)."""
+    digest = hashlib.blake2b(str(value).encode("utf-8", "replace"), digest_size=8).digest()
+    return int.from_bytes(digest, "big") >> 1
 
-    Returns a Dataset ``(node, component)`` where component is the minimum
-    node id reachable.  Rounds needed = graph diameter (near-dup clusters
-    are shallow; ``max_iter`` bounds pathological chains and the loop exits
-    early once labels stop changing).
+
+def _pointer_double(labels):
+    """One pointer-doubling round: label(node) ← min(label, label(label)).
+
+    Two rows per node through one bucketed co-group — each node's row
+    requests the label of its current label; chains halve every round, so
+    combined with neighbor propagation convergence is O(log diameter)
+    instead of O(diameter).
     """
+
+    def explode(t: pa.Table) -> pa.Table:
+        nodes = t["node"].to_pylist()
+        lbls = t["label"].to_pylist()
+        keys = lbls + nodes
+        payloads = nodes + lbls
+        is_req = [True] * len(nodes) + [False] * len(nodes)
+        return pa.table(
+            {
+                "key": pa.array(keys, pa.int64()),
+                "kbucket": pa.array([k % NUM_GROUP_BUCKETS for k in keys], pa.int32()),
+                "payload": pa.array(payloads, pa.int64()),
+                "is_req": pa.array(is_req, pa.bool_()),
+            }
+        )
+
+    def resolve(bucket: pd.DataFrame) -> pd.DataFrame:
+        providers = bucket.loc[~bucket["is_req"]].groupby("key")["payload"].min()
+        reqs = bucket.loc[bucket["is_req"]]
+        lbl2 = reqs["key"].map(providers).fillna(reqs["key"]).astype("int64")
+        new_label = np.minimum(reqs["key"].to_numpy(), lbl2.to_numpy())
+        return pd.DataFrame({"node": reqs["payload"].to_numpy(), "label": new_label})
+
+    return (
+        labels.map_batches(explode, batch_format="pyarrow")
+        .groupby("kbucket")
+        .map_groups(resolve, batch_format="pandas")
+    )
+
+
+def connected_components(pairs, *, left_col: str = "left", right_col: str = "right", max_iter: int = 10):
+    """Cluster near-dup pairs into components: iterative min-label
+    propagation with a pointer-doubling step per round — each round is a
+    bounded number of bucketed groupbys (no driver-side union-find, so the
+    candidate graph can exceed driver memory), and pathological chains
+    converge in O(log diameter) rounds.
+
+    Returns a Dataset ``(node, component)``.  For integer node ids the
+    component is the minimum reachable node id; string ids (urls, WARC
+    record ids) are supported by hashing to int64 internally — the
+    component is then an opaque int64, consistent across the component.
+    """
+    schema = pairs.schema()
+    lt = dict(zip(schema.names, schema.types))[left_col]
+    if isinstance(lt, pa.DataType) and (pa.types.is_string(lt) or pa.types.is_large_string(lt)):
+        return _connected_components_str(pairs, left_col, right_col, max_iter)
+    return _connected_components_int(pairs, left_col, right_col, max_iter)
+
+
+def _connected_components_str(pairs, left_col: str, right_col: str, max_iter: int):
+    """String-keyed wrapper: hash ids to int64, run the int path, join the
+    original ids back with one bucketed co-group."""
+
+    def to_int_pairs(t: pa.Table) -> pa.Table:
+        lefts = t[left_col].to_pylist()
+        rights = t[right_col].to_pylist()
+        return pa.table(
+            {
+                left_col: pa.array([_node_hash63(v) for v in lefts], pa.int64()),
+                right_col: pa.array([_node_hash63(v) for v in rights], pa.int64()),
+            }
+        )
+
+    def to_node_rows(t: pa.Table) -> pa.Table:
+        values = t[left_col].to_pylist() + t[right_col].to_pylist()
+        hashes = [_node_hash63(v) for v in values]
+        return pa.table(
+            {
+                "key": pa.array(hashes, pa.int64()),
+                "kbucket": pa.array([h % NUM_GROUP_BUCKETS for h in hashes], pa.int32()),
+                "orig": pa.array(values, pa.string()),
+                "component": pa.array([None] * len(values), pa.int64()),
+                "is_map": pa.array([True] * len(values), pa.bool_()),
+            }
+        )
+
+    int_components = _connected_components_int(
+        pairs.map_batches(to_int_pairs, batch_format="pyarrow"), left_col, right_col, max_iter
+    )
+
+    def tag_components(t: pa.Table) -> pa.Table:
+        nodes = t["node"].to_pylist()
+        return pa.table(
+            {
+                "key": pa.array(nodes, pa.int64()),
+                "kbucket": pa.array([n % NUM_GROUP_BUCKETS for n in nodes], pa.int32()),
+                "orig": pa.array([None] * len(nodes), pa.string()),
+                "component": t["component"],
+                "is_map": pa.array([False] * len(nodes), pa.bool_()),
+            }
+        )
+
+    def join_back(bucket: pd.DataFrame) -> pd.DataFrame:
+        comp = bucket.loc[~bucket["is_map"]].set_index("key")["component"].to_dict()
+        maps = bucket.loc[bucket["is_map"]].drop_duplicates(subset=["key"])
+        return pd.DataFrame(
+            {
+                "node": maps["orig"].tolist(),
+                "component": [int(comp[k]) for k in maps["key"]],
+            }
+        )
+
+    node_map = pairs.map_batches(to_node_rows, batch_format="pyarrow")
+    tagged = int_components.map_batches(tag_components, batch_format="pyarrow")
+    return (
+        node_map.union(tagged)
+        .groupby("kbucket")
+        .map_groups(join_back, batch_format="pandas")
+    )
+
+
+def _connected_components_int(pairs, left_col: str, right_col: str, max_iter: int):
     from ray.data.aggregate import Min
 
     def explode(batch: pa.Table) -> pa.Table:
@@ -521,9 +638,9 @@ def connected_components(pairs, *, left_col: str = "left", right_col: str = "rig
             .groupby("node_bucket")
             .map_groups(propagate_bucket, batch_format="pandas")
         )
-        labels = (
-            msgs.groupby("node").aggregate(Min("label", alias_name="label")).materialize()
-        )
+        labels = msgs.groupby("node").aggregate(Min("label", alias_name="label"))
+        # pointer doubling: chase label→label(label) so chains halve per round
+        labels = _pointer_double(labels).materialize()
         # monotone-decreasing labels: fixpoint iff Σlabel is unchanged
         cur_sum = labels.sum("label")
         if cur_sum == prev_sum:

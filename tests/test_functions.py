@@ -159,6 +159,41 @@ class TestConnectedComponents:
         out = {r["node"]: r["component"] for r in connected_components(pairs).take_all()}
         assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
 
+    def test_long_chain_converges_in_log_rounds(self, ray_session):
+        """Pointer doubling: a 64-link chain must converge within 7 rounds
+        (min-label propagation alone needs ~63)."""
+        import ray.data as rd
+
+        from edge_deid_studio_ray.functions.dedup import connected_components
+
+        pairs = rd.from_arrow(
+            pa.table({"left": list(range(63)), "right": list(range(1, 64))})
+        )
+        out = {r["node"]: r["component"] for r in connected_components(pairs, max_iter=7).take_all()}
+        assert set(out) == set(range(64))
+        assert all(c == 0 for c in out.values())
+
+    def test_string_keys(self, ray_session):
+        """WARC/url-style string node ids work without caller pre-hashing;
+        component ids are opaque but consistent per cluster."""
+        import ray.data as rd
+
+        from edge_deid_studio_ray.functions.dedup import connected_components
+
+        pairs = rd.from_arrow(
+            pa.table(
+                {
+                    "left": ["http://a.com/1", "http://a.com/2", "http://b.org/x"],
+                    "right": ["http://a.com/2", "http://a.com/3", "http://b.org/y"],
+                }
+            )
+        )
+        out = {r["node"]: r["component"] for r in connected_components(pairs).take_all()}
+        assert len(out) == 5
+        a = {out["http://a.com/1"], out["http://a.com/2"], out["http://a.com/3"]}
+        b = {out["http://b.org/x"], out["http://b.org/y"]}
+        assert len(a) == 1 and len(b) == 1 and a != b
+
     def test_minhash_pairs_cluster(self, ray_session):
         import ray.data as rd
 
