@@ -117,6 +117,31 @@ def _dedupe_pair_rows(pairs):
     )
 
 
+def _emit_duplicate_sets(out: dict, members: dict, sim: float, sim_col: str, truncated: bool) -> None:
+    """All intra-set pairs for every identical-content set (similarity is
+    exactly ``sim`` by construction — no pairwise verification needed)."""
+    from itertools import combinations
+
+    for keys in members.values():
+        for a, b in combinations(keys, 2):
+            out["left"].append(a)
+            out["right"].append(b)
+            out[sim_col].append(sim)
+            out["truncated"].append(truncated)
+
+
+def _emit_cross_pairs(out: dict, keys_a: list, keys_b: list, sim: float, sim_col: str, truncated: bool) -> None:
+    """All cross pairs between two identical-content sets whose
+    representatives verified at ``sim``."""
+    for a in keys_a:
+        for b in keys_b:
+            lo, hi = (a, b) if a < b else (b, a)
+            out["left"].append(lo)
+            out["right"].append(hi)
+            out[sim_col].append(sim)
+            out["truncated"].append(truncated)
+
+
 def band_keys(signature: np.ndarray, num_bands: int = 16) -> list[str]:
     """LSH band hashes: one digest per contiguous signature slice."""
     rows = len(signature) // num_bands
@@ -240,13 +265,21 @@ def minhash_candidates(
         out = {"left": [], "right": [], "jaccard": [], "truncated": []}
         for _, group in bucket.groupby("band_key", sort=False):
             rows = group.drop_duplicates(subset=[key_col]).sort_values(key_col)
-            truncated = len(rows) > 64
-            rows = rows.head(64)
-            keys = list(rows[key_col])
-            # shingle each member once, not once per pair
-            shingles = [shingle_hashes(t, shingle_k) for t in rows[text_col]]
-            for i in range(len(keys)):
-                for j in range(i + 1, len(keys)):
+            # collapse identical texts first: oversized buckets are almost
+            # always exact-duplicate storms, and intra-set pairs are known
+            # (jaccard 1.0) without any pairwise work — so a 10k-identical
+            # cluster costs ONE representative, not a capped quadratic scan
+            members: dict[str, list] = {}
+            for key, text in zip(rows[key_col], rows[text_col]):
+                members.setdefault(text, []).append(key)
+            reps = list(members)
+            truncated = len(reps) > 64
+            reps = reps[:64]
+            _emit_duplicate_sets(out, members, 1.0, "jaccard", truncated)
+            # shingle each representative once, not once per pair
+            shingles = [shingle_hashes(t, shingle_k) for t in reps]
+            for i in range(len(reps)):
+                for j in range(i + 1, len(reps)):
                     a, b = shingles[i], shingles[j]
                     if len(a) == 0 and len(b) == 0:
                         sim = 1.0
@@ -255,10 +288,9 @@ def minhash_candidates(
                         union = len(a) + len(b) - inter
                         sim = inter / union if union else 1.0
                     if sim >= jaccard_threshold:
-                        out["left"].append(keys[i])
-                        out["right"].append(keys[j])
-                        out["jaccard"].append(round(sim, 6))
-                        out["truncated"].append(truncated)
+                        _emit_cross_pairs(
+                            out, members[reps[i]], members[reps[j]], round(sim, 6), "jaccard", truncated
+                        )
         return pd.DataFrame(out)
 
     # group by a coarse bucket of the band key (bands never split across
@@ -300,18 +332,29 @@ def _minhash_candidates_sig(
         out = {"left": [], "right": [], "jaccard": [], "truncated": []}
         for _, group in bucket.groupby("band_key", sort=False):
             rows = group.drop_duplicates(subset=[key_col]).sort_values(key_col)
-            truncated = len(rows) > 64
-            rows = rows.head(64)
-            keys = list(rows[key_col])
-            sigs = [np.frombuffer(s, dtype=np.uint64) for s in rows["sig"]]
-            for i in range(len(keys)):
-                for j in range(i + 1, len(keys)):
-                    est = float((sigs[i] == sigs[j]).mean())
-                    if est >= threshold:
-                        out["left"].append(keys[i])
-                        out["right"].append(keys[j])
-                        out["jaccard"].append(round(est, 6))
-                        out["truncated"].append(truncated)
+            # collapse identical signatures (exact-dup storms) to one
+            # representative each; intra-set pairs have agreement 1.0
+            members: dict[bytes, list] = {}
+            for key, sig in zip(rows[key_col], rows["sig"]):
+                members.setdefault(sig, []).append(key)
+            reps = list(members)
+            truncated = len(reps) > 64
+            reps = reps[:64]
+            _emit_duplicate_sets(out, members, 1.0, "jaccard", truncated)
+            if len(reps) > 1:
+                # vectorized pairwise agreement over the (reps, K) matrix
+                mat = np.stack([np.frombuffer(s, dtype=np.uint64) for s in reps])
+                agree = (mat[:, None, :] == mat[None, :, :]).mean(axis=2)
+                ii, jj = np.nonzero(np.triu(agree >= threshold, k=1))
+                for i, j in zip(ii, jj):
+                    _emit_cross_pairs(
+                        out,
+                        members[reps[i]],
+                        members[reps[j]],
+                        round(float(agree[i, j]), 6),
+                        "jaccard",
+                        truncated,
+                    )
         return pd.DataFrame(out)
 
     pairs = (
@@ -701,18 +744,31 @@ def simhash_near_dups(
         )
 
     def verify_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        from itertools import combinations
+
         out = {"left": [], "right": [], "hamming": []}
         for _, group in bucket.groupby("band_key", sort=False):
-            rows = group.drop_duplicates(subset=[key_col]).sort_values(key_col).head(64)
-            keys = list(rows[key_col])
-            sims = [int(s) & ((1 << 64) - 1) for s in rows["simhash"]]
-            for i in range(len(keys)):
-                for j in range(i + 1, len(keys)):
-                    d = bin(sims[i] ^ sims[j]).count("1")
+            rows = group.drop_duplicates(subset=[key_col]).sort_values(key_col)
+            # collapse identical signatures: intra-set hamming is 0
+            members: dict[int, list] = {}
+            for key, sig in zip(rows[key_col], rows["simhash"]):
+                members.setdefault(int(sig) & ((1 << 64) - 1), []).append(key)
+            for keys in members.values():
+                for a, b in combinations(keys, 2):
+                    out["left"].append(a)
+                    out["right"].append(b)
+                    out["hamming"].append(0)
+            reps = list(members)[:64]
+            for i in range(len(reps)):
+                for j in range(i + 1, len(reps)):
+                    d = bin(reps[i] ^ reps[j]).count("1")
                     if d <= max_hamming:
-                        out["left"].append(keys[i])
-                        out["right"].append(keys[j])
-                        out["hamming"].append(d)
+                        for a in members[reps[i]]:
+                            for b in members[reps[j]]:
+                                lo, hi = (a, b) if a < b else (b, a)
+                                out["left"].append(lo)
+                                out["right"].append(hi)
+                                out["hamming"].append(d)
         return pd.DataFrame(out)
 
     pairs = (

@@ -312,6 +312,43 @@ class TestSimsearchVariants:
             assert top.iloc[0]["vec_id"] == qid
 
 
+class TestOversizedBuckets:
+    def test_200_identical_texts_yield_all_pairs(self, ray_session):
+        """A 200-member identical-text cluster must yield ALL 19900 pairs
+        (unique-content collapse resolves what the 64-cap used to truncate),
+        with truncated=False since there is only one representative."""
+        import ray.data as rd
+
+        from edge_deid_studio_ray.functions.dedup import minhash_candidates
+
+        text = "exactly the same boilerplate page content repeated verbatim " * 5
+        rows = pa.table(
+            {"doc_id": pa.array(list(range(200)), pa.int64()), "text": [text] * 200}
+        )
+        for verify in ("text", "signature"):
+            pairs = minhash_candidates(
+                rd.from_arrow(rows), num_hashes=64, num_bands=16, verify=verify
+            ).to_pandas()
+            got = set(zip(pairs["left"], pairs["right"]))
+            assert len(got) == 200 * 199 // 2, verify
+            assert not pairs["truncated"].any(), verify
+            assert (pairs["jaccard"] == 1.0).all(), verify
+
+    def test_simhash_identical_storm(self, ray_session):
+        import ray.data as rd
+
+        from edge_deid_studio_ray.functions.dedup import simhash_near_dups
+
+        text = "identical page body for the simhash duplicate storm case " * 4
+        rows = pa.table(
+            {"doc_id": pa.array(list(range(120)), pa.int64()), "text": [text] * 120}
+        )
+        pairs = simhash_near_dups(rd.from_arrow(rows), max_hamming=3).to_pandas()
+        got = set(zip(pairs["left"], pairs["right"]))
+        assert len(got) == 120 * 119 // 2
+        assert (pairs["hamming"] == 0).all()
+
+
 class TestPairTextMetric:
     def test_distributed_join_resolves_both_sides(self, ray_session):
         import ray.data as rd
