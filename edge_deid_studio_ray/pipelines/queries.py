@@ -22,6 +22,7 @@ from __future__ import annotations
 import os
 import re
 from collections import Counter
+from typing import Any
 
 import numpy as np
 import pandas as pd
@@ -1055,22 +1056,275 @@ def q_deid_eval_aggregate(sf_dir: str):
 
 
 def q_dataset_mix(sf_dir: str):
-    """Seeded dataset mix: cap + union + deterministic shuffle (O2/O3);
-    returns per-language example counts of the mixture."""
+    """Seeded dataset mix: per-source cap (limit) + union + seeded global
+    shuffle (O2/O3) over the documents table, counted per source — the
+    counts are oracle-checkable (capped = n//2, full = n).  The span-corpus
+    mix variant (zh/en synthetic) is exercised in tests/test_training_*."""
     from ray.data.aggregate import Count
 
-    from ..pipelines.training_data import mix_datasets, synthetic_span_dataset
+    from ..pipelines.training_data import mix_datasets
 
-    zh = synthetic_span_dataset(_synth_rows_for(sf_dir), seed=1, language="zh")
-    en = synthetic_span_dataset(_synth_rows_for(sf_dir), seed=2, language="en")
-    mixed = mix_datasets([(zh, _synth_rows_for(sf_dir) // 2), (en, 0)], seed=3)
+    base = _read(sf_dir, "documents", ["doc_id"])
+    n = base.count()
 
-    def lang_of(batch: pa.Table) -> pa.Table:
-        langs = [ents[0]["language"] if ents else "und" for ents in batch["entities"].to_pylist()]
-        return pa.table({"language": pa.array(langs, pa.string())})
+    def tag(name: str):
+        def add(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "mix_source", pa.array([name] * batch.num_rows, pa.string())
+            )
 
-    return mixed.map_batches(lang_of, batch_format="pyarrow").groupby("language").aggregate(
-        Count(alias_name="n_examples")
+        return add
+
+    capped = base.map_batches(tag("capped"), batch_format="pyarrow")
+    full = base.map_batches(tag("full"), batch_format="pyarrow")
+    mixed = mix_datasets([(capped, n // 2), (full, 0)], seed=3)
+    return mixed.groupby("mix_source").aggregate(Count(alias_name="n_examples"))
+
+
+# ---------------------------------------------------------------------------
+# Window / rollup / pivot / semi-join / histogram relational operators
+# ---------------------------------------------------------------------------
+
+
+def q_events_window_rank(sf_dir: str):
+    """Windowed ranking: top-3 events per user by value (ROW_NUMBER
+    semantics, ties broken by event_id) — per-user logic runs inside 128
+    coarse user buckets (no per-user Ray group explosion)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "ubucket",
+            pa.array([u % 128 for u in batch["user_id"].to_pylist()], pa.int32()),
+        )
+
+    def rank(bucket: pd.DataFrame) -> pd.DataFrame:
+        bucket = bucket.sort_values(
+            ["user_id", "value", "event_id"], ascending=[True, False, True]
+        )
+        bucket["rnk"] = (bucket.groupby("user_id").cumcount() + 1).astype("int64")
+        top = bucket[bucket["rnk"] <= 3]
+        return top[["event_id", "user_id", "rnk"]]
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("ubucket")
+        .map_groups(rank, batch_format="pandas")
+    )
+
+
+def q_orders_rollup(sf_dir: str):
+    """ROLLUP aggregation: order counts at (priority, status), (priority),
+    and grand-total levels.  The detail aggregate is pre-reduced per batch,
+    one tiny groupby produces ~15 rows, and the two rollup levels derive
+    from that small result (no second scan of the fact table)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderstatus"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        agg: dict[tuple[str, str], int] = {}
+        for pri, st in zip(
+            batch["o_orderpriority"].to_pylist(), batch["o_orderstatus"].to_pylist()
+        ):
+            agg[(pri, st)] = agg.get((pri, st), 0) + 1
+        return pa.table(
+            {
+                "o_orderpriority": pa.array([k[0] for k in agg], pa.string()),
+                "o_orderstatus": pa.array([k[1] for k in agg], pa.string()),
+                "partial": pa.array(list(agg.values()), pa.int64()),
+            }
+        )
+
+    detail = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["o_orderpriority", "o_orderstatus"])
+        .aggregate(Sum("partial", alias_name="n_orders"))
+    )
+    # detail is ≤ |priorities|×|statuses| rows — deriving rollup levels from
+    # the small aggregate on the driver is the documented small-result path
+    rows = detail.take_all()
+    by_pri: dict[str, int] = {}
+    total = 0
+    for r in rows:
+        by_pri[r["o_orderpriority"]] = by_pri.get(r["o_orderpriority"], 0) + r["n_orders"]
+        total += r["n_orders"]
+    out_pri = [r["o_orderpriority"] for r in rows] + list(by_pri) + ["ALL"]
+    out_st = [r["o_orderstatus"] for r in rows] + ["ALL"] * len(by_pri) + ["ALL"]
+    out_n = [r["n_orders"] for r in rows] + list(by_pri.values()) + [total]
+    return pa.table(
+        {
+            "o_orderpriority": pa.array(out_pri, pa.string()),
+            "o_orderstatus": pa.array(out_st, pa.string()),
+            "n_orders": pa.array(out_n, pa.int64()),
+        }
+    )
+
+
+def q_customer_segment_pivot(sf_dir: str):
+    """Pivot (conditional aggregation): customer counts per nation spread
+    across market-segment columns — per-batch crosstab partials, one
+    groupby-sum over the 25-row result."""
+    from ray.data.aggregate import Sum
+
+    segments = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    ds = _read(sf_dir, "customer", ["c_nationkey", "c_mktsegment"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        ct = pd.crosstab(df["c_nationkey"], df["c_mktsegment"])
+        out: dict[str, Any] = {
+            "c_nationkey": pa.array([int(k) for k in ct.index], pa.int64())
+        }
+        for seg in segments:
+            vals = ct[seg] if seg in ct.columns else pd.Series(0, index=ct.index)
+            out["n_" + seg.lower()] = pa.array([int(v) for v in vals], pa.int64())
+        return pa.table(out)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("c_nationkey")
+        .aggregate(*[Sum("n_" + s.lower(), alias_name="n_" + s.lower()) for s in segments])
+    )
+
+
+def q_orders_exists_semi(sf_dir: str):
+    """Semi-join (EXISTS): orders having at least one lineitem with
+    quantity ≥ 45, counted per status.  Filtered lineitem keys and orders
+    co-group in 128 hash buckets — no driver-side key set, no full join
+    output materialized."""
+    from ray.data.aggregate import Sum
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+
+    def li_keys(batch: pa.Table) -> pa.Table:
+        hit = batch.filter(pc.greater_equal(batch["l_quantity"], pa.scalar(45.0)))
+        keys = pc.unique(hit["l_orderkey"]).to_pylist()
+        return pa.table(
+            {
+                "key": pa.array(keys, pa.int64()),
+                "kbucket": pa.array([k % 128 for k in keys], pa.int32()),
+                "o_orderstatus": pa.array([None] * len(keys), pa.string()),
+                "is_order": pa.array([False] * len(keys), pa.bool_()),
+            }
+        )
+
+    def order_rows(batch: pa.Table) -> pa.Table:
+        keys = batch["o_orderkey"].to_pylist()
+        return pa.table(
+            {
+                "key": pa.array(keys, pa.int64()),
+                "kbucket": pa.array([k % 128 for k in keys], pa.int32()),
+                "o_orderstatus": batch["o_orderstatus"],
+                "is_order": pa.array([True] * len(keys), pa.bool_()),
+            }
+        )
+
+    def semi(bucket: pd.DataFrame) -> pd.DataFrame:
+        present = set(bucket.loc[~bucket["is_order"], "key"])
+        hits = bucket.loc[bucket["is_order"] & bucket["key"].isin(present)]
+        counts = hits.groupby("o_orderstatus").size()
+        return pd.DataFrame(
+            {"o_orderstatus": counts.index, "partial": counts.to_numpy().astype("int64")}
+        )
+
+    matched = (
+        li.map_batches(li_keys, batch_format="pyarrow")
+        .union(orders.map_batches(order_rows, batch_format="pyarrow"))
+        .groupby("kbucket")
+        .map_groups(semi, batch_format="pandas")
+    )
+    return matched.groupby("o_orderstatus").aggregate(Sum("partial", alias_name="n_orders"))
+
+
+def q_lineitem_price_histogram(sf_dir: str):
+    """Fixed-width histogram over l_extendedprice (5000-wide buckets) —
+    vectorized pyarrow bucketing + per-batch partial counts, one tiny
+    groupby-sum."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        buckets = pc.floor(pc.divide(batch["l_extendedprice"], pa.scalar(5000.0)))
+        counts = pd.Series(buckets.to_numpy(zero_copy_only=False)).value_counts()
+        return pa.table(
+            {
+                "bucket": pa.array([int(b) for b in counts.index], pa.int64()),
+                "partial": pa.array(counts.to_numpy().astype("int64"), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(partial, batch_format="pyarrow").groupby("bucket").aggregate(
+        Sum("partial", alias_name="n_items")
+    )
+
+
+def q_part_brand_stats(sf_dir: str):
+    """Vectorized string kernels (pyarrow.compute match_substring/utf8_lower)
+    feeding a grouped aggregate: per-brand part counts, 'green'-named part
+    counts, max size."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    ds = _read(sf_dir, "part", ["p_brand", "p_name", "p_size"])
+
+    def enrich(batch: pa.Table) -> pa.Table:
+        green = pc.match_substring(pc.utf8_lower(batch["p_name"]), "green")
+        return pa.table(
+            {
+                "p_brand": batch["p_brand"],
+                "is_green": pc.cast(green, pa.int64()),
+                "p_size": pc.cast(batch["p_size"], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(enrich, batch_format="pyarrow").groupby("p_brand").aggregate(
+        Count(alias_name="n_parts"),
+        Sum("is_green", alias_name="n_green"),
+        Max("p_size", alias_name="max_size"),
+    )
+
+
+def q_jaccard_doc_perturbed(sf_dir: str):
+    """Exact word-3gram Jaccard for each (document, document+' appended')
+    pair — the n-gram metric kernel under a genuine SQL oracle (DuckDB
+    recomputes the trigram sets), with texts resolved through the
+    distributed pair_text_metric join (no driver-side corpus state).
+
+    No rounding on either side: jaccard = intersection/union of integer
+    set sizes, so Python and DuckDB produce bit-identical doubles.
+    """
+    from ..functions.dedup import pair_text_metric, word_ngram_jaccard
+
+    base = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def perturb(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    [d + 1_000_000 for d in batch["doc_id"].to_pylist()], pa.int64()
+                ),
+                "text": pa.array(
+                    [(t or "") + " appended" for t in batch["text"].to_pylist()],
+                    pa.string(),
+                ),
+            }
+        )
+
+    def to_pairs(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        return pa.table(
+            {
+                "left": pa.array(ids, pa.int64()),
+                "right": pa.array([d + 1_000_000 for d in ids], pa.int64()),
+            }
+        )
+
+    corpus = base.union(base.map_batches(perturb, batch_format="pyarrow"))
+    pairs = base.map_batches(to_pairs, batch_format="pyarrow")
+    return pair_text_metric(
+        pairs, corpus, lambda a, b: word_ngram_jaccard(a, b, 3), out_col="ngram_jaccard"
     )
 
 
@@ -1120,6 +1374,13 @@ QUERIES = {
     "placeholder_corpus": q_placeholder_corpus,
     "deid_eval_aggregate": q_deid_eval_aggregate,
     "dataset_mix": q_dataset_mix,
+    "events_window_rank": q_events_window_rank,
+    "orders_rollup": q_orders_rollup,
+    "customer_segment_pivot": q_customer_segment_pivot,
+    "orders_exists_semi": q_orders_exists_semi,
+    "lineitem_price_histogram": q_lineitem_price_histogram,
+    "part_brand_stats": q_part_brand_stats,
+    "jaccard_doc_perturbed": q_jaccard_doc_perturbed,
 }
 
 _STOP_SQL = "['the','of','and','to','a','in','is','it','you','that']"
@@ -1332,5 +1593,79 @@ ORACLE_SQL = {
             ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id ASC
             LIMIT 5
         ) top
+    """,
+    "dataset_mix": """
+        SELECT 'capped' AS mix_source, CAST(count(*) // 2 AS BIGINT) AS n_examples FROM documents
+        UNION ALL
+        SELECT 'full' AS mix_source, CAST(count(*) AS BIGINT) AS n_examples FROM documents
+    """,
+    "events_window_rank": """
+        SELECT event_id, user_id, rnk FROM (
+            SELECT event_id, user_id,
+                   ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rnk
+            FROM events
+        ) WHERE rnk <= 3
+    """,
+    "orders_rollup": """
+        SELECT COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+               COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+    """,
+    "customer_segment_pivot": """
+        SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+               CAST(count(*) FILTER (WHERE c_mktsegment = 'AUTOMOBILE') AS BIGINT) AS n_automobile,
+               CAST(count(*) FILTER (WHERE c_mktsegment = 'BUILDING') AS BIGINT) AS n_building,
+               CAST(count(*) FILTER (WHERE c_mktsegment = 'FURNITURE') AS BIGINT) AS n_furniture,
+               CAST(count(*) FILTER (WHERE c_mktsegment = 'HOUSEHOLD') AS BIGINT) AS n_household,
+               CAST(count(*) FILTER (WHERE c_mktsegment = 'MACHINERY') AS BIGINT) AS n_machinery
+        FROM customer GROUP BY c_nationkey
+    """,
+    "orders_exists_semi": """
+        SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+        GROUP BY o_orderstatus
+    """,
+    "lineitem_price_histogram": """
+        SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_items
+        FROM lineitem GROUP BY 1
+    """,
+    "part_brand_stats": """
+        SELECT p_brand,
+               CAST(count(*) AS BIGINT) AS n_parts,
+               CAST(sum(CASE WHEN lower(p_name) LIKE '%green%' THEN 1 ELSE 0 END) AS BIGINT) AS n_green,
+               CAST(max(p_size) AS BIGINT) AS max_size
+        FROM part GROUP BY p_brand
+    """,
+    "jaccard_doc_perturbed": """
+        WITH corpus AS (
+          SELECT doc_id, COALESCE(text, '') AS text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000, COALESCE(text, '') || ' appended' FROM documents
+        ),
+        toks AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS w
+          FROM corpus
+        ),
+        grams AS (
+          SELECT doc_id,
+            CASE WHEN len(w) = 0 THEN CAST([] AS VARCHAR[])
+                 WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                 ELSE list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)])
+            END AS g
+          FROM toks
+        )
+        SELECT a.doc_id AS "left", b.doc_id AS "right",
+               CASE WHEN len(a.g) = 0 AND len(b.g) = 0 THEN 1.0
+                    WHEN len(list_distinct(a.g || b.g)) = 0 THEN 1.0
+                    ELSE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                         / len(list_distinct(a.g || b.g))
+               END AS ngram_jaccard
+        FROM grams a JOIN grams b ON b.doc_id = a.doc_id + 1000000
+        WHERE a.doc_id < 1000000
     """,
 }
