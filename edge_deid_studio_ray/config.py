@@ -63,6 +63,14 @@ class EngineConfig:
     # validated against our own golden outputs — the reference has no such mode).
     extract_mode: str = "full"
 
+    # PDF OCR fallback (reference text_extractor.py:155-183 + config.py:96):
+    # pages whose extracted text is shorter than ocr_threshold chars are
+    # re-read through the OCR backend named here ("fake" = deterministic
+    # FakeOcrBackend; real engines are import-gated).  None disables the
+    # fallback (this environment has no rasterizer, so it is opt-in).
+    pdf_ocr: str | None = None
+    ocr_threshold: int = 50        # OCR_THRESHOLD, config.py:96
+
     # NER stage (None = regex-only, the reference's USE_STUB default matrix)
     ner_backend: str | None = None
     ner_window: int = 512          # MAX_SEQ_LENGTH, config.py:102

@@ -24,9 +24,27 @@ from .boilerplate import extract_main_content
 from .contracts import context_hash, normalize_entity, replacement_key
 from .detect import compile_rules, regex_detect, resolve_conflicts
 from .html_text import decode_html_bytes, html_to_text
-from .pdf_text import is_pdf, pdf_extract_blocks
+from .pdf_text import is_pdf, pdf_parse
 from .replace import replace_text
 from .segments import build_text_from_segments
+
+
+def _resolve_ocr_backend(name: str | None):
+    """OCR backend registry ("fake" = deterministic plumbing backend; real
+    engines are import-gated in stages/image_deid.py).  Lazy import keeps
+    the kernel layer free of stage imports at module load."""
+    if name is None:
+        return None
+    if name == "fake":
+        from ..stages.image_deid import FakeOcrBackend
+
+        return FakeOcrBackend()
+    from ..stages.image_deid import _real_ocr_backend
+
+    backend = _real_ocr_backend()
+    if backend is None:
+        raise NotImplementedError(f"OCR backend {name!r} is not installed")
+    return backend
 
 
 def extract_page(
@@ -35,6 +53,8 @@ def extract_page(
     *,
     url: str | None = None,
     extract_mode: str = "full",
+    pdf_ocr: str | None = None,
+    ocr_threshold: int = 50,
 ) -> tuple[str, list[dict[str, Any]], str, str | None]:
     """Extract text from a page row; returns (text, segments, route, error).
 
@@ -61,10 +81,30 @@ def extract_page(
 
     if is_pdf(raw):
         try:
-            specs = pdf_extract_blocks(raw)
+            specs, num_pages = pdf_parse(raw)
         except NotImplementedError:
             extracted, segments = build_text_from_segments([{"text": ""}])
             return extracted, segments, "pdf", "pdf_backend_unavailable"
+        # per-page OCR fallback (text_extractor.py:155-183): pages whose
+        # extracted text is below the threshold are re-read through OCR and
+        # their blocks REPLACED by the OCR text, as the reference does
+        ocr = _resolve_ocr_backend(pdf_ocr)
+        if ocr is not None:
+            by_page: dict[int, list[dict[str, Any]]] = {}
+            for s in specs:
+                by_page.setdefault(int(s.get("page_index") or 0), []).append(s)
+            rebuilt: list[dict[str, Any]] = []
+            for page in range(num_pages):
+                page_specs = by_page.get(page, [])
+                page_text = "\n".join(s["text"] for s in page_specs).strip()
+                if len(page_text) < ocr_threshold:
+                    ocr_text, _ = ocr.read(raw + b"#page%d" % page)
+                    ocr_text = (ocr_text or "").strip()
+                    if ocr_text:
+                        rebuilt.append({"text": ocr_text, "page_index": page})
+                else:
+                    rebuilt.extend(page_specs)
+            specs = rebuilt
         extracted, segments = build_text_from_segments(specs or [{"text": ""}])
         return extracted, segments, "pdf", None
 
@@ -109,7 +149,12 @@ def process_document(
     # into per-partition metrics in the lineage manifests.
     t0 = perf_counter()
     extracted_text, segments, route, error = extract_page(
-        html, text, url=url, extract_mode=cfg.extract_mode
+        html,
+        text,
+        url=url,
+        extract_mode=cfg.extract_mode,
+        pdf_ocr=cfg.pdf_ocr,
+        ocr_threshold=cfg.ocr_threshold,
     )
     doc_hash = context_hash(extracted_text)
     t1 = perf_counter()

@@ -99,6 +99,34 @@ def fitz_extract_blocks(raw: bytes) -> list[dict[str, Any]]:
 
 
 def pdf_extract_blocks(raw: bytes) -> list[dict[str, Any]]:
+    return pdf_parse(raw)[0]
+
+
+def pdf_parse(raw: bytes) -> tuple[list[dict[str, Any]], int]:
+    """Route a PDF payload to the best available parser; returns
+    (block specs, num_pages).
+
+    Order: faux-PDF fixture format → PyMuPDF when installed → the
+    pure-Python :mod:`minipdf` parser for simple real PDFs (uncompressed or
+    FlateDecode content streams).  Raises NotImplementedError only when the
+    payload yields neither pages nor blocks (encrypted/exotic PDFs without
+    PyMuPDF) — callers flag those rows ``pdf_backend_unavailable``.
+    num_pages includes pages that yielded no text: the OCR-fallback set.
+    """
     if is_graft_pdf(raw):
-        return graft_pdf_extract_blocks(raw)
-    return fitz_extract_blocks(raw)
+        specs = graft_pdf_extract_blocks(raw)
+        num_pages = max((s["page_index"] for s in specs), default=0) + 1
+        return specs, num_pages
+    try:
+        specs = fitz_extract_blocks(raw)
+        num_pages = max((s["page_index"] for s in specs), default=0) + 1
+        return specs, num_pages
+    except NotImplementedError:
+        from .minipdf import minipdf_parse
+
+        specs, num_pages = minipdf_parse(raw)
+        if not specs and num_pages == 0:
+            raise NotImplementedError(
+                "PDF has no parseable page tree/content streams (minipdf) and PyMuPDF is not installed"
+            ) from None
+        return specs, num_pages

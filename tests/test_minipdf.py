@@ -1,0 +1,137 @@
+"""Real-PDF route: pure-Python minipdf parser + per-page OCR fallback.
+
+Fixtures are hand-authored minimal PDFs (uncompressed and FlateDecode
+content streams) — genuine ``%PDF-1.x`` payloads, not the GRAFT fixture
+format, so these tests cover the route that previously returned
+``pdf_backend_unavailable`` for every real PDF.
+"""
+
+import zlib
+
+from edge_deid_studio_ray.config import EngineConfig
+from edge_deid_studio_ray.kernels.docpipe import extract_page, process_document
+from edge_deid_studio_ray.kernels.minipdf import minipdf_parse
+
+
+def build_pdf(page_streams: list[bytes], *, flate: bool = False) -> bytes:
+    """Assemble a minimal but structurally genuine PDF: catalog, page tree
+    with /Kids, per-page /Contents streams, MediaBox 612x792."""
+    objects: list[bytes] = []
+    num_pages = len(page_streams)
+    first_page_obj = 3
+    first_content_obj = 3 + num_pages
+    kids = b" ".join(b"%d 0 R" % (first_page_obj + i) for i in range(num_pages))
+    objects.append(b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj")
+    objects.append(
+        b"2 0 obj << /Type /Pages /Kids [" + kids + b"] /Count %d >> endobj" % num_pages
+    )
+    for i in range(num_pages):
+        objects.append(
+            b"%d 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Contents %d 0 R >> endobj" % (first_page_obj + i, first_content_obj + i)
+        )
+    for i, stream in enumerate(page_streams):
+        data = zlib.compress(stream) if flate else stream
+        filt = b"/Filter /FlateDecode " if flate else b""
+        objects.append(
+            b"%d 0 obj << %s/Length %d >> stream\n" % (first_content_obj + i, filt, len(data))
+            + data
+            + b"\nendstream endobj"
+        )
+    return b"%PDF-1.4\n" + b"\n".join(objects) + b"\n%%EOF\n"
+
+
+TWO_BLOCK_STREAM = (
+    b"BT /F1 12 Tf 72 720 Td (Hello PII world) Tj ET\n"
+    b"BT /F1 12 Tf 72 200 Td (Call 0912-345-678 today) Tj 0 -14 Td (second line) Tj ET\n"
+)
+
+
+class TestMinipdfParse:
+    def test_uncompressed_blocks_reading_order(self):
+        specs, num_pages = minipdf_parse(build_pdf([TWO_BLOCK_STREAM]))
+        assert num_pages == 1
+        assert [s["text"] for s in specs] == [
+            "Hello PII world",
+            "Call 0912-345-678 today\nsecond line",
+        ]
+        assert all(s["page_index"] == 0 for s in specs)
+        # reading order: top (y=720 → top 72) before bottom (y=200 → top 592)
+        assert specs[0]["bbox"][1] < specs[1]["bbox"][1]
+
+    def test_flate_decode(self):
+        specs, num_pages = minipdf_parse(build_pdf([TWO_BLOCK_STREAM], flate=True))
+        assert num_pages == 1
+        assert specs[0]["text"] == "Hello PII world"
+
+    def test_multi_page_and_escapes(self):
+        p1 = b"BT 10 700 Td (Page \\(one\\) with \\\\ escape) Tj ET"
+        p2 = b"BT 10 700 Td <48656c6c6f20686578> Tj ET"
+        specs, num_pages = minipdf_parse(build_pdf([p1, p2]))
+        assert num_pages == 2
+        assert [s["text"] for s in specs] == ["Page (one) with \\ escape", "Hello hex"]
+        assert [s["page_index"] for s in specs] == [0, 1]
+
+    def test_tj_array_and_tm(self):
+        stream = b"BT 1 0 0 1 50 600 Tm [(A)(B) -120 (C)] TJ ET"
+        specs, _ = minipdf_parse(build_pdf([stream]))
+        assert specs[0]["text"] == "ABC"
+
+    def test_garbage_pdf_has_no_pages(self):
+        specs, num_pages = minipdf_parse(b"%PDF-1.5 garbage without any objects")
+        assert specs == [] and num_pages == 0
+
+
+class TestPdfRoute:
+    def test_real_pdf_extracts_instead_of_flagging(self):
+        raw = build_pdf([TWO_BLOCK_STREAM], flate=True)
+        text, segments, route, error = extract_page(raw, None)
+        assert route == "pdf" and error is None
+        assert text == "Hello PII world\nCall 0912-345-678 today\nsecond line"
+        assert len(segments) == 2
+
+    def test_real_pdf_detects_pii(self):
+        raw = build_pdf([TWO_BLOCK_STREAM])
+        row = process_document(html=raw, url="https://x.test/report.pdf")
+        assert row["route"] == "pdf" and row["error"] is None
+        assert any(e["type"] == "PHONE" for e in row["entities"])
+        assert "0912-345-678" not in row["clean_text"]
+
+    def test_opaque_pdf_still_flagged(self):
+        row = process_document(html=b"%PDF-1.5 garbage without any objects")
+        assert row["route"] == "pdf"
+        assert row["error"] == "pdf_backend_unavailable"
+
+
+class TestOcrFallback:
+    def test_sparse_page_routes_through_ocr(self):
+        # page 0 has plenty of text, page 1 is near-empty → only page 1 is
+        # replaced by the (deterministic fake) OCR read
+        dense = b"BT 10 700 Td (%s) Tj ET" % (b"word " * 20).strip()
+        sparse = b"BT 10 700 Td (x) Tj ET"
+        raw = build_pdf([dense, sparse])
+        cfg = EngineConfig(pdf_ocr="fake")
+        text, segments, route, error = extract_page(
+            raw, None, pdf_ocr=cfg.pdf_ocr, ocr_threshold=cfg.ocr_threshold
+        )
+        assert error is None
+        lines = text.split("\n")
+        assert lines[0].startswith("word word")
+        assert "x" not in lines  # sparse page text replaced by OCR output
+        from edge_deid_studio_ray.stages.image_deid import FakeOcrBackend
+
+        expected_ocr, _ = FakeOcrBackend().read(raw + b"#page1")
+        assert lines[1] == expected_ocr.strip()
+
+    def test_textless_pdf_full_ocr(self):
+        raw = build_pdf([b"", b""])  # two pages, no text operators at all
+        row = process_document(html=raw, cfg=EngineConfig(pdf_ocr="fake"))
+        assert row["error"] is None
+        assert row["route"] == "pdf"
+        assert len(row["extracted_text"]) > 0
+        assert len(row["extracted_text"].split("\n")) == 2
+
+    def test_fallback_disabled_by_default(self):
+        raw = build_pdf([b""])
+        row = process_document(html=raw)
+        assert row["extracted_text"] == "" and row["error"] is None
