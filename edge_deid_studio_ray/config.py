@@ -58,6 +58,13 @@ class EngineConfig:
     # "replace" or "blackbox"
     mode: str = "replace"
 
+    # replacement provider (Replacer(provider=) seam, replacer.py:12-14):
+    # a name resolved per worker through kernels.replace.get_provider so the
+    # frozen config stays picklable; "fallback" = the deterministic
+    # byte-identity provider, "mask" = type-tagged placeholders; register
+    # custom classes with register_provider().
+    provider_name: str = "fallback"
+
     # main-content extraction: "full" = BeautifulSoup-get_text parity;
     # "main_content" = boilerplate-stripping DOM heuristics (north-star cap 1,
     # validated against our own golden outputs — the reference has no such mode).

@@ -165,12 +165,15 @@ def process_document(
     )
     t2 = perf_counter()
 
+    from .replace import get_provider
+
     clean_text, raw_events = replace_text(
         extracted_text,
         raw_entities,
         cfg.mode,
         context_hash=doc_hash,
         locale=cfg.faker_locale,
+        provider=get_provider(cfg.provider_name),
     )
     t3 = perf_counter()
 

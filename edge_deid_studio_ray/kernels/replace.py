@@ -103,6 +103,55 @@ def fallback_generate(entity_type: str, original: str, context_hash: str, locale
     return _placeholder(entity_type, stable_key)
 
 
+class Provider:
+    """Replacement-provider protocol — the ``Replacer(provider=)`` seam of
+    the reference (pii/utils/replacer.py:12-14).  Implementations supply
+    ``generate(entity_type, original, context_hash, locale) -> str``;
+    determinism w.r.t. the arguments is required for cluster-wide
+    reproducibility (faker/GPT-2 providers in the reference are
+    version-dependent and therefore excluded from the byte-identity oracle —
+    they plug in through this same seam)."""
+
+    def generate(self, entity_type: str, original: str, context_hash: str, locale: str) -> str:
+        raise NotImplementedError
+
+
+class FallbackProvider(Provider):
+    """Default provider: the reference's faker-free deterministic fallback
+    (byte-identical to fake_provider.py:83-173)."""
+
+    def generate(self, entity_type: str, original: str, context_hash: str, locale: str) -> str:
+        return fallback_generate(entity_type, original, context_hash, locale)
+
+
+class MaskProvider(Provider):
+    """Type-tagged placeholder provider (``<TYPE:hash8>``) — a minimal
+    injectable alternative that keeps outputs grep-able."""
+
+    def generate(self, entity_type: str, original: str, context_hash: str, locale: str) -> str:
+        return _placeholder(entity_type, f"{entity_type}:{original}:{context_hash}")
+
+
+_PROVIDERS: dict[str, type[Provider]] = {
+    "fallback": FallbackProvider,
+    "mask": MaskProvider,
+}
+
+
+def register_provider(name: str, cls: type[Provider]) -> None:
+    """Register an injectable provider class (resolved per worker by name so
+    frozen configs stay small and picklable)."""
+    _PROVIDERS[name] = cls
+
+
+@lru_cache(maxsize=16)
+def get_provider(name: str) -> Provider:
+    try:
+        return _PROVIDERS[name]()
+    except KeyError:
+        raise KeyError(f"unknown provider {name!r}; registered: {sorted(_PROVIDERS)}") from None
+
+
 def replace_text(
     text: str,
     entities: list[Entity],
@@ -110,6 +159,7 @@ def replace_text(
     *,
     context_hash: str | None = None,
     locale: str = "zh_TW",
+    provider: Provider | None = None,
 ) -> tuple[str, list[dict[str, Any]]]:
     """Replace or mask entity spans; returns ``(new_text, events)``.
 
@@ -127,7 +177,9 @@ def replace_text(
     normalized = (mode or "").strip().lower()
     if normalized in {"blackbox", "black", "redact", "mask"}:
         return _blackbox_mode(text, entities)
-    return _replace_mode(text, entities, context_hash=context_hash, locale=locale)
+    return _replace_mode(
+        text, entities, context_hash=context_hash, locale=locale, provider=provider
+    )
 
 
 def _sorted_desc(entities: list[Entity]) -> list[Entity]:
@@ -135,16 +187,22 @@ def _sorted_desc(entities: list[Entity]) -> list[Entity]:
 
 
 def _replace_mode(
-    text: str, entities: list[Entity], *, context_hash: str | None, locale: str
+    text: str,
+    entities: list[Entity],
+    *,
+    context_hash: str | None,
+    locale: str,
+    provider: Provider | None = None,
 ) -> tuple[str, list[dict[str, Any]]]:
     doc_hash = context_hash or hashlib.sha256(text.encode("utf-8", errors="replace")).hexdigest()
+    generate = (provider or get_provider("fallback")).generate
     new_text = text
     events: list[dict[str, Any]] = []
     for ent in _sorted_desc(entities):
         start, end = ent["span"]
         original = text[start:end]
         entity_type = str(ent["type"])
-        replacement = fallback_generate(entity_type, original, doc_hash, locale)
+        replacement = generate(entity_type, original, doc_hash, locale)
         new_text = new_text[:start] + replacement + new_text[end:]
         events.append(
             {
