@@ -95,6 +95,14 @@ def _bench_queries(sf_dir: str) -> dict[str, float]:
         "minhash_near_dups",
         "doc_quality_counts",
         "knn_bruteforce",
+        # the two composite end-to-end pipelines a user actually runs
+        "pages_main_content",
+        "training_data_pipeline",
+        # round-2 scale-layer additions
+        "embedding_near_dups",
+        "ngram_jaccard_pairs",
+        "events_window_rank",
+        "orders_exists_semi",
     ]
     timings: dict[str, float] = {}
     for name in names:

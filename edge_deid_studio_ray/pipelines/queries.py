@@ -440,30 +440,53 @@ def q_asia_order_volume(sf_dir: str):
 
 
 def q_customers_without_orders(sf_dir: str):
-    """Broadcast anti-join: customers with no high-value order.  The
-    filtered order-customer key set ships once via ``ray.put`` (a Bloom
-    filter at 10^12 scale); customers filter against it in map_batches —
-    no shuffle."""
-    import ray
-    from ray.data.aggregate import Count
+    """Anti-join: customers with no high-value order — filtered order keys
+    and customers co-group in 128 hash buckets (no driver-side key set, no
+    broadcast; both sides shuffle exactly once and per-group state is the
+    bucket's key slice)."""
+    from ray.data.aggregate import Sum
 
-    custkeys = set()
-    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
-        lambda t: t.filter(pc.greater(t["o_totalprice"], 300000.0)), batch_format="pyarrow"
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    customers = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def order_keys(batch: pa.Table) -> pa.Table:
+        hit = batch.filter(pc.greater(batch["o_totalprice"], 300000.0))
+        keys = pc.unique(hit["o_custkey"]).to_pylist()
+        return pa.table(
+            {
+                "key": pa.array(keys, pa.int64()),
+                "kbucket": pa.array([k % 128 for k in keys], pa.int32()),
+                "c_mktsegment": pa.array([None] * len(keys), pa.string()),
+                "is_cust": pa.array([False] * len(keys), pa.bool_()),
+            }
+        )
+
+    def cust_rows(batch: pa.Table) -> pa.Table:
+        keys = batch["c_custkey"].to_pylist()
+        return pa.table(
+            {
+                "key": pa.array(keys, pa.int64()),
+                "kbucket": pa.array([k % 128 for k in keys], pa.int32()),
+                "c_mktsegment": batch["c_mktsegment"],
+                "is_cust": pa.array([True] * len(keys), pa.bool_()),
+            }
+        )
+
+    def anti(bucket: pd.DataFrame) -> pd.DataFrame:
+        with_orders = set(bucket.loc[~bucket["is_cust"], "key"])
+        misses = bucket.loc[bucket["is_cust"] & ~bucket["key"].isin(with_orders)]
+        counts = misses.groupby("c_mktsegment").size()
+        return pd.DataFrame(
+            {"c_mktsegment": counts.index, "partial": counts.to_numpy().astype("int64")}
+        )
+
+    partials = (
+        orders.map_batches(order_keys, batch_format="pyarrow")
+        .union(customers.map_batches(cust_rows, batch_format="pyarrow"))
+        .groupby("kbucket")
+        .map_groups(anti, batch_format="pandas")
     )
-    for batch in orders.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        custkeys.update(batch["o_custkey"].to_pylist())
-    keys_ref = ray.put(custkeys)
-
-    def anti(batch: pa.Table) -> pa.Table:
-        keys = ray.get(keys_ref)
-        mask = [k not in keys for k in batch["c_custkey"].to_pylist()]
-        return batch.filter(pa.array(mask))
-
-    ds = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
-        anti, batch_format="pyarrow"
-    )
-    return ds.groupby("c_mktsegment").aggregate(Count(alias_name="n_customers"))
+    return partials.groupby("c_mktsegment").aggregate(Sum("partial", alias_name="n_customers"))
 
 
 def q_distinct_sources(sf_dir: str):
