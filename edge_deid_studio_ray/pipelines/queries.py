@@ -43,6 +43,17 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None):
     return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
 
 
+def _kbucket(value) -> int:
+    """Coarse co-location bucket for any key type: identity-mod for ints
+    (cheap, deterministic), crc32 for strings — NOT Python hash(), which is
+    PYTHONHASHSEED-salted per process."""
+    if isinstance(value, int):
+        return value % 128
+    import zlib
+
+    return zlib.crc32(str(value).encode()) % 128
+
+
 # ---------------------------------------------------------------------------
 # Grouped aggregations (SURVEY §2.5 → Ray groupby/aggregate)
 # ---------------------------------------------------------------------------
@@ -206,7 +217,7 @@ def q_events_sessions(sf_dir: str):
                 "us": batch["ts"].cast(pa.int64()),
                 # bucketed key co-location: all of a user's events share a
                 # bucket, Ray sees ~128 groups instead of one per user
-                "user_bucket": pa.array([u % num_buckets for u in users], pa.int32()),
+                "user_bucket": pa.array([_kbucket(u) for u in users], pa.int32()),
             }
         )
 
@@ -274,7 +285,7 @@ def q_events_running_total(sf_dir: str):
                 "event_id": batch["event_id"],
                 "user_id": batch["user_id"],
                 "us": batch["ts"].cast(pa.int64()),
-                "user_bucket": pa.array([u % num_buckets for u in users], pa.int32()),
+                "user_bucket": pa.array([_kbucket(u) for u in users], pa.int32()),
             }
         )
 
@@ -311,7 +322,7 @@ def q_events_asof_join(sf_dir: str):
                 "event_id": batch["event_id"],
                 "user_id": batch["user_id"],
                 "us": batch["ts"].cast(pa.int64()),
-                "user_bucket": pa.array([u % num_buckets for u in users], pa.int32()),
+                "user_bucket": pa.array([_kbucket(u) for u in users], pa.int32()),
             }
         )
 
@@ -455,7 +466,7 @@ def q_customers_without_orders(sf_dir: str):
         return pa.table(
             {
                 "key": pa.array(keys, pa.int64()),
-                "kbucket": pa.array([k % 128 for k in keys], pa.int32()),
+                "kbucket": pa.array([_kbucket(k) for k in keys], pa.int32()),
                 "c_mktsegment": pa.array([None] * len(keys), pa.string()),
                 "is_cust": pa.array([False] * len(keys), pa.bool_()),
             }
@@ -466,7 +477,7 @@ def q_customers_without_orders(sf_dir: str):
         return pa.table(
             {
                 "key": pa.array(keys, pa.int64()),
-                "kbucket": pa.array([k % 128 for k in keys], pa.int32()),
+                "kbucket": pa.array([_kbucket(k) for k in keys], pa.int32()),
                 "c_mktsegment": batch["c_mktsegment"],
                 "is_cust": pa.array([True] * len(keys), pa.bool_()),
             }
@@ -1118,7 +1129,7 @@ def q_events_window_rank(sf_dir: str):
     def bucketize(batch: pa.Table) -> pa.Table:
         return batch.append_column(
             "ubucket",
-            pa.array([u % 128 for u in batch["user_id"].to_pylist()], pa.int32()),
+            pa.array([_kbucket(u) for u in batch["user_id"].to_pylist()], pa.int32()),
         )
 
     def rank(bucket: pd.DataFrame) -> pd.DataFrame:
@@ -1227,7 +1238,7 @@ def q_orders_exists_semi(sf_dir: str):
         return pa.table(
             {
                 "key": pa.array(keys, pa.int64()),
-                "kbucket": pa.array([k % 128 for k in keys], pa.int32()),
+                "kbucket": pa.array([_kbucket(k) for k in keys], pa.int32()),
                 "o_orderstatus": pa.array([None] * len(keys), pa.string()),
                 "is_order": pa.array([False] * len(keys), pa.bool_()),
             }
@@ -1238,7 +1249,7 @@ def q_orders_exists_semi(sf_dir: str):
         return pa.table(
             {
                 "key": pa.array(keys, pa.int64()),
-                "kbucket": pa.array([k % 128 for k in keys], pa.int32()),
+                "kbucket": pa.array([_kbucket(k) for k in keys], pa.int32()),
                 "o_orderstatus": batch["o_orderstatus"],
                 "is_order": pa.array([True] * len(keys), pa.bool_()),
             }
@@ -1351,6 +1362,58 @@ def q_jaccard_doc_perturbed(sf_dir: str):
     )
 
 
+def q_doc_chunk_windows(sf_dir: str):
+    """Context-window chunking for training data: 500-char windows with
+    stride 400 (100-char overlap) per document — the flat-map shape every
+    LLM-pretraining tokenizer feed uses.  One output row per (doc, window)
+    with an md5 over the chunk so the oracle checks exact boundaries."""
+    window, stride = 500, 400
+
+    def chunk(batch: pa.Table) -> pa.Table:
+        from ..functions.dedup import md5_hex
+
+        doc_ids, chunk_ids, hashes, lens = [], [], [], []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            text = text or ""
+            for i, start in enumerate(range(0, max(len(text), 1), stride)):
+                piece = text[start : start + window]
+                doc_ids.append(doc_id)
+                chunk_ids.append(i)
+                hashes.append(md5_hex(piece))
+                lens.append(len(piece))
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "chunk_id": pa.array(chunk_ids, pa.int64()),
+                "chunk_md5": pa.array(hashes, pa.string()),
+                "n_chars": pa.array(lens, pa.int64()),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        chunk, batch_format="pyarrow"
+    )
+
+
+def q_doc_normalized_hashes(sf_dir: str):
+    """Whitespace-normalization kernel (collapse ASCII whitespace runs to a
+    single space + trim) with an md5 oracle — the canonicalization step that
+    feeds exact dedup on noisy web text."""
+    norm_re = re.compile(r"[ \t\n\r]+")
+
+    def norm(batch: pa.Table) -> pa.Table:
+        from ..functions.dedup import md5_hex
+
+        out = []
+        for text in batch["text"].to_pylist():
+            out.append(md5_hex(norm_re.sub(" ", text or "").strip(" ")))
+        return pa.table({"doc_id": batch["doc_id"], "norm_md5": pa.array(out, pa.string())})
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        norm, batch_format="pyarrow"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -1404,6 +1467,8 @@ QUERIES = {
     "lineitem_price_histogram": q_lineitem_price_histogram,
     "part_brand_stats": q_part_brand_stats,
     "jaccard_doc_perturbed": q_jaccard_doc_perturbed,
+    "doc_chunk_windows": q_doc_chunk_windows,
+    "doc_normalized_hashes": q_doc_normalized_hashes,
 }
 
 _STOP_SQL = "['the','of','and','to','a','in','is','it','you','that']"
@@ -1690,5 +1755,21 @@ ORACLE_SQL = {
                END AS ngram_jaccard
         FROM grams a JOIN grams b ON b.doc_id = a.doc_id + 1000000
         WHERE a.doc_id < 1000000
+    """,
+    "doc_chunk_windows": """
+        SELECT doc_id,
+               CAST(s // 400 AS BIGINT) AS chunk_id,
+               md5(substr(COALESCE(text, ''), s + 1, 500)) AS chunk_md5,
+               CAST(len(substr(COALESCE(text, ''), s + 1, 500)) AS BIGINT) AS n_chars
+        FROM (
+          SELECT doc_id, COALESCE(text, '') AS text,
+                 unnest(range(0, greatest(len(COALESCE(text, '')) - 1, 0) + 1, 400)) AS s
+          FROM documents
+        )
+    """,
+    "doc_normalized_hashes": """
+        SELECT doc_id,
+               md5(trim(regexp_replace(COALESCE(text, ''), '[ \\t\\n\\r]+', ' ', 'g'), ' ')) AS norm_md5
+        FROM documents
     """,
 }
