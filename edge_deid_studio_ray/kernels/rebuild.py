@@ -11,9 +11,11 @@ reproduce that for the text and CSV handlers:
   entity carrying a cell anchor, replace the first occurrence of the
   original value in that cell with ``replacement_map[f"{type}:{original}"]``.
 
-DOCX/XLSX/PPTX/PDF/image rebuilds require their binary libraries (absent
-here) and follow the same shape: entities-with-anchors + replacement_map →
-targeted in-place edits.
+DOCX/XLSX/PPTX rebuilds rewrite the raw XML inside the zip (below); PDF
+redaction (rect plan + text blanking + fill ops) lives in
+:mod:`.pdf_redact` for the minipdf-parseable subset; image black-box fill
+still requires a raster library (absent here) and stays gated in
+stages/image_deid.py.
 """
 
 from __future__ import annotations

@@ -103,6 +103,57 @@ class TestPdfRoute:
         assert row["error"] == "pdf_backend_unavailable"
 
 
+class TestPdfRedaction:
+    def test_redaction_roundtrip_removes_text_and_draws_rects(self):
+        from edge_deid_studio_ray.kernels.pdf_redact import redact_pdf_document
+
+        raw = build_pdf([TWO_BLOCK_STREAM])
+        row = process_document(html=raw, url="https://x.test/report.pdf")
+        phone_ents = [e for e in row["entities"] if e["type"] == "PHONE"]
+        assert phone_ents and phone_ents[0]["page_index"] == 0
+        result = redact_pdf_document(raw, row["entities"])
+        assert result["rebuild_supported"] is True
+        assert result["rebuild_mode"] == "redact_noxref"
+        assert result["redaction_count"] == len(phone_ents)
+        assert all(r["strategy"] == "block_bbox" for r in result["redaction_rects"])
+        # the rebuilt artifact is a PDF our own parser round-trips, with the
+        # PII text REMOVED (not just covered) and fill ops present
+        redacted = result["pdf"]
+        assert redacted.startswith(b"%PDF-")
+        specs, num_pages = minipdf_parse(redacted)
+        assert num_pages == 1
+        rebuilt_text = "\n".join(s["text"] for s in specs)
+        assert "0912-345-678" not in rebuilt_text
+        assert "Hello PII world" in rebuilt_text  # untouched block survives
+        assert b" re f Q" in redacted
+
+    def test_flate_source_rewrites_uncompressed(self):
+        from edge_deid_studio_ray.kernels.pdf_redact import redact_pdf_document
+
+        raw = build_pdf([TWO_BLOCK_STREAM], flate=True)
+        row = process_document(html=raw, url="https://x.test/report.pdf")
+        result = redact_pdf_document(raw, row["entities"])
+        specs, _ = minipdf_parse(result["pdf"])
+        assert "0912-345-678" not in "\n".join(s["text"] for s in specs)
+
+    def test_unanchored_entities_skipped(self):
+        from edge_deid_studio_ray.kernels.pdf_redact import plan_pdf_redactions
+
+        plan = plan_pdf_redactions(
+            [
+                {"type": "PHONE", "page_index": None, "bbox": None, "text": "x"},
+                {"type": "ID", "page_index": 1, "bbox": (1, 2, 3, 4), "text": "y"},
+            ]
+        )
+        assert len(plan) == 1 and plan[0]["page_index"] == 1
+
+    def test_opaque_pdf_unsupported(self):
+        from edge_deid_studio_ray.kernels.pdf_redact import redact_pdf_bytes
+
+        out = redact_pdf_bytes(b"%PDF-1.5 nothing", [])
+        assert out["rebuild_supported"] is False
+
+
 class TestOcrFallback:
     def test_sparse_page_routes_through_ocr(self):
         # page 0 has plenty of text, page 1 is near-empty → only page 1 is
