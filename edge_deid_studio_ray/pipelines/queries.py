@@ -1395,6 +1395,42 @@ def q_doc_chunk_windows(sf_dir: str):
     )
 
 
+def q_events_json_props(sf_dir: str):
+    """JSON scalar extraction (§2.8): parse the events ``props`` JSON column,
+    extract ``k``, aggregate per event type — per-batch partial sums, one
+    tiny groupby."""
+    import json
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        agg: dict[str, list[int]] = {}
+        for etype, props in zip(
+            batch["event_type"].to_pylist(), batch["props"].to_pylist()
+        ):
+            try:
+                k = int(json.loads(props or "{}").get("k", 0))
+            except (ValueError, TypeError):
+                k = 0
+            slot = agg.setdefault(etype, [0, 0])
+            slot[0] += k
+            slot[1] += 1
+        return pa.table(
+            {
+                "event_type": pa.array(list(agg.keys()), pa.string()),
+                "k": pa.array([v[0] for v in agg.values()], pa.int64()),
+                "n": pa.array([v[1] for v in agg.values()], pa.int64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["event_type", "props"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("k", alias_name="sum_k"), Sum("n", alias_name="n_events"))
+    )
+
+
 def q_doc_normalized_hashes(sf_dir: str):
     """Whitespace-normalization kernel (collapse ASCII whitespace runs to a
     single space + trim) with an md5 oracle — the canonicalization step that
@@ -1469,6 +1505,7 @@ QUERIES = {
     "jaccard_doc_perturbed": q_jaccard_doc_perturbed,
     "doc_chunk_windows": q_doc_chunk_windows,
     "doc_normalized_hashes": q_doc_normalized_hashes,
+    "events_json_props": q_events_json_props,
 }
 
 _STOP_SQL = "['the','of','and','to','a','in','is','it','you','that']"
@@ -1771,5 +1808,11 @@ ORACLE_SQL = {
         SELECT doc_id,
                md5(trim(regexp_replace(COALESCE(text, ''), '[ \\t\\n\\r]+', ' ', 'g'), ' ')) AS norm_md5
         FROM documents
+    """,
+    "events_json_props": """
+        SELECT event_type,
+               CAST(sum(COALESCE(CAST(json_extract_string(props, '$.k') AS BIGINT), 0)) AS BIGINT) AS sum_k,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY event_type
     """,
 }

@@ -103,6 +103,42 @@ class TestPdfRoute:
         assert row["error"] == "pdf_backend_unavailable"
 
 
+class TestLiteralStringProperty:
+    def test_roundtrip_arbitrary_latin1_text(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        def pdf_escape(s: str) -> bytes:
+            out = []
+            for ch in s:
+                if ch in "\\()":
+                    out.append("\\" + ch)
+                elif ch == "\n":
+                    out.append("\\n")
+                elif ch == "\r":
+                    out.append("\\r")
+                else:
+                    out.append(ch)
+            return "".join(out).encode("latin-1")
+
+        # printable latin-1 minus control chars; single-line (block text is
+        # stripped and line-split by the layout model)
+        alphabet = st.characters(
+            min_codepoint=0x20, max_codepoint=0xFF, exclude_characters="\x7f"
+        )
+
+        @given(st.text(alphabet=alphabet, min_size=1, max_size=80))
+        @settings(max_examples=60, deadline=None)
+        def roundtrip(text):
+            stream = b"BT 10 700 Td (" + pdf_escape(text) + b") Tj ET"
+            specs, _ = minipdf_parse(build_pdf([stream]))
+            expect = text.strip()
+            got = specs[0]["text"] if specs else ""
+            assert got == expect
+
+        roundtrip()
+
+
 class TestPdfRedaction:
     def test_redaction_roundtrip_removes_text_and_draws_rects(self):
         from edge_deid_studio_ray.kernels.pdf_redact import redact_pdf_document
