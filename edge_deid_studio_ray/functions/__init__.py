@@ -18,9 +18,9 @@ from .dedup import (
     MinHasher,
     add_simhash_column,
 )
-from .simsearch import knn_bruteforce, knn_lsh, knn_ivf, embedding_near_dups
+from .simsearch import knn_bruteforce, knn_lsh, knn_ivf, embedding_near_dups, embedding_near_dups_lsh
 from .sketches import approx_distinct, heavy_hitters, reservoir_sample
-from .dedup import simhash_near_dups, connected_components
+from .dedup import simhash_near_dups, connected_components, pair_text_metric
 
 __all__ = [
     "token_count", "bpe_token_count", "lang_id", "quality_counts",
@@ -29,5 +29,6 @@ __all__ = [
     "jaccard", "word_ngram_jaccard", "MinHasher", "add_simhash_column",
     "knn_bruteforce", "knn_lsh", "knn_ivf", "embedding_near_dups",
     "approx_distinct", "heavy_hitters", "reservoir_sample",
-    "simhash_near_dups", "connected_components",
+    "simhash_near_dups", "connected_components", "pair_text_metric",
+    "embedding_near_dups_lsh",
 ]

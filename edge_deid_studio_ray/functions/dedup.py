@@ -616,7 +616,10 @@ def _connected_components_int(pairs, left_col: str, right_col: str, max_iter: in
             }
         )
 
-    edges = pairs.map_batches(explode, batch_format="pyarrow")
+    # materialize the edge list ONCE (2 rows per pair — bounded by the dup
+    # rate, not the corpus) so the upstream pair pipeline (often a full LSH
+    # pass) is not re-executed by each consumer below
+    edges = pairs.map_batches(explode, batch_format="pyarrow").materialize()
     # label(node) = min(node, neighbors' labels); iterate to fixpoint
     labels = edges.groupby("node").aggregate(Min("neighbor_min", alias_name="label"))
 

@@ -43,6 +43,22 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None):
     return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
 
 
+def _read_spread(sf_dir: str, table: str, columns: list[str] | None = None, *, blocks: int | None = None):
+    """Read + repartition for CPU-heavy per-row stages: the sf* tables are
+    single-row-group files, so the read yields one block and a downstream
+    shingle/signature stage would run on one core.  A cheap repartition to
+    ~one block per CPU spreads it across the pool (more would add per-block
+    overhead that dominates at small scale).  At production scale inputs
+    arrive as many files/row-groups and this is a no-op decision — the
+    pattern (re-spread a low-parallelism read before heavy compute) is the
+    portable part."""
+    if blocks is None:
+        import ray
+
+        blocks = max(8, min(64, int(ray.cluster_resources().get("CPU", 8))))
+    return _read(sf_dir, table, columns).repartition(blocks)
+
+
 def _kbucket(value) -> int:
     """Coarse co-location bucket for any key type: identity-mod for ints
     (cheap, deterministic), crc32 for strings — NOT Python hash(), which is
@@ -689,7 +705,7 @@ def q_minhash_near_dups(sf_dir: str):
             }
         )
 
-    base = _read(sf_dir, "documents", ["doc_id", "text"])
+    base = _read_spread(sf_dir, "documents", ["doc_id", "text"])
     mutated = base.map_batches(perturb, batch_format="pyarrow")
     # signature-verify scale path: shuffle volume independent of text size
     pairs = minhash_candidates(
@@ -735,7 +751,7 @@ def q_ngram_jaccard_pairs(sf_dir: str):
             }
         )
 
-    base = _read(sf_dir, "documents", ["doc_id", "text"])
+    base = _read_spread(sf_dir, "documents", ["doc_id", "text"])
     corpus = base.union(base.map_batches(perturb, batch_format="pyarrow"))
     pairs = q_minhash_near_dups(sf_dir)
     return pair_text_metric(
@@ -763,7 +779,7 @@ def q_simhash_near_dups(sf_dir: str):
             }
         )
 
-    base = _read(sf_dir, "documents", ["doc_id", "text"])
+    base = _read_spread(sf_dir, "documents", ["doc_id", "text"])
     mutated = base.map_batches(perturb, batch_format="pyarrow")
     return simhash_near_dups(base.union(mutated), max_hamming=6)
 
@@ -786,7 +802,7 @@ def q_text_fingerprints(sf_dir: str):
             }
         )
 
-    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(fp, batch_format="pyarrow")
+    return _read_spread(sf_dir, "documents", ["doc_id", "text"]).map_batches(fp, batch_format="pyarrow")
 
 
 def q_doc_lang_id(sf_dir: str):
@@ -1331,7 +1347,7 @@ def q_jaccard_doc_perturbed(sf_dir: str):
     """
     from ..functions.dedup import pair_text_metric, word_ngram_jaccard
 
-    base = _read(sf_dir, "documents", ["doc_id", "text"])
+    base = _read_spread(sf_dir, "documents", ["doc_id", "text"])
 
     def perturb(batch: pa.Table) -> pa.Table:
         return pa.table(
