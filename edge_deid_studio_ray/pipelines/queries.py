@@ -944,7 +944,7 @@ def q_training_data_pipeline(sf_dir: str):
         return batch.set_column(0, "url", pa.array(urls, pa.string()))
 
     doubled = base.union(base.map_batches(relabel, batch_format="pyarrow"))
-    report = training_data_report(doubled)
+    report = training_data_report(doubled, rows_in=2 * n)
     return pa.table(
         {
             "metric": pa.array(sorted(report.keys()), pa.string()),
@@ -1411,6 +1411,68 @@ def q_doc_chunk_windows(sf_dir: str):
     )
 
 
+def q_docs_per_source_cap(sf_dir: str):
+    """Per-domain quota (the standard CC pipeline 'cap docs per domain'
+    step): keep the first 10 documents per source by doc_id.  Per-key
+    top-k inside coarse source buckets — deterministic, oracle = ROW_NUMBER
+    PARTITION BY."""
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "sbucket",
+            pa.array([_kbucket(s) for s in batch["source"].to_pylist()], pa.int32()),
+        )
+
+    def cap(bucket: pd.DataFrame) -> pd.DataFrame:
+        kept = (
+            bucket.sort_values(["source", "doc_id"])
+            .groupby("source", sort=False)
+            .head(10)
+        )
+        return kept[["doc_id", "source"]]
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("sbucket")
+        .map_groups(cap, batch_format="pandas")
+    )
+
+
+def q_lang_source_distinct(sf_dir: str):
+    """Distinct-count aggregate per group: number of distinct sources per
+    language — per-batch partial distinct sets, merged in one groupby (the
+    two-level exact count-distinct shape; swap in HLL from
+    functions/sketches.py when approximate is acceptable at scale)."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        seen = sorted(
+            {
+                (lang, src)
+                for lang, src in zip(
+                    batch["lang"].to_pylist(), batch["source"].to_pylist()
+                )
+            }
+        )
+        return pa.table(
+            {
+                "lang": pa.array([p[0] for p in seen], pa.string()),
+                "source": pa.array([p[1] for p in seen], pa.string()),
+            }
+        )
+
+    distinct_pairs = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "source"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+    )
+    return distinct_pairs.groupby("lang").aggregate(Count(alias_name="n_sources"))
+
+
 def q_events_json_props(sf_dir: str):
     """JSON scalar extraction (§2.8): parse the events ``props`` JSON column,
     extract ``k``, aggregate per event type — per-batch partial sums, one
@@ -1522,6 +1584,8 @@ QUERIES = {
     "doc_chunk_windows": q_doc_chunk_windows,
     "doc_normalized_hashes": q_doc_normalized_hashes,
     "events_json_props": q_events_json_props,
+    "docs_per_source_cap": q_docs_per_source_cap,
+    "lang_source_distinct": q_lang_source_distinct,
 }
 
 _STOP_SQL = "['the','of','and','to','a','in','is','it','you','that']"
@@ -1830,5 +1894,16 @@ ORACLE_SQL = {
                CAST(sum(COALESCE(CAST(json_extract_string(props, '$.k') AS BIGINT), 0)) AS BIGINT) AS sum_k,
                CAST(count(*) AS BIGINT) AS n_events
         FROM events GROUP BY event_type
+    """,
+    "docs_per_source_cap": """
+        SELECT doc_id, source FROM (
+            SELECT doc_id, source,
+                   ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+            FROM documents
+        ) WHERE rn <= 10
+    """,
+    "lang_source_distinct": """
+        SELECT lang, CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+        FROM documents GROUP BY lang
     """,
 }

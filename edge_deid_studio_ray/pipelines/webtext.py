@@ -83,16 +83,22 @@ def build_training_data_pipeline(
     )
 
 
-def training_data_report(pages_ds, cfg: EngineConfig | None = None, **kwargs: Any) -> dict[str, int]:
+def training_data_report(
+    pages_ds, cfg: EngineConfig | None = None, *, rows_in: int | None = None, **kwargs: Any
+) -> dict[str, int]:
     """Run the pipeline ONCE and report per-stage attrition counters.
 
     The dedup stage records ``n_copies`` (quality-pass rows collapsed into
     each keeper), so a single aggregate over the output derives every
     counter — the expensive extract+deid stage executes exactly once.
+    Pass ``rows_in`` when the caller already knows the input cardinality
+    (e.g. a synthesized corpus); otherwise it costs one ``count()`` of the
+    input (metadata-only for parquet reads, a generator pass otherwise).
     """
     from ray.data.aggregate import Count, Sum
 
-    rows_in = pages_ds.count()
+    if rows_in is None:
+        rows_in = pages_ds.count()
     out = build_training_data_pipeline(pages_ds, cfg, **kwargs)
     agg = out.aggregate(Count(alias_name="rows_out"), Sum("n_copies", alias_name="quality_pass"))
     rows_out = int(agg["rows_out"])
