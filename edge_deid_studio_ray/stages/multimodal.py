@@ -135,8 +135,84 @@ class AudioFrameStage:
         ).append_column("frame_energy", pa.array(energies, pa.list_(pa.float32())))
 
 
+VIDEO_FRAME_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.string()),
+        ("frame_index", pa.int32()),
+        ("ts_ms", pa.int32()),
+        ("feature", pa.list_(pa.float32())),
+        ("decode_backend", pa.string()),
+    ]
+)
+
+
+class _FakeDemuxer:
+    """Deterministic video-demux stand-in: payload bytes → N pseudo-frames
+    (duration and content derived from the payload hash, like the fake
+    image codec)."""
+
+    name = "fake"
+
+    def frames(self, payload: bytes, *, stride: int):
+        digest = hashlib.blake2b(payload or b"", digest_size=8).digest()
+        rng = np.random.RandomState(int.from_bytes(digest[:4], "big"))
+        n_total = 8 + digest[4] % 120  # pseudo frame count
+        fps = 25.0
+        for idx in range(0, n_total, stride):
+            yield idx, int(idx / fps * 1000), rng.randint(
+                0, 256, size=(16, 16, 3), dtype=np.uint8
+            )
+
+
+def _real_demuxer():
+    try:  # pragma: no cover - pyav/ffmpeg not installed in this environment
+        import av  # type: ignore  # noqa: F401
+
+        raise NotImplementedError("wire av.open(BytesIO(payload)) demux here")
+    except ImportError:
+        return None
+
+
+class VideoFrameSampleStage:
+    """Actor-pool stage: demux video payloads → every Nth frame → pooled
+    frame features (one output ROW per sampled frame: a flat-map-shaped
+    ``map_batches``).
+
+    Input rows: (media_id: string, payload: binary).  Output:
+    VIDEO_FRAME_SCHEMA.  The demuxer loads once per actor; the real pyav
+    path is import-gated and the fake demuxer keeps the full plumbing
+    (row explosion, frame schema, timestamp layout) testable.  Use small
+    ``batch_size`` (4–16): video payloads are the largest rows a pipeline
+    carries, and the output fans out ~n_frames/stride rows per input.
+    """
+
+    def __init__(self, stride: int = 10, target: int = 8):
+        self.demux = _real_demuxer() or _FakeDemuxer()  # once per actor
+        self.stride = max(1, stride)
+        self.target = target
+
+    def _pool(self, frame: np.ndarray) -> list[float]:
+        ys = np.linspace(0, frame.shape[0] - 1, self.target).astype(int)
+        xs = np.linspace(0, frame.shape[1] - 1, self.target).astype(int)
+        pooled = frame[np.ix_(ys, xs)].astype(np.float32) / 255.0
+        return [float(x) for x in pooled.mean(axis=2).reshape(-1)]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out: dict[str, list] = {k: [] for k in VIDEO_FRAME_SCHEMA.names}
+        for media_id, payload in zip(
+            batch["media_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            for idx, ts_ms, frame in self.demux.frames(payload or b"", stride=self.stride):
+                out["media_id"].append(media_id)
+                out["frame_index"].append(idx)
+                out["ts_ms"].append(ts_ms)
+                out["feature"].append(self._pool(frame))
+                out["decode_backend"].append(self.demux.name)
+        return pa.Table.from_pydict(out, schema=VIDEO_FRAME_SCHEMA)
+
+
 def video_frame_sample_stub(*_args: Any, **_kwargs: Any):
-    """Video frame sampling requires a real codec (not installed)."""
+    """Back-compat alias for the pre-stage stub; use VideoFrameSampleStage."""
     raise NotImplementedError(
-        "video decode requires pyav/ffmpeg; plumbing pattern is ImageFeatureStage"
+        "video decode requires pyav/ffmpeg; use VideoFrameSampleStage (fake demuxer)"
     )

@@ -213,6 +213,45 @@ class TestMultimodal:
         assert rows[0]["n_frames"] == 10
         assert len(rows[0]["frame_energy"]) == 10
 
+    def test_video_frame_sample_stage(self, ray_session):
+        """Frame sampling is a flat-map: one row per sampled frame, stride
+        honored, timestamps monotonic, deterministic per payload."""
+        import ray.data as rd
+
+        from edge_deid_studio_ray.stages.multimodal import (
+            VIDEO_FRAME_SCHEMA,
+            VideoFrameSampleStage,
+        )
+
+        table = pa.table(
+            {
+                "media_id": ["v1", "v2"],
+                "payload": pa.array([b"fakemp4-one", b"fakemp4-two"], pa.binary()),
+            }
+        )
+        rows = (
+            rd.from_arrow(table)
+            .map_batches(
+                VideoFrameSampleStage,
+                fn_constructor_kwargs={"stride": 5},
+                batch_format="pyarrow",
+                batch_size=4,
+                concurrency=1,
+            )
+            .take_all()
+        )
+        by_media: dict = {}
+        for r in rows:
+            by_media.setdefault(r["media_id"], []).append(r)
+        assert set(by_media) == {"v1", "v2"}
+        v1 = sorted(by_media["v1"], key=lambda r: r["frame_index"])
+        assert len(v1) > 1
+        assert all(r["frame_index"] % 5 == 0 for r in v1)
+        ts = [r["ts_ms"] for r in v1]
+        assert ts == sorted(ts)
+        assert len(v1[0]["feature"]) == 8 * 8
+        assert set(VIDEO_FRAME_SCHEMA.names) == set(rows[0].keys())
+
 
 class TestSpanJsonlIO:
     def test_roundtrip_write_read_json(self, ray_session, tmp_path):
