@@ -230,3 +230,59 @@ def rebuild_xlsx(raw: bytes, entities: list[dict[str, Any]], replacement_map: di
         if _re.fullmatch(r"xl/worksheets/sheet\d+\.xml", name)
         else None,
     )
+
+
+# ---------------------------------------------------------------------------
+# Route dispatcher
+# ---------------------------------------------------------------------------
+
+
+def rebuild_artifact(
+    route: str,
+    raw: bytes | None,
+    *,
+    output_text: str,
+    entities: list[dict[str, Any]],
+    replacement_map: dict[str, str],
+) -> dict[str, Any]:
+    """One entry point per processed row: route → format rebuild, the
+    HandlerRegistry-``rebuild`` analogue (each reference handler exposes
+    ``rebuild(document, output_text=..., entities=..., replacement_map=...)``;
+    registry in handlers/registry.py).
+
+    Returns ``{"artifact": bytes|str|None, "kind", "rebuild_supported"}``
+    plus the redaction fields for the pdf route.  Unknown / text-like
+    routes return the output text itself (text.py:43-52 semantics).
+    """
+    if route == "csv":
+        return {
+            "artifact": rebuild_csv(
+                (raw or b"").decode("utf-8", "replace"), entities, replacement_map
+            ),
+            "kind": "csv",
+            "rebuild_supported": True,
+        }
+    if route == "pdf":
+        from .pdf_redact import redact_pdf_document
+
+        result = redact_pdf_document(raw or b"", entities)
+        return {
+            "artifact": result["pdf"],
+            "kind": "pdf",
+            "rebuild_supported": result["rebuild_supported"],
+            "rebuild_mode": result["rebuild_mode"],
+            "redaction_count": result["redaction_count"],
+            "redaction_rects": result["redaction_rects"],
+        }
+    if route in ("docx", "pptx", "xlsx"):
+        fn = {"docx": rebuild_docx, "pptx": rebuild_pptx, "xlsx": rebuild_xlsx}[route]
+        return {
+            "artifact": fn(raw or b"", entities, replacement_map),
+            "kind": route,
+            "rebuild_supported": True,
+        }
+    return {
+        "artifact": rebuild_text(output_text),
+        "kind": "text",
+        "rebuild_supported": True,
+    }

@@ -89,6 +89,44 @@ entity_strategy = st.fixed_dictionaries(
 )
 
 
+class TestRebuildDispatcher:
+    def test_routes(self):
+        from edge_deid_studio_ray.kernels.rebuild import rebuild_artifact
+
+        text_out = rebuild_artifact(
+            "html", b"<p>x</p>", output_text="clean text", entities=[], replacement_map={}
+        )
+        assert text_out == {"artifact": "clean text", "kind": "text", "rebuild_supported": True}
+
+        csv_out = rebuild_artifact(
+            "csv",
+            b"name,phone\nbob,0912-345-678\n",
+            output_text="",
+            entities=[{"type": "PHONE", "text": "0912-345-678", "cell_address": "R2C2"}],
+            replacement_map={"PHONE:0912-345-678": "0955-000-111"},
+        )
+        assert csv_out["kind"] == "csv"
+        assert "0955-000-111" in csv_out["artifact"]
+
+    def test_pdf_route_returns_redaction_fields(self):
+        from edge_deid_studio_ray.kernels.docpipe import process_document
+        from edge_deid_studio_ray.kernels.rebuild import rebuild_artifact
+        from tests.test_minipdf import TWO_BLOCK_STREAM, build_pdf
+
+        raw = build_pdf([TWO_BLOCK_STREAM])
+        row = process_document(html=raw, url="https://x.test/a.pdf")
+        out = rebuild_artifact(
+            "pdf",
+            raw,
+            output_text=row["clean_text"],
+            entities=row["entities"],
+            replacement_map=row["replacement_map"],
+        )
+        assert out["kind"] == "pdf" and out["rebuild_supported"]
+        assert out["redaction_count"] >= 1
+        assert out["artifact"].startswith(b"%PDF-")
+
+
 class TestHypothesisParity:
     @settings(max_examples=200, deadline=None)
     @given(st.lists(entity_strategy, max_size=8))
