@@ -35,7 +35,7 @@ PAGES_SCHEMA = pa.schema(
 _EPOCH_US = 1767225600_000000  # 2026-01-01T00:00:00 UTC, fixed (no wall clock)
 
 # bump when generation logic changes — invalidates cached bench corpora
-GENERATOR_VERSION = 2
+GENERATOR_VERSION = 3
 
 _WORDS_EN = (
     "the quick brown fox jumps over a lazy dog while data streams through "
@@ -136,6 +136,58 @@ def _pdf_payload(rng: random.Random, lang: str) -> bytes:
     return "\n".join(lines).encode("utf-8")
 
 
+def _pdf_escape(text: str) -> bytes:
+    out = []
+    for ch in text:
+        if ch in "\\()":
+            out.append("\\" + ch)
+        else:
+            out.append(ch)
+    return "".join(out).encode("latin-1", "replace")
+
+
+def _real_pdf_payload(rng: random.Random) -> bytes:
+    """A genuine ``%PDF-1.4`` payload (catalog + page tree + FlateDecode
+    content streams) parseable by kernels/minipdf.py — English-only (simple
+    Latin fonts; CJK would need CID fonts, which the faux-PDF slice covers).
+    Exercises the real-PDF route inside the flagship corpus, not just in
+    unit fixtures."""
+    import zlib
+
+    n_pages = rng.randint(1, 2)
+    streams: list[bytes] = []
+    for page in range(n_pages):
+        ops: list[bytes] = []
+        for y in sorted(rng.sample(range(80, 720), rng.randint(2, 4)), reverse=True):
+            sent = _sentence(rng, "en", rng.randint(4, 12))
+            ops.append(b"BT /F1 11 Tf 72 %d Td (%s) Tj ET" % (y, _pdf_escape(sent)))
+        if page == 0:
+            _typ, value = _pii_values(rng, "en")[0]
+            ops.append(b"BT /F1 11 Tf 72 40 Td (ref %s) Tj ET" % _pdf_escape(value))
+        streams.append(b"\n".join(ops))
+
+    objects: list[bytes] = [
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj",
+        b"2 0 obj << /Type /Pages /Kids ["
+        + b" ".join(b"%d 0 R" % (3 + i) for i in range(n_pages))
+        + b"] /Count %d >> endobj" % n_pages,
+    ]
+    for i in range(n_pages):
+        objects.append(
+            b"%d 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Contents %d 0 R >> endobj" % (3 + i, 3 + n_pages + i)
+        )
+    for i, stream in enumerate(streams):
+        data = zlib.compress(stream)
+        objects.append(
+            b"%d 0 obj << /Filter /FlateDecode /Length %d >> stream\n"
+            % (3 + n_pages + i, len(data))
+            + data
+            + b"\nendstream endobj"
+        )
+    return b"%PDF-1.4\n" + b"\n".join(objects) + b"\n%%EOF\n"
+
+
 def synthesize_page(row_id: int, seed: int = 42, *, mega_every: int = 0) -> dict:
     """One deterministic page row."""
     rng = random.Random((seed << 32) ^ row_id)
@@ -147,7 +199,12 @@ def synthesize_page(row_id: int, seed: int = 42, *, mega_every: int = 0) -> dict
     kind = rng.random()
     is_mega = mega_every > 0 and row_id % mega_every == 0 and row_id > 0
     if kind < 0.05:
-        html: bytes = _pdf_payload(rng, lang)
+        # half the PDF slice is genuine %PDF-1.4 (minipdf route, en-only —
+        # simple Latin fonts), half the deterministic faux-PDF format
+        if lang == "en" and kind < 0.025:
+            html: bytes = _real_pdf_payload(rng)
+        else:
+            html = _pdf_payload(rng, lang)
     elif kind < 0.07:  # ~2%: CSV payload routed by the .csv url suffix
         url += ".csv"
         header = "name,phone,note" if lang == "en" else "姓名,電話,備註"
