@@ -3,9 +3,11 @@
 - :func:`knn_bruteforce` — exact cosine top-k: the query matrix is broadcast
   once via ``ray.put`` (read per task, never re-shipped per batch), each
   batch computes a numpy matmul and emits only its LOCAL top-k per query
-  (k rows per query per batch), and a final tiny ``groupby(query_id)``
-  selects the global top-k.  Shuffle volume is O(queries × k × batches),
-  independent of corpus size — the scale path for 100 TB.
+  (k rows per query per batch), then a two-level tree merge
+  (:func:`_merge_topk`) selects the global top-k without ever gathering all
+  per-batch partials of one query into a single group.  Shuffle volume is
+  O(queries × k × batches), independent of corpus size — the scale path
+  for 100 TB.
 - :func:`knn_lsh` — random-hyperplane LSH variant: bucket rows by sign
   pattern; only same-bucket candidates are scored (recall/speed trade
   documented per signature length).
@@ -56,6 +58,38 @@ def _batch_topk_fn(queries_ref, k: int, vec_col: str, key_col: str):
     return topk
 
 
+def _merge_topk(partials, k: int, key_col: str):
+    """Two-level top-k reduction: per-batch partials first merge inside
+    (query_id, candidate-hash bucket) groups, then one tiny final group per
+    query.  A single groupby(query_id) would gather k rows per *batch* into
+    one group — millions of rows per query at 10^12-row corpora; the tree
+    level caps every group at 64·k rows.  Selection is by (cosine desc, key
+    asc), so the two-level result is deterministic and identical to the
+    single-level one."""
+    import zlib
+
+    def add_mbucket(batch: pa.Table) -> pa.Table:
+        buckets = [
+            (v if isinstance(v, int) else zlib.crc32(str(v).encode())) % 64
+            for v in batch[key_col].to_pylist()
+        ]
+        return batch.append_column("mbucket", pa.array(buckets, pa.int32()))
+
+    def merge_level1(group: pd.DataFrame) -> pd.DataFrame:
+        top = group.sort_values(["cosine", key_col], ascending=[False, True]).head(k)
+        return top.drop(columns=["mbucket"])
+
+    def merge_final(group: pd.DataFrame) -> pd.DataFrame:
+        return group.sort_values(["cosine", key_col], ascending=[False, True]).head(k)
+
+    level1 = (
+        partials.map_batches(add_mbucket, batch_format="pyarrow")
+        .groupby(["query_id", "mbucket"])
+        .map_groups(merge_level1, batch_format="pandas")
+    )
+    return level1.groupby("query_id").map_groups(merge_final, batch_format="pandas")
+
+
 def knn_bruteforce(ds, queries: np.ndarray, *, k: int = 5, vec_col: str = "embedding", key_col: str = "vec_id"):
     """Exact cosine top-k per query row of ``queries``.
 
@@ -69,11 +103,7 @@ def knn_bruteforce(ds, queries: np.ndarray, *, k: int = 5, vec_col: str = "embed
     partials = ds.map_batches(
         _batch_topk_fn(queries_ref, k, vec_col, key_col), batch_format="pyarrow"
     )
-
-    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
-        return group.sort_values(["cosine", key_col], ascending=[False, True]).head(k)
-
-    return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+    return _merge_topk(partials, k, key_col)
 
 
 def embedding_near_dups(
@@ -299,11 +329,7 @@ def knn_ivf(
     partials = ds.map_batches(centroid_filter, batch_format="pyarrow").map_batches(
         _batch_topk_fn(queries_ref, k, vec_col, key_col), batch_format="pyarrow"
     )
-
-    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
-        return group.sort_values(["cosine", key_col], ascending=[False, True]).head(k)
-
-    return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+    return _merge_topk(partials, k, key_col)
 
 
 def knn_lsh(
@@ -343,8 +369,4 @@ def knn_lsh(
     partials = filtered.map_batches(
         _batch_topk_fn(queries_ref, k, vec_col, key_col), batch_format="pyarrow"
     )
-
-    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
-        return group.sort_values(["cosine", key_col], ascending=[False, True]).head(k)
-
-    return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+    return _merge_topk(partials, k, key_col)

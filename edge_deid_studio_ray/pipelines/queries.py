@@ -525,23 +525,68 @@ def q_distinct_sources(sf_dir: str):
 def q_doc_length_percentiles(sf_dir: str):
     """Exact per-language length percentiles (G1 distribution semantics:
     p50 = median with even-count interpolation, p95 = sorted[int(.95*(n-1))])
-    computed per sorted group."""
-    import pandas as pd
+    via a distributed value histogram: per-batch (lang, n_chars) counts →
+    one groupby-sum → rank walk over the tiny histogram.
 
-    def pct(group: pd.DataFrame) -> pd.DataFrame:
-        values = sorted(group["n_chars"].tolist())
-        n = len(values)
-        if n % 2 == 1:
-            p50 = float(values[n // 2])
-        else:
-            p50 = (values[n // 2 - 1] + values[n // 2]) / 2.0
-        p95 = float(values[int(0.95 * (n - 1))])
-        return pd.DataFrame(
-            {"lang": [group["lang"].iloc[0]], "p50_chars": [p50], "p95_chars": [p95]}
+    Scale note: a per-language ``map_groups`` would materialize a whole
+    language's rows in one task (10^11+ at corpus scale); the histogram is
+    bounded by the number of DISTINCT lengths per language instead, and the
+    percentile is still exact for integer-valued columns.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        agg: dict[tuple[str, int], int] = {}
+        for lang, n_chars in zip(
+            batch["lang"].to_pylist(), batch["n_chars"].to_pylist()
+        ):
+            agg[(lang, int(n_chars))] = agg.get((lang, int(n_chars)), 0) + 1
+        return pa.table(
+            {
+                "lang": pa.array([k[0] for k in agg], pa.string()),
+                "n_chars": pa.array([k[1] for k in agg], pa.int64()),
+                "c": pa.array(list(agg.values()), pa.int64()),
+            }
         )
 
-    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
-    return ds.groupby("lang").map_groups(pct, batch_format="pandas")
+    hist = (
+        _read(sf_dir, "documents", ["lang", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "n_chars"])
+        .aggregate(Sum("c", alias_name="c"))
+    )
+
+    by_lang: dict[str, list[tuple[int, int]]] = {}
+    for row in hist.take_all():  # |distinct (lang, length)| rows — small
+        by_lang.setdefault(row["lang"], []).append((row["n_chars"], row["c"]))
+
+    def value_at_rank(pairs: list[tuple[int, int]], rank: int) -> int:
+        cum = 0
+        for value, count in pairs:
+            cum += count
+            if cum > rank:
+                return value
+        return pairs[-1][0]
+
+    langs, p50s, p95s = [], [], []
+    for lang in sorted(by_lang):
+        pairs = sorted(by_lang[lang])
+        n = sum(c for _, c in pairs)
+        if n % 2 == 1:
+            p50 = float(value_at_rank(pairs, n // 2))
+        else:
+            p50 = (value_at_rank(pairs, n // 2 - 1) + value_at_rank(pairs, n // 2)) / 2.0
+        p95 = float(value_at_rank(pairs, int(0.95 * (n - 1))))
+        langs.append(lang)
+        p50s.append(p50)
+        p95s.append(p95)
+    return pa.table(
+        {
+            "lang": pa.array(langs, pa.string()),
+            "p50_chars": pa.array(p50s, pa.float64()),
+            "p95_chars": pa.array(p95s, pa.float64()),
+        }
+    )
 
 
 # ---------------------------------------------------------------------------
