@@ -137,7 +137,16 @@ def q_word_freq_top20(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["text"]).map_batches(partial, batch_format="pyarrow")
     counts = ds.groupby("word").aggregate(Sum("partial", alias_name="n"))
-    return counts.sort(["n", "word"], descending=[True, False]).limit(20)
+
+    # after the groupby each word lives in exactly one block, so a block's
+    # non-local-top-20 row can never be in the global top 20 — prune
+    # map-side and sort only ~20 rows per block instead of the whole vocab
+    def local_top(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(["n", "word"], ascending=[False, True]).head(20)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    pruned = counts.map_batches(local_top, batch_format="pyarrow")
+    return pruned.sort(["n", "word"], descending=[True, False]).limit(20)
 
 
 def q_heavy_hitter_words(sf_dir: str):
@@ -396,9 +405,21 @@ def q_customer_per_nation(sf_dir: str):
 
 
 def q_orders_top10(sf_dir: str):
-    """Top-k by value: distributed sort + limit (deterministic tie-break)."""
+    """Top-k by value: per-batch local top-10 prune, then a sort over the
+    surviving ~10-per-block rows (a full distributed sort of the fact table
+    would shuffle every row for a 10-row answer)."""
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
-    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+
+    def local_top(batch: pa.Table) -> pa.Table:
+        df = (
+            batch.to_pandas()
+            .sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True])
+            .head(10)
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    pruned = ds.map_batches(local_top, batch_format="pyarrow")
+    return pruned.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
 
 
 def q_orders_join_customers(sf_dir: str):
