@@ -185,3 +185,70 @@ def reservoir_sample(ds, *, k: int = 1000, seed: int = 0):
                 if j < k:
                     merged[j] = row
     return merged[:k]
+
+
+# -- Bloom filter ------------------------------------------------------------
+
+
+class BloomFilter:
+    """Mergeable Bloom filter (double hashing, standard construction):
+    ``num_hashes`` indices per value derived as ``h1 + i*h2 (mod num_bits)``
+    from one blake2b-128 digest.  No false negatives ever; false-positive
+    rate ≈ (1 - e^(-k·n/m))^k.  Merge = bitwise OR — associative, so
+    per-batch partials combine in any order (the map-side pre-aggregation
+    shape).  At 64 MB of bits (m = 2^29) a 10^8-key set stays under 1% FP —
+    a fixed-size broadcastable stand-in for an arbitrarily large key set.
+    """
+
+    def __init__(self, num_bits: int = 1 << 20, num_hashes: int = 5):
+        self.num_bits = num_bits
+        self.num_hashes = num_hashes
+        self.bits = np.zeros(num_bits, dtype=bool)
+
+    def _indices(self, values: list) -> np.ndarray:
+        import hashlib
+
+        h1 = np.empty(len(values), dtype=np.uint64)
+        h2 = np.empty(len(values), dtype=np.uint64)
+        for i, v in enumerate(values):
+            digest = hashlib.blake2b(
+                str(v).encode("utf-8", "replace"), digest_size=16
+            ).digest()
+            h1[i] = np.uint64(int.from_bytes(digest[:8], "big"))
+            h2[i] = np.uint64(int.from_bytes(digest[8:], "big") | 1)
+        steps = np.arange(self.num_hashes, dtype=np.uint64)
+        return ((h1[:, None] + steps[None, :] * h2[:, None]) % np.uint64(self.num_bits)).astype(
+            np.int64
+        )
+
+    def add_many(self, values: list) -> None:
+        if values:
+            self.bits[self._indices(values).reshape(-1)] = True
+
+    def contains_many(self, values: list) -> np.ndarray:
+        """Vectorized membership: True = maybe present, False = definitely absent."""
+        if not values:
+            return np.zeros(0, dtype=bool)
+        return self.bits[self._indices(values)].all(axis=1)
+
+    def set_indices(self) -> np.ndarray:
+        return np.nonzero(self.bits)[0]
+
+    def merge_indices(self, indices: np.ndarray) -> None:
+        self.bits[indices] = True
+
+
+def build_bloom(ds, col: str, *, num_bits: int = 1 << 20, num_hashes: int = 5) -> BloomFilter:
+    """Distributed Bloom build: each batch emits only its newly-set bit
+    indices (≪ the bit array for sparse batches); the driver ORs them into
+    one filter.  Deterministic for a fixed (num_bits, num_hashes)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bloom = BloomFilter(num_bits, num_hashes)
+        bloom.add_many(batch[col].to_pylist())
+        return pa.table({"idx": pa.array([bloom.set_indices().tolist()], pa.list_(pa.int64()))})
+
+    merged = BloomFilter(num_bits, num_hashes)
+    for row in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        merged.merge_indices(np.asarray(row["idx"], dtype=np.int64))
+    return merged

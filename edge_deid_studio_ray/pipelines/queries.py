@@ -488,49 +488,92 @@ def q_asia_order_volume(sf_dir: str):
 
 
 def q_customers_without_orders(sf_dir: str):
-    """Anti-join: customers with no high-value order — filtered order keys
-    and customers co-group in 128 hash buckets (no driver-side key set, no
-    broadcast; both sides shuffle exactly once and per-group state is the
-    bucket's key slice)."""
+    """Bloom-accelerated EXACT anti-join: customers with no high-value order.
+
+    A mergeable Bloom filter over the filtered order keys (fixed-size,
+    built from per-batch bit-index partials, broadcast once via ``ray.put``)
+    splits customers map-side: definitely-absent rows are counted without
+    ever shuffling; only the Bloom "maybe" rows (true hits + the small FP
+    slice) co-group with the order keys for the exact verify.  No false
+    negatives → the result is identical to the plain co-group anti-join,
+    with shuffle volume proportional to the MATCHING side, not the corpus.
+    """
+    import ray
     from ray.data.aggregate import Sum
+
+    from ..functions.sketches import build_bloom
 
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     customers = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
 
+    filtered_orders = orders.map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], 300000.0)),
+        batch_format="pyarrow",
+    )
+    bloom = build_bloom(filtered_orders, "o_custkey")
+    bloom_ref = ray.put(bloom)
+
+    def split_customers(batch: pa.Table) -> pa.Table:
+        """Definite-miss rows → per-segment partial counts (is_cust=None
+        marker rows); maybe rows → keyed rows for the exact co-group."""
+        b = ray.get(bloom_ref)
+        keys = batch["c_custkey"].to_pylist()
+        segs = batch["c_mktsegment"].to_pylist()
+        maybe = b.contains_many(keys)
+        out_key, out_bucket, out_seg, out_cust, out_partial = [], [], [], [], []
+        miss_counts: dict[str, int] = {}
+        for key, seg, m in zip(keys, segs, maybe):
+            if m:
+                out_key.append(key)
+                out_bucket.append(_kbucket(key))
+                out_seg.append(seg)
+                out_cust.append(True)
+                out_partial.append(0)
+            else:
+                miss_counts[seg] = miss_counts.get(seg, 0) + 1
+        for seg, n in miss_counts.items():
+            out_key.append(-1)
+            out_bucket.append(-1)  # partial-count rows skip the co-group
+            out_seg.append(seg)
+            out_cust.append(True)
+            out_partial.append(n)
+        return pa.table(
+            {
+                "key": pa.array(out_key, pa.int64()),
+                "kbucket": pa.array(out_bucket, pa.int32()),
+                "c_mktsegment": pa.array(out_seg, pa.string()),
+                "is_cust": pa.array(out_cust, pa.bool_()),
+                "partial": pa.array(out_partial, pa.int64()),
+            }
+        )
+
     def order_keys(batch: pa.Table) -> pa.Table:
-        hit = batch.filter(pc.greater(batch["o_totalprice"], 300000.0))
-        keys = pc.unique(hit["o_custkey"]).to_pylist()
+        keys = pc.unique(batch["o_custkey"]).to_pylist()
         return pa.table(
             {
                 "key": pa.array(keys, pa.int64()),
                 "kbucket": pa.array([_kbucket(k) for k in keys], pa.int32()),
                 "c_mktsegment": pa.array([None] * len(keys), pa.string()),
                 "is_cust": pa.array([False] * len(keys), pa.bool_()),
-            }
-        )
-
-    def cust_rows(batch: pa.Table) -> pa.Table:
-        keys = batch["c_custkey"].to_pylist()
-        return pa.table(
-            {
-                "key": pa.array(keys, pa.int64()),
-                "kbucket": pa.array([_kbucket(k) for k in keys], pa.int32()),
-                "c_mktsegment": batch["c_mktsegment"],
-                "is_cust": pa.array([True] * len(keys), pa.bool_()),
+                "partial": pa.array([0] * len(keys), pa.int64()),
             }
         )
 
     def anti(bucket: pd.DataFrame) -> pd.DataFrame:
-        with_orders = set(bucket.loc[~bucket["is_cust"], "key"])
-        misses = bucket.loc[bucket["is_cust"] & ~bucket["key"].isin(with_orders)]
-        counts = misses.groupby("c_mktsegment").size()
+        if int(bucket["kbucket"].iloc[0]) == -1:
+            # pre-counted definite misses: pass partials through
+            counts = bucket.groupby("c_mktsegment")["partial"].sum()
+        else:
+            with_orders = set(bucket.loc[~bucket["is_cust"], "key"])
+            misses = bucket.loc[bucket["is_cust"] & ~bucket["key"].isin(with_orders)]
+            counts = misses.groupby("c_mktsegment").size()
         return pd.DataFrame(
             {"c_mktsegment": counts.index, "partial": counts.to_numpy().astype("int64")}
         )
 
     partials = (
-        orders.map_batches(order_keys, batch_format="pyarrow")
-        .union(customers.map_batches(cust_rows, batch_format="pyarrow"))
+        filtered_orders.map_batches(order_keys, batch_format="pyarrow")
+        .union(customers.map_batches(split_customers, batch_format="pyarrow"))
         .groupby("kbucket")
         .map_groups(anti, batch_format="pandas")
     )

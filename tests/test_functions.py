@@ -398,6 +398,54 @@ class TestSimhashNearDups:
         assert all(50 not in p for p in got)
 
 
+class TestBloomFilter:
+    def test_no_false_negatives_property(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from edge_deid_studio_ray.functions.sketches import BloomFilter
+
+        @given(st.lists(st.integers(min_value=0, max_value=10**12), min_size=1, max_size=200))
+        @settings(max_examples=30, deadline=None)
+        def never_forgets(values):
+            bloom = BloomFilter(num_bits=1 << 14)
+            bloom.add_many(values)
+            assert bloom.contains_many(values).all()
+
+        never_forgets()
+
+    def test_false_positive_rate_bounded(self):
+        from edge_deid_studio_ray.functions.sketches import BloomFilter
+
+        bloom = BloomFilter(num_bits=1 << 16, num_hashes=5)
+        bloom.add_many(list(range(2000)))
+        probes = [f"absent-{i}" for i in range(5000)]
+        fp = bloom.contains_many(probes).mean()
+        assert fp < 0.05, fp
+
+    def test_merge_is_union(self):
+        import numpy as np
+
+        from edge_deid_studio_ray.functions.sketches import BloomFilter
+
+        a = BloomFilter(num_bits=1 << 12)
+        b = BloomFilter(num_bits=1 << 12)
+        a.add_many([1, 2, 3])
+        b.add_many([100, 200])
+        a.merge_indices(b.set_indices())
+        assert a.contains_many([1, 2, 3, 100, 200]).all()
+
+    def test_distributed_build(self, ray_session):
+        import ray.data as rd
+
+        from edge_deid_studio_ray.functions.sketches import build_bloom
+
+        ds = rd.from_items([{"k": i} for i in range(500)])
+        bloom = build_bloom(ds, "k", num_bits=1 << 15)
+        assert bloom.contains_many(list(range(500))).all()
+        assert bloom.contains_many([f"nope{i}" for i in range(200)]).mean() < 0.05
+
+
 class TestSketches:
     def test_hll_approx_distinct(self, ray_session):
         import ray.data as rd
