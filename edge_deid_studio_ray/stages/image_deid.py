@@ -83,6 +83,26 @@ class FakeOcrBackend:
         return text, offset_map
 
 
+def fill_black_boxes(img, boxes: list[tuple[int, int, int, int]]):
+    """Black-box redaction fill on a decoded image array, in place — the
+    numpy equivalent of the reference's ``cv2.rectangle(..., thickness=-1)``
+    fill loop (handlers/image.py:45-141).  Only the jpg/png ENCODE step
+    needs a raster library; the fill itself does not.
+
+    Boxes are (left, top, right, bottom) pixel envelopes, clamped to the
+    image; returns the array for chaining.
+    """
+    height, width = img.shape[:2]
+    for left, top, right, bottom in boxes:
+        t = max(0, min(int(top), height))
+        b = max(0, min(int(bottom), height))
+        l = max(0, min(int(left), width))
+        r = max(0, min(int(right), width))
+        if b > t and r > l:
+            img[t:b, l:r] = 0
+    return img
+
+
 def _real_ocr_backend():
     try:  # pragma: no cover - OCR libs not installed here
         import easyocr  # type: ignore  # noqa: F401

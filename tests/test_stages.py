@@ -273,6 +273,25 @@ class TestSpanJsonlIO:
 
 
 class TestImageDeid:
+    def test_fill_black_boxes(self):
+        """Black-box fill: exact envelope zeroed, outside untouched, boxes
+        clamped to the image."""
+        import numpy as np
+
+        from edge_deid_studio_ray.stages.image_deid import FakeOcrBackend, fill_black_boxes
+        from edge_deid_studio_ray.stages.multimodal import DeterministicFakeCodec
+
+        img = DeterministicFakeCodec().decode_image(b"payload") + 1  # no natural zeros
+        h, w = img.shape[:2]
+        before = img.copy()
+        out = fill_black_boxes(img, [(2, 3, 6, 7), (w - 2, h - 2, w + 9, h + 9)])
+        assert out is img
+        assert (img[3:7, 2:6] == 0).all()
+        assert (img[h - 2 :, w - 2 :] == 0).all()  # clamped overflow box
+        img[3:7, 2:6] = before[3:7, 2:6]
+        img[h - 2 :, w - 2 :] = before[h - 2 :, w - 2 :]
+        assert (img == before).all()  # nothing outside the boxes changed
+
     def test_attach_offset_bboxes_matches_reference(self):
         """Parity with ImageDeidProcessor._attach_bboxes on a synthetic map.
 
