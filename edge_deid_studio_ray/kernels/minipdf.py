@@ -16,11 +16,15 @@ machine-generated PDFs from first principles (PDF 32000-1 spec, public):
   (page, top, left) with the y axis flipped to top-left origin using the
   page's MediaBox height.
 
+Object streams (``/Type /ObjStm``, PDF 1.5+) are unpacked: member dict
+objects (catalogs, page trees) inflate into the object table, so
+modern-layout PDFs whose page dicts live in compressed object streams
+still parse (content streams are never inside ObjStm, per spec).
+
 Out of scope (flagged upstream as ``pdf_backend_unavailable`` when nothing
 is extractable): encrypted PDFs, CID/Type0 composite fonts with non-trivial
-ToUnicode CMaps, object streams (``/ObjStm``), predictors.  Glyph bytes are
-decoded as latin-1 — correct for the ASCII/WinAnsi simple-font PDFs this
-targets.
+ToUnicode CMaps, xref-stream predictors.  Glyph bytes are decoded as
+latin-1 — correct for the ASCII/WinAnsi simple-font PDFs this targets.
 """
 
 from __future__ import annotations
@@ -41,8 +45,29 @@ _KID_REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
 DEFAULT_PAGE_HEIGHT = 792.0  # US Letter, when no MediaBox is present
 
 
+_OBJSTM_N_RE = re.compile(rb"/N\s+(\d+)")
+_OBJSTM_FIRST_RE = re.compile(rb"/First\s+(\d+)")
+
+
 def _scan_objects(raw: bytes) -> dict[int, bytes]:
-    return {int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(raw)}
+    objects = {int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(raw)}
+    # PDF 1.5+ object streams (/Type /ObjStm): compressed member objects —
+    # header is N (objnum, offset) integer pairs, bodies start at /First
+    for body in list(objects.values()):
+        if not re.search(rb"/Type\s*/ObjStm\b", body):
+            continue
+        data = _decode_stream(body)
+        nm, fm = _OBJSTM_N_RE.search(body), _OBJSTM_FIRST_RE.search(body)
+        if data is None or nm is None or fm is None:
+            continue
+        n, first = int(nm.group(1)), int(fm.group(1))
+        header_ints = [int(x) for x in re.findall(rb"\d+", data[:first])][: 2 * n]
+        pairs = list(zip(header_ints[0::2], header_ints[1::2]))
+        for i, (objnum, offset) in enumerate(pairs):
+            end = pairs[i + 1][1] if i + 1 < len(pairs) else len(data) - first
+            member = data[first + offset : first + end]
+            objects.setdefault(objnum, member)
+    return objects
 
 
 def _decode_stream(body: bytes) -> bytes | None:

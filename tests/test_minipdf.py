@@ -77,6 +77,36 @@ class TestMinipdfParse:
         specs, _ = minipdf_parse(build_pdf([stream]))
         assert specs[0]["text"] == "ABC"
 
+    def test_object_stream_page_tree(self):
+        """PDF 1.5+ layout: catalog/pages/page dicts compressed inside an
+        /ObjStm object stream, content stream top-level."""
+        import zlib
+
+        m1 = b"<< /Type /Catalog /Pages 2 0 R >> "
+        m2 = b"<< /Type /Pages /Kids [3 0 R] /Count 1 >> "
+        m3 = b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents 5 0 R >> "
+        header = b"1 0 2 %d 3 %d " % (len(m1), len(m1) + len(m2))
+        payload = header + m1 + m2 + m3
+        packed = zlib.compress(payload)
+        stream = b"BT 10 700 Td (Text from an ObjStm-layout PDF) Tj ET"
+        objstm_head = (
+            b"4 0 obj << /Type /ObjStm /N 3 /First %d /Filter /FlateDecode /Length %d >> stream\n"
+            % (len(header), len(packed))
+        )
+        content_head = b"5 0 obj << /Length %d >> stream\n" % len(stream)
+        raw = (
+            b"%PDF-1.5\n"
+            + objstm_head
+            + packed
+            + b"\nendstream endobj\n"
+            + content_head
+            + stream
+            + b"\nendstream endobj\n%%EOF\n"
+        )
+        specs, num_pages = minipdf_parse(raw)
+        assert num_pages == 1
+        assert specs[0]["text"] == "Text from an ObjStm-layout PDF"
+
     def test_garbage_pdf_has_no_pages(self):
         specs, num_pages = minipdf_parse(b"%PDF-1.5 garbage without any objects")
         assert specs == [] and num_pages == 0
