@@ -11,10 +11,51 @@ into pipeline builders instead of being read from env vars.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from pathlib import Path
 
 RULES_DIR = Path(__file__).resolve().parent / "rules"
+
+# Fallback shuffle-group bucket count when the cluster size is unknown
+# (standalone kernel use, Ray not initialised).
+DEFAULT_GROUP_BUCKETS = 128
+
+
+def resolve_group_buckets(override: int | None = None) -> int:
+    """Bucket count for the engine's bucketed ``groupby(bucket).map_groups``
+    stages (LSH bands, connected components, semi/anti joins, per-key
+    windows).
+
+    Must be called on the DRIVER at pipeline-build time and captured in the
+    task closures: every task of one run has to assign identical buckets, so
+    the value cannot be re-derived inside workers (an autoscaled cluster
+    could change size mid-run and split a key across groups).
+
+    Scale rationale: a fixed constant caps shuffle parallelism and lets
+    per-group pandas frames grow linearly with the corpus; deriving
+    ~4 buckets per cluster CPU keeps group size ≈ corpus / (4·cores) —
+    constant work per core as the cluster scales — while staying coarse
+    enough that Ray's per-group overhead (~ms) stays amortized.
+
+    Resolution order: explicit ``override`` → ``EDS_GROUP_BUCKETS`` env var →
+    4 × cluster CPUs (min 64) → ``DEFAULT_GROUP_BUCKETS``.
+    """
+    if override is not None:
+        return int(override)
+    env = os.environ.get("EDS_GROUP_BUCKETS")
+    if env:
+        return int(env)
+    try:
+        import ray
+
+        if ray.is_initialized():
+            cpus = int(ray.cluster_resources().get("CPU", 0) or 0)
+            if cpus > 0:
+                return max(64, 4 * cpus)
+    except Exception:
+        pass
+    return DEFAULT_GROUP_BUCKETS
 
 # Conflict-resolution priorities; unknown types default to 50.
 # Semantics of /root/reference/src/deid_pipeline/config.py:127-137.

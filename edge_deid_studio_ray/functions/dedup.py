@@ -25,6 +25,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..config import DEFAULT_GROUP_BUCKETS, resolve_group_buckets
+
 _MERSENNE = (1 << 61) - 1
 
 
@@ -79,19 +81,22 @@ class MinHasher:
         return (vals >> np.uint64(32)).min(axis=1).astype(np.uint64)
 
 
-NUM_GROUP_BUCKETS = 128
+# Back-compat alias; bucketed stages resolve the live count at build time
+# via config.resolve_group_buckets (≈4× cluster CPUs, EDS_GROUP_BUCKETS
+# override) so shuffle parallelism and per-group memory track cluster size.
+NUM_GROUP_BUCKETS = DEFAULT_GROUP_BUCKETS
 
 
-def _band_bucket(band_key: str) -> int:
+def _band_bucket(band_key: str, nb: int = DEFAULT_GROUP_BUCKETS) -> int:
     """Coarse grouping bucket: bands map whole into one bucket, so per-band
-    logic inside a bucket group is exact while Ray sees ~128 groups instead
+    logic inside a bucket group is exact while Ray sees ``nb`` groups instead
     of one group per band hash."""
     import zlib
 
-    return zlib.crc32(band_key.encode()) % NUM_GROUP_BUCKETS
+    return zlib.crc32(band_key.encode()) % nb
 
 
-def _dedupe_pair_rows(pairs):
+def _dedupe_pair_rows(pairs, nb: int = DEFAULT_GROUP_BUCKETS):
     """Distinct (left, right) — bucketed grouping, pandas drop_duplicates."""
 
     def add_bucket(batch: pa.Table) -> pa.Table:
@@ -102,7 +107,7 @@ def _dedupe_pair_rows(pairs):
         # NOT Python hash(): string hashing is PYTHONHASHSEED-salted per
         # process, and the same pair must bucket identically across workers
         buckets = [
-            zlib.crc32(f"{l}\x00{r}".encode()) % NUM_GROUP_BUCKETS
+            zlib.crc32(f"{l}\x00{r}".encode()) % nb
             for l, r in zip(lefts, rights)
         ]
         return batch.append_column("pair_bucket", pa.array(buckets, pa.int32()))
@@ -184,7 +189,7 @@ def word_ngram_jaccard(text_a: str, text_b: str, n: int = 3) -> float:
 # ---------------------------------------------------------------------------
 
 
-def exact_dedup(ds, text_col: str = "text", key_col: str = "doc_id"):
+def exact_dedup(ds, text_col: str = "text", key_col: str = "doc_id", *, num_buckets: int | None = None):
     """Keep one row (min key) per distinct text: hash stage + one groupby.
 
     Grouping is by a coarse bucket of the content hash (equal texts always
@@ -192,10 +197,11 @@ def exact_dedup(ds, text_col: str = "text", key_col: str = "doc_id"):
     the bucket — a mostly-unique corpus would otherwise create one Ray group
     per row.
     """
+    nb = resolve_group_buckets(num_buckets)
 
     def hash_stage(batch: pa.Table) -> pa.Table:
         hashed = add_md5_column(batch, text_col)
-        buckets = [_band_bucket(h) for h in hashed["text_md5"].to_pylist()]
+        buckets = [_band_bucket(h, nb) for h in hashed["text_md5"].to_pylist()]
         return hashed.append_column("hash_bucket", pa.array(buckets, pa.int32()))
 
     def keep_first(bucket: pd.DataFrame) -> pd.DataFrame:
@@ -219,6 +225,7 @@ def minhash_candidates(
     shingle_k: int = 5,
     jaccard_threshold: float = 0.8,
     verify: str = "text",
+    num_buckets: int | None = None,
 ):
     """MinHash-LSH near-dup candidate pairs, verified in-group.
 
@@ -238,9 +245,10 @@ def minhash_candidates(
     at 64 members (cap recorded in the ``truncated`` column, no silent drop).
     """
     hasher = MinHasher(num_hashes)
+    nb = resolve_group_buckets(num_buckets)
     if verify == "signature":
         return _minhash_candidates_sig(
-            ds, hasher, text_col, key_col, num_bands, shingle_k, jaccard_threshold
+            ds, hasher, text_col, key_col, num_bands, shingle_k, jaccard_threshold, nb
         )
 
     def explode(batch: pa.Table) -> pa.Table:
@@ -250,7 +258,7 @@ def minhash_candidates(
             for bk in band_keys(sig, num_bands):
                 keys.append(key)
                 bands.append(bk)
-                buckets.append(_band_bucket(bk))
+                buckets.append(_band_bucket(bk, nb))
                 texts.append(text or "")
         return pa.table(
             {
@@ -295,17 +303,17 @@ def minhash_candidates(
 
     # group by a coarse bucket of the band key (bands never split across
     # buckets) and sub-group in pandas — thousands of per-band map_groups
-    # calls collapse into NUM_GROUP_BUCKETS group tasks
+    # calls collapse into nb group tasks
     pairs = (
         ds.map_batches(explode, batch_format="pyarrow")
         .groupby("band_bucket")
         .map_groups(verify_bucket, batch_format="pandas")
     )
-    return _dedupe_pair_rows(pairs)
+    return _dedupe_pair_rows(pairs, nb)
 
 
 def _minhash_candidates_sig(
-    ds, hasher: "MinHasher", text_col: str, key_col: str, num_bands: int, shingle_k: int, threshold: float
+    ds, hasher: "MinHasher", text_col: str, key_col: str, num_bands: int, shingle_k: int, threshold: float, nb: int
 ):
     """Signature-carrying LSH variant (see minhash_candidates docstring)."""
 
@@ -317,7 +325,7 @@ def _minhash_candidates_sig(
             for bk in band_keys(sig, num_bands):
                 keys.append(key)
                 bands.append(bk)
-                buckets.append(_band_bucket(bk))
+                buckets.append(_band_bucket(bk, nb))
                 sigs.append(raw)
         return pa.table(
             {
@@ -362,7 +370,7 @@ def _minhash_candidates_sig(
         .groupby("band_bucket")
         .map_groups(verify_bucket, batch_format="pandas")
     )
-    return _dedupe_pair_rows(pairs)
+    return _dedupe_pair_rows(pairs, nb)
 
 
 def pair_text_metric(
@@ -373,6 +381,7 @@ def pair_text_metric(
     key_col: str = "doc_id",
     text_col: str = "text",
     out_col: str = "metric",
+    num_buckets: int | None = None,
 ):
     """Evaluate ``metric_fn(left_text, right_text)`` for every (left, right)
     pair WITHOUT materializing the corpus anywhere: a distributed two-pass
@@ -390,6 +399,8 @@ def pair_text_metric(
     """
     import zlib
 
+    nb = resolve_group_buckets(num_buckets)
+
     def explode_pairs(batch: pa.Table) -> pa.Table:
         lefts = batch["left"].to_pylist()
         rights = batch["right"].to_pylist()
@@ -404,7 +415,7 @@ def pair_text_metric(
             {
                 "jkey": pa.array(jkeys, pa.int64()),
                 "jbucket": pa.array(
-                    [zlib.crc32(str(k).encode()) % NUM_GROUP_BUCKETS for k in jkeys],
+                    [zlib.crc32(str(k).encode()) % nb for k in jkeys],
                     pa.int32(),
                 ),
                 "left": pa.array(l_out, pa.int64()),
@@ -421,7 +432,7 @@ def pair_text_metric(
             {
                 "jkey": pa.array(keys, pa.int64()),
                 "jbucket": pa.array(
-                    [zlib.crc32(str(k).encode()) % NUM_GROUP_BUCKETS for k in keys],
+                    [zlib.crc32(str(k).encode()) % nb for k in keys],
                     pa.int32(),
                 ),
                 "left": pa.array([None] * n, pa.int64()),
@@ -446,7 +457,7 @@ def pair_text_metric(
 
     def add_pair_bucket(batch: pa.Table) -> pa.Table:
         buckets = [
-            zlib.crc32(f"{l}\x00{r}".encode()) % NUM_GROUP_BUCKETS
+            zlib.crc32(f"{l}\x00{r}".encode()) % nb
             for l, r in zip(batch["left"].to_pylist(), batch["right"].to_pylist())
         ]
         return batch.append_column("pair_bucket", pa.array(buckets, pa.int32()))
@@ -484,7 +495,7 @@ def _node_hash63(value) -> int:
     return int.from_bytes(digest, "big") >> 1
 
 
-def _pointer_double(labels):
+def _pointer_double(labels, nb: int = DEFAULT_GROUP_BUCKETS):
     """One pointer-doubling round: label(node) ← min(label, label(label)).
 
     Two rows per node through one bucketed co-group — each node's row
@@ -502,7 +513,7 @@ def _pointer_double(labels):
         return pa.table(
             {
                 "key": pa.array(keys, pa.int64()),
-                "kbucket": pa.array([k % NUM_GROUP_BUCKETS for k in keys], pa.int32()),
+                "kbucket": pa.array([k % nb for k in keys], pa.int32()),
                 "payload": pa.array(payloads, pa.int64()),
                 "is_req": pa.array(is_req, pa.bool_()),
             }
@@ -522,7 +533,7 @@ def _pointer_double(labels):
     )
 
 
-def connected_components(pairs, *, left_col: str = "left", right_col: str = "right", max_iter: int = 10):
+def connected_components(pairs, *, left_col: str = "left", right_col: str = "right", max_iter: int = 10, num_buckets: int | None = None):
     """Cluster near-dup pairs into components: iterative min-label
     propagation with a pointer-doubling step per round — each round is a
     bounded number of bucketed groupbys (no driver-side union-find, so the
@@ -534,14 +545,15 @@ def connected_components(pairs, *, left_col: str = "left", right_col: str = "rig
     record ids) are supported by hashing to int64 internally — the
     component is then an opaque int64, consistent across the component.
     """
+    nb = resolve_group_buckets(num_buckets)
     schema = pairs.schema()
     lt = dict(zip(schema.names, schema.types))[left_col]
     if isinstance(lt, pa.DataType) and (pa.types.is_string(lt) or pa.types.is_large_string(lt)):
-        return _connected_components_str(pairs, left_col, right_col, max_iter)
-    return _connected_components_int(pairs, left_col, right_col, max_iter)
+        return _connected_components_str(pairs, left_col, right_col, max_iter, nb)
+    return _connected_components_int(pairs, left_col, right_col, max_iter, nb)
 
 
-def _connected_components_str(pairs, left_col: str, right_col: str, max_iter: int):
+def _connected_components_str(pairs, left_col: str, right_col: str, max_iter: int, nb: int = DEFAULT_GROUP_BUCKETS):
     """String-keyed wrapper: hash ids to int64, run the int path, join the
     original ids back with one bucketed co-group."""
 
@@ -561,7 +573,7 @@ def _connected_components_str(pairs, left_col: str, right_col: str, max_iter: in
         return pa.table(
             {
                 "key": pa.array(hashes, pa.int64()),
-                "kbucket": pa.array([h % NUM_GROUP_BUCKETS for h in hashes], pa.int32()),
+                "kbucket": pa.array([h % nb for h in hashes], pa.int32()),
                 "orig": pa.array(values, pa.string()),
                 "component": pa.array([None] * len(values), pa.int64()),
                 "is_map": pa.array([True] * len(values), pa.bool_()),
@@ -569,7 +581,7 @@ def _connected_components_str(pairs, left_col: str, right_col: str, max_iter: in
         )
 
     int_components = _connected_components_int(
-        pairs.map_batches(to_int_pairs, batch_format="pyarrow"), left_col, right_col, max_iter
+        pairs.map_batches(to_int_pairs, batch_format="pyarrow"), left_col, right_col, max_iter, nb
     )
 
     def tag_components(t: pa.Table) -> pa.Table:
@@ -577,7 +589,7 @@ def _connected_components_str(pairs, left_col: str, right_col: str, max_iter: in
         return pa.table(
             {
                 "key": pa.array(nodes, pa.int64()),
-                "kbucket": pa.array([n % NUM_GROUP_BUCKETS for n in nodes], pa.int32()),
+                "kbucket": pa.array([n % nb for n in nodes], pa.int32()),
                 "orig": pa.array([None] * len(nodes), pa.string()),
                 "component": t["component"],
                 "is_map": pa.array([False] * len(nodes), pa.bool_()),
@@ -603,7 +615,7 @@ def _connected_components_str(pairs, left_col: str, right_col: str, max_iter: in
     )
 
 
-def _connected_components_int(pairs, left_col: str, right_col: str, max_iter: int):
+def _connected_components_int(pairs, left_col: str, right_col: str, max_iter: int, nb: int = DEFAULT_GROUP_BUCKETS):
     from ray.data.aggregate import Min
 
     def explode(batch: pa.Table) -> pa.Table:
@@ -659,9 +671,9 @@ def _connected_components_int(pairs, left_col: str, right_col: str, max_iter: in
         import zlib
 
         buckets = [
-            n % NUM_GROUP_BUCKETS
+            n % nb
             if isinstance(n, int)
-            else zlib.crc32(str(n).encode()) % NUM_GROUP_BUCKETS
+            else zlib.crc32(str(n).encode()) % nb
             for n in t["node"].to_pylist()
         ]
         return t.append_column("node_bucket", pa.array(buckets, pa.int32()))
@@ -686,7 +698,7 @@ def _connected_components_int(pairs, left_col: str, right_col: str, max_iter: in
         )
         labels = msgs.groupby("node").aggregate(Min("label", alias_name="label"))
         # pointer doubling: chase label→label(label) so chains halve per round
-        labels = _pointer_double(labels).materialize()
+        labels = _pointer_double(labels, nb).materialize()
         # monotone-decreasing labels: fixpoint iff Σlabel is unchanged
         cur_sum = labels.sum("label")
         if cur_sum == prev_sum:
@@ -715,6 +727,7 @@ def simhash_near_dups(
     *,
     max_hamming: int = 3,
     num_bands: int = 4,
+    num_buckets: int | None = None,
 ):
     """SimHash near-duplicate pairs: 64-bit signatures banded into
     ``num_bands`` 16-bit slices — by pigeonhole, any pair within
@@ -724,6 +737,7 @@ def simhash_near_dups(
     """
     from .textstats import simhash64
 
+    nb = resolve_group_buckets(num_buckets)
     band_bits = 64 // num_bands
     band_mask = (1 << band_bits) - 1
 
@@ -735,7 +749,7 @@ def simhash_near_dups(
                 bk = f"{band}:{(sim >> (band * band_bits)) & band_mask:04x}"
                 keys.append(key)
                 bands.append(bk)
-                buckets.append(_band_bucket(bk))
+                buckets.append(_band_bucket(bk, nb))
                 sims.append(sim - (1 << 64) if sim >= (1 << 63) else sim)
         return pa.table(
             {
@@ -779,4 +793,4 @@ def simhash_near_dups(
         .groupby("band_bucket")
         .map_groups(verify_bucket, batch_format="pandas")
     )
-    return _dedupe_pair_rows(pairs)
+    return _dedupe_pair_rows(pairs, nb)

@@ -26,6 +26,19 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
     return mat / norms
 
 
+def _vec_matrix(col) -> np.ndarray:
+    """(N, dim) float64 matrix from an Arrow list<float> column without the
+    per-row ``to_pylist`` round-trip: one flatten + one reshape (flatten
+    respects list offsets, so sliced/chunked arrays are handled)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.zeros((0, 0), dtype=np.float64)
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+    return flat.reshape(n, -1)
+
+
 def _batch_topk_fn(queries_ref, k: int, vec_col: str, key_col: str):
     import ray
 
@@ -36,7 +49,7 @@ def _batch_topk_fn(queries_ref, k: int, vec_col: str, key_col: str):
         if q is None:
             qm = ray.get(queries_ref) if queries_ref.__class__.__name__ == "ObjectRef" else queries_ref
             q = _normalize(np.asarray(qm, dtype=np.float64))
-        mat = _normalize(np.array(batch[vec_col].to_pylist(), dtype=np.float64))
+        mat = _normalize(_vec_matrix(batch[vec_col]))
         keys = np.asarray(batch[key_col].to_pylist())
         sims = q @ mat.T  # (Q, B)
         kk = min(k, sims.shape[1])
@@ -65,7 +78,12 @@ def _merge_topk(partials, k: int, key_col: str):
     one group — millions of rows per query at 10^12-row corpora; the tree
     level caps every group at 64·k rows.  Selection is by (cosine desc, key
     asc), so the two-level result is deterministic and identical to the
-    single-level one."""
+    single-level one.
+
+    The partials are materialized first (k rows per query per batch — tiny
+    by construction) and the tree level engaged only past 50k partial rows:
+    below that the level-1 shuffle is pure fixed overhead, above it the
+    per-query group would grow unboundedly with block count."""
     import zlib
 
     def add_mbucket(batch: pa.Table) -> pa.Table:
@@ -82,6 +100,9 @@ def _merge_topk(partials, k: int, key_col: str):
     def merge_final(group: pd.DataFrame) -> pd.DataFrame:
         return group.sort_values(["cosine", key_col], ascending=[False, True]).head(k)
 
+    partials = partials.materialize()
+    if partials.count() <= 50_000:
+        return partials.groupby("query_id").map_groups(merge_final, batch_format="pandas")
     level1 = (
         partials.map_batches(add_mbucket, batch_format="pyarrow")
         .groupby(["query_id", "mbucket"])
@@ -207,7 +228,10 @@ def embedding_near_dups_lsh(
     Shuffle volume is num_tables× the corpus vectors — constant per row,
     independent of corpus size; no group ever sees more than one bucket.
     """
-    from .dedup import NUM_GROUP_BUCKETS, _dedupe_pair_rows
+    from ..config import resolve_group_buckets
+    from .dedup import _dedupe_pair_rows
+
+    nb = resolve_group_buckets()
 
     def plane_set(dim: int) -> np.ndarray:
         return np.random.RandomState(seed).standard_normal((num_tables, num_planes, dim))
@@ -216,7 +240,7 @@ def embedding_near_dups_lsh(
         import zlib
 
         keys = batch[key_col].to_pylist()
-        mat = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
+        mat = _vec_matrix(batch[vec_col])
         if mat.size == 0:
             return pa.table(
                 {
@@ -235,7 +259,7 @@ def embedding_near_dups_lsh(
             for i, key in enumerate(keys):
                 tk = f"{t}:{bucket_ids[i]}"
                 tkeys_out.append(tk)
-                buckets_out.append(zlib.crc32(tk.encode()) % NUM_GROUP_BUCKETS)
+                buckets_out.append(zlib.crc32(tk.encode()) % nb)
                 keys_out.append(key)
                 vecs_out.append(vec_lists[i])
         return pa.table(
@@ -267,7 +291,7 @@ def embedding_near_dups_lsh(
         .groupby("tbl_bucket")
         .map_groups(verify_bucket, batch_format="pandas")
     )
-    return _dedupe_pair_rows(pairs)
+    return _dedupe_pair_rows(pairs, nb)
 
 
 def hyperplane_bucket(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
@@ -299,7 +323,11 @@ def knn_ivf(
     """
     import ray
 
-    sample = ds.select_columns([vec_col]).limit(train_sample).take_all()
+    from .sketches import reservoir_sample
+
+    # uniform reservoir over the whole dataset — limit() would train the
+    # codebook on the first rows only, biasing centroids on sorted input
+    sample = reservoir_sample(ds.select_columns([vec_col]), k=train_sample, seed=seed)
     train = _normalize(np.array([r[vec_col] for r in sample], dtype=np.float64))
     rng = np.random.RandomState(seed)
     centroids = train[rng.choice(len(train), size=min(num_centroids, len(train)), replace=False)]
@@ -319,7 +347,7 @@ def knn_ivf(
     queries_ref = ray.put(qn)
 
     def centroid_filter(batch: pa.Table) -> pa.Table:
-        mat = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
+        mat = _vec_matrix(batch[vec_col])
         if mat.size == 0:
             return batch
         assign = (_normalize(mat) @ centroids.T).argmax(axis=1)
@@ -358,7 +386,7 @@ def knn_lsh(
     queries_ref = ray.put(qn)
 
     def bucket_filter(batch: pa.Table) -> pa.Table:
-        mat = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
+        mat = _vec_matrix(batch[vec_col])
         if mat.size == 0:
             return batch
         buckets = hyperplane_bucket(_normalize(mat), planes)

@@ -196,14 +196,15 @@ class BloomFilter:
     from one blake2b-128 digest.  No false negatives ever; false-positive
     rate ≈ (1 - e^(-k·n/m))^k.  Merge = bitwise OR — associative, so
     per-batch partials combine in any order (the map-side pre-aggregation
-    shape).  At 64 MB of bits (m = 2^29) a 10^8-key set stays under 1% FP —
-    a fixed-size broadcastable stand-in for an arbitrarily large key set.
+    shape).  Bits are packed 8-per-byte (uint8), so at 64 MB of memory
+    (m = 2^29 bits) a 10^8-key set stays under 1% FP — a fixed-size
+    broadcastable stand-in for an arbitrarily large key set.
     """
 
     def __init__(self, num_bits: int = 1 << 20, num_hashes: int = 5):
         self.num_bits = num_bits
         self.num_hashes = num_hashes
-        self.bits = np.zeros(num_bits, dtype=bool)
+        self.bits = np.zeros((num_bits + 7) // 8, dtype=np.uint8)
 
     def _indices(self, values: list) -> np.ndarray:
         import hashlib
@@ -221,21 +222,29 @@ class BloomFilter:
             np.int64
         )
 
+    def _set_bits(self, idx: np.ndarray) -> None:
+        # bitwise_or.at handles duplicate byte indices within one call
+        np.bitwise_or.at(self.bits, idx >> 3, (1 << (idx & 7)).astype(np.uint8))
+
     def add_many(self, values: list) -> None:
         if values:
-            self.bits[self._indices(values).reshape(-1)] = True
+            self._set_bits(self._indices(values).reshape(-1))
 
     def contains_many(self, values: list) -> np.ndarray:
         """Vectorized membership: True = maybe present, False = definitely absent."""
         if not values:
             return np.zeros(0, dtype=bool)
-        return self.bits[self._indices(values)].all(axis=1)
+        idx = self._indices(values)
+        hit = (self.bits[idx >> 3] >> (idx & 7).astype(np.uint8)) & 1
+        return hit.astype(bool).all(axis=1)
 
     def set_indices(self) -> np.ndarray:
-        return np.nonzero(self.bits)[0]
+        return np.nonzero(np.unpackbits(self.bits, bitorder="little"))[0]
 
     def merge_indices(self, indices: np.ndarray) -> None:
-        self.bits[indices] = True
+        idx = np.asarray(indices, dtype=np.int64)
+        if len(idx):
+            self._set_bits(idx)
 
 
 def build_bloom(ds, col: str, *, num_bits: int = 1 << 20, num_hashes: int = 5) -> BloomFilter:

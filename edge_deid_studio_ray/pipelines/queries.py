@@ -29,7 +29,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..config import EngineConfig
+from ..config import EngineConfig, resolve_group_buckets
 from ..functions.dedup import add_md5_column, minhash_candidates
 from ..functions.simsearch import knn_bruteforce
 from ..functions.textstats import lang_id, quality_counts, simhash64, fingerprint64
@@ -59,15 +59,17 @@ def _read_spread(sf_dir: str, table: str, columns: list[str] | None = None, *, b
     return _read(sf_dir, table, columns).repartition(blocks)
 
 
-def _kbucket(value) -> int:
+def _kbucket(value, nb: int) -> int:
     """Coarse co-location bucket for any key type: identity-mod for ints
     (cheap, deterministic), crc32 for strings — NOT Python hash(), which is
-    PYTHONHASHSEED-salted per process."""
+    PYTHONHASHSEED-salted per process.  ``nb`` is resolved ONCE per pipeline
+    build on the driver (config.resolve_group_buckets) and captured in the
+    task closure — never re-derived inside workers."""
     if isinstance(value, int):
-        return value % 128
+        return value % nb
     import zlib
 
-    return zlib.crc32(str(value).encode()) % 128
+    return zlib.crc32(str(value).encode()) % nb
 
 
 # ---------------------------------------------------------------------------
@@ -232,7 +234,7 @@ def q_events_sessions(sf_dir: str):
     import pandas as pd
 
     gap_us = 1_800_000_000
-    num_buckets = 128
+    nb = resolve_group_buckets()
 
     def to_us(batch: pa.Table) -> pa.Table:
         users = batch["user_id"].to_pylist()
@@ -242,7 +244,7 @@ def q_events_sessions(sf_dir: str):
                 "us": batch["ts"].cast(pa.int64()),
                 # bucketed key co-location: all of a user's events share a
                 # bucket, Ray sees ~128 groups instead of one per user
-                "user_bucket": pa.array([_kbucket(u) for u in users], pa.int32()),
+                "user_bucket": pa.array([_kbucket(u, nb) for u in users], pa.int32()),
             }
         )
 
@@ -301,7 +303,7 @@ def q_events_running_total(sf_dir: str):
     cumcount)."""
     import pandas as pd
 
-    num_buckets = 128
+    nb = resolve_group_buckets()
 
     def to_rows(batch: pa.Table) -> pa.Table:
         users = batch["user_id"].to_pylist()
@@ -310,7 +312,7 @@ def q_events_running_total(sf_dir: str):
                 "event_id": batch["event_id"],
                 "user_id": batch["user_id"],
                 "us": batch["ts"].cast(pa.int64()),
-                "user_bucket": pa.array([_kbucket(u) for u in users], pa.int32()),
+                "user_bucket": pa.array([_kbucket(u, nb) for u in users], pa.int32()),
             }
         )
 
@@ -338,7 +340,7 @@ def q_events_asof_join(sf_dir: str):
     (inner as-of)."""
     import pandas as pd
 
-    num_buckets = 128
+    nb = resolve_group_buckets()
 
     def to_rows(batch: pa.Table) -> pa.Table:
         users = batch["user_id"].to_pylist()
@@ -347,7 +349,7 @@ def q_events_asof_join(sf_dir: str):
                 "event_id": batch["event_id"],
                 "user_id": batch["user_id"],
                 "us": batch["ts"].cast(pa.int64()),
-                "user_bucket": pa.array([_kbucket(u) for u in users], pa.int32()),
+                "user_bucket": pa.array([_kbucket(u, nb) for u in users], pa.int32()),
             }
         )
 
@@ -503,6 +505,7 @@ def q_customers_without_orders(sf_dir: str):
 
     from ..functions.sketches import build_bloom
 
+    nb = resolve_group_buckets()
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     customers = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
 
@@ -525,7 +528,7 @@ def q_customers_without_orders(sf_dir: str):
         for key, seg, m in zip(keys, segs, maybe):
             if m:
                 out_key.append(key)
-                out_bucket.append(_kbucket(key))
+                out_bucket.append(_kbucket(key, nb))
                 out_seg.append(seg)
                 out_cust.append(True)
                 out_partial.append(0)
@@ -552,7 +555,7 @@ def q_customers_without_orders(sf_dir: str):
         return pa.table(
             {
                 "key": pa.array(keys, pa.int64()),
-                "kbucket": pa.array([_kbucket(k) for k in keys], pa.int32()),
+                "kbucket": pa.array([_kbucket(k, nb) for k in keys], pa.int32()),
                 "c_mktsegment": pa.array([None] * len(keys), pa.string()),
                 "is_cust": pa.array([False] * len(keys), pa.bool_()),
                 "partial": pa.array([0] * len(keys), pa.int64()),
@@ -567,8 +570,13 @@ def q_customers_without_orders(sf_dir: str):
             with_orders = set(bucket.loc[~bucket["is_cust"], "key"])
             misses = bucket.loc[bucket["is_cust"] & ~bucket["key"].isin(with_orders)]
             counts = misses.groupby("c_mktsegment").size()
+        # typed (possibly empty) frame: an untyped empty produces a
+        # schema-less block and executor schema-mismatch warnings
         return pd.DataFrame(
-            {"c_mktsegment": counts.index, "partial": counts.to_numpy().astype("int64")}
+            {
+                "c_mktsegment": pd.Series(counts.index, dtype="object"),
+                "partial": pd.Series(counts.to_numpy(), dtype="int64"),
+            }
         )
 
     partials = (
@@ -789,14 +797,40 @@ def q_deid_context_hashes(sf_dir: str):
 
 def q_exact_dedup_groups(sf_dir: str):
     """Exact dedup groups over documents ∪ documents (forced duplicates):
-    md5 content hash → single groupby → (copies, keeper=min id)."""
-    from ray.data.aggregate import Count, Min
+    md5 content hash → single groupby → (copies, keeper=min id).
+
+    The (count, min) pair is pre-aggregated per batch so the groupby shuffle
+    ships three narrow columns per distinct hash — never the text rows."""
+    from ray.data.aggregate import Min, Sum
+
+    from ..functions.dedup import md5_hex
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     doubled = ds.union(ds)
-    hashed = doubled.map_batches(lambda t: add_md5_column(t), batch_format="pyarrow")
-    return hashed.groupby("text_md5").aggregate(
-        Count(alias_name="n_copies"), Min("doc_id", alias_name="keeper")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        agg: dict[str, list[int]] = {}
+        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            h = md5_hex(t or "")
+            slot = agg.get(h)
+            if slot is None:
+                agg[h] = [1, d]
+            else:
+                slot[0] += 1
+                if d < slot[1]:
+                    slot[1] = d
+        return pa.table(
+            {
+                "text_md5": pa.array(list(agg.keys()), pa.string()),
+                "pc": pa.array([v[0] for v in agg.values()], pa.int64()),
+                "pm": pa.array([v[1] for v in agg.values()], pa.int64()),
+            }
+        )
+
+    return (
+        doubled.map_batches(partial, batch_format="pyarrow")
+        .groupby("text_md5")
+        .aggregate(Sum("pc", alias_name="n_copies"), Min("pm", alias_name="keeper"))
     )
 
 
@@ -1066,7 +1100,7 @@ def q_pages_main_content(sf_dir: str):
     """Boilerplate-stripped (jusText/Readability-style) extraction over the
     synthetic pages corpus: per-url main-content hash + reduction ratio
     (north-star capability 1; deterministic rows-only check)."""
-    from ..config import EngineConfig
+    from ..config import EngineConfig, resolve_group_buckets
     from ..pipelines.deid import build_deid_pipeline
     from ..sources.pages import pages_dataset
 
@@ -1249,12 +1283,13 @@ def q_events_window_rank(sf_dir: str):
     """Windowed ranking: top-3 events per user by value (ROW_NUMBER
     semantics, ties broken by event_id) — per-user logic runs inside 128
     coarse user buckets (no per-user Ray group explosion)."""
+    nb = resolve_group_buckets()
     ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
 
     def bucketize(batch: pa.Table) -> pa.Table:
         return batch.append_column(
             "ubucket",
-            pa.array([_kbucket(u) for u in batch["user_id"].to_pylist()], pa.int32()),
+            pa.array([_kbucket(u, nb) for u in batch["user_id"].to_pylist()], pa.int32()),
         )
 
     def rank(bucket: pd.DataFrame) -> pd.DataFrame:
@@ -1354,6 +1389,7 @@ def q_orders_exists_semi(sf_dir: str):
     output materialized."""
     from ray.data.aggregate import Sum
 
+    nb = resolve_group_buckets()
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
 
@@ -1363,7 +1399,7 @@ def q_orders_exists_semi(sf_dir: str):
         return pa.table(
             {
                 "key": pa.array(keys, pa.int64()),
-                "kbucket": pa.array([_kbucket(k) for k in keys], pa.int32()),
+                "kbucket": pa.array([_kbucket(k, nb) for k in keys], pa.int32()),
                 "o_orderstatus": pa.array([None] * len(keys), pa.string()),
                 "is_order": pa.array([False] * len(keys), pa.bool_()),
             }
@@ -1374,7 +1410,7 @@ def q_orders_exists_semi(sf_dir: str):
         return pa.table(
             {
                 "key": pa.array(keys, pa.int64()),
-                "kbucket": pa.array([_kbucket(k) for k in keys], pa.int32()),
+                "kbucket": pa.array([_kbucket(k, nb) for k in keys], pa.int32()),
                 "o_orderstatus": batch["o_orderstatus"],
                 "is_order": pa.array([True] * len(keys), pa.bool_()),
             }
@@ -1385,7 +1421,10 @@ def q_orders_exists_semi(sf_dir: str):
         hits = bucket.loc[bucket["is_order"] & bucket["key"].isin(present)]
         counts = hits.groupby("o_orderstatus").size()
         return pd.DataFrame(
-            {"o_orderstatus": counts.index, "partial": counts.to_numpy().astype("int64")}
+            {
+                "o_orderstatus": pd.Series(counts.index, dtype="object"),
+                "partial": pd.Series(counts.to_numpy(), dtype="int64"),
+            }
         )
 
     matched = (
@@ -1525,12 +1564,13 @@ def q_docs_per_source_cap(sf_dir: str):
     step): keep the first 10 documents per source by doc_id.  Per-key
     top-k inside coarse source buckets — deterministic, oracle = ROW_NUMBER
     PARTITION BY."""
+    nb = resolve_group_buckets()
     ds = _read(sf_dir, "documents", ["doc_id", "source"])
 
     def bucketize(batch: pa.Table) -> pa.Table:
         return batch.append_column(
             "sbucket",
-            pa.array([_kbucket(s) for s in batch["source"].to_pylist()], pa.int32()),
+            pa.array([_kbucket(s, nb) for s in batch["source"].to_pylist()], pa.int32()),
         )
 
     def cap(bucket: pd.DataFrame) -> pd.DataFrame:

@@ -20,8 +20,8 @@ from typing import Any
 
 import pyarrow as pa
 
-from ..config import EngineConfig
-from ..functions.dedup import NUM_GROUP_BUCKETS, _band_bucket
+from ..config import EngineConfig, resolve_group_buckets
+from ..functions.dedup import _band_bucket
 from ..functions.textstats import lang_id, quality_score
 from .deid import build_deid_pipeline
 
@@ -42,6 +42,7 @@ def build_training_data_pipeline(
     import pandas as pd
 
     cfg = cfg or EngineConfig()
+    nb = resolve_group_buckets()
     deid = build_deid_pipeline(pages_ds, cfg)
 
     def stats_and_filter(batch: pa.Table) -> pa.Table:
@@ -64,7 +65,7 @@ def build_training_data_pipeline(
     # exact dedup on the extracted-text hash (context_hash is already
     # sha256(extracted_text)) — bucketed grouping, keeper = min url
     def add_bucket(batch: pa.Table) -> pa.Table:
-        buckets = [_band_bucket(h) for h in batch["context_hash"].to_pylist()]
+        buckets = [_band_bucket(h, nb) for h in batch["context_hash"].to_pylist()]
         return batch.append_column("hash_bucket", pa.array(buckets, pa.int32()))
 
     def keep_first(bucket: pd.DataFrame) -> pd.DataFrame:
@@ -101,8 +102,10 @@ def training_data_report(
         rows_in = pages_ds.count()
     out = build_training_data_pipeline(pages_ds, cfg, **kwargs)
     agg = out.aggregate(Count(alias_name="rows_out"), Sum("n_copies", alias_name="quality_pass"))
-    rows_out = int(agg["rows_out"])
-    quality_pass = int(agg["quality_pass"] or 0)
+    # Dataset.aggregate returns None on an empty dataset (e.g. every row
+    # failed the quality filter) — report zeros, not a TypeError
+    rows_out = int(agg["rows_out"]) if agg else 0
+    quality_pass = int(agg["quality_pass"] or 0) if agg else 0
     return {
         "rows_in": rows_in,
         "dropped_quality": rows_in - quality_pass,

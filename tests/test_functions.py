@@ -479,3 +479,82 @@ class TestSketches:
         assert a == b  # same seed + same blocks → same sample
         ids = {row["id"] for row in a}
         assert len(ids) == 100
+
+
+class TestBucketInvariance:
+    """Group-bucket count is a physical co-location knob resolved from
+    cluster size at build time (config.resolve_group_buckets) — results of
+    every bucketed operator must be identical for any bucket count."""
+
+    def test_resolver_order(self, ray_session, monkeypatch):
+        from edge_deid_studio_ray.config import resolve_group_buckets
+
+        assert resolve_group_buckets(7) == 7  # explicit override wins
+        monkeypatch.setenv("EDS_GROUP_BUCKETS", "33")
+        assert resolve_group_buckets() == 33  # env var next
+        monkeypatch.delenv("EDS_GROUP_BUCKETS")
+        # cluster-derived: pytest session runs at num_cpus=4 → max(64, 16)
+        assert resolve_group_buckets() == 64
+
+    def _corpus(self):
+        import ray.data as rd
+
+        base = "the quick brown fox jumps over the lazy dog and runs far away " * 4
+        other = "entirely different content with no overlap at all in this one "
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": [1, 2, 3, 4, 5, 6],
+                    "text": [base, base + " tail", other, other, base, "short"],
+                }
+            )
+        )
+
+    def test_dedup_ops_invariant(self, ray_session):
+        from edge_deid_studio_ray.functions.dedup import (
+            connected_components,
+            exact_dedup,
+            minhash_candidates,
+            simhash_near_dups,
+        )
+
+        results = {}
+        for nb in (3, 128):
+            ds = self._corpus()
+            dd = exact_dedup(ds, num_buckets=nb).to_pandas()
+            mh = minhash_candidates(
+                ds, num_hashes=64, num_bands=16, jaccard_threshold=0.6, num_buckets=nb
+            ).to_pandas()
+            sh = simhash_near_dups(ds, max_hamming=6, num_buckets=nb).to_pandas()
+            cc = connected_components(
+                minhash_candidates(
+                    ds, num_hashes=64, num_bands=16, jaccard_threshold=0.6, num_buckets=nb
+                ),
+                num_buckets=nb,
+            ).to_pandas()
+            results[nb] = (
+                sorted(dd["doc_id"].tolist()),
+                sorted(zip(mh["left"], mh["right"], mh["jaccard"])),
+                sorted(zip(sh["left"], sh["right"], sh["hamming"])),
+                sorted(zip(cc["node"], cc["component"])),
+            )
+        assert results[3] == results[128]
+
+    def test_pair_text_metric_invariant(self, ray_session):
+        import ray.data as rd
+
+        from edge_deid_studio_ray.functions.dedup import pair_text_metric, word_ngram_jaccard
+
+        corpus = self._corpus()
+        pairs = rd.from_arrow(pa.table({"left": [1, 3], "right": [2, 4]}))
+        results = {}
+        for nb in (3, 128):
+            out = pair_text_metric(
+                pairs,
+                corpus,
+                lambda a, b: word_ngram_jaccard(a, b, 3),
+                out_col="j",
+                num_buckets=nb,
+            ).to_pandas()
+            results[nb] = sorted(zip(out["left"], out["right"], out["j"]))
+        assert results[3] == results[128]
