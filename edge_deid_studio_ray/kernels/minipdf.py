@@ -3,28 +3,38 @@
 The reference extracts PDFs with PyMuPDF ``page.get_text("blocks",
 sort=True)`` (/root/reference/src/deid_pipeline/parser/handlers/pdf.py and
 parser/text_extractor.py:110-185).  PyMuPDF is a C extension and absent from
-this environment, so this module implements the subset needed for simple
+this environment, so this module implements the subset needed for
 machine-generated PDFs from first principles (PDF 32000-1 spec, public):
 
-- object scan (``N 0 obj … endobj``), page-tree discovery (``/Type /Page``
-  with ``/Contents N 0 R``), MediaBox page height;
+- sequential object scan (``N G obj … endobj``) that slices stream bodies by
+  their numeric ``/Length`` — binary Flate data containing the bytes
+  ``endstream``/``endobj`` can no longer truncate the scan (regex fallback
+  only when /Length is absent or indirect);
+- page-tree discovery (``/Type /Page`` with ``/Contents N 0 R``), MediaBox
+  page height;
 - content streams, raw or ``/FlateDecode`` (zlib is stdlib);
-- text operators inside BT…ET: ``Tm Td TD T* Tj TJ ' "`` with literal
+- text operators inside BT…ET: ``Tf Tm Td TD T* TL Tj TJ ' "`` with literal
   ``(…)`` strings (escapes, nested parens, octal) and ``<hex>`` strings;
+- CID/Type0 composite fonts: per-page ``/Resources → /Font`` resolution and
+  ``/ToUnicode`` CMap decoding (bfchar + bfrange incl. array form,
+  codespace-derived code width) — CJK PDFs whose show strings carry 2-byte
+  glyph codes decode to Unicode without PyMuPDF;
 - block semantics mirroring the reference's use of PyMuPDF: one block per
   BT…ET group, lines joined with ``"\\n"``, blocks sorted in reading order
   (page, top, left) with the y axis flipped to top-left origin using the
-  page's MediaBox height.
+  page's MediaBox height; block bboxes are metric estimates from the
+  tracked font size (0.6 em per ASCII char, 1 em per wide char, 1.2 em
+  line height) — good enough for redaction rect planning, not typography.
 
 Object streams (``/Type /ObjStm``, PDF 1.5+) are unpacked: member dict
-objects (catalogs, page trees) inflate into the object table, so
+objects (catalogs, page trees, fonts) inflate into the object table, so
 modern-layout PDFs whose page dicts live in compressed object streams
 still parse (content streams are never inside ObjStm, per spec).
 
 Out of scope (flagged upstream as ``pdf_backend_unavailable`` when nothing
-is extractable): encrypted PDFs, CID/Type0 composite fonts with non-trivial
-ToUnicode CMaps, xref-stream predictors.  Glyph bytes are decoded as
-latin-1 — correct for the ASCII/WinAnsi simple-font PDFs this targets.
+is extractable): encrypted PDFs, xref-stream predictors, glyph-metric
+width programs.  Glyph bytes without a ToUnicode CMap decode as latin-1 —
+correct for ASCII/WinAnsi simple-font PDFs.
 """
 
 from __future__ import annotations
@@ -33,8 +43,10 @@ import re
 import zlib
 from typing import Any
 
-_OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj(.*?)endobj", re.DOTALL)
+_OBJ_HEADER_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b")
+_STREAM_START_RE = re.compile(rb"stream\r?\n")
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
 _CONTENTS_RE = re.compile(rb"/Contents\s+(\d+)\s+\d+\s+R")
 _MEDIABOX_RE = re.compile(
     rb"/MediaBox\s*\[\s*([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s*\]"
@@ -49,8 +61,60 @@ _OBJSTM_N_RE = re.compile(rb"/N\s+(\d+)")
 _OBJSTM_FIRST_RE = re.compile(rb"/First\s+(\d+)")
 
 
+def _scan_object_spans(raw: bytes) -> list[tuple[int, int, int, int]]:
+    """Sequential top-level object scan: (objnum, header_start, body_start,
+    end) spans, where ``end`` is one past the trailing ``endobj``.
+
+    Stream bodies are skipped via the numeric ``/Length`` when present, so
+    ``endobj``/``endstream`` byte sequences inside compressed data cannot
+    misalign the scan; when /Length is absent or an indirect reference the
+    scan falls back to searching for the keywords.
+    """
+    spans: list[tuple[int, int, int, int]] = []
+    pos = 0
+    n = len(raw)
+    while True:
+        hm = _OBJ_HEADER_RE.search(raw, pos)
+        if hm is None:
+            break
+        body_start = hm.end()
+        sm = _STREAM_START_RE.search(raw, body_start)
+        em = raw.find(b"endobj", body_start)
+        if sm is not None and (em == -1 or sm.start() < em):
+            # object carries a stream: skip the body by /Length if numeric
+            lm = _LENGTH_RE.search(raw, body_start, sm.start())
+            data_start = sm.end()
+            es = -1
+            if lm:
+                data_end = data_start + int(lm.group(1))
+                if data_end <= n:
+                    probe = raw.find(b"endstream", data_end)
+                    # tolerate the EOL between data and the keyword only
+                    if probe != -1 and probe - data_end <= 2:
+                        es = probe
+            if es == -1:
+                es = raw.find(b"endstream", data_start)
+            if es == -1:
+                pos = body_start
+                continue
+            em = raw.find(b"endobj", es)
+            end = (em + len(b"endobj")) if em != -1 else es + len(b"endstream")
+        else:
+            if em == -1:
+                break
+            end = em + len(b"endobj")
+        spans.append((int(hm.group(1)), hm.start(), body_start, end))
+        pos = end
+    return spans
+
+
 def _scan_objects(raw: bytes) -> dict[int, bytes]:
-    objects = {int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(raw)}
+    objects: dict[int, bytes] = {}
+    for num, _hstart, body_start, end in _scan_object_spans(raw):
+        body = raw[body_start:end]
+        if body.endswith(b"endobj"):
+            body = body[: -len(b"endobj")]
+        objects.setdefault(num, body)
     # PDF 1.5+ object streams (/Type /ObjStm): compressed member objects —
     # header is N (objnum, offset) integer pairs, bodies start at /First
     for body in list(objects.values()):
@@ -71,11 +135,25 @@ def _scan_objects(raw: bytes) -> dict[int, bytes]:
 
 
 def _decode_stream(body: bytes) -> bytes | None:
-    m = _STREAM_RE.search(body)
-    if not m:
+    sm = _STREAM_START_RE.search(body)
+    if sm is None:
         return None
-    data = m.group(1)
-    if b"/FlateDecode" in body[: m.start()]:
+    data_start = sm.end()
+    lm = _LENGTH_RE.search(body, 0, sm.start())
+    data: bytes | None = None
+    if lm:
+        data_end = data_start + int(lm.group(1))
+        if data_end <= len(body):
+            probe = body.find(b"endstream", data_end)
+            if probe != -1 and probe - data_end <= 2:
+                # strip the single EOL the writer put before 'endstream'
+                data = body[data_start:data_end]
+    if data is None:
+        m = _STREAM_RE.search(body)
+        if not m:
+            return None
+        data = m.group(1)
+    if b"/FlateDecode" in body[:data_start]:
         try:
             return zlib.decompress(data)
         except zlib.error:
@@ -111,21 +189,140 @@ def _page_objects(objects: dict[int, bytes]) -> list[tuple[int, bytes]]:
     return out
 
 
+# ---------------------------------------------------------------------------
+# ToUnicode CMaps (CID/Type0 composite fonts)
+# ---------------------------------------------------------------------------
+
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.DOTALL)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.DOTALL)
+_HEXTOK_RE = re.compile(rb"<([0-9A-Fa-f]+)>|(\[)|(\])")
+_CODESPACE_RE = re.compile(
+    rb"begincodespacerange\s*<([0-9A-Fa-f]+)>\s*<[0-9A-Fa-f]+>", re.DOTALL
+)
+_TOUNICODE_REF_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+\d+\s+R")
+_RESOURCES_REF_RE = re.compile(rb"/Resources\s+(\d+)\s+\d+\s+R")
+_FONT_DICT_RE = re.compile(rb"/Font\s*<<(.*?)>>", re.DOTALL)
+_FONT_ENTRY_RE = re.compile(rb"/([^\s/<>\[\]()]+)\s+(\d+)\s+\d+\s+R")
+
+
+def _utf16be_hex(hexdigits: bytes) -> str:
+    if len(hexdigits) % 2:
+        hexdigits += b"0"
+    return bytes.fromhex(hexdigits.decode()).decode("utf-16-be", "replace")
+
+
+def parse_tounicode(data: bytes) -> tuple[dict[int, str], int]:
+    """ToUnicode CMap stream → (code → unicode string map, code byte width).
+
+    Handles ``bfchar`` pairs and ``bfrange`` in both forms (incrementing
+    destination and explicit destination array); destination hex is UTF-16BE
+    per the spec.  Code width comes from the codespace range (2 for the
+    Identity-H CMaps real CJK PDFs use)."""
+    cmap: dict[int, str] = {}
+    width = 2
+    m = _CODESPACE_RE.search(data)
+    if m:
+        width = max(1, len(m.group(1)) // 2)
+    for sect in _BFCHAR_RE.findall(data):
+        toks = [t[0] for t in _HEXTOK_RE.findall(sect) if t[0]]
+        for src, dst in zip(toks[0::2], toks[1::2]):
+            cmap[int(src, 16)] = _utf16be_hex(dst)
+    for sect in _BFRANGE_RE.findall(data):
+        toks = _HEXTOK_RE.findall(sect)
+        i = 0
+        while i + 2 < len(toks) or (i + 2 == len(toks) and toks[i][0] and toks[i + 1][0]):
+            if not (toks[i][0] and toks[i + 1][0]):
+                i += 1
+                continue
+            lo, hi = int(toks[i][0], 16), int(toks[i + 1][0], 16)
+            i += 2
+            if i < len(toks) and toks[i][1]:  # '[' — explicit destination list
+                i += 1
+                dsts: list[bytes] = []
+                while i < len(toks) and not toks[i][2]:
+                    if toks[i][0]:
+                        dsts.append(toks[i][0])
+                    i += 1
+                i += 1  # ']'
+                for k, dst in enumerate(dsts[: hi - lo + 1]):
+                    cmap[lo + k] = _utf16be_hex(dst)
+            elif i < len(toks) and toks[i][0]:
+                dst = toks[i][0]
+                i += 1
+                dst_len = len(dst) + (len(dst) % 2)
+                base = int(dst, 16)
+                for k in range(hi - lo + 1):
+                    cmap[lo + k] = _utf16be_hex(b"%0*x" % (dst_len, base + k))
+            else:
+                break
+    return cmap, width
+
+
+def _page_fonts(page_body: bytes, objects: dict[int, bytes]) -> dict[bytes, tuple[dict[int, str], int]]:
+    """Resolve the page's ``/Resources → /Font`` entries to ToUnicode maps:
+    ``{font name: (code→str map, code byte width)}``.  Fonts without a
+    ToUnicode CMap are omitted (their strings decode latin-1)."""
+    res = page_body
+    rm = _RESOURCES_REF_RE.search(page_body)
+    if rm:
+        res = objects.get(int(rm.group(1)), b"")
+    fm = _FONT_DICT_RE.search(res)
+    fonts: dict[bytes, tuple[dict[int, str], int]] = {}
+    if not fm:
+        return fonts
+    for entry in _FONT_ENTRY_RE.finditer(fm.group(1)):
+        fobj = objects.get(int(entry.group(2)))
+        if fobj is None:
+            continue
+        tm = _TOUNICODE_REF_RE.search(fobj)
+        if not tm:
+            continue
+        cmap_body = objects.get(int(tm.group(1)))
+        if cmap_body is None:
+            continue
+        data = _decode_stream(cmap_body)
+        if data is None:
+            continue
+        cmap, width = parse_tounicode(data)
+        if cmap:
+            fonts[entry.group(1)] = (cmap, width)
+    return fonts
+
+
+def _decode_codes(data: bytes, cmap: dict[int, str], width: int) -> str:
+    out: list[str] = []
+    whole = (len(data) // width) * width
+    for i in range(0, whole, width):
+        code = int.from_bytes(data[i : i + width], "big")
+        mapped = cmap.get(code)
+        if mapped is None:
+            mapped = chr(code) if code < 0x110000 else "�"
+        out.append(mapped)
+    for b in data[whole:]:
+        out.append(chr(b))
+    return "".join(out)
+
+
+# ---------------------------------------------------------------------------
+# Content-stream text extraction
+# ---------------------------------------------------------------------------
+
 _ESCAPES = {
-    b"n"[0]: "\n",
-    b"r"[0]: "\r",
-    b"t"[0]: "\t",
-    b"b"[0]: "\b",
-    b"f"[0]: "\f",
-    b"("[0]: "(",
-    b")"[0]: ")",
-    b"\\"[0]: "\\",
+    b"n"[0]: 0x0A,
+    b"r"[0]: 0x0D,
+    b"t"[0]: 0x09,
+    b"b"[0]: 0x08,
+    b"f"[0]: 0x0C,
+    b"("[0]: 0x28,
+    b")"[0]: 0x29,
+    b"\\"[0]: 0x5C,
 }
 
 
-def _parse_literal_string(data: bytes, i: int) -> tuple[str, int]:
-    """Parse a ``(…)`` literal starting at the '('; returns (text, next_i)."""
-    out: list[str] = []
+def _parse_literal_string(data: bytes, i: int) -> tuple[bytes, int]:
+    """Parse a ``(…)`` literal starting at the '('; returns (raw bytes with
+    escapes resolved, next_i)."""
+    out = bytearray()
     depth = 1
     i += 1
     n = len(data)
@@ -145,13 +342,13 @@ def _parse_literal_string(data: bytes, i: int) -> tuple[str, int]:
                 while i < n and len(digits) < 3 and 0x30 <= data[i] <= 0x37:
                     digits.append(data[i])
                     i += 1
-                out.append(chr(int(digits.decode(), 8) & 0xFF))
+                out.append(int(digits.decode(), 8) & 0xFF)
             elif e in (0x0A, 0x0D):  # line continuation
                 i += 1
                 if e == 0x0D and i < n and data[i] == 0x0A:
                     i += 1
             else:
-                out.append(chr(e))
+                out.append(e)
                 i += 1
             continue
         if c == 0x28:
@@ -161,42 +358,63 @@ def _parse_literal_string(data: bytes, i: int) -> tuple[str, int]:
             if depth == 0:
                 i += 1
                 break
-        out.append(chr(c))
+        out.append(c)
         i += 1
-    return "".join(out), i
+    return bytes(out), i
 
 
-def _parse_hex_string(data: bytes, i: int) -> tuple[str, int]:
+def _parse_hex_string(data: bytes, i: int) -> tuple[bytes, int]:
     end = data.find(b">", i)
     if end < 0:
         end = len(data)
     hexdigits = re.sub(rb"[^0-9A-Fa-f]", b"", data[i + 1 : end])
     if len(hexdigits) % 2:
         hexdigits += b"0"
-    return bytes.fromhex(hexdigits.decode()).decode("latin-1"), end + 1
+    return bytes.fromhex(hexdigits.decode()), end + 1
 
 
 _NUM_RE = re.compile(rb"[-+]?\d*\.?\d+")
 _OP_RE = re.compile(rb"[A-Za-z'\"*]+")
+_NAME_RE = re.compile(rb"/[^\s\[\]<>()/%]*")
 
 
-def _extract_text_blocks(content: bytes, page_height: float) -> list[dict[str, Any]]:
-    """BT…ET groups → block dicts {text, top, left} (top-left origin)."""
+def _est_line_width(text: str, size: float) -> float:
+    """Metric estimate: 0.6 em per ASCII glyph, 1 em per wide (CJK) glyph."""
+    return size * sum(0.6 if ord(ch) < 0x2E80 else 1.0 for ch in text)
+
+
+def _extract_text_blocks(
+    content: bytes,
+    page_height: float,
+    fonts: dict[bytes, tuple[dict[int, str], int]] | None = None,
+) -> list[dict[str, Any]]:
+    """BT…ET groups → block dicts {text, top, left, right, bottom}
+    (top-left origin)."""
+    fonts = fonts or {}
     blocks: list[dict[str, Any]] = []
     i, n = 0, len(content)
     in_text = False
-    # text state (only the translation components matter for line layout)
+    # text state (translation components drive line layout; font size drives
+    # the bbox estimate)
     x = y = 0.0
     line_x = line_y = 0.0
     leading = 12.0
+    font_size = 12.0
+    cur_cmap: tuple[dict[int, str], int] | None = None
+    last_name: bytes | None = None
     stack: list[float] = []
-    lines: list[tuple[float, float, list[str]]] = []  # (y, x, parts)
+    lines: list[tuple[float, float, list[str], float]] = []  # (y, x, parts, size)
     cur: list[str] | None = None
+
+    def decode(raw: bytes) -> str:
+        if cur_cmap is not None:
+            return _decode_codes(raw, cur_cmap[0], cur_cmap[1])
+        return raw.decode("latin-1")
 
     def start_line() -> None:
         nonlocal cur
         cur = []
-        lines.append((y, x, cur))
+        lines.append((y, x, cur, font_size))
 
     while i < n:
         c = content[i : i + 1]
@@ -204,23 +422,28 @@ def _extract_text_blocks(content: bytes, page_height: float) -> list[dict[str, A
             i += 1
             continue
         if c == b"(":
-            text, i = _parse_literal_string(content, i)
+            raw, i = _parse_literal_string(content, i)
             if in_text:
                 if cur is None:
                     start_line()
                 stack.append(float("nan"))
-                cur.append(text)  # type: ignore[union-attr]
+                cur.append(decode(raw))  # type: ignore[union-attr]
             continue
         if c == b"<" and content[i : i + 2] != b"<<":
-            text, i = _parse_hex_string(content, i)
+            raw, i = _parse_hex_string(content, i)
             if in_text:
                 if cur is None:
                     start_line()
                 stack.append(float("nan"))
-                cur.append(text)  # type: ignore[union-attr]
+                cur.append(decode(raw))  # type: ignore[union-attr]
             continue
         if c == b"<":  # dict
             i += 2
+            continue
+        if c == b"/":
+            m = _NAME_RE.match(content, i)
+            last_name = m.group(0)[1:] if m else None
+            i = m.end() if m else i + 1
             continue
         if c == b"[" or c == b"]":
             i += 1
@@ -245,11 +468,16 @@ def _extract_text_blocks(content: bytes, page_height: float) -> list[dict[str, A
         elif op == b"ET":
             if lines:
                 parts = [
-                    (ly, lx, "".join(p)) for ly, lx, p in lines if "".join(p).strip()
+                    (ly, lx, "".join(p), sz)
+                    for ly, lx, p, sz in lines
+                    if "".join(p).strip()
                 ]
                 if parts:
                     top = page_height - max(p[0] for p in parts)
                     left = min(p[1] for p in parts)
+                    size = max(p[3] for p in parts)
+                    right = left + max(_est_line_width(p[2], p[3]) for p in parts)
+                    bottom = top + 1.2 * size * len(parts)
                     # top-to-bottom within the block = descending PDF y
                     parts.sort(key=lambda p: (-p[0], p[1]))
                     blocks.append(
@@ -257,10 +485,16 @@ def _extract_text_blocks(content: bytes, page_height: float) -> list[dict[str, A
                             "text": "\n".join(p[2] for p in parts),
                             "top": top,
                             "left": left,
+                            "right": right,
+                            "bottom": bottom,
                         }
                     )
             in_text = False
             cur = None
+        elif op == b"Tf":
+            if nums:
+                font_size = nums[-1] or font_size
+            cur_cmap = fonts.get(last_name) if last_name else None
         elif op == b"Tm" and len(nums) >= 6:
             x = line_x = nums[-2]
             y = line_y = nums[-1]
@@ -313,7 +547,8 @@ def minipdf_parse(raw: bytes) -> tuple[list[dict[str, Any]], int]:
             continue
         mb = _MEDIABOX_RE.search(page_body)
         page_height = float(mb.group(4)) if mb else DEFAULT_PAGE_HEIGHT
-        for block in _extract_text_blocks(content, page_height):
+        fonts = _page_fonts(page_body, objects)
+        for block in _extract_text_blocks(content, page_height, fonts):
             text = str(block["text"]).strip()
             if not text:
                 continue
@@ -328,8 +563,8 @@ def minipdf_parse(raw: bytes) -> tuple[list[dict[str, Any]], int]:
                         "bbox": (
                             int(block["left"]),
                             int(block["top"]),
-                            int(block["left"]) + 1,
-                            int(block["top"]) + 1,
+                            max(int(block["right"]), int(block["left"]) + 1),
+                            max(int(block["bottom"]), int(block["top"]) + 1),
                         ),
                     },
                 )

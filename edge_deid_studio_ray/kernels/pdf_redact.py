@@ -15,33 +15,43 @@ pure Python:
   ``block_bbox`` strategy (PyMuPDF, when installed, slots into the same
   plan through ``fitz_extract_blocks`` bboxes).
 - :func:`redact_pdf_bytes` — rebuild the document with (a) every occurrence
-  of each redacted entity's text inside literal strings of the page content
-  streams blanked to spaces (the text-removal half of ``apply_redactions``)
+  of each redacted entity's text blanked to spaces INSIDE ``(...)`` literal
+  strings of the page content streams only (operator operands — Td/Tm
+  coordinates, font sizes — can never match, unlike a raw byte replace)
   and (b) a black rectangle fill op (``q 0 g x y w h re f Q``) appended per
   rect (the visual half).  Streams re-emit uncompressed with corrected
-  /Length; the document is reassembled object-by-object WITHOUT an xref
-  table — round-trips through :mod:`minipdf` (which scans objects, not
-  xref), flagged ``rebuild_mode="redact_noxref"`` so callers know a
-  viewer-grade writer needs a real PDF library.
+  /Length; the document is reassembled object-by-object WITH a standard
+  xref table + trailer (/Size /Root + startxref), so strict viewers that
+  seek via xref accept the artifact.
+- **Verified removal**: the rebuilt PDF is re-parsed with minipdf and each
+  rect's needle checked against the re-extracted text.  Every rect carries
+  a ``blanked`` flag; if any needle survives (hex-encoded shows, needles
+  split across show strings) the result says so via ``verified=False`` +
+  a ``warning`` — never a silent "redacted" artifact that still leaks.
 
 Limitations (documented, not silent): needles split across multiple show
 strings or encoded as hex strings are not blanked (the covering rect still
-applies); encrypted/object-stream PDFs are rejected by minipdf upstream.
+applies, and ``verified``/``blanked`` report the miss); encrypted PDFs are
+rejected by minipdf upstream.
 """
 
 from __future__ import annotations
 
+import re
 import zlib
 from typing import Any
 
 from .minipdf import (
     _MEDIABOX_RE,
-    _OBJ_RE,
     _STREAM_RE,
     DEFAULT_PAGE_HEIGHT,
     _page_objects,
+    _scan_object_spans,
     _scan_objects,
+    minipdf_parse,
 )
+
+_CATALOG_RE = re.compile(rb"/Type\s*/Catalog\b")
 
 
 def plan_pdf_redactions(entities: list[dict[str, Any]]) -> list[dict[str, Any]]:
@@ -65,15 +75,58 @@ def plan_pdf_redactions(entities: list[dict[str, Any]]) -> list[dict[str, Any]]:
     return rects
 
 
-def _blank_literals(content: bytes, needles: list[bytes]) -> bytes:
-    """Blank every occurrence of each needle inside ``(...)`` literal
-    strings with same-length spaces (layout-preserving text removal)."""
-    out = content
-    for needle in needles:
-        if not needle:
-            continue
-        out = out.replace(needle, b" " * len(needle))
-    return out
+def _literal_spans(content: bytes) -> list[tuple[int, int]]:
+    """(start, end) byte spans of the INSIDE of every ``(...)`` literal
+    string — escape-aware, nesting-aware.  Hex strings, dicts and operator
+    operands are never part of a span."""
+    spans: list[tuple[int, int]] = []
+    i, n = 0, len(content)
+    while i < n:
+        c = content[i]
+        if c == 0x28:  # (
+            start = i + 1
+            depth = 1
+            i += 1
+            while i < n and depth:
+                b = content[i]
+                if b == 0x5C:  # backslash: skip escaped byte
+                    i += 2
+                    continue
+                if b == 0x28:
+                    depth += 1
+                elif b == 0x29:
+                    depth -= 1
+                i += 1
+            spans.append((start, i - 1 if depth == 0 else i))
+        elif c == 0x3C and content[i : i + 2] != b"<<":  # <hex> — skip whole
+            end = content.find(b">", i)
+            i = (end + 1) if end != -1 else n
+        else:
+            i += 1
+    return spans
+
+
+def _blank_literals(content: bytes, needles: list[bytes]) -> tuple[bytes, set[bytes]]:
+    """Blank every occurrence of each needle with same-length spaces, only
+    inside literal-string spans (layout-preserving text removal that cannot
+    corrupt operator operands).  Returns (new content, needles that were
+    actually blanked at least once)."""
+    needles = [nd for nd in needles if nd]
+    if not needles:
+        return content, set()
+    out = bytearray(content)
+    hit: set[bytes] = set()
+    for start, end in _literal_spans(content):
+        segment = content[start:end]
+        changed = False
+        for needle in needles:
+            if needle in segment:
+                segment = segment.replace(needle, b" " * len(needle))
+                hit.add(needle)
+                changed = True
+        if changed:
+            out[start:end] = segment
+    return bytes(out), hit
 
 
 def _rect_ops(rects: list[dict[str, Any]], page_height: float) -> bytes:
@@ -89,13 +142,54 @@ def _rect_ops(rects: list[dict[str, Any]], page_height: float) -> bytes:
     return b"\n" + b"\n".join(ops) if ops else b""
 
 
+def _assemble_with_xref(raw: bytes, replacements: dict[int, bytes], objects: dict[int, bytes]) -> bytes:
+    """Reassemble the document object-by-object and append a standard xref
+    table + trailer: offsets are tracked at write time, /Root points at the
+    catalog, startxref at the table — the artifact satisfies offset-seeking
+    viewers, not just sequential scanners."""
+    header = b"%PDF-1.4\n"
+    pieces: list[bytes] = [header]
+    offsets: dict[int, int] = {}
+    pos = len(header)
+    for num, hstart, _bstart, end in _scan_object_spans(raw):
+        if num in replacements:
+            chunk = b"%d 0 obj " % num + replacements[num] + b"endobj\n"
+        else:
+            chunk = raw[hstart:end] + b"\n"
+        if num not in offsets:
+            offsets[num] = pos
+        pos += len(chunk)
+        pieces.append(chunk)
+    max_num = max(offsets) if offsets else 0
+    root_num = next(
+        (num for num, body in objects.items() if _CATALOG_RE.search(body)), 1
+    )
+    entries = [b"0000000000 65535 f \n"]
+    for num in range(1, max_num + 1):
+        if num in offsets:
+            entries.append(b"%010d 00000 n \n" % offsets[num])
+        else:
+            entries.append(b"0000000000 65535 f \n")
+    xref_pos = pos
+    pieces.append(
+        b"xref\n0 %d\n" % (max_num + 1)
+        + b"".join(entries)
+        + b"trailer\n<< /Size %d /Root %d 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (max_num + 1, root_num, xref_pos)
+    )
+    return b"".join(pieces)
+
+
 def redact_pdf_bytes(raw: bytes, rects: list[dict[str, Any]]) -> dict[str, Any]:
     """Rebuild ``raw`` with the plan's text blanked + rects drawn.
 
     Returns ``{"pdf": bytes, "rebuild_supported": bool, "rebuild_mode",
-    "redaction_count", "redaction_rects"}`` — the reference's rebuild dict
-    shape (handlers/pdf.py:149-159) with the artifact inline instead of a
-    path."""
+    "redaction_count", "redaction_rects", "verified", "warning"}`` — the
+    reference's rebuild dict shape (handlers/pdf.py:149-159) with the
+    artifact inline instead of a path, plus the verified-removal report:
+    each rect carries ``blanked`` (its text no longer extractable from the
+    rebuilt PDF), ``verified`` is the conjunction, and ``warning`` names the
+    failure mode when any needle survives."""
     objects = _scan_objects(raw)
     pages = _page_objects(objects)
     if not pages:
@@ -105,6 +199,8 @@ def redact_pdf_bytes(raw: bytes, rects: list[dict[str, Any]]) -> dict[str, Any]:
             "rebuild_mode": None,
             "redaction_count": 0,
             "redaction_rects": [],
+            "verified": False,
+            "warning": "no_parseable_pages",
         }
 
     by_page: dict[int, list[dict[str, Any]]] = {}
@@ -133,29 +229,45 @@ def redact_pdf_bytes(raw: bytes, rects: list[dict[str, Any]]) -> dict[str, Any]:
         ]
         mb = _MEDIABOX_RE.search(page_body)
         page_height = float(mb.group(4)) if mb else DEFAULT_PAGE_HEIGHT
-        new_stream = _blank_literals(data, needles) + _rect_ops(page_rects, page_height)
+        blanked_data, _hit = _blank_literals(data, needles)
+        new_stream = blanked_data + _rect_ops(page_rects, page_height)
         replacements[content_num] = (
             b"<< /Length %d >> stream\n" % len(new_stream) + new_stream + b"\nendstream "
         )
 
-    pieces = [b"%PDF-1.4\n"]
-    for m in _OBJ_RE.finditer(raw):
-        num = int(m.group(1))
-        if num in replacements:
-            pieces.append(b"%d 0 obj " % num + replacements[num] + b"endobj\n")
-        else:
-            pieces.append(m.group(0) + b"\n")
-    pieces.append(b"%%EOF\n")
-    plan_out = [
-        {"page_index": r["page_index"], "bbox": tuple(r["bbox"]), "strategy": r["strategy"]}
-        for r in rects
-    ]
+    out_pdf = _assemble_with_xref(raw, replacements, objects)
+
+    # verified removal: re-extract the rebuilt PDF and check each needle is
+    # gone from its page's text (ADVICE: never report a clean redaction when
+    # hex-encoded or split show strings kept the bytes extractable)
+    respecs, _ = minipdf_parse(out_pdf)
+    page_text: dict[int, str] = {}
+    for spec in respecs:
+        page_text[spec["page_index"]] = (
+            page_text.get(spec["page_index"], "") + "\n" + spec["text"]
+        )
+    plan_out = []
+    all_blanked = True
+    for r in rects:
+        needle = r.get("text") or ""
+        survives = bool(needle) and needle in page_text.get(int(r["page_index"]), "")
+        all_blanked &= not survives
+        plan_out.append(
+            {
+                "page_index": r["page_index"],
+                "bbox": tuple(r["bbox"]),
+                "strategy": r["strategy"],
+                "blanked": not survives,
+            }
+        )
     return {
-        "pdf": b"".join(pieces),
+        "pdf": out_pdf,
         "rebuild_supported": True,
-        "rebuild_mode": "redact_noxref",
+        "rebuild_mode": "redact",
         "redaction_count": len(plan_out),
         "redaction_rects": plan_out,
+        "verified": all_blanked,
+        "warning": None if all_blanked else "needle_survives_extraction",
     }
 
 

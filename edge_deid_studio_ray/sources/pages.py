@@ -35,7 +35,7 @@ PAGES_SCHEMA = pa.schema(
 _EPOCH_US = 1767225600_000000  # 2026-01-01T00:00:00 UTC, fixed (no wall clock)
 
 # bump when generation logic changes — invalidates cached bench corpora
-GENERATOR_VERSION = 3
+GENERATOR_VERSION = 4
 
 _WORDS_EN = (
     "the quick brown fox jumps over a lazy dog while data streams through "
@@ -188,6 +188,55 @@ def _real_pdf_payload(rng: random.Random) -> bytes:
     return b"%PDF-1.4\n" + b"\n".join(objects) + b"\n%%EOF\n"
 
 
+def _real_cid_pdf_payload(rng: random.Random) -> bytes:
+    """A genuine ``%PDF-1.4`` with a Type0/Identity-H CID font and a
+    ToUnicode CMap — the layout real CJK PDFs use.  Show strings carry
+    2-byte glyph codes in hex strings; minipdf decodes them through the
+    CMap (kernels/minipdf.py parse_tounicode), mirroring what the reference
+    gets from fitz for free (handlers/pdf.py:24-34)."""
+    import zlib
+
+    sents = [_sentence(rng, "zh", rng.randint(4, 10)) for _ in range(rng.randint(2, 4))]
+    _typ, value = _pii_values(rng, "zh")[0]
+    sents.append(f"聯絡{value}")
+    chars = sorted({c for s in sents for c in s})
+    code_of = {c: i + 1 for i, c in enumerate(chars)}
+
+    bfchars = b" ".join(
+        b"<%04X> <%s>" % (code_of[c], c.encode("utf-16-be").hex().upper().encode())
+        for c in chars
+    )
+    cmap_body = (
+        b"/CIDInit /ProcSet findresource begin\nbegincmap\n"
+        b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+        b"%d beginbfchar\n" % len(chars) + bfchars + b"\nendbfchar\n"
+        b"endcmap\nend\n"
+    )
+    packed_cmap = zlib.compress(cmap_body)
+
+    ops: list[bytes] = []
+    for sent, y in zip(sents, sorted(rng.sample(range(80, 720), len(sents)), reverse=True)):
+        codes = b"".join(b"%04X" % code_of[c] for c in sent)
+        ops.append(b"BT /F1 11 Tf 72 %d Td <%s> Tj ET" % (y, codes))
+    stream = zlib.compress(b"\n".join(ops))
+
+    objects = [
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj",
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj",
+        b"3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >> endobj",
+        b"4 0 obj << /Filter /FlateDecode /Length %d >> stream\n" % len(stream)
+        + stream
+        + b"\nendstream endobj",
+        b"5 0 obj << /Type /Font /Subtype /Type0 /BaseFont /Graft-Identity-H "
+        b"/Encoding /Identity-H /ToUnicode 6 0 R >> endobj",
+        b"6 0 obj << /Filter /FlateDecode /Length %d >> stream\n" % len(packed_cmap)
+        + packed_cmap
+        + b"\nendstream endobj",
+    ]
+    return b"%PDF-1.4\n" + b"\n".join(objects) + b"\n%%EOF\n"
+
+
 def synthesize_page(row_id: int, seed: int = 42, *, mega_every: int = 0) -> dict:
     """One deterministic page row."""
     rng = random.Random((seed << 32) ^ row_id)
@@ -199,10 +248,11 @@ def synthesize_page(row_id: int, seed: int = 42, *, mega_every: int = 0) -> dict
     kind = rng.random()
     is_mega = mega_every > 0 and row_id % mega_every == 0 and row_id > 0
     if kind < 0.05:
-        # half the PDF slice is genuine %PDF-1.4 (minipdf route, en-only —
-        # simple Latin fonts), half the deterministic faux-PDF format
-        if lang == "en" and kind < 0.025:
-            html: bytes = _real_pdf_payload(rng)
+        # half the PDF slice is genuine %PDF-1.4 (minipdf route: simple
+        # Latin fonts for en, CID/Type0 + ToUnicode for zh), half the
+        # deterministic faux-PDF format
+        if kind < 0.025:
+            html: bytes = _real_pdf_payload(rng) if lang == "en" else _real_cid_pdf_payload(rng)
         else:
             html = _pdf_payload(rng, lang)
     elif kind < 0.07:  # ~2%: CSV payload routed by the .csv url suffix

@@ -104,10 +104,18 @@ def fill_black_boxes(img, boxes: list[tuple[int, int, int, int]]):
 
 
 def _real_ocr_backend():
+    """Import-gated real backend.  When wired, the decoded image array MUST
+    run through ``kernels.imageproc.ocr_preprocess`` (gray → adaptive
+    Gaussian threshold 11/2 → 3×3 median) before recognition — the exact
+    preprocessing the reference applies (parser/ocr.py:79-93), implemented
+    pure-numpy and unit-tested so extraction parity holds the day a real
+    engine lands."""
     try:  # pragma: no cover - OCR libs not installed here
         import easyocr  # type: ignore  # noqa: F401
 
-        raise NotImplementedError("wire easyocr Reader here")
+        raise NotImplementedError(
+            "wire easyocr Reader here (decode -> kernels.imageproc.ocr_preprocess -> readtext)"
+        )
     except ImportError:
         return None
 

@@ -338,3 +338,86 @@ class TestMainContentGolden:
             )
             assert route == expected["route"], key
             assert md5_hex(text) == expected["main_md5"], key
+
+
+class TestImageprocKernels:
+    """OCR preprocessing parity kernels (reference parser/ocr.py:79-93)
+    against hand-computed arrays."""
+
+    def test_bgr_to_gray_fixed_point(self):
+        import numpy as np
+
+        from edge_deid_studio_ray.kernels.imageproc import bgr_to_gray
+
+        # hand-computed: (R*4899 + G*9617 + B*1868 + 8192) >> 14
+        img = np.array([[[10, 200, 30]]], dtype=np.uint8)  # B=10 G=200 R=30
+        expected = (30 * 4899 + 200 * 9617 + 10 * 1868 + 8192) >> 14
+        assert bgr_to_gray(img)[0, 0] == expected
+        # pure colors
+        white = np.full((2, 2, 3), 255, dtype=np.uint8)
+        assert (bgr_to_gray(white) == 255).all()
+        gray_in = np.array([[7, 9]], dtype=np.uint8)
+        assert (bgr_to_gray(gray_in) == gray_in).all()
+
+    def test_gaussian_kernel_opencv_sigma(self):
+        import numpy as np
+
+        from edge_deid_studio_ray.kernels.imageproc import gaussian_kernel1d
+
+        k = gaussian_kernel1d(11)
+        assert abs(k.sum() - 1.0) < 1e-12
+        # OpenCV default sigma for ksize=11: 0.3*((11-1)*0.5 - 1) + 0.8 = 2.0
+        sigma = 2.0
+        xs = np.arange(11) - 5.0
+        manual = np.exp(-(xs**2) / (2 * sigma * sigma))
+        manual /= manual.sum()
+        assert np.allclose(k, manual)
+
+    def test_adaptive_threshold_flat_image(self):
+        import numpy as np
+
+        from edge_deid_studio_ray.kernels.imageproc import adaptive_threshold_gaussian
+
+        # flat image: mean == value everywhere, so value > value - 2 → 255
+        flat = np.full((8, 8), 100, dtype=np.uint8)
+        assert (adaptive_threshold_gaussian(flat) == 255).all()
+
+    def test_adaptive_threshold_dark_spot(self):
+        import numpy as np
+
+        from edge_deid_studio_ray.kernels.imageproc import adaptive_threshold_gaussian
+
+        # a dark pixel in a bright field falls below the local mean - C
+        img = np.full((15, 15), 200, dtype=np.uint8)
+        img[7, 7] = 0
+        out = adaptive_threshold_gaussian(img)
+        assert out[7, 7] == 0
+        assert out[0, 0] == 255  # far corner unaffected
+
+    def test_median_blur3_hand_computed(self):
+        import numpy as np
+
+        from edge_deid_studio_ray.kernels.imageproc import median_blur3
+
+        img = np.array(
+            [[1, 2, 3],
+             [4, 100, 6],
+             [7, 8, 9]], dtype=np.uint8)
+        out = median_blur3(img)
+        # center: median of all nine = median(1..9,100 minus 5) = 6
+        assert out[1, 1] == np.median([1, 2, 3, 4, 100, 6, 7, 8, 9])
+        # corner (replicate border): neighborhood {1,1,2,1,1,2,4,4,100}
+        assert out[0, 0] == np.median([1, 1, 2, 1, 1, 2, 4, 4, 100])
+
+    def test_median_kills_salt_noise(self):
+        import numpy as np
+
+        from edge_deid_studio_ray.kernels.imageproc import ocr_preprocess
+
+        # single-pixel noise survives thresholding but dies in the median
+        img = np.full((15, 15, 3), 220, dtype=np.uint8)
+        img[7, 7] = 0
+        out = ocr_preprocess(img)
+        assert out.shape == (15, 15)
+        assert out[7, 7] == 255  # salt removed
+        assert set(np.unique(out)) <= {0, 255}

@@ -179,9 +179,12 @@ class TestPdfRedaction:
         assert phone_ents and phone_ents[0]["page_index"] == 0
         result = redact_pdf_document(raw, row["entities"])
         assert result["rebuild_supported"] is True
-        assert result["rebuild_mode"] == "redact_noxref"
+        assert result["rebuild_mode"] == "redact"
         assert result["redaction_count"] == len(phone_ents)
         assert all(r["strategy"] == "block_bbox" for r in result["redaction_rects"])
+        # verified removal: every rect's needle no longer extracts
+        assert result["verified"] is True and result["warning"] is None
+        assert all(r["blanked"] for r in result["redaction_rects"])
         # the rebuilt artifact is a PDF our own parser round-trips, with the
         # PII text REMOVED (not just covered) and fill ops present
         redacted = result["pdf"]
@@ -252,3 +255,201 @@ class TestOcrFallback:
         raw = build_pdf([b""])
         row = process_document(html=raw)
         assert row["extracted_text"] == "" and row["error"] is None
+
+
+def build_cid_pdf(codes: bytes, cmap_body: bytes, *, flate_cmap: bool = False) -> bytes:
+    """Minimal Type0/Identity-H PDF: one page, one CID font with a ToUnicode
+    CMap, content shows a 2-byte-code hex string."""
+    import zlib as _zlib
+
+    stream = b"BT /F1 12 Tf 72 700 Td <" + codes + b"> Tj ET"
+    cmap_data = _zlib.compress(cmap_body) if flate_cmap else cmap_body
+    cmap_filter = b"/Filter /FlateDecode " if flate_cmap else b""
+    objects = [
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj",
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj",
+        b"3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >> endobj",
+        b"4 0 obj << /Length %d >> stream\n" % len(stream) + stream + b"\nendstream endobj",
+        b"5 0 obj << /Type /Font /Subtype /Type0 /BaseFont /Fake-Identity-H "
+        b"/Encoding /Identity-H /ToUnicode 6 0 R >> endobj",
+        b"6 0 obj << %s/Length %d >> stream\n" % (cmap_filter, len(cmap_data))
+        + cmap_data
+        + b"\nendstream endobj",
+    ]
+    return b"%PDF-1.4\n" + b"\n".join(objects) + b"\n%%EOF\n"
+
+
+CJK_CMAP = (
+    b"/CIDInit /ProcSet findresource begin\n"
+    b"begincmap\n"
+    b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+    b"2 beginbfchar\n<0001> <4F60>\n<0002> <597D>\nendbfchar\n"
+    b"1 beginbfrange\n<0010> <0012> <4E16>\nendbfrange\n"
+    b"1 beginbfrange\n<0020> <0021> [<754C> <FF01>]\nendbfrange\n"
+    b"endcmap\nend\n"
+)
+
+
+class TestCidFonts:
+    def test_tounicode_bfchar_and_bfrange(self):
+        from edge_deid_studio_ray.kernels.minipdf import parse_tounicode
+
+        cmap, width = parse_tounicode(CJK_CMAP)
+        assert width == 2
+        assert cmap[0x0001] == "你" and cmap[0x0002] == "好"
+        # incrementing range 世(4E16) 丗(4E17) 丘(4E18)
+        assert cmap[0x0010] == "世" and cmap[0x0012] == "丘"
+        # array-form range
+        assert cmap[0x0020] == "界" and cmap[0x0021] == "！"
+
+    def test_cid_pdf_extracts_cjk(self):
+        raw = build_cid_pdf(b"000100020010", CJK_CMAP)
+        specs, num_pages = minipdf_parse(raw)
+        assert num_pages == 1
+        assert specs[0]["text"] == "你好世"
+
+    def test_cid_pdf_flate_cmap(self):
+        raw = build_cid_pdf(b"00010002", CJK_CMAP, flate_cmap=True)
+        specs, _ = minipdf_parse(raw)
+        assert specs[0]["text"] == "你好"
+
+    def test_cid_pdf_flows_through_pdf_route(self):
+        raw = build_cid_pdf(b"0001000200100020", CJK_CMAP)
+        row = process_document(html=raw, url="https://x.test/cjk.pdf")
+        assert row["route"] == "pdf" and row["error"] is None
+        assert row["extracted_text"] == "你好世界"
+
+    def test_simple_font_unaffected(self):
+        # the same /Font resource machinery must not disturb latin-1 fonts
+        specs, _ = minipdf_parse(build_pdf([TWO_BLOCK_STREAM]))
+        assert specs[0]["text"] == "Hello PII world"
+
+
+class TestLengthSlicing:
+    def test_flate_stream_containing_endstream_bytes(self):
+        """Binary Flate output that happens to contain the bytes 'endstream'
+        or 'endobj' must not truncate the object scan when /Length is
+        present (ADVICE r2: expected at corpus scale)."""
+        import zlib as _zlib
+
+        from edge_deid_studio_ray.kernels.minipdf import _scan_objects
+
+        # craft compressed data embedding the keywords
+        poison = b"endstream endobj " * 3
+        stream = b"BT 10 700 Td (After poison) Tj ET"
+        # stored (level 0) deflate keeps the literal bytes visible
+        data = _zlib.compress(poison, 0)[:-4]  # keep raw deflate w/o final
+        # fall back to a real compressed stream whose bytes include keywords
+        payload = _zlib.compress(poison + stream)
+        if b"endstream" not in payload:
+            payload = _zlib.compress(poison, 0)  # stored blocks: bytes verbatim
+        assert b"endstream" in payload
+        objects = [
+            b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj",
+            b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj",
+            b"3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents 4 0 R >> endobj",
+            b"4 0 obj << /Filter /FlateDecode /Length %d >> stream\n" % len(payload)
+            + payload
+            + b"\nendstream endobj",
+            b"5 0 obj << /Length %d >> stream\n" % len(stream) + stream + b"\nendstream endobj",
+        ]
+        raw = b"%PDF-1.4\n" + b"\n".join(objects) + b"\n%%EOF\n"
+        scanned = _scan_objects(raw)
+        # object 5 must survive the poisoned stream in object 4
+        assert 5 in scanned and b"After poison" in scanned[5]
+
+    def test_minipdf_parse_with_poisoned_content(self):
+        import zlib as _zlib
+
+        # content stream whose COMPRESSED bytes contain 'endobj' via a
+        # stored-block deflate of text that includes the keyword
+        text_with_keyword = b"BT 10 700 Td (endobj endstream inside text) Tj ET"
+        payload = _zlib.compress(text_with_keyword, 0)
+        assert b"endobj" in payload
+        objects = [
+            b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj",
+            b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj",
+            b"3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents 4 0 R >> endobj",
+            b"4 0 obj << /Filter /FlateDecode /Length %d >> stream\n" % len(payload)
+            + payload
+            + b"\nendstream endobj",
+        ]
+        raw = b"%PDF-1.4\n" + b"\n".join(objects) + b"\n%%EOF\n"
+        specs, num_pages = minipdf_parse(raw)
+        assert num_pages == 1
+        assert specs[0]["text"] == "endobj endstream inside text"
+
+
+class TestRedactionXref:
+    def test_xref_offsets_point_at_objects(self):
+        import re as _re
+
+        from edge_deid_studio_ray.kernels.pdf_redact import redact_pdf_document
+
+        raw = build_pdf([TWO_BLOCK_STREAM])
+        row = process_document(html=raw, url="https://x.test/report.pdf")
+        out = redact_pdf_document(raw, row["entities"])["pdf"]
+        # startxref arithmetic: the recorded offset lands on 'xref'
+        m = _re.search(rb"startxref\n(\d+)\n%%EOF", out)
+        assert m, "trailer missing startxref"
+        xref_pos = int(m.group(1))
+        assert out[xref_pos : xref_pos + 4] == b"xref"
+        # every in-use entry offset lands on 'N 0 obj'
+        table = out[xref_pos:]
+        size = int(_re.search(rb"/Size (\d+)", table).group(1))
+        entries = _re.findall(rb"(\d{10}) (\d{5}) ([nf])", table)
+        assert len(entries) == size
+        for num, (off, _gen, kind) in enumerate(entries):
+            if kind == b"n":
+                assert out[int(off) :].startswith(b"%d 0 obj" % num)
+        # /Root points at the catalog
+        root = int(_re.search(rb"/Root (\d+) 0 R", table).group(1))
+        root_off = int(entries[root][0])
+        assert b"/Type /Catalog" in out[root_off : root_off + 200]
+
+    def test_redacted_pdf_reparses(self):
+        from edge_deid_studio_ray.kernels.pdf_redact import redact_pdf_document
+
+        raw = build_pdf([TWO_BLOCK_STREAM], flate=True)
+        row = process_document(html=raw, url="https://x.test/report.pdf")
+        out = redact_pdf_document(raw, row["entities"])
+        specs, num_pages = minipdf_parse(out["pdf"])
+        assert num_pages == 1 and specs
+
+
+class TestLiteralScopedBlanking:
+    def test_operator_operands_never_corrupted(self):
+        """A needle whose digits also appear as Td/Tm operands must blank
+        only inside (...) literals — the raw byte replace corrupted
+        positioning operators (ADVICE r2 medium)."""
+        from edge_deid_studio_ray.kernels.pdf_redact import redact_pdf_bytes
+
+        # needle '72 700' matches the Td operands byte-for-byte
+        stream = b"BT /F1 12 Tf 72 700 Td (call 72 700 now) Tj ET"
+        raw = build_pdf([stream])
+        rects = [
+            {"page_index": 0, "bbox": (10, 10, 40, 20), "strategy": "block_bbox", "text": "72 700"}
+        ]
+        out = redact_pdf_bytes(raw, rects)
+        specs, _ = minipdf_parse(out["pdf"])
+        # literal text blanked…
+        assert "72 700" not in " ".join(s["text"] for s in specs)
+        # …but the block still extracts at the same position (operands intact)
+        assert specs and specs[0]["text"].startswith("call")
+        assert out["verified"] is True
+
+    def test_hex_encoded_needle_reported_unblanked(self):
+        from edge_deid_studio_ray.kernels.pdf_redact import redact_pdf_bytes
+
+        # the PII is shown via a hex string: blanking cannot remove it, and
+        # the result must SAY so instead of reporting success
+        stream = b"BT 10 700 Td <30393132333435> Tj ET"  # '0912345'
+        raw = build_pdf([stream])
+        rects = [
+            {"page_index": 0, "bbox": (10, 10, 40, 20), "strategy": "block_bbox", "text": "0912345"}
+        ]
+        out = redact_pdf_bytes(raw, rects)
+        assert out["verified"] is False
+        assert out["warning"] == "needle_survives_extraction"
+        assert out["redaction_rects"][0]["blanked"] is False
