@@ -26,6 +26,7 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+SCALING_CACHE = "/tmp/bench_scaling_latest.json"
 
 # pages-bench corpus: deterministic, cached under /tmp keyed by params
 PAGES_N = int(os.environ.get("GRAFT_PAGES_N", "150000"))
@@ -69,10 +70,30 @@ def _bench_pages(ray) -> dict:
         ds = rd.read_parquet(pages_dir)
         build_deid_pipeline(ds).write_parquet(out_dir)
         elapsed = min(elapsed, time.perf_counter() - t0)
+
+    # per-route cost attribution: column-pruned scan of the written output
+    # (route + per-stage kernel ms per row), so corpus-mix changes (e.g.
+    # real-PDF rows) are QUANTIFIED in the bench artifact, not asserted
+    route_tbl = pads.dataset(out_dir, format="parquet").to_table(
+        columns=["route", "t_extract_ms", "t_detect_ms", "t_replace_ms"]
+    )
+    rdf = route_tbl.to_pandas()
+    rdf["kernel_ms"] = rdf["t_extract_ms"] + rdf["t_detect_ms"] + rdf["t_replace_ms"]
+    routes = {
+        str(route): {
+            "docs": int(len(g)),
+            "kernel_sec": round(float(g["kernel_ms"].sum()) / 1000.0, 2),
+            "extract_sec": round(float(g["t_extract_ms"].sum()) / 1000.0, 2),
+            "detect_sec": round(float(g["t_detect_ms"].sum()) / 1000.0, 2),
+            "replace_sec": round(float(g["t_replace_ms"].sum()) / 1000.0, 2),
+        }
+        for route, g in rdf.groupby("route")
+    }
     return {
         "sec": elapsed,
         "docs_per_sec": PAGES_N / elapsed,
         "mb_per_sec": input_bytes / 1e6 / elapsed,
+        "routes": routes,
     }
 
 
@@ -143,7 +164,16 @@ def run_once() -> dict:
         "pages_n": PAGES_N,
         "docs_per_sec": round(pages["docs_per_sec"], 1),
         "mb_per_sec": round(pages["mb_per_sec"], 2),
+        "routes": pages["routes"],
     }
+    # embed the latest scaling measurement (written by `bench.py --scaling`)
+    # so the single-line bench artifact carries the raw efficiency AND the
+    # co-measured hardware calibration machine-readably
+    try:
+        with open(SCALING_CACHE) as f:
+            result["scaling"] = json.load(f)
+    except (OSError, ValueError):
+        pass
     ray.shutdown()
     return result
 
@@ -171,7 +201,14 @@ def _hardware_scaling(lo: int, hi: int) -> float:
     return totals[hi] / totals[lo]
 
 
-def run_scaling() -> dict:
+def run_scaling(reps: int | None = None) -> dict:
+    """Interleaved 8-vs-32-cpu headline runs (fresh processes, same input) +
+    a CPU-burn hardware calibration BEFORE and AFTER, so the raw efficiency
+    and the machine's own ceiling are co-measured in one machine-readable
+    artifact.  Best-of-N per level; every per-rep wall time is recorded.
+    The result is also cached to SCALING_CACHE, which plain ``bench.py``
+    embeds under ``"scaling"`` in its one-line JSON."""
+
     def sub(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         out = subprocess.run(
@@ -183,28 +220,45 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
+    reps = reps or int(os.environ.get("GRAFT_SCALING_REPS", "3"))
+    hw_before = _hardware_scaling(8, 32)
     # interleave repetitions so thermal / cache drift hits both levels alike;
     # per-level result = best observed steady state
     lo = hi = None
-    for _ in range(2):
+    secs_8: list[float] = []
+    secs_32: list[float] = []
+    for _ in range(reps):
         r8, r32 = sub(8), sub(32)
+        secs_8.append(r8["value"])
+        secs_32.append(r32["value"])
         lo = r8 if lo is None or r8["value"] < lo["value"] else lo
         hi = r32 if hi is None or r32["value"] < hi["value"] else hi
+    hw_after = _hardware_scaling(8, 32)
+    hw = max(hw_before, hw_after)  # best hardware state observed
 
     eff = (lo["value"] / hi["value"]) / (32 / 8)
-    hw = _hardware_scaling(8, 32)
-    return {
+    result = {
         "metric": "scaling efficiency, num_cpus 8 -> 32 (N vs 4N substitute)",
         "sec_8": lo["value"],
         "sec_32": hi["value"],
+        "sec_8_reps": secs_8,
+        "sec_32_reps": secs_32,
         "docs_per_sec_8": lo["docs_per_sec"],
         "docs_per_sec_32": hi["docs_per_sec"],
         "scaling_efficiency": round(eff, 3),
+        "hardware_scaling_before": round(hw_before, 2),
+        "hardware_scaling_after": round(hw_after, 2),
         "hardware_scaling_8_to_32": round(hw, 2),
         "hardware_efficiency_ceiling": round(hw / 4, 3),
         "efficiency_vs_hardware": round((lo["value"] / hi["value"]) / hw, 3),
         "pages_n": lo["pages_n"],
     }
+    try:
+        with open(SCALING_CACHE, "w") as f:
+            json.dump(result, f)
+    except OSError:
+        pass
+    return result
 
 
 def run_latency_profile(chars: int = 10_000, runs: int = 10, warmup: int = 1) -> dict:

@@ -720,6 +720,17 @@ def add_simhash_column(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("simhash", pa.array(vals, pa.int64()))
 
 
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR) for numpy < 2's missing
+    ``bitwise_count``."""
+    if hasattr(np, "bitwise_count"):
+        return np.bitwise_count(x)
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + ((x >> np.uint64(2)) & np.uint64(0x3333333333333333))
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return (x * np.uint64(0x0101010101010101)) >> np.uint64(56)
+
+
 def simhash_near_dups(
     ds,
     text_col: str = "text",
@@ -730,10 +741,20 @@ def simhash_near_dups(
     num_buckets: int | None = None,
 ):
     """SimHash near-duplicate pairs: 64-bit signatures banded into
-    ``num_bands`` 16-bit slices — by pigeonhole, any pair within
-    ``max_hamming`` ≤ num_bands - 1 bits shares at least one identical band,
-    so same-band candidates + an in-group Hamming verify find all such
-    pairs.  Same bucketed-grouping shape as the MinHash path.
+    ``num_bands`` slices of ``64 // num_bands`` bits — by pigeonhole, any
+    pair within ``max_hamming`` ≤ num_bands - 1 bits shares at least one
+    identical band, so same-band candidates + an in-group Hamming verify
+    find ALL such pairs (exact, no candidate cap: the per-band pairwise
+    verify is a vectorized XOR/popcount matrix over the DISTINCT signatures
+    in the band, chunked to bound memory).  Same bucketed-grouping shape as
+    the MinHash path.
+
+    Scale note: fewer bits per band (more bands) raises the completeness
+    bound but concentrates candidates — with 8-bit slices only 256 band
+    values exist, so hot bands grow linearly with the corpus and the
+    in-band verify is quadratic in DISTINCT signatures per band.  At
+    100-TB scale keep ≥ 16-bit slices (num_bands ≤ 4) or pre-partition by
+    a signature prefix.
     """
     from .textstats import simhash64
 
@@ -775,17 +796,26 @@ def simhash_near_dups(
                     out["left"].append(a)
                     out["right"].append(b)
                     out["hamming"].append(0)
-            reps = list(members)[:64]
-            for i in range(len(reps)):
-                for j in range(i + 1, len(reps)):
-                    d = bin(reps[i] ^ reps[j]).count("1")
-                    if d <= max_hamming:
-                        for a in members[reps[i]]:
-                            for b in members[reps[j]]:
+            reps = np.fromiter(members.keys(), dtype=np.uint64, count=len(members))
+            if len(reps) > 1:
+                # chunked pairwise XOR/popcount: all distinct-signature
+                # pairs checked, memory bounded at chunk × m uint64s
+                chunk = 2048
+                for lo_idx in range(0, len(reps), chunk):
+                    block = reps[lo_idx : lo_idx + chunk]
+                    d = _popcount64(block[:, None] ^ reps[None, :])
+                    ii, jj = np.nonzero(d <= max_hamming)
+                    for bi, j in zip(ii, jj):
+                        i = lo_idx + bi
+                        if i >= j:  # upper triangle only
+                            continue
+                        dist = int(d[bi, j])
+                        for a in members[int(reps[i])]:
+                            for b in members[int(reps[j])]:
                                 lo, hi = (a, b) if a < b else (b, a)
                                 out["left"].append(lo)
                                 out["right"].append(hi)
-                                out["hamming"].append(d)
+                                out["hamming"].append(dist)
         return pd.DataFrame(out)
 
     pairs = (

@@ -111,11 +111,13 @@ def fingerprint64(text: str) -> int:
 
 
 def _word_hash64(word: str) -> int:
-    return int.from_bytes(hashlib.blake2b(word.encode("utf-8"), digest_size=8).digest(), "big")
+    # first 8 bytes of md5: md5 is available in DuckDB too, so the whole
+    # SimHash construction is SQL-mirrorable (oracle-checkable end to end)
+    return int.from_bytes(hashlib.md5(word.encode("utf-8")).digest()[:8], "big")
 
 
 def simhash64(text: str) -> int:
-    """64-bit SimHash over word unigrams (blake2b word hashes)."""
+    """64-bit SimHash over word unigrams (md5-derived word hashes)."""
     words = [w.lower() for w in _TOKEN_RE.findall(text)]
     if not words:
         return 0

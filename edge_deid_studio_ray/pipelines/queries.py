@@ -836,7 +836,15 @@ def q_exact_dedup_groups(sf_dir: str):
 
 def q_minhash_near_dups(sf_dir: str):
     """MinHash-LSH near-duplicate pairs: documents plus perturbed copies
-    (one word appended, id+1_000_000) must pair with their originals."""
+    (one word appended, id+1_000_000) must pair with their originals.
+
+    LSH generates candidates; each candidate is verified with EXACT char-5
+    shingle Jaccard ≥ 0.7, so the output is SQL-oracle-checkable (DuckDB
+    recomputes the exact pair set with an inverted shingle-index join).
+    The corpus has a wide similarity gap (real pairs ≥ 0.80, noise ≤ 0.35),
+    so 16-band/4-row LSH recall at the threshold is deterministic-complete
+    here; ``verify="signature"`` remains the 100-TB path when exactness can
+    be traded for constant shuffle volume."""
 
     def perturb(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -850,21 +858,22 @@ def q_minhash_near_dups(sf_dir: str):
 
     base = _read_spread(sf_dir, "documents", ["doc_id", "text"])
     mutated = base.map_batches(perturb, batch_format="pyarrow")
-    # signature-verify scale path: shuffle volume independent of text size
     pairs = minhash_candidates(
         base.union(mutated),
         jaccard_threshold=0.7,
         num_hashes=64,
         num_bands=16,
-        verify="signature",
+        verify="text",
     )
-    return pairs.select_columns(["left", "right", "jaccard"])
+    return pairs.select_columns(["left", "right"])
 
 
 def q_near_dup_clusters(sf_dir: str):
     """MinHash-LSH pairs → connected components (distributed min-label
     propagation): cluster sizes of the near-dup graph over documents ∪
-    perturbed copies."""
+    perturbed copies.  Oracle: DuckDB recursive-CTE transitive closure over
+    the exact pair set, component = min reachable id (the same label the
+    int CC path converges to)."""
     from ray.data.aggregate import Count
 
     from ..functions.dedup import connected_components
@@ -897,17 +906,21 @@ def q_ngram_jaccard_pairs(sf_dir: str):
     base = _read_spread(sf_dir, "documents", ["doc_id", "text"])
     corpus = base.union(base.map_batches(perturb, batch_format="pyarrow"))
     pairs = q_minhash_near_dups(sf_dir)
+    # unrounded: jaccard = int/int division, bit-identical to DuckDB
     return pair_text_metric(
         pairs,
         corpus,
-        lambda a, b: round(word_ngram_jaccard(a, b, 3), 6),
+        lambda a, b: word_ngram_jaccard(a, b, 3),
         out_col="ngram_jaccard",
     )
 
 
 def q_simhash_near_dups(sf_dir: str):
-    """SimHash banded near-dup pairs over documents ∪ perturbed copies
-    (Hamming ≤ 6 of 64 bits; deterministic rows-only)."""
+    """SimHash banded near-dup pairs over documents ∪ perturbed copies,
+    Hamming ≤ 6 of 64 bits.  With 8 bands of 8 bits the banded LSH is
+    pigeonhole-complete for ≤ 7 differing bits, so the output is EXACTLY
+    the all-pairs Hamming-≤6 set — which the oracle recomputes in SQL
+    (md5-derived word hashes make the whole signature SQL-expressible)."""
     from ..functions.dedup import simhash_near_dups
 
     def perturb(batch: pa.Table) -> pa.Table:
@@ -924,7 +937,7 @@ def q_simhash_near_dups(sf_dir: str):
 
     base = _read_spread(sf_dir, "documents", ["doc_id", "text"])
     mutated = base.map_batches(perturb, batch_format="pyarrow")
-    return simhash_near_dups(base.union(mutated), max_hamming=6)
+    return simhash_near_dups(base.union(mutated), max_hamming=6, num_bands=8)
 
 
 def q_text_fingerprints(sf_dir: str):
@@ -1005,6 +1018,27 @@ def q_knn_bruteforce(sf_dir: str):
     queries.sort(key=lambda r: r["vec_id"])
     qmat = np.array([r["embedding"] for r in queries], dtype=np.float64)
     out = knn_bruteforce(ds, qmat, k=5)
+    return out.select_columns(["query_id", "vec_id"])
+
+
+def q_knn_ivf_full_probe(sf_dir: str):
+    """IVF-flat ANN with ``nprobe == num_centroids`` — probing every cell
+    degenerates to exact search, so the whole IVF path (reservoir-sampled
+    k-means codebook, centroid assignment filter, tree-merged top-k) is
+    value-checked against the same LATERAL top-5 SQL as brute force."""
+    import ray.data as rd
+
+    from ..functions.simsearch import knn_ivf
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    queries = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filter=(pc.field("vec_id") < 3),
+    ).take_all()
+    queries.sort(key=lambda r: r["vec_id"])
+    qmat = np.array([r["embedding"] for r in queries], dtype=np.float64)
+    out = knn_ivf(ds, qmat, k=5, num_centroids=8, nprobe=8)
     return out.select_columns(["query_id", "vec_id"])
 
 
@@ -1677,6 +1711,144 @@ def q_doc_normalized_hashes(sf_dir: str):
     )
 
 
+def q_html_extract_roundtrip(sf_dir: str):
+    """HTML-extraction oracle: wrap each document's text in a deterministic
+    HTML page (title + script/style that must be EXCLUDED + one <p>), run
+    the real html route (utf-8 decode → stdlib-parser get_text("\\n")
+    semantics), hash the extracted text.  The oracle reconstructs the
+    expected extraction independently in SQL — title and body joined by one
+    newline — so the extractor's text-node/skip-container semantics are
+    value-checked, not just regression-pinned."""
+
+    def roundtrip(batch: pa.Table) -> pa.Table:
+        from ..functions.dedup import md5_hex
+        from ..kernels.docpipe import extract_page
+
+        out_id, out_md5, out_len = [], [], []
+        for doc_id, source, text in zip(
+            batch["doc_id"].to_pylist(),
+            batch["source"].to_pylist(),
+            batch["text"].to_pylist(),
+        ):
+            html = (
+                f"<html><head><title>{source}-{doc_id}</title>"
+                "<script>var t = 1;</script><style>p{color:#000}</style>"
+                f"</head><body><p>{text or ''}</p></body></html>"
+            ).encode("utf-8")
+            extracted, _segs, route, err = extract_page(html, None, url=f"https://x.test/{doc_id}")
+            assert route == "html" and err is None
+            out_id.append(doc_id)
+            out_md5.append(md5_hex(extracted))
+            out_len.append(len(extracted))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "extract_md5": pa.array(out_md5, pa.string()),
+                "n_chars": pa.array(out_len, pa.int64()),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "source", "text"]).map_batches(
+        roundtrip, batch_format="pyarrow"
+    )
+
+
+def q_main_content_roundtrip(sf_dir: str):
+    """Boilerplate-strip oracle: wrap each document's text in a page with
+    nav/footer link boilerplate, run the main-content extractor
+    (jusText/Readability-style density heuristics), hash the result.  The
+    oracle predicts the kept content independently: exactly the
+    whitespace-normalized document text (nav/footer dropped as boilerplate
+    containers, short title dropped by the length rule)."""
+
+    def roundtrip(batch: pa.Table) -> pa.Table:
+        from ..functions.dedup import md5_hex
+        from ..kernels.boilerplate import extract_main_content
+
+        out_id, out_md5 = [], []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            html = (
+                f"<html><head><title>doc{doc_id}</title></head><body>"
+                '<nav><a href="/">Home</a> <a href="/about">About</a></nav>'
+                f"<p>{text or ''}</p>"
+                '<footer><a href="/privacy">Privacy</a> © 2026</footer>'
+                "</body></html>"
+            )
+            out_id.append(doc_id)
+            out_md5.append(md5_hex(extract_main_content(html)))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "main_md5": pa.array(out_md5, pa.string()),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        roundtrip, batch_format="pyarrow"
+    )
+
+
+def q_bio_token_labels(sf_dir: str):
+    """Token-classification label alignment (training/tokenization.py port):
+    whitespace offset mapping wrapped in CLS/SEP markers, regex-detected
+    entities, BIO label ids per token — per-document counts of special
+    (-100) / B- / I- / O labels.  The oracle reproduces the alignment rule
+    independently in SQL: a token is labeled B- iff an entity covers it
+    fully, which for word-boundary regex entities means the token IS the
+    full match."""
+    from ..kernels.detect import compile_rules, regex_detect, resolve_conflicts
+    from ..kernels.tokenization import (
+        IGNORE_LABEL_ID,
+        align_entities_to_tokens,
+        build_bio_label_list,
+        whitespace_offset_mapping,
+    )
+
+    cfg = EngineConfig()
+    rules_by_lang = {
+        lang: compile_rules(str(cfg.rules_path(lang))) for lang in ("zh", "en")
+    }
+    label_types = sorted({typ for rules in rules_by_lang.values() for typ, _ in rules})
+    labels = build_bio_label_list(label_types)
+    label_to_id = {lab: i for i, lab in enumerate(labels)}
+
+    def count_labels(batch: pa.Table) -> pa.Table:
+        out: dict[str, list[int]] = {"doc_id": [], "n_special": [], "n_b": [], "n_i": [], "n_o": []}
+        for doc_id, text, lang in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist(), batch["lang"].to_pylist()
+        ):
+            text = text or ""
+            entities = resolve_conflicts(
+                regex_detect(text, rules_by_lang.get(lang, rules_by_lang["en"])),
+                cfg.entity_priority,
+            )
+            ids = align_entities_to_tokens(
+                entities=entities,
+                offset_mapping=whitespace_offset_mapping(text),
+                label_to_id=label_to_id,
+            )
+            n_special = n_b = n_i = n_o = 0
+            for lid in ids:
+                if lid == IGNORE_LABEL_ID:
+                    n_special += 1
+                elif labels[lid].startswith("B-"):
+                    n_b += 1
+                elif labels[lid].startswith("I-"):
+                    n_i += 1
+                else:
+                    n_o += 1
+            out["doc_id"].append(doc_id)
+            out["n_special"].append(n_special)
+            out["n_b"].append(n_b)
+            out["n_i"].append(n_i)
+            out["n_o"].append(n_o)
+        return pa.table({k: pa.array(v, pa.int64()) for k, v in out.items()})
+
+    return _read(sf_dir, "documents", ["doc_id", "text", "lang"]).map_batches(
+        count_labels, batch_format="pyarrow"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -1713,6 +1885,7 @@ QUERIES = {
     "doc_quality_counts": q_doc_quality_counts,
     "doc_lang_id": q_doc_lang_id,
     "knn_bruteforce": q_knn_bruteforce,
+    "knn_ivf_full_probe": q_knn_ivf_full_probe,
     "embedding_near_dups": q_embedding_near_dups,
     "pages_pipeline_counters": q_pages_pipeline_counters,
     "pages_extract_hashes": q_pages_extract_hashes,
@@ -1735,6 +1908,9 @@ QUERIES = {
     "events_json_props": q_events_json_props,
     "docs_per_source_cap": q_docs_per_source_cap,
     "lang_source_distinct": q_lang_source_distinct,
+    "bio_token_labels": q_bio_token_labels,
+    "html_extract_roundtrip": q_html_extract_roundtrip,
+    "main_content_roundtrip": q_main_content_roundtrip,
 }
 
 _STOP_SQL = "['the','of','and','to','a','in','is','it','you','that']"
@@ -1948,6 +2124,16 @@ ORACLE_SQL = {
             LIMIT 5
         ) top
     """,
+    "knn_ivf_full_probe": """
+        WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id IN (0,1,2))
+        SELECT q.qid AS query_id, top.vec_id
+        FROM q, LATERAL (
+            SELECT e.vec_id
+            FROM embeddings e
+            ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id ASC
+            LIMIT 5
+        ) top
+    """,
     "dataset_mix": """
         SELECT 'capped' AS mix_source, CAST(count(*) // 2 AS BIGINT) AS n_examples FROM documents
         UNION ALL
@@ -2044,6 +2230,225 @@ ORACLE_SQL = {
                CAST(count(*) AS BIGINT) AS n_events
         FROM events GROUP BY event_type
     """,
+    "minhash_near_dups": """
+        WITH corpus AS (
+          SELECT doc_id, trim(regexp_replace(lower(COALESCE(text,'')), '\s+', ' ', 'g')) AS norm
+          FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000, trim(regexp_replace(lower(COALESCE(text,'') || ' appended'), '\s+', ' ', 'g'))
+          FROM documents
+        ),
+        sh AS (
+          SELECT doc_id, list_distinct([substr(norm, i, 5) for i in range(1, len(norm) - 3)]) AS g
+          FROM corpus
+        ),
+        inv AS (SELECT doc_id, unnest(g) AS s FROM sh),
+        shared AS (
+          SELECT a.doc_id AS l, b.doc_id AS r, count(*) AS inter
+          FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        pairs AS (
+          SELECT l, r
+          FROM shared JOIN sh ga ON ga.doc_id = l JOIN sh gb ON gb.doc_id = r
+          WHERE CAST(inter AS DOUBLE) / (len(ga.g) + len(gb.g) - inter) >= 0.7
+        )
+        SELECT l AS "left", r AS "right" FROM pairs
+    """,
+    "near_dup_clusters": """
+        WITH RECURSIVE corpus AS (
+          SELECT doc_id, trim(regexp_replace(lower(COALESCE(text,'')), '\s+', ' ', 'g')) AS norm
+          FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000, trim(regexp_replace(lower(COALESCE(text,'') || ' appended'), '\s+', ' ', 'g'))
+          FROM documents
+        ),
+        sh AS (
+          SELECT doc_id, list_distinct([substr(norm, i, 5) for i in range(1, len(norm) - 3)]) AS g
+          FROM corpus
+        ),
+        inv AS (SELECT doc_id, unnest(g) AS s FROM sh),
+        shared AS (
+          SELECT a.doc_id AS l, b.doc_id AS r, count(*) AS inter
+          FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        pairs AS (
+          SELECT l, r
+          FROM shared JOIN sh ga ON ga.doc_id = l JOIN sh gb ON gb.doc_id = r
+          WHERE CAST(inter AS DOUBLE) / (len(ga.g) + len(gb.g) - inter) >= 0.7
+        ),
+        edges AS (SELECT l AS a, r AS b FROM pairs UNION SELECT r, l FROM pairs),
+        reach(a, b) AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r2.a, e.b FROM reach r2 JOIN edges e ON r2.b = e.a
+        ),
+        comp AS (SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a)
+        SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+        FROM comp GROUP BY component
+    """,
+    "simhash_near_dups": """
+        WITH corpus AS (
+          SELECT doc_id, COALESCE(text,'') AS text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000, COALESCE(text,'') || ' tail' FROM documents
+        ),
+        tok AS (
+          SELECT doc_id, unnest(list_transform(regexp_extract_all(text, '\S+'), x -> lower(x))) AS w
+          FROM corpus
+        ),
+        wh AS (SELECT doc_id, md5(w) AS h FROM tok),
+        bits AS (
+          SELECT doc_id, i.i AS bit,
+                 sum(CASE WHEN ((strpos('0123456789abcdef', substr(h, 16 - i.i // 4, 1)) - 1)
+                                // (CASE i.i % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END)) % 2 = 1
+                          THEN 1 ELSE -1 END) AS acc
+          FROM wh, range(64) i(i)
+          GROUP BY doc_id, i.i
+        ),
+        sig AS (
+          SELECT doc_id,
+                 CAST(sum(CASE WHEN acc > 0 THEN CAST(CAST(1 AS UBIGINT) << bit AS HUGEINT) ELSE 0 END) AS UBIGINT) AS s
+          FROM bits GROUP BY doc_id
+        )
+        SELECT a.doc_id AS "left", b.doc_id AS "right",
+               CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.s, b.s)) <= 6
+    """,
+    "text_fingerprints": """
+        WITH t AS (SELECT doc_id, COALESCE(text,'') AS text FROM documents),
+        norm AS (
+          SELECT doc_id, text, trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g'), ' ') AS n FROM t
+        ),
+        fp AS (
+          SELECT doc_id,
+                 CASE WHEN len(n) = 0 THEN 0 ELSE
+                   CAST(list_reduce(
+                     list_prepend(CAST(0 AS HUGEINT),
+                                  [CAST(unicode(c) AS HUGEINT) for c in regexp_extract_all(n, '.')]),
+                     (acc, x) -> (acc * 1000003 + x) % 2305843009213693951) AS BIGINT)
+                 END AS fingerprint
+          FROM norm
+        ),
+        tok AS (
+          SELECT doc_id, unnest(list_transform(regexp_extract_all(text, '\S+'), x -> lower(x))) AS w FROM t
+        ),
+        wh AS (SELECT doc_id, md5(w) AS h FROM tok),
+        bits AS (
+          SELECT doc_id, i.i AS bit,
+                 sum(CASE WHEN ((strpos('0123456789abcdef', substr(h, 16 - i.i // 4, 1)) - 1)
+                                // (CASE i.i % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END)) % 2 = 1
+                          THEN 1 ELSE -1 END) AS acc
+          FROM wh, range(64) i(i)
+          GROUP BY doc_id, i.i
+        ),
+        sig AS (
+          SELECT doc_id,
+                 sum(CASE WHEN acc > 0 THEN CAST(CAST(1 AS UBIGINT) << bit AS HUGEINT) ELSE 0 END) AS s
+          FROM bits GROUP BY doc_id
+        ),
+        sig_signed AS (
+          SELECT doc_id,
+                 CAST(CASE WHEN s >= 9223372036854775808 THEN s - 18446744073709551616 ELSE s END AS BIGINT) AS simhash
+          FROM sig
+        ),
+        w2 AS (
+          SELECT doc_id, text,
+                 list_transform(regexp_extract_all(text, '[A-Za-z]+'), x -> lower(x)) AS words
+          FROM t
+        ),
+        s2 AS (
+          SELECT doc_id, text, len(words) AS n_words,
+            len(list_filter(words, x -> list_contains(
+              ['the','of','and','to','a','in','is','it','you','that','he','was','for','on','are'], x))) AS s_en,
+            len(list_filter(words, x -> list_contains(
+              ['der','die','und','den','von','zu','das','mit','sich','des','auf','ist','im'], x))) AS s_de,
+            len(list_filter(words, x -> list_contains(
+              ['de','la','que','el','en','y','a','los','del','se','las','por','un','para','es'], x))) AS s_es,
+            len(list_filter(words, x -> list_contains(
+              ['de','la','le','et','les','des','en','un','du','une','que','est','pour','qui'], x))) AS s_fr,
+            len(regexp_extract_all(text, '[一-鿿]')) AS cjk
+          FROM w2
+        ),
+        lang AS (
+          SELECT doc_id,
+            CASE WHEN len(text) > 0 AND cjk * 1.0 / len(text) > 0.15 THEN 'zh'
+                 WHEN n_words = 0 THEN 'und'
+                 WHEN s_en = 0 AND s_de = 0 AND s_es = 0 AND s_fr = 0 THEN 'und'
+                 WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                 WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+                 WHEN s_es >= s_fr THEN 'es'
+                 ELSE 'fr' END AS lang_pred
+          FROM s2
+        )
+        SELECT fp.doc_id, fp.fingerprint,
+               COALESCE(ss.simhash, 0) AS simhash,
+               lang.lang_pred
+        FROM fp
+        LEFT JOIN sig_signed ss ON ss.doc_id = fp.doc_id
+        JOIN lang ON lang.doc_id = fp.doc_id
+    """,
+    "ngram_jaccard_pairs": """
+        WITH corpus AS (
+          SELECT doc_id, trim(regexp_replace(lower(COALESCE(text,'')), '\s+', ' ', 'g')) AS norm
+          FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000, trim(regexp_replace(lower(COALESCE(text,'') || ' appended'), '\s+', ' ', 'g'))
+          FROM documents
+        ),
+        sh AS (
+          SELECT doc_id, list_distinct([substr(norm, i, 5) for i in range(1, len(norm) - 3)]) AS g
+          FROM corpus
+        ),
+        inv AS (SELECT doc_id, unnest(g) AS s FROM sh),
+        shared AS (
+          SELECT a.doc_id AS l, b.doc_id AS r, count(*) AS inter
+          FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        pairs AS (
+          SELECT l, r
+          FROM shared JOIN sh ga ON ga.doc_id = l JOIN sh gb ON gb.doc_id = r
+          WHERE CAST(inter AS DOUBLE) / (len(ga.g) + len(gb.g) - inter) >= 0.7
+        ),
+        toks AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(raw), '\s+'), x -> x <> '') AS w
+          FROM (
+            SELECT doc_id, COALESCE(text,'') AS raw FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000, COALESCE(text,'') || ' appended' FROM documents
+          )
+        ),
+        grams AS (
+          SELECT doc_id,
+            CASE WHEN len(w) = 0 THEN CAST([] AS VARCHAR[])
+                 WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                 ELSE list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)])
+            END AS g
+          FROM toks
+        )
+        SELECT p.l AS "left", p.r AS "right",
+               CASE WHEN len(a.g) = 0 AND len(b.g) = 0 THEN 1.0
+                    WHEN len(list_distinct(a.g || b.g)) = 0 THEN 1.0
+                    ELSE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                         / len(list_distinct(a.g || b.g))
+               END AS ngram_jaccard
+        FROM pairs p JOIN grams a ON a.doc_id = p.l JOIN grams b ON b.doc_id = p.r
+    """,
+    "html_extract_roundtrip": """
+        SELECT doc_id,
+               md5(source || '-' || CAST(doc_id AS VARCHAR) || chr(10) || COALESCE(text,'')) AS extract_md5,
+               CAST(len(source || '-' || CAST(doc_id AS VARCHAR)) + 1 + len(COALESCE(text,'')) AS BIGINT) AS n_chars
+        FROM documents
+    """,
+    "main_content_roundtrip": """
+        SELECT doc_id,
+               md5(trim(regexp_replace(COALESCE(text,''), '[ \t\n\r]+', ' ', 'g'), ' ')) AS main_md5
+        FROM documents
+    """,
     "docs_per_source_cap": """
         SELECT doc_id, source FROM (
             SELECT doc_id, source,
@@ -2054,5 +2459,24 @@ ORACLE_SQL = {
     "lang_source_distinct": """
         SELECT lang, CAST(count(DISTINCT source) AS BIGINT) AS n_sources
         FROM documents GROUP BY lang
+    """,
+    "bio_token_labels": f"""
+        -- independent restatement of align_entities_to_tokens: with
+        -- whitespace tokens and word-boundary regex entities, a token is
+        -- fully covered by an entity iff the token IS the full match, so
+        -- B- count = full-match tokens, I- is impossible, CLS/SEP -> -100
+        SELECT doc_id,
+               CAST(2 AS BIGINT) AS n_special,
+               CASE WHEN lang = 'zh' THEN 0
+                    ELSE CAST(len(list_filter(regexp_extract_all(text, '\\S+'),
+                                              x -> regexp_full_match(x, '[A-Za-z0-9]{{6,12}}'))) AS BIGINT)
+               END AS n_b,
+               CAST(0 AS BIGINT) AS n_i,
+               CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)
+               - CASE WHEN lang = 'zh' THEN 0
+                      ELSE CAST(len(list_filter(regexp_extract_all(text, '\\S+'),
+                                                x -> regexp_full_match(x, '[A-Za-z0-9]{{6,12}}'))) AS BIGINT)
+                 END AS n_o
+        FROM documents
     """,
 }

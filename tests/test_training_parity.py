@@ -209,3 +209,62 @@ def test_fill_placeholders_matches_reference_with_fallback_provider():
     text = "Name <NAME> called <PHONE_1> about [EMAIL] at {ADDRESS}"
     ch = "c" * 64
     assert ref_fill(text, FakeProvider(), context_hash=ch) == my_fill(text, context_hash=ch)
+
+
+def test_tokenization_parity():
+    """build_bio_label_list + align_entities_to_tokens byte-equal to the
+    reference (training/tokenization.py:8-48), incl. the -100 special-token
+    convention, B-/I- prefixes on subword offsets, first-entity-wins, and
+    unknown-label fallback to O."""
+    from deid_pipeline.training.tokenization import (
+        align_entities_to_tokens as ref_align,
+        build_bio_label_list as ref_labels,
+    )
+
+    from edge_deid_studio_ray.kernels.tokenization import (
+        align_entities_to_tokens as my_align,
+        build_bio_label_list as my_labels,
+    )
+
+    type_sets = [
+        ["PHONE", "EMAIL", "PHONE", ""],   # dup + falsy
+        [],
+        ["b", "a", "c"],
+    ]
+    for types in type_sets:
+        assert ref_labels(types) == my_labels(types)
+
+    labels = ref_labels(["PHONE", "NAME"])
+    label_to_id = {lab: i for i, lab in enumerate(labels)}
+    entities = [
+        {"span": (5, 15), "type": "PHONE"},
+        {"span": (5, 9), "type": "NAME"},     # overlapping: first wins
+        {"span": (20, 24), "type": "GHOST"},  # unknown label -> O fallback
+        {"span": None, "type": "PHONE"},      # falsy span skipped
+        {"span": (30, 34), "type": None},     # falsy type skipped
+    ]
+    # subword-style offsets: CLS, inside/at-start/overhanging tokens, SEP
+    offset_mapping = [
+        (0, 0), (0, 4), (5, 9), (9, 15), (13, 17), (20, 24), (30, 34), (0, 0),
+    ]
+    kwargs = dict(entities=entities, offset_mapping=offset_mapping, label_to_id=label_to_id)
+    assert ref_align(**kwargs) == my_align(**kwargs)
+    got = my_align(**kwargs)
+    assert got[0] == got[-1] == -100
+    assert labels[got[2]] == "B-PHONE" and labels[got[3]] == "I-PHONE"
+    assert labels[got[4]] == "O"  # overhangs the entity end -> not inside
+
+
+def test_prompt_template_parity(tmp_path):
+    from deid_pipeline.training.prompts import PromptTemplate as RefTemplate
+
+    from edge_deid_studio_ray.kernels.prompts import PromptTemplate as MyTemplate
+
+    f = tmp_path / "tpl.txt"
+    f.write_text("Deidentify: {RAW_TEXT} -- end", encoding="utf-8")
+    assert RefTemplate.from_file(f).render("abc") == MyTemplate.from_file(f).render("abc")
+    assert RefTemplate.from_file(f).render(None) == MyTemplate.from_file(f).render(None)
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        MyTemplate.from_file(tmp_path / "missing.txt")
