@@ -152,7 +152,9 @@ def run_once() -> dict:
     ctx.enable_progress_bars = False
 
     pages = _bench_pages(ray)
-    queries = _bench_queries(SF_DIR)
+    # scaling subprocesses measure the headline only — the query suite adds
+    # minutes per rep without informing the 8-vs-32 ratio
+    queries = {} if os.environ.get("GRAFT_SKIP_QUERIES") else _bench_queries(SF_DIR)
 
     result = {
         "metric": "pages extraction+deid end-to-end (read parquet -> fused deid -> write parquet)",
@@ -210,7 +212,7 @@ def run_scaling(reps: int | None = None) -> dict:
     embeds under ``"scaling"`` in its one-line JSON."""
 
     def sub(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SKIP_QUERIES="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
