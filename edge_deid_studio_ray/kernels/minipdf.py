@@ -31,10 +31,17 @@ objects (catalogs, page trees, fonts) inflate into the object table, so
 modern-layout PDFs whose page dicts live in compressed object streams
 still parse (content streams are never inside ObjStm, per spec).
 
+RC4-encrypted PDFs (Standard security handler, /V 1|2 /R 2|3 — the
+password-protected layout of pre-2008 tooling) decrypt with the empty user
+password: the file key derives per spec §7.6.3 from /O, /P and the file
+/ID, each stream decrypts with its per-object key, and ObjStm members
+unpack post-decryption.
+
 Out of scope (flagged upstream as ``pdf_backend_unavailable`` when nothing
-is extractable): encrypted PDFs, xref-stream predictors, glyph-metric
-width programs.  Glyph bytes without a ToUnicode CMap decode as latin-1 —
-correct for ASCII/WinAnsi simple-font PDFs.
+is extractable): AES-encrypted PDFs (/V ≥ 4 — needs a crypto lib),
+xref-stream predictors, glyph-metric width programs.  Glyph bytes without
+a ToUnicode CMap decode as latin-1 — correct for ASCII/WinAnsi
+simple-font PDFs.
 """
 
 from __future__ import annotations
@@ -134,7 +141,7 @@ def _scan_objects(raw: bytes) -> dict[int, bytes]:
     return objects
 
 
-def _decode_stream(body: bytes) -> bytes | None:
+def _decode_stream(body: bytes, decrypt=None) -> bytes | None:
     sm = _STREAM_START_RE.search(body)
     if sm is None:
         return None
@@ -153,6 +160,8 @@ def _decode_stream(body: bytes) -> bytes | None:
         if not m:
             return None
         data = m.group(1)
+    if decrypt is not None:
+        data = decrypt(data)
     if b"/FlateDecode" in body[:data_start]:
         try:
             return zlib.decompress(data)
@@ -187,6 +196,156 @@ def _page_objects(objects: dict[int, bytes]) -> list[tuple[int, bytes]]:
         if cm:
             out.append((int(cm.group(1)), body))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Standard security handler (RC4, /V 1|2, /R 2|3) — PDF 32000-1 §7.6.3
+# ---------------------------------------------------------------------------
+
+# the spec's 32-byte password padding string (public constant)
+_PW_PAD = bytes(
+    [
+        0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+        0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+        0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+        0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+    ]
+)
+
+_ENCRYPT_REF_RE = re.compile(rb"/Encrypt\s+(\d+)\s+\d+\s+R")
+_ID_RE = re.compile(rb"/ID\s*\[\s*<([0-9A-Fa-f]+)>")
+
+
+def rc4(key: bytes, data: bytes) -> bytes:
+    """Plain RC4 (spec pseudocode; used only to DECRYPT standard-handler
+    PDFs this engine is asked to extract/redact)."""
+    s = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + s[i] + key[i % len(key)]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for k, byte in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + s[i]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+        out[k] = byte ^ s[(s[i] + s[j]) & 0xFF]
+    return bytes(out)
+
+
+def _dict_string(body: bytes, key: bytes) -> bytes | None:
+    """Read a string entry (``/O``, ``/U``) from a dict body — hex or
+    literal form."""
+    m = re.search(key + rb"\s*<([0-9A-Fa-f\s]+)>", body)
+    if m:
+        hexdigits = re.sub(rb"\s", b"", m.group(1))
+        if len(hexdigits) % 2:
+            hexdigits += b"0"
+        return bytes.fromhex(hexdigits.decode())
+    m = re.search(key + rb"\s*\(", body)
+    if m:
+        raw, _ = _parse_literal_string(body, m.end() - 1)
+        return raw
+    return None
+
+
+def standard_file_key(
+    encrypt_body: bytes, file_id: bytes, password: bytes = b""
+) -> bytes | None:
+    """Derive the file encryption key for the Standard security handler
+    (algorithm 2 of the spec).  Returns None for non-Standard filters or
+    revisions needing AES (/V ≥ 4) — callers flag those unsupported."""
+    import hashlib
+    import struct
+
+    if not re.search(rb"/Filter\s*/Standard\b", encrypt_body):
+        return None
+    vm = re.search(rb"/V\s+(\d+)", encrypt_body)
+    rm = re.search(rb"/R\s+(\d+)", encrypt_body)
+    pm = re.search(rb"/P\s+(-?\d+)", encrypt_body)
+    version = int(vm.group(1)) if vm else 0
+    revision = int(rm.group(1)) if rm else 2
+    if version > 2 or revision > 3:
+        return None  # AES / crypt filters: out of scope without a crypto lib
+    o_entry = _dict_string(encrypt_body, rb"/O")
+    if o_entry is None or pm is None:
+        return None
+    lm = re.search(rb"/Length\s+(\d+)", encrypt_body)
+    n = (int(lm.group(1)) // 8) if (lm and revision >= 3) else 5
+    digest = hashlib.md5(
+        (password + _PW_PAD)[:32]
+        + o_entry[:32]
+        + struct.pack("<i", int(pm.group(1)))
+        + file_id
+    ).digest()
+    if revision >= 3:
+        for _ in range(50):
+            digest = hashlib.md5(digest[:n]).digest()
+    return digest[:n]
+
+
+def object_decryptor(file_key: bytes, num: int, gen: int):
+    """Per-object RC4 decryptor (algorithm 1): object key =
+    MD5(file_key + objnum[3 LE] + gen[2 LE]) truncated to key+5 bytes."""
+    import hashlib
+
+    obj_key = hashlib.md5(
+        file_key + num.to_bytes(3, "little") + gen.to_bytes(2, "little")
+    ).digest()[: min(len(file_key) + 5, 16)]
+    return lambda data: rc4(obj_key, data)
+
+
+def _load_document(raw: bytes):
+    """(objects, per-object stream decryptor factory or None).
+
+    Detects ``/Encrypt`` in the trailer; for the RC4 Standard handler the
+    file key is derived with the EMPTY user password (the common
+    owner-locked case) and ObjStm members are unpacked post-decryption.
+    Unsupported handlers (AES) leave streams undecryptable — the caller
+    yields no pages and the row is flagged upstream."""
+    em = None
+    for em in _ENCRYPT_REF_RE.finditer(raw):
+        pass
+    if em is None:
+        return _scan_objects(raw), None
+
+    spans = _scan_object_spans(raw)
+    objects: dict[int, bytes] = {}
+    gens: dict[int, int] = {}
+    for num, hstart, body_start, end in spans:
+        hm = re.match(rb"(\d+)\s+(\d+)\s+obj", raw[hstart:body_start])
+        body = raw[body_start:end]
+        if body.endswith(b"endobj"):
+            body = body[: -len(b"endobj")]
+        if num not in objects:
+            objects[num] = body
+            gens[num] = int(hm.group(2)) if hm else 0
+    enc_body = objects.get(int(em.group(1)))
+    idm = _ID_RE.search(raw)
+    file_id = bytes.fromhex(idm.group(1).decode()) if idm else b""
+    file_key = standard_file_key(enc_body or b"", file_id) if enc_body else None
+    if file_key is None:
+        return objects, "unsupported"
+
+    def decrypt_for(num: int):
+        return object_decryptor(file_key, num, gens.get(num, 0))
+
+    # ObjStm members unpack AFTER stream decryption
+    for num, body in list(objects.items()):
+        if not re.search(rb"/Type\s*/ObjStm\b", body):
+            continue
+        data = _decode_stream(body, decrypt=decrypt_for(num))
+        nm, fm = _OBJSTM_N_RE.search(body), _OBJSTM_FIRST_RE.search(body)
+        if data is None or nm is None or fm is None:
+            continue
+        count, first = int(nm.group(1)), int(fm.group(1))
+        header_ints = [int(x) for x in re.findall(rb"\d+", data[:first])][: 2 * count]
+        pairs = list(zip(header_ints[0::2], header_ints[1::2]))
+        for i, (objnum, offset) in enumerate(pairs):
+            end = pairs[i + 1][1] if i + 1 < len(pairs) else len(data) - first
+            objects.setdefault(objnum, data[first + offset : first + end])
+    return objects, decrypt_for
 
 
 # ---------------------------------------------------------------------------
@@ -258,7 +417,7 @@ def parse_tounicode(data: bytes) -> tuple[dict[int, str], int]:
     return cmap, width
 
 
-def _page_fonts(page_body: bytes, objects: dict[int, bytes]) -> dict[bytes, tuple[dict[int, str], int]]:
+def _page_fonts(page_body: bytes, objects: dict[int, bytes], decrypt_factory=None) -> dict[bytes, tuple[dict[int, str], int]]:
     """Resolve the page's ``/Resources → /Font`` entries to ToUnicode maps:
     ``{font name: (code→str map, code byte width)}``.  Fonts without a
     ToUnicode CMap are omitted (their strings decode latin-1)."""
@@ -277,10 +436,13 @@ def _page_fonts(page_body: bytes, objects: dict[int, bytes]) -> dict[bytes, tupl
         tm = _TOUNICODE_REF_RE.search(fobj)
         if not tm:
             continue
-        cmap_body = objects.get(int(tm.group(1)))
+        cmap_num = int(tm.group(1))
+        cmap_body = objects.get(cmap_num)
         if cmap_body is None:
             continue
-        data = _decode_stream(cmap_body)
+        data = _decode_stream(
+            cmap_body, decrypt=decrypt_factory(cmap_num) if decrypt_factory else None
+        )
         if data is None:
             continue
         cmap, width = parse_tounicode(data)
@@ -535,19 +697,26 @@ def minipdf_parse(raw: bytes) -> tuple[list[dict[str, Any]], int]:
     ``sort=True`` reading order.  num_pages counts pages found in the page
     tree even if they yielded no text (the OCR-fallback set).
     """
-    objects = _scan_objects(raw)
+    objects, decrypt_factory = _load_document(raw)
+    if decrypt_factory == "unsupported":
+        # encrypted with a handler this parser cannot run (AES) — callers
+        # flag the row pdf_backend_unavailable instead of yielding pages
+        # whose content streams would decode to garbage
+        return [], 0
     pages = _page_objects(objects)
     specs: list[tuple[int, float, float, dict[str, Any]]] = []
     for page_index, (content_num, page_body) in enumerate(pages):
         body = objects.get(content_num)
         if body is None:
             continue
-        content = _decode_stream(body)
+        content = _decode_stream(
+            body, decrypt=decrypt_factory(content_num) if decrypt_factory else None
+        )
         if content is None:
             continue
         mb = _MEDIABOX_RE.search(page_body)
         page_height = float(mb.group(4)) if mb else DEFAULT_PAGE_HEIGHT
-        fonts = _page_fonts(page_body, objects)
+        fonts = _page_fonts(page_body, objects, decrypt_factory)
         for block in _extract_text_blocks(content, page_height, fonts):
             text = str(block["text"]).strip()
             if not text:

@@ -30,9 +30,13 @@ pure Python:
   a ``warning`` — never a silent "redacted" artifact that still leaks.
 
 Limitations (documented, not silent): needles split across multiple show
-strings or encoded as hex strings are not blanked (the covering rect still
-applies, and ``verified``/``blanked`` report the miss); encrypted PDFs are
-rejected by minipdf upstream.
+strings are not blanked, and hex-string blanking requires a reverse
+ToUnicode mapping (``_blank_hex_strings``) — in both miss cases the
+covering rect still applies and ``verified``/``blanked`` report the miss.
+RC4-encrypted inputs EXTRACT through minipdf but the redaction writer does
+not re-encrypt; blanking is skipped on them and the verified-removal
+re-parse (which does decrypt) reports the surviving needle — decrypt-
+rewrite-unencrypted is the supported route for those.
 """
 
 from __future__ import annotations
@@ -45,6 +49,7 @@ from .minipdf import (
     _MEDIABOX_RE,
     _STREAM_RE,
     DEFAULT_PAGE_HEIGHT,
+    _page_fonts,
     _page_objects,
     _scan_object_spans,
     _scan_objects,
@@ -75,11 +80,13 @@ def plan_pdf_redactions(entities: list[dict[str, Any]]) -> list[dict[str, Any]]:
     return rects
 
 
-def _literal_spans(content: bytes) -> list[tuple[int, int]]:
-    """(start, end) byte spans of the INSIDE of every ``(...)`` literal
-    string — escape-aware, nesting-aware.  Hex strings, dicts and operator
-    operands are never part of a span."""
-    spans: list[tuple[int, int]] = []
+def _string_spans(content: bytes) -> tuple[list[tuple[int, int]], list[tuple[int, int]]]:
+    """(literal spans, hex spans): byte spans of the INSIDE of every
+    ``(...)`` literal (escape-aware, nesting-aware) and every ``<...>`` hex
+    string (dicts ``<<`` excluded).  Operator operands are never part of a
+    span."""
+    lits: list[tuple[int, int]] = []
+    hexes: list[tuple[int, int]] = []
     i, n = 0, len(content)
     while i < n:
         c = content[i]
@@ -97,13 +104,65 @@ def _literal_spans(content: bytes) -> list[tuple[int, int]]:
                 elif b == 0x29:
                     depth -= 1
                 i += 1
-            spans.append((start, i - 1 if depth == 0 else i))
-        elif c == 0x3C and content[i : i + 2] != b"<<":  # <hex> — skip whole
+            lits.append((start, i - 1 if depth == 0 else i))
+        elif c == 0x3C and content[i : i + 2] != b"<<":  # <hex>
             end = content.find(b">", i)
-            i = (end + 1) if end != -1 else n
+            if end == -1:
+                end = n
+            hexes.append((i + 1, end))
+            i = end + 1
+        elif c == 0x3C:  # << dict
+            i += 2
         else:
             i += 1
-    return spans
+    return lits, hexes
+
+
+def _literal_spans(content: bytes) -> list[tuple[int, int]]:
+    return _string_spans(content)[0]
+
+
+def _blank_hex_strings(
+    content: bytes,
+    needles: list[str],
+    fonts: dict[bytes, tuple[dict[int, str], int]],
+) -> bytes:
+    """Blank needles shown as CID hex strings: each page font's ToUnicode
+    CMap is reversed (unicode → code), the needle re-encoded to its code
+    hex, and matches inside ``<...>`` hex-string spans overwritten with
+    zero codes (.notdef) of identical length — layout-preserving removal
+    for CJK/Type0 content that literal-string blanking cannot reach.
+    Needles whose characters lack a reverse mapping are left for the
+    verified-removal report to flag."""
+    if not fonts or not needles:
+        return content
+    encodings: list[bytes] = []
+    for _name, (cmap, width) in fonts.items():
+        rev: dict[str, int] = {}
+        for code, string in cmap.items():
+            rev.setdefault(string, code)
+        for needle in needles:
+            if not needle:
+                continue
+            codes = [rev.get(ch) for ch in needle]
+            if all(c is not None for c in codes):
+                encodings.append(
+                    b"".join(b"%0*X" % (2 * width, c) for c in codes)  # type: ignore[misc]
+                )
+    if not encodings:
+        return content
+    out = bytearray(content)
+    _lits, hexes = _string_spans(content)
+    for start, end in hexes:
+        segment = bytes(out[start:end])
+        upper = segment.upper()
+        for enc in encodings:
+            pos = upper.find(enc)
+            while pos != -1:
+                out[start + pos : start + pos + len(enc)] = b"0" * len(enc)
+                upper = bytes(out[start:end]).upper()
+                pos = upper.find(enc, pos + len(enc))
+    return bytes(out)
 
 
 def _blank_literals(content: bytes, needles: list[bytes]) -> tuple[bytes, set[bytes]]:
@@ -230,6 +289,11 @@ def redact_pdf_bytes(raw: bytes, rects: list[dict[str, Any]]) -> dict[str, Any]:
         mb = _MEDIABOX_RE.search(page_body)
         page_height = float(mb.group(4)) if mb else DEFAULT_PAGE_HEIGHT
         blanked_data, _hit = _blank_literals(data, needles)
+        blanked_data = _blank_hex_strings(
+            blanked_data,
+            [r["text"] for r in page_rects if r.get("text")],
+            _page_fonts(page_body, objects),
+        )
         new_stream = blanked_data + _rect_ops(page_rects, page_height)
         replacements[content_num] = (
             b"<< /Length %d >> stream\n" % len(new_stream) + new_stream + b"\nendstream "

@@ -14,8 +14,10 @@ dependencies:
 
 Dataset integration streams whole WARC files as binary blobs
 (``read_binary_files``) and explodes them in a ``map_batches`` stage — one
-task per file, which matches how Common-Crawl segments are sized (~1 GB,
-gzip members per record are handled when the file is gzipped as a whole).
+task per file, which matches how Common-Crawl segments are sized (~1 GB).
+Both whole-file gzip and real CC-style per-record gzip members decompress
+through the same path (stdlib ``gzip.decompress`` iterates concatenated
+members).
 """
 
 from __future__ import annotations

@@ -453,3 +453,148 @@ class TestLiteralScopedBlanking:
         assert out["verified"] is False
         assert out["warning"] == "needle_survives_extraction"
         assert out["redaction_rects"][0]["blanked"] is False
+
+
+class TestCidRedaction:
+    def test_cid_hex_needle_blanked_via_reverse_cmap(self):
+        """Needles shown as CID hex strings (CJK PDFs) are re-encoded
+        through the reverse ToUnicode map and blanked to .notdef codes —
+        text removal works where literal blanking cannot reach."""
+        from edge_deid_studio_ray.kernels.pdf_redact import redact_pdf_bytes
+
+        raw = build_cid_pdf(b"000100020010", CJK_CMAP)  # extracts 你好世
+        rects = [
+            {"page_index": 0, "bbox": (10, 10, 80, 30), "strategy": "block_bbox", "text": "你好"}
+        ]
+        out = redact_pdf_bytes(raw, rects)
+        assert out["verified"] is True
+        assert out["redaction_rects"][0]["blanked"] is True
+        specs, _ = minipdf_parse(out["pdf"])
+        rebuilt = "".join(s["text"] for s in specs)
+        assert "你好" not in rebuilt and "世" in rebuilt
+
+    def test_cid_e2e_detect_then_redact(self):
+        """Full loop on a corpus-style CID PDF: extract → detect → redact →
+        re-extract has no surviving needle."""
+        import random
+
+        from edge_deid_studio_ray.kernels.pdf_redact import redact_pdf_document
+        from edge_deid_studio_ray.sources.pages import _real_cid_pdf_payload
+
+        raw = _real_cid_pdf_payload(random.Random(7))
+        row = process_document(html=raw, url="https://x.test/cjk.pdf", lang="zh")
+        assert row["error"] is None
+        if not row["entities"]:
+            import pytest
+
+            pytest.skip("seed produced no detectable PII")
+        out = redact_pdf_document(raw, row["entities"])
+        assert out["verified"] is True
+        assert all(r["blanked"] for r in out["redaction_rects"])
+
+
+def encrypt_pdf_rc4(raw: bytes, *, owner_pw: bytes = b"owner", revision: int = 2,
+                    key_bits: int = 40, perms: int = -44) -> bytes:
+    """Spec-faithful Standard-handler encryption of a minipdf-built PDF
+    (empty USER password): computes /O from the owner password, the file
+    key per algorithm 2, RC4-encrypts every stream with its per-object
+    key, and appends /Encrypt + /ID to the trailer."""
+    import hashlib
+    import re
+    import struct
+
+    from edge_deid_studio_ray.kernels.minipdf import (
+        _PW_PAD,
+        _scan_object_spans,
+        object_decryptor,
+        rc4,
+    )
+
+    n = key_bits // 8 if revision >= 3 else 5
+    # /O entry (algorithm 3): RC4(owner_key, padded user password)
+    okey = hashlib.md5((owner_pw + _PW_PAD)[:32]).digest()
+    if revision >= 3:
+        for _ in range(50):
+            okey = hashlib.md5(okey).digest()
+    o_entry = rc4(okey[:n], _PW_PAD)  # user pw empty -> padded = _PW_PAD
+    file_id = hashlib.md5(raw).digest()
+
+    # file key (algorithm 2, empty user password)
+    digest = hashlib.md5(_PW_PAD + o_entry + struct.pack("<i", perms) + file_id).digest()
+    if revision >= 3:
+        for _ in range(50):
+            digest = hashlib.md5(digest[:n]).digest()
+    file_key = digest[:n]
+
+    # /U entry: R2 = RC4(file_key, pad)
+    u_entry = rc4(file_key, _PW_PAD)
+
+    # rebuild with every stream RC4'd under its per-object key
+    out = bytearray()
+    pos = 0
+    spans = _scan_object_spans(raw)
+    max_num = max(s[0] for s in spans)
+    for num, hstart, body_start, end in spans:
+        out += raw[pos:body_start]
+        body = raw[body_start:end]
+        m = re.search(rb"stream\r?\n", body)
+        if m:
+            data_start = m.end()
+            es = body.rfind(b"\nendstream")
+            data = body[data_start:es]
+            enc = object_decryptor(file_key, num, 0)(data)  # RC4 is symmetric
+            body = body[:data_start] + enc + body[es:]
+        out += body
+        pos = end
+    out += raw[pos:]
+    enc_num = max_num + 1
+    version = 1 if revision == 2 else 2
+    enc_obj = (
+        b"%d 0 obj << /Filter /Standard /V %d /R %d /Length %d /P %d /O <%s> /U <%s> >> endobj\n"
+        % (enc_num, version, revision, key_bits, perms, o_entry.hex().encode(), u_entry.hex().encode())
+    )
+    trailer = b"trailer << /Encrypt %d 0 R /ID [<%s> <%s>] >>\n" % (
+        enc_num, file_id.hex().encode(), file_id.hex().encode()
+    )
+    return bytes(out).replace(b"%%EOF", enc_obj + trailer + b"%%EOF")
+
+
+class TestEncryptedPdf:
+    def test_rc4_rev2_roundtrip(self):
+        raw = encrypt_pdf_rc4(build_pdf([TWO_BLOCK_STREAM], flate=True))
+        # sanity: the ciphertext must NOT contain the plaintext
+        assert b"Hello PII world" not in raw
+        specs, num_pages = minipdf_parse(raw)
+        assert num_pages == 1
+        assert specs[0]["text"] == "Hello PII world"
+
+    def test_rc4_rev3_128bit(self):
+        raw = encrypt_pdf_rc4(build_pdf([TWO_BLOCK_STREAM]), revision=3, key_bits=128)
+        specs, _ = minipdf_parse(raw)
+        assert specs[0]["text"] == "Hello PII world"
+
+    def test_encrypted_cid_pdf(self):
+        """Encryption composes with CID fonts: the ToUnicode CMap stream is
+        itself encrypted and must decrypt before parsing."""
+        raw = encrypt_pdf_rc4(build_cid_pdf(b"00010002", CJK_CMAP, flate_cmap=True))
+        specs, _ = minipdf_parse(raw)
+        assert specs[0]["text"] == "你好"
+
+    def test_encrypted_pdf_through_pipeline(self):
+        raw = encrypt_pdf_rc4(build_pdf([TWO_BLOCK_STREAM]))
+        row = process_document(html=raw, url="https://x.test/locked.pdf")
+        assert row["route"] == "pdf" and row["error"] is None
+        assert any(e["type"] == "PHONE" for e in row["entities"])
+
+    def test_aes_flagged_unavailable(self):
+        # /V 4 (AESV2) is out of scope -> no pages -> flagged upstream
+        raw = build_pdf([TWO_BLOCK_STREAM])
+        aes = raw.replace(
+            b"%%EOF",
+            b"9 0 obj << /Filter /Standard /V 4 /R 4 /O <00> /U <00> /P -44 >> endobj\n"
+            b"trailer << /Encrypt 9 0 R /ID [<00> <00>] >>\n%%EOF",
+        )
+        specs, num_pages = minipdf_parse(aes)
+        assert specs == [] and num_pages == 0
+        row = process_document(html=aes)
+        assert row["error"] == "pdf_backend_unavailable"

@@ -282,3 +282,19 @@ def test_training_data_pipeline_composition(ray_session):
     assert report["rows_in"] - report["dropped_quality"] - report["dropped_duplicates"] == report["rows_out"]
     assert report["dropped_duplicates"] >= report["rows_out"]  # every kept row had a dup
     assert report["rows_out"] == len(out)
+
+
+def test_warc_per_record_gzip_members(tmp_path):
+    """Real Common-Crawl .warc.gz files are a CONCATENATION of one gzip
+    member per record — the reader must parse that layout, not only
+    whole-file gzip."""
+    import gzip
+
+    from edge_deid_studio_ray.sources.warc import build_warc_bytes, iter_warc_records
+
+    r1 = [{"url": "https://a.test/1", "date": "2026-01-01T00:00:00Z", "body": b"<p>one</p>"}]
+    r2 = [{"url": "https://a.test/2", "date": "2026-01-01T00:00:01Z", "body": b"<p>two</p>"}]
+    member_concat = gzip.compress(build_warc_bytes(r1)) + gzip.compress(build_warc_bytes(r2))
+    rows = list(iter_warc_records(member_concat))
+    assert [r["url"] for r in rows] == ["https://a.test/1", "https://a.test/2"]
+    assert rows[1]["html"] == b"<p>two</p>"
