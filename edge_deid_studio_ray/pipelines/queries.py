@@ -386,6 +386,96 @@ def q_events_asof_join(sf_dir: str):
     return ds.groupby("user_bucket").map_groups(asof, batch_format="pandas")
 
 
+def q_events_late_data(sf_dir: str):
+    """Watermark / late-data accounting (streaming semantics in batch form):
+    events arrive in ``event_id`` order; the watermark after each arrival is
+    ``max(ts so far) - 10 min``, and an event is LATE iff its own ts is
+    behind the watermark built by STRICTLY earlier arrivals.
+
+    Distributed shape = the classic two-pass prefix scan: pass 1 computes a
+    per-range max-ts (one row per contiguous event_id range — tiny), the
+    driver folds those into exclusive prefix maxima and broadcasts the map;
+    pass 2 re-scans each range with its incoming prefix and a local running
+    max.  Driver state is O(#ranges), never O(#events).
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    lateness_us = 600_000_000
+    range_size = 1024
+
+    def tag_range(batch: pa.Table) -> pa.Table:
+        rng = pc.divide(batch["event_id"], range_size)
+        return pa.table(
+            {
+                "range_id": pc.cast(rng, pa.int64()),
+                "event_id": batch["event_id"],
+                "event_type": batch["event_type"],
+                "us": batch["ts"].cast(pa.int64()),
+            }
+        )
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "ts"]).map_batches(
+        tag_range, batch_format="pyarrow"
+    )
+
+    # pass 1: per-range max ts (small aggregate), driver prefix fold
+    from ray.data.aggregate import Max
+
+    range_rows = ds.groupby("range_id").aggregate(Max("us", alias_name="max_us")).take_all()
+    range_rows.sort(key=lambda r: r["range_id"])
+    prefix: dict[int, int] = {}
+    running = None
+    for row in range_rows:
+        prefix[row["range_id"]] = running if running is not None else -(1 << 62)
+        running = max(running, row["max_us"]) if running is not None else row["max_us"]
+    prefix_ref = ray.put(prefix)
+
+    # pass 2: per-range local scan with the incoming exclusive prefix
+    def late_counts(bucket: pd.DataFrame) -> pd.DataFrame:
+        pre = ray.get(prefix_ref)
+        out: dict[str, list] = {"event_type": [], "n": [], "late": []}
+        for range_id, g in bucket.groupby("range_id", sort=False):
+            g = g.sort_values("event_id")
+            us = g["us"].to_numpy()
+            run = np.maximum.accumulate(us)
+            incoming = pre.get(int(range_id), -(1 << 62))
+            wm = np.empty(len(us), dtype=np.int64)
+            wm[0] = incoming
+            if len(us) > 1:
+                wm[1:] = np.maximum(run[:-1], incoming)
+            late = (wm - lateness_us) > us
+            counts = pd.DataFrame({"event_type": g["event_type"].to_numpy(), "late": late})
+            agg = counts.groupby("event_type")["late"].agg(["size", "sum"])
+            out["event_type"].extend(agg.index.tolist())
+            out["n"].extend(int(v) for v in agg["size"])
+            out["late"].extend(int(v) for v in agg["sum"])
+        return pd.DataFrame(
+            {
+                "event_type": pd.Series(out["event_type"], dtype="object"),
+                "n": pd.Series(out["n"], dtype="int64"),
+                "late": pd.Series(out["late"], dtype="int64"),
+            }
+        )
+
+    nb = resolve_group_buckets()
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "rbucket",
+            pa.array([_kbucket(int(r), nb) for r in batch["range_id"].to_pylist()], pa.int32()),
+        )
+
+    partials = (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("rbucket")
+        .map_groups(late_counts, batch_format="pandas")
+    )
+    return partials.groupby("event_type").aggregate(
+        Sum("n", alias_name="n_events"), Sum("late", alias_name="n_late")
+    )
+
+
 def q_customer_per_nation(sf_dir: str):
     """Broadcast hash join: customer × nation (small side shipped once via
     ray.put, dict lookup per batch — no shuffle)."""
@@ -1865,6 +1955,7 @@ QUERIES = {
     "events_sliding_window": q_events_sliding_window,
     "events_running_total": q_events_running_total,
     "events_asof_join": q_events_asof_join,
+    "events_late_data": q_events_late_data,
     "customer_per_nation": q_customer_per_nation,
     "orders_top10": q_orders_top10,
     "orders_join_customers": q_orders_join_customers,
@@ -1994,6 +2085,21 @@ ORACLE_SQL = {
                    GROUP BY user_id, us)
         SELECT a.event_id, b.us AS b_us
         FROM a ASOF JOIN b ON a.user_id = b.user_id AND a.us >= b.us
+    """,
+    "events_late_data": """
+        WITH o AS (
+          SELECT event_type, event_id, epoch_us(ts) AS us FROM events
+        ),
+        m AS (
+          SELECT event_type, us,
+                 max(us) OVER (ORDER BY event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+          FROM o
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CASE WHEN wm - 600000000 > us THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+        FROM m GROUP BY event_type
     """,
     "customer_per_nation": """
         SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_customers
