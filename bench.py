@@ -124,6 +124,11 @@ def _bench_queries(sf_dir: str) -> dict[str, float]:
         "ngram_jaccard_pairs",
         "events_window_rank",
         "orders_exists_semi",
+        # round-3 additions
+        "simhash_near_dups",
+        "events_late_data",
+        "bio_token_labels",
+        "html_extract_roundtrip",
     ]
     timings: dict[str, float] = {}
     for name in names:

@@ -110,7 +110,12 @@ def _dedupe_pair_rows(pairs, nb: int = DEFAULT_GROUP_BUCKETS):
             zlib.crc32(f"{l}\x00{r}".encode()) % nb
             for l, r in zip(lefts, rights)
         ]
-        return batch.append_column("pair_bucket", pa.array(buckets, pa.int32()))
+        # strip the pandas metadata the pandas->arrow conversion attached
+        # upstream: schemas with metadata are unhashable and every shuffle
+        # reduce task logs a warning for them
+        return batch.replace_schema_metadata(None).append_column(
+            "pair_bucket", pa.array(buckets, pa.int32())
+        )
 
     def drop_dupes(bucket: pd.DataFrame) -> pd.DataFrame:
         return bucket.drop_duplicates(subset=["left", "right"]).drop(columns=["pair_bucket"])
@@ -226,6 +231,7 @@ def minhash_candidates(
     jaccard_threshold: float = 0.8,
     verify: str = "text",
     num_buckets: int | None = None,
+    pair_metrics: dict[str, Any] | None = None,
 ):
     """MinHash-LSH near-dup candidate pairs, verified in-group.
 
@@ -243,6 +249,12 @@ def minhash_candidates(
     Partitioning assumption: a candidate bucket (same band hash) fits in one
     group task — true for near-dup buckets; pathological buckets are capped
     at 64 members (cap recorded in the ``truncated`` column, no silent drop).
+
+    ``pair_metrics`` (text-verify path only): ``{column: fn(text_a, text_b)}``
+    extra metrics computed IN-GROUP for every verified pair — the pair texts
+    are already co-resident there, so layering a second metric (e.g. word
+    n-gram Jaccard) costs zero additional shuffles, vs. re-resolving texts
+    through the two-pass ``pair_text_metric`` join.
     """
     hasher = MinHasher(num_hashes)
     nb = resolve_group_buckets(num_buckets)
@@ -269,8 +281,24 @@ def minhash_candidates(
             }
         )
 
+    metric_items = list((pair_metrics or {}).items())
+
     def verify_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
-        out = {"left": [], "right": [], "jaccard": [], "truncated": []}
+        from itertools import combinations
+
+        out: dict[str, list] = {"left": [], "right": [], "jaccard": [], "truncated": []}
+        for col, _fn in metric_items:
+            out[col] = []
+
+        def emit(a, b, sim: float, truncated: bool, extras: dict) -> None:
+            lo, hi = (a, b) if a < b else (b, a)
+            out["left"].append(lo)
+            out["right"].append(hi)
+            out["jaccard"].append(sim)
+            out["truncated"].append(truncated)
+            for col, _fn in metric_items:
+                out[col].append(extras[col])
+
         for _, group in bucket.groupby("band_key", sort=False):
             rows = group.drop_duplicates(subset=[key_col]).sort_values(key_col)
             # collapse identical texts first: oversized buckets are almost
@@ -283,7 +311,12 @@ def minhash_candidates(
             reps = list(members)
             truncated = len(reps) > 64
             reps = reps[:64]
-            _emit_duplicate_sets(out, members, 1.0, "jaccard", truncated)
+            for text, keys in members.items():
+                if len(keys) < 2:
+                    continue
+                extras = {col: fn(text, text) for col, fn in metric_items}
+                for a, b in combinations(keys, 2):
+                    emit(a, b, 1.0, truncated, extras)
             # shingle each representative once, not once per pair
             shingles = [shingle_hashes(t, shingle_k) for t in reps]
             for i in range(len(reps)):
@@ -296,10 +329,24 @@ def minhash_candidates(
                         union = len(a) + len(b) - inter
                         sim = inter / union if union else 1.0
                     if sim >= jaccard_threshold:
-                        _emit_cross_pairs(
-                            out, members[reps[i]], members[reps[j]], round(sim, 6), "jaccard", truncated
-                        )
-        return pd.DataFrame(out)
+                        extras = {
+                            col: fn(reps[i], reps[j]) for col, fn in metric_items
+                        }
+                        for ka in members[reps[i]]:
+                            for kb in members[reps[j]]:
+                                emit(ka, kb, round(sim, 6), truncated, extras)
+        key_dtype = bucket[key_col].dtype
+        frame = {
+            "left": pd.Series(out["left"], dtype=key_dtype),
+            "right": pd.Series(out["right"], dtype=key_dtype),
+            "jaccard": pd.Series(out["jaccard"], dtype="float64"),
+            "truncated": pd.Series(out["truncated"], dtype="bool"),
+        }
+        for col, _fn in metric_items:
+            frame[col] = pd.Series(out[col], dtype="float64")
+        # typed (possibly empty) frame: untyped empties produce schema-less
+        # blocks and executor schema-mismatch warnings
+        return pd.DataFrame(frame)
 
     # group by a coarse bucket of the band key (bands never split across
     # buckets) and sub-group in pandas — thousands of per-band map_groups
@@ -363,7 +410,15 @@ def _minhash_candidates_sig(
                         "jaccard",
                         truncated,
                     )
-        return pd.DataFrame(out)
+        key_dtype = bucket[key_col].dtype
+        return pd.DataFrame(
+            {
+                "left": pd.Series(out["left"], dtype=key_dtype),
+                "right": pd.Series(out["right"], dtype=key_dtype),
+                "jaccard": pd.Series(out["jaccard"], dtype="float64"),
+                "truncated": pd.Series(out["truncated"], dtype="bool"),
+            }
+        )
 
     pairs = (
         ds.map_batches(explode, batch_format="pyarrow")
@@ -460,7 +515,9 @@ def pair_text_metric(
             zlib.crc32(f"{l}\x00{r}".encode()) % nb
             for l, r in zip(batch["left"].to_pylist(), batch["right"].to_pylist())
         ]
-        return batch.append_column("pair_bucket", pa.array(buckets, pa.int32()))
+        return batch.replace_schema_metadata(None).append_column(
+            "pair_bucket", pa.array(buckets, pa.int32())
+        )
 
     def score_pairs(bucket: pd.DataFrame) -> pd.DataFrame:
         out_l, out_r, out_m = [], [], []
@@ -816,7 +873,14 @@ def simhash_near_dups(
                                 out["left"].append(lo)
                                 out["right"].append(hi)
                                 out["hamming"].append(dist)
-        return pd.DataFrame(out)
+        key_dtype = bucket[key_col].dtype
+        return pd.DataFrame(
+            {
+                "left": pd.Series(out["left"], dtype=key_dtype),
+                "right": pd.Series(out["right"], dtype=key_dtype),
+                "hamming": pd.Series(out["hamming"], dtype="int64"),
+            }
+        )
 
     pairs = (
         ds.map_batches(explode, batch_format="pyarrow")

@@ -110,26 +110,35 @@ def fingerprint64(text: str) -> int:
     return h
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=1 << 16)
 def _word_hash64(word: str) -> int:
     # first 8 bytes of md5: md5 is available in DuckDB too, so the whole
-    # SimHash construction is SQL-mirrorable (oracle-checkable end to end)
+    # SimHash construction is SQL-mirrorable (oracle-checkable end to end).
+    # Per-worker LRU: web-text vocabularies repeat heavily, so most words
+    # hit the cache instead of re-hashing.
     return int.from_bytes(hashlib.md5(word.encode("utf-8")).digest()[:8], "big")
 
 
+_BIT_SHIFTS = np.arange(64, dtype=np.uint64)
+
+
 def simhash64(text: str) -> int:
-    """64-bit SimHash over word unigrams (md5-derived word hashes)."""
+    """64-bit SimHash over word unigrams (md5-derived word hashes) — the
+    bit-vote accumulation is one vectorized (words × 64) pass."""
     words = [w.lower() for w in _TOKEN_RE.findall(text)]
     if not words:
         return 0
-    acc = np.zeros(64, dtype=np.int64)
-    for w in words:
-        h = _word_hash64(w)
-        bits = np.array([(h >> i) & 1 for i in range(64)], dtype=np.int64)
-        acc += bits * 2 - 1
+    hashes = np.fromiter(
+        (_word_hash64(w) for w in words), dtype=np.uint64, count=len(words)
+    )
+    bits = ((hashes[:, None] >> _BIT_SHIFTS[None, :]) & np.uint64(1)).astype(np.int64)
+    acc = (2 * bits - 1).sum(axis=0)
     out = 0
-    for i in range(64):
-        if acc[i] > 0:
-            out |= 1 << i
+    for i in np.nonzero(acc > 0)[0]:
+        out |= 1 << int(i)
     return out
 
 

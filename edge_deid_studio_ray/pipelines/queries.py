@@ -37,10 +37,19 @@ from ..kernels.docpipe import process_document
 from ..stages.deid import make_deid_batch_fn
 
 
+def _strip_meta(t: pa.Table) -> pa.Table:
+    # pandas-written parquet carries dict-valued schema metadata that Ray's
+    # shuffle reduce cannot hash (log spam per reduce task); dropping it is
+    # zero-copy and semantics-free
+    return t.replace_schema_metadata(None)
+
+
 def _read(sf_dir: str, table: str, columns: list[str] | None = None):
     import ray.data as rd
 
-    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+    return rd.read_parquet(
+        os.path.join(sf_dir, f"{table}.parquet"), columns=columns
+    ).map_batches(_strip_meta, batch_format="pyarrow")
 
 
 def _read_spread(sf_dir: str, table: str, columns: list[str] | None = None, *, blocks: int | None = None):
@@ -974,11 +983,15 @@ def q_near_dup_clusters(sf_dir: str):
 
 
 def q_ngram_jaccard_pairs(sf_dir: str):
-    """Word 3-gram Jaccard re-verification of the MinHash candidate pairs
-    (token-level near-dup metric layered on the LSH candidates) — pair
-    texts resolved by a distributed bucketed hash join (pair_text_metric),
-    no driver-side corpus state."""
-    from ..functions.dedup import pair_text_metric, word_ngram_jaccard
+    """Word 3-gram Jaccard layered on the MinHash near-dup pairs
+    (token-level near-dup metric on the LSH candidates).  The metric is
+    computed IN the LSH verify group via ``pair_metrics`` — pair texts are
+    already co-resident there, so the second metric costs zero extra
+    shuffles (the generic two-pass ``pair_text_metric`` join remains the
+    tool for metrics over pairs from a foreign source, exercised by
+    ``jaccard_doc_perturbed``).  Unrounded int/int division — bit-identical
+    doubles vs DuckDB."""
+    from ..functions.dedup import word_ngram_jaccard
 
     def perturb(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -994,15 +1007,16 @@ def q_ngram_jaccard_pairs(sf_dir: str):
         )
 
     base = _read_spread(sf_dir, "documents", ["doc_id", "text"])
-    corpus = base.union(base.map_batches(perturb, batch_format="pyarrow"))
-    pairs = q_minhash_near_dups(sf_dir)
-    # unrounded: jaccard = int/int division, bit-identical to DuckDB
-    return pair_text_metric(
-        pairs,
-        corpus,
-        lambda a, b: word_ngram_jaccard(a, b, 3),
-        out_col="ngram_jaccard",
+    mutated = base.map_batches(perturb, batch_format="pyarrow")
+    pairs = minhash_candidates(
+        base.union(mutated),
+        jaccard_threshold=0.7,
+        num_hashes=64,
+        num_bands=16,
+        verify="text",
+        pair_metrics={"ngram_jaccard": lambda a, b: word_ngram_jaccard(a, b, 3)},
     )
+    return pairs.select_columns(["left", "right", "ngram_jaccard"])
 
 
 def q_simhash_near_dups(sf_dir: str):
