@@ -1892,6 +1892,164 @@ def q_main_content_roundtrip(sf_dir: str):
     )
 
 
+def q_image_deid_stub_stats(sf_dir: str):
+    """Multimodal actor-pool surface: binary payloads (derived
+    deterministically from document text) through the image-deid stage —
+    OCR backend loaded once per actor, per-char offset maps merged to
+    entity bboxes, black-box rects planned.  Deterministic rows-only (the
+    OCR backend here is the fake; real engines are import-gated and slot
+    into the same actor signature)."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.image_deid import ImageDeidStage
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "media_id": pa.array(
+                    [f"img-{d}" for d in batch["doc_id"].to_pylist()], pa.string()
+                ),
+                "payload": pa.array(
+                    [(t or "").encode("utf-8") for t in batch["text"].to_pylist()],
+                    pa.binary(),
+                ),
+            }
+        )
+
+    media = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        to_media, batch_format="pyarrow"
+    )
+    processed = media.map_batches(
+        ImageDeidStage, batch_format="pyarrow", batch_size=64, concurrency=2, num_cpus=1
+    )
+
+    def stats(batch: pa.Table) -> pa.Table:
+        boxes = batch["redaction_boxes"].to_pylist()
+        return pa.table(
+            {
+                "n_spans": batch["n_spans"],
+                "n_boxes": pa.array([len(b) for b in boxes], pa.int64()),
+            }
+        )
+
+    agg = processed.map_batches(stats, batch_format="pyarrow").aggregate(
+        Count(alias_name="n_media"),
+        Sum("n_spans", alias_name="total_spans"),
+        Sum("n_boxes", alias_name="total_boxes"),
+    )
+    keys = sorted(agg.keys())
+    return pa.table(
+        {
+            "metric": pa.array(keys, pa.string()),
+            "value": pa.array([int(agg[k]) for k in keys], pa.int64()),
+        }
+    )
+
+
+def q_stratified_sample(sf_dir: str):
+    """Deterministic stratified sampling: 20 documents per language, chosen
+    by md5(doc_id) rank within the stratum — the reproducible
+    train/eval-split primitive (a seeded hash order is cluster-stable,
+    unlike RNG draws tied to block structure).  Per-language selection runs
+    inside coarse language buckets; only (lang, doc_id, rank-hash) rows
+    shuffle."""
+    k = 20
+    nb = resolve_group_buckets()
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        from ..functions.dedup import md5_hex
+
+        ids = batch["doc_id"].to_pylist()
+        langs = batch["lang"].to_pylist()
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "lang": pa.array(langs, pa.string()),
+                "rank_hash": pa.array([md5_hex(str(d)) for d in ids], pa.string()),
+                "lbucket": pa.array([_kbucket(lang, nb) for lang in langs], pa.int32()),
+            }
+        )
+
+    def pick(bucket: pd.DataFrame) -> pd.DataFrame:
+        kept = (
+            bucket.sort_values(["lang", "rank_hash", "doc_id"])
+            .groupby("lang", sort=False)
+            .head(k)
+        )
+        return kept[["doc_id", "lang"]]
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "lang"])
+        .map_batches(keyed, batch_format="pyarrow")
+        .groupby("lbucket")
+        .map_groups(pick, batch_format="pandas")
+    )
+
+
+def q_tfidf_top_terms(sf_dir: str):
+    """TF-IDF-style top terms: for each document, the top-3 terms ranked by
+    (tf desc, df asc, term asc) — the integer-only ordering is exactly the
+    tf·idf ranking for this corpus (idf is monotone decreasing in df) while
+    staying bit-exact for the oracle.  Document frequencies come from one
+    distinct-(doc,term) groupby; the df table is broadcast via ray.put
+    (vocabulary ≪ corpus; at 100-TB vocab scale swap the broadcast for a
+    term-keyed co-group join)."""
+    import ray
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def doc_terms(batch: pa.Table) -> pa.Table:
+        out_doc, out_term, out_tf = [], [], []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            counts = Counter((text or "").lower().split())
+            for term, tf in counts.items():
+                out_doc.append(doc_id)
+                out_term.append(term)
+                out_tf.append(tf)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_doc, pa.int64()),
+                "term": pa.array(out_term, pa.string()),
+                "tf": pa.array(out_tf, pa.int64()),
+            }
+        )
+
+    terms = ds.map_batches(doc_terms, batch_format="pyarrow")
+    df_rows = terms.groupby("term").aggregate(Count(alias_name="df")).take_all()
+    df_ref = ray.put({r["term"]: r["df"] for r in df_rows})
+
+    # a doc's term rows must be co-resident for the per-doc head(3):
+    # blocks do not guarantee that across the shuffle, so co-group by a
+    # coarse doc bucket
+    nb = resolve_group_buckets()
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "dbucket",
+            pa.array([_kbucket(d, nb) for d in batch["doc_id"].to_pylist()], pa.int32()),
+        )
+
+    def topk_group(bucket: pd.DataFrame) -> pd.DataFrame:
+        df_map = ray.get(df_ref)
+        bucket = bucket.assign(df=bucket["term"].map(df_map).astype("int64"))
+        kept = (
+            bucket.sort_values(
+                ["doc_id", "tf", "df", "term"], ascending=[True, False, True, True]
+            )
+            .groupby("doc_id", sort=False)
+            .head(3)
+        )
+        kept = kept.assign(rnk=(kept.groupby("doc_id").cumcount() + 1).astype("int64"))
+        return kept[["doc_id", "rnk", "term", "tf", "df"]]
+
+    return (
+        terms.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("dbucket")
+        .map_groups(topk_group, batch_format="pandas")
+    )
+
+
 def q_bio_token_labels(sf_dir: str):
     """Token-classification label alignment (training/tokenization.py port):
     whitespace offset mapping wrapped in CLS/SEP markers, regex-detected
@@ -2014,6 +2172,9 @@ QUERIES = {
     "docs_per_source_cap": q_docs_per_source_cap,
     "lang_source_distinct": q_lang_source_distinct,
     "bio_token_labels": q_bio_token_labels,
+    "image_deid_stub_stats": q_image_deid_stub_stats,
+    "stratified_sample": q_stratified_sample,
+    "tfidf_top_terms": q_tfidf_top_terms,
     "html_extract_roundtrip": q_html_extract_roundtrip,
     "main_content_roundtrip": q_main_content_roundtrip,
 }
@@ -2579,6 +2740,35 @@ ORACLE_SQL = {
     "lang_source_distinct": """
         SELECT lang, CAST(count(DISTINCT source) AS BIGINT) AS n_sources
         FROM documents GROUP BY lang
+    """,
+    "stratified_sample": """
+        SELECT doc_id, lang FROM (
+            SELECT doc_id, lang,
+                   ROW_NUMBER() OVER (PARTITION BY lang
+                                      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+            FROM documents
+        ) WHERE rn <= 20
+    """,
+    "tfidf_top_terms": """
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(list_filter(regexp_split_to_array(lower(COALESCE(text, '')), '\\s+'),
+                                    x -> x <> '')) AS term
+          FROM documents
+        ),
+        tf AS (
+          SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+          FROM toks GROUP BY doc_id, term
+        ),
+        df AS (
+          SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+        )
+        SELECT doc_id, rnk, term, tf, df FROM (
+            SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                           ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS BIGINT) AS rnk
+            FROM tf JOIN df ON df.term = tf.term
+        ) WHERE rnk <= 3
     """,
     "bio_token_labels": f"""
         -- independent restatement of align_entities_to_tokens: with
