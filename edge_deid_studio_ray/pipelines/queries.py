@@ -2015,7 +2015,9 @@ def q_tfidf_top_terms(sf_dir: str):
             }
         )
 
-    terms = ds.map_batches(doc_terms, batch_format="pyarrow")
+    # two consumers (df aggregate + per-doc top-k): materialize once so the
+    # tokenize map does not lazily re-execute per consumer
+    terms = ds.map_batches(doc_terms, batch_format="pyarrow").materialize()
     df_rows = terms.groupby("term").aggregate(Count(alias_name="df")).take_all()
     df_ref = ray.put({r["term"]: r["df"] for r in df_rows})
 
