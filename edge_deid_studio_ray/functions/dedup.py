@@ -258,6 +258,11 @@ def minhash_candidates(
     """
     hasher = MinHasher(num_hashes)
     nb = resolve_group_buckets(num_buckets)
+    if pair_metrics and verify != "text":
+        raise ValueError(
+            "pair_metrics requires verify='text' (the signature path never "
+            "ships document texts, so per-pair text metrics cannot run there)"
+        )
     if verify == "signature":
         return _minhash_candidates_sig(
             ds, hasher, text_col, key_col, num_bands, shingle_k, jaccard_threshold, nb

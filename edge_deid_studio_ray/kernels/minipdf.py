@@ -53,7 +53,9 @@ from typing import Any
 _OBJ_HEADER_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b")
 _STREAM_START_RE = re.compile(rb"stream\r?\n")
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
-_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
+# (?!\d) pins the full number (no backtracking to a prefix digit run);
+# the second lookahead rejects indirect references "/Length N 0 R"
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\d)(?!\s+\d+\s+R)")
 _CONTENTS_RE = re.compile(rb"/Contents\s+(\d+)\s+\d+\s+R")
 _MEDIABOX_RE = re.compile(
     rb"/MediaBox\s*\[\s*([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s*\]"
@@ -115,7 +117,10 @@ def _scan_object_spans(raw: bytes) -> list[tuple[int, int, int, int]]:
     return spans
 
 
-def _scan_objects(raw: bytes) -> dict[int, bytes]:
+def _scan_objects(raw: bytes, decrypt_factory=None) -> dict[int, bytes]:
+    """Top-level object table + unpacked ObjStm members.  One code path for
+    plain and encrypted documents: ``decrypt_factory(objnum)`` (when given)
+    decrypts each ObjStm stream before unpacking."""
     objects: dict[int, bytes] = {}
     for num, _hstart, body_start, end in _scan_object_spans(raw):
         body = raw[body_start:end]
@@ -124,10 +129,12 @@ def _scan_objects(raw: bytes) -> dict[int, bytes]:
         objects.setdefault(num, body)
     # PDF 1.5+ object streams (/Type /ObjStm): compressed member objects —
     # header is N (objnum, offset) integer pairs, bodies start at /First
-    for body in list(objects.values()):
+    for num, body in list(objects.items()):
         if not re.search(rb"/Type\s*/ObjStm\b", body):
             continue
-        data = _decode_stream(body)
+        data = _decode_stream(
+            body, decrypt=decrypt_factory(num) if decrypt_factory else None
+        )
         nm, fm = _OBJSTM_N_RE.search(body), _OBJSTM_FIRST_RE.search(body)
         if data is None or nm is None or fm is None:
             continue
@@ -141,28 +148,36 @@ def _scan_objects(raw: bytes) -> dict[int, bytes]:
     return objects
 
 
-def _decode_stream(body: bytes, decrypt=None) -> bytes | None:
+def _raw_stream_span(body: bytes) -> tuple[int, int] | None:
+    """(start, end) byte span of the stream DATA inside an object body —
+    /Length-sliced when the length is numeric (binary-safe), keyword-search
+    fallback otherwise."""
     sm = _STREAM_START_RE.search(body)
     if sm is None:
         return None
     data_start = sm.end()
     lm = _LENGTH_RE.search(body, 0, sm.start())
-    data: bytes | None = None
     if lm:
         data_end = data_start + int(lm.group(1))
         if data_end <= len(body):
             probe = body.find(b"endstream", data_end)
             if probe != -1 and probe - data_end <= 2:
-                # strip the single EOL the writer put before 'endstream'
-                data = body[data_start:data_end]
-    if data is None:
-        m = _STREAM_RE.search(body)
-        if not m:
-            return None
-        data = m.group(1)
+                # the writer's single EOL before 'endstream' stays outside
+                return data_start, data_end
+    m = _STREAM_RE.search(body)
+    if not m:
+        return None
+    return m.start(1), m.end(1)
+
+
+def _decode_stream(body: bytes, decrypt=None) -> bytes | None:
+    span = _raw_stream_span(body)
+    if span is None:
+        return None
+    data = body[span[0] : span[1]]
     if decrypt is not None:
         data = decrypt(data)
-    if b"/FlateDecode" in body[:data_start]:
+    if b"/FlateDecode" in body[: span[0]]:
         try:
             return zlib.decompress(data)
         except zlib.error:
@@ -214,6 +229,19 @@ _PW_PAD = bytes(
 
 _ENCRYPT_REF_RE = re.compile(rb"/Encrypt\s+(\d+)\s+\d+\s+R")
 _ID_RE = re.compile(rb"/ID\s*\[\s*<([0-9A-Fa-f]+)>")
+_TRAILER_RE = re.compile(rb"trailer\b(.{0,1024}?)(?:startxref|%%EOF|\Z)", re.DOTALL)
+
+
+def _find_encrypt_ref(raw: bytes) -> int | None:
+    """Object number of the /Encrypt dict, looked up ONLY inside trailer
+    dictionaries — an unencrypted document whose content merely contains
+    the byte pattern ``/Encrypt N 0 R`` must not be treated as encrypted."""
+    num = None
+    for tm in _TRAILER_RE.finditer(raw):
+        em = _ENCRYPT_REF_RE.search(tm.group(1))
+        if em:
+            num = int(em.group(1))  # last trailer wins (incremental updates)
+    return num
 
 
 def rc4(key: bytes, data: bytes) -> bytes:
@@ -273,10 +301,15 @@ def standard_file_key(
         return None
     lm = re.search(rb"/Length\s+(\d+)", encrypt_body)
     n = (int(lm.group(1)) // 8) if (lm and revision >= 3) else 5
+    # some writers emit /P in unsigned form (e.g. 4294963392 for -3904);
+    # the key derivation packs the SIGNED 32-bit value
+    perms = int(pm.group(1)) & 0xFFFFFFFF
+    if perms > 0x7FFFFFFF:
+        perms -= 1 << 32
     digest = hashlib.md5(
         (password + _PW_PAD)[:32]
         + o_entry[:32]
-        + struct.pack("<i", int(pm.group(1)))
+        + struct.pack("<i", perms)
         + file_id
     ).digest()
     if revision >= 3:
@@ -304,48 +337,28 @@ def _load_document(raw: bytes):
     owner-locked case) and ObjStm members are unpacked post-decryption.
     Unsupported handlers (AES) leave streams undecryptable — the caller
     yields no pages and the row is flagged upstream."""
-    em = None
-    for em in _ENCRYPT_REF_RE.finditer(raw):
-        pass
-    if em is None:
+    enc_num = _find_encrypt_ref(raw)
+    if enc_num is None:
         return _scan_objects(raw), None
 
-    spans = _scan_object_spans(raw)
-    objects: dict[int, bytes] = {}
+    # gen numbers participate in per-object key derivation
     gens: dict[int, int] = {}
-    for num, hstart, body_start, end in spans:
-        hm = re.match(rb"(\d+)\s+(\d+)\s+obj", raw[hstart:body_start])
-        body = raw[body_start:end]
-        if body.endswith(b"endobj"):
-            body = body[: -len(b"endobj")]
-        if num not in objects:
-            objects[num] = body
+    for num, hstart, body_start, _end in _scan_object_spans(raw):
+        if num not in gens:
+            hm = re.match(rb"(\d+)\s+(\d+)\s+obj", raw[hstart:body_start])
             gens[num] = int(hm.group(2)) if hm else 0
-    enc_body = objects.get(int(em.group(1)))
+    plain = _scan_objects(raw)  # enough to read the (unencrypted) Encrypt dict
+    enc_body = plain.get(enc_num)
     idm = _ID_RE.search(raw)
     file_id = bytes.fromhex(idm.group(1).decode()) if idm else b""
     file_key = standard_file_key(enc_body or b"", file_id) if enc_body else None
     if file_key is None:
-        return objects, "unsupported"
+        return plain, "unsupported"
 
     def decrypt_for(num: int):
         return object_decryptor(file_key, num, gens.get(num, 0))
 
-    # ObjStm members unpack AFTER stream decryption
-    for num, body in list(objects.items()):
-        if not re.search(rb"/Type\s*/ObjStm\b", body):
-            continue
-        data = _decode_stream(body, decrypt=decrypt_for(num))
-        nm, fm = _OBJSTM_N_RE.search(body), _OBJSTM_FIRST_RE.search(body)
-        if data is None or nm is None or fm is None:
-            continue
-        count, first = int(nm.group(1)), int(fm.group(1))
-        header_ints = [int(x) for x in re.findall(rb"\d+", data[:first])][: 2 * count]
-        pairs = list(zip(header_ints[0::2], header_ints[1::2]))
-        for i, (objnum, offset) in enumerate(pairs):
-            end = pairs[i + 1][1] if i + 1 < len(pairs) else len(data) - first
-            objects.setdefault(objnum, data[first + offset : first + end])
-    return objects, decrypt_for
+    return _scan_objects(raw, decrypt_for), decrypt_for
 
 
 # ---------------------------------------------------------------------------

@@ -29,30 +29,34 @@ pure Python:
   split across show strings) the result says so via ``verified=False`` +
   a ``warning`` — never a silent "redacted" artifact that still leaks.
 
+RC4-encrypted inputs are DECRYPTED and rewritten as plain documents:
+every stream re-emits decrypted (the rewritten trailer carries no
+/Encrypt), so blanking and the verified-removal re-parse operate on real
+text — ciphertext is never left in an artifact the trailer claims is
+unencrypted.  AES inputs return ``rebuild_supported=False`` with
+``warning="unsupported_encryption"``.
+
 Limitations (documented, not silent): needles split across multiple show
 strings are not blanked, and hex-string blanking requires a reverse
-ToUnicode mapping (``_blank_hex_strings``) — in both miss cases the
-covering rect still applies and ``verified``/``blanked`` report the miss.
-RC4-encrypted inputs EXTRACT through minipdf but the redaction writer does
-not re-encrypt; blanking is skipped on them and the verified-removal
-re-parse (which does decrypt) reports the surviving needle — decrypt-
-rewrite-unencrypted is the supported route for those.
+ToUnicode mapping (``_blank_hex_strings``, glyph-code-boundary-aligned
+matches only) — in both miss cases the covering rect still applies and
+``verified``/``blanked`` report the miss.
 """
 
 from __future__ import annotations
 
 import re
-import zlib
 from typing import Any
 
 from .minipdf import (
     _MEDIABOX_RE,
-    _STREAM_RE,
     DEFAULT_PAGE_HEIGHT,
+    _decode_stream,
+    _load_document,
     _page_fonts,
     _page_objects,
+    _raw_stream_span,
     _scan_object_spans,
-    _scan_objects,
     minipdf_parse,
 )
 
@@ -147,21 +151,30 @@ def _blank_hex_strings(
             codes = [rev.get(ch) for ch in needle]
             if all(c is not None for c in codes):
                 encodings.append(
-                    b"".join(b"%0*X" % (2 * width, c) for c in codes)  # type: ignore[misc]
+                    (
+                        b"".join(b"%0*X" % (2 * width, c) for c in codes),  # type: ignore[misc]
+                        width,
+                    )
                 )
     if not encodings:
         return content
     out = bytearray(content)
     _lits, hexes = _string_spans(content)
     for start, end in hexes:
-        segment = bytes(out[start:end])
-        upper = segment.upper()
-        for enc in encodings:
+        for enc, width in encodings:
+            # only accept matches on glyph-code boundaries (multiples of
+            # 2·width hex digits): an offset match straddling two codes
+            # would blank glyphs the needle never contained
+            code_hex = 2 * width
+            upper = bytes(out[start:end]).upper()
             pos = upper.find(enc)
             while pos != -1:
-                out[start + pos : start + pos + len(enc)] = b"0" * len(enc)
-                upper = bytes(out[start:end]).upper()
-                pos = upper.find(enc, pos + len(enc))
+                if pos % code_hex == 0:
+                    out[start + pos : start + pos + len(enc)] = b"0" * len(enc)
+                    upper = bytes(out[start:end]).upper()
+                    pos = upper.find(enc, pos + len(enc))
+                else:
+                    pos = upper.find(enc, pos + 1)
     return bytes(out)
 
 
@@ -248,8 +261,23 @@ def redact_pdf_bytes(raw: bytes, rects: list[dict[str, Any]]) -> dict[str, Any]:
     artifact inline instead of a path, plus the verified-removal report:
     each rect carries ``blanked`` (its text no longer extractable from the
     rebuilt PDF), ``verified`` is the conjunction, and ``warning`` names the
-    failure mode when any needle survives."""
-    objects = _scan_objects(raw)
+    failure mode when any needle survives.
+
+    RC4-encrypted inputs are DECRYPTED and rewritten as a plain document:
+    every stream re-emits decrypted (the fresh trailer carries no /Encrypt),
+    so blanking and the verified-removal re-parse operate on real text —
+    never on ciphertext that a decrypting reader could still recover."""
+    objects, decrypt_factory = _load_document(raw)
+    if decrypt_factory == "unsupported":
+        return {
+            "pdf": raw,
+            "rebuild_supported": False,
+            "rebuild_mode": None,
+            "redaction_count": 0,
+            "redaction_rects": [],
+            "verified": False,
+            "warning": "unsupported_encryption",
+        }
     pages = _page_objects(objects)
     if not pages:
         return {
@@ -274,15 +302,11 @@ def redact_pdf_bytes(raw: bytes, rects: list[dict[str, Any]]) -> dict[str, Any]:
         body = objects.get(content_num)
         if body is None:
             continue
-        m = _STREAM_RE.search(body)
-        if m is None:
+        data = _decode_stream(
+            body, decrypt=decrypt_factory(content_num) if decrypt_factory else None
+        )
+        if data is None:
             continue
-        data = m.group(1)
-        if b"/FlateDecode" in body[: m.start()]:
-            try:
-                data = zlib.decompress(data)
-            except zlib.error:
-                continue
         needles = [
             r["text"].encode("latin-1", "replace") for r in page_rects if r.get("text")
         ]
@@ -292,12 +316,28 @@ def redact_pdf_bytes(raw: bytes, rects: list[dict[str, Any]]) -> dict[str, Any]:
         blanked_data = _blank_hex_strings(
             blanked_data,
             [r["text"] for r in page_rects if r.get("text")],
-            _page_fonts(page_body, objects),
+            _page_fonts(page_body, objects, decrypt_factory),
         )
         new_stream = blanked_data + _rect_ops(page_rects, page_height)
         replacements[content_num] = (
             b"<< /Length %d >> stream\n" % len(new_stream) + new_stream + b"\nendstream "
         )
+
+    if decrypt_factory is not None:
+        # decrypt-rewrite every remaining stream object: the output trailer
+        # has no /Encrypt, so ciphertext left in place would be garbage to
+        # readers AND an un-auditable leak to anyone holding the key
+        for num, _hstart, body_start, end in _scan_object_spans(raw):
+            if num in replacements:
+                continue
+            body = raw[body_start:end]
+            if body.endswith(b"endobj"):
+                body = body[: -len(b"endobj")]
+            span = _raw_stream_span(body)
+            if span is None:
+                continue
+            dec = decrypt_factory(num)(body[span[0] : span[1]])
+            replacements[num] = body[: span[0]] + dec + body[span[1] :]
 
     out_pdf = _assemble_with_xref(raw, replacements, objects)
 

@@ -424,9 +424,11 @@ def q_events_late_data(sf_dir: str):
             }
         )
 
+    # two consumers (pass-1 aggregate + pass-2 scan): materialize so the
+    # read+tag map does not lazily re-execute per consumer
     ds = _read(sf_dir, "events", ["event_id", "event_type", "ts"]).map_batches(
         tag_range, batch_format="pyarrow"
-    )
+    ).materialize()
 
     # pass 1: per-range max ts (small aggregate), driver prefix fold
     from ray.data.aggregate import Max

@@ -558,3 +558,14 @@ class TestBucketInvariance:
             ).to_pandas()
             results[nb] = sorted(zip(out["left"], out["right"], out["j"]))
         assert results[3] == results[128]
+
+
+def test_pair_metrics_requires_text_verify(ray_session):
+    import pytest
+    import ray.data as rd
+
+    from edge_deid_studio_ray.functions.dedup import minhash_candidates
+
+    ds = rd.from_arrow(pa.table({"doc_id": [1], "text": ["x"]}))
+    with pytest.raises(ValueError, match="pair_metrics requires"):
+        minhash_candidates(ds, verify="signature", pair_metrics={"m": lambda a, b: 0.0})

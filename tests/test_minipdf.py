@@ -598,3 +598,89 @@ class TestEncryptedPdf:
         assert specs == [] and num_pages == 0
         row = process_document(html=aes)
         assert row["error"] == "pdf_backend_unavailable"
+
+
+class TestReviewRegressions:
+    """Regression pins for the round-3 code-review findings."""
+
+    def test_encrypted_redaction_decrypts_and_rewrites(self):
+        """Redacting an RC4-encrypted PDF must produce a plain (unencrypted)
+        artifact with the needle actually gone — not ciphertext behind a
+        trailer without /Encrypt that falsely verifies clean."""
+        from edge_deid_studio_ray.kernels.pdf_redact import redact_pdf_document
+
+        raw = encrypt_pdf_rc4(build_pdf([TWO_BLOCK_STREAM], flate=True))
+        row = process_document(html=raw, url="https://x.test/locked.pdf")
+        phone = [e for e in row["entities"] if e["type"] == "PHONE"]
+        assert phone
+        out = redact_pdf_document(raw, row["entities"])
+        assert out["rebuild_supported"] is True
+        assert out["verified"] is True and out["warning"] is None
+        # the artifact is plain: no /Encrypt in its trailer region, and the
+        # untouched block extracts as real text (decrypt-rewrite happened)
+        import re as _re
+
+        trailer_zone = out["pdf"][-1024:]
+        assert b"/Encrypt" not in trailer_zone
+        specs, _ = minipdf_parse(out["pdf"])
+        rebuilt = "\n".join(s["text"] for s in specs)
+        assert "Hello PII world" in rebuilt
+        assert "0912-345-678" not in rebuilt
+        # raw ciphertext of the original streams must not survive verbatim
+        m = _re.search(rb"stream\r?\n(.{20})", raw, _re.DOTALL)
+        assert m.group(1) not in out["pdf"]
+
+    def test_aes_redaction_flagged_unsupported(self):
+        from edge_deid_studio_ray.kernels.pdf_redact import redact_pdf_bytes
+
+        raw = build_pdf([TWO_BLOCK_STREAM])
+        aes = raw.replace(
+            b"%%EOF",
+            b"9 0 obj << /Filter /Standard /V 4 /R 4 /O <00> /U <00> /P -44 >> endobj\n"
+            b"trailer << /Encrypt 9 0 R /ID [<00> <00>] >>\n%%EOF",
+        )
+        out = redact_pdf_bytes(aes, [])
+        assert out["rebuild_supported"] is False
+        assert out["warning"] == "unsupported_encryption"
+
+    def test_hex_blank_respects_code_boundaries(self):
+        """A needle encoding matching at an odd glyph offset must NOT blank
+        (it would destroy glyphs the needle never contained)."""
+        from edge_deid_studio_ray.kernels.pdf_redact import _blank_hex_strings
+
+        # cmap: 0x3000->'A', 0x1000->'B', 0x0010->'C'; content shows 'AB'
+        fonts = {b"F1": ({0x3000: "A", 0x1000: "B", 0x0010: "C"}, 2)}
+        content = b"BT /F1 12 Tf 10 700 Td <30001000> Tj ET"
+        out = _blank_hex_strings(content, ["C"], fonts)  # 'C' hex '0010' straddles
+        assert out == content  # untouched
+        # aligned occurrence still blanks
+        content2 = b"BT /F1 12 Tf 10 700 Td <00103000> Tj ET"  # shows 'CA'
+        out2 = _blank_hex_strings(content2, ["C"], fonts)
+        assert out2 == b"BT /F1 12 Tf 10 700 Td <00003000> Tj ET"
+
+    def test_unsigned_P_value(self):
+        """Writers emitting /P in unsigned form must not crash key
+        derivation (struct.pack needs the signed value)."""
+        raw = encrypt_pdf_rc4(build_pdf([TWO_BLOCK_STREAM]), perms=-3904)
+        # rewrite the dict's /P to the unsigned rendering of -3904
+        unsigned = str((-3904) & 0xFFFFFFFF).encode()
+        raw2 = raw.replace(b"/P -3904", b"/P " + unsigned)
+        assert raw2 != raw
+        specs, _ = minipdf_parse(raw2)
+        assert specs and specs[0]["text"] == "Hello PII world"
+
+    def test_encrypt_pattern_in_content_not_treated_as_encryption(self):
+        """An unencrypted PDF whose TEXT mentions '/Encrypt 9 0 R' must
+        still parse (detection is trailer-scoped)."""
+        stream = b"BT 10 700 Td (see /Encrypt 9 0 R for details) Tj ET"
+        specs, num_pages = minipdf_parse(build_pdf([stream]))
+        assert num_pages == 1
+        assert specs[0]["text"] == "see /Encrypt 9 0 R for details"
+
+    def test_indirect_length_multidigit_ref(self):
+        """/Length 10 0 R (indirect, multi-digit objnum) must fall through
+        to keyword scanning, not backtrack-match a bogus length of 1."""
+        from edge_deid_studio_ray.kernels.minipdf import _LENGTH_RE
+
+        assert _LENGTH_RE.search(b"<< /Length 10 0 R /Filter /FlateDecode >>") is None
+        assert _LENGTH_RE.search(b"<< /Length 42 >>").group(1) == b"42"
