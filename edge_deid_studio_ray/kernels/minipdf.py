@@ -234,13 +234,26 @@ _TRAILER_RE = re.compile(rb"trailer\b(.{0,1024}?)(?:startxref|%%EOF|\Z)", re.DOT
 
 def _find_encrypt_ref(raw: bytes) -> int | None:
     """Object number of the /Encrypt dict, looked up ONLY inside trailer
-    dictionaries — an unencrypted document whose content merely contains
-    the byte pattern ``/Encrypt N 0 R`` must not be treated as encrypted."""
+    dictionaries or ``/Type /XRef`` stream dicts (PDF 1.5+ keeps the
+    trailer entries there) — an unencrypted document whose content merely
+    contains the byte pattern ``/Encrypt N 0 R`` must not be treated as
+    encrypted."""
     num = None
     for tm in _TRAILER_RE.finditer(raw):
         em = _ENCRYPT_REF_RE.search(tm.group(1))
         if em:
             num = int(em.group(1))  # last trailer wins (incremental updates)
+    if num is None:
+        # cross-reference streams: the dict region (before the stream data)
+        # of /Type /XRef objects carries /Encrypt
+        for _n, _h, body_start, end in _scan_object_spans(raw):
+            body = raw[body_start:end]
+            sm = _STREAM_START_RE.search(body)
+            head = body[: sm.start()] if sm else body
+            if re.search(rb"/Type\s*/XRef\b", head):
+                em = _ENCRYPT_REF_RE.search(head)
+                if em:
+                    num = int(em.group(1))
     return num
 
 

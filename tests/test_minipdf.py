@@ -684,3 +684,24 @@ class TestReviewRegressions:
 
         assert _LENGTH_RE.search(b"<< /Length 10 0 R /Filter /FlateDecode >>") is None
         assert _LENGTH_RE.search(b"<< /Length 42 >>").group(1) == b"42"
+
+
+def test_encrypt_ref_in_xref_stream_dict():
+    """PDF 1.5+ layout: no 'trailer' keyword — the /Encrypt reference lives
+    in the /Type /XRef stream dict; detection must still find it."""
+    raw = encrypt_pdf_rc4(build_pdf([TWO_BLOCK_STREAM], flate=True))
+    # transplant the trailer's /Encrypt into an XRef stream object instead
+    import re as _re
+
+    m = _re.search(rb"trailer << /Encrypt (\d+) 0 R /ID \[<([0-9a-f]+)> <[0-9a-f]+>\] >>\n", raw)
+    assert m
+    enc_num, fid = m.group(1), m.group(2)
+    xref_obj = (
+        b"20 0 obj << /Type /XRef /Encrypt " + enc_num + b" 0 R /ID [<" + fid + b"> <" + fid + b">] "
+        b"/Length 1 >> stream\nX\nendstream endobj\n"
+    )
+    no_trailer = raw.replace(m.group(0), xref_obj)
+    assert b"trailer" not in no_trailer
+    specs, num_pages = minipdf_parse(no_trailer)
+    assert num_pages == 1
+    assert specs[0]["text"] == "Hello PII world"
