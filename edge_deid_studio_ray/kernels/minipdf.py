@@ -238,6 +238,8 @@ def _find_encrypt_ref(raw: bytes) -> int | None:
     trailer entries there) — an unencrypted document whose content merely
     contains the byte pattern ``/Encrypt N 0 R`` must not be treated as
     encrypted."""
+    if b"/Encrypt" not in raw:  # fast path for the unencrypted majority
+        return None
     num = None
     for tm in _TRAILER_RE.finditer(raw):
         em = _ENCRYPT_REF_RE.search(tm.group(1))
