@@ -893,3 +893,83 @@ def simhash_near_dups(
         .map_groups(verify_bucket, batch_format="pandas")
     )
     return _dedupe_pair_rows(pairs, nb)
+
+
+def near_dedup(
+    ds,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    *,
+    jaccard_threshold: float = 0.8,
+    num_hashes: int = 128,
+    num_bands: int = 16,
+    verify: str = "text",
+    num_buckets: int | None = None,
+):
+    """Fuzzy deduplication end to end: MinHash-LSH pairs → connected
+    components → drop every non-keeper (keeper = min key per component).
+
+    The canonical training-corpus near-dedup step as ONE composition:
+    no driver-side membership set — the non-keeper ids co-group with the
+    corpus rows in a bucketed anti-join, so the only materialized artifact
+    is the component list (bounded by the duplicate rate, not the corpus).
+
+    Returns the surviving rows of ``ds`` (schema unchanged).
+    """
+    nb = resolve_group_buckets(num_buckets)
+    pairs = minhash_candidates(
+        ds,
+        text_col,
+        key_col,
+        num_hashes=num_hashes,
+        num_bands=num_bands,
+        jaccard_threshold=jaccard_threshold,
+        verify=verify,
+        num_buckets=nb,
+    )
+    comps = connected_components(pairs, num_buckets=nb)
+
+    schema = ds.schema()
+    corpus_fields = list(zip(schema.names, schema.types))
+    key_type = dict(corpus_fields)[key_col]
+
+    def non_keepers(t: pa.Table) -> pa.Table:
+        nodes = t["node"].to_pylist()
+        comp = t["component"].to_pylist()
+        drop = [n for n, c in zip(nodes, comp) if n != c]
+        # schema-aligned marker rows: corpus columns null, same jkey type
+        cols: dict[str, pa.Array] = {
+            name: pa.nulls(len(drop), typ) for name, typ in corpus_fields
+        }
+        cols["jkey"] = pa.array(drop, key_type)
+        cols["jbucket"] = pa.array([_band_bucket(str(k), nb) for k in drop], pa.int32())
+        cols["is_row"] = pa.array([False] * len(drop), pa.bool_())
+        return pa.table(cols)
+
+    def tag_rows(t: pa.Table) -> pa.Table:
+        keys = t[key_col]
+        return (
+            t.append_column("jkey", keys.cast(key_type))
+            .append_column(
+                "jbucket",
+                pa.array(
+                    [_band_bucket(str(k), nb) for k in keys.to_pylist()], pa.int32()
+                ),
+            )
+            .append_column("is_row", pa.array([True] * t.num_rows, pa.bool_()))
+        )
+
+    row_schema_cols = schema.names
+
+    def anti(bucket: pd.DataFrame) -> pd.DataFrame:
+        dropped = set(bucket.loc[~bucket["is_row"], "jkey"])
+        kept = bucket.loc[bucket["is_row"] & ~bucket["jkey"].isin(dropped)]
+        return kept[row_schema_cols]
+
+    marks = comps.map_batches(non_keepers, batch_format="pyarrow")
+    rows = ds.map_batches(tag_rows, batch_format="pyarrow")
+    return (
+        rows.union(marks)
+        .groupby("jbucket")
+        .map_groups(anti, batch_format="pandas")
+    )

@@ -2054,6 +2054,35 @@ def q_tfidf_top_terms(sf_dir: str):
     )
 
 
+def q_near_dedup_survivors(sf_dir: str):
+    """Fuzzy-dedup end to end (the canonical training-corpus step): LSH
+    pairs → connected components → keep only the min-id representative of
+    each near-dup group, via a bucketed anti-join with no driver-side
+    membership set.  Oracle: recursive-CTE components, survivors = ids
+    that are not a non-minimal member of any component."""
+    from ..functions.dedup import near_dedup
+
+    def perturb(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    [d + 1_000_000 for d in batch["doc_id"].to_pylist()], pa.int64()
+                ),
+                "text": pa.array(
+                    [(t or "") + " appended" for t in batch["text"].to_pylist()],
+                    pa.string(),
+                ),
+            }
+        )
+
+    base = _read_spread(sf_dir, "documents", ["doc_id", "text"])
+    corpus = base.union(base.map_batches(perturb, batch_format="pyarrow"))
+    survivors = near_dedup(
+        corpus, jaccard_threshold=0.7, num_hashes=64, num_bands=16, verify="text"
+    )
+    return survivors.select_columns(["doc_id"])
+
+
 def q_bio_token_labels(sf_dir: str):
     """Token-classification label alignment (training/tokenization.py port):
     whitespace offset mapping wrapped in CLS/SEP markers, regex-detected
@@ -2146,6 +2175,7 @@ QUERIES = {
     "exact_dedup_groups": q_exact_dedup_groups,
     "minhash_near_dups": q_minhash_near_dups,
     "near_dup_clusters": q_near_dup_clusters,
+    "near_dedup_survivors": q_near_dedup_survivors,
     "simhash_near_dups": q_simhash_near_dups,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "text_fingerprints": q_text_fingerprints,
@@ -2572,6 +2602,42 @@ ORACLE_SQL = {
         comp AS (SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a)
         SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
         FROM comp GROUP BY component
+    """,
+    "near_dedup_survivors": """
+        WITH RECURSIVE corpus AS (
+          SELECT doc_id, trim(regexp_replace(lower(COALESCE(text,'')), '\s+', ' ', 'g')) AS norm
+          FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000, trim(regexp_replace(lower(COALESCE(text,'') || ' appended'), '\s+', ' ', 'g'))
+          FROM documents
+        ),
+        sh AS (
+          SELECT doc_id, list_distinct([substr(norm, i, 5) for i in range(1, len(norm) - 3)]) AS g
+          FROM corpus
+        ),
+        inv AS (SELECT doc_id, unnest(g) AS s FROM sh),
+        shared AS (
+          SELECT a.doc_id AS l, b.doc_id AS r, count(*) AS inter
+          FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        pairs AS (
+          SELECT l, r
+          FROM shared JOIN sh ga ON ga.doc_id = l JOIN sh gb ON gb.doc_id = r
+          WHERE CAST(inter AS DOUBLE) / (len(ga.g) + len(gb.g) - inter) >= 0.7
+        ),
+        edges AS (SELECT l AS a, r AS b FROM pairs UNION SELECT r, l FROM pairs),
+        reach(a, b) AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r2.a, e.b FROM reach r2 JOIN edges e ON r2.b = e.a
+        ),
+        comp AS (SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a)
+        SELECT doc_id FROM (
+          SELECT doc_id FROM documents
+          UNION ALL SELECT doc_id + 1000000 FROM documents
+        )
+        WHERE doc_id NOT IN (SELECT a FROM reach r3 GROUP BY a HAVING least(a, min(b)) <> a)
     """,
     "simhash_near_dups": """
         WITH corpus AS (

@@ -569,3 +569,26 @@ def test_pair_metrics_requires_text_verify(ray_session):
     ds = rd.from_arrow(pa.table({"doc_id": [1], "text": ["x"]}))
     with pytest.raises(ValueError, match="pair_metrics requires"):
         minhash_candidates(ds, verify="signature", pair_metrics={"m": lambda a, b: 0.0})
+
+
+def test_near_dedup_composite(ray_session):
+    """Fuzzy dedup end to end: near-dup groups collapse to their min-key
+    representative; unrelated docs survive."""
+    import ray.data as rd
+
+    from edge_deid_studio_ray.functions.dedup import near_dedup
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away " * 4
+    other = "entirely different content with no overlap at all in this one " * 3
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": [1, 2, 3, 4, 5],
+                "text": [base, base + " tail", other, base + " tiny change", "short"],
+                "lang": ["en"] * 5,
+            }
+        )
+    )
+    out = near_dedup(ds, num_hashes=64, num_bands=16, jaccard_threshold=0.6).to_pandas()
+    assert sorted(out["doc_id"].tolist()) == [1, 3, 5]
+    assert set(out.columns) == {"doc_id", "text", "lang"}  # schema preserved
