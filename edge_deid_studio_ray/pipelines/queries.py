@@ -2083,6 +2083,58 @@ def q_near_dedup_survivors(sf_dir: str):
     return survivors.select_columns(["doc_id"])
 
 
+def q_sources_except(sf_dir: str):
+    """Set difference (EXCEPT): sources that publish en documents but no zh
+    documents — per-batch distinct (source, side) partials, one co-grouped
+    difference (§2.7 set ops beyond the reference)."""
+    from ray.data.aggregate import Max
+
+    ds = _read(sf_dir, "documents", ["source", "lang"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        seen: dict[str, list[int]] = {}
+        for src_name, lang in zip(batch["source"].to_pylist(), batch["lang"].to_pylist()):
+            slot = seen.setdefault(src_name, [0, 0])
+            if lang == "en":
+                slot[0] = 1
+            elif lang == "zh":
+                slot[1] = 1
+        return pa.table(
+            {
+                "source": pa.array(list(seen.keys()), pa.string()),
+                "has_en": pa.array([v[0] for v in seen.values()], pa.int64()),
+                "has_zh": pa.array([v[1] for v in seen.values()], pa.int64()),
+            }
+        )
+
+    flags = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Max("has_en", alias_name="has_en"), Max("has_zh", alias_name="has_zh"))
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.equal(batch["has_en"], pa.scalar(1)), pc.equal(batch["has_zh"], pa.scalar(0))
+        )
+        return pa.table({"source": batch.filter(mask)["source"]})
+
+    return flags.map_batches(keep, batch_format="pyarrow")
+
+
+def q_embedding_near_dups_lsh(sf_dir: str):
+    """Approximate embedding near-dup pairs — the >10^6-row scale path
+    (multi-table random-hyperplane buckets, in-bucket exact verify).
+    Deterministic (fixed seed) rows-only: approximate recall is by design,
+    so no exact SQL equivalent; the exact variant is oracle-checked by
+    ``embedding_near_dups``."""
+    from ..functions.simsearch import embedding_near_dups_lsh
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    pairs = embedding_near_dups_lsh(ds, threshold=0.4, num_planes=4, num_tables=12)
+    return pairs.select_columns(["left", "right"])
+
+
 def q_bio_token_labels(sf_dir: str):
     """Token-classification label alignment (training/tokenization.py port):
     whitespace offset mapping wrapped in CLS/SEP markers, regex-detected
@@ -2184,6 +2236,8 @@ QUERIES = {
     "knn_bruteforce": q_knn_bruteforce,
     "knn_ivf_full_probe": q_knn_ivf_full_probe,
     "embedding_near_dups": q_embedding_near_dups,
+    "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
+    "sources_except": q_sources_except,
     "pages_pipeline_counters": q_pages_pipeline_counters,
     "pages_extract_hashes": q_pages_extract_hashes,
     "pages_main_content": q_pages_main_content,
@@ -2638,6 +2692,11 @@ ORACLE_SQL = {
           UNION ALL SELECT doc_id + 1000000 FROM documents
         )
         WHERE doc_id NOT IN (SELECT a FROM reach r3 GROUP BY a HAVING least(a, min(b)) <> a)
+    """,
+    "sources_except": """
+        SELECT DISTINCT source FROM documents WHERE lang = 'en'
+        EXCEPT
+        SELECT DISTINCT source FROM documents WHERE lang = 'zh'
     """,
     "simhash_near_dups": """
         WITH corpus AS (

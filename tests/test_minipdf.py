@@ -705,3 +705,36 @@ def test_encrypt_ref_in_xref_stream_dict():
     specs, num_pages = minipdf_parse(no_trailer)
     assert num_pages == 1
     assert specs[0]["text"] == "Hello PII world"
+
+
+class TestCidProperty:
+    def test_roundtrip_arbitrary_bmp_text(self):
+        """Property: any BMP text round-trips through a generated CID font
+        (codes assigned per unique char, ToUnicode CMap, hex show string)."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        # BMP, no surrogates, printable-ish, exclude control chars
+        alphabet = st.characters(
+            min_codepoint=0x21, max_codepoint=0xFFFD, exclude_categories=("Cs", "Cc", "Zs")
+        )
+
+        @given(st.text(alphabet=alphabet, min_size=1, max_size=40))
+        @settings(max_examples=40, deadline=None)
+        def roundtrip(text):
+            chars = sorted(set(text))
+            code_of = {c: i + 1 for i, c in enumerate(chars)}
+            bf = b" ".join(
+                b"<%04X> <%s>" % (code_of[c], c.encode("utf-16-be").hex().upper().encode())
+                for c in chars
+            )
+            cmap = (
+                b"begincmap\n1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+                b"%d beginbfchar\n" % len(chars) + bf + b"\nendbfchar\nendcmap\n"
+            )
+            codes = b"".join(b"%04X" % code_of[c] for c in text)
+            specs, _ = minipdf_parse(build_cid_pdf(codes, cmap))
+            got = specs[0]["text"] if specs else ""
+            assert got == text.strip()
+
+        roundtrip()
