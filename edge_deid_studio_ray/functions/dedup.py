@@ -595,7 +595,15 @@ def _pointer_double(labels, nb: int = DEFAULT_GROUP_BUCKETS):
     )
 
 
-def connected_components(pairs, *, left_col: str = "left", right_col: str = "right", max_iter: int = 10, num_buckets: int | None = None):
+def connected_components(
+    pairs,
+    *,
+    left_col: str = "left",
+    right_col: str = "right",
+    max_iter: int = 10,
+    num_buckets: int | None = None,
+    small_graph_threshold: int = 1_000_000,
+):
     """Cluster near-dup pairs into components: iterative min-label
     propagation with a pointer-doubling step per round — each round is a
     bounded number of bucketed groupbys (no driver-side union-find, so the
@@ -611,11 +619,22 @@ def connected_components(pairs, *, left_col: str = "left", right_col: str = "rig
     schema = pairs.schema()
     lt = dict(zip(schema.names, schema.types))[left_col]
     if isinstance(lt, pa.DataType) and (pa.types.is_string(lt) or pa.types.is_large_string(lt)):
-        return _connected_components_str(pairs, left_col, right_col, max_iter, nb)
-    return _connected_components_int(pairs, left_col, right_col, max_iter, nb)
+        return _connected_components_str(
+            pairs, left_col, right_col, max_iter, nb, small_graph_threshold
+        )
+    return _connected_components_int(
+        pairs, left_col, right_col, max_iter, nb, small_graph_threshold
+    )
 
 
-def _connected_components_str(pairs, left_col: str, right_col: str, max_iter: int, nb: int = DEFAULT_GROUP_BUCKETS):
+def _connected_components_str(
+    pairs,
+    left_col: str,
+    right_col: str,
+    max_iter: int,
+    nb: int = DEFAULT_GROUP_BUCKETS,
+    small_graph_threshold: int = 1_000_000,
+):
     """String-keyed wrapper: hash ids to int64, run the int path, join the
     original ids back with one bucketed co-group."""
 
@@ -643,7 +662,12 @@ def _connected_components_str(pairs, left_col: str, right_col: str, max_iter: in
         )
 
     int_components = _connected_components_int(
-        pairs.map_batches(to_int_pairs, batch_format="pyarrow"), left_col, right_col, max_iter, nb
+        pairs.map_batches(to_int_pairs, batch_format="pyarrow"),
+        left_col,
+        right_col,
+        max_iter,
+        nb,
+        small_graph_threshold,
     )
 
     def tag_components(t: pa.Table) -> pa.Table:
@@ -677,7 +701,46 @@ def _connected_components_str(pairs, left_col: str, right_col: str, max_iter: in
     )
 
 
-def _connected_components_int(pairs, left_col: str, right_col: str, max_iter: int, nb: int = DEFAULT_GROUP_BUCKETS):
+def _union_find_components(edge_rows: list[dict]) -> "pa.Table":
+    """Driver-side union-find with min-id labels — byte-identical output to
+    the distributed propagation (component = min reachable node id)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for row in edge_rows:
+        a, b = int(row["node"]), int(row["neighbor_min"])
+        for v in (a, b):
+            if v not in parent:
+                parent[v] = v
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by MIN id so the root IS the component label
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    nodes = sorted(parent)
+    return pa.table(
+        {
+            "node": pa.array(nodes, pa.int64()),
+            "component": pa.array([find(n) for n in nodes], pa.int64()),
+        }
+    )
+
+
+def _connected_components_int(
+    pairs,
+    left_col: str,
+    right_col: str,
+    max_iter: int,
+    nb: int = DEFAULT_GROUP_BUCKETS,
+    small_graph_threshold: int = 1_000_000,
+):
     from ray.data.aggregate import Min
 
     def explode(batch: pa.Table) -> pa.Table:
@@ -694,6 +757,14 @@ def _connected_components_int(pairs, left_col: str, right_col: str, max_iter: in
     # rate, not the corpus) so the upstream pair pipeline (often a full LSH
     # pass) is not re-executed by each consumer below
     edges = pairs.map_batches(explode, batch_format="pyarrow").materialize()
+    # adaptive path: the edge list is bounded by the DUPLICATE RATE, not the
+    # corpus — when it fits comfortably on the driver a union-find beats
+    # ~4 shuffle stages per propagation round by an order of magnitude.
+    # The distributed pointer-doubling path below is the >threshold route.
+    if edges.count() <= small_graph_threshold:
+        import ray.data as rd
+
+        return rd.from_arrow(_union_find_components(edges.take_all()))
     # label(node) = min(node, neighbors' labels); iterate to fixpoint
     labels = edges.groupby("node").aggregate(Min("neighbor_min", alias_name="label"))
 

@@ -169,7 +169,12 @@ class TestConnectedComponents:
         pairs = rd.from_arrow(
             pa.table({"left": list(range(63)), "right": list(range(1, 64))})
         )
-        out = {r["node"]: r["component"] for r in connected_components(pairs, max_iter=7).take_all()}
+        out = {
+            r["node"]: r["component"]
+            for r in connected_components(
+                pairs, max_iter=7, small_graph_threshold=0
+            ).take_all()
+        }
         assert set(out) == set(range(64))
         assert all(c == 0 for c in out.values())
 
@@ -592,3 +597,29 @@ def test_near_dedup_composite(ray_session):
     out = near_dedup(ds, num_hashes=64, num_bands=16, jaccard_threshold=0.6).to_pandas()
     assert sorted(out["doc_id"].tolist()) == [1, 3, 5]
     assert set(out.columns) == {"doc_id", "text", "lang"}  # schema preserved
+
+
+def test_cc_driver_and_distributed_paths_agree(ray_session):
+    """The small-graph union-find shortcut must be byte-identical to the
+    distributed pointer-doubling propagation."""
+    import random
+
+    import ray.data as rd
+
+    from edge_deid_studio_ray.functions.dedup import connected_components
+
+    rng = random.Random(5)
+    lefts = [rng.randint(0, 99) for _ in range(150)]
+    rights = [rng.randint(0, 99) for _ in range(150)]
+    pairs = pa.table({"left": lefts, "right": rights})
+    fast = {
+        r["node"]: r["component"]
+        for r in connected_components(rd.from_arrow(pairs)).take_all()
+    }
+    dist = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            rd.from_arrow(pairs), small_graph_threshold=0
+        ).take_all()
+    }
+    assert fast == dist
