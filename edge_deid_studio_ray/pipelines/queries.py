@@ -767,6 +767,47 @@ def q_doc_length_percentiles(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
+def _doc_perturb_fn(suffix: str):
+    """Batch fn: perturbed copy of each document (id + 1_000_000, text +
+    suffix) — the forced near-duplicate fixture the dedup queries share."""
+
+    def perturb(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    [d + 1_000_000 for d in batch["doc_id"].to_pylist()], pa.int64()
+                ),
+                "text": pa.array(
+                    [(t or "") + suffix for t in batch["text"].to_pylist()], pa.string()
+                ),
+            }
+        )
+
+    return perturb
+
+
+def _docs_with_perturbed(sf_dir: str, suffix: str = " appended"):
+    """(base, base ∪ perturbed) documents datasets."""
+    base = _read_spread(sf_dir, "documents", ["doc_id", "text"])
+    return base, base.union(
+        base.map_batches(_doc_perturb_fn(suffix), batch_format="pyarrow")
+    )
+
+
+def _embedding_queries(sf_dir: str) -> np.ndarray:
+    """Query matrix for the ANN oracles: embedding rows vec_id 0..2, read
+    with row-group predicate pushdown (no full scan for 3 rows)."""
+    import ray.data as rd
+
+    rows = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filter=(pc.field("vec_id") < 3),
+    ).take_all()
+    rows.sort(key=lambda r: r["vec_id"])
+    return np.array([r["embedding"] for r in rows], dtype=np.float64)
+
+
 def _documents_as_pages(sf_dir: str, columns=("doc_id", "text", "lang")):
     ds = _read(sf_dir, "documents", list(columns))
 
@@ -947,20 +988,9 @@ def q_minhash_near_dups(sf_dir: str):
     here; ``verify="signature"`` remains the 100-TB path when exactness can
     be traded for constant shuffle volume."""
 
-    def perturb(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "doc_id": pa.array([d + 1_000_000 for d in batch["doc_id"].to_pylist()], pa.int64()),
-                "text": pa.array(
-                    [(t or "") + " appended" for t in batch["text"].to_pylist()], pa.string()
-                ),
-            }
-        )
-
-    base = _read_spread(sf_dir, "documents", ["doc_id", "text"])
-    mutated = base.map_batches(perturb, batch_format="pyarrow")
+    _base, corpus = _docs_with_perturbed(sf_dir)
     pairs = minhash_candidates(
-        base.union(mutated),
+        corpus,
         jaccard_threshold=0.7,
         num_hashes=64,
         num_bands=16,
@@ -995,23 +1025,9 @@ def q_ngram_jaccard_pairs(sf_dir: str):
     doubles vs DuckDB."""
     from ..functions.dedup import word_ngram_jaccard
 
-    def perturb(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "doc_id": pa.array(
-                    [d + 1_000_000 for d in batch["doc_id"].to_pylist()], pa.int64()
-                ),
-                "text": pa.array(
-                    [(t or "") + " appended" for t in batch["text"].to_pylist()],
-                    pa.string(),
-                ),
-            }
-        )
-
-    base = _read_spread(sf_dir, "documents", ["doc_id", "text"])
-    mutated = base.map_batches(perturb, batch_format="pyarrow")
+    _base, corpus = _docs_with_perturbed(sf_dir)
     pairs = minhash_candidates(
-        base.union(mutated),
+        corpus,
         jaccard_threshold=0.7,
         num_hashes=64,
         num_bands=16,
@@ -1029,21 +1045,8 @@ def q_simhash_near_dups(sf_dir: str):
     (md5-derived word hashes make the whole signature SQL-expressible)."""
     from ..functions.dedup import simhash_near_dups
 
-    def perturb(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "doc_id": pa.array(
-                    [d + 1_000_000 for d in batch["doc_id"].to_pylist()], pa.int64()
-                ),
-                "text": pa.array(
-                    [(t or "") + " tail" for t in batch["text"].to_pylist()], pa.string()
-                ),
-            }
-        )
-
-    base = _read_spread(sf_dir, "documents", ["doc_id", "text"])
-    mutated = base.map_batches(perturb, batch_format="pyarrow")
-    return simhash_near_dups(base.union(mutated), max_hamming=6, num_bands=8)
+    _base, corpus = _docs_with_perturbed(sf_dir, " tail")
+    return simhash_near_dups(corpus, max_hamming=6, num_bands=8)
 
 
 def q_text_fingerprints(sf_dir: str):
@@ -1112,18 +1115,8 @@ def q_doc_quality_counts(sf_dir: str):
 def q_knn_bruteforce(sf_dir: str):
     """Exact cosine top-5 for query vectors 0/1/2 (broadcast query matrix,
     per-batch matmul partials, final per-query merge)."""
-    import ray.data as rd
-
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    # row-group predicate pushdown at the read — no full scan for 3 rows
-    queries = rd.read_parquet(
-        os.path.join(sf_dir, "embeddings.parquet"),
-        columns=["vec_id", "embedding"],
-        filter=(pc.field("vec_id") < 3),
-    ).take_all()
-    queries.sort(key=lambda r: r["vec_id"])
-    qmat = np.array([r["embedding"] for r in queries], dtype=np.float64)
-    out = knn_bruteforce(ds, qmat, k=5)
+    out = knn_bruteforce(ds, _embedding_queries(sf_dir), k=5)
     return out.select_columns(["query_id", "vec_id"])
 
 
@@ -1132,19 +1125,10 @@ def q_knn_ivf_full_probe(sf_dir: str):
     degenerates to exact search, so the whole IVF path (reservoir-sampled
     k-means codebook, centroid assignment filter, tree-merged top-k) is
     value-checked against the same LATERAL top-5 SQL as brute force."""
-    import ray.data as rd
-
     from ..functions.simsearch import knn_ivf
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    queries = rd.read_parquet(
-        os.path.join(sf_dir, "embeddings.parquet"),
-        columns=["vec_id", "embedding"],
-        filter=(pc.field("vec_id") < 3),
-    ).take_all()
-    queries.sort(key=lambda r: r["vec_id"])
-    qmat = np.array([r["embedding"] for r in queries], dtype=np.float64)
-    out = knn_ivf(ds, qmat, k=5, num_centroids=8, nprobe=8)
+    out = knn_ivf(ds, _embedding_queries(sf_dir), k=5, num_centroids=8, nprobe=8)
     return out.select_columns(["query_id", "vec_id"])
 
 
@@ -1635,20 +1619,7 @@ def q_jaccard_doc_perturbed(sf_dir: str):
     """
     from ..functions.dedup import pair_text_metric, word_ngram_jaccard
 
-    base = _read_spread(sf_dir, "documents", ["doc_id", "text"])
-
-    def perturb(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "doc_id": pa.array(
-                    [d + 1_000_000 for d in batch["doc_id"].to_pylist()], pa.int64()
-                ),
-                "text": pa.array(
-                    [(t or "") + " appended" for t in batch["text"].to_pylist()],
-                    pa.string(),
-                ),
-            }
-        )
+    base, corpus = _docs_with_perturbed(sf_dir)
 
     def to_pairs(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_pylist()
@@ -1659,7 +1630,6 @@ def q_jaccard_doc_perturbed(sf_dir: str):
             }
         )
 
-    corpus = base.union(base.map_batches(perturb, batch_format="pyarrow"))
     pairs = base.map_batches(to_pairs, batch_format="pyarrow")
     return pair_text_metric(
         pairs, corpus, lambda a, b: word_ngram_jaccard(a, b, 3), out_col="ngram_jaccard"
@@ -2062,21 +2032,7 @@ def q_near_dedup_survivors(sf_dir: str):
     that are not a non-minimal member of any component."""
     from ..functions.dedup import near_dedup
 
-    def perturb(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "doc_id": pa.array(
-                    [d + 1_000_000 for d in batch["doc_id"].to_pylist()], pa.int64()
-                ),
-                "text": pa.array(
-                    [(t or "") + " appended" for t in batch["text"].to_pylist()],
-                    pa.string(),
-                ),
-            }
-        )
-
-    base = _read_spread(sf_dir, "documents", ["doc_id", "text"])
-    corpus = base.union(base.map_batches(perturb, batch_format="pyarrow"))
+    _base, corpus = _docs_with_perturbed(sf_dir)
     survivors = near_dedup(
         corpus, jaccard_threshold=0.7, num_hashes=64, num_bands=16, verify="text"
     )
