@@ -12,7 +12,9 @@ machine-generated PDFs from first principles (PDF 32000-1 spec, public):
   only when /Length is absent or indirect);
 - page-tree discovery (``/Type /Page`` with ``/Contents N 0 R``), MediaBox
   page height;
-- content streams, raw or ``/FlateDecode`` (zlib is stdlib);
+- content streams through the standard filter chains: /FlateDecode,
+  /LZWDecode (MSB-first variable width, /EarlyChange), /ASCIIHexDecode,
+  /ASCII85Decode, /RunLengthDecode — single names or arrays, in order;
 - text operators inside BT…ET: ``Tf Tm Td TD T* TL Tj TJ ' "`` with literal
   ``(…)`` strings (escapes, nested parens, octal) and ``<hex>`` strings;
 - CID/Type0 composite fonts: per-page ``/Resources → /Font`` resolution and
@@ -170,6 +172,116 @@ def _raw_stream_span(body: bytes) -> tuple[int, int] | None:
     return m.start(1), m.end(1)
 
 
+_FILTER_NAMES_RE = re.compile(
+    rb"/(FlateDecode|LZWDecode|ASCIIHexDecode|ASCII85Decode|RunLengthDecode|"
+    rb"DCTDecode|JPXDecode|CCITTFaxDecode|JBIG2Decode|Crypt)"
+)
+
+
+def _lzw_decode(data: bytes, early_change: int = 1) -> bytes | None:
+    """PDF LZWDecode: MSB-first variable-width codes (9→12 bits), clear
+    table 256, EOD 257, code width bumps one code EARLY by default
+    (/EarlyChange 1) — spec §7.4.4."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    prev: bytes | None = None
+    acc = nbits = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:  # clear table
+                table = [bytes([i]) for i in range(256)] + [b"", b""]
+                width = 9
+                prev = None
+                continue
+            if code == 257:  # EOD
+                return bytes(out)
+            if prev is None:
+                if code >= len(table):
+                    return None
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                return None
+            out += entry
+            prev = entry
+            if len(table) + early_change >= (1 << width) and width < 12:
+                width += 1
+    return bytes(out)
+
+
+def _run_length_decode(data: bytes) -> bytes | None:
+    """PDF RunLengthDecode (spec §7.4.5): length byte < 128 → copy n+1
+    literal bytes; 129..255 → repeat next byte 257-n times; 128 → EOD."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        length = data[i]
+        i += 1
+        if length == 128:
+            break
+        if length < 128:
+            out += data[i : i + length + 1]
+            i += length + 1
+        else:
+            if i >= n:
+                return None
+            out += bytes([data[i]]) * (257 - length)
+            i += 1
+    return bytes(out)
+
+
+def _apply_filters(data: bytes, head: bytes) -> bytes | None:
+    """Run the stream dict's /Filter chain (single name or array, applied in
+    order).  Image/crypt codecs (DCT/JPX/CCITT/JBIG2/Crypt) stop the chain —
+    callers treat the stream as opaque."""
+    import base64
+
+    for name in _FILTER_NAMES_RE.findall(head):
+        if name == b"FlateDecode":
+            try:
+                data = zlib.decompress(data)
+            except zlib.error:
+                return None
+        elif name == b"LZWDecode":
+            ec = re.search(rb"/EarlyChange\s+(\d+)", head)
+            decoded = _lzw_decode(data, int(ec.group(1)) if ec else 1)
+            if decoded is None:
+                return None
+            data = decoded
+        elif name == b"ASCIIHexDecode":
+            hexdigits = re.sub(rb"[^0-9A-Fa-f]", b"", data.split(b">", 1)[0])
+            if len(hexdigits) % 2:
+                hexdigits += b"0"
+            data = bytes.fromhex(hexdigits.decode())
+        elif name == b"ASCII85Decode":
+            payload = data.split(b"~>", 1)[0]
+            payload = re.sub(rb"\s", b"", payload)
+            if payload.startswith(b"<~"):
+                payload = payload[2:]
+            try:
+                data = base64.a85decode(payload)
+            except ValueError:
+                return None
+        elif name == b"RunLengthDecode":
+            decoded = _run_length_decode(data)
+            if decoded is None:
+                return None
+            data = decoded
+        else:  # image / crypt codecs: opaque
+            return None
+    return data
+
+
 def _decode_stream(body: bytes, decrypt=None) -> bytes | None:
     span = _raw_stream_span(body)
     if span is None:
@@ -177,12 +289,7 @@ def _decode_stream(body: bytes, decrypt=None) -> bytes | None:
     data = body[span[0] : span[1]]
     if decrypt is not None:
         data = decrypt(data)
-    if b"/FlateDecode" in body[: span[0]]:
-        try:
-            return zlib.decompress(data)
-        except zlib.error:
-            return None
-    return data
+    return _apply_filters(data, body[: span[0]])
 
 
 def _page_objects(objects: dict[int, bytes]) -> list[tuple[int, bytes]]:

@@ -738,3 +738,119 @@ class TestCidProperty:
             assert got == text.strip()
 
         roundtrip()
+
+
+class TestStreamFilters:
+    def _one_page(self, head: bytes, payload: bytes) -> bytes:
+        objects = [
+            b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj",
+            b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj",
+            b"3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents 4 0 R >> endobj",
+            b"4 0 obj << " + head + b" /Length %d >> stream\n" % len(payload)
+            + payload + b"\nendstream endobj",
+        ]
+        return b"%PDF-1.4\n" + b"\n".join(objects) + b"\n%%EOF\n"
+
+    STREAM = b"BT 10 700 Td (Filtered stream text) Tj ET"
+
+    def test_ascii_hex(self):
+        payload = self.STREAM.hex().upper().encode() + b">"
+        specs, _ = minipdf_parse(self._one_page(b"/Filter /ASCIIHexDecode", payload))
+        assert specs[0]["text"] == "Filtered stream text"
+
+    def test_ascii85(self):
+        import base64
+
+        payload = base64.a85encode(self.STREAM) + b"~>"
+        specs, _ = minipdf_parse(self._one_page(b"/Filter /ASCII85Decode", payload))
+        assert specs[0]["text"] == "Filtered stream text"
+
+    def test_run_length(self):
+        # encode: literal runs (n<128 -> n+1 literals) + a repeat run
+        data = b"BT 10 700 Td (run" + b"A" * 40 + b") Tj ET"
+        payload = bytearray()
+        i = 0
+        while i < len(data):
+            # find repeat run of >= 3
+            j = i
+            while j + 1 < len(data) and data[j + 1] == data[i] and j - i < 127:
+                j += 1
+            if j - i >= 2:
+                payload += bytes([257 - (j - i + 1), data[i]])
+                i = j + 1
+            else:
+                k = min(i + 128, len(data))
+                payload += bytes([k - i - 1]) + data[i:k]
+                i = k
+        payload.append(128)  # EOD
+        specs, _ = minipdf_parse(self._one_page(b"/Filter /RunLengthDecode", bytes(payload)))
+        assert specs[0]["text"] == "run" + "A" * 40
+
+    def _lzw_encode(self, data: bytes) -> bytes:
+        """Minimal PDF LZW encoder (MSB-first, clear code first, 9->12 bit
+        growth with EarlyChange=1) — the inverse of _lzw_decode."""
+        table = {bytes([i]): i for i in range(256)}
+        next_code = 258
+        width = 9
+        out_bits: list[tuple[int, int]] = [(256, 9)]  # leading clear code
+        w = b""
+        for byte in data:
+            wc = w + bytes([byte])
+            if wc in table:
+                w = wc
+            else:
+                out_bits.append((table[w], width))
+                table[wc] = next_code
+                next_code += 1
+                # encoder bumps width when next_code + early > (1<<width)
+                if next_code + 1 > (1 << width) and width < 12:
+                    width += 1
+                w = bytes([byte])
+        if w:
+            out_bits.append((table[w], width))
+        out_bits.append((257, width))  # EOD
+        acc = nbits = 0
+        payload = bytearray()
+        for code, wbits in out_bits:
+            acc = (acc << wbits) | code
+            nbits += wbits
+            while nbits >= 8:
+                payload.append((acc >> (nbits - 8)) & 0xFF)
+                nbits -= 8
+        if nbits:
+            payload.append((acc << (8 - nbits)) & 0xFF)
+        return bytes(payload)
+
+    def test_lzw(self):
+        from edge_deid_studio_ray.kernels.minipdf import _lzw_decode
+
+        data = (b"the quick brown fox " * 30) + b"tail"
+        assert _lzw_decode(self._lzw_encode(data)) == data
+        stream = b"BT 10 700 Td (LZW compressed content here) Tj ET"
+        specs, _ = minipdf_parse(
+            self._one_page(b"/Filter /LZWDecode", self._lzw_encode(stream))
+        )
+        assert specs[0]["text"] == "LZW compressed content here"
+
+    def test_filter_chain_a85_flate(self):
+        import base64
+        import zlib as _zlib
+
+        payload = base64.a85encode(_zlib.compress(self.STREAM)) + b"~>"
+        specs, _ = minipdf_parse(
+            self._one_page(b"/Filter [/ASCII85Decode /FlateDecode]", payload)
+        )
+        assert specs[0]["text"] == "Filtered stream text"
+
+    def test_lzw_property_roundtrip(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from edge_deid_studio_ray.kernels.minipdf import _lzw_decode
+
+        @given(st.binary(min_size=0, max_size=400))
+        @settings(max_examples=60, deadline=None)
+        def roundtrip(data):
+            assert _lzw_decode(self._lzw_encode(data)) == data
+
+        roundtrip()
