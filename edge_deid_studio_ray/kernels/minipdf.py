@@ -33,15 +33,16 @@ objects (catalogs, page trees, fonts) inflate into the object table, so
 modern-layout PDFs whose page dicts live in compressed object streams
 still parse (content streams are never inside ObjStm, per spec).
 
-RC4-encrypted PDFs (Standard security handler, /V 1|2 /R 2|3 — the
-password-protected layout of pre-2008 tooling) decrypt with the empty user
-password: the file key derives per spec §7.6.3 from /O, /P and the file
-/ID, each stream decrypts with its per-object key, and ObjStm members
-unpack post-decryption.
+Encrypted PDFs (Standard security handler) decrypt with the empty user
+password: RC4 at /V 1|2 /R 2|3 and AES-128 (AESV2 crypt filter) at /V 4
+/R 4 — the file key derives per spec §7.6.3 from /O, /P and the file /ID,
+each stream decrypts with its per-object key (AES streams carry an IV
+prefix + PKCS#7 padding; the AES core is pure Python, kernels/aes.py),
+and ObjStm members unpack post-decryption.
 
 Out of scope (flagged upstream as ``pdf_backend_unavailable`` when nothing
-is extractable): AES-encrypted PDFs (/V ≥ 4 — needs a crypto lib),
-xref-stream predictors, glyph-metric width programs.  Glyph bytes without
+is extractable): /V 5 AES-256 (AESV3 SHA-2 handler), xref-stream
+predictors, glyph-metric width programs.  Glyph bytes without
 a ToUnicode CMap decode as latin-1 — correct for ASCII/WinAnsi
 simple-font PDFs.
 """
@@ -289,6 +290,8 @@ def _decode_stream(body: bytes, decrypt=None) -> bytes | None:
     data = body[span[0] : span[1]]
     if decrypt is not None:
         data = decrypt(data)
+        if data is None:
+            return None
     return _apply_filters(data, body[: span[0]])
 
 
@@ -404,8 +407,11 @@ def standard_file_key(
     encrypt_body: bytes, file_id: bytes, password: bytes = b""
 ) -> bytes | None:
     """Derive the file encryption key for the Standard security handler
-    (algorithm 2 of the spec).  Returns None for non-Standard filters or
-    revisions needing AES (/V ≥ 4) — callers flag those unsupported."""
+    (algorithm 2 of the spec) — /V 1|2 (RC4) and /V 4 (/R 4, the AESV2 /
+    CFM layout; same MD5 derivation with the /EncryptMetadata false
+    marker).  Returns None for non-Standard filters or /V 5 (AESV3 uses
+    the SHA-based algorithm, not implemented) — callers flag those
+    unsupported."""
     import hashlib
     import struct
 
@@ -416,8 +422,8 @@ def standard_file_key(
     pm = re.search(rb"/P\s+(-?\d+)", encrypt_body)
     version = int(vm.group(1)) if vm else 0
     revision = int(rm.group(1)) if rm else 2
-    if version > 2 or revision > 3:
-        return None  # AES / crypt filters: out of scope without a crypto lib
+    if version > 4 or revision > 4:
+        return None  # /V 5 AESV3: SHA-2 handler not implemented
     o_entry = _dict_string(encrypt_body, rb"/O")
     if o_entry is None or pm is None:
         return None
@@ -428,26 +434,41 @@ def standard_file_key(
     perms = int(pm.group(1)) & 0xFFFFFFFF
     if perms > 0x7FFFFFFF:
         perms -= 1 << 32
-    digest = hashlib.md5(
+    seed = (
         (password + _PW_PAD)[:32]
         + o_entry[:32]
         + struct.pack("<i", perms)
         + file_id
-    ).digest()
+    )
+    if revision >= 4 and re.search(rb"/EncryptMetadata\s+false", encrypt_body):
+        seed += b"\xff\xff\xff\xff"  # spec algorithm 2 step f
+    digest = hashlib.md5(seed).digest()
     if revision >= 3:
         for _ in range(50):
             digest = hashlib.md5(digest[:n]).digest()
     return digest[:n]
 
 
-def object_decryptor(file_key: bytes, num: int, gen: int):
-    """Per-object RC4 decryptor (algorithm 1): object key =
-    MD5(file_key + objnum[3 LE] + gen[2 LE]) truncated to key+5 bytes."""
+def encryption_method(encrypt_body: bytes) -> str:
+    """"rc4" or "aes" per the crypt-filter method (/CFM AESV2 → AES-128-CBC
+    with IV-prefixed, padded streams; everything at /V ≤ 2 is RC4)."""
+    return "aes" if re.search(rb"/CFM\s*/AESV2\b", encrypt_body) else "rc4"
+
+
+def object_decryptor(file_key: bytes, num: int, gen: int, method: str = "rc4"):
+    """Per-object decryptor (algorithm 1): object key = MD5(file_key +
+    objnum[3 LE] + gen[2 LE] [+ b"sAlT" for AES]) truncated to key+5 bytes;
+    AESV2 streams carry a 16-byte IV prefix and PKCS#7 padding."""
     import hashlib
 
+    salt = b"sAlT" if method == "aes" else b""
     obj_key = hashlib.md5(
-        file_key + num.to_bytes(3, "little") + gen.to_bytes(2, "little")
+        file_key + num.to_bytes(3, "little") + gen.to_bytes(2, "little") + salt
     ).digest()[: min(len(file_key) + 5, 16)]
+    if method == "aes":
+        from .aes import cbc_decrypt
+
+        return lambda data: cbc_decrypt(obj_key, data)
     return lambda data: rc4(obj_key, data)
 
 
@@ -476,9 +497,10 @@ def _load_document(raw: bytes):
     file_key = standard_file_key(enc_body or b"", file_id) if enc_body else None
     if file_key is None:
         return plain, "unsupported"
+    method = encryption_method(enc_body or b"")
 
     def decrypt_for(num: int):
-        return object_decryptor(file_key, num, gens.get(num, 0))
+        return object_decryptor(file_key, num, gens.get(num, 0), method)
 
     return _scan_objects(raw, decrypt_for), decrypt_for
 

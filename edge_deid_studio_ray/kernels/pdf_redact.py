@@ -337,7 +337,18 @@ def redact_pdf_bytes(raw: bytes, rects: list[dict[str, Any]]) -> dict[str, Any]:
             if span is None:
                 continue
             dec = decrypt_factory(num)(body[span[0] : span[1]])
-            replacements[num] = body[: span[0]] + dec + body[span[1] :]
+            if dec is None:
+                continue
+            head = body[: span[0]]
+            # AES plaintext is shorter than the IV+padded ciphertext: keep
+            # /Length honest so readers can slice the stream directly
+            head = re.sub(
+                rb"/Length\s+\d+(?!\d)(?!\s+\d+\s+R)",
+                b"/Length %d" % len(dec),
+                head,
+                count=1,
+            )
+            replacements[num] = head + dec + body[span[1] :]
 
     out_pdf = _assemble_with_xref(raw, replacements, objects)
 

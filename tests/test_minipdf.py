@@ -586,12 +586,12 @@ class TestEncryptedPdf:
         assert row["route"] == "pdf" and row["error"] is None
         assert any(e["type"] == "PHONE" for e in row["entities"])
 
-    def test_aes_flagged_unavailable(self):
-        # /V 4 (AESV2) is out of scope -> no pages -> flagged upstream
+    def test_aes256_flagged_unavailable(self):
+        # /V 5 (AESV3, SHA-2 handler) is out of scope -> flagged upstream
         raw = build_pdf([TWO_BLOCK_STREAM])
         aes = raw.replace(
             b"%%EOF",
-            b"9 0 obj << /Filter /Standard /V 4 /R 4 /O <00> /U <00> /P -44 >> endobj\n"
+            b"9 0 obj << /Filter /Standard /V 5 /R 5 /O <00> /U <00> /P -44 >> endobj\n"
             b"trailer << /Encrypt 9 0 R /ID [<00> <00>] >>\n%%EOF",
         )
         specs, num_pages = minipdf_parse(aes)
@@ -630,13 +630,13 @@ class TestReviewRegressions:
         m = _re.search(rb"stream\r?\n(.{20})", raw, _re.DOTALL)
         assert m.group(1) not in out["pdf"]
 
-    def test_aes_redaction_flagged_unsupported(self):
+    def test_aes256_redaction_flagged_unsupported(self):
         from edge_deid_studio_ray.kernels.pdf_redact import redact_pdf_bytes
 
         raw = build_pdf([TWO_BLOCK_STREAM])
         aes = raw.replace(
             b"%%EOF",
-            b"9 0 obj << /Filter /Standard /V 4 /R 4 /O <00> /U <00> /P -44 >> endobj\n"
+            b"9 0 obj << /Filter /Standard /V 5 /R 5 /O <00> /U <00> /P -44 >> endobj\n"
             b"trailer << /Encrypt 9 0 R /ID [<00> <00>] >>\n%%EOF",
         )
         out = redact_pdf_bytes(aes, [])
@@ -854,3 +854,109 @@ class TestStreamFilters:
             assert _lzw_decode(self._lzw_encode(data)) == data
 
         roundtrip()
+
+
+def encrypt_pdf_aesv2(raw: bytes, *, owner_pw: bytes = b"owner", perms: int = -44) -> bytes:
+    """Spec-faithful /V 4 /R 4 AESV2 encryption of a minipdf-built PDF
+    (empty user password): R3-style /O and file key (128-bit), per-object
+    AES keys with the sAlT suffix, IV-prefixed PKCS#7-padded streams."""
+    import hashlib
+    import re
+    import struct
+
+    from edge_deid_studio_ray.kernels.aes import cbc_encrypt
+    from edge_deid_studio_ray.kernels.minipdf import _PW_PAD, _scan_object_spans, rc4
+
+    n = 16
+    okey = hashlib.md5((owner_pw + _PW_PAD)[:32]).digest()
+    for _ in range(50):
+        okey = hashlib.md5(okey).digest()
+    o_entry = rc4(okey[:n], _PW_PAD)
+    file_id = hashlib.md5(raw).digest()
+    digest = hashlib.md5(_PW_PAD + o_entry + struct.pack("<i", perms) + file_id).digest()
+    for _ in range(50):
+        digest = hashlib.md5(digest[:n]).digest()
+    file_key = digest[:n]
+    # /U per algorithm 5 (R >= 3): md5(pad + id), rc4 chain with xor'd keys
+    u_hash = hashlib.md5(_PW_PAD + file_id).digest()
+    u = rc4(file_key, u_hash)
+    for i in range(1, 20):
+        u = rc4(bytes(b ^ i for b in file_key), u)
+    u_entry = u + b"\x00" * 16
+
+    out = bytearray()
+    pos = 0
+    spans = _scan_object_spans(raw)
+    max_num = max(s[0] for s in spans)
+    for num, hstart, body_start, end in spans:
+        out += raw[pos:body_start]
+        body = raw[body_start:end]
+        m = re.search(rb"stream\r?\n", body)
+        if m:
+            data_start = m.end()
+            es = body.rfind(b"\nendstream")
+            data = body[data_start:es]
+            obj_key = hashlib.md5(
+                file_key + num.to_bytes(3, "little") + (0).to_bytes(2, "little") + b"sAlT"
+            ).digest()[:16]
+            iv = hashlib.md5(b"iv%d" % num).digest()  # deterministic fixture IV
+            enc = cbc_encrypt(obj_key, data, iv)
+            # fix /Length to the ciphertext size (IV + padded payload)
+            head = body[: m.start()]
+            head = re.sub(rb"/Length\s+\d+", b"/Length %d" % len(enc), head)
+            body = head + b"stream\n" + enc + body[es:]
+        out += body
+        pos = end
+    out += raw[pos:]
+    enc_num = max_num + 1
+    enc_obj = (
+        b"%d 0 obj << /Filter /Standard /V 4 /R 4 /Length 128 "
+        b"/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen /Length 16 >> >> "
+        b"/StmF /StdCF /StrF /StdCF "
+        b"/P %d /O <%s> /U <%s> >> endobj\n"
+        % (enc_num, perms, o_entry.hex().encode(), u_entry.hex().encode())
+    )
+    trailer = b"trailer << /Encrypt %d 0 R /ID [<%s> <%s>] >>\n" % (
+        enc_num, file_id.hex().encode(), file_id.hex().encode()
+    )
+    return bytes(out).replace(b"%%EOF", enc_obj + trailer + b"%%EOF")
+
+
+class TestAesV2Pdf:
+    def test_aesv2_roundtrip(self):
+        raw = encrypt_pdf_aesv2(build_pdf([TWO_BLOCK_STREAM], flate=True))
+        assert b"Hello PII world" not in raw  # ciphertext
+        specs, num_pages = minipdf_parse(raw)
+        assert num_pages == 1
+        assert specs[0]["text"] == "Hello PII world"
+
+    def test_aesv2_through_pipeline(self):
+        raw = encrypt_pdf_aesv2(build_pdf([TWO_BLOCK_STREAM]))
+        row = process_document(html=raw, url="https://x.test/aes.pdf")
+        assert row["route"] == "pdf" and row["error"] is None
+        assert any(e["type"] == "PHONE" for e in row["entities"])
+
+    def test_aesv2_redaction_decrypt_rewrite(self):
+        from edge_deid_studio_ray.kernels.pdf_redact import redact_pdf_document
+
+        raw = encrypt_pdf_aesv2(build_pdf([TWO_BLOCK_STREAM]))
+        row = process_document(html=raw, url="https://x.test/aes.pdf")
+        out = redact_pdf_document(raw, row["entities"])
+        assert out["rebuild_supported"] is True
+        assert out["verified"] is True
+        rebuilt = "\n".join(s["text"] for s in minipdf_parse(out["pdf"])[0])
+        assert "0912-345-678" not in rebuilt and "Hello PII world" in rebuilt
+
+    def test_aes_known_answer_vectors(self):
+        from edge_deid_studio_ray.kernels.aes import _decrypt_block, _encrypt_block, _expand_key
+
+        key = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+        pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+        rk = _expand_key(key)
+        assert _encrypt_block(pt, rk).hex() == "69c4e0d86a7b0430d8cdb78070b4c55a"
+        assert _decrypt_block(bytes.fromhex("69c4e0d86a7b0430d8cdb78070b4c55a"), rk) == pt
+        key256 = bytes.fromhex(
+            "000102030405060708090a0b0c0d0e0f101112131415161718191a1b1c1d1e1f"
+        )
+        rk = _expand_key(key256)
+        assert _encrypt_block(pt, rk).hex() == "8ea2b7ca516745bfeafc49904b496089"
