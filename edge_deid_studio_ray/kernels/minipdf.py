@@ -40,8 +40,11 @@ each stream decrypts with its per-object key (AES streams carry an IV
 prefix + PKCS#7 padding; the AES core is pure Python, kernels/aes.py),
 and ObjStm members unpack post-decryption.
 
+AES-256 (/V 5 AESV3, revisions 5 and 6 incl. the algorithm-2.B iterated
+hash) unwraps the file key from /U//UE with the empty user password.
+
 Out of scope (flagged upstream as ``pdf_backend_unavailable`` when nothing
-is extractable): /V 5 AES-256 (AESV3 SHA-2 handler), xref-stream
+is extractable): real-password-protected documents, xref-stream
 predictors, glyph-metric width programs.  Glyph bytes without
 a ToUnicode CMap decode as latin-1 — correct for ASCII/WinAnsi
 simple-font PDFs.
@@ -449,9 +452,58 @@ def standard_file_key(
     return digest[:n]
 
 
+def _hash_2b(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """ISO 32000-2 algorithm 2.B (the /R 6 iterated hash): SHA-256 seed,
+    then rounds of AES-128-CBC over (password+K+udata)x64 with a
+    digest-size switch chosen by the ciphertext, until the exit rule."""
+    import hashlib
+
+    from .aes import cbc_encrypt
+
+    k = hashlib.sha256(password + salt + udata).digest()
+    i = 0
+    while True:
+        k1 = (password + k + udata) * 64
+        e = cbc_encrypt(k[:16], k1, k[16:32], pad=False)
+        k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[sum(e[:16]) % 3](e).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            return k[:32]
+
+
+def standard_file_key_v5(encrypt_body: bytes, password: bytes = b"") -> bytes | None:
+    """/V 5 (AESV3) file key with the EMPTY user password: validate against
+    /U (hash + validation/key salts, /R 5 plain SHA-256 or /R 6 algorithm
+    2.B), then unwrap the 256-bit file key from /UE with AES-256-CBC
+    (zero IV, no padding).  Returns None when validation fails (a real
+    user password) — callers flag the document unsupported."""
+    import hashlib
+
+    from .aes import cbc_decrypt
+
+    rm = re.search(rb"/R\s+(\d+)", encrypt_body)
+    revision = int(rm.group(1)) if rm else 6
+    u_entry = _dict_string(encrypt_body, rb"/U")
+    ue_entry = _dict_string(encrypt_body, rb"/UE")
+    if u_entry is None or ue_entry is None or len(u_entry) < 48:
+        return None
+    u_hash, vsalt, ksalt = u_entry[:32], u_entry[32:40], u_entry[40:48]
+    if revision >= 6:
+        check = _hash_2b(password, vsalt)
+        ikey = _hash_2b(password, ksalt)
+    else:  # R5
+        check = hashlib.sha256(password + vsalt).digest()
+        ikey = hashlib.sha256(password + ksalt).digest()
+    if check != u_hash:
+        return None  # not the empty user password
+    return cbc_decrypt(ikey, ue_entry[:32], iv=b"\x00" * 16, unpad=False)
+
+
 def encryption_method(encrypt_body: bytes) -> str:
     """"rc4" or "aes" per the crypt-filter method (/CFM AESV2 → AES-128-CBC
     with IV-prefixed, padded streams; everything at /V ≤ 2 is RC4)."""
+    if re.search(rb"/CFM\s*/AESV3\b", encrypt_body):
+        return "aes256"
     return "aes" if re.search(rb"/CFM\s*/AESV2\b", encrypt_body) else "rc4"
 
 
@@ -461,6 +513,12 @@ def object_decryptor(file_key: bytes, num: int, gen: int, method: str = "rc4"):
     AESV2 streams carry a 16-byte IV prefix and PKCS#7 padding."""
     import hashlib
 
+    if method == "aes256":
+        # /V 5: streams encrypt with the FILE key directly (no per-object
+        # derivation, spec §7.6.3.2 note)
+        from .aes import cbc_decrypt
+
+        return lambda data: cbc_decrypt(file_key, data)
     salt = b"sAlT" if method == "aes" else b""
     obj_key = hashlib.md5(
         file_key + num.to_bytes(3, "little") + gen.to_bytes(2, "little") + salt
@@ -494,7 +552,11 @@ def _load_document(raw: bytes):
     enc_body = plain.get(enc_num)
     idm = _ID_RE.search(raw)
     file_id = bytes.fromhex(idm.group(1).decode()) if idm else b""
-    file_key = standard_file_key(enc_body or b"", file_id) if enc_body else None
+    vm = re.search(rb"/V\s+(\d+)", enc_body or b"")
+    if vm and int(vm.group(1)) >= 5:
+        file_key = standard_file_key_v5(enc_body or b"")
+    else:
+        file_key = standard_file_key(enc_body or b"", file_id) if enc_body else None
     if file_key is None:
         return plain, "unsupported"
     method = encryption_method(enc_body or b"")

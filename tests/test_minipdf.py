@@ -960,3 +960,104 @@ class TestAesV2Pdf:
         )
         rk = _expand_key(key256)
         assert _encrypt_block(pt, rk).hex() == "8ea2b7ca516745bfeafc49904b496089"
+
+
+def encrypt_pdf_aesv3(raw: bytes, *, revision: int = 6, perms: int = -44) -> bytes:
+    """Spec-faithful /V 5 AESV3 encryption (empty user password): /U carries
+    the validation hash + salts (R5 SHA-256 or R6 algorithm 2.B), /UE wraps
+    a fixed 256-bit file key, streams are AES-256-CBC with the file key."""
+    import hashlib
+    import re
+
+    from edge_deid_studio_ray.kernels.aes import cbc_encrypt
+    from edge_deid_studio_ray.kernels.minipdf import _hash_2b, _scan_object_spans
+
+    file_key = hashlib.sha256(b"fixture-file-key").digest()
+    vsalt = b"VSALT000"
+    ksalt = b"KSALT000"
+    if revision >= 6:
+        u_hash = _hash_2b(b"", vsalt)
+        ikey = _hash_2b(b"", ksalt)
+    else:
+        u_hash = hashlib.sha256(vsalt).digest()
+        ikey = hashlib.sha256(ksalt).digest()
+    ue = cbc_encrypt(ikey, file_key, b"\x00" * 16, pad=False)
+    u_entry = u_hash + vsalt + ksalt
+
+    out = bytearray()
+    pos = 0
+    spans = _scan_object_spans(raw)
+    max_num = max(s[0] for s in spans)
+    for num, hstart, body_start, end in spans:
+        out += raw[pos:body_start]
+        body = raw[body_start:end]
+        m = re.search(rb"stream\r?\n", body)
+        if m:
+            data_start = m.end()
+            es = body.rfind(b"\nendstream")
+            data = body[data_start:es]
+            iv = hashlib.md5(b"iv%d" % num).digest()
+            enc = cbc_encrypt(file_key, data, iv)
+            head = re.sub(rb"/Length\s+\d+", b"/Length %d" % len(enc), body[: m.start()])
+            body = head + b"stream\n" + enc + body[es:]
+        out += body
+        pos = end
+    out += raw[pos:]
+    enc_num = max_num + 1
+    enc_obj = (
+        b"%d 0 obj << /Filter /Standard /V 5 /R %d /Length 256 "
+        b"/CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen /Length 32 >> >> "
+        b"/StmF /StdCF /StrF /StdCF /P %d "
+        b"/O <%s> /OE <%s> /U <%s> /UE <%s> >> endobj\n"
+        % (
+            enc_num, revision, perms,
+            (b"\x11" * 48).hex().encode(), (b"\x22" * 32).hex().encode(),
+            u_entry.hex().encode(), ue.hex().encode(),
+        )
+    )
+    trailer = b"trailer << /Encrypt %d 0 R /ID [<00> <00>] >>\n" % enc_num
+    return bytes(out).replace(b"%%EOF", enc_obj + trailer + b"%%EOF")
+
+
+class TestAesV3Pdf:
+    def test_r6_roundtrip(self):
+        raw = encrypt_pdf_aesv3(build_pdf([TWO_BLOCK_STREAM], flate=True))
+        assert b"Hello PII world" not in raw
+        specs, num_pages = minipdf_parse(raw)
+        assert num_pages == 1
+        assert specs[0]["text"] == "Hello PII world"
+
+    def test_r5_roundtrip(self):
+        raw = encrypt_pdf_aesv3(build_pdf([TWO_BLOCK_STREAM]), revision=5)
+        specs, _ = minipdf_parse(raw)
+        assert specs[0]["text"] == "Hello PII world"
+
+    def test_r6_through_pipeline_and_redaction(self):
+        from edge_deid_studio_ray.kernels.pdf_redact import redact_pdf_document
+
+        raw = encrypt_pdf_aesv3(build_pdf([TWO_BLOCK_STREAM]))
+        row = process_document(html=raw, url="https://x.test/aes256.pdf")
+        assert row["error"] is None
+        assert any(e["type"] == "PHONE" for e in row["entities"])
+        out = redact_pdf_document(raw, row["entities"])
+        assert out["verified"] is True
+        rebuilt = "\n".join(s["text"] for s in minipdf_parse(out["pdf"])[0])
+        assert "0912-345-678" not in rebuilt
+
+    def test_real_user_password_flagged(self):
+        """A document whose user password is NOT empty fails /U validation
+        and must be flagged, never silently mis-decrypted."""
+        import hashlib
+
+        raw = encrypt_pdf_aesv3(build_pdf([TWO_BLOCK_STREAM]))
+        # corrupt the validation hash => empty-password check fails
+        from edge_deid_studio_ray.kernels.minipdf import _hash_2b
+
+        good = _hash_2b(b"", b"VSALT000")
+        bad = hashlib.sha256(b"not-it").digest()
+        raw2 = raw.replace(good.hex().encode(), bad.hex().encode())
+        assert raw2 != raw
+        specs, num_pages = minipdf_parse(raw2)
+        assert specs == [] and num_pages == 0
+        row = process_document(html=raw2)
+        assert row["error"] == "pdf_backend_unavailable"
