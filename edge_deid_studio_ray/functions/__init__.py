@@ -21,6 +21,13 @@ from .dedup import (
 from .simsearch import knn_bruteforce, knn_lsh, knn_ivf, embedding_near_dups, embedding_near_dups_lsh
 from .sketches import approx_distinct, heavy_hitters, reservoir_sample
 from .dedup import simhash_near_dups, connected_components, pair_text_metric
+from .corpusops import (
+    collect_ngram_set,
+    decontaminate,
+    passage_dedup,
+    repetition_stats,
+    token_stream_pack,
+)
 
 __all__ = [
     "token_count", "bpe_token_count", "lang_id", "quality_counts",

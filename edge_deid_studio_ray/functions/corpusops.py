@@ -1,0 +1,273 @@
+"""Web-corpus preparation operators: benchmark decontamination, passage-level
+dedup, repetition quality signals, token-stream sequence packing.
+
+These are the remaining CCNet / Gopher / pretraining-prep steps a 100-TB
+training-data pipeline runs between raw extraction and tokenization (the
+reference covers extraction/deid; these extend the engine's LLM-data layer
+the same way ``functions/dedup.py`` and ``functions/textstats.py`` do).
+
+Scale shapes:
+- decontamination broadcasts the *benchmark* n-gram set (benchmark suites
+  are MBs even when the corpus is 100 TB) via ``ray.put`` once, then a
+  stateless ``map_batches`` membership scan — no shuffle at all;
+- passage dedup is explode → one bucketed groupby (first-occurrence winner)
+  → one per-doc groupby (reassembly) — two shuffles, both keyed, no
+  driver-side state;
+- repetition stats are embarrassingly parallel (per-doc counters, zero
+  shuffles);
+- sequence packing is a per-source ordered cumulative scan — the scan is
+  sequential *within* a source by definition (token streams concatenate in
+  document order), so sources are the partition key; with fewer sources
+  than cores, split each source's scan via the two-pass prefix-sum pattern
+  (per-block partials → exclusive offsets) used by the events prefix scans.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import pandas as pd
+import pyarrow as pa
+
+from ..config import resolve_group_buckets
+from .dedup import _band_bucket, md5_hex
+
+_WS_RE = re.compile(r"\s+")
+
+
+def _words(text: str | None) -> list[str]:
+    """Whitespace-normalized word list — mirrors the oracle's
+    ``string_split(trim(regexp_replace(text, '\\s+', ' ', 'g'), ' '), ' ')``
+    exactly (empty text yields [''], matching DuckDB)."""
+    return _WS_RE.sub(" ", text or "").strip(" ").split(" ")
+
+
+def _ngrams(words: list[str], n: int) -> list[str]:
+    return [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def collect_ngram_set(ds, *, n: int = 13, text_col: str = "text"):
+    """Distinct n-gram md5 set of a (small) benchmark dataset.
+
+    Per-batch distinct sets are computed in parallel; only the 32-char
+    hashes travel to the driver.  The result is meant for ``ray.put`` —
+    benchmark suites are small by construction, so this is the broadcast
+    side of the contamination scan."""
+    def grams(batch: pa.Table) -> pa.Table:
+        seen: set[str] = set()
+        for t in batch[text_col].to_pylist():
+            for g in _ngrams(_words(t), n):
+                seen.add(md5_hex(g))
+        return pa.table({"ng": pa.array(sorted(seen), pa.string())})
+
+    out: set[str] = set()
+    for batch in ds.map_batches(grams, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        out.update(batch["ng"].to_pylist())
+    return out
+
+
+def decontaminate(train_ds, eval_ngrams: set[str], *, n: int = 13, text_col: str = "text", key_col: str = "doc_id"):
+    """Flag training documents sharing any ``n``-gram with the benchmark set.
+
+    ``eval_ngrams`` is the md5'd n-gram set from :func:`collect_ngram_set`.
+    Returns ``(key_col, n_shared)`` for contaminated docs only, where
+    ``n_shared`` is the count of the doc's *distinct* n-grams present in the
+    benchmark set.  Broadcast once with ``ray.put``; each task reads the set
+    zero-copy from the object store — never re-shipped per batch.
+    """
+    import ray
+
+    ref = ray.put(frozenset(eval_ngrams))
+
+    def scan(batch: pa.Table) -> pa.Table:
+        ev = ray.get(ref)
+        keys, shared = [], []
+        for k, t in zip(batch[key_col].to_pylist(), batch[text_col].to_pylist()):
+            hits = {h for h in (md5_hex(g) for g in set(_ngrams(_words(t), n))) if h in ev}
+            if hits:
+                keys.append(k)
+                shared.append(len(hits))
+        return pa.table(
+            {
+                key_col: pa.array(keys, pa.int64()),
+                "n_shared": pa.array(shared, pa.int64()),
+            }
+        )
+
+    return train_ds.map_batches(scan, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Passage-level (CCNet-style) dedup
+# ---------------------------------------------------------------------------
+
+
+def passage_dedup(
+    ds,
+    *,
+    words_per_chunk: int = 16,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    num_buckets: int | None = None,
+):
+    """Corpus-wide passage dedup: chunk every document into fixed
+    ``words_per_chunk`` word passages, keep only the globally FIRST
+    occurrence of each distinct passage (order: ``(doc_id, chunk_idx)``),
+    and reassemble each document from its surviving passages.
+
+    Returns per-doc ``(doc_id, n_chunks, n_kept, kept_md5)`` where
+    ``kept_md5`` hashes the reassembled surviving text ('' when every
+    passage was dropped) — i.e. the dedup summary plus a content witness
+    for the rebuilt corpus.
+
+    Shape: explode → bucketed groupby on the passage hash (winner =
+    min (doc, chunk); every instance gets a kept flag, so no join-back
+    pass) → per-doc groupby for reassembly.  Passage text rides both
+    shuffles because the rebuilt text IS the output — at scale that is the
+    deduped corpus itself, not overhead.
+    """
+    nb = resolve_group_buckets(num_buckets)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        doc_ids, idxs, passages, buckets = [], [], [], []
+        for d, t in zip(batch[key_col].to_pylist(), batch[text_col].to_pylist()):
+            ws = _words(t)
+            for ci in range(0, len(ws), words_per_chunk):
+                p = " ".join(ws[ci : ci + words_per_chunk])
+                doc_ids.append(d)
+                idxs.append(ci // words_per_chunk)
+                passages.append(p)
+                buckets.append(_band_bucket(md5_hex(p), nb))
+        return pa.table(
+            {
+                key_col: pa.array(doc_ids, pa.int64()),
+                "chunk_idx": pa.array(idxs, pa.int64()),
+                "passage": pa.array(passages, pa.string()),
+                "hash_bucket": pa.array(buckets, pa.int32()),
+            }
+        )
+
+    def flag_first(bucket: pd.DataFrame) -> pd.DataFrame:
+        bucket = bucket.sort_values([key_col, "chunk_idx"], kind="mergesort")
+        bucket["kept"] = ~bucket.duplicated(subset=["passage"], keep="first")
+        return bucket[[key_col, "chunk_idx", "passage", "kept"]]
+
+    def reassemble(doc: pd.DataFrame) -> pd.DataFrame:
+        doc = doc.sort_values("chunk_idx", kind="mergesort")
+        kept = doc[doc["kept"]]
+        return pd.DataFrame(
+            {
+                key_col: [doc[key_col].iloc[0]],
+                "n_chunks": pd.array([len(doc)], dtype="int64"),
+                "n_kept": pd.array([int(doc["kept"].sum())], dtype="int64"),
+                "kept_md5": [md5_hex(" ".join(kept["passage"]))],
+            }
+        )
+
+    return (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("hash_bucket")
+        .map_groups(flag_first, batch_format="pandas")
+        .groupby(key_col)
+        .map_groups(reassemble, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repetition quality signals (Gopher-style)
+# ---------------------------------------------------------------------------
+
+
+def repetition_stats(ds, *, text_col: str = "text", key_col: str = "doc_id"):
+    """Per-document word-bigram repetition signals: total bigrams, distinct
+    bigrams, and the most-repeated bigram's count (Gopher's top-n-gram
+    family of quality filters, restated as exact integers so the whole
+    signal is oracle-checkable).  Embarrassingly parallel — zero shuffles.
+    """
+
+    def stats(batch: pa.Table) -> pa.Table:
+        n_total, n_max, n_distinct = [], [], []
+        for t in batch[text_col].to_pylist():
+            ws = _words(t)
+            c = Counter(" ".join(ws[i : i + 2]) for i in range(len(ws) - 1))
+            n_total.append(sum(c.values()))
+            n_max.append(max(c.values(), default=0))
+            n_distinct.append(len(c))
+        return pa.table(
+            {
+                key_col: batch[key_col],
+                "n_bigrams": pa.array(n_total, pa.int64()),
+                "max_bigram_count": pa.array(n_max, pa.int64()),
+                "n_distinct_bigrams": pa.array(n_distinct, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Token-stream sequence packing
+# ---------------------------------------------------------------------------
+
+
+def token_stream_pack(
+    ds,
+    *,
+    budget: int = 256,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """GPT-style token-stream packing accounting: per ``group_col``,
+    concatenate documents in ``key_col`` order into one token stream cut
+    into fixed ``budget``-token sequences (documents may straddle a cut).
+
+    Returns per-group ``(source, n_sequences, n_tokens, n_straddlers)``:
+    total sequences, total tokens, and how many documents straddle a
+    sequence boundary.
+
+    The cumulative scan is sequential within a group by definition; groups
+    are the partition key.  Token counts are pre-computed in a parallel
+    ``map_batches`` so the grouped stage only scans two int columns — the
+    text never enters the shuffle.
+    """
+
+    def counts(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                group_col: batch[group_col],
+                key_col: batch[key_col],
+                "n_tok": pa.array(
+                    [len(_words(t)) for t in batch[text_col].to_pylist()], pa.int64()
+                ),
+            }
+        )
+
+    def pack(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.sort_values(key_col, kind="mergesort")
+        cum = group["n_tok"].cumsum()
+        start = cum - group["n_tok"]
+        straddle = (start // budget) != ((cum - 1) // budget)
+        total = int(cum.iloc[-1]) if len(cum) else 0
+        return pd.DataFrame(
+            {
+                group_col: [group[group_col].iloc[0]],
+                "n_sequences": pd.array([-(-total // budget)], dtype="int64"),
+                "n_tokens": pd.array([total], dtype="int64"),
+                "n_straddlers": pd.array([int(straddle.sum())], dtype="int64"),
+            }
+        )
+
+    return (
+        ds.map_batches(counts, batch_format="pyarrow")
+        .groupby(group_col)
+        .map_groups(pack, batch_format="pandas")
+    )

@@ -2153,6 +2153,67 @@ def q_bio_token_labels(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Corpus-preparation operators (decontamination / passage dedup / repetition
+# quality / sequence packing) — functions/corpusops.py
+# ---------------------------------------------------------------------------
+
+
+def q_benchmark_decontaminate(sf_dir: str):
+    """Benchmark decontamination: flag training docs sharing any 13-gram
+    with a held-out benchmark set.  Benchmark = base docs with
+    ``doc_id % 97 == 0``; training corpus = everything else in
+    base ∪ perturbed (the perturbed copies of benchmark docs simulate the
+    scraped-duplicate contamination this op exists to catch).  The
+    benchmark n-gram set broadcasts once via ray.put; the scan itself is
+    a stateless map_batches — zero shuffles."""
+    from ..functions.corpusops import collect_ngram_set, decontaminate
+
+    base, corpus = _docs_with_perturbed(sf_dir)
+
+    def _eval_mask(batch: pa.Table) -> np.ndarray:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return (ids < 1000000) & (ids % 97 == 0)
+
+    def is_eval(batch: pa.Table) -> pa.Table:
+        return batch.filter(pa.array(_eval_mask(batch)))
+
+    def is_train(batch: pa.Table) -> pa.Table:
+        return batch.filter(pa.array(~_eval_mask(batch)))
+
+    ev = collect_ngram_set(corpus.map_batches(is_eval, batch_format="pyarrow"), n=13)
+    return decontaminate(
+        corpus.map_batches(is_train, batch_format="pyarrow"), ev, n=13
+    )
+
+
+def q_passage_dedup(sf_dir: str):
+    """CCNet-style passage-level dedup: 16-word passages, global
+    first-occurrence keep, per-doc reassembly witness hash."""
+    from ..functions.corpusops import passage_dedup
+
+    ds = _read_spread(sf_dir, "documents", ["doc_id", "text"])
+    return passage_dedup(ds, words_per_chunk=16)
+
+
+def q_doc_repetition_stats(sf_dir: str):
+    """Gopher-style repetition quality signals: per-doc bigram totals,
+    distinct bigrams, and the most-repeated bigram's count."""
+    from ..functions.corpusops import repetition_stats
+
+    return repetition_stats(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_token_stream_pack(sf_dir: str):
+    """GPT-style token-stream packing accounting per source: sequences of
+    256 whitespace tokens cut from the doc_id-ordered concatenated stream,
+    with a straddling-document count."""
+    from ..functions.corpusops import token_stream_pack
+
+    ds = _read(sf_dir, "documents", ["source", "doc_id", "text"])
+    return token_stream_pack(ds, budget=256)
+
+
+# ---------------------------------------------------------------------------
 # Registry + oracle SQL
 # ---------------------------------------------------------------------------
 
@@ -2221,6 +2282,10 @@ QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "html_extract_roundtrip": q_html_extract_roundtrip,
     "main_content_roundtrip": q_main_content_roundtrip,
+    "benchmark_decontaminate": q_benchmark_decontaminate,
+    "passage_dedup": q_passage_dedup,
+    "doc_repetition_stats": q_doc_repetition_stats,
+    "token_stream_pack": q_token_stream_pack,
 }
 
 _STOP_SQL = "['the','of','and','to','a','in','is','it','you','that']"
@@ -2873,5 +2938,89 @@ ORACLE_SQL = {
                                                 x -> regexp_full_match(x, '[A-Za-z0-9]{{6,12}}'))) AS BIGINT)
                  END AS n_o
         FROM documents
+    """,
+    "benchmark_decontaminate": """
+        WITH corpus AS (
+          SELECT doc_id, COALESCE(text, '') AS text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000, COALESCE(text, '') || ' appended' FROM documents
+        ),
+        toks AS (
+          SELECT doc_id,
+                 string_split(trim(regexp_replace(text, '\\s+', ' ', 'g'), ' '), ' ') AS ws
+          FROM corpus
+        ),
+        grams AS (
+          SELECT doc_id, array_to_string(ws[i:i+12], ' ') AS ng
+          FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(ws) - 11, 0) + 1)) AS i) r
+        ),
+        ev AS (
+          SELECT DISTINCT ng FROM grams WHERE doc_id < 1000000 AND doc_id % 97 = 0
+        )
+        SELECT g.doc_id, CAST(count(DISTINCT g.ng) AS BIGINT) AS n_shared
+        FROM grams g JOIN ev USING (ng)
+        WHERE NOT (g.doc_id < 1000000 AND g.doc_id % 97 = 0)
+        GROUP BY g.doc_id
+    """,
+    "passage_dedup": """
+        WITH toks AS (
+          SELECT doc_id,
+                 string_split(trim(regexp_replace(COALESCE(text, ''), '\\s+', ' ', 'g'), ' '), ' ') AS ws
+          FROM documents
+        ),
+        chunks AS (
+          SELECT doc_id, CAST((i - 1) // 16 AS BIGINT) AS chunk_idx,
+                 array_to_string(ws[i:i+15], ' ') AS passage
+          FROM toks, LATERAL (SELECT unnest(range(1, len(ws) + 1, 16)) AS i) r
+        ),
+        ranked AS (
+          SELECT doc_id, chunk_idx, passage,
+                 row_number() OVER (PARTITION BY passage ORDER BY doc_id, chunk_idx) AS rn
+          FROM chunks
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_chunks,
+               CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               md5(COALESCE(string_agg(CASE WHEN rn = 1 THEN passage END, ' ' ORDER BY chunk_idx), '')) AS kept_md5
+        FROM ranked GROUP BY doc_id
+    """,
+    "doc_repetition_stats": """
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(string_split(trim(regexp_replace(COALESCE(text, ''), '\\s+', ' ', 'g'), ' '), ' ')) AS w,
+                 generate_subscripts(string_split(trim(regexp_replace(COALESCE(text, ''), '\\s+', ' ', 'g'), ' '), ' '), 1) AS i
+          FROM documents
+        ),
+        bi AS (
+          SELECT doc_id, w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS bg
+          FROM toks
+        ),
+        cnt AS (
+          SELECT doc_id, bg, count(*) AS c FROM bi WHERE bg IS NOT NULL GROUP BY doc_id, bg
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(sum(c), 0) AS BIGINT) AS n_bigrams,
+               CAST(COALESCE(max(c), 0) AS BIGINT) AS max_bigram_count,
+               CAST(count(c) AS BIGINT) AS n_distinct_bigrams
+        FROM documents d LEFT JOIN cnt ON cnt.doc_id = d.doc_id
+        GROUP BY d.doc_id
+    """,
+    "token_stream_pack": """
+        WITH t AS (
+          SELECT source, doc_id,
+                 len(string_split(trim(regexp_replace(COALESCE(text, ''), '\\s+', ' ', 'g'), ' '), ' ')) AS n_tok
+          FROM documents
+        ),
+        c AS (
+          SELECT source, doc_id, n_tok,
+                 sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+          FROM t
+        )
+        SELECT source,
+               CAST(ceil(max(cum) / 256.0) AS BIGINT) AS n_sequences,
+               CAST(max(cum) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN (cum - n_tok) // 256 <> (cum - 1) // 256 THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers
+        FROM c GROUP BY source
     """,
 }

@@ -1,0 +1,140 @@
+"""Unit tests for functions/corpusops.py (decontamination, passage dedup,
+repetition signals, sequence packing) against hand-computed expectations."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+import pytest
+
+from edge_deid_studio_ray.functions.corpusops import (
+    _ngrams,
+    _words,
+    collect_ngram_set,
+    decontaminate,
+    passage_dedup,
+    repetition_stats,
+    token_stream_pack,
+)
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+def _docs(rows):
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+    )
+
+
+class TestHelpers:
+    def test_words_mirrors_duckdb_split(self):
+        assert _words("  a   b\tc\n") == ["a", "b", "c"]
+        assert _words("") == [""]
+        assert _words(None) == [""]
+
+    def test_ngrams(self):
+        assert _ngrams(["a", "b", "c"], 2) == ["a b", "b c"]
+        assert _ngrams(["a"], 2) == []
+
+
+class TestDecontaminate:
+    def test_flags_only_overlapping_docs(self, ray_session):
+        ev = _docs([(0, "w1 w2 w3 w4 w5")])
+        train = _docs(
+            [
+                (10, "x w1 w2 w3 y"),      # shares the 3-gram "w1 w2 w3"
+                (11, "nothing in common"),
+                (12, "w3 w4 w5 w3 w4 w5"), # shares "w3 w4 w5" (distinct count 1)
+            ]
+        )
+        grams = collect_ngram_set(ev, n=3)
+        assert _md5("w1 w2 w3") in grams
+        out = {r["doc_id"]: r["n_shared"] for r in decontaminate(train, grams, n=3).take_all()}
+        assert out == {10: 1, 12: 1}
+
+    def test_counts_distinct_shared(self, ray_session):
+        ev = _docs([(0, "a b c d")])
+        train = _docs([(1, "a b c d")])  # shares "a b c" and "b c d"
+        grams = collect_ngram_set(ev, n=3)
+        out = decontaminate(train, grams, n=3).take_all()
+        assert out == [{"doc_id": 1, "n_shared": 2}]
+
+
+class TestPassageDedup:
+    def test_first_occurrence_wins_and_reassembly(self, ray_session):
+        # chunks of 2 words; passage "a b" appears in doc 1 chunk 0 (winner),
+        # doc 1 chunk 2 and doc 2 chunk 0 (both dropped)
+        ds = _docs([(1, "a b c d a b"), (2, "a b e f")])
+        rows = {r["doc_id"]: r for r in passage_dedup(ds, words_per_chunk=2).take_all()}
+        assert rows[1]["n_chunks"] == 3 and rows[1]["n_kept"] == 2
+        assert rows[1]["kept_md5"] == _md5("a b c d")
+        assert rows[2]["n_chunks"] == 2 and rows[2]["n_kept"] == 1
+        assert rows[2]["kept_md5"] == _md5("e f")
+
+    def test_all_dropped_doc_still_reported(self, ray_session):
+        ds = _docs([(1, "a b"), (2, "a b")])
+        rows = {r["doc_id"]: r for r in passage_dedup(ds, words_per_chunk=2).take_all()}
+        assert rows[2]["n_kept"] == 0
+        assert rows[2]["kept_md5"] == _md5("")
+
+    def test_bucket_count_invariance(self, ray_session):
+        ds = _docs([(i, f"tok{i % 3} tok{i % 2} filler{i}") for i in range(20)])
+        a = sorted(
+            passage_dedup(ds, words_per_chunk=2, num_buckets=2).take_all(),
+            key=lambda r: r["doc_id"],
+        )
+        b = sorted(
+            passage_dedup(ds, words_per_chunk=2, num_buckets=16).take_all(),
+            key=lambda r: r["doc_id"],
+        )
+        assert a == b
+
+
+class TestRepetitionStats:
+    def test_hand_computed(self, ray_session):
+        rows = {
+            r["doc_id"]: r
+            for r in repetition_stats(_docs([(1, "a b a b a"), (2, "x")])).take_all()
+        }
+        # bigrams of doc 1: "a b","b a","a b","b a" -> total 4, max 2, distinct 2
+        assert rows[1]["n_bigrams"] == 4
+        assert rows[1]["max_bigram_count"] == 2
+        assert rows[1]["n_distinct_bigrams"] == 2
+        assert rows[2]["n_bigrams"] == 0
+        assert rows[2]["max_bigram_count"] == 0
+
+
+class TestTokenStreamPack:
+    def test_hand_computed(self, ray_session):
+        import ray.data as rd
+
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "source": pa.array(["s1"] * 3 + ["s2"], pa.string()),
+                    "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                    "text": pa.array(
+                        ["a b c", "d e f g", "h i", "j k"], pa.string()
+                    ),
+                }
+            )
+        )
+        rows = {r["source"]: r for r in token_stream_pack(ds, budget=4).take_all()}
+        # s1 stream: doc1 [0,3) in seq0; doc2 [3,7) straddles seqs 0-1;
+        # doc3 [7,9) straddles seqs 1-2 -> 9 tokens, ceil(9/4)=3 sequences
+        s1 = rows["s1"]
+        assert s1["n_tokens"] == 9
+        assert s1["n_sequences"] == 3
+        assert s1["n_straddlers"] == 2
+        s2 = rows["s2"]
+        assert s2["n_tokens"] == 2 and s2["n_sequences"] == 1 and s2["n_straddlers"] == 0
