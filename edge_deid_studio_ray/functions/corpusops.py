@@ -182,6 +182,88 @@ def passage_dedup(
 
 
 # ---------------------------------------------------------------------------
+# Duplicate n-gram span detection (exact substring-level dedup analysis)
+# ---------------------------------------------------------------------------
+
+
+def duplicate_ngram_spans(
+    ds,
+    *,
+    n: int = 13,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    num_buckets: int | None = None,
+):
+    """Per-document duplicated-substring report: which word positions sit
+    inside an ``n``-gram that also occurs in ANOTHER document (the
+    substring-level view of corpus dedup — the sliding-window counterpart
+    of :func:`passage_dedup`'s fixed chunks).
+
+    Returns per-doc ``(doc_id, n_dup_ngrams, n_islands, dup_word_count,
+    max_island_words)`` for docs with at least one cross-doc duplicate
+    n-gram: the duplicated n-gram count, the number of maximal merged
+    spans (islands) their word-coverage intervals union into, the total
+    words covered, and the longest island's word length.
+
+    Shape: explode to (gram-hash, doc, pos) — one row per word, three
+    narrow columns, text never enters the shuffle — then one bucketed
+    groupby keeps grams spanning >1 distinct doc, and a per-doc groupby
+    merges hit positions into islands.  Both shuffles are keyed; driver
+    holds nothing.
+    """
+    nb = resolve_group_buckets(num_buckets)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        docs, poss, hashes, buckets = [], [], [], []
+        for d, t in zip(batch[key_col].to_pylist(), batch[text_col].to_pylist()):
+            ws = _words(t)
+            for i in range(len(ws) - n + 1):
+                h = md5_hex(" ".join(ws[i : i + n]))
+                docs.append(d)
+                poss.append(i)
+                hashes.append(h)
+                buckets.append(_band_bucket(h, nb))
+        return pa.table(
+            {
+                key_col: pa.array(docs, pa.int64()),
+                "pos": pa.array(poss, pa.int64()),
+                "gh": pa.array(hashes, pa.string()),
+                "hash_bucket": pa.array(buckets, pa.int32()),
+            }
+        )
+
+    def cross_doc_hits(bucket: pd.DataFrame) -> pd.DataFrame:
+        multi = bucket.groupby("gh")[key_col].transform("nunique") > 1
+        return bucket.loc[multi, [key_col, "pos"]]
+
+    def islands(doc: pd.DataFrame) -> pd.DataFrame:
+        pos = doc["pos"].drop_duplicates().sort_values().to_numpy()
+        # coverage intervals [p, p+n-1] union into an island while the next
+        # start is <= previous start + n (equal-length intervals)
+        breaks = (pos[1:] - pos[:-1]) > n
+        starts = pos[[True, *breaks]] if len(pos) else pos
+        ends = pos[[*breaks, True]] if len(pos) else pos
+        widths = ends - starts + n
+        return pd.DataFrame(
+            {
+                key_col: [doc[key_col].iloc[0]],
+                "n_dup_ngrams": pd.array([len(doc)], dtype="int64"),
+                "n_islands": pd.array([len(starts)], dtype="int64"),
+                "dup_word_count": pd.array([int(widths.sum())], dtype="int64"),
+                "max_island_words": pd.array([int(widths.max()) if len(widths) else 0], dtype="int64"),
+            }
+        )
+
+    return (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("hash_bucket")
+        .map_groups(cross_doc_hits, batch_format="pandas")
+        .groupby(key_col)
+        .map_groups(islands, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Repetition quality signals (Gopher-style)
 # ---------------------------------------------------------------------------
 

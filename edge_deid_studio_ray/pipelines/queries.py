@@ -2203,6 +2203,35 @@ def q_doc_repetition_stats(sf_dir: str):
     return repetition_stats(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def q_duplicate_ngram_spans(sf_dir: str):
+    """Substring-level dedup analysis: per-doc duplicated 13-gram positions
+    merged into maximal spans.  Corpus = base docs ∪ a partial copy of every
+    7th doc (its first 20 words + a unique suffix), so the duplicated region
+    is a *prefix span*, not the whole document — exercising the island
+    merge."""
+    from ..functions.corpusops import _words, duplicate_ngram_spans
+
+    base = _read_spread(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial_copy(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        keep = ids % 7 == 0
+        out_ids, out_texts = [], []
+        for d, t in zip(ids[keep], pa.Table.from_arrays([batch["text"].filter(pa.array(keep))], ["t"])["t"].to_pylist()):
+            ws = _words(t)[:20]
+            out_ids.append(int(d) + 1000000)
+            out_texts.append(" ".join(ws) + f" uniq{int(d)}")
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, pa.int64()),
+                "text": pa.array(out_texts, pa.string()),
+            }
+        )
+
+    corpus = base.union(base.map_batches(partial_copy, batch_format="pyarrow"))
+    return duplicate_ngram_spans(corpus, n=13)
+
+
 def q_token_stream_pack(sf_dir: str):
     """GPT-style token-stream packing accounting per source: sequences of
     256 whitespace tokens cut from the doc_id-ordered concatenated stream,
@@ -2286,6 +2315,7 @@ QUERIES = {
     "passage_dedup": q_passage_dedup,
     "doc_repetition_stats": q_doc_repetition_stats,
     "token_stream_pack": q_token_stream_pack,
+    "duplicate_ngram_spans": q_duplicate_ngram_spans,
 }
 
 _STOP_SQL = "['the','of','and','to','a','in','is','it','you','that']"
@@ -3022,5 +3052,52 @@ ORACLE_SQL = {
                CAST(max(cum) AS BIGINT) AS n_tokens,
                CAST(sum(CASE WHEN (cum - n_tok) // 256 <> (cum - 1) // 256 THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers
         FROM c GROUP BY source
+    """,
+    "duplicate_ngram_spans": """
+        WITH corpus AS (
+          SELECT doc_id, COALESCE(text, '') AS text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000,
+                 array_to_string(
+                   (string_split(trim(regexp_replace(COALESCE(text, ''), '\\s+', ' ', 'g'), ' '), ' '))[1:20],
+                   ' ') || ' uniq' || CAST(doc_id AS VARCHAR)
+          FROM documents WHERE doc_id % 7 = 0
+        ),
+        toks AS (
+          SELECT doc_id,
+                 string_split(trim(regexp_replace(text, '\\s+', ' ', 'g'), ' '), ' ') AS ws
+          FROM corpus
+        ),
+        grams AS (
+          SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, array_to_string(ws[i:i+12], ' ') AS ng
+          FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(ws) - 11, 0) + 1)) AS i) r
+        ),
+        multi AS (
+          SELECT ng FROM grams GROUP BY ng HAVING count(DISTINCT doc_id) > 1
+        ),
+        hits AS (SELECT g.doc_id, g.pos FROM grams g JOIN multi USING (ng)),
+        lagd AS (
+          SELECT doc_id, pos,
+                 CASE WHEN lag(pos) OVER w IS NULL
+                        OR pos - lag(pos) OVER w > 13 THEN 1 ELSE 0 END AS brk
+          FROM hits
+          WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ),
+        isl AS (
+          SELECT doc_id, pos,
+                 sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS UNBOUNDED PRECEDING) AS island
+          FROM lagd
+        ),
+        agg AS (
+          SELECT doc_id, island, min(pos) AS s, max(pos) AS e, count(*) AS cnt
+          FROM isl GROUP BY doc_id, island
+        )
+        SELECT doc_id,
+               CAST(sum(cnt) AS BIGINT) AS n_dup_ngrams,
+               CAST(count(*) AS BIGINT) AS n_islands,
+               CAST(sum(e - s + 13) AS BIGINT) AS dup_word_count,
+               CAST(max(e - s + 13) AS BIGINT) AS max_island_words
+        FROM agg GROUP BY doc_id
     """,
 }

@@ -13,6 +13,7 @@ from edge_deid_studio_ray.functions.corpusops import (
     _words,
     collect_ngram_set,
     decontaminate,
+    duplicate_ngram_spans,
     passage_dedup,
     repetition_stats,
     token_stream_pack,
@@ -98,6 +99,34 @@ class TestPassageDedup:
             key=lambda r: r["doc_id"],
         )
         assert a == b
+
+
+class TestDuplicateNgramSpans:
+    def test_islands_and_coverage(self, ray_session):
+        ds = _docs(
+            [
+                (1, "w1 w2 w3 w4 w5 x y z w1 w2 w3 w4"),
+                (2, "q w1 w2 w3 w4 r"),
+                (3, "nothing shared here at all"),
+            ]
+        )
+        rows = {r["doc_id"]: r for r in duplicate_ngram_spans(ds, n=3).take_all()}
+        assert set(rows) == {1, 2}
+        # doc 1: shared 3-grams "w1 w2 w3"/"w2 w3 w4" at pos 0,1 and 8,9
+        # -> 2 islands covering words 0-3 and 8-11 (4 words each)
+        assert rows[1]["n_dup_ngrams"] == 4
+        assert rows[1]["n_islands"] == 2
+        assert rows[1]["dup_word_count"] == 8
+        assert rows[1]["max_island_words"] == 4
+        # doc 2: hits at pos 1,2 -> one island covering words 1-4
+        assert rows[2]["n_dup_ngrams"] == 2
+        assert rows[2]["n_islands"] == 1
+        assert rows[2]["dup_word_count"] == 4
+
+    def test_internal_repeats_not_flagged(self, ray_session):
+        # a gram repeated WITHIN one doc only is not a cross-doc duplicate
+        ds = _docs([(1, "a b c a b c"), (2, "x y z")])
+        assert duplicate_ngram_spans(ds, n=3).take_all() == []
 
 
 class TestRepetitionStats:
