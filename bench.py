@@ -129,6 +129,11 @@ def _bench_queries(sf_dir: str) -> dict[str, float]:
         "events_late_data",
         "bio_token_labels",
         "html_extract_roundtrip",
+        # corpus-preparation layer
+        "passage_dedup",
+        "benchmark_decontaminate",
+        "duplicate_ngram_spans",
+        "token_stream_pack",
     ]
     timings: dict[str, float] = {}
     for name in names:

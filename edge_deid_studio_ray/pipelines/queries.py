@@ -2242,6 +2242,103 @@ def q_token_stream_pack(sf_dir: str):
     return token_stream_pack(ds, budget=256)
 
 
+def q_events_value_percentiles(sf_dir: str):
+    """Grouped EXACT discrete percentiles (p50/p90/p99 of event value per
+    type) the scale-correct way: per-batch (type, value) partial counts —
+    the shuffle ships one row per distinct pair per batch, never raw events
+    — then a per-type merge picks the quantile element from the cumulative
+    histogram.  Element selection mirrors DuckDB ``quantile_disc``
+    (1-based index ``ceil(q*n)``), so the values are bit-identical doubles
+    picked from the data, not interpolations."""
+    import math
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = Counter(zip(batch["event_type"].to_pylist(), batch["value"].to_pylist()))
+        return pa.table(
+            {
+                "event_type": pa.array([k[0] for k in c], pa.string()),
+                "value": pa.array([k[1] for k in c], pa.float64()),
+                "n": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    def quantiles(group: pd.DataFrame) -> pd.DataFrame:
+        merged = group.groupby("value", as_index=False)["n"].sum().sort_values("value")
+        counts = merged["n"].to_numpy()
+        values = merged["value"].to_numpy()
+        cum = counts.cumsum()
+        total = int(cum[-1])
+
+        def disc(q: float) -> float:
+            target = math.ceil(q * total)
+            return float(values[int((cum >= target).argmax())])
+
+        return pd.DataFrame(
+            {
+                "event_type": [group["event_type"].iloc[0]],
+                "n_events": pd.array([total], dtype="int64"),
+                "p50": [disc(0.5)],
+                "p90": [disc(0.9)],
+                "p99": [disc(0.99)],
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(quantiles, batch_format="pandas")
+    )
+
+
+def q_docs_global_rank(sf_dir: str):
+    """Global rank after a distributed sort by ``(n_chars, doc_id)`` —
+    the zip-with-index operator.  Two passes: a tiny key histogram
+    (n_chars counts) broadcast as exclusive prefix offsets, then
+    within-key ranking (groupby n_chars, sort by doc_id) offset by the
+    prefix — no global sort materialization, no driver-side row data.
+    Partitioning assumption: one key's rows fit a group task (salt the
+    hot key with a sub-rank pass when they don't)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def key_counts(batch: pa.Table) -> pa.Table:
+        c = Counter(batch["n_chars"].to_pylist())
+        return pa.table(
+            {
+                "n_chars": pa.array(list(c.keys()), pa.int64()),
+                "n": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    hist = (
+        ds.map_batches(key_counts, batch_format="pyarrow")
+        .groupby("n_chars")
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    hist.sort(key=lambda r: r["n_chars"])
+    offsets, run = {}, 0
+    for r in hist:
+        offsets[r["n_chars"]] = run
+        run += r["n"]
+    off_ref = ray.put(offsets)
+
+    def rank_group(group: pd.DataFrame) -> pd.DataFrame:
+        base = ray.get(off_ref)[int(group["n_chars"].iloc[0])]
+        group = group.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+        return pd.DataFrame(
+            {
+                "doc_id": group["doc_id"],
+                "global_rank": pd.array(base + 1 + group.index, dtype="int64"),
+            }
+        )
+
+    return ds.groupby("n_chars").map_groups(rank_group, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -2316,6 +2413,8 @@ QUERIES = {
     "doc_repetition_stats": q_doc_repetition_stats,
     "token_stream_pack": q_token_stream_pack,
     "duplicate_ngram_spans": q_duplicate_ngram_spans,
+    "events_value_percentiles": q_events_value_percentiles,
+    "docs_global_rank": q_docs_global_rank,
 }
 
 _STOP_SQL = "['the','of','and','to','a','in','is','it','you','that']"
@@ -3099,5 +3198,18 @@ ORACLE_SQL = {
                CAST(sum(e - s + 13) AS BIGINT) AS dup_word_count,
                CAST(max(e - s + 13) AS BIGINT) AS max_island_words
         FROM agg GROUP BY doc_id
+    """,
+    "events_value_percentiles": """
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               quantile_disc(value, 0.5) AS p50,
+               quantile_disc(value, 0.9) AS p90,
+               quantile_disc(value, 0.99) AS p99
+        FROM events GROUP BY event_type
+    """,
+    "docs_global_rank": """
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS global_rank
+        FROM documents
     """,
 }
