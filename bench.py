@@ -182,6 +182,11 @@ def run_once() -> dict:
         "docs_per_sec": round(pages["docs_per_sec"], 1),
         "mb_per_sec": round(pages["mb_per_sec"], 2),
         "routes": pages["routes"],
+        # single-core machine-state anchor (counter increments/sec over a
+        # 1-s arithmetic burn): lets any two BENCH_r{N} artifacts be
+        # compared net of host speed — the box's single-thread throughput
+        # varies up to ~1.6x between sessions
+        "calib_single_core_ops": _burn(None),
     }
     # embed the latest scaling measurement (written by `bench.py --scaling`)
     # so the single-line bench artifact carries the raw efficiency AND the

@@ -2291,6 +2291,54 @@ def q_events_value_percentiles(sf_dir: str):
     )
 
 
+def q_docs_top3_per_source(sf_dir: str):
+    """Grouped top-k with map-side pruning: top-3 docs per source by
+    ``(n_chars DESC, doc_id ASC)``.  Each batch emits at most k rows per
+    source it contains, so the shuffle ships O(k × sources × batches)
+    narrow rows regardless of corpus size; the per-source merge re-ranks
+    the survivors."""
+
+    K = 3
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        best: dict[str, list[tuple[int, int]]] = {}
+        for s, nc, d in zip(
+            batch["source"].to_pylist(),
+            batch["n_chars"].to_pylist(),
+            batch["doc_id"].to_pylist(),
+        ):
+            best.setdefault(s, []).append((-nc, d))
+        srcs, ncs, dids = [], [], []
+        for s, rows in best.items():
+            rows.sort()
+            for neg_nc, d in rows[:K]:
+                srcs.append(s)
+                ncs.append(-neg_nc)
+                dids.append(d)
+        return pa.table(
+            {
+                "source": pa.array(srcs, pa.string()),
+                "n_chars": pa.array(ncs, pa.int64()),
+                "doc_id": pa.array(dids, pa.int64()),
+            }
+        )
+
+    def merge_topk(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.sort_values(
+            ["n_chars", "doc_id"], ascending=[False, True], kind="mergesort"
+        ).head(K)
+        group = group.reset_index(drop=True)
+        group["rnk"] = pd.array(group.index + 1, dtype="int64")
+        return group[["source", "rnk", "doc_id", "n_chars"]]
+
+    return (
+        _read(sf_dir, "documents", ["source", "doc_id", "n_chars"])
+        .map_batches(local_topk, batch_format="pyarrow")
+        .groupby("source")
+        .map_groups(merge_topk, batch_format="pandas")
+    )
+
+
 def q_docs_global_rank(sf_dir: str):
     """Global rank after a distributed sort by ``(n_chars, doc_id)`` —
     the zip-with-index operator.  Two passes: a tiny key histogram
@@ -2415,6 +2463,7 @@ QUERIES = {
     "duplicate_ngram_spans": q_duplicate_ngram_spans,
     "events_value_percentiles": q_events_value_percentiles,
     "docs_global_rank": q_docs_global_rank,
+    "docs_top3_per_source": q_docs_top3_per_source,
 }
 
 _STOP_SQL = "['the','of','and','to','a','in','is','it','you','that']"
@@ -3211,5 +3260,13 @@ ORACLE_SQL = {
         SELECT doc_id,
                CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS global_rank
         FROM documents
+    """,
+    "docs_top3_per_source": """
+        SELECT source, rnk, doc_id, n_chars FROM (
+            SELECT source, doc_id, n_chars,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                           ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) AS rnk
+            FROM documents
+        ) WHERE rnk <= 3
     """,
 }
