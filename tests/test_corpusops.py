@@ -143,6 +143,93 @@ class TestRepetitionStats:
         assert rows[2]["max_bigram_count"] == 0
 
 
+class TestBruteForceProperties:
+    """Randomized corpora checked against pure-Python brute force."""
+
+    @staticmethod
+    def _random_corpus(seed: int, n_docs: int = 24):
+        import random
+
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(6)]
+        return [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 18))))
+            for i in range(n_docs)
+        ]
+
+    def test_duplicate_spans_match_bruteforce(self, ray_session):
+        docs = self._random_corpus(7)
+        n = 3
+        grams: dict[str, set[int]] = {}
+        per_doc: dict[int, list[int]] = {}
+        for d, t in docs:
+            ws = _words(t)
+            for i in range(len(ws) - n + 1):
+                g = " ".join(ws[i : i + n])
+                grams.setdefault(g, set()).add(d)
+                per_doc.setdefault(d, []).append(i)
+        expected = {}
+        for d, t in docs:
+            ws = _words(t)
+            hits = [
+                i
+                for i in range(len(ws) - n + 1)
+                if len(grams[" ".join(ws[i : i + n])]) > 1
+            ]
+            if not hits:
+                continue
+            islands = [[hits[0], hits[0]]]
+            for p in hits[1:]:
+                if p - islands[-1][1] > n:
+                    islands.append([p, p])
+                else:
+                    islands[-1][1] = p
+            widths = [e - s + n for s, e in islands]
+            expected[d] = {
+                "n_dup_ngrams": len(hits),
+                "n_islands": len(islands),
+                "dup_word_count": sum(widths),
+                "max_island_words": max(widths),
+            }
+        got = {
+            r["doc_id"]: {k: r[k] for k in expected.get(r["doc_id"], {})}
+            for r in duplicate_ngram_spans(_docs(docs), n=n).take_all()
+        }
+        assert got == expected
+
+    def test_passage_dedup_global_invariants(self, ray_session):
+        docs = self._random_corpus(11)
+        wpc = 3
+        all_chunks, distinct = 0, set()
+        for _, t in docs:
+            ws = _words(t)
+            for i in range(0, len(ws), wpc):
+                all_chunks += 1
+                distinct.add(" ".join(ws[i : i + wpc]))
+        rows = passage_dedup(_docs(docs), words_per_chunk=wpc).take_all()
+        assert sum(r["n_chunks"] for r in rows) == all_chunks
+        # global first-occurrence keep: exactly one survivor per distinct passage
+        assert sum(r["n_kept"] for r in rows) == len(distinct)
+
+    def test_decontaminate_matches_bruteforce(self, ray_session):
+        docs = self._random_corpus(13)
+        ev_docs = [d for d in docs if d[0] % 5 == 0]
+        tr_docs = [d for d in docs if d[0] % 5 != 0]
+        n = 3
+        ev_grams = {g for _, t in ev_docs for g in _ngrams(_words(t), n)}
+        expected = {}
+        for d, t in tr_docs:
+            shared = set(_ngrams(_words(t), n)) & ev_grams
+            if shared:
+                expected[d] = len(shared)
+        grams = collect_ngram_set(_docs(ev_docs), n=n)
+        got = {
+            r["doc_id"]: r["n_shared"]
+            for r in decontaminate(_docs(tr_docs), grams, n=n).take_all()
+        }
+        assert got == expected
+
+
 class TestTokenStreamPack:
     def test_hand_computed(self, ray_session):
         import ray.data as rd
