@@ -2291,6 +2291,47 @@ def q_events_value_percentiles(sf_dir: str):
     )
 
 
+def q_supplier_nation_volume(sf_dir: str):
+    """Lineitem volume by supplier nation: both dimension tables
+    (supplier, nation) broadcast once via ray.put, per-batch partial
+    aggregation — the fact table never shuffles raw rows, only
+    (nation, count, qty) partials reach the tiny final groupby."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    nation = {
+        n["n_nationkey"]: n["n_name"]
+        for n in _read(sf_dir, "nation", ["n_nationkey", "n_name"]).take_all()
+    }
+    supp_to_nation = {
+        s["s_suppkey"]: nation[s["s_nationkey"]]
+        for s in _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).take_all()
+    }
+    ref = ray.put(supp_to_nation)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(ref)
+        agg: dict[str, list[float]] = {}
+        for sk, qty in zip(batch["l_suppkey"].to_pylist(), batch["l_quantity"].to_pylist()):
+            slot = agg.setdefault(lookup[sk], [0, 0.0])
+            slot[0] += 1
+            slot[1] += qty
+        return pa.table(
+            {
+                "n_name": pa.array(list(agg.keys()), pa.string()),
+                "c": pa.array([v[0] for v in agg.values()], pa.int64()),
+                "q": pa.array([v[1] for v in agg.values()], pa.float64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "lineitem", ["l_suppkey", "l_quantity"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Sum("c", alias_name="n_lineitems"), Sum("q", alias_name="sum_qty"))
+    )
+
+
 def q_docs_top3_per_source(sf_dir: str):
     """Grouped top-k with map-side pruning: top-3 docs per source by
     ``(n_chars DESC, doc_id ASC)``.  Each batch emits at most k rows per
@@ -2464,6 +2505,7 @@ QUERIES = {
     "events_value_percentiles": q_events_value_percentiles,
     "docs_global_rank": q_docs_global_rank,
     "docs_top3_per_source": q_docs_top3_per_source,
+    "supplier_nation_volume": q_supplier_nation_volume,
 }
 
 _STOP_SQL = "['the','of','and','to','a','in','is','it','you','that']"
@@ -3268,5 +3310,14 @@ ORACLE_SQL = {
                                            ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) AS rnk
             FROM documents
         ) WHERE rnk <= 3
+    """,
+    "supplier_nation_volume": """
+        SELECT n.n_name,
+               CAST(count(*) AS BIGINT) AS n_lineitems,
+               sum(l.l_quantity) AS sum_qty
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        GROUP BY n.n_name
     """,
 }
