@@ -24,6 +24,7 @@ from .dedup import simhash_near_dups, connected_components, pair_text_metric
 from .corpusops import (
     collect_ngram_set,
     decontaminate,
+    duplicate_ngram_spans,
     passage_dedup,
     repetition_stats,
     token_stream_pack,
@@ -38,4 +39,6 @@ __all__ = [
     "approx_distinct", "heavy_hitters", "reservoir_sample",
     "simhash_near_dups", "connected_components", "pair_text_metric",
     "embedding_near_dups_lsh",
+    "collect_ngram_set", "decontaminate", "duplicate_ngram_spans",
+    "passage_dedup", "repetition_stats", "token_stream_pack",
 ]
