@@ -75,14 +75,103 @@ def compile_rules(path: str) -> tuple[tuple[str, re.Pattern[str]], ...]:
     return tuple(compiled)
 
 
+@lru_cache(maxsize=256)
+def _required_literals(pattern_str: str, flags: int) -> tuple[str, ...]:
+    """Literal alternation every match of the pattern MUST contain, or ()
+    when no safe constraint exists.
+
+    Used as a result-preserving prescreen: if none of the returned
+    substrings occur in the text, ``finditer`` cannot match, so the (often
+    catastrophically backtracking) scan can be skipped.  Derived from the
+    sre parse tree, so it is exact, not heuristic:
+
+    - concatenation: any single element's constraint suffices (the longest
+      minimum-length candidate is chosen);
+    - alternation: usable only if EVERY branch yields a constraint (union);
+    - repeats: usable only when min count >= 1;
+    - IGNORECASE (global or inline) disables the prescreen entirely —
+      substring membership would need case folding to stay exact.
+
+    Only constraints whose members are all length >= 2 or non-ASCII are
+    kept (a single ASCII char almost never excludes a document, so the
+    check would be pure overhead), capped at 8 alternatives.
+    """
+    if flags & re.IGNORECASE:
+        return ()
+    try:
+        import re._parser as sre
+
+        tree = sre.parse(pattern_str, flags)
+    except Exception:
+        return ()
+
+    LITERAL = sre.LITERAL
+    BRANCH = sre.BRANCH
+    SUBPATTERN = sre.SUBPATTERN
+    MAX_REPEAT, MIN_REPEAT = sre.MAX_REPEAT, sre.MIN_REPEAT
+
+    def walk(seq) -> set[str] | None:
+        candidates: list[set[str]] = []
+        run = ""
+        for op, arg in seq:
+            if op is LITERAL:
+                run += chr(arg)
+                continue
+            if run:
+                candidates.append({run})
+                run = ""
+            if op is BRANCH:
+                branch_sets = [walk(b) for b in arg[1]]
+                if all(bs for bs in branch_sets):
+                    merged: set[str] = set()
+                    for bs in branch_sets:
+                        merged |= bs
+                    candidates.append(merged)
+            elif op is SUBPATTERN:
+                group, add_flags, _del_flags, sub = arg
+                if add_flags & re.IGNORECASE:
+                    return None  # inline (?i:...) — bail on the whole pattern
+                got = walk(sub)
+                if got:
+                    candidates.append(got)
+            elif op in (MAX_REPEAT, MIN_REPEAT):
+                mn, _mx, sub = arg
+                if mn >= 1:
+                    got = walk(sub)
+                    if got:
+                        candidates.append(got)
+            # IN / ANY / AT / assertions / categories contribute nothing
+        if run:
+            candidates.append({run})
+        usable = [
+            c
+            for c in candidates
+            if len(c) <= 8
+            and all(len(s) >= 2 or any(ord(ch) > 127 for ch in s) for s in c)
+        ]
+        if not usable:
+            return None
+        return max(usable, key=lambda c: (min(len(s) for s in c), -len(c)))
+
+    got = walk(tree)
+    return tuple(sorted(got)) if got else ()
+
+
 def regex_detect(text: str, patterns: tuple[tuple[str, re.Pattern[str]], ...]) -> list[Entity]:
     """Emit entities in (rule-order, match-position) order.
 
     Matches regex_detector.py:79-89: one pass of ``finditer`` per rule,
-    ``score=1.0, source="regex"``.
+    ``score=1.0, source="regex"``.  A required-literal prescreen
+    (:func:`_required_literals`) skips rules that provably cannot match —
+    identical output, and it removes the dominant cost of the unanchored
+    backtracking address rules on documents without their trigger
+    substrings.
     """
     entities: list[Entity] = []
     for typ, pattern in patterns:
+        lits = _required_literals(pattern.pattern, pattern.flags)
+        if lits and not any(l in text for l in lits):
+            continue
         for match in pattern.finditer(text):
             entities.append(
                 {"span": (match.start(), match.end()), "type": typ, "score": 1.0, "source": "regex"}

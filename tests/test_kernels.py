@@ -59,6 +59,49 @@ class TestRegexDetect:
         assert ("ID", "123-45-6789") in found
         assert ("PHONE", "555-123-4567") in found
 
+    def test_required_literal_prescreen_is_exact(self):
+        """The prescreen may only claim a literal set when EVERY match must
+        contain one of its members — checked against the analyzer's rules."""
+        from edge_deid_studio_ray.kernels.detect import _required_literals
+
+        # required literal through concat + trailing literal; the
+        # single-member set (號) wins the tiebreak over the union (村|里) —
+        # both are exact constraints, the smaller set is cheaper to test
+        assert _required_literals(r"[^\n]{1,30}(村|里)x?\d+號", 0) == ("號",)
+        # optional group contributes nothing
+        assert _required_literals(r"\d+(abc)?\d+", 0) == ()
+        # alternation where one branch has no usable literal -> nothing
+        assert _required_literals(r"(abc|\d+)", 0) == ()
+        # every-branch literal alternation unions
+        assert _required_literals(r"x(foo|bar)y", 0) == ("bar", "foo")
+        # IGNORECASE disables (substring check would need case folding)
+        import re as _re
+
+        assert _required_literals(r"(foo|bar)", _re.IGNORECASE) == ()
+        assert _required_literals(r"(?i:foo)bar", 0) == ()
+        # single-ASCII-char literals are not worth a prescreen
+        assert _required_literals(r"\d+@\d+", 0) == ()
+
+    def test_prescreen_preserves_detect_output(self):
+        """regex_detect with the prescreen equals a raw finditer sweep on
+        trigger-present, trigger-absent, and empty texts."""
+        texts = [
+            "台北市中山區某村3鄰5號 遠東商業大樓 7樓之2",
+            "no cjk triggers 0912345678 A123456789 test@example.com 12345678",
+            "台北市信義路1號 but no other triggers",
+            "",
+        ]
+        for rules_path in (ZH, EN):
+            pats = compile_rules(rules_path)
+            for text in texts:
+                raw = []
+                for typ, pattern in pats:
+                    for m in pattern.finditer(text):
+                        raw.append(
+                            {"span": (m.start(), m.end()), "type": typ, "score": 1.0, "source": "regex"}
+                        )
+                assert regex_detect(text, pats) == raw
+
     def test_emission_order_rule_major(self):
         # EMAIL rule comes after PHONE: even though the email appears first in
         # the text, phone matches are emitted first.
