@@ -16,6 +16,13 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from edge_deid_studio_ray.config import install_empty_schema_log_filter
+
+# Entry module, not library: silencing the known empty-partition schema
+# warning here keeps the driver's bench/correctness logs readable without
+# touching global logging on package import.
+install_empty_schema_log_filter()
+
 
 def entry() -> Any:
     """Flagship: sf0.001 documents routed through the full deid pipeline

@@ -154,6 +154,9 @@ def _bench_queries(sf_dir: str) -> dict[str, float]:
 def run_once() -> dict:
     import ray
 
+    from edge_deid_studio_ray.config import install_empty_schema_log_filter
+
+    install_empty_schema_log_filter()
     ray.init(
         address="local",
         num_cpus=NUM_CPUS,
@@ -351,6 +354,9 @@ def run_stats() -> str:
     useful compute, not scheduling)."""
     import ray
 
+    from edge_deid_studio_ray.config import install_empty_schema_log_filter
+
+    install_empty_schema_log_filter()
     ray.init(
         address="local",
         num_cpus=NUM_CPUS,

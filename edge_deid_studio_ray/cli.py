@@ -41,6 +41,9 @@ def main(argv: list[str] | None = None) -> int:
 
     import ray
 
+    from .config import install_empty_schema_log_filter
+
+    install_empty_schema_log_filter()
     owns_ray = not ray.is_initialized()
     if owns_ray:
         ray.init(

@@ -248,7 +248,12 @@ def minhash_candidates(
 
     Partitioning assumption: a candidate bucket (same band hash) fits in one
     group task — true for near-dup buckets; pathological buckets are capped
-    at 64 members (cap recorded in the ``truncated`` column, no silent drop).
+    at 64 distinct-text members (cap recorded in the ``truncated`` column,
+    no silent drop).  Each pair is exact-verified once, in its FIRST
+    colliding band's group (rows carry the 8-byte-per-band digest vector),
+    instead of in every colliding band; truncated groups verify
+    unconditionally, so a pair dropped by its first band's cap is only
+    re-checked by later bands while those are also over the cap.
 
     ``pair_metrics`` (text-verify path only): ``{column: fn(text_a, text_b)}``
     extra metrics computed IN-GROUP for every verified pair — the pair texts
@@ -269,20 +274,28 @@ def minhash_candidates(
         )
 
     def explode(batch: pa.Table) -> pa.Table:
-        keys, bands, buckets, texts = [], [], [], []
+        keys, bands, buckets, texts, digs = [], [], [], [], []
         for key, text in zip(batch[key_col].to_pylist(), batch[text_col].to_pylist()):
             sig = hasher.signature(text or "", shingle_k)
-            for bk in band_keys(sig, num_bands):
+            bks = band_keys(sig, num_bands)
+            # compact per-doc digest vector (8 bytes/band): lets the verify
+            # group compute a pair's FIRST colliding band so each pair is
+            # exact-verified in exactly one band group instead of every
+            # band that collides (~num_bands·s^rows times for near-dups)
+            all_digests = b"".join(bytes.fromhex(bk.split(":", 1)[1]) for bk in bks)
+            for bk in bks:
                 keys.append(key)
                 bands.append(bk)
                 buckets.append(_band_bucket(bk, nb))
                 texts.append(text or "")
+                digs.append(all_digests)
         return pa.table(
             {
                 "band_key": pa.array(bands, pa.string()),
                 "band_bucket": pa.array(buckets, pa.int32()),
                 key_col: keys,
                 text_col: texts,
+                "band_digests": pa.array(digs, pa.binary()),
             }
         )
 
@@ -304,29 +317,56 @@ def minhash_candidates(
             for col, _fn in metric_items:
                 out[col].append(extras[col])
 
-        for _, group in bucket.groupby("band_key", sort=False):
+        for band_key, group in bucket.groupby("band_key", sort=False):
+            band_idx = int(str(band_key).split(":", 1)[0])
             rows = group.drop_duplicates(subset=[key_col]).sort_values(key_col)
             # collapse identical texts first: oversized buckets are almost
             # always exact-duplicate storms, and intra-set pairs are known
             # (jaccard 1.0) without any pairwise work — so a 10k-identical
             # cluster costs ONE representative, not a capped quadratic scan
             members: dict[str, list] = {}
-            for key, text in zip(rows[key_col], rows[text_col]):
+            digests: dict[str, bytes] = {}
+            for key, text, dig in zip(
+                rows[key_col], rows[text_col], rows["band_digests"]
+            ):
                 members.setdefault(text, []).append(key)
+                digests.setdefault(text, dig)
             reps = list(members)
             truncated = len(reps) > 64
             reps = reps[:64]
-            for text, keys in members.items():
-                if len(keys) < 2:
-                    continue
-                extras = {col: fn(text, text) for col, fn in metric_items}
-                for a, b in combinations(keys, 2):
-                    emit(a, b, 1.0, truncated, extras)
-            # shingle each representative once, not once per pair
-            shingles = [shingle_hashes(t, shingle_k) for t in reps]
+            # identical texts share every band digest, so their first
+            # colliding band is always band 0: emit the 1.0 pairs there only
+            if band_idx == 0 or truncated:
+                for text, keys in members.items():
+                    if len(keys) < 2:
+                        continue
+                    extras = {col: fn(text, text) for col, fn in metric_items}
+                    for a, b in combinations(keys, 2):
+                        emit(a, b, 1.0, truncated, extras)
+
+            def first_collide(da: bytes, db: bytes) -> int:
+                for b in range(num_bands):
+                    if da[8 * b : 8 * b + 8] == db[8 * b : 8 * b + 8]:
+                        return b
+                return -1  # unreachable: the pair co-occurs in this band
+
+            # a near-dup pair collides in ~num_bands·s^rows bands; verify it
+            # exactly ONCE, in its first colliding band's group (truncated
+            # groups emit unconditionally — later bands may re-check what the
+            # cap dropped — and the pair-dedupe stage collapses repeats)
+            shingles: dict[str, np.ndarray] = {}
             for i in range(len(reps)):
                 for j in range(i + 1, len(reps)):
-                    a, b = shingles[i], shingles[j]
+                    if not truncated and first_collide(
+                        digests[reps[i]], digests[reps[j]]
+                    ) != band_idx:
+                        continue
+                    a = shingles.get(reps[i])
+                    if a is None:
+                        a = shingles[reps[i]] = shingle_hashes(reps[i], shingle_k)
+                    b = shingles.get(reps[j])
+                    if b is None:
+                        b = shingles[reps[j]] = shingle_hashes(reps[j], shingle_k)
                     if len(a) == 0 and len(b) == 0:
                         sim = 1.0
                     else:
@@ -1032,10 +1072,19 @@ def near_dedup(
 
     row_schema_cols = schema.names
 
+    # pandas upcasts int/bool corpus columns to float/object when the
+    # all-null marker rows share the frame; restore the corpus dtypes after
+    # the nulls are filtered out so every output block matches ds.schema()
+    restore_dtypes = {
+        name: typ.to_pandas_dtype()
+        for name, typ in corpus_fields
+        if pa.types.is_integer(typ) or pa.types.is_boolean(typ) or pa.types.is_floating(typ)
+    }
+
     def anti(bucket: pd.DataFrame) -> pd.DataFrame:
         dropped = set(bucket.loc[~bucket["is_row"], "jkey"])
         kept = bucket.loc[bucket["is_row"] & ~bucket["jkey"].isin(dropped)]
-        return kept[row_schema_cols]
+        return kept[row_schema_cols].astype(restore_dtypes, copy=False)
 
     marks = comps.map_batches(non_keepers, batch_format="pyarrow")
     rows = ds.map_batches(tag_rows, batch_format="pyarrow")

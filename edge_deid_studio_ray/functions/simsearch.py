@@ -26,6 +26,23 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
     return mat / norms
 
 
+def _pair_frame(left, right, cos, key_dtype) -> pd.DataFrame:
+    """(left, right, cosine) frame with dtypes pinned to the key column's.
+
+    Every ``map_groups`` block of one run must share a schema — an empty
+    group built from plain Python lists would infer float64 keys and make
+    the streaming executor log schema-divergence warnings (and break
+    downstream unions of int64/float64 blocks).
+    """
+    return pd.DataFrame(
+        {
+            "left": pd.Series(left, dtype=key_dtype),
+            "right": pd.Series(right, dtype=key_dtype),
+            "cosine": pd.Series(cos, dtype="float64"),
+        }
+    )
+
+
 def _vec_matrix(col) -> np.ndarray:
     """(N, dim) float64 matrix from an Arrow list<float> column without the
     per-row ``to_pylist`` round-trip: one flatten + one reshape (flatten
@@ -176,6 +193,7 @@ def embedding_near_dups(
         gid = int(group["pair_block"].iloc[0])
         lo, hi = divmod(gid, num_blocks)
         group = group.sort_values(key_col)
+        key_dtype = group[key_col].dtype
         if lo == hi:
             keys = np.asarray(list(group[key_col]))
             mat = _normalize(np.array(list(group[vec_col]), dtype=np.float64))
@@ -186,7 +204,7 @@ def embedding_near_dups(
             ga = group[group["blk"] == lo]
             gb = group[group["blk"] == hi]
             if not len(ga) or not len(gb):
-                return pd.DataFrame({"left": [], "right": [], "cosine": []})
+                return _pair_frame([], [], [], key_dtype)
             ka = np.asarray(list(ga[key_col]))
             kb = np.asarray(list(gb[key_col]))
             ma = _normalize(np.array(list(ga[vec_col]), dtype=np.float64))
@@ -197,9 +215,7 @@ def embedding_near_dups(
             left = np.minimum(la, lb)
             right = np.maximum(la, lb)
             cos = sims[ai, bi]
-        return pd.DataFrame(
-            {"left": left.tolist(), "right": right.tolist(), "cosine": np.round(cos, 6).tolist()}
-        )
+        return _pair_frame(left.tolist(), right.tolist(), np.round(cos, 6).tolist(), key_dtype)
 
     return (
         ds.map_batches(explode, batch_format="pyarrow")
@@ -284,7 +300,7 @@ def embedding_near_dups_lsh(
             out_l.extend(keys[ii].tolist())
             out_r.extend(keys[jj].tolist())
             out_c.extend(np.round(sims[ii, jj], 6).tolist())
-        return pd.DataFrame({"left": out_l, "right": out_r, "cosine": out_c})
+        return _pair_frame(out_l, out_r, out_c, bucket[key_col].dtype)
 
     pairs = (
         ds.map_batches(explode, batch_format="pyarrow")
