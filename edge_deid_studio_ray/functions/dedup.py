@@ -152,6 +152,18 @@ def _emit_cross_pairs(out: dict, keys_a: list, keys_b: list, sim: float, sim_col
             out["truncated"].append(truncated)
 
 
+def _first_collide_band(da: bytes, db: bytes, num_bands: int) -> int:
+    """First band index whose 8-byte digests agree, -1 if none do.
+
+    Two docs in the same band group always collide at that band, so inside
+    ``verify_bucket`` the -1 case is unreachable; the pair is exact-verified
+    only in the group of its first colliding band."""
+    for b in range(num_bands):
+        if da[8 * b : 8 * b + 8] == db[8 * b : 8 * b + 8]:
+            return b
+    return -1
+
+
 def band_keys(signature: np.ndarray, num_bands: int = 16) -> list[str]:
     """LSH band hashes: one digest per contiguous signature slice."""
     rows = len(signature) // num_bands
@@ -344,11 +356,6 @@ def minhash_candidates(
                     for a, b in combinations(keys, 2):
                         emit(a, b, 1.0, truncated, extras)
 
-            def first_collide(da: bytes, db: bytes) -> int:
-                for b in range(num_bands):
-                    if da[8 * b : 8 * b + 8] == db[8 * b : 8 * b + 8]:
-                        return b
-                return -1  # unreachable: the pair co-occurs in this band
 
             # a near-dup pair collides in ~num_bands·s^rows bands; verify it
             # exactly ONCE, in its first colliding band's group (truncated
@@ -357,8 +364,8 @@ def minhash_candidates(
             shingles: dict[str, np.ndarray] = {}
             for i in range(len(reps)):
                 for j in range(i + 1, len(reps)):
-                    if not truncated and first_collide(
-                        digests[reps[i]], digests[reps[j]]
+                    if not truncated and _first_collide_band(
+                        digests[reps[i]], digests[reps[j]], num_bands
                     ) != band_idx:
                         continue
                     a = shingles.get(reps[i])

@@ -84,6 +84,37 @@ class TestDedupKernels:
         h1, h2 = MinHasher(64), MinHasher(64)
         assert (h1.signature("some text") == h2.signature("some text")).all()
 
+    def test_first_collide_band(self):
+        from edge_deid_studio_ray.functions.dedup import (
+            MinHasher,
+            _first_collide_band,
+            band_keys,
+        )
+
+        # identical signatures collide at band 0
+        same = bytes(range(32))
+        assert _first_collide_band(same, same, 4) == 0
+        # collision only at band 2
+        da = b"\x00" * 8 + b"\x11" * 8 + b"\xaa" * 8 + b"\x33" * 8
+        db = b"\x01" * 8 + b"\x12" * 8 + b"\xaa" * 8 + b"\x34" * 8
+        assert _first_collide_band(da, db, 4) == 2
+        # no collision anywhere
+        assert _first_collide_band(da, b"\xff" * 32, 4) == -1
+        # consistency with band_keys: equal digest <=> equal band key
+        h = MinHasher(64)
+        sa, sb = h.signature("a near duplicate text " * 4), h.signature(
+            "a near duplicate text " * 4 + "tail"
+        )
+        digs_a = b"".join(bytes.fromhex(k.split(":", 1)[1]) for k in band_keys(sa, 16))
+        digs_b = b"".join(bytes.fromhex(k.split(":", 1)[1]) for k in band_keys(sb, 16))
+        first = _first_collide_band(digs_a, digs_b, 16)
+        collide_by_key = [
+            i
+            for i, (ka, kb) in enumerate(zip(band_keys(sa, 16), band_keys(sb, 16)))
+            if ka == kb
+        ]
+        assert (first == -1 and not collide_by_key) or first == collide_by_key[0]
+
 
 class TestDatasetOps:
     def test_exact_dedup(self, ray_session):
