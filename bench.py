@@ -127,6 +127,7 @@ def _bench_queries(sf_dir: str) -> dict[str, float]:
         # round-3 additions
         "simhash_near_dups",
         "events_late_data",
+        "events_funnel",
         "bio_token_labels",
         "html_extract_roundtrip",
         # corpus-preparation layer

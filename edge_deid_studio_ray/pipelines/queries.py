@@ -487,6 +487,70 @@ def q_events_late_data(sf_dir: str):
     )
 
 
+def q_events_funnel(sf_dir: str):
+    """Sequential-pattern funnel (view → click → purchase, each step within
+    30 min of the previous): users reaching each step, greedy-leftmost
+    semantics (first view, then the FIRST qualifying click after it, then
+    the first qualifying purchase after that).
+
+    Shape: events bucket by user hash (a user's timeline co-groups whole),
+    each group walks its users' sorted timelines and emits per-step partial
+    counts; one tiny 3-row groupby-sum finishes.  Per-user state never
+    leaves the group task, so the shuffle ships (user_id, us, event_type)
+    rows once — the same partitioning-by-entity contract as sessionization.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    step_us = 1_800_000_000
+    nb = resolve_group_buckets()
+    steps = ("view", "click", "purchase")
+
+    def to_us(batch: pa.Table) -> pa.Table:
+        users = batch["user_id"].to_pylist()
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "us": batch["ts"].cast(pa.int64()),
+                "event_type": batch["event_type"],
+                "user_bucket": pa.array([_kbucket(u, nb) for u in users], pa.int32()),
+            }
+        )
+
+    def funnel_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        reached = [0, 0, 0]
+        for _, g in bucket.groupby("user_id", sort=False):
+            g = g.sort_values("us")
+            us = g["us"].to_numpy()
+            types = g["event_type"].to_numpy()
+            t_prev = None
+            for depth, step in enumerate(steps):
+                if depth == 0:
+                    hits = us[types == step]
+                else:
+                    hits = us[(types == step) & (us > t_prev) & (us - t_prev <= step_us)]
+                if len(hits) == 0:
+                    break
+                t_prev = hits.min()
+                reached[depth] += 1
+        return pd.DataFrame(
+            {
+                "funnel_step": pd.Series([1, 2, 3], dtype="int64"),
+                "partial": pd.Series(reached, dtype="int64"),
+            }
+        )
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"]).map_batches(
+        to_us, batch_format="pyarrow"
+    )
+    return (
+        ds.groupby("user_bucket")
+        .map_groups(funnel_bucket, batch_format="pandas")
+        .groupby("funnel_step")
+        .aggregate(Sum("partial", alias_name="n_users"))
+    )
+
+
 def q_customer_per_nation(sf_dir: str):
     """Broadcast hash join: customer × nation (small side shipped once via
     ray.put, dict lookup per batch — no shuffle)."""
@@ -2445,6 +2509,7 @@ QUERIES = {
     "events_running_total": q_events_running_total,
     "events_asof_join": q_events_asof_join,
     "events_late_data": q_events_late_data,
+    "events_funnel": q_events_funnel,
     "customer_per_nation": q_customer_per_nation,
     "orders_top10": q_orders_top10,
     "orders_join_customers": q_orders_join_customers,
@@ -2604,6 +2669,33 @@ ORACLE_SQL = {
                CAST(count(*) AS BIGINT) AS n_events,
                CAST(sum(CASE WHEN wm - 600000000 > us THEN 1 ELSE 0 END) AS BIGINT) AS n_late
         FROM m GROUP BY event_type
+    """,
+    "events_funnel": """
+        WITH v AS (
+          SELECT user_id, min(epoch_us(ts)) AS t1
+          FROM events WHERE event_type = 'view' GROUP BY user_id
+        ),
+        c AS (
+          SELECT v.user_id, min(epoch_us(e.ts)) AS t2
+          FROM v JOIN events e ON e.user_id = v.user_id
+          WHERE e.event_type = 'click'
+            AND epoch_us(e.ts) > v.t1
+            AND epoch_us(e.ts) - v.t1 <= 1800000000
+          GROUP BY v.user_id
+        ),
+        p AS (
+          SELECT c.user_id, min(epoch_us(e.ts)) AS t3
+          FROM c JOIN events e ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase'
+            AND epoch_us(e.ts) > c.t2
+            AND epoch_us(e.ts) - c.t2 <= 1800000000
+          GROUP BY c.user_id
+        )
+        SELECT CAST(1 AS BIGINT) AS funnel_step, CAST((SELECT count(*) FROM v) AS BIGINT) AS n_users
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), CAST((SELECT count(*) FROM c) AS BIGINT)
+        UNION ALL
+        SELECT CAST(3 AS BIGINT), CAST((SELECT count(*) FROM p) AS BIGINT)
     """,
     "customer_per_nation": """
         SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_customers
