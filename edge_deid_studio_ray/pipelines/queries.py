@@ -1196,6 +1196,38 @@ def q_knn_ivf_full_probe(sf_dir: str):
     return out.select_columns(["query_id", "vec_id"])
 
 
+def q_knn_ivf_nprobe(sf_dir: str):
+    """IVF-flat ANN at the actual scale configuration (``nprobe=2`` of 8 —
+    score only a quarter of the inverted cells): per-query overlap with the
+    exact top-5, i.e. recall@5 accounting.  Deterministic given the seeded
+    reservoir-sample k-means codebook; no_oracle because the codebook is not
+    SQL-expressible — the full-probe variant (``knn_ivf_full_probe``)
+    carries the SQL value check for the same code path.
+
+    Both branch outputs are tiny (n_queries × k rows), so the final overlap
+    join runs on the driver like any other final aggregate."""
+    from ..functions.simsearch import knn_bruteforce, knn_ivf
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q = _embedding_queries(sf_dir)
+    approx = knn_ivf(ds, q, k=5, num_centroids=8, nprobe=2).to_pandas()
+    exact = knn_bruteforce(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), q, k=5
+    ).to_pandas()
+    ex_sets = exact.groupby("query_id")["vec_id"].apply(set)
+    ap_sets = approx.groupby("query_id")["vec_id"].apply(set)
+    qids = sorted(int(i) for i in ex_sets.index)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.int64()),
+            "recall_hits": pa.array(
+                [len(ap_sets.get(qid, set()) & ex_sets[qid]) for qid in qids],
+                pa.int64(),
+            ),
+        }
+    )
+
+
 def q_embedding_near_dups(sf_dir: str):
     """Embedding-cosine near-dup pairs above 0.4 (exact, broadcast matmul)."""
     from ..functions.simsearch import embedding_near_dups
@@ -2532,6 +2564,7 @@ QUERIES = {
     "doc_lang_id": q_doc_lang_id,
     "knn_bruteforce": q_knn_bruteforce,
     "knn_ivf_full_probe": q_knn_ivf_full_probe,
+    "knn_ivf_nprobe": q_knn_ivf_nprobe,
     "embedding_near_dups": q_embedding_near_dups,
     "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
     "sources_except": q_sources_except,
