@@ -329,20 +329,46 @@ def minhash_candidates(
             for col, _fn in metric_items:
                 out[col].append(extras[col])
 
-        for band_key, group in bucket.groupby("band_key", sort=False):
-            band_idx = int(str(band_key).split(":", 1)[0])
-            rows = group.drop_duplicates(subset=[key_col]).sort_values(key_col)
+        # ONE vectorized sort + boundary scan replaces the per-band-key
+        # pandas groupby: drop_duplicates / sort_values per group cost
+        # ~0.5 ms each, and self-similar corpora produce tens of thousands
+        # of multi-member band groups per run — the group bookkeeping, not
+        # the jaccard math, dominated this stage's CPU
+        key_dtype = bucket[key_col].dtype
+        bucket = bucket.sort_values(["band_key", key_col], kind="mergesort")
+        bks = bucket["band_key"].to_numpy()
+        keys_arr = bucket[key_col].to_numpy()
+        texts_arr = bucket[text_col].to_numpy()
+        digs_arr = bucket["band_digests"].to_numpy()
+        n = len(bks)
+        if n == 0:
+            starts = ends = np.zeros(0, dtype=np.int64)
+        else:
+            change = np.nonzero(bks[1:] != bks[:-1])[0] + 1
+            starts = np.concatenate(([0], change))
+            ends = np.concatenate((change, [n]))
+        # shingle memo is per BUCKET: the same text recurs across its bands
+        shingles: dict[str, np.ndarray] = {}
+
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue  # singleton band key — no pair can exist
+            band_idx = int(str(bks[s]).split(":", 1)[0])
             # collapse identical texts first: oversized buckets are almost
             # always exact-duplicate storms, and intra-set pairs are known
             # (jaccard 1.0) without any pairwise work — so a 10k-identical
             # cluster costs ONE representative, not a capped quadratic scan
             members: dict[str, list] = {}
             digests: dict[str, bytes] = {}
-            for key, text, dig in zip(
-                rows[key_col], rows[text_col], rows["band_digests"]
-            ):
-                members.setdefault(text, []).append(key)
-                digests.setdefault(text, dig)
+            prev_key = None
+            for i in range(s, e):
+                k = keys_arr[i]
+                if prev_key is not None and k == prev_key:
+                    continue  # duplicate (band_key, key) row
+                prev_key = k
+                t = texts_arr[i]
+                members.setdefault(t, []).append(k)
+                digests.setdefault(t, digs_arr[i])
             reps = list(members)
             truncated = len(reps) > 64
             reps = reps[:64]
@@ -356,12 +382,10 @@ def minhash_candidates(
                     for a, b in combinations(keys, 2):
                         emit(a, b, 1.0, truncated, extras)
 
-
             # a near-dup pair collides in ~num_bands·s^rows bands; verify it
             # exactly ONCE, in its first colliding band's group (truncated
             # groups emit unconditionally — later bands may re-check what the
             # cap dropped — and the pair-dedupe stage collapses repeats)
-            shingles: dict[str, np.ndarray] = {}
             for i in range(len(reps)):
                 for j in range(i + 1, len(reps)):
                     if not truncated and _first_collide_band(
@@ -387,7 +411,6 @@ def minhash_candidates(
                         for ka in members[reps[i]]:
                             for kb in members[reps[j]]:
                                 emit(ka, kb, round(sim, 6), truncated, extras)
-        key_dtype = bucket[key_col].dtype
         frame = {
             "left": pd.Series(out["left"], dtype=key_dtype),
             "right": pd.Series(out["right"], dtype=key_dtype),
@@ -437,13 +460,33 @@ def _minhash_candidates_sig(
 
     def verify_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
         out = {"left": [], "right": [], "jaccard": [], "truncated": []}
-        for _, group in bucket.groupby("band_key", sort=False):
-            rows = group.drop_duplicates(subset=[key_col]).sort_values(key_col)
+        key_dtype = bucket[key_col].dtype
+        # one vectorized sort + boundary scan instead of a per-band-key
+        # pandas groupby (group bookkeeping dominated this stage's CPU)
+        bucket = bucket.sort_values(["band_key", key_col], kind="mergesort")
+        bks = bucket["band_key"].to_numpy()
+        keys_arr = bucket[key_col].to_numpy()
+        sigs_arr = bucket["sig"].to_numpy()
+        n = len(bks)
+        if n == 0:
+            starts = ends = np.zeros(0, dtype=np.int64)
+        else:
+            change = np.nonzero(bks[1:] != bks[:-1])[0] + 1
+            starts = np.concatenate(([0], change))
+            ends = np.concatenate((change, [n]))
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue  # singleton band key — no pair can exist
             # collapse identical signatures (exact-dup storms) to one
             # representative each; intra-set pairs have agreement 1.0
             members: dict[bytes, list] = {}
-            for key, sig in zip(rows[key_col], rows["sig"]):
-                members.setdefault(sig, []).append(key)
+            prev_key = None
+            for i in range(s, e):
+                key = keys_arr[i]
+                if prev_key is not None and key == prev_key:
+                    continue  # duplicate (band_key, key) row
+                prev_key = key
+                members.setdefault(sigs_arr[i], []).append(key)
             reps = list(members)
             truncated = len(reps) > 64
             reps = reps[:64]
@@ -462,7 +505,6 @@ def _minhash_candidates_sig(
                         "jaccard",
                         truncated,
                     )
-        key_dtype = bucket[key_col].dtype
         return pd.DataFrame(
             {
                 "left": pd.Series(out["left"], dtype=key_dtype),
@@ -911,6 +953,31 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
     return (x * np.uint64(0x0101010101010101)) >> np.uint64(56)
 
 
+_POP_LUT16 = None
+
+
+def _hamming64_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """All-pairs Hamming distances between two uint64 vectors → (len(a),
+    len(b)) uint8.
+
+    Avoids 64-bit vector arithmetic entirely: the XOR runs in uint32 lanes
+    and the popcount is a 16-bit LUT gather + lane sum.  On hosts whose
+    SIMD path covers only 8/32-bit integer ops (measured here: uint64 XOR
+    ~200 ns/element vs uint32 ~2 ns), this is ~20× faster than the SWAR
+    popcount over a uint64 XOR matrix; on full-SIMD hosts it is no worse.
+    """
+    global _POP_LUT16
+    if _POP_LUT16 is None:
+        _POP_LUT16 = np.array(
+            [bin(i).count("1") for i in range(65536)], dtype=np.uint8
+        )
+    a32 = np.ascontiguousarray(a).view(np.uint32).reshape(len(a), 2)
+    b32 = np.ascontiguousarray(b).view(np.uint32).reshape(len(b), 2)
+    z32 = a32[:, None, :] ^ b32[None, :, :]  # (A, B, 2) uint32
+    z16 = z32.view(np.uint16)  # (A, B, 4)
+    return _POP_LUT16[z16].sum(axis=-1, dtype=np.uint8)
+
+
 def simhash_near_dups(
     ds,
     text_col: str = "text",
@@ -965,38 +1032,72 @@ def simhash_near_dups(
         from itertools import combinations
 
         out = {"left": [], "right": [], "hamming": []}
-        for _, group in bucket.groupby("band_key", sort=False):
-            rows = group.drop_duplicates(subset=[key_col]).sort_values(key_col)
+        key_dtype = bucket[key_col].dtype
+        # one vectorized sort + boundary scan instead of a per-band-key
+        # pandas groupby (group bookkeeping dominated this stage's CPU)
+        bucket = bucket.sort_values(["band_key", key_col], kind="mergesort")
+        bks = bucket["band_key"].to_numpy()
+        keys_arr = bucket[key_col].to_numpy()
+        sims_arr = bucket["simhash"].to_numpy()
+        n = len(bks)
+        if n == 0:
+            starts = ends = np.zeros(0, dtype=np.int64)
+        else:
+            change = np.nonzero(bks[1:] != bks[:-1])[0] + 1
+            starts = np.concatenate(([0], change))
+            ends = np.concatenate((change, [n]))
+        band_shifts = (np.arange(num_bands, dtype=np.uint64) * np.uint64(band_bits))
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue  # singleton band key — no pair can exist
+            band_idx = int(str(bks[s]).split(":", 1)[0])
             # collapse identical signatures: intra-set hamming is 0
             members: dict[int, list] = {}
-            for key, sig in zip(rows[key_col], rows["simhash"]):
-                members.setdefault(int(sig) & ((1 << 64) - 1), []).append(key)
-            for keys in members.values():
-                for a, b in combinations(keys, 2):
-                    out["left"].append(a)
-                    out["right"].append(b)
-                    out["hamming"].append(0)
+            prev_key = None
+            for i in range(s, e):
+                key = keys_arr[i]
+                if prev_key is not None and key == prev_key:
+                    continue  # duplicate (band_key, key) row
+                prev_key = key
+                members.setdefault(int(sims_arr[i]) & ((1 << 64) - 1), []).append(key)
+            # identical signatures agree on every band: their first shared
+            # band is band 0, so emit the hamming-0 pairs there only
+            if band_idx == 0:
+                for keys in members.values():
+                    for a, b in combinations(keys, 2):
+                        out["left"].append(a)
+                        out["right"].append(b)
+                        out["hamming"].append(0)
             reps = np.fromiter(members.keys(), dtype=np.uint64, count=len(members))
             if len(reps) > 1:
                 # chunked pairwise XOR/popcount: all distinct-signature
-                # pairs checked, memory bounded at chunk × m uint64s
+                # pairs checked, memory bounded at chunk × m uint64s.
+                # Each qualifying pair is emitted from its FIRST shared
+                # band only (pigeonhole guarantees one exists for
+                # hamming <= num_bands - 1), so hot 8-bit bands don't
+                # re-verify and re-ship the same pair up to num_bands times
+                rep_bands = (reps[:, None] >> band_shifts[None, :]) & np.uint64(band_mask)
                 chunk = 2048
                 for lo_idx in range(0, len(reps), chunk):
                     block = reps[lo_idx : lo_idx + chunk]
-                    d = _popcount64(block[:, None] ^ reps[None, :])
-                    ii, jj = np.nonzero(d <= max_hamming)
-                    for bi, j in zip(ii, jj):
-                        i = lo_idx + bi
-                        if i >= j:  # upper triangle only
-                            continue
-                        dist = int(d[bi, j])
+                    d = _hamming64_matrix(block, reps)
+                    bi, jj = np.nonzero(d <= max_hamming)
+                    ii = bi + lo_idx
+                    keep = ii < jj  # upper triangle only
+                    bi, ii, jj = bi[keep], ii[keep], jj[keep]
+                    if len(ii) == 0:
+                        continue
+                    first = (rep_bands[ii] == rep_bands[jj]).argmax(axis=1)
+                    sel = first == band_idx
+                    dists = d[bi[sel], jj[sel]]
+                    for i, j, dist in zip(ii[sel], jj[sel], dists):
+                        dist = int(dist)
                         for a in members[int(reps[i])]:
                             for b in members[int(reps[j])]:
                                 lo, hi = (a, b) if a < b else (b, a)
                                 out["left"].append(lo)
                                 out["right"].append(hi)
                                 out["hamming"].append(dist)
-        key_dtype = bucket[key_col].dtype
         return pd.DataFrame(
             {
                 "left": pd.Series(out["left"], dtype=key_dtype),

@@ -84,6 +84,24 @@ class TestDedupKernels:
         h1, h2 = MinHasher(64), MinHasher(64)
         assert (h1.signature("some text") == h2.signature("some text")).all()
 
+    def test_hamming64_matrix_matches_swar(self):
+        from edge_deid_studio_ray.functions.dedup import (
+            _hamming64_matrix,
+            _popcount64,
+        )
+
+        rng = np.random.RandomState(7)
+        a = rng.randint(0, 2**63, size=37, dtype=np.uint64)
+        b = rng.randint(0, 2**63, size=53, dtype=np.uint64)
+        got = _hamming64_matrix(a, b)
+        want = _popcount64(a[:, None] ^ b[None, :]).astype(np.uint8)
+        assert got.shape == (37, 53)
+        assert (got == want).all()
+        # edges: identical vectors (0), complementary (64)
+        x = np.array([0, 2**64 - 1], dtype=np.uint64)
+        d = _hamming64_matrix(x, x)
+        assert d[0, 0] == 0 and d[1, 1] == 0 and d[0, 1] == 64 and d[1, 0] == 64
+
     def test_first_collide_band(self):
         from edge_deid_studio_ray.functions.dedup import (
             MinHasher,
