@@ -328,11 +328,17 @@ def knn_ivf(
     seed: int = 11,
     vec_col: str = "embedding",
     key_col: str = "vec_id",
+    train_vectors: np.ndarray | None = None,
 ):
     """IVF-flat ANN: coarse k-means centroids (trained on a bounded sample),
     rows pruned to the query's ``nprobe`` nearest centroids, then scored
     exactly.  The centroid codebook is tiny and rides in the task closure;
     training is deterministic (fixed seed + sorted sample).
+
+    ``train_vectors`` (optional) supplies the training set directly — use a
+    content-keyed sample (e.g. ``hash(key) % m == 0``) when the codebook
+    must be invariant to block boundaries / cluster parallelism; the
+    default distributed reservoir is uniform and seeded, but block-shaped.
 
     Scale path trade: recall grows with nprobe (nprobe == num_centroids
     degenerates to brute force).  Same output schema as knn_bruteforce.
@@ -341,10 +347,13 @@ def knn_ivf(
 
     from .sketches import reservoir_sample
 
-    # uniform reservoir over the whole dataset — limit() would train the
-    # codebook on the first rows only, biasing centroids on sorted input
-    sample = reservoir_sample(ds.select_columns([vec_col]), k=train_sample, seed=seed)
-    train = _normalize(np.array([r[vec_col] for r in sample], dtype=np.float64))
+    if train_vectors is not None:
+        train = _normalize(np.asarray(train_vectors, dtype=np.float64))
+    else:
+        # uniform reservoir over the whole dataset — limit() would train the
+        # codebook on the first rows only, biasing centroids on sorted input
+        sample = reservoir_sample(ds.select_columns([vec_col]), k=train_sample, seed=seed)
+        train = _normalize(np.array([r[vec_col] for r in sample], dtype=np.float64))
     rng = np.random.RandomState(seed)
     centroids = train[rng.choice(len(train), size=min(num_centroids, len(train)), replace=False)]
     for _ in range(10):  # Lloyd iterations on the sample

@@ -1199,18 +1199,40 @@ def q_knn_ivf_full_probe(sf_dir: str):
 def q_knn_ivf_nprobe(sf_dir: str):
     """IVF-flat ANN at the actual scale configuration (``nprobe=2`` of 8 —
     score only a quarter of the inverted cells): per-query overlap with the
-    exact top-5, i.e. recall@5 accounting.  Deterministic given the seeded
-    reservoir-sample k-means codebook; no_oracle because the codebook is not
-    SQL-expressible — the full-probe variant (``knn_ivf_full_probe``)
-    carries the SQL value check for the same code path.
+    exact top-5, i.e. recall@5 accounting.  Fully deterministic: the k-means
+    codebook trains on a content-keyed sample (vec_id hash stride), so the
+    result is invariant to block boundaries and num_cpus; no_oracle because
+    the codebook is not SQL-expressible — the full-probe variant
+    (``knn_ivf_full_probe``) carries the SQL value check for the same path.
 
     Both branch outputs are tiny (n_queries × k rows), so the final overlap
     join runs on the driver like any other final aggregate."""
+    import zlib
+
     from ..functions.simsearch import knn_bruteforce, knn_ivf
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     q = _embedding_queries(sf_dir)
-    approx = knn_ivf(ds, q, k=5, num_centroids=8, nprobe=2).to_pandas()
+
+    # content-keyed training sample (vec_id hash stride): invariant to block
+    # boundaries and cluster parallelism, so the codebook — and therefore the
+    # approximate result — is reproducible across any num_cpus
+    def train_rows(batch: pa.Table) -> pa.Table:
+        mask = pa.array(
+            [zlib.crc32(str(v).encode()) % 4 == 0 for v in batch["vec_id"].to_pylist()]
+        )
+        return batch.filter(mask)
+
+    train = (
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .map_batches(train_rows, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    train_vecs = np.array(list(train["embedding"]), dtype=np.float64)
+    approx = knn_ivf(
+        ds, q, k=5, num_centroids=8, nprobe=2, train_vectors=train_vecs
+    ).to_pandas()
     exact = knn_bruteforce(
         _read(sf_dir, "embeddings", ["vec_id", "embedding"]), q, k=5
     ).to_pandas()
