@@ -46,22 +46,33 @@ def _hll_update(registers: np.ndarray, hashes: np.ndarray, p: int) -> None:
 
 
 def _hash_column(values: list) -> np.ndarray:
-    # blake2b-8: full-entropy 64-bit hashes (two crc32s are linearly
-    # correlated and skew the register index distribution)
+    # md5 first-8-bytes little-endian: full-entropy 64-bit hashes (two crc32s
+    # are linearly correlated and skew the register index distribution), and
+    # exactly DuckDB's md5_number_upper(CAST(x AS VARCHAR)) — so the whole
+    # sketch, register by register, is SQL-mirrorable for the oracle check
     import hashlib
 
     out = np.empty(len(values), dtype=np.uint64)
     for i, v in enumerate(values):
-        digest = hashlib.blake2b(str(v).encode("utf-8", "replace"), digest_size=8).digest()
-        out[i] = np.uint64(int.from_bytes(digest, "big"))
+        digest = hashlib.md5(str(v).encode("utf-8", "replace")).digest()
+        out[i] = np.uint64(int.from_bytes(digest[:8], "little"))
     return out
 
 
 def hll_estimate(registers: np.ndarray) -> float:
+    """Bias-corrected HLL estimate, computed float-deterministically.
+
+    sum(2^-reg) is accumulated as the exact integer S = sum(2^(64-reg))
+    (Python bigints via a register-value histogram), then rounded to float
+    once — the result is independent of register order / block structure and
+    reproducible by integer SQL (HUGEINT) plus the same two float ops.
+    """
     m = len(registers)
     alpha = 0.7213 / (1 + 1.079 / m)
-    est = alpha * m * m / np.sum(2.0 ** (-registers.astype(np.float64)))
-    zeros = int((registers == 0).sum())
+    counts = np.bincount(registers.astype(np.int64), minlength=1)
+    s_exact = sum(int(c) << (64 - r) for r, c in enumerate(counts) if c)
+    est = alpha * m * m / (float(s_exact) / float(1 << 64))
+    zeros = int(counts[0])
     if est <= 2.5 * m and zeros > 0:  # small-range correction
         est = m * np.log(m / zeros)
     return float(est)

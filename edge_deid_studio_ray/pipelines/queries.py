@@ -177,16 +177,22 @@ def q_heavy_hitter_words(sf_dir: str):
 
 
 def q_approx_distinct(sf_dir: str):
-    """HLL approximate distinct counts next to exact ones (rows-only;
-    deterministic — fixed hash, fixed registers)."""
+    """HLL approximate distinct counts next to exact ones.  Fully
+    oracle-checked: the sketch hash is DuckDB's ``md5_number_upper`` and the
+    estimator folds registers through exact integer arithmetic
+    (`sketches.hll_estimate`), so SQL reproduces the estimate bit-for-bit
+    (rounded to 4 decimals to absorb any libm ``ln`` ulp divergence in the
+    small-range correction branch)."""
     from ..functions.sketches import approx_distinct
 
     rows = []
     for table, col in (("documents", "source"), ("events", "event_type"), ("orders", "o_custkey")):
-        ds = _read(sf_dir, table, [col])
+        ds = _read(sf_dir, table, [col]).map_batches(
+            lambda t, c=col: t.filter(pc.is_valid(t[c])), batch_format="pyarrow"
+        )
         est = approx_distinct(ds, col, p=12)
         exact = len(ds.unique(col))
-        rows.append((f"{table}.{col}", round(est, 1), exact))
+        rows.append((f"{table}.{col}", round(est, 4), exact))
     return pa.table(
         {
             "column": pa.array([r[0] for r in rows], pa.string()),
@@ -2629,9 +2635,55 @@ QUERIES = {
 }
 
 _STOP_SQL = "['the','of','and','to','a','in','is','it','you','that']"
+
+
+def _hll_sql(table: str, col: str, p: int = 12) -> str:
+    """DuckDB mirror of ``sketches.approx_distinct`` (md5-LE hash, dense HLL,
+    integer-exact register fold) for one (table, column) pair.
+
+    md5_number_upper == first 8 md5 bytes little-endian == the Python hash;
+    rank = clz(rest)+1 via the zero-padded binary string; the register sum
+    folds as HUGEINT (no float accumulation), mirroring hll_estimate."""
+    m = 1 << p
+    two64 = "18446744073709551616"
+    return f"""
+        WITH hv AS (
+            SELECT md5_number_upper(CAST({col} AS VARCHAR)) AS h
+            FROM {table} WHERE {col} IS NOT NULL
+        ),
+        parts AS (
+            SELECT CAST(h >> {64 - p} AS BIGINT) AS idx,
+                   strpos(lpad(bin(CAST(
+                       ((CAST(h AS HUGEINT) << {p}) | {m - 1}) % {two64}
+                   AS UBIGINT)), 64, '0'), '1') AS rank
+            FROM hv
+        ),
+        regs AS (SELECT idx, MAX(rank) AS reg FROM parts GROUP BY idx),
+        folded AS (
+            SELECT {m} - COUNT(*) AS zeros,
+                   CAST({m} - COUNT(*) AS HUGEINT) * (CAST(1 AS HUGEINT) << 64)
+                       + SUM(CAST(1 AS HUGEINT) << (64 - reg)) AS s_exact
+            FROM regs
+        ),
+        raw AS (
+            SELECT zeros,
+                   (0.7213 / (1 + 1.079 / {m})) * {m} * {m}
+                       / (CAST(s_exact AS DOUBLE) / {two64}.0) AS est
+            FROM folded
+        )
+        SELECT '{table}.{col}' AS "column",
+               ROUND(CASE WHEN est <= 2.5 * {m} AND zeros > 0
+                          THEN {m} * ln({m} / zeros) ELSE est END, 4) AS hll_estimate,
+               (SELECT CAST(COUNT(DISTINCT {col}) AS BIGINT) FROM {table}) AS exact
+        FROM raw
+    """
 _MEDICAL_RE = "\\b[A-Za-z0-9]{6,12}\\b"
 
 ORACLE_SQL = {
+    "approx_distinct": " UNION ALL ".join(
+        f"SELECT * FROM ({_hll_sql(t, c)})"
+        for t, c in (("documents", "source"), ("events", "event_type"), ("orders", "o_custkey"))
+    ),
     "doc_stats_by_lang": """
         SELECT lang,
                CAST(count(*) AS BIGINT) AS n_docs,
