@@ -26,6 +26,8 @@ decoded upstream with ``errors="replace"`` to match the reference.
 
 from __future__ import annotations
 
+import re
+from html import unescape
 from html.parser import HTMLParser
 
 _SKIP_CONTAINERS = {"script", "style"}
@@ -85,12 +87,176 @@ class _TextCollector(HTMLParser):
         self._flush()
 
 
-def html_to_text(html: str, separator: str = "\n") -> str:
-    """Extract all text nodes of an HTML document joined by ``separator``."""
+# -- fast path ----------------------------------------------------------------
+#
+# A single-pass scanner producing byte-identical strings for the common,
+# well-formed subset of html.parser's grammar (verified branch-by-branch
+# against CPython 3.11 html/parser.py); ANYTHING outside that subset raises
+# _FastBail and the document re-parses through _TextCollector, so the fast
+# path can only ever change speed, never output.  ~3-4x on tag-dense pages:
+# HTMLParser pays per-attribute regex matching, attr-value unescaping and
+# line/column bookkeeping that text extraction never uses.
+
+class _FastBail(Exception):
+    pass
+
+
+# strict start tag: name + well-formed attrs only.  Stricter than
+# locatestarttagend_tolerant by construction (unquoted values exclude
+# quotes/'/'/'<'), so every accepted match ends at the same '>' with the
+# same tag name and the same startendtag ('/>') decision as HTMLParser;
+# atomic groups keep rejection linear-time.
+_FAST_START = re.compile(
+    r'<([a-zA-Z][-.a-zA-Z0-9:_]*)'
+    r'(?>\s+[^\s/>"\'=]+(?:\s*=\s*(?>"[^"]*"|\'[^\']*\'|[^\s>"\'=/`<]+))?)*'
+    r"\s*(/?)>"
+)
+# html.parser's endtagfind, verbatim semantics
+_FAST_END = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
+# html.parser's tagfind_tolerant (end-tag fallback name scan)
+_FAST_END_NAME = re.compile(r"([a-zA-Z][^\t\n\r\f />\x00]*)")
+_COMMENT_CLOSE = re.compile(r"--\s*>")  # html.parser commentclose
+_MARKED_CLOSE = re.compile(r"\]\s*\]\s*>")  # _markupbase _markedsectionclose
+# set_cdata_mode's interesting pattern per container
+_CDATA_CLOSE = {t: re.compile(r"</\s*%s\s*>" % t, re.IGNORECASE) for t in _SKIP_CONTAINERS}
+
+
+def _fast_strings(html: str) -> list[str]:
+    strings: list[str] = []
+    buf: list[str] = []
+    i, n = 0, len(html)
+    find = html.find
+    startswith = html.startswith
+    while i < n:
+        lt = find("<", i)
+        if lt < 0:
+            seg = html[i:]
+            if seg:
+                buf.append(unescape(seg) if "&" in seg else seg)
+            break
+        if lt > i:
+            seg = html[i:lt]
+            buf.append(unescape(seg) if "&" in seg else seg)
+        c = html[lt + 1 : lt + 2]
+        if c and ("a" <= c <= "z" or "A" <= c <= "Z"):
+            m = _FAST_START.match(html, lt)
+            if not m:
+                raise _FastBail  # tolerant-parse / bogus-input territory
+            if m.group(2):
+                # Ambiguity guard: HTMLParser's attrfind_tolerant folds a '/'
+                # that directly follows an UNQUOTED attribute value into that
+                # value (`<a data=x/>` is a plain start tag with data='x/').
+                # Our '/' is safe only after whitespace, a quote, an attr
+                # name, or the tag name; `...=value/>` must bail.
+                p = m.end() - 3
+                if html[p] not in ' \t\n\r\f"\'':
+                    j = p
+                    while j > lt and html[j] not in " \t\n\r\f=":
+                        j -= 1
+                    while j > lt and html[j] in " \t\n\r\f":
+                        j -= 1
+                    if html[j] == "=":
+                        raise _FastBail
+            if buf:
+                strings.append("".join(buf))
+                buf.clear()
+            i = m.end()
+            if not m.group(2):
+                tag = m.group(1).lower()
+                if tag in _SKIP_CONTAINERS:
+                    # CDATA mode: content until the full `</tag\s*>` is
+                    # handle_data (dropped by the skip container); no close
+                    # tag means the rest of the document is dropped too.
+                    endm = _CDATA_CLOSE[tag].search(html, i)
+                    if not endm:
+                        break
+                    i = endm.end()
+        elif c == "/":
+            m = _FAST_END.match(html, lt)
+            if m:
+                end = m.end()
+            else:
+                nm = _FAST_END_NAME.match(html, lt + 2)
+                if nm:  # `</name junk>`: endtag(name), skip to '>'
+                    gt = find(">", nm.end())
+                    if gt < 0:
+                        raise _FastBail
+                    end = gt + 1
+                elif startswith("</>", lt):
+                    i = lt + 3  # consumed, no event, text run continues
+                    continue
+                else:  # bogus comment: handle_comment up to first '>'
+                    gt = find(">", lt + 2)
+                    if gt < 0:
+                        raise _FastBail
+                    end = gt + 1
+            if buf:
+                strings.append("".join(buf))
+                buf.clear()
+            i = end
+        elif c == "!":
+            if startswith("<!--", lt):
+                mm = _COMMENT_CLOSE.search(html, lt + 4)
+                if not mm:
+                    raise _FastBail
+                end = mm.end()
+            elif startswith("<![", lt):
+                if not startswith("<![CDATA[", lt):
+                    raise _FastBail  # other/odd-case marked sections
+                mm = _MARKED_CLOSE.search(html, lt + 3)
+                if not mm:
+                    raise _FastBail
+                if buf:
+                    strings.append("".join(buf))
+                    buf.clear()
+                # unknown_decl('CDATA[...') -> collector appends the content
+                strings.append(html[lt + 9 : mm.start()])
+                i = mm.end()
+                continue
+            elif html[lt : lt + 9].lower() == "<!doctype":
+                gt = find(">", lt + 9)
+                if gt < 0:
+                    raise _FastBail
+                end = gt + 1
+            else:  # parse_bogus_comment
+                gt = find(">", lt + 2)
+                if gt < 0:
+                    raise _FastBail
+                end = gt + 1
+            if buf:
+                strings.append("".join(buf))
+                buf.clear()
+            i = end
+        elif c == "?":
+            gt = find(">", lt + 2)
+            if gt < 0:
+                raise _FastBail
+            if buf:
+                strings.append("".join(buf))
+                buf.clear()
+            i = gt + 1
+        else:  # lone '<' (incl. at EOF): literal character data
+            buf.append("<")
+            i = lt + 1
+    if buf:
+        strings.append("".join(buf))
+    return strings
+
+
+def _parser_strings(html: str) -> list[str]:
     collector = _TextCollector()
     collector.feed(html)
     collector.close()
-    return separator.join(collector.strings)
+    return collector.strings
+
+
+def html_to_text(html: str, separator: str = "\n") -> str:
+    """Extract all text nodes of an HTML document joined by ``separator``."""
+    try:
+        strings = _fast_strings(html)
+    except _FastBail:
+        strings = _parser_strings(html)
+    return separator.join(strings)
 
 
 def decode_html_bytes(raw: bytes) -> str:

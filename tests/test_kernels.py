@@ -294,6 +294,130 @@ class TestHtmlText:
         assert "�" in s and html_to_text(s) == "ok�"
 
 
+class TestFastHtmlScanner:
+    """The fast scanner must be byte-identical to the HTMLParser collector on
+    everything it ACCEPTS; anything else bails and re-parses, so output can
+    never diverge.  These pins cover each accept branch + known bail cases."""
+
+    CASES = [
+        "<html><body><p>Hello &amp; goodbye</p></body></html>",
+        "a < b and c > d",
+        "text<",
+        "<p>one<br/>two</p>",
+        '<script>var x = "<p>not text</p>";</script>after',
+        "<SCRIPT>hidden</SCRIPT>ok",
+        "<script>no close tag at all",
+        "<script/>inline shown</script>",
+        "<style>body{}</style>tail",
+        "<!-- comment with <p> -->text",
+        "<!DOCTYPE html><p>x</p>",
+        '<!doctype html PUBLIC "-//W3C">x',
+        "<![CDATA[raw <b> text]]>y",
+        "<![CDATA[]]>y",
+        "<?php echo 1 ?>text",
+        "</>empty endtag",
+        "</ div>spacey",
+        "</div junk>after",
+        "<!bogus decl>after",
+        '<a href="x>y">quoted gt</a>',
+        "<a href=plain>unquoted</a>",
+        "<p class>novalue</p>",
+        '<p \t\n class = "x" >ws</p>',
+        "<b>&notanentity;</b>",
+        "&#65;&#x42;c",
+        "<p>&amp</p>",
+        "<p>a</p>\n  \n<p>b</p>",
+        "<td>x</td junk>y",
+        "< notag>plain",
+        "<!---->e",
+        "<!-- -- >e",
+        "<p>x<!-- c --->y</p>",
+    ]
+    BAIL_CASES = [
+        "text<x",  # unterminated start tag at EOF
+        "<![cdata[lower]]>y",  # lowercase marked section
+        "<a href=ht/tp>slashy</a>",  # '/' in unquoted attr value
+        "<a data=x/>odd",  # ambiguous self-close after unquoted value
+        "<foo@bar>odd name</foo@bar>",  # name outside the strict charset
+        "<!-- unterminated",
+    ]
+
+    def test_accept_branches_match_parser(self):
+        from edge_deid_studio_ray.kernels.html_text import (
+            _fast_strings,
+            _parser_strings,
+        )
+
+        for doc in self.CASES:
+            assert _fast_strings(doc) == _parser_strings(doc), repr(doc)
+
+    def test_bail_cases_fall_back(self):
+        import pytest
+
+        from edge_deid_studio_ray.kernels.html_text import _fast_strings, _FastBail
+
+        for doc in self.BAIL_CASES:
+            with pytest.raises(_FastBail):
+                _fast_strings(doc)
+            # public entry point still returns the parser's answer
+            from edge_deid_studio_ray.kernels.html_text import (
+                _parser_strings,
+                html_to_text,
+            )
+
+            assert html_to_text(doc) == "\n".join(_parser_strings(doc))
+
+    def test_fuzz_soup_equivalence(self):
+        import random
+
+        from edge_deid_studio_ray.kernels.html_text import (
+            _fast_strings,
+            _parser_strings,
+            _FastBail,
+        )
+
+        rng = random.Random(7)
+        atoms = [
+            "<p>", "</p>", '<div class="a">', "<br/>", "text ", "&amp;",
+            "&#65;", "&bad", "<", ">", '"', "'", "<script>", "</script>",
+            "<style>", "</style>", "<!-- c -->", "<!--", "-->", "<![CDATA[",
+            "]]>", "<!DOCTYPE html>", "<?pi?>", "</ x>", "</>", " ", "\n",
+            "a=b", "/", "!", "&", ";", "<a href=x>", '<a href="q>z">',
+            "é漢", "\x00", "=", "<b", "tail",
+        ]
+        for _ in range(3000):
+            doc = "".join(rng.choice(atoms) for _ in range(rng.randint(1, 25)))
+            try:
+                fast = _fast_strings(doc)
+            except _FastBail:
+                continue
+            assert fast == _parser_strings(doc), repr(doc)
+
+    def test_synthetic_corpus_equivalence(self):
+        from edge_deid_studio_ray.kernels.html_text import (
+            _fast_strings,
+            _parser_strings,
+            _FastBail,
+            decode_html_bytes,
+        )
+        from edge_deid_studio_ray.sources.pages import synthesize_pages_table
+
+        tbl = synthesize_pages_table(list(range(2000)))
+        bails = 0
+        for h in tbl["html"]:
+            raw = h.as_py()
+            if not raw:
+                continue
+            doc = decode_html_bytes(raw)
+            try:
+                fast = _fast_strings(doc)
+            except _FastBail:
+                bails += 1
+                continue
+            assert fast == _parser_strings(doc)
+        assert bails < 100  # fast path must cover the overwhelming majority
+
+
 class TestPdfBlocks:
     def test_sorting_and_filtering(self):
         import json
