@@ -353,3 +353,178 @@ def token_stream_pack(
         .groupby(group_col)
         .map_groups(pack, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based multilingual resampling
+# ---------------------------------------------------------------------------
+
+
+def temperature_rates(counts: dict[str, int], temperature: float) -> dict[str, float]:
+    """Per-language keep rates for temperature-resampled mixing.
+
+    With sampling temperature ``T`` the target language distribution is
+    ``q_l ∝ p_l^T`` (XLM-R-style rebalancing); realized by downsampling
+    relative to the rarest language: ``rate_l = (n_l / n_min)^(T - 1)`` —
+    the rarest language keeps everything (rate 1.0), larger languages are
+    thinned toward the tempered mix.  One float ``pow`` per language, no
+    cross-language float sums, so an SQL oracle reproduces every rate
+    bit-for-bit (``POWER(n/mn, T-1.0)``)."""
+    mn = min(counts.values())
+    return {k: (n / mn) ** (temperature - 1.0) for k, n in counts.items()}
+
+
+def md5_uniform(key) -> float:
+    """Deterministic uniform in [0, 1): first 8 md5 bytes of ``str(key)``
+    little-endian over 2^64 — exactly DuckDB's
+    ``CAST(md5_number_upper(CAST(key AS VARCHAR)) AS DOUBLE) / 2^64``, so
+    membership decisions are reproducible in SQL and stable across the
+    cluster (no PYTHONHASHSEED dependence)."""
+    import hashlib
+
+    digest = hashlib.md5(str(key).encode()).digest()
+    return int.from_bytes(digest[:8], "little") / 18446744073709551616.0
+
+
+def temperature_sample_summary(ds, rates: dict[str, float], *, lang_col: str = "lang", id_col: str = "doc_id"):
+    """Stateless membership filter + per-language attrition partials.
+
+    The rate map is captured in the task closure (a handful of floats —
+    broadcast once per worker, never shuffled); the only shuffle is the
+    final tiny per-language aggregate of pre-aggregated partials."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        agg: dict[str, list[int]] = {}
+        for lang, key in zip(batch[lang_col].to_pylist(), batch[id_col].to_pylist()):
+            a = agg.setdefault(lang, [0, 0])
+            if md5_uniform(key) < rates[lang]:
+                a[0] += 1
+                a[1] += key
+        langs = list(agg)
+        return pa.table(
+            {
+                lang_col: pa.array(langs, pa.string()),
+                "n_kept_p": pa.array([agg[k][0] for k in langs], pa.int64()),
+                "sum_kept_p": pa.array([agg[k][1] for k in langs], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(lang_col)
+        .aggregate(
+            Sum("n_kept_p", alias_name="n_kept"),
+            Sum("sum_kept_p", alias_name="sum_kept_ids"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Char-trigram LM quality scoring (CCNet-style perplexity filter)
+# ---------------------------------------------------------------------------
+
+
+def trigram_model(ds, *, lang_col: str = "lang", text_col: str = "text") -> tuple[dict, dict]:
+    """Train a per-language add-one character-trigram LM on the corpus.
+
+    Pass 1 of the CCNet-style quality filter: per-batch pre-aggregated
+    ``(lang, trigram) -> count`` partials, ONE grouped sum, and the model
+    table comes to the driver for broadcast.  The table is bounded by
+    charset^3 per language (not corpus size), which is broadcast-budget
+    for real charsets; if a pathological charset blows it, score via the
+    shuffle-join formulation (the oracle's shape) instead.
+
+    Returns ``(logp, denoms)``: ``logp[(lang, tri)] = ln((c+1)/(N_l+V_l))``
+    and ``denoms[lang] = (N_l, V_l)`` for smoothing unseen trigrams."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    def tri_partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for lang, text in zip(batch[lang_col].to_pylist(), batch[text_col].to_pylist()):
+            t = text or ""
+            for i in range(len(t) - 2):
+                c[(lang, t[i : i + 3])] += 1
+        keys = list(c.keys())
+        return pa.table(
+            {
+                lang_col: pa.array([k[0] for k in keys], pa.string()),
+                "tri": pa.array([k[1] for k in keys], pa.string()),
+                "n": pa.array([c[k] for k in keys], pa.int64()),
+            }
+        )
+
+    rows = (
+        ds.map_batches(tri_partial, batch_format="pyarrow")
+        .groupby([lang_col, "tri"])
+        .aggregate(Sum("n", alias_name="c"))
+        .take_all()
+    )
+    totals: dict[str, list[int]] = {}
+    for r in rows:
+        t = totals.setdefault(r[lang_col], [0, 0])
+        t[0] += int(r["c"])
+        t[1] += 1
+    denoms = {lang: (n, v) for lang, (n, v) in totals.items()}
+    logp = {
+        (r[lang_col], r["tri"]): math.log(
+            (int(r["c"]) + 1) / float(sum(denoms[r[lang_col]]))
+        )
+        for r in rows
+    }
+    return logp, denoms
+
+
+def trigram_nll_scores(
+    ds, logp: dict, denoms: dict, *, lang_col: str = "lang", text_col: str = "text", id_col: str = "doc_id"
+):
+    """Pass 2: per-document mean negative log-likelihood under the broadcast
+    trigram LM — a stateless ``map_batches`` scan; the model ships via
+    ``ray.put`` ONCE and each task reads it zero-copy from the object store.
+
+    Terms are summed in trigram-position order and rounded to 6dp; an SQL
+    oracle's unordered SUM of the same ~n_tri doubles agrees within ~1e-11,
+    far inside the rounding grid.  Unseen trigrams (scoring a different
+    corpus than the model was trained on) get the add-one floor
+    ``ln(1/(N_l+V_l))``."""
+    import math
+
+    import ray
+
+    model_ref = ray.put((logp, denoms))
+
+    def score(batch: pa.Table) -> pa.Table:
+        lp, dn = ray.get(model_ref)
+        ids: list[int] = []
+        langs: list[str] = []
+        ntris: list[int] = []
+        nlls: list[float] = []
+        for key, lang, text in zip(
+            batch[id_col].to_pylist(),
+            batch[lang_col].to_pylist(),
+            batch[text_col].to_pylist(),
+        ):
+            t = text or ""
+            n = len(t) - 2
+            if n <= 0:
+                continue
+            floor = math.log(1.0 / float(sum(dn[lang]))) if lang in dn else 0.0
+            s = 0.0
+            for i in range(n):
+                s += lp.get((lang, t[i : i + 3]), floor)
+            ids.append(key)
+            langs.append(lang)
+            ntris.append(n)
+            nlls.append(round(-s / n, 6))
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                lang_col: pa.array(langs, pa.string()),
+                "n_tri": pa.array(ntris, pa.int64()),
+                "nll": pa.array(nlls, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -2366,6 +2366,50 @@ def q_token_stream_pack(sf_dir: str):
     return token_stream_pack(ds, budget=256)
 
 
+def q_lang_temperature_sample(sf_dir: str):
+    """Temperature-resampled multilingual mix (T=0.7, the XLM-R rebalance):
+    keep rate_l = (n_l/n_min)^(T-1), membership decided per doc by a
+    deterministic md5 uniform — pass 1 is a tiny per-language count (≤ #langs
+    rows to the driver), pass 2 a stateless map_batches filter with the rate
+    map in the closure.  Output = per-language attrition summary, exact ints
+    plus the rounded rate; the whole computation (pow, hash, compare) is
+    mirrored bit-for-bit in the oracle."""
+    from ray.data.aggregate import Count
+
+    from ..functions.corpusops import temperature_rates, temperature_sample_summary
+
+    counts_rows = (
+        _read(sf_dir, "documents", ["lang"])
+        .groupby("lang")
+        .aggregate(Count(alias_name="n_docs"))
+        .take_all()
+    )
+    counts = {r["lang"]: int(r["n_docs"]) for r in counts_rows}
+    rates = temperature_rates(counts, temperature=0.7)
+    out = temperature_sample_summary(
+        _read(sf_dir, "documents", ["doc_id", "lang"]), rates
+    ).to_pandas()
+    out["n_docs"] = out["lang"].map(counts).astype("int64")
+    out["rate"] = out["lang"].map(lambda lang: round(rates[lang], 6))
+    return out[["lang", "n_docs", "n_kept", "sum_kept_ids", "rate"]]
+
+
+def q_trigram_lm_nll(sf_dir: str):
+    """CCNet-style LM quality score: per-language add-one char-trigram LM
+    trained on the corpus (pre-aggregated partials → ONE grouped sum →
+    driver), then per-doc mean negative log-likelihood under the model
+    broadcast via ray.put.  The oracle reproduces train+score in SQL via a
+    trigram join; both sides round the per-doc score to 6dp (term-order
+    float divergence ~1e-11, far inside the grid)."""
+    from ..functions.corpusops import trigram_model, trigram_nll_scores
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    logp, denoms = trigram_model(docs)
+    return trigram_nll_scores(
+        _read_spread(sf_dir, "documents", ["doc_id", "lang", "text"]), logp, denoms
+    )
+
+
 def q_events_value_percentiles(sf_dir: str):
     """Grouped EXACT discrete percentiles (p50/p90/p99 of event value per
     type) the scale-correct way: per-batch (type, value) partial counts —
@@ -2627,6 +2671,8 @@ QUERIES = {
     "passage_dedup": q_passage_dedup,
     "doc_repetition_stats": q_doc_repetition_stats,
     "token_stream_pack": q_token_stream_pack,
+    "lang_temperature_sample": q_lang_temperature_sample,
+    "trigram_lm_nll": q_trigram_lm_nll,
     "duplicate_ngram_spans": q_duplicate_ngram_spans,
     "events_value_percentiles": q_events_value_percentiles,
     "docs_global_rank": q_docs_global_rank,
@@ -3441,6 +3487,47 @@ ORACLE_SQL = {
                CAST(max(cum) AS BIGINT) AS n_tokens,
                CAST(sum(CASE WHEN (cum - n_tok) // 256 <> (cum - 1) // 256 THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers
         FROM c GROUP BY source
+    """,
+    "lang_temperature_sample": """
+        WITH counts AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+        mn AS (SELECT MIN(n_docs) AS m FROM counts),
+        rates AS (
+          SELECT lang, n_docs,
+                 POWER(CAST(n_docs AS DOUBLE) / (SELECT m FROM mn), 0.7 - 1.0) AS r
+          FROM counts
+        ),
+        kept AS (
+          SELECT d.lang, d.doc_id
+          FROM documents d JOIN rates USING (lang)
+          WHERE CAST(md5_number_upper(CAST(d.doc_id AS VARCHAR)) AS DOUBLE)
+                / 18446744073709551616.0 < rates.r
+        )
+        SELECT r.lang AS lang, r.n_docs AS n_docs,
+               COUNT(k.doc_id) AS n_kept,
+               CAST(COALESCE(SUM(k.doc_id), 0) AS BIGINT) AS sum_kept_ids,
+               ROUND(r.r, 6) AS rate
+        FROM rates r LEFT JOIN kept k USING (lang)
+        GROUP BY r.lang, r.n_docs, r.r
+    """,
+    "trigram_lm_nll": """
+        WITH tri AS (
+          SELECT doc_id, lang, substr(text, i, 3) AS t
+          FROM documents, UNNEST(generate_series(1, length(text) - 2)) AS u(i)
+          WHERE length(COALESCE(text, '')) >= 3
+        ),
+        model AS (SELECT lang, t, COUNT(*) AS c FROM tri GROUP BY lang, t),
+        totals AS (
+          SELECT lang, CAST(SUM(c) AS BIGINT) AS n_tok, COUNT(*) AS v
+          FROM model GROUP BY lang
+        ),
+        scored AS (
+          SELECT tri.doc_id, tri.lang,
+                 COUNT(*) AS n_tri,
+                 SUM(ln((model.c + 1) / CAST(totals.n_tok + totals.v AS DOUBLE))) AS s
+          FROM tri JOIN model USING (lang, t) JOIN totals USING (lang)
+          GROUP BY tri.doc_id, tri.lang
+        )
+        SELECT doc_id, lang, n_tri, ROUND(-s / n_tri, 6) AS nll FROM scored
     """,
     "duplicate_ngram_spans": """
         WITH corpus AS (

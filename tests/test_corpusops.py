@@ -254,3 +254,102 @@ class TestTokenStreamPack:
         assert s1["n_straddlers"] == 2
         s2 = rows["s2"]
         assert s2["n_tokens"] == 2 and s2["n_sequences"] == 1 and s2["n_straddlers"] == 0
+
+
+class TestTemperatureSample:
+    def test_rates_formula(self):
+        from edge_deid_studio_ray.functions.corpusops import temperature_rates
+
+        counts = {"en": 800, "de": 200, "zh": 100}
+        # T=1 -> no rebalancing
+        assert temperature_rates(counts, 1.0) == {"en": 1.0, "de": 1.0, "zh": 1.0}
+        r = temperature_rates(counts, 0.7)
+        assert r["zh"] == 1.0  # rarest keeps everything
+        assert r["en"] == (800 / 100) ** (0.7 - 1.0)
+        assert r["en"] < r["de"] < r["zh"]  # monotone down in count
+
+    def test_md5_uniform_matches_duckdb(self):
+        import duckdb
+
+        from edge_deid_studio_ray.functions.corpusops import md5_uniform
+
+        for key in (0, 123, 999_999_999, "abc"):
+            sql = duckdb.sql(
+                "SELECT CAST(md5_number_upper(CAST(? AS VARCHAR)) AS DOUBLE)"
+                " / 18446744073709551616.0",
+                params=[key],
+            ).fetchone()[0]
+            assert md5_uniform(key) == sql
+
+    def test_summary_counts(self, ray_session):
+        import ray.data as rd
+
+        from edge_deid_studio_ray.functions.corpusops import (
+            md5_uniform,
+            temperature_sample_summary,
+        )
+
+        rows = [{"doc_id": i, "lang": "en" if i % 4 else "zh"} for i in range(200)]
+        rates = {"en": 0.5, "zh": 1.0}
+        out = {
+            r["lang"]: r
+            for r in temperature_sample_summary(rd.from_items(rows), rates).take_all()
+        }
+        # zh keeps everything
+        zh_ids = [r["doc_id"] for r in rows if r["lang"] == "zh"]
+        assert out["zh"]["n_kept"] == len(zh_ids)
+        assert out["zh"]["sum_kept_ids"] == sum(zh_ids)
+        # en matches the brute-force membership rule exactly
+        en_kept = [
+            r["doc_id"]
+            for r in rows
+            if r["lang"] == "en" and md5_uniform(r["doc_id"]) < 0.5
+        ]
+        assert out["en"]["n_kept"] == len(en_kept)
+        assert out["en"]["sum_kept_ids"] == sum(en_kept)
+
+
+class TestTrigramLm:
+    def test_model_and_scores_by_hand(self, ray_session):
+        import math
+
+        import ray.data as rd
+
+        from edge_deid_studio_ray.functions.corpusops import (
+            trigram_model,
+            trigram_nll_scores,
+        )
+
+        docs = [
+            {"doc_id": 1, "lang": "en", "text": "abcab"},  # abc, bca, cab
+            {"doc_id": 2, "lang": "en", "text": "abc"},  # abc
+            {"doc_id": 3, "lang": "en", "text": "xy"},  # too short: no trigrams
+        ]
+        ds = rd.from_items(docs)
+        logp, denoms = trigram_model(ds)
+        # model: abc->2, bca->1, cab->1; N=4 tokens, V=3 distinct
+        assert denoms == {"en": (4, 3)}
+        assert logp[("en", "abc")] == math.log(3 / 7.0)
+        assert logp[("en", "bca")] == math.log(2 / 7.0)
+        scored = {r["doc_id"]: r for r in trigram_nll_scores(ds, logp, denoms).take_all()}
+        assert 3 not in scored  # sub-trigram docs are excluded, not zero-scored
+        exp1 = -(math.log(3 / 7.0) + math.log(2 / 7.0) + math.log(2 / 7.0)) / 3
+        assert scored[1]["nll"] == round(exp1, 6)
+        assert scored[1]["n_tri"] == 3
+        assert scored[2]["nll"] == round(-math.log(3 / 7.0), 6)
+
+    def test_unseen_trigram_gets_add_one_floor(self, ray_session):
+        import math
+
+        import ray.data as rd
+
+        from edge_deid_studio_ray.functions.corpusops import (
+            trigram_model,
+            trigram_nll_scores,
+        )
+
+        train = rd.from_items([{"doc_id": 1, "lang": "en", "text": "abcd"}])
+        logp, denoms = trigram_model(train)  # N=2, V=2
+        other = rd.from_items([{"doc_id": 9, "lang": "en", "text": "zzz"}])
+        (row,) = trigram_nll_scores(other, logp, denoms).take_all()
+        assert row["nll"] == round(-math.log(1 / 4.0), 6)
