@@ -2410,6 +2410,66 @@ def q_trigram_lm_nll(sf_dir: str):
     )
 
 
+def q_trigram_quality_buckets(sf_dir: str):
+    """CCNet head/middle/tail partition: per-language tercile cuts of the
+    trigram-LM NLL (exact discrete quantiles over pre-aggregated (lang, nll)
+    partial counts — one row per distinct value per batch ships, never docs),
+    then bucket counts by threshold compare.  Thresholds and comparisons use
+    the 6dp-rounded NLL on both sides, so the whole CCNet flow — train LM,
+    score, cut, bucket — is oracle-checked end-to-end."""
+    import math
+
+    from ..functions.corpusops import trigram_model, trigram_nll_scores
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    logp, denoms = trigram_model(docs)
+    scored = trigram_nll_scores(
+        _read_spread(sf_dir, "documents", ["doc_id", "lang", "text"]), logp, denoms
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = Counter(zip(batch["lang"].to_pylist(), batch["nll"].to_pylist()))
+        return pa.table(
+            {
+                "lang": pa.array([k[0] for k in c], pa.string()),
+                "nll": pa.array([k[1] for k in c], pa.float64()),
+                "n": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    def buckets(group: pd.DataFrame) -> pd.DataFrame:
+        merged = group.groupby("nll", as_index=False)["n"].sum().sort_values("nll")
+        counts = merged["n"].to_numpy()
+        values = merged["nll"].to_numpy()
+        cum = counts.cumsum()
+        total = int(cum[-1])
+
+        def disc(q: float) -> float:
+            target = math.ceil(q * total)
+            return float(values[int((cum >= target).argmax())])
+
+        t1, t2 = disc(1.0 / 3), disc(2.0 / 3)
+        n_head = int(counts[values <= t1].sum())
+        n_middle = int(counts[(values > t1) & (values <= t2)].sum())
+        return pd.DataFrame(
+            {
+                "lang": [group["lang"].iloc[0]],
+                "n_docs": pd.array([total], dtype="int64"),
+                "n_head": pd.array([n_head], dtype="int64"),
+                "n_middle": pd.array([n_middle], dtype="int64"),
+                "n_tail": pd.array([total - n_head - n_middle], dtype="int64"),
+                "t1": [t1],
+                "t2": [t2],
+            }
+        )
+
+    return (
+        scored.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(buckets, batch_format="pandas")
+    )
+
+
 def q_events_value_percentiles(sf_dir: str):
     """Grouped EXACT discrete percentiles (p50/p90/p99 of event value per
     type) the scale-correct way: per-batch (type, value) partial counts —
@@ -2673,6 +2733,7 @@ QUERIES = {
     "token_stream_pack": q_token_stream_pack,
     "lang_temperature_sample": q_lang_temperature_sample,
     "trigram_lm_nll": q_trigram_lm_nll,
+    "trigram_quality_buckets": q_trigram_quality_buckets,
     "duplicate_ngram_spans": q_duplicate_ngram_spans,
     "events_value_percentiles": q_events_value_percentiles,
     "docs_global_rank": q_docs_global_rank,
@@ -3528,6 +3589,39 @@ ORACLE_SQL = {
           GROUP BY tri.doc_id, tri.lang
         )
         SELECT doc_id, lang, n_tri, ROUND(-s / n_tri, 6) AS nll FROM scored
+    """,
+    "trigram_quality_buckets": """
+        WITH tri AS (
+          SELECT doc_id, lang, substr(text, i, 3) AS t
+          FROM documents, UNNEST(generate_series(1, length(text) - 2)) AS u(i)
+          WHERE length(COALESCE(text, '')) >= 3
+        ),
+        model AS (SELECT lang, t, COUNT(*) AS c FROM tri GROUP BY lang, t),
+        totals AS (
+          SELECT lang, CAST(SUM(c) AS BIGINT) AS n_tok, COUNT(*) AS v
+          FROM model GROUP BY lang
+        ),
+        scored AS (
+          SELECT tri.doc_id, tri.lang,
+                 ROUND(-SUM(ln((model.c + 1) / CAST(totals.n_tok + totals.v AS DOUBLE)))
+                       / COUNT(*), 6) AS nll
+          FROM tri JOIN model USING (lang, t) JOIN totals USING (lang)
+          GROUP BY tri.doc_id, tri.lang
+        ),
+        cuts AS (
+          SELECT lang,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 quantile_disc(nll, 1.0/3) AS t1,
+                 quantile_disc(nll, 2.0/3) AS t2
+          FROM scored GROUP BY lang
+        )
+        SELECT c.lang AS lang, c.n_docs AS n_docs,
+               CAST(SUM(CASE WHEN s.nll <= c.t1 THEN 1 ELSE 0 END) AS BIGINT) AS n_head,
+               CAST(SUM(CASE WHEN s.nll > c.t1 AND s.nll <= c.t2 THEN 1 ELSE 0 END) AS BIGINT) AS n_middle,
+               CAST(SUM(CASE WHEN s.nll > c.t2 THEN 1 ELSE 0 END) AS BIGINT) AS n_tail,
+               c.t1 AS t1, c.t2 AS t2
+        FROM scored s JOIN cuts c USING (lang)
+        GROUP BY c.lang, c.n_docs, c.t1, c.t2
     """,
     "duplicate_ngram_spans": """
         WITH corpus AS (

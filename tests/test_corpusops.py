@@ -353,3 +353,39 @@ class TestTrigramLm:
         other = rd.from_items([{"doc_id": 9, "lang": "en", "text": "zzz"}])
         (row,) = trigram_nll_scores(other, logp, denoms).take_all()
         assert row["nll"] == round(-math.log(1 / 4.0), 6)
+
+
+class TestTrigramQualityBuckets:
+    def test_tercile_cut_with_ties(self, ray_session, tmp_path):
+        """Threshold bucketing (nll <= t1 / <= t2) must count ties INTO the
+        lower bucket on both engines — pin it against DuckDB on a corpus
+        engineered so several docs share an identical nll."""
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from edge_deid_studio_ray.pipelines.queries import ORACLE_SQL, QUERIES
+
+        docs = []
+        for i in range(12):
+            # 4 identical docs -> one tied nll; plus 8 distinct ones
+            text = "aaaa" if i < 4 else ("abcdefg"[: 3 + (i % 5)] + "xyz" * (i % 3 + 1))
+            docs.append({"doc_id": i, "lang": "en", "text": text})
+        tbl = pa.Table.from_pylist(docs)
+        pq.write_table(tbl, tmp_path / "documents.parquet")
+        for t in "region nation customer supplier part orders lineitem events embeddings".split():
+            pq.write_table(pa.table({"x": pa.array([], pa.int64())}), tmp_path / f"{t}.parquet")
+
+        mine = QUERIES["trigram_quality_buckets"](str(tmp_path))
+        if hasattr(mine, "to_pandas"):
+            mine = mine.to_pandas()
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+        )
+        oracle = con.execute(ORACLE_SQL["trigram_quality_buckets"]).df()
+        mine = mine[sorted(mine.columns)].sort_values("lang").reset_index(drop=True)
+        oracle = oracle[sorted(oracle.columns)].sort_values("lang").reset_index(drop=True)
+        assert mine.equals(oracle)
+        row = mine.iloc[0]
+        assert row["n_head"] + row["n_middle"] + row["n_tail"] == row["n_docs"] == 12
