@@ -2470,6 +2470,138 @@ def q_trigram_quality_buckets(sf_dir: str):
     )
 
 
+def q_dataset_split_counts(sf_dir: str):
+    """Deterministic 80/10/10 train/val/test split by an md5 uniform per
+    doc_id — membership is a pure function of the key, so every node (and
+    the SQL oracle) assigns identically with zero coordination, and a
+    re-run after adding data never reshuffles existing assignments.
+    Output = per (lang, split) count + exact id sum."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.corpusops import md5_uniform
+
+    def partial(batch: pa.Table) -> pa.Table:
+        agg: dict[tuple[str, str], list[int]] = {}
+        for doc_id, lang in zip(batch["doc_id"].to_pylist(), batch["lang"].to_pylist()):
+            u = md5_uniform(doc_id)
+            split = "train" if u < 0.8 else ("val" if u < 0.9 else "test")
+            a = agg.setdefault((lang, split), [0, 0])
+            a[0] += 1
+            a[1] += doc_id
+        keys = list(agg)
+        return pa.table(
+            {
+                "lang": pa.array([k[0] for k in keys], pa.string()),
+                "split": pa.array([k[1] for k in keys], pa.string()),
+                "n_p": pa.array([agg[k][0] for k in keys], pa.int64()),
+                "s_p": pa.array([agg[k][1] for k in keys], pa.int64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "lang"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "split"])
+        .aggregate(Sum("n_p", alias_name="n_docs"), Sum("s_p", alias_name="sum_ids"))
+    )
+
+
+def q_events_distinct_users_hourly(sf_dir: str):
+    """Exact COUNT(DISTINCT user) per tumbling hour, the scale-correct way:
+    per-batch DISTINCT (window, user) pairs with partial event counts — the
+    shuffle ships the distinct pair set, never raw events — then one grouped
+    merge (nunique over the surviving pairs + summed counts).  The exact
+    companion to the HLL path in ``approx_distinct``."""
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.int64()).to_pylist()
+        c = Counter(
+            (int(t) // 3_600_000_000 * 3_600_000_000, u)
+            for t, u in zip(us, batch["user_id"].to_pylist())
+        )
+        keys = list(c)
+        return pa.table(
+            {
+                "window_us": pa.array([k[0] for k in keys], pa.int64()),
+                "user_id": pa.array([k[1] for k in keys], pa.int64()),
+                "n_p": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "window_us": [int(group["window_us"].iloc[0])],
+                "n_users": pd.array([group["user_id"].nunique()], dtype="int64"),
+                "n_events": pd.array([int(group["n_p"].sum())], dtype="int64"),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["ts", "user_id"])
+        .map_batches(pairs, batch_format="pyarrow")
+        .groupby("window_us")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+def q_orders_lineitem_ship_band(sf_dir: str):
+    """Temporal RANGE join: per order, how many lineitems (corpus-wide)
+    shipped within ±7 days of the order date, and their total quantity.
+
+    Scale shape: the join key domain is the CALENDAR, not the corpus —
+    lineitem collapses to per-day (count, qty) partials (one grouped sum,
+    ≤ a few thousand rows regardless of corpus size), the day table
+    broadcasts sorted with prefix sums, and each order batch answers its
+    band with two vectorized searchsorted lookups.  Zero pairwise join, no
+    row replication; when the small side outgrows broadcast (sub-second
+    key granularity), the fallback is the replicate-to-adjacent-bucket
+    interval join documented in SURVEY §2."""
+    from ray.data.aggregate import Count, Sum
+
+    days = (
+        _read(sf_dir, "lineitem", ["l_shipdate", "l_quantity"])
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "day_us": t["l_shipdate"].cast(pa.int64()),
+                    "l_quantity": t["l_quantity"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("day_us")
+        .aggregate(Count(alias_name="n"), Sum("l_quantity", alias_name="qty"))
+        .take_all()
+    )
+    days.sort(key=lambda r: r["day_us"])
+    day_arr = np.array([r["day_us"] for r in days], dtype=np.int64)
+    cum_n = np.concatenate([[0], np.cumsum([r["n"] for r in days])]).astype(np.int64)
+    cum_q = np.concatenate([[0.0], np.cumsum([r["qty"] for r in days])])
+
+    import ray
+
+    side = ray.put((day_arr, cum_n, cum_q))
+    band = 7 * 86_400_000_000
+
+    def probe(batch: pa.Table) -> pa.Table:
+        da, cn, cq = ray.get(side)
+        od = batch["o_orderdate"].cast(pa.int64()).to_numpy()
+        lo = np.searchsorted(da, od - band, side="left")
+        hi = np.searchsorted(da, od + band, side="right")
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"],
+                "n_near": pa.array(cn[hi] - cn[lo], pa.int64()),
+                "qty_near": pa.array((cq[hi] - cq[lo]).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"]).map_batches(
+        probe, batch_format="pyarrow"
+    )
+
+
 def q_events_value_percentiles(sf_dir: str):
     """Grouped EXACT discrete percentiles (p50/p90/p99 of event value per
     type) the scale-correct way: per-batch (type, value) partial counts —
@@ -2734,6 +2866,9 @@ QUERIES = {
     "lang_temperature_sample": q_lang_temperature_sample,
     "trigram_lm_nll": q_trigram_lm_nll,
     "trigram_quality_buckets": q_trigram_quality_buckets,
+    "dataset_split_counts": q_dataset_split_counts,
+    "events_distinct_users_hourly": q_events_distinct_users_hourly,
+    "orders_lineitem_ship_band": q_orders_lineitem_ship_band,
     "duplicate_ngram_spans": q_duplicate_ngram_spans,
     "events_value_percentiles": q_events_value_percentiles,
     "docs_global_rank": q_docs_global_rank,
@@ -3622,6 +3757,40 @@ ORACLE_SQL = {
                c.t1 AS t1, c.t2 AS t2
         FROM scored s JOIN cuts c USING (lang)
         GROUP BY c.lang, c.n_docs, c.t1, c.t2
+    """,
+    "dataset_split_counts": """
+        WITH assigned AS (
+          SELECT lang, doc_id,
+                 CASE WHEN u < 0.8 THEN 'train'
+                      WHEN u < 0.9 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM (
+            SELECT lang, doc_id,
+                   CAST(md5_number_upper(CAST(doc_id AS VARCHAR)) AS DOUBLE)
+                   / 18446744073709551616.0 AS u
+            FROM documents
+          )
+        )
+        SELECT lang, split,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+        FROM assigned GROUP BY lang, split
+    """,
+    "events_distinct_users_hourly": """
+        SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_us,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1
+    """,
+    "orders_lineitem_ship_band": """
+        SELECT o.o_orderkey,
+               CAST(COUNT(l.l_shipdate) AS BIGINT) AS n_near,
+               CAST(COALESCE(SUM(l.l_quantity), 0) AS BIGINT) AS qty_near
+        FROM orders o
+        LEFT JOIN lineitem l
+          ON l.l_shipdate BETWEEN o.o_orderdate - INTERVAL 7 DAY
+                              AND o.o_orderdate + INTERVAL 7 DAY
+        GROUP BY o.o_orderkey
     """,
     "duplicate_ngram_spans": """
         WITH corpus AS (

@@ -389,3 +389,82 @@ class TestTrigramQualityBuckets:
         assert mine.equals(oracle)
         row = mine.iloc[0]
         assert row["n_head"] + row["n_middle"] + row["n_tail"] == row["n_docs"] == 12
+
+
+class TestShipBandRangeJoin:
+    def test_inclusive_band_and_empty_band(self, ray_session, tmp_path):
+        """Range-join bounds are inclusive on BOTH ends and an order with no
+        lineitem in its band reports (0, 0) — pinned against the SQL oracle
+        on a hand-built calendar."""
+        import duckdb
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from edge_deid_studio_ray.pipelines.queries import ORACLE_SQL, QUERIES
+
+        day = np.timedelta64(1, "D")
+        base = np.datetime64("2024-06-15", "us")
+        orders = pa.table(
+            {
+                "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+                "o_orderdate": pa.array(
+                    [base, base + 100 * day, base - 100 * day], pa.timestamp("us")
+                ),
+            }
+        )
+        # lineitems exactly AT the band edges (+7d, -7d), inside, and far out
+        lineitem = pa.table(
+            {
+                "l_shipdate": pa.array(
+                    [base + 7 * day, base - 7 * day, base, base + 8 * day],
+                    pa.timestamp("us"),
+                ),
+                "l_quantity": pa.array([10.0, 20.0, 5.0, 99.0], pa.float64()),
+            }
+        )
+        pq.write_table(orders, tmp_path / "orders.parquet")
+        pq.write_table(lineitem, tmp_path / "lineitem.parquet")
+
+        out = {
+            r["o_orderkey"]: r
+            for r in QUERIES["orders_lineitem_ship_band"](str(tmp_path)).take_all()
+        }
+        assert out[1]["n_near"] == 3 and out[1]["qty_near"] == 35  # both edges in
+        assert out[2]["n_near"] == 0 and out[2]["qty_near"] == 0  # empty band
+        assert out[3]["n_near"] == 0 and out[3]["qty_near"] == 0
+
+        con = duckdb.connect()
+        for t in ("orders", "lineitem"):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{tmp_path}/{t}.parquet')")
+        oracle = {r[0]: r for r in con.execute(ORACLE_SQL["orders_lineitem_ship_band"]).fetchall()}
+        for k, r in out.items():
+            assert (r["n_near"], r["qty_near"]) == (oracle[k][1], oracle[k][2])
+
+
+class TestDatasetSplit:
+    def test_split_thresholds_match_brute_force(self, ray_session):
+        import ray.data as rd
+
+        from edge_deid_studio_ray.functions.corpusops import md5_uniform
+        from edge_deid_studio_ray.pipelines.queries import q_dataset_split_counts
+        import pyarrow.parquet as pq
+        import pyarrow as pa
+        import tempfile, os
+
+        with tempfile.TemporaryDirectory() as d:
+            docs = pa.table(
+                {
+                    "doc_id": pa.array(list(range(400)), pa.int64()),
+                    "lang": pa.array(["en"] * 400, pa.string()),
+                }
+            )
+            pq.write_table(docs, os.path.join(d, "documents.parquet"))
+            rows = {r["split"]: r for r in q_dataset_split_counts(d).take_all()}
+        brute = {"train": [], "val": [], "test": []}
+        for i in range(400):
+            u = md5_uniform(i)
+            brute["train" if u < 0.8 else ("val" if u < 0.9 else "test")].append(i)
+        for split, ids in brute.items():
+            assert rows[split]["n_docs"] == len(ids)
+            assert rows[split]["sum_ids"] == sum(ids)
