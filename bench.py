@@ -135,6 +135,10 @@ def _bench_queries(sf_dir: str) -> dict[str, float]:
         "benchmark_decontaminate",
         "duplicate_ngram_spans",
         "token_stream_pack",
+        # multilingual mixing + LM quality layer
+        "trigram_lm_nll",
+        "lang_temperature_sample",
+        "orders_lineitem_ship_band",
     ]
     timings: dict[str, float] = {}
     for name in names:

@@ -1643,24 +1643,24 @@ def q_orders_exists_semi(sf_dir: str):
 
     def li_keys(batch: pa.Table) -> pa.Table:
         hit = batch.filter(pc.greater_equal(batch["l_quantity"], pa.scalar(45.0)))
-        keys = pc.unique(hit["l_orderkey"]).to_pylist()
+        keys = pc.unique(hit["l_orderkey"]).to_numpy(zero_copy_only=False)
         return pa.table(
             {
                 "key": pa.array(keys, pa.int64()),
-                "kbucket": pa.array([_kbucket(k, nb) for k in keys], pa.int32()),
+                "kbucket": pa.array((keys % nb).astype(np.int32), pa.int32()),
                 "o_orderstatus": pa.array([None] * len(keys), pa.string()),
-                "is_order": pa.array([False] * len(keys), pa.bool_()),
+                "is_order": pa.array(np.zeros(len(keys), dtype=bool), pa.bool_()),
             }
         )
 
     def order_rows(batch: pa.Table) -> pa.Table:
-        keys = batch["o_orderkey"].to_pylist()
+        keys = batch["o_orderkey"].to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "key": pa.array(keys, pa.int64()),
-                "kbucket": pa.array([_kbucket(k, nb) for k in keys], pa.int32()),
+                "key": batch["o_orderkey"],
+                "kbucket": pa.array((keys % nb).astype(np.int32), pa.int32()),
                 "o_orderstatus": batch["o_orderstatus"],
-                "is_order": pa.array([True] * len(keys), pa.bool_()),
+                "is_order": pa.array(np.ones(len(keys), dtype=bool), pa.bool_()),
             }
         )
 
