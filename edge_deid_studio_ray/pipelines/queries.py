@@ -2602,6 +2602,116 @@ def q_orders_lineitem_ship_band(sf_dir: str):
     )
 
 
+def q_word_pmi_top20(sf_dir: str):
+    """Collocation extraction: top-20 adjacent-word bigrams by pointwise
+    mutual information (min count 5).  Scale shape: unigram and bigram
+    counts pre-aggregate per batch and meet in ONE grouped sum each; the
+    PMI join runs against the unigram table broadcast as a dict — the
+    vocabulary is bounded by the language, not the corpus.  The float
+    arithmetic mirrors the oracle operation-for-operation (same division
+    order), rounded to 6dp; ties broken by bigram text."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    def grams(batch: pa.Table) -> pa.Table:
+        uni: Counter = Counter()
+        bi: Counter = Counter()
+        for text in batch["text"].to_pylist():
+            words = (text or "").split()
+            uni.update(words)
+            bi.update(
+                words[i] + " " + words[i + 1] for i in range(len(words) - 1)
+            )
+        keys = [("u", w) for w in uni] + [("b", g) for g in bi]
+        return pa.table(
+            {
+                "kind": pa.array([k[0] for k in keys], pa.string()),
+                "gram": pa.array([k[1] for k in keys], pa.string()),
+                "n_p": pa.array(
+                    [uni[k[1]] if k[0] == "u" else bi[k[1]] for k in keys], pa.int64()
+                ),
+            }
+        )
+
+    counts = (
+        _read(sf_dir, "documents", ["text"])
+        .map_batches(grams, batch_format="pyarrow")
+        .groupby(["kind", "gram"])
+        .aggregate(Sum("n_p", alias_name="n"))
+    )
+    rows = counts.take_all()
+    uni = {r["gram"]: int(r["n"]) for r in rows if r["kind"] == "u"}
+    bi = {r["gram"]: int(r["n"]) for r in rows if r["kind"] == "b"}
+    w_total = sum(uni.values())
+    b_total = sum(bi.values())
+    scored = []
+    for gram, cab in bi.items():
+        if cab < 5:
+            continue
+        a, b = gram.split(" ")
+        pmi = math.log((cab / b_total) / ((uni[a] / w_total) * (uni[b] / w_total)))
+        scored.append((round(pmi, 6), gram, cab))
+    scored.sort(key=lambda r: (-r[0], r[1]))
+    top = scored[:20]
+    return pa.table(
+        {
+            "bigram": pa.array([r[1] for r in top], pa.string()),
+            "n_pair": pa.array([r[2] for r in top], pa.int64()),
+            "pmi": pa.array([r[0] for r in top], pa.float64()),
+        }
+    )
+
+
+def q_events_new_users_daily(sf_dir: str):
+    """New-vs-returning attribution: per day, how many users appear for the
+    FIRST time, with a running cumulative.  Per-batch (user, min-day)
+    partials → one grouped min (the only corpus-sized shuffle) → per-day
+    counts (calendar-bounded, so the cumulative runs on the driver)."""
+    from ray.data.aggregate import Count, Min
+
+    day_us = 86_400_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        first: dict[int, int] = {}
+        us = batch["ts"].cast(pa.int64()).to_pylist()
+        for t, u in zip(us, batch["user_id"].to_pylist()):
+            d = int(t) // day_us * day_us
+            if u not in first or d < first[u]:
+                first[u] = d
+        return pa.table(
+            {
+                "user_id": pa.array(list(first.keys()), pa.int64()),
+                "day_p": pa.array(list(first.values()), pa.int64()),
+            }
+        )
+
+    per_day = (
+        _read(sf_dir, "events", ["ts", "user_id"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Min("day_p", alias_name="day_us"))
+        .groupby("day_us")
+        .aggregate(Count(alias_name="n_new"))
+        .take_all()
+    )
+    per_day.sort(key=lambda r: r["day_us"])
+    cum = 0
+    out_day, out_new, out_cum = [], [], []
+    for r in per_day:
+        cum += int(r["n_new"])
+        out_day.append(int(r["day_us"]))
+        out_new.append(int(r["n_new"]))
+        out_cum.append(cum)
+    return pa.table(
+        {
+            "day_us": pa.array(out_day, pa.int64()),
+            "n_new": pa.array(out_new, pa.int64()),
+            "cum_users": pa.array(out_cum, pa.int64()),
+        }
+    )
+
+
 def q_events_value_percentiles(sf_dir: str):
     """Grouped EXACT discrete percentiles (p50/p90/p99 of event value per
     type) the scale-correct way: per-batch (type, value) partial counts —
@@ -2869,6 +2979,8 @@ QUERIES = {
     "dataset_split_counts": q_dataset_split_counts,
     "events_distinct_users_hourly": q_events_distinct_users_hourly,
     "orders_lineitem_ship_band": q_orders_lineitem_ship_band,
+    "word_pmi_top20": q_word_pmi_top20,
+    "events_new_users_daily": q_events_new_users_daily,
     "duplicate_ngram_spans": q_duplicate_ngram_spans,
     "events_value_percentiles": q_events_value_percentiles,
     "docs_global_rank": q_docs_global_rank,
@@ -3791,6 +3903,50 @@ ORACLE_SQL = {
           ON l.l_shipdate BETWEEN o.o_orderdate - INTERVAL 7 DAY
                               AND o.o_orderdate + INTERVAL 7 DAY
         GROUP BY o.o_orderkey
+    """,
+    "word_pmi_top20": """
+        WITH toks AS (
+          SELECT string_split(trim(regexp_replace(COALESCE(text, ''), '\\s+', ' ', 'g'), ' '), ' ') AS ws
+          FROM documents
+        ),
+        uni AS (
+          SELECT w, COUNT(*) AS c
+          FROM toks, UNNEST(ws) AS u(w)
+          WHERE w <> ''
+          GROUP BY w
+        ),
+        bi AS (
+          SELECT ws[i] || ' ' || ws[i+1] AS bigram, ws[i] AS a, ws[i+1] AS b,
+                 COUNT(*) AS c
+          FROM toks, UNNEST(generate_series(1, len(ws) - 1)) AS g(i)
+          WHERE ws[i] <> '' AND ws[i+1] <> ''
+          GROUP BY 1, 2, 3
+        ),
+        tot AS (
+          SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM uni) AS w_total,
+                 (SELECT CAST(SUM(c) AS BIGINT) FROM bi) AS b_total
+        )
+        SELECT bi.bigram, CAST(bi.c AS BIGINT) AS n_pair,
+               ROUND(ln((bi.c * 1.0 / t.b_total)
+                        / ((ua.c * 1.0 / t.w_total) * (ub.c * 1.0 / t.w_total))), 6) AS pmi
+        FROM bi
+        JOIN uni ua ON ua.w = bi.a
+        JOIN uni ub ON ub.w = bi.b
+        CROSS JOIN tot t
+        WHERE bi.c >= 5
+        ORDER BY pmi DESC, bi.bigram ASC
+        LIMIT 20
+    """,
+    "events_new_users_daily": """
+        WITH f AS (
+          SELECT user_id,
+                 MIN((epoch_us(ts) // 86400000000) * 86400000000) AS day_us
+          FROM events GROUP BY user_id
+        ),
+        d AS (SELECT day_us, CAST(COUNT(*) AS BIGINT) AS n_new FROM f GROUP BY day_us)
+        SELECT day_us, n_new,
+               CAST(SUM(n_new) OVER (ORDER BY day_us) AS BIGINT) AS cum_users
+        FROM d
     """,
     "duplicate_ngram_spans": """
         WITH corpus AS (
