@@ -1077,7 +1077,12 @@ def simhash_near_dups(
                 # hamming <= num_bands - 1), so hot 8-bit bands don't
                 # re-verify and re-ship the same pair up to num_bands times
                 rep_bands = (reps[:, None] >> band_shifts[None, :]) & np.uint64(band_mask)
-                chunk = 2048
+                # bound the per-call temporaries (~chunk*m*12 bytes) to a few
+                # MB: tens-of-MB fresh allocations intermittently stall for
+                # SECONDS on this host (hugepage-compaction-like first-touch
+                # spikes measured at 10s+ for a 55 MB broadcast XOR), and
+                # small temps recycle through the allocator arena instead
+                chunk = max(64, min(2048, (1 << 19) // max(1, len(reps))))
                 for lo_idx in range(0, len(reps), chunk):
                     block = reps[lo_idx : lo_idx + chunk]
                     d = _hamming64_matrix(block, reps)
