@@ -262,3 +262,54 @@ def html_to_text(html: str, separator: str = "\n") -> str:
 def decode_html_bytes(raw: bytes) -> str:
     """Decode page bytes as UTF-8 with ``errors="replace"`` (text.py:15,22)."""
     return raw.decode("utf-8", errors="replace")
+
+
+class _LinkCollector(HTMLParser):
+    """Collect ``(href, anchor_text)`` pairs — the WAT-file side of a
+    Common-Crawl extraction pass.  Anchor text is the concatenation of the
+    text nodes inside the <a>; an opening <a> implicitly closes any open
+    one (browser behavior for invalid nesting); <a> without href is not a
+    link and collects nothing."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.links: list[tuple[str, str]] = []
+        self._href: str | None = None
+        self._buf: list[str] = []
+
+    def _close(self) -> None:
+        if self._href is not None:
+            self.links.append((self._href, "".join(self._buf)))
+        self._href = None
+        self._buf = []
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag == "a":
+            self._close()
+            self._href = next((v for k, v in attrs if k == "href"), None)
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        if tag == "a":  # <a href=x/> opens and closes empty
+            self._close()
+            self._href = next((v for k, v in attrs if k == "href"), None)
+            self._close()
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag == "a":
+            self._close()
+
+    def handle_data(self, data: str) -> None:
+        if self._href is not None:
+            self._buf.append(data)
+
+    def close(self) -> None:
+        super().close()
+        self._close()
+
+
+def extract_links(html: str) -> list[tuple[str, str]]:
+    """All ``(href, anchor_text)`` pairs of a document, in document order."""
+    collector = _LinkCollector()
+    collector.feed(html)
+    collector.close()
+    return collector.links

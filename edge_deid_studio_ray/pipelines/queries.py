@@ -1318,6 +1318,49 @@ def q_pages_extract_hashes(sf_dir: str):
     return ds.map_batches(hashes, batch_format="pyarrow")
 
 
+def q_pages_link_stats(sf_dir: str):
+    """Link extraction over the pages corpus (the WAT-file side of a CC
+    extraction pass): top-20 hrefs by total occurrences with the number of
+    distinct pages linking them.  Per-batch partial counts pre-aggregate
+    (href vocabulary, not page count, ships), one grouped sum, map-side
+    top-k prune before the final sort.  Deterministic rows-only (the
+    corpus is synthetic; kernel semantics pinned by unit tests)."""
+    from ray.data.aggregate import Sum
+
+    from ..kernels.html_text import decode_html_bytes, extract_links
+    from ..sources.pages import pages_dataset
+
+    def partial(batch: pa.Table) -> pa.Table:
+        totals: Counter = Counter()
+        pages: Counter = Counter()
+        for raw in batch["html"].to_pylist():
+            if not raw:
+                continue
+            links = extract_links(decode_html_bytes(raw))
+            hrefs = [h for h, _ in links]
+            totals.update(hrefs)
+            pages.update(set(hrefs))
+        keys = list(totals)
+        return pa.table(
+            {
+                "href": pa.array(keys, pa.string()),
+                "n_total_p": pa.array([totals[k] for k in keys], pa.int64()),
+                "n_pages_p": pa.array([pages[k] for k in keys], pa.int64()),
+            }
+        )
+
+    out = (
+        pages_dataset(pages_rows_for(sf_dir))
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("href")
+        .aggregate(
+            Sum("n_total_p", alias_name="n_total"),
+            Sum("n_pages_p", alias_name="n_pages"),
+        )
+    )
+    return out.sort(["n_total", "href"], descending=[True, False]).limit(20)
+
+
 def q_training_data_pipeline(sf_dir: str):
     """The composite web-text flow (extract+deid → quality filter → exact
     dedup) over synthetic pages ∪ duplicated pages; per-stage attrition
@@ -2944,6 +2987,7 @@ QUERIES = {
     "sources_except": q_sources_except,
     "pages_pipeline_counters": q_pages_pipeline_counters,
     "pages_extract_hashes": q_pages_extract_hashes,
+    "pages_link_stats": q_pages_link_stats,
     "pages_main_content": q_pages_main_content,
     "training_data_pipeline": q_training_data_pipeline,
     "synthetic_quality_report": q_synthetic_quality_report,

@@ -588,3 +588,43 @@ class TestImageprocKernels:
         assert out.shape == (15, 15)
         assert out[7, 7] == 255  # salt removed
         assert set(np.unique(out)) <= {0, 255}
+
+
+class TestExtractLinks:
+    def test_semantics(self):
+        from edge_deid_studio_ray.kernels.html_text import extract_links
+
+        # anchor text spans nested tags; entities decode
+        assert extract_links('<a href="/x">one <b>two</b></a>') == [("/x", "one two")]
+        assert extract_links('<a href="q">amp &amp; tail') == [("q", "amp & tail")]
+        # <a> without href is not a link
+        assert extract_links("<a>no href</a>") == []
+        # implicit close on nested <a> (browser behavior)
+        assert extract_links("<a href=a>first<a href=b>second</a>") == [
+            ("a", "first"),
+            ("b", "second"),
+        ]
+        # self-closing anchor yields an empty-text link
+        assert extract_links('<a href="z"/>tail') == [("z", "")]
+        # tolerant parse folds '/' into an unquoted value (html.parser rule)
+        assert extract_links("<a href=y/>") == [("y/", "")]
+        assert extract_links("<p>none</p>") == []
+
+    def test_document_order_and_corpus_determinism(self):
+        from edge_deid_studio_ray.kernels.html_text import (
+            decode_html_bytes,
+            extract_links,
+        )
+        from edge_deid_studio_ray.sources.pages import synthesize_pages_table
+
+        tbl = synthesize_pages_table(list(range(200)))
+        runs = []
+        for _ in range(2):
+            acc = []
+            for h in tbl["html"]:
+                raw = h.as_py()
+                if raw:
+                    acc.append(tuple(extract_links(decode_html_bytes(raw))))
+            runs.append(acc)
+        assert runs[0] == runs[1]
+        assert any(len(links) > 0 for links in runs[0])
