@@ -24,6 +24,7 @@ Scale shapes:
 
 from __future__ import annotations
 
+import hashlib
 import re
 from collections import Counter
 
@@ -380,8 +381,6 @@ def md5_uniform(key) -> float:
     ``CAST(md5_number_upper(CAST(key AS VARCHAR)) AS DOUBLE) / 2^64``, so
     membership decisions are reproducible in SQL and stable across the
     cluster (no PYTHONHASHSEED dependence)."""
-    import hashlib
-
     digest = hashlib.md5(str(key).encode()).digest()
     return int.from_bytes(digest[:8], "little") / 18446744073709551616.0
 
@@ -488,7 +487,9 @@ def trigram_nll_scores(
     oracle's unordered SUM of the same ~n_tri doubles agrees within ~1e-11,
     far inside the rounding grid.  Unseen trigrams (scoring a different
     corpus than the model was trained on) get the add-one floor
-    ``ln(1/(N_l+V_l))``."""
+    ``ln(1/(N_l+V_l))``; documents in a language the model has never seen
+    are EXCLUDED (like sub-trigram docs) — a 0.0 floor would hand unmodeled
+    languages a perfect score, the opposite of a quality filter."""
     import math
 
     import ray
@@ -508,9 +509,9 @@ def trigram_nll_scores(
         ):
             t = text or ""
             n = len(t) - 2
-            if n <= 0:
+            if n <= 0 or lang not in dn:
                 continue
-            floor = math.log(1.0 / float(sum(dn[lang]))) if lang in dn else 0.0
+            floor = math.log(1.0 / float(sum(dn[lang])))
             s = 0.0
             for i in range(n):
                 s += lp.get((lang, t[i : i + 3]), floor)

@@ -107,10 +107,18 @@ class _FastBail(Exception):
 # same tag name and the same startendtag ('/>') decision as HTMLParser;
 # atomic groups keep rejection linear-time.
 _FAST_START = re.compile(
-    r'<([a-zA-Z][-.a-zA-Z0-9:_]*)'
+    r'<([a-zA-Z][-.a-zA-Z0-9:_]*)(?=[ \t\n\r\f/>])'
     r'(?>\s+[^\s/>"\'=]+(?:\s*=\s*(?>"[^"]*"|\'[^\']*\'|[^\s>"\'=/`<]+))?)*'
     r"\s*(/?)>"
 )
+# The lookahead after the tag name is a correctness guard, not a nicety:
+# html.parser's tag-NAME charset is [^\t\n\r\f />\x00] — Unicode whitespace
+# like \x0b or \xa0 directly after our (narrower) name match is part of the
+# parser's name (`<script\xa0>` is tag 'script\xa0', NOT a skip container),
+# while our \s+ separator would silently treat it as an attribute break.
+# Only ASCII [ \t\n\r\f/>] may legally follow; anything else bails.
+# Separators DEEPER in the tag are safe as \s: the parser's own
+# attrfind_tolerant/locatestarttagend use Unicode \s there too.
 # html.parser's endtagfind, verbatim semantics
 _FAST_END = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
 # html.parser's tagfind_tolerant (end-tag fallback name scan)
@@ -250,13 +258,43 @@ def _parser_strings(html: str) -> list[str]:
     return collector.strings
 
 
+def _parser_internals_match() -> bool:
+    """The fast path reproduces html.parser's 3.11-era grammar; the 2025
+    HTML5-conformance backports change comment/bogus-markup handling on
+    maintenance branches.  Pin the stdlib regexes the equivalence was
+    verified against — ANY deviation disables the fast path entirely (a
+    pure slowdown) instead of silently diverging."""
+    try:
+        import _markupbase
+        import html.parser as hp
+
+        return (
+            hp.commentclose.pattern == r"--\s*>"
+            and hp.endtagfind.pattern == r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>"
+            and hp.tagfind_tolerant.pattern
+            == r"([a-zA-Z][^\t\n\r\f />\x00]*)(?:\s|/(?!>))*"
+            and hp.attrfind_tolerant.pattern
+            == (
+                r'((?<=[\'"\s/])[^\s/>][^\s/=>]*)(\s*=+\s*'
+                r'(\'[^\']*\'|"[^"]*"|(?![\'"])[^>\s]*))?(?:\s|/(?!>))*'
+            )
+            and _markupbase._markedsectionclose.pattern == r"]\s*]\s*>"
+        )
+    except (ImportError, AttributeError):
+        return False
+
+
+_FAST_PATH_SAFE = _parser_internals_match()
+
+
 def html_to_text(html: str, separator: str = "\n") -> str:
     """Extract all text nodes of an HTML document joined by ``separator``."""
-    try:
-        strings = _fast_strings(html)
-    except _FastBail:
-        strings = _parser_strings(html)
-    return separator.join(strings)
+    if _FAST_PATH_SAFE:
+        try:
+            return separator.join(_fast_strings(html))
+        except _FastBail:
+            pass
+    return separator.join(_parser_strings(html))
 
 
 def decode_html_bytes(raw: bytes) -> str:
@@ -267,7 +305,8 @@ def decode_html_bytes(raw: bytes) -> str:
 class _LinkCollector(HTMLParser):
     """Collect ``(href, anchor_text)`` pairs — the WAT-file side of a
     Common-Crawl extraction pass.  Anchor text is the concatenation of the
-    text nodes inside the <a>; an opening <a> implicitly closes any open
+    TEXT nodes inside the <a> — <script>/<style> bodies are excluded, same
+    as :class:`_TextCollector`; an opening <a> implicitly closes any open
     one (browser behavior for invalid nesting); <a> without href is not a
     link and collects nothing."""
 
@@ -276,6 +315,7 @@ class _LinkCollector(HTMLParser):
         self.links: list[tuple[str, str]] = []
         self._href: str | None = None
         self._buf: list[str] = []
+        self._skip_depth = 0
 
     def _close(self) -> None:
         if self._href is not None:
@@ -284,7 +324,9 @@ class _LinkCollector(HTMLParser):
         self._buf = []
 
     def handle_starttag(self, tag: str, attrs) -> None:
-        if tag == "a":
+        if tag in _SKIP_CONTAINERS:
+            self._skip_depth += 1
+        elif tag == "a":
             self._close()
             self._href = next((v for k, v in attrs if k == "href"), None)
 
@@ -295,11 +337,14 @@ class _LinkCollector(HTMLParser):
             self._close()
 
     def handle_endtag(self, tag: str) -> None:
-        if tag == "a":
+        if tag in _SKIP_CONTAINERS:
+            if self._skip_depth > 0:
+                self._skip_depth -= 1
+        elif tag == "a":
             self._close()
 
     def handle_data(self, data: str) -> None:
-        if self._href is not None:
+        if self._href is not None and not self._skip_depth:
             self._buf.append(data)
 
     def close(self) -> None:

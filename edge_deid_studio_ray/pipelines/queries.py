@@ -3845,7 +3845,12 @@ ORACLE_SQL = {
         mn AS (SELECT MIN(n_docs) AS m FROM counts),
         rates AS (
           SELECT lang, n_docs,
-                 POWER(CAST(n_docs AS DOUBLE) / (SELECT m FROM mn), 0.7 - 1.0) AS r
+                 -- CAST before subtracting: DuckDB's bare 0.7 - 1.0 is DECIMAL
+                 -- arithmetic (exactly -0.3), one ULP off Python's double
+                 -- 0.7 - 1.0 = -0.30000000000000004; the rates must mirror
+                 -- the engine's float ops bit-for-bit
+                 POWER(CAST(n_docs AS DOUBLE) / (SELECT m FROM mn),
+                       CAST(0.7 AS DOUBLE) - CAST(1.0 AS DOUBLE)) AS r
           FROM counts
         ),
         kept AS (
@@ -3971,8 +3976,12 @@ ORACLE_SQL = {
                  (SELECT CAST(SUM(c) AS BIGINT) FROM bi) AS b_total
         )
         SELECT bi.bigram, CAST(bi.c AS BIGINT) AS n_pair,
-               ROUND(ln((bi.c * 1.0 / t.b_total)
-                        / ((ua.c * 1.0 / t.w_total) * (ub.c * 1.0 / t.w_total))), 6) AS pmi
+               -- explicit DOUBLE casts: `c * 1.0` is DECIMAL arithmetic in
+               -- DuckDB, whose division rounds differently from the engine's
+               -- float division in the last ULPs
+               ROUND(ln((CAST(bi.c AS DOUBLE) / t.b_total)
+                        / ((CAST(ua.c AS DOUBLE) / t.w_total)
+                           * (CAST(ub.c AS DOUBLE) / t.w_total))), 6) AS pmi
         FROM bi
         JOIN uni ua ON ua.w = bi.a
         JOIN uni ub ON ub.w = bi.b

@@ -350,9 +350,17 @@ class TestTrigramLm:
 
         train = rd.from_items([{"doc_id": 1, "lang": "en", "text": "abcd"}])
         logp, denoms = trigram_model(train)  # N=2, V=2
-        other = rd.from_items([{"doc_id": 9, "lang": "en", "text": "zzz"}])
-        (row,) = trigram_nll_scores(other, logp, denoms).take_all()
-        assert row["nll"] == round(-math.log(1 / 4.0), 6)
+        other = rd.from_items(
+            [
+                {"doc_id": 9, "lang": "en", "text": "zzz"},
+                # a language the model never saw must be EXCLUDED, not
+                # given the perfect 0.0 score
+                {"doc_id": 10, "lang": "xx", "text": "abcdef"},
+            ]
+        )
+        rows = {r["doc_id"]: r for r in trigram_nll_scores(other, logp, denoms).take_all()}
+        assert rows[9]["nll"] == round(-math.log(1 / 4.0), 6)
+        assert 10 not in rows
 
 
 class TestTrigramQualityBuckets:

@@ -609,6 +609,9 @@ class TestExtractLinks:
         # tolerant parse folds '/' into an unquoted value (html.parser rule)
         assert extract_links("<a href=y/>") == [("y/", "")]
         assert extract_links("<p>none</p>") == []
+        # script/style bodies are NOT anchor text
+        assert extract_links('<a href=x><script>var y;</script>z</a>') == [("x", "z")]
+        assert extract_links('<a href=x><style>.c{}</style>t</a>') == [("x", "t")]
 
     def test_document_order_and_corpus_determinism(self):
         from edge_deid_studio_ray.kernels.html_text import (
