@@ -20,10 +20,12 @@ sizes (resume-safe).
 from __future__ import annotations
 
 import hashlib
+from collections import Counter
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..config import DEFAULT_GROUP_BUCKETS, resolve_group_buckets
 
@@ -164,6 +166,59 @@ def _first_collide_band(da: bytes, db: bytes, num_bands: int) -> int:
     return -1
 
 
+def _first_small_collide_band(
+    da: bytes, db: bytes, num_bands: int, heavy: frozenset
+) -> int:
+    """First band index whose digests agree AND whose band group is within
+    the cap (not in ``heavy``); -1 if every colliding band is heavy.
+
+    This is the exactly-once verification site for a pair: heavy groups
+    verify best-effort under the cap, so skipping a pair is only sound when
+    an earlier WITHIN-CAP colliding band demonstrably verified it."""
+    for b in range(num_bands):
+        d = da[8 * b : 8 * b + 8]
+        if d == db[8 * b : 8 * b + 8] and f"{b}:{d.hex()}" not in heavy:
+            return b
+    return -1
+
+
+def _heavy_band_keys(
+    ds, hasher: "MinHasher", text_col: str, shingle_k: int, num_bands: int, cap: int
+) -> frozenset:
+    """Band keys whose LSH group exceeds the member cap.
+
+    Light prepass: per-batch (band_key, n) partial counts → one narrow
+    grouped sum → heavy keys filtered BEFORE the driver collect, so only
+    the (by-definition-few) over-cap hitters travel.  Row counts
+    over-approximate distinct-text counts (duplicate texts inflate them) —
+    safe: an over-flagged band just causes a redundant verify elsewhere,
+    collapsed by the pair-dedupe stage, never a dropped pair."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for text in batch[text_col].to_pylist():
+            c.update(band_keys(hasher.signature(text or "", shingle_k), num_bands))
+        return pa.table(
+            {
+                "band_key": pa.array(list(c.keys()), pa.string()),
+                "n": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("band_key")
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(
+            lambda t: t.filter(pc.greater(t["n"], pa.scalar(cap))),
+            batch_format="pyarrow",
+        )
+        .take_all()
+    )
+    return frozenset(r["band_key"] for r in rows)
+
+
 def band_keys(signature: np.ndarray, num_bands: int = 16) -> list[str]:
     """LSH band hashes: one digest per contiguous signature slice."""
     rows = len(signature) // num_bands
@@ -244,6 +299,7 @@ def minhash_candidates(
     verify: str = "text",
     num_buckets: int | None = None,
     pair_metrics: dict[str, Any] | None = None,
+    group_cap: int = 64,
 ):
     """MinHash-LSH near-dup candidate pairs, verified in-group.
 
@@ -260,12 +316,17 @@ def minhash_candidates(
 
     Partitioning assumption: a candidate bucket (same band hash) fits in one
     group task — true for near-dup buckets; pathological buckets are capped
-    at 64 distinct-text members (cap recorded in the ``truncated`` column,
-    no silent drop).  Each pair is exact-verified once, in its FIRST
-    colliding band's group (rows carry the 8-byte-per-band digest vector),
-    instead of in every colliding band; truncated groups verify
-    unconditionally, so a pair dropped by its first band's cap is only
-    re-checked by later bands while those are also over the cap.
+    at ``group_cap`` distinct-text members (cap recorded in the
+    ``truncated`` column, no silent drop).  Each pair is exact-verified
+    once, in its first colliding band whose group is WITHIN the cap (rows
+    carry the 8-byte-per-band digest vector): a light prepass counts rows
+    per band key and broadcasts the over-cap ("heavy") key set — by
+    definition few — so groups skip a pair only when an earlier colliding
+    band's group demonstrably verified it.  A pair is guaranteed emitted
+    whenever ANY of its colliding bands is within the cap; only pairs whose
+    EVERY colliding band is over the cap fall back to the capped best-effort
+    verify, flagged ``truncated``.  The prepass costs one extra signature
+    pass over the corpus — the price of that guarantee.
 
     ``pair_metrics`` (text-verify path only): ``{column: fn(text_a, text_b)}``
     extra metrics computed IN-GROUP for every verified pair — the pair texts
@@ -282,8 +343,18 @@ def minhash_candidates(
         )
     if verify == "signature":
         return _minhash_candidates_sig(
-            ds, hasher, text_col, key_col, num_bands, shingle_k, jaccard_threshold, nb
+            ds,
+            hasher,
+            text_col,
+            key_col,
+            num_bands,
+            shingle_k,
+            jaccard_threshold,
+            nb,
+            group_cap,
         )
+
+    heavy = _heavy_band_keys(ds, hasher, text_col, shingle_k, num_bands, group_cap)
 
     def explode(batch: pa.Table) -> pa.Table:
         keys, bands, buckets, texts, digs = [], [], [], [], []
@@ -370,8 +441,9 @@ def minhash_candidates(
                 members.setdefault(t, []).append(k)
                 digests.setdefault(t, digs_arr[i])
             reps = list(members)
-            truncated = len(reps) > 64
-            reps = reps[:64]
+            truncated = len(reps) > group_cap
+            reps = reps[:group_cap]
+            group_heavy = truncated or str(bks[s]) in heavy
             # identical texts share every band digest, so their first
             # colliding band is always band 0: emit the 1.0 pairs there only
             if band_idx == 0 or truncated:
@@ -383,13 +455,16 @@ def minhash_candidates(
                         emit(a, b, 1.0, truncated, extras)
 
             # a near-dup pair collides in ~num_bands·s^rows bands; verify it
-            # exactly ONCE, in its first colliding band's group (truncated
-            # groups emit unconditionally — later bands may re-check what the
-            # cap dropped — and the pair-dedupe stage collapses repeats)
+            # exactly ONCE, in its first WITHIN-CAP colliding band's group.
+            # Heavy/truncated groups verify unconditionally (best-effort
+            # under the cap): other groups never count a heavy band as the
+            # pair's verification site, so a pair dropped by a heavy band's
+            # cap is guaranteed rescued by its first within-cap band; the
+            # pair-dedupe stage collapses any repeats.
             for i in range(len(reps)):
                 for j in range(i + 1, len(reps)):
-                    if not truncated and _first_collide_band(
-                        digests[reps[i]], digests[reps[j]], num_bands
+                    if not group_heavy and _first_small_collide_band(
+                        digests[reps[i]], digests[reps[j]], num_bands, heavy
                     ) != band_idx:
                         continue
                     a = shingles.get(reps[i])
@@ -435,9 +510,21 @@ def minhash_candidates(
 
 
 def _minhash_candidates_sig(
-    ds, hasher: "MinHasher", text_col: str, key_col: str, num_bands: int, shingle_k: int, threshold: float, nb: int
+    ds,
+    hasher: "MinHasher",
+    text_col: str,
+    key_col: str,
+    num_bands: int,
+    shingle_k: int,
+    threshold: float,
+    nb: int,
+    group_cap: int = 64,
 ):
-    """Signature-carrying LSH variant (see minhash_candidates docstring)."""
+    """Signature-carrying LSH variant (see minhash_candidates docstring).
+
+    No first-band gating here: every colliding band verifies its (capped)
+    group and the pair-dedupe stage collapses repeats, so a pair dropped by
+    one over-cap band is naturally rescued by any within-cap band."""
 
     def explode(batch: pa.Table) -> pa.Table:
         keys, bands, buckets, sigs = [], [], [], []
@@ -488,8 +575,8 @@ def _minhash_candidates_sig(
                 prev_key = key
                 members.setdefault(sigs_arr[i], []).append(key)
             reps = list(members)
-            truncated = len(reps) > 64
-            reps = reps[:64]
+            truncated = len(reps) > group_cap
+            reps = reps[:group_cap]
             _emit_duplicate_sets(out, members, 1.0, "jaccard", truncated)
             if len(reps) > 1:
                 # vectorized pairwise agreement over the (reps, K) matrix

@@ -672,3 +672,55 @@ def test_cc_driver_and_distributed_paths_agree(ray_session):
         ).take_all()
     }
     assert fast == dist
+
+
+class TestHeavyBandRescue:
+    def test_within_cap_band_guarantees_pair(self, ray_session):
+        """The documented LSH-cap contract: any >=tau pair with at least one
+        colliding band whose group is within the cap MUST be emitted.  The
+        pre-rescue gate lost 2 of the 5 guaranteed pairs on this corpus
+        (first colliding band over the cap, later within-cap bands skipped
+        by the first-band rule); the heavy-band-key broadcast restores the
+        rescue."""
+        import ray.data as rd
+
+        from edge_deid_studio_ray.functions.dedup import (
+            MinHasher,
+            band_keys,
+            jaccard,
+            minhash_candidates,
+        )
+
+        base = "the quick brown fox jumps over the lazy dog again and again " * 6
+        texts = [base + f"unique tail number {i} with extra words {i*7}" for i in range(12)]
+        rows = pa.table(
+            {"doc_id": pa.array(list(range(12)), pa.int64()), "text": texts}
+        )
+        hasher = MinHasher(64)
+        bks = {i: band_keys(hasher.signature(t, 5), 16) for i, t in enumerate(texts)}
+        group_members: dict[str, set] = {}
+        for i, keys in bks.items():
+            for bk in keys:
+                group_members.setdefault(bk, set()).add(i)
+        cap, tau = 4, 0.5
+        guaranteed = set()
+        for i in range(12):
+            for j in range(i + 1, 12):
+                if jaccard(texts[i], texts[j], 5) < tau:
+                    continue
+                shared = [bk for bk in bks[i] if bk in bks[j]]
+                if any(len(group_members[bk]) <= cap for bk in shared):
+                    guaranteed.add((i, j))
+        assert len(guaranteed) >= 3  # the corpus actually exercises the cap
+
+        for verify in ("text", "signature"):
+            pairs = minhash_candidates(
+                rd.from_arrow(rows),
+                num_hashes=64,
+                num_bands=16,
+                jaccard_threshold=tau,
+                verify=verify,
+                group_cap=cap,
+            ).to_pandas()
+            got = set(zip(pairs["left"], pairs["right"]))
+            assert guaranteed <= got, (verify, sorted(guaranteed - got))
