@@ -57,6 +57,27 @@ def resolve_group_buckets(override: int | None = None) -> int:
         pass
     return DEFAULT_GROUP_BUCKETS
 
+import logging as _logging
+
+
+class _EmptySchemaDivergence(_logging.Filter):
+    # module-level so install_empty_schema_log_filter's isinstance
+    # idempotence check matches filters installed by PREVIOUS calls
+    # (a per-call class object never matches, stacking duplicates)
+    def filter(self, record: _logging.LogRecord) -> bool:  # noqa: A003
+        msg = record.getMessage()
+        if "RefBundle with a different schema" not in msg:
+            return True
+        # an empty Arrow schema renders as nothing between the markers;
+        # an empty pandas block renders as PandasBlockSchema(names=[]...)
+        return not (
+            "new schema: . This may" in msg
+            or "Previous schema: ," in msg
+            or "new schema: PandasBlockSchema(names=[]" in msg
+            or "Previous schema: PandasBlockSchema(names=[]" in msg
+        )
+
+
 def install_empty_schema_log_filter() -> None:
     """Drop Ray Data's "RefBundle with a different schema" warning ONLY when
     one side of the comparison is an *empty* schema.
@@ -70,23 +91,7 @@ def install_empty_schema_log_filter() -> None:
     non-empty schema still warns.  Idempotent; call from entry points
     (bench.py, __ray_entry__, cli), never on library import.
     """
-    import logging
-
-    class _EmptySchemaDivergence(logging.Filter):
-        def filter(self, record: logging.LogRecord) -> bool:  # noqa: A003
-            msg = record.getMessage()
-            if "RefBundle with a different schema" not in msg:
-                return True
-            # an empty Arrow schema renders as nothing between the markers;
-            # an empty pandas block renders as PandasBlockSchema(names=[]...)
-            return not (
-                "new schema: . This may" in msg
-                or "Previous schema: ," in msg
-                or "new schema: PandasBlockSchema(names=[]" in msg
-                or "Previous schema: PandasBlockSchema(names=[]" in msg
-            )
-
-    logger = logging.getLogger(
+    logger = _logging.getLogger(
         "ray.data._internal.execution.streaming_executor_state"
     )
     if not any(isinstance(f, _EmptySchemaDivergence) for f in logger.filters):

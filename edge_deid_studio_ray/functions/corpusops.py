@@ -96,9 +96,11 @@ def decontaminate(train_ds, eval_ngrams: set[str], *, n: int = 13, text_col: str
             if hits:
                 keys.append(k)
                 shared.append(len(hits))
+        # key column keeps the CORPUS key type (url-keyed web corpora are
+        # string-keyed) — never a hardcoded int64
         return pa.table(
             {
-                key_col: pa.array(keys, pa.int64()),
+                key_col: pa.array(keys, batch[key_col].type),
                 "n_shared": pa.array(shared, pa.int64()),
             }
         )

@@ -154,6 +154,27 @@ def _emit_cross_pairs(out: dict, keys_a: list, keys_b: list, sim: float, sim_col
             out["truncated"].append(truncated)
 
 
+def _band_group_slices(bucket: pd.DataFrame, key_col: str):
+    """Shared verify-stage machinery: ONE vectorized sort + boundary scan
+    instead of a per-band-key pandas groupby (group bookkeeping, not the
+    similarity math, dominated verify CPU on self-similar corpora).
+
+    Returns ``(sorted_bucket, band_keys_array, starts, ends)`` where each
+    ``[starts[i], ends[i])`` slice is one band-key group of the sorted
+    frame.  Callers suppress consecutive duplicate ``key_col`` rows inside
+    each slice (the sort guarantees they are adjacent)."""
+    bucket = bucket.sort_values(["band_key", key_col], kind="mergesort")
+    bks = bucket["band_key"].to_numpy()
+    n = len(bks)
+    if n == 0:
+        empty = np.zeros(0, dtype=np.int64)
+        return bucket, bks, empty, empty
+    change = np.nonzero(bks[1:] != bks[:-1])[0] + 1
+    starts = np.concatenate(([0], change))
+    ends = np.concatenate((change, [n]))
+    return bucket, bks, starts, ends
+
+
 def _first_collide_band(da: bytes, db: bytes, num_bands: int) -> int:
     """First band index whose 8-byte digests agree, -1 if none do.
 
@@ -400,24 +421,11 @@ def minhash_candidates(
             for col, _fn in metric_items:
                 out[col].append(extras[col])
 
-        # ONE vectorized sort + boundary scan replaces the per-band-key
-        # pandas groupby: drop_duplicates / sort_values per group cost
-        # ~0.5 ms each, and self-similar corpora produce tens of thousands
-        # of multi-member band groups per run — the group bookkeeping, not
-        # the jaccard math, dominated this stage's CPU
         key_dtype = bucket[key_col].dtype
-        bucket = bucket.sort_values(["band_key", key_col], kind="mergesort")
-        bks = bucket["band_key"].to_numpy()
+        bucket, bks, starts, ends = _band_group_slices(bucket, key_col)
         keys_arr = bucket[key_col].to_numpy()
         texts_arr = bucket[text_col].to_numpy()
         digs_arr = bucket["band_digests"].to_numpy()
-        n = len(bks)
-        if n == 0:
-            starts = ends = np.zeros(0, dtype=np.int64)
-        else:
-            change = np.nonzero(bks[1:] != bks[:-1])[0] + 1
-            starts = np.concatenate(([0], change))
-            ends = np.concatenate((change, [n]))
         # shingle memo is per BUCKET: the same text recurs across its bands
         shingles: dict[str, np.ndarray] = {}
 
@@ -548,19 +556,9 @@ def _minhash_candidates_sig(
     def verify_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
         out = {"left": [], "right": [], "jaccard": [], "truncated": []}
         key_dtype = bucket[key_col].dtype
-        # one vectorized sort + boundary scan instead of a per-band-key
-        # pandas groupby (group bookkeeping dominated this stage's CPU)
-        bucket = bucket.sort_values(["band_key", key_col], kind="mergesort")
-        bks = bucket["band_key"].to_numpy()
+        bucket, bks, starts, ends = _band_group_slices(bucket, key_col)
         keys_arr = bucket[key_col].to_numpy()
         sigs_arr = bucket["sig"].to_numpy()
-        n = len(bks)
-        if n == 0:
-            starts = ends = np.zeros(0, dtype=np.int64)
-        else:
-            change = np.nonzero(bks[1:] != bks[:-1])[0] + 1
-            starts = np.concatenate(([0], change))
-            ends = np.concatenate((change, [n]))
         for s, e in zip(starts, ends):
             if e - s < 2:
                 continue  # singleton band key — no pair can exist
@@ -793,6 +791,18 @@ def connected_components(
     """
     nb = resolve_group_buckets(num_buckets)
     schema = pairs.schema()
+    if schema is None:
+        # empty candidate set (dup-free corpus): no edges, no components
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array([], pa.int64()),
+                    "component": pa.array([], pa.int64()),
+                }
+            )
+        )
     lt = dict(zip(schema.names, schema.types))[left_col]
     if isinstance(lt, pa.DataType) and (pa.types.is_string(lt) or pa.types.is_large_string(lt)):
         return _connected_components_str(
@@ -1120,19 +1130,9 @@ def simhash_near_dups(
 
         out = {"left": [], "right": [], "hamming": []}
         key_dtype = bucket[key_col].dtype
-        # one vectorized sort + boundary scan instead of a per-band-key
-        # pandas groupby (group bookkeeping dominated this stage's CPU)
-        bucket = bucket.sort_values(["band_key", key_col], kind="mergesort")
-        bks = bucket["band_key"].to_numpy()
+        bucket, bks, starts, ends = _band_group_slices(bucket, key_col)
         keys_arr = bucket[key_col].to_numpy()
         sims_arr = bucket["simhash"].to_numpy()
-        n = len(bks)
-        if n == 0:
-            starts = ends = np.zeros(0, dtype=np.int64)
-        else:
-            change = np.nonzero(bks[1:] != bks[:-1])[0] + 1
-            starts = np.concatenate(([0], change))
-            ends = np.concatenate((change, [n]))
         band_shifts = (np.arange(num_bands, dtype=np.uint64) * np.uint64(band_bits))
         for s, e in zip(starts, ends):
             if e - s < 2:
@@ -1281,10 +1281,34 @@ def near_dedup(
         if pa.types.is_integer(typ) or pa.types.is_boolean(typ) or pa.types.is_floating(typ)
     }
 
+    nullable_equiv = {
+        "int8": "Int8",
+        "int16": "Int16",
+        "int32": "Int32",
+        "int64": "Int64",
+        "uint8": "UInt8",
+        "uint16": "UInt16",
+        "uint32": "UInt32",
+        "uint64": "UInt64",
+        "bool": "boolean",
+    }
+
     def anti(bucket: pd.DataFrame) -> pd.DataFrame:
         dropped = set(bucket.loc[~bucket["is_row"], "jkey"])
         kept = bucket.loc[bucket["is_row"] & ~bucket["jkey"].isin(dropped)]
-        return kept[row_schema_cols].astype(restore_dtypes, copy=False)
+        kept = kept[row_schema_cols].copy()
+        for name, dtype in restore_dtypes.items():
+            col = kept[name]
+            target = np.dtype(dtype).name
+            if target in nullable_equiv and col.isna().any():
+                # a GENUINE null in an int/bool corpus column (not one of
+                # our marker rows) survives the filter as NaN; numpy astype
+                # would raise IntCastingNaNError — route through the pandas
+                # nullable dtype so Arrow round-trips it as a typed null
+                kept[name] = col.astype(nullable_equiv[target])
+            else:
+                kept[name] = col.astype(dtype, copy=False)
+        return kept
 
     marks = comps.map_batches(non_keepers, batch_format="pyarrow")
     rows = ds.map_batches(tag_rows, batch_format="pyarrow")

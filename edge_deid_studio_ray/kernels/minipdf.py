@@ -496,7 +496,11 @@ def standard_file_key_v5(encrypt_body: bytes, password: bytes = b"") -> bytes | 
         ikey = hashlib.sha256(password + ksalt).digest()
     if check != u_hash:
         return None  # not the empty user password
-    return cbc_decrypt(ikey, ue_entry[:32], iv=b"\x00" * 16, unpad=False)
+    file_key = cbc_decrypt(ikey, ue_entry[:32], iv=b"\x00" * 16, unpad=False)
+    # a truncated /UE (< one AES block) decrypts to b'' — surface it as
+    # "can't decrypt" (pdf_backend_unavailable) instead of letting the
+    # empty key explode later inside the AES key schedule
+    return file_key if len(file_key) == 32 else None
 
 
 def encryption_method(encrypt_body: bytes) -> str:

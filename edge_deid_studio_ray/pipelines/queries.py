@@ -2384,7 +2384,7 @@ def q_duplicate_ngram_spans(sf_dir: str):
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         keep = ids % 7 == 0
         out_ids, out_texts = [], []
-        for d, t in zip(ids[keep], pa.Table.from_arrays([batch["text"].filter(pa.array(keep))], ["t"])["t"].to_pylist()):
+        for d, t in zip(ids[keep], batch["text"].filter(pa.array(keep)).to_pylist()):
             ws = _words(t)[:20]
             out_ids.append(int(d) + 1000000)
             out_texts.append(" ".join(ws) + f" uniq{int(d)}")
@@ -2766,6 +2766,11 @@ def q_events_value_percentiles(sf_dir: str):
     import math
 
     def partial(batch: pa.Table) -> pa.Table:
+        # drop null values up front: SQL's quantile_disc ignores NULLs while
+        # count(*) would count them, and NaN float keys never merge in the
+        # Counter nor survive the pandas groupby — filtering BOTH engines
+        # (WHERE value IS NOT NULL in the oracle) pins one semantics
+        batch = batch.filter(pc.is_valid(batch["value"]))
         c = Counter(zip(batch["event_type"].to_pylist(), batch["value"].to_pylist()))
         return pa.table(
             {
@@ -4054,7 +4059,7 @@ ORACLE_SQL = {
                quantile_disc(value, 0.5) AS p50,
                quantile_disc(value, 0.9) AS p90,
                quantile_disc(value, 0.99) AS p99
-        FROM events GROUP BY event_type
+        FROM events WHERE value IS NOT NULL GROUP BY event_type
     """,
     "docs_global_rank": """
         SELECT doc_id,

@@ -476,3 +476,27 @@ class TestDatasetSplit:
         for split, ids in brute.items():
             assert rows[split]["n_docs"] == len(ids)
             assert rows[split]["sum_ids"] == sum(ids)
+
+
+class TestDecontaminateStringKeys:
+    def test_url_keyed_corpus(self, ray_session):
+        import ray.data as rd
+
+        from edge_deid_studio_ray.functions.corpusops import (
+            collect_ngram_set,
+            decontaminate,
+        )
+
+        bench = rd.from_items(
+            [{"doc_id": 0, "text": "alpha beta gamma delta " * 5}]
+        )
+        grams = collect_ngram_set(bench, n=3)
+        train = rd.from_items(
+            [
+                {"doc_id": "https://a.example/x", "text": "alpha beta gamma delta " * 3},
+                {"doc_id": "https://b.example/y", "text": "totally clean document words"},
+            ]
+        )
+        out = decontaminate(train, grams, n=3).take_all()
+        assert [r["doc_id"] for r in out] == ["https://a.example/x"]
+        assert out[0]["n_shared"] > 0

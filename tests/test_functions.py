@@ -724,3 +724,32 @@ class TestHeavyBandRescue:
             ).to_pandas()
             got = set(zip(pairs["left"], pairs["right"]))
             assert guaranteed <= got, (verify, sorted(guaranteed - got))
+
+
+class TestNearDedupNullableColumns:
+    def test_survivors_keep_genuine_int_nulls(self, ray_session):
+        """A corpus column with a real null must survive near_dedup (the
+        dtype restore used to raise IntCastingNaNError on NaN)."""
+        import ray.data as rd
+
+        from edge_deid_studio_ray.functions.dedup import near_dedup
+
+        rows = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(
+                    ["totally unique first document text here",
+                     "second text with nothing in common at all",
+                     "third one also completely different words"],
+                    pa.string(),
+                ),
+                "score": pa.array([10, None, 30], pa.int64()),
+            }
+        )
+        import pandas as pd
+
+        out = near_dedup(rd.from_arrow(rows)).to_pandas().sort_values("doc_id")
+        assert len(out) == 3  # no dups -> all survive
+        scores = {int(r.doc_id): r.score for r in out.itertuples()}
+        assert scores[1] == 10 and scores[3] == 30
+        assert pd.isna(scores[2])
