@@ -18,6 +18,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _normalize(mat: np.ndarray) -> np.ndarray:
@@ -46,12 +47,28 @@ def _pair_frame(left, right, cos, key_dtype) -> pd.DataFrame:
 def _vec_matrix(col) -> np.ndarray:
     """(N, dim) float64 matrix from an Arrow list<float> column without the
     per-row ``to_pylist`` round-trip: one flatten + one reshape (flatten
-    respects list offsets, so sliced/chunked arrays are handled)."""
+    respects list offsets, so sliced/chunked arrays are handled).
+
+    Null or ragged entries are REJECTED loudly: ``flatten()`` silently drops
+    null slots, so a quiet reshape could misalign every following row's
+    vector before the cosine matmul — a wrong-answer bug, not a crash."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     n = len(col)
     if n == 0:
         return np.zeros((0, 0), dtype=np.float64)
+    if col.null_count:
+        raise ValueError(
+            f"embedding column has {col.null_count} null entries; similarity "
+            "ops require non-null fixed-dimension vectors (filter them out "
+            "with pc.is_valid upstream)"
+        )
+    lengths = pc.unique(pc.list_value_length(col))
+    if len(lengths) != 1:
+        raise ValueError(
+            f"embedding column is ragged (lengths {lengths.to_pylist()}); "
+            "similarity ops require fixed-dimension vectors"
+        )
     flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
     return flat.reshape(n, -1)
 

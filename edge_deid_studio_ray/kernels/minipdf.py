@@ -132,7 +132,10 @@ def _scan_objects(raw: bytes, decrypt_factory=None) -> dict[int, bytes]:
         body = raw[body_start:end]
         if body.endswith(b"endobj"):
             body = body[: -len(b"endobj")]
-        objects.setdefault(num, body)
+        # LAST definition wins: an incremental update appends a new revision
+        # of the same object number, and the current revision is the one the
+        # document means (first-wins would extract and redact stale content)
+        objects[num] = body
     # PDF 1.5+ object streams (/Type /ObjStm): compressed member objects —
     # header is N (objnum, offset) integer pairs, bodies start at /First
     for num, body in list(objects.items()):
@@ -640,10 +643,20 @@ def parse_tounicode(data: bytes) -> tuple[dict[int, str], int]:
     return cmap, width
 
 
-def _page_fonts(page_body: bytes, objects: dict[int, bytes], decrypt_factory=None) -> dict[bytes, tuple[dict[int, str], int]]:
+def _page_fonts(
+    page_body: bytes,
+    objects: dict[int, bytes],
+    decrypt_factory=None,
+    cmap_cache: dict[int, tuple[dict[int, str], int] | None] | None = None,
+) -> dict[bytes, tuple[dict[int, str], int]]:
     """Resolve the page's ``/Resources → /Font`` entries to ToUnicode maps:
     ``{font name: (code→str map, code byte width)}``.  Fonts without a
-    ToUnicode CMap are omitted (their strings decode latin-1)."""
+    ToUnicode CMap are omitted (their strings decode latin-1).
+
+    ``cmap_cache`` memoizes parsed CMaps by their object number for the
+    duration of one document parse — a 500-page CJK PDF typically shares
+    ONE font across every page, and inflating + parsing the same CMap
+    stream per page made the parse O(pages × cmap)."""
     res = page_body
     rm = _RESOURCES_REF_RE.search(page_body)
     if rm:
@@ -660,17 +673,26 @@ def _page_fonts(page_body: bytes, objects: dict[int, bytes], decrypt_factory=Non
         if not tm:
             continue
         cmap_num = int(tm.group(1))
+        if cmap_cache is not None and cmap_num in cmap_cache:
+            parsed = cmap_cache[cmap_num]
+            if parsed is not None:
+                fonts[entry.group(1)] = parsed
+            continue
+        parsed = None
         cmap_body = objects.get(cmap_num)
-        if cmap_body is None:
-            continue
-        data = _decode_stream(
-            cmap_body, decrypt=decrypt_factory(cmap_num) if decrypt_factory else None
-        )
-        if data is None:
-            continue
-        cmap, width = parse_tounicode(data)
-        if cmap:
-            fonts[entry.group(1)] = (cmap, width)
+        if cmap_body is not None:
+            data = _decode_stream(
+                cmap_body,
+                decrypt=decrypt_factory(cmap_num) if decrypt_factory else None,
+            )
+            if data is not None:
+                cmap, width = parse_tounicode(data)
+                if cmap:
+                    parsed = (cmap, width)
+        if cmap_cache is not None:
+            cmap_cache[cmap_num] = parsed
+        if parsed is not None:
+            fonts[entry.group(1)] = parsed
     return fonts
 
 
@@ -928,6 +950,7 @@ def minipdf_parse(raw: bytes) -> tuple[list[dict[str, Any]], int]:
         return [], 0
     pages = _page_objects(objects)
     specs: list[tuple[int, float, float, dict[str, Any]]] = []
+    cmap_cache: dict[int, tuple[dict[int, str], int] | None] = {}
     for page_index, (content_num, page_body) in enumerate(pages):
         body = objects.get(content_num)
         if body is None:
@@ -939,7 +962,7 @@ def minipdf_parse(raw: bytes) -> tuple[list[dict[str, Any]], int]:
             continue
         mb = _MEDIABOX_RE.search(page_body)
         page_height = float(mb.group(4)) if mb else DEFAULT_PAGE_HEIGHT
-        fonts = _page_fonts(page_body, objects, decrypt_factory)
+        fonts = _page_fonts(page_body, objects, decrypt_factory, cmap_cache)
         for block in _extract_text_blocks(content, page_height, fonts):
             text = str(block["text"]).strip()
             if not text:

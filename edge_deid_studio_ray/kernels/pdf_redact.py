@@ -178,27 +178,25 @@ def _blank_hex_strings(
     return bytes(out)
 
 
-def _blank_literals(content: bytes, needles: list[bytes]) -> tuple[bytes, set[bytes]]:
+def _blank_literals(content: bytes, needles: list[bytes]) -> bytes:
     """Blank every occurrence of each needle with same-length spaces, only
     inside literal-string spans (layout-preserving text removal that cannot
-    corrupt operator operands).  Returns (new content, needles that were
-    actually blanked at least once)."""
+    corrupt operator operands).  The post-rebuild re-parse is the source of
+    truth for whether a needle is gone — no per-call hit tracking here."""
     needles = [nd for nd in needles if nd]
     if not needles:
-        return content, set()
+        return content
     out = bytearray(content)
-    hit: set[bytes] = set()
     for start, end in _literal_spans(content):
         segment = content[start:end]
         changed = False
         for needle in needles:
             if needle in segment:
                 segment = segment.replace(needle, b" " * len(needle))
-                hit.add(needle)
                 changed = True
         if changed:
             out[start:end] = segment
-    return bytes(out), hit
+    return bytes(out)
 
 
 def _rect_ops(rects: list[dict[str, Any]], page_height: float) -> bytes:
@@ -312,7 +310,7 @@ def redact_pdf_bytes(raw: bytes, rects: list[dict[str, Any]]) -> dict[str, Any]:
         ]
         mb = _MEDIABOX_RE.search(page_body)
         page_height = float(mb.group(4)) if mb else DEFAULT_PAGE_HEIGHT
-        blanked_data, _hit = _blank_literals(data, needles)
+        blanked_data = _blank_literals(data, needles)
         blanked_data = _blank_hex_strings(
             blanked_data,
             [r["text"] for r in page_rects if r.get("text")],
@@ -363,9 +361,19 @@ def redact_pdf_bytes(raw: bytes, rects: list[dict[str, Any]]) -> dict[str, Any]:
         )
     plan_out = []
     all_blanked = True
+    unverifiable = False
     for r in rects:
         needle = r.get("text") or ""
-        survives = bool(needle) and needle in page_text.get(int(r["page_index"]), "")
+        idx = int(r["page_index"])
+        if idx not in page_text:
+            # the rect's page is invisible to the re-parse (array-form
+            # /Contents, exotic layout, undecodable rebuilt stream): removal
+            # CANNOT be verified — "no text extracted" must never read as
+            # "needle removed", or unredacted PII ships as verified
+            survives = bool(needle)
+            unverifiable = unverifiable or bool(needle)
+        else:
+            survives = bool(needle) and needle in page_text[idx]
         all_blanked &= not survives
         plan_out.append(
             {
@@ -375,6 +383,9 @@ def redact_pdf_bytes(raw: bytes, rects: list[dict[str, Any]]) -> dict[str, Any]:
                 "blanked": not survives,
             }
         )
+    warning = None
+    if not all_blanked:
+        warning = "page_unverifiable" if unverifiable else "needle_survives_extraction"
     return {
         "pdf": out_pdf,
         "rebuild_supported": True,
@@ -382,7 +393,7 @@ def redact_pdf_bytes(raw: bytes, rects: list[dict[str, Any]]) -> dict[str, Any]:
         "redaction_count": len(plan_out),
         "redaction_rects": plan_out,
         "verified": all_blanked,
-        "warning": None if all_blanked else "needle_survives_extraction",
+        "warning": warning,
     }
 
 

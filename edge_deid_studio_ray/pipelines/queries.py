@@ -1391,7 +1391,7 @@ def q_pages_main_content(sf_dir: str):
     """Boilerplate-stripped (jusText/Readability-style) extraction over the
     synthetic pages corpus: per-url main-content hash + reduction ratio
     (north-star capability 1; deterministic rows-only check)."""
-    from ..config import EngineConfig, resolve_group_buckets
+    from ..config import EngineConfig
     from ..pipelines.deid import build_deid_pipeline
     from ..sources.pages import pages_dataset
 

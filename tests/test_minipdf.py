@@ -1061,3 +1061,64 @@ class TestAesV3Pdf:
         assert specs == [] and num_pages == 0
         row = process_document(html=raw2)
         assert row["error"] == "pdf_backend_unavailable"
+
+
+class TestIncrementalUpdateRevisions:
+    def test_last_object_definition_wins(self):
+        """An incremental update appends a NEW revision of an object; the
+        parser must extract the current revision, not resurrect the stale
+        one (first-wins mislocated redaction anchors and re-exposed text
+        the user had deleted)."""
+        base = build_pdf([b"BT /F1 12 Tf 72 720 Td (OLD SECRET) Tj ET\n"])
+        # append a revised content stream for the same object number (4)
+        new_stream = b"BT /F1 12 Tf 72 720 Td (NEW TEXT) Tj ET\n"
+        update = (
+            b"\n4 0 obj << /Length %d >> stream\n" % len(new_stream)
+            + new_stream
+            + b"\nendstream endobj\n%%EOF\n"
+        )
+        specs, n_pages = minipdf_parse(base + update)
+        texts = [s["text"] for s in specs]
+        assert any("NEW TEXT" in t for t in texts)
+        assert not any("OLD SECRET" in t for t in texts)
+
+
+class TestUnverifiablePageRedaction:
+    def test_invisible_page_never_reports_verified(self):
+        """A rect targeting a page the re-parse cannot see (array-form
+        /Contents) must report blanked=False and verified=False — 'no text
+        extracted' is not 'needle removed'."""
+        from edge_deid_studio_ray.kernels.pdf_redact import redact_pdf_bytes
+
+        plain = b"BT /F1 12 Tf 72 720 Td (ordinary first page) Tj ET\n"
+        hidden = b"BT /F1 12 Tf 72 720 Td (Call 0912-345-678 now) Tj ET\n"
+        pdf = (
+            b"%PDF-1.4\n"
+            b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+            b"2 0 obj << /Type /Pages /Kids [3 0 R 4 0 R] /Count 2 >> endobj\n"
+            b"3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Contents 5 0 R >> endobj\n"
+            b"4 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Contents [6 0 R] >> endobj\n"  # ARRAY form: invisible to minipdf
+            + (b"5 0 obj << /Length %d >> stream\n" % len(plain))
+            + plain
+            + b"\nendstream endobj\n"
+            + (b"6 0 obj << /Length %d >> stream\n" % len(hidden))
+            + hidden
+            + b"\nendstream endobj\n%%EOF\n"
+        )
+        rects = [
+            {
+                "page_index": 1,
+                "bbox": (72, 60, 200, 80),
+                "strategy": "blackbox",
+                "text": "0912-345-678",
+            }
+        ]
+        out = redact_pdf_bytes(pdf, rects)
+        assert out["verified"] is False
+        assert out["redaction_rects"][0]["blanked"] is False
+        assert out["warning"] == "page_unverifiable"
+        # the PII is indeed still present in the artifact — the report must
+        # say so rather than claim a verified removal
+        assert b"0912-345-678" in out["pdf"]
