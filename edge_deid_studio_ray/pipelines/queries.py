@@ -1056,7 +1056,14 @@ def q_minhash_near_dups(sf_dir: str):
     The corpus has a wide similarity gap (real pairs ≥ 0.80, noise ≤ 0.35),
     so 16-band/4-row LSH recall at the threshold is deterministic-complete
     here; ``verify="signature"`` remains the 100-TB path when exactness can
-    be traded for constant shuffle volume."""
+    be traded for constant shuffle volume.
+
+    Regime bound (applies to the near-dup family sharing this fixture):
+    per-pair LSH miss probability at J=0.81 is (1−0.81⁴)^16 ≈ 1.3e-4 —
+    measured ZERO misses over the 5,000 pairs at sf0.1, but the expectation
+    crosses 1 around sf1 (~50k pairs).  If the correctness harness ever
+    runs these queries above sf0.1, widen the banding (num_bands=32,
+    num_hashes=128 → miss ≈ 1.6e-8) before trusting an equality oracle."""
 
     _base, corpus = _docs_with_perturbed(sf_dir)
     pairs = minhash_candidates(
