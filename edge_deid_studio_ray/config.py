@@ -172,4 +172,10 @@ class EngineConfig:
     entity_priority: dict[str, int] = field(default_factory=lambda: dict(ENTITY_PRIORITY))
 
     def rules_path(self, lang: str) -> Path:
-        return self.rules_zh if lang == "zh" else self.rules_en
+        # normalize the BCP-47 primary subtag first: real-world corpora label
+        # Chinese pages 'zh-TW'/'zh_Hant'/'ZH', and routing those to the
+        # English rules silently skips every Taiwanese PII pattern.  The
+        # reference compares lang == 'zh' exactly (detectors/__init__.py:32)
+        # but only ever receives bare codes, so this is parity-neutral.
+        primary = (lang or "").replace("_", "-").split("-", 1)[0].lower()
+        return self.rules_zh if primary == "zh" else self.rules_en

@@ -39,12 +39,16 @@ def _resolve_ocr_backend(name: str | None):
         from ..stages.image_deid import FakeOcrBackend
 
         return FakeOcrBackend()
-    from ..stages.image_deid import _real_ocr_backend
+    if name == "easyocr":
+        from ..stages.image_deid import _real_ocr_backend
 
-    backend = _real_ocr_backend()
-    if backend is None:
-        raise NotImplementedError(f"OCR backend {name!r} is not installed")
-    return backend
+        backend = _real_ocr_backend()
+        if backend is None:
+            raise NotImplementedError("OCR backend 'easyocr' is not installed")
+        return backend
+    # an actual registry lookup: an unknown (or typo'd) name must not
+    # silently resolve to whatever single real backend happens to exist
+    raise ValueError(f"unknown OCR backend {name!r}; registered: fake, easyocr")
 
 
 def extract_page(
@@ -102,6 +106,12 @@ def extract_page(
                     ocr_text = (ocr_text or "").strip()
                     if ocr_text:
                         rebuilt.append({"text": ocr_text, "page_index": page})
+                    else:
+                        # OCR came back empty (blank scan): KEEP the page's
+                        # real extracted blocks — replacing 30 genuine chars
+                        # with nothing is content loss, and unredacted PII
+                        # if any of them matched a rule
+                        rebuilt.extend(page_specs)
                 else:
                     rebuilt.extend(page_specs)
             specs = rebuilt
@@ -137,9 +147,12 @@ def process_document(
     """Run the full deid pipeline on one page; returns the output row dict.
 
     Output columns (Arrow-encodable):
-    ``extracted_text, context_hash, clean_text, entities, events, route,
-    error, n_spans, n_chars, n_bytes``.
-    """
+    ``extracted_text, context_hash, clean_text, entities, events,
+    replacement_map, route, error, n_spans, n_chars, n_bytes`` plus the
+    per-stage ``t_*_ms`` timings.  ``replacement_map`` (the reference's
+    DeidResult field, consumed by the docx/pptx/xlsx/csv rebuild sinks) is
+    derivable from ``events`` — the Arrow batch stage drops it rather than
+    shipping a redundant map column."""
     from time import perf_counter
 
     cfg = cfg or EngineConfig()
@@ -254,7 +267,14 @@ def process_document(
         "error": error,
         "n_spans": len(arrow_entities),
         "n_chars": len(extracted_text),
-        "n_bytes": len(html) if html is not None else len((text or "").encode("utf-8", "replace")),
+        # bytes of the input the pipeline ACTUALLY consumed: the text
+        # passthrough route never parses the html payload, so counting it
+        # would inflate manifest byte counters and throughput accounting
+        "n_bytes": (
+            len((text or "").encode("utf-8", "replace"))
+            if route == "text" or html is None
+            else len(html)
+        ),
         "t_extract_ms": (t1 - t0) * 1000.0,
         "t_detect_ms": (t2 - t1) * 1000.0,
         "t_replace_ms": (t3 - t2) * 1000.0,

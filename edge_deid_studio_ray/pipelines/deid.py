@@ -15,7 +15,6 @@ output (3 int columns), not by caching the stream.
 
 from __future__ import annotations
 
-import hashlib
 from functools import partial
 from typing import Any, Callable
 
@@ -47,8 +46,16 @@ def build_deid_pipeline(ds, cfg: EngineConfig | None = None):
 
 def _shard_counters(shard_dir: str):
     """Column-pruned scan of a written shard → (docs, bytes, spans, per-pid)."""
+    import os
+
     import pyarrow.dataset as pads
 
+    if not os.path.isdir(shard_dir):
+        # an EMPTY input shard writes no directory at all (Ray's
+        # write_parquet skips zero-row datasets); commit it with zero
+        # counters instead of crashing — otherwise the job can never
+        # resume past that shard
+        return 0, 0, 0, {}, {}
     # hive layout: pid lives in the directory names (pid=K/), not the files
     data = pads.dataset(shard_dir, format="parquet", partitioning="hive")
     table = data.to_table(
@@ -84,6 +91,7 @@ def run_deid_job(
     shards: list[tuple[str, Callable[[], Any]]],
     out_dir: str,
     cfg: EngineConfig | None = None,
+    fingerprints: dict[str, str] | None = None,
 ) -> dict[str, Any]:
     """Run (or resume) the deid job over input shards.
 
@@ -92,15 +100,24 @@ def run_deid_job(
     skipped; each processed shard commits atomically (data write → manifest
     rename).  Returns the run report (reference report shape,
     run_multi_dataset_pipeline.py:805-830).
-    """
+
+    ``fingerprints`` optionally maps shard_id → an INPUT fingerprint the
+    caller derives from the actual input (file etags, sizes+mtimes, a
+    content hash).  A committed shard whose stored fingerprint differs is
+    re-run instead of skipped — without it, resume trusts the shard_id
+    alone (the factory is opaque, so the engine cannot fingerprint the
+    input itself)."""
     cfg = cfg or EngineConfig()
     already = committed_shards(out_dir)
     report: dict[str, Any] = {"shards_total": len(shards), "shards_skipped": 0, "shards_run": 0}
     totals = {"docs": 0, "bytes": 0, "spans": 0}
 
+    fingerprints = fingerprints or {}
     for shard_id, factory in shards:
-        if shard_id in already:
-            manifest = already[shard_id]
+        fp = fingerprints.get(shard_id, "")
+        prior = already.get(shard_id)
+        if prior is not None and (not fp or prior.input_fingerprint == fp):
+            manifest = prior
             report["shards_skipped"] += 1
         else:
             clear_partial_output(out_dir, shard_id)
@@ -118,7 +135,10 @@ def run_deid_job(
                 spans=spans,
                 per_pid=per_pid,
                 timings_ms=timings_ms,
-                input_fingerprint=hashlib.sha256(shard_id.encode()).hexdigest()[:16],
+                # the caller-supplied INPUT fingerprint when given ('' when
+                # not): a sha of the shard_id carried zero lineage
+                # information beyond the id it sat next to
+                input_fingerprint=fp,
             )
             write_manifest(out_dir, manifest)
             report["shards_run"] += 1

@@ -17,7 +17,6 @@ import zlib
 from typing import Any, Callable
 
 import pyarrow as pa
-import pyarrow.compute as pc
 
 from ..config import EngineConfig
 from ..kernels.docpipe import process_document
@@ -127,23 +126,3 @@ def make_deid_batch_fn(cfg: EngineConfig | None = None) -> Callable[[pa.Table], 
         return pa.Table.from_pydict(out, schema=DEID_OUTPUT_SCHEMA)
 
     return deid_batch
-
-
-def entity_type_counts(batch: pa.Table) -> pa.Table:
-    """Partial per-batch aggregation: entity counts by (lang, type).
-
-    Pre-aggregates inside the map so the global groupby shuffles a few rows
-    per batch instead of every entity (SURVEY §2.5 G1 → Ray mapping).
-    """
-    flat = pc.list_flatten(batch["entities"])
-    types = pc.struct_field(flat, "type")
-    # count per type within the batch
-    counts: dict[str, int] = {}
-    for t in types.to_pylist():
-        counts[t] = counts.get(t, 0) + 1
-    return pa.table(
-        {
-            "type": pa.array(list(counts.keys()), pa.string()),
-            "partial_count": pa.array(list(counts.values()), pa.int64()),
-        }
-    )

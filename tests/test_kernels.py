@@ -631,3 +631,49 @@ class TestExtractLinks:
             runs.append(acc)
         assert runs[0] == runs[1]
         assert any(len(links) > 0 for links in runs[0])
+
+
+class TestLangVariantRouting:
+    def test_bcp47_variants_route_to_zh_rules(self):
+        from edge_deid_studio_ray.config import EngineConfig
+
+        cfg = EngineConfig()
+        zh = cfg.rules_path("zh")
+        for variant in ("zh-TW", "zh_Hant", "ZH", "zh-Hans-CN"):
+            assert cfg.rules_path(variant) == zh, variant
+        assert cfg.rules_path("en") != zh
+        assert cfg.rules_path("") != zh
+
+    def test_zh_tw_page_detects_taiwanese_pii(self):
+        from edge_deid_studio_ray.kernels.docpipe import process_document
+
+        row = process_document(text="聯絡電話 0912-345-678 謝謝", lang="zh-TW")
+        types = {e["type"] for e in row["entities"]}
+        assert "PHONE" in types  # en rules would have missed the 4-3-3 format
+
+
+class TestOcrEmptyKeepsExtractedText:
+    def test_blank_scan_keeps_real_blocks(self):
+        """OCR returning '' for a short page must KEEP the page's genuinely
+        extracted text, not erase it."""
+        from edge_deid_studio_ray.config import EngineConfig
+        from edge_deid_studio_ray.kernels.docpipe import extract_page
+
+        import edge_deid_studio_ray.kernels.docpipe as dp
+
+        class EmptyOcr:
+            def read(self, raw):
+                return "", []
+
+        orig = dp._resolve_ocr_backend
+        dp._resolve_ocr_backend = lambda name: EmptyOcr() if name else None
+        try:
+            from tests.test_minipdf import build_pdf
+
+            pdf = build_pdf([b"BT /F1 12 Tf 72 720 Td (short but real) Tj ET\n"])
+            text, _segs, route, _err = extract_page(
+                pdf, None, pdf_ocr="fake", ocr_threshold=50
+            )
+        finally:
+            dp._resolve_ocr_backend = orig
+        assert "short but real" in text

@@ -298,3 +298,39 @@ def test_warc_per_record_gzip_members(tmp_path):
     rows = list(iter_warc_records(member_concat))
     assert [r["url"] for r in rows] == ["https://a.test/1", "https://a.test/2"]
     assert rows[1]["html"] == b"<p>two</p>"
+
+
+def test_empty_shard_commits_and_resumes(ray_session, tmp_path):
+    """A 0-row input shard must commit a zero-counter manifest (not crash on
+    the missing output directory) so the job can resume past it."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from edge_deid_studio_ray.pipelines.deid import run_deid_job
+    from edge_deid_studio_ray.sources.pages import PAGES_SCHEMA
+
+    def empty_factory():
+        return rd.from_arrow(PAGES_SCHEMA.empty_table())
+
+    out = str(tmp_path / "out")
+    shards = [("empty", empty_factory), ("real", _shard_factory(0, 40))]
+    report = run_deid_job(shards, out)
+    assert report["shards_run"] == 2 and report["docs"] == 40
+    report2 = run_deid_job(shards, out)
+    assert report2["shards_skipped"] == 2 and report2["docs"] == 40
+
+
+def test_changed_fingerprint_reruns_shard(ray_session, tmp_path):
+    """A committed shard whose caller-supplied input fingerprint changed is
+    re-run, not skipped — stale output must not masquerade as current."""
+    from edge_deid_studio_ray.pipelines.deid import run_deid_job
+
+    out = str(tmp_path / "out")
+    shards = [("s0", _shard_factory(0, 40))]
+    run_deid_job(shards, out, fingerprints={"s0": "crawl-v1"})
+    # same fingerprint: skipped
+    r2 = run_deid_job(shards, out, fingerprints={"s0": "crawl-v1"})
+    assert r2["shards_skipped"] == 1
+    # changed fingerprint: re-run
+    r3 = run_deid_job(shards, out, fingerprints={"s0": "crawl-v2"})
+    assert r3["shards_run"] == 1 and r3["shards_skipped"] == 0
