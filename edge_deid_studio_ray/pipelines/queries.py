@@ -2952,6 +2952,201 @@ def q_docs_global_rank(sf_dir: str):
 
     return ds.groupby("n_chars").map_groups(rank_group, batch_format="pandas")
 
+def q_events_value_outliers(sf_dir: str):
+    """Robust (median/MAD) outlier detection per event type — a two-pass
+    broadcast pattern: pass 1 builds per-type value histograms (the shuffle
+    ships one (type, value, n) row per distinct pair per batch, never raw
+    events) and picks the exact discrete median; the tiny median table is
+    broadcast via ``ray.put``; pass 2 histograms the absolute deviations the
+    same way, picks the MAD from the merged histogram and counts rows beyond
+    ``3 * mad`` from that SAME histogram — no third scan.  ``abs``, the
+    ``3 * mad`` product and the ``>`` compare are single IEEE ops, so the
+    float columns are bit-identical to DuckDB's ``quantile_disc`` elements."""
+    import math
+
+    import ray
+
+    def value_hist(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch["value"]))
+        c = Counter(zip(batch["event_type"].to_pylist(), batch["value"].to_pylist()))
+        return pa.table(
+            {
+                "event_type": pa.array([k[0] for k in c], pa.string()),
+                "value": pa.array([k[1] for k in c], pa.float64()),
+                "n": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    def disc_from(group: pd.DataFrame, q: float) -> tuple[float, int]:
+        merged = group.groupby("value", as_index=False)["n"].sum().sort_values("value")
+        cum = merged["n"].to_numpy().cumsum()
+        total = int(cum[-1])
+        target = math.ceil(q * total)
+        return float(merged["value"].to_numpy()[int((cum >= target).argmax())]), total
+
+    def median_of(group: pd.DataFrame) -> pd.DataFrame:
+        m, total = disc_from(group, 0.5)
+        return pd.DataFrame(
+            {
+                "event_type": [group["event_type"].iloc[0]],
+                "median": [m],
+                "n_events": pd.array([total], dtype="int64"),
+            }
+        )
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    med_rows = (
+        ds.map_batches(value_hist, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(median_of, batch_format="pandas")
+        .take_all()
+    )
+    medians = {r["event_type"]: (r["median"], r["n_events"]) for r in med_rows}
+    med_ref = ray.put(medians)
+
+    def dev_hist(batch: pa.Table) -> pa.Table:
+        med = ray.get(med_ref)
+        batch = batch.filter(pc.is_valid(batch["value"]))
+        types = batch["event_type"].to_pylist()
+        vals = batch["value"].to_numpy(zero_copy_only=False)
+        devs = np.abs(vals - np.array([med[t][0] for t in types], dtype=np.float64))
+        c = Counter(zip(types, devs.tolist()))
+        return pa.table(
+            {
+                "event_type": pa.array([k[0] for k in c], pa.string()),
+                "dev": pa.array([k[1] for k in c], pa.float64()),
+                "n": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    def mad_and_outliers(group: pd.DataFrame) -> pd.DataFrame:
+        med = ray.get(med_ref)
+        etype = group["event_type"].iloc[0]
+        merged = group.groupby("dev", as_index=False)["n"].sum().sort_values("dev")
+        cum = merged["n"].to_numpy().cumsum()
+        total = int(cum[-1])
+        target = math.ceil(0.5 * total)
+        devs = merged["dev"].to_numpy()
+        mad = float(devs[int((cum >= target).argmax())])
+        n_out = int(merged["n"].to_numpy()[devs > 3 * mad].sum())
+        return pd.DataFrame(
+            {
+                "event_type": [etype],
+                "n_events": pd.array([med[etype][1]], dtype="int64"),
+                "median": [med[etype][0]],
+                "mad": [mad],
+                "n_outliers": pd.array([n_out], dtype="int64"),
+            }
+        )
+
+    return (
+        ds.map_batches(dev_hist, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(mad_and_outliers, batch_format="pandas")
+    )
+
+
+def q_events_per_user_histogram(sf_dir: str):
+    """Aggregation-of-aggregation: events-per-user counts, then the
+    distribution of those counts (how many users produced exactly N
+    events).  Both levels pre-aggregate inside ``map_batches`` — the first
+    shuffle ships one (user, n) row per user per batch, the second one
+    (n_events, n_users) partial per batch — so no raw event row ever moves
+    and the second exchange is tiny regardless of corpus size."""
+    from ray.data.aggregate import Sum
+
+    def per_user_partial(batch: pa.Table) -> pa.Table:
+        c = Counter(batch["user_id"].to_pylist())
+        return pa.table(
+            {
+                "user_id": pa.array(list(c.keys()), pa.int64()),
+                "n": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        c = Counter(batch["n_events"].to_pylist())
+        return pa.table(
+            {
+                "n_events": pa.array(list(c.keys()), pa.int64()),
+                "u": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["user_id"])
+        .map_batches(per_user_partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("n", alias_name="n_events"))
+        .map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("n_events")
+        .aggregate(Sum("u", alias_name="n_users"))
+    )
+
+
+def q_customer_order_cohorts(sf_dir: str):
+    """Cohort retention: each customer's cohort is the month of their first
+    order; the matrix counts orders and distinct active customers per
+    (cohort_month, order_month).  Scale shape: orders pre-aggregate to one
+    (custkey, month, n) row per pair per batch; the narrow partials then
+    co-locate by a custkey hash bucket (ONE groupby — every row of a given
+    customer lands in exactly one bucket, so the per-bucket merge derives
+    the cohort with a plain grouped min AND counts distinct customers
+    exactly, no global distinct needed); only per-bucket
+    (cohort, month, n_orders, n_customers) partial sums leave the bucket
+    for the final tiny groupby.  No raw order row ever shuffles and
+    nothing materializes."""
+    from ray.data.aggregate import Sum
+
+    nb = resolve_group_buckets(None)
+
+    def month_partial(batch: pa.Table) -> pa.Table:
+        months = pc.strftime(batch["o_orderdate"], format="%Y-%m")
+        c = Counter(zip(batch["o_custkey"].to_pylist(), months.to_pylist()))
+        keys = [k[0] for k in c]
+        return pa.table(
+            {
+                "o_custkey": pa.array(keys, pa.int64()),
+                "order_month": pa.array([k[1] for k in c], pa.string()),
+                "n": pa.array(list(c.values()), pa.int64()),
+                "kb": pa.array([k % nb for k in keys], pa.int32()),
+            }
+        )
+
+    def fold_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        if group.empty:
+            return pd.DataFrame(
+                {
+                    "cohort_month": pd.array([], dtype="object"),
+                    "order_month": pd.array([], dtype="object"),
+                    "o": pd.array([], dtype="int64"),
+                    "u": pd.array([], dtype="int64"),
+                }
+            )
+        # lexicographic min of '%Y-%m' strings IS the chronological first
+        # month; the bucket holds every row of each of its customers
+        cohort = group.groupby("o_custkey")["order_month"].min()
+        per = (
+            group.assign(cohort_month=group["o_custkey"].map(cohort))
+            .groupby(["cohort_month", "order_month"], as_index=False)
+            .agg(o=("n", "sum"), u=("o_custkey", "nunique"))
+        )
+        per["o"] = per["o"].astype("int64")
+        per["u"] = per["u"].astype("int64")
+        return per[["cohort_month", "order_month", "o", "u"]]
+
+    return (
+        _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+        .map_batches(month_partial, batch_format="pyarrow")
+        .groupby("kb")
+        .map_groups(fold_bucket, batch_format="pandas")
+        .groupby(["cohort_month", "order_month"])
+        .aggregate(
+            Sum("o", alias_name="n_orders"),
+            Sum("u", alias_name="n_customers"),
+        )
+    )
+
 
 # ---------------------------------------------------------------------------
 # Registry + oracle SQL
@@ -3042,6 +3237,9 @@ QUERIES = {
     "docs_global_rank": q_docs_global_rank,
     "docs_top3_per_source": q_docs_top3_per_source,
     "supplier_nation_volume": q_supplier_nation_volume,
+    "events_value_outliers": q_events_value_outliers,
+    "events_per_user_histogram": q_events_per_user_histogram,
+    "customer_order_cohorts": q_customer_order_cohorts,
 }
 
 _STOP_SQL = "['the','of','and','to','a','in','is','it','you','that']"
@@ -4089,5 +4287,47 @@ ORACLE_SQL = {
         JOIN supplier s ON s.s_suppkey = l.l_suppkey
         JOIN nation n ON n.n_nationkey = s.s_nationkey
         GROUP BY n.n_name
+    """,
+    "events_value_outliers": """
+        WITH med AS (
+            SELECT event_type,
+                   quantile_disc(value, 0.5) AS median,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM events WHERE value IS NOT NULL GROUP BY event_type
+        ),
+        dev AS (
+            SELECT e.event_type, abs(e.value - med.median) AS d
+            FROM events e JOIN med USING (event_type)
+            WHERE e.value IS NOT NULL
+        ),
+        mad AS (
+            SELECT event_type, quantile_disc(d, 0.5) AS mad
+            FROM dev GROUP BY event_type
+        )
+        SELECT med.event_type, med.n_events, med.median, mad.mad,
+               CAST((SELECT count(*) FROM dev
+                     WHERE dev.event_type = med.event_type
+                       AND dev.d > 3 * mad.mad) AS BIGINT) AS n_outliers
+        FROM med JOIN mad USING (event_type)
+    """,
+    "events_per_user_histogram": """
+        WITH per_user AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+            FROM events GROUP BY user_id
+        )
+        SELECT n_events, CAST(count(*) AS BIGINT) AS n_users
+        FROM per_user GROUP BY n_events
+    """,
+    "customer_order_cohorts": """
+        WITH first AS (
+            SELECT o_custkey, strftime(min(o_orderdate), '%Y-%m') AS cohort_month
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT f.cohort_month,
+               strftime(o.o_orderdate, '%Y-%m') AS order_month,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_customers
+        FROM orders o JOIN first f ON o.o_custkey = f.o_custkey
+        GROUP BY 1, 2
     """,
 }
