@@ -3148,6 +3148,350 @@ def q_customer_order_cohorts(sf_dir: str):
     )
 
 
+def _money_units(price: pa.ChunkedArray | pa.Array, discount: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Exact revenue in integer 10^-4 units: price-cents × (100 − disc-cents).
+    The inputs are 2-dp values stored as doubles, so ``round(x*100)`` recovers
+    the exact integer both here and in DuckDB (never lands on a .5 tie), and
+    every grouped SUM downstream is order-independent int64 arithmetic —
+    the single final ``/ 10000.0`` is then bit-identical to the SQL mirror."""
+    cents = pc.cast(pc.round(pc.multiply(price, 100.0)), pa.int64())
+    disc = pc.cast(pc.round(pc.multiply(discount, 100.0)), pa.int64())
+    return pc.multiply(cents, pc.subtract(100, disc))
+
+
+def q_shipping_priority(sf_dir: str):
+    """TPC-H-Q3-shaped shipping-priority top-k.  Scale shape: the BUILDING
+    customer key set broadcasts once via ``ray.put`` and filters orders
+    map-side (no customer shuffle); lineitem pre-aggregates exact
+    integer-unit revenue per orderkey per batch; the only exchange is ONE
+    bucketed co-group of the two narrow projections on an orderkey-hash
+    bucket (the house union+map_groups join — robust to empty buckets,
+    which break ``Dataset.join``'s pyarrow finalize on selective inputs),
+    where each bucket finishes the per-order sums, applies the inner-join
+    semantics, and emits only its local top-10, so the final sort sees
+    ~10×buckets rows.  Revenue stays int64 through every sum; the one
+    final division is bit-identical to the SQL mirror."""
+    import ray
+
+    cutoff = pa.scalar(np.datetime64("1995-03-15", "us"), pa.timestamp("us"))
+    nb = resolve_group_buckets(None)
+
+    building: set[int] = set()
+    for batch in _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).iter_batches(
+        batch_size=65536, batch_format="pyarrow"
+    ):
+        mask = pc.equal(batch["c_mktsegment"], "BUILDING")
+        building.update(batch.filter(mask)["c_custkey"].to_pylist())
+    building_ref = ray.put(building)
+
+    def order_rows(batch: pa.Table) -> pa.Table:
+        keys = ray.get(building_ref)
+        batch = batch.filter(pc.less(batch["o_orderdate"], cutoff))
+        mask = pa.array(
+            [k in keys for k in batch["o_custkey"].to_pylist()], pa.bool_()
+        )
+        batch = batch.filter(mask)
+        okeys = batch["o_orderkey"].to_pylist()
+        return pa.table(
+            {
+                "okey": pa.array(okeys, pa.int64()),
+                "kb": pa.array([k % nb for k in okeys], pa.int32()),
+                "units": pa.array([0] * len(okeys), pa.int64()),
+                "o_orderdate": pc.strftime(batch["o_orderdate"], format="%Y-%m-%d"),
+                "o_orderpriority": batch["o_orderpriority"],
+            }
+        )
+
+    def lineitem_partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.greater(batch["l_shipdate"], cutoff))
+        units = _money_units(batch["l_extendedprice"], batch["l_discount"])
+        c: Counter = Counter()
+        for k, u in zip(batch["l_orderkey"].to_pylist(), units.to_pylist()):
+            c[k] += u
+        okeys = list(c.keys())
+        n = len(okeys)
+        return pa.table(
+            {
+                "okey": pa.array(okeys, pa.int64()),
+                "kb": pa.array([k % nb for k in okeys], pa.int32()),
+                "units": pa.array(list(c.values()), pa.int64()),
+                "o_orderdate": pa.array([None] * n, pa.string()),
+                "o_orderpriority": pa.array([None] * n, pa.string()),
+            }
+        )
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(order_rows, batch_format="pyarrow")
+    line = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    ).map_batches(lineitem_partial, batch_format="pyarrow")
+
+    def bucket_top(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "l_orderkey": pd.array([], dtype="int64"),
+                "o_orderdate": pd.array([], dtype="object"),
+                "o_orderpriority": pd.array([], dtype="object"),
+                "units": pd.array([], dtype="int64"),
+            }
+        )
+        if group.empty:
+            return empty
+        dims = group[group["o_orderdate"].notna()]
+        facts = group[group["o_orderdate"].isna()]
+        if dims.empty or facts.empty:
+            return empty
+        sums = facts.groupby("okey", as_index=False)["units"].sum()
+        merged = sums.merge(
+            dims[["okey", "o_orderdate", "o_orderpriority"]], on="okey", how="inner"
+        )
+        merged = merged.sort_values(["units", "okey"], ascending=[False, True]).head(10)
+        return pd.DataFrame(
+            {
+                "l_orderkey": merged["okey"].astype("int64"),
+                "o_orderdate": merged["o_orderdate"],
+                "o_orderpriority": merged["o_orderpriority"],
+                "units": merged["units"].astype("int64"),
+            }
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": batch["l_orderkey"],
+                "o_orderdate": batch["o_orderdate"],
+                "o_orderpriority": batch["o_orderpriority"],
+                "revenue": pc.divide(pc.cast(batch["units"], pa.float64()), 10000.0),
+            }
+        )
+
+    return (
+        line.union(orders)
+        .groupby("kb")
+        .map_groups(bucket_top, batch_format="pandas")
+        .sort(["units", "l_orderkey"], descending=[True, False])
+        .limit(10)
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def q_nation_trade_flow(sf_dir: str):
+    """TPC-H-Q7-shaped trade-flow matrix: exact revenue between every
+    (supplier nation, customer nation) pair for 1995–1996 shipments.
+    Scale shape: both dimension chains (supplier→nation, customer→nation)
+    broadcast once via ``ray.put`` — the documented small-side assumption of
+    every dim join here — so the only exchange is ONE hash-partitioned join
+    of the two fact projections on orderkey, with lineitem pre-aggregated
+    to (orderkey, supp_nation) partials per batch first.  Revenue is int64
+    units end to end (see ``_money_units``)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    lo = pa.scalar(np.datetime64("1995-01-01", "us"), pa.timestamp("us"))
+    hi = pa.scalar(np.datetime64("1996-12-31", "us"), pa.timestamp("us"))
+
+    nation = {
+        r["n_nationkey"]: r["n_name"]
+        for r in _read(sf_dir, "nation", ["n_nationkey", "n_name"]).take_all()
+    }
+    supp_nation = {
+        r["s_suppkey"]: nation[r["s_nationkey"]]
+        for r in _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).take_all()
+    }
+    cust_nation = {}
+    for batch in _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).iter_batches(
+        batch_size=65536, batch_format="pyarrow"
+    ):
+        for ck, nk in zip(batch["c_custkey"].to_pylist(), batch["c_nationkey"].to_pylist()):
+            cust_nation[ck] = nation[nk]
+    supp_ref = ray.put(supp_nation)
+    cust_ref = ray.put(cust_nation)
+
+    def line_partial(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(supp_ref)
+        batch = batch.filter(
+            pc.and_(
+                pc.greater_equal(batch["l_shipdate"], lo),
+                pc.less_equal(batch["l_shipdate"], hi),
+            )
+        )
+        units = _money_units(batch["l_extendedprice"], batch["l_discount"])
+        acc: dict[tuple[int, str], list[int]] = {}
+        for ok, sk, u in zip(
+            batch["l_orderkey"].to_pylist(), batch["l_suppkey"].to_pylist(), units.to_pylist()
+        ):
+            cell = acc.setdefault((ok, lookup[sk]), [0, 0])
+            cell[0] += u
+            cell[1] += 1
+        return pa.table(
+            {
+                "l_orderkey": pa.array([k[0] for k in acc], pa.int64()),
+                "supp_nation": pa.array([k[1] for k in acc], pa.string()),
+                "units": pa.array([v[0] for v in acc.values()], pa.int64()),
+                "n": pa.array([v[1] for v in acc.values()], pa.int64()),
+            }
+        )
+
+    def order_side(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(cust_ref)
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"],
+                "cust_nation": pa.array(
+                    [lookup[k] for k in batch["o_custkey"].to_pylist()], pa.string()
+                ),
+            }
+        )
+
+    line = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(line_partial, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        order_side, batch_format="pyarrow"
+    )
+
+    joined = line.join(
+        orders, join_type="inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",)
+    )
+    agg = joined.groupby(["supp_nation", "cust_nation"]).aggregate(
+        Sum("units", alias_name="units"), Sum("n", alias_name="n_lineitems")
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "supp_nation": batch["supp_nation"],
+                "cust_nation": batch["cust_nation"],
+                "n_lineitems": batch["n_lineitems"],
+                "revenue": pc.divide(pc.cast(batch["units"], pa.float64()), 10000.0),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def q_doc_chars_quantile_cont(sf_dir: str):
+    """Interpolated (``quantile_cont``) length percentiles per language —
+    the continuous companion to the exact-discrete percentile operator.
+    Same scale shape: per-batch (lang, n_chars, n) histogram partials are
+    the only shuffle; the per-language merge walks the merged histogram's
+    cumulative counts once and interpolates ``lo + frac*(hi-lo)`` at
+    h = q*(n-1).  Values are small ints so the interpolation arithmetic is
+    exact in double on both engines; 6-dp rounding on both sides guards the
+    formula-shape ULP."""
+    import math
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        c = Counter(zip(batch["lang"].to_pylist(), batch["n_chars"].to_pylist()))
+        return pa.table(
+            {
+                "lang": pa.array([k[0] for k in c], pa.string()),
+                "n_chars": pa.array([k[1] for k in c], pa.int64()),
+                "n": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    def quantiles(group: pd.DataFrame) -> pd.DataFrame:
+        merged = group.groupby("n_chars", as_index=False)["n"].sum().sort_values("n_chars")
+        vals = merged["n_chars"].to_numpy()
+        cum = merged["n"].to_numpy().cumsum()
+        total = int(cum[-1])
+
+        def cont(q: float) -> float:
+            h = q * (total - 1)
+            lo_rank = math.floor(h)
+            frac = h - lo_rank
+            lo = float(vals[int((cum >= lo_rank + 1).argmax())])
+            hi = float(vals[int((cum >= min(lo_rank + 2, total)).argmax())])
+            return round(lo + frac * (hi - lo), 6)
+
+        return pd.DataFrame(
+            {
+                "lang": [group["lang"].iloc[0]],
+                "n_docs": pd.array([total], dtype="int64"),
+                "q25": [cont(0.25)],
+                "q50": [cont(0.5)],
+                "q75": [cont(0.75)],
+            }
+        )
+
+    return (
+        _read(sf_dir, "documents", ["lang", "n_chars"])
+        .map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(quantiles, batch_format="pandas")
+    )
+
+
+def q_lineitem_qty_discount_corr(sf_dir: str):
+    """Pearson correlation (quantity vs discount) per return flag from
+    EXACT integer moment sums: both columns are small 0–2-dp values, so the
+    five moments (Σx, Σy, Σxy, Σx², Σy²) accumulate as order-independent
+    int64 partials per batch (one tiny row per flag per batch — no raw row
+    ever shuffles) and the closed-form corr is evaluated with the identical
+    expression tree in SQL, making the double bit-identical with NO
+    rounding.  Regime bound (pinned by the n*sxx test): the closed-form
+    products stay exact int64 up to ~6e7 rows per flag; beyond that the
+    final combine switches to python-int/HUGEINT — the per-batch partials
+    themselves are never the binding constraint."""
+    from ray.data.aggregate import Sum
+
+    def moments(batch: pa.Table) -> pa.Table:
+        x = pc.cast(pc.round(batch["l_quantity"]), pa.int64()).to_numpy(zero_copy_only=False)
+        y = pc.cast(pc.round(pc.multiply(batch["l_discount"], 100.0)), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        flags = batch["l_returnflag"].to_pylist()
+        df = pd.DataFrame({"f": flags, "x": x, "y": y, "xy": x * y, "xx": x * x, "yy": y * y})
+        g = df.groupby("f", as_index=False).agg(
+            n=("x", "size"), sx=("x", "sum"), sy=("y", "sum"),
+            sxy=("xy", "sum"), sxx=("xx", "sum"), syy=("yy", "sum"),
+        )
+        return pa.Table.from_pandas(
+            g.rename(columns={"f": "l_returnflag"}), preserve_index=False
+        )
+
+    agg = (
+        _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_discount"])
+        .map_batches(moments, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"),
+            Sum("sxy", alias_name="sxy"),
+            Sum("sxx", alias_name="sxx"),
+            Sum("syy", alias_name="syy"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import math
+
+        out_flag, out_n, out_corr = [], [], []
+        for r in batch.to_pylist():
+            n, sx, sy = int(r["n"]), int(r["sx"]), int(r["sy"])
+            sxy, sxx, syy = int(r["sxy"]), int(r["sxx"]), int(r["syy"])
+            num = float(n * sxy - sx * sy)
+            vx, vy = float(n * sxx - sx * sx), float(n * syy - sy * sy)
+            denom = math.sqrt(vx) * math.sqrt(vy)
+            out_flag.append(r["l_returnflag"])
+            out_n.append(n)
+            out_corr.append(num / denom if denom != 0.0 else None)
+        return pa.table(
+            {
+                "l_returnflag": pa.array(out_flag, pa.string()),
+                "n_rows": pa.array(out_n, pa.int64()),
+                "corr_qty_discount": pa.array(out_corr, pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -3240,6 +3584,10 @@ QUERIES = {
     "events_value_outliers": q_events_value_outliers,
     "events_per_user_histogram": q_events_per_user_histogram,
     "customer_order_cohorts": q_customer_order_cohorts,
+    "shipping_priority": q_shipping_priority,
+    "nation_trade_flow": q_nation_trade_flow,
+    "doc_chars_quantile_cont": q_doc_chars_quantile_cont,
+    "lineitem_qty_discount_corr": q_lineitem_qty_discount_corr,
 }
 
 _STOP_SQL = "['the','of','and','to','a','in','is','it','you','that']"
@@ -4329,5 +4677,72 @@ ORACLE_SQL = {
                CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_customers
         FROM orders o JOIN first f ON o.o_custkey = f.o_custkey
         GROUP BY 1, 2
+    """,
+    "shipping_priority": """
+        WITH per_order AS (
+            SELECT l.l_orderkey,
+                   strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   o.o_orderpriority,
+                   CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) AS BIGINT) AS units
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1995-03-15'
+              AND l.l_shipdate > TIMESTAMP '1995-03-15'
+            GROUP BY 1, 2, 3
+        )
+        SELECT l_orderkey, o_orderdate, o_orderpriority,
+               CAST(units AS DOUBLE) / 10000.0 AS revenue
+        FROM per_order
+        ORDER BY units DESC, l_orderkey
+        LIMIT 10
+    """,
+    "nation_trade_flow": """
+        SELECT ns.n_name AS supp_nation,
+               nc.n_name AS cust_nation,
+               CAST(count(*) AS BIGINT) AS n_lineitems,
+               CAST(CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) AS BIGINT)
+                    AS DOUBLE) / 10000.0 AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+        WHERE l.l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+        GROUP BY 1, 2
+    """,
+    "doc_chars_quantile_cont": """
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               ROUND(quantile_cont(n_chars, 0.25), 6) AS q25,
+               ROUND(quantile_cont(n_chars, 0.50), 6) AS q50,
+               ROUND(quantile_cont(n_chars, 0.75), 6) AS q75
+        FROM documents GROUP BY lang
+    """,
+    "lineitem_qty_discount_corr": """
+        WITH s AS (
+            SELECT l_returnflag,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sx,
+                   CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS BIGINT) AS sy,
+                   CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)
+                            * CAST(ROUND(l_discount * 100) AS BIGINT)) AS BIGINT) AS sxy,
+                   CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)
+                            * CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sxx,
+                   CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)
+                            * CAST(ROUND(l_discount * 100) AS BIGINT)) AS BIGINT) AS syy
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, n AS n_rows,
+               CASE WHEN (n*sxx - sx*sx) = 0 OR (n*syy - sy*sy) = 0 THEN NULL
+                    ELSE CAST(n*sxy - sx*sy AS DOUBLE)
+                         / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+                            * sqrt(CAST(n*syy - sy*sy AS DOUBLE)))
+               END AS corr_qty_discount
+        FROM s
     """,
 }

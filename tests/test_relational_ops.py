@@ -165,3 +165,280 @@ class TestCustomerOrderCohorts:
             for r in QUERIES["customer_order_cohorts"](str(tmp_path)).take_all()
         }
         assert rows == {("2024-01", "2024-01"), ("2024-01", "2024-02")}
+
+
+def _ts(s: str):
+    return np.datetime64(s, "us")
+
+
+class TestShippingPriority:
+    def _tables(self, tmp_path):
+        # Customers: 1 BUILDING (kept), 2 AUTOMOBILE (dropped).
+        pq.write_table(
+            pa.table(
+                {
+                    "c_custkey": pa.array([1, 2], pa.int64()),
+                    "c_mktsegment": pa.array(["BUILDING", "AUTOMOBILE"], pa.string()),
+                }
+            ),
+            tmp_path / "customer.parquet",
+        )
+        # Orders: 10 qualifies; 11 too late (>= cutoff date); 12 wrong segment.
+        pq.write_table(
+            pa.table(
+                {
+                    "o_orderkey": pa.array([10, 11, 12], pa.int64()),
+                    "o_custkey": pa.array([1, 1, 2], pa.int64()),
+                    "o_orderdate": pa.array(
+                        [_ts("1995-03-01"), _ts("1995-03-15"), _ts("1995-03-01")],
+                        pa.timestamp("us"),
+                    ),
+                    "o_orderpriority": pa.array(["1-URGENT", "2-HIGH", "3-MEDIUM"], pa.string()),
+                }
+            ),
+            tmp_path / "orders.parquet",
+        )
+        # Lineitems: two qualifying rows on order 10 (revenue sums), one
+        # shipped too early (dropped), one on the filtered orders.
+        pq.write_table(
+            pa.table(
+                {
+                    "l_orderkey": pa.array([10, 10, 10, 11], pa.int64()),
+                    "l_extendedprice": pa.array([100.0, 50.0, 40.0, 99.0], pa.float64()),
+                    "l_discount": pa.array([0.10, 0.00, 0.05, 0.01], pa.float64()),
+                    "l_shipdate": pa.array(
+                        [_ts("1995-04-01"), _ts("1995-05-01"), _ts("1995-03-15"), _ts("1995-04-01")],
+                        pa.timestamp("us"),
+                    ),
+                }
+            ),
+            tmp_path / "lineitem.parquet",
+        )
+
+    def test_hand_computed_revenue_and_filters(self, ray_session, tmp_path):
+        self._tables(tmp_path)
+        rows = QUERIES["shipping_priority"](str(tmp_path)).take_all()
+        assert len(rows) == 1
+        r = rows[0]
+        # 100.0 @ 10% -> 90.0, 50.0 @ 0% -> 50.0; the 40.0 row shipped ON
+        # the cutoff (strict >) and must be excluded.
+        assert r["l_orderkey"] == 10 and r["revenue"] == 140.0
+        assert r["o_orderdate"] == "1995-03-01" and r["o_orderpriority"] == "1-URGENT"
+        oracle = _oracle(tmp_path, "shipping_priority", ["customer", "orders", "lineitem"])
+        assert [(r["l_orderkey"], r["o_orderdate"], r["o_orderpriority"], r["revenue"])] == oracle
+
+    def test_top10_tie_break_is_orderkey_ascending(self, ray_session, tmp_path):
+        # 12 orders with identical revenue: both engines must keep the 10
+        # smallest orderkeys.
+        n = 12
+        pq.write_table(
+            pa.table(
+                {
+                    "c_custkey": pa.array([1], pa.int64()),
+                    "c_mktsegment": pa.array(["BUILDING"], pa.string()),
+                }
+            ),
+            tmp_path / "customer.parquet",
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "o_orderkey": pa.array(list(range(n)), pa.int64()),
+                    "o_custkey": pa.array([1] * n, pa.int64()),
+                    "o_orderdate": pa.array([_ts("1995-01-01")] * n, pa.timestamp("us")),
+                    "o_orderpriority": pa.array(["1-URGENT"] * n, pa.string()),
+                }
+            ),
+            tmp_path / "orders.parquet",
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "l_orderkey": pa.array(list(range(n)), pa.int64()),
+                    "l_extendedprice": pa.array([10.0] * n, pa.float64()),
+                    "l_discount": pa.array([0.0] * n, pa.float64()),
+                    "l_shipdate": pa.array([_ts("1995-06-01")] * n, pa.timestamp("us")),
+                }
+            ),
+            tmp_path / "lineitem.parquet",
+        )
+        rows = QUERIES["shipping_priority"](str(tmp_path)).take_all()
+        assert sorted(r["l_orderkey"] for r in rows) == list(range(10))
+        oracle = _oracle(tmp_path, "shipping_priority", ["customer", "orders", "lineitem"])
+        assert sorted(r[0] for r in oracle) == list(range(10))
+
+
+class TestNationTradeFlow:
+    def test_hand_computed_matrix(self, ray_session, tmp_path):
+        pq.write_table(
+            pa.table(
+                {
+                    "n_nationkey": pa.array([0, 1], pa.int32()),
+                    "n_name": pa.array(["ALPHA", "BETA"], pa.string()),
+                }
+            ),
+            tmp_path / "nation.parquet",
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "s_suppkey": pa.array([100, 101], pa.int64()),
+                    "s_nationkey": pa.array([0, 1], pa.int32()),
+                }
+            ),
+            tmp_path / "supplier.parquet",
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "c_custkey": pa.array([7], pa.int64()),
+                    "c_nationkey": pa.array([1], pa.int32()),
+                }
+            ),
+            tmp_path / "customer.parquet",
+        )
+        # 100 orders so every hash-join partition is non-empty
+        # (Dataset.join is the documented dense-fact plan for this operator).
+        n_orders = 100
+        pq.write_table(
+            pa.table(
+                {
+                    "o_orderkey": pa.array(list(range(1, n_orders + 1)), pa.int64()),
+                    "o_custkey": pa.array([7] * n_orders, pa.int64()),
+                }
+            ),
+            tmp_path / "orders.parquet",
+        )
+        # Baseline: one ALPHA row per order at 10.0 net.  Order 1 adds the
+        # hand-computed extras: 20.0 @ 10% (ALPHA), 5.0 @ 2% (BETA), and a
+        # row outside the 1995-96 ship window (dropped).
+        okeys = list(range(1, n_orders + 1)) + [1, 1, 1]
+        skeys = [100] * n_orders + [100, 101, 100]
+        price = [10.0] * n_orders + [20.0, 5.0, 1000.0]
+        disc = [0.0] * n_orders + [0.10, 0.02, 0.0]
+        ship = [_ts("1995-06-01")] * n_orders + [
+            _ts("1996-12-31"),
+            _ts("1995-01-01"),
+            _ts("1997-01-01"),
+        ]
+        pq.write_table(
+            pa.table(
+                {
+                    "l_orderkey": pa.array(okeys, pa.int64()),
+                    "l_suppkey": pa.array(skeys, pa.int64()),
+                    "l_extendedprice": pa.array(price, pa.float64()),
+                    "l_discount": pa.array(disc, pa.float64()),
+                    "l_shipdate": pa.array(ship, pa.timestamp("us")),
+                }
+            ),
+            tmp_path / "lineitem.parquet",
+        )
+        rows = {
+            (r["supp_nation"], r["cust_nation"]): r
+            for r in QUERIES["nation_trade_flow"](str(tmp_path)).take_all()
+        }
+        assert rows[("ALPHA", "BETA")]["revenue"] == 100 * 10.0 + 18.0  # 20*0.9
+        assert rows[("ALPHA", "BETA")]["n_lineitems"] == n_orders + 1
+        assert rows[("BETA", "BETA")]["revenue"] == 4.9    # 5*0.98
+        assert len(rows) == 2
+        oracle = {
+            (r[0], r[1]): r
+            for r in _oracle(
+                tmp_path,
+                "nation_trade_flow",
+                ["nation", "supplier", "customer", "orders", "lineitem"],
+            )
+        }
+        assert set(oracle) == set(rows)
+        for k, r in rows.items():
+            assert (r["n_lineitems"], r["revenue"]) == (oracle[k][2], oracle[k][3])
+
+
+class TestDocCharsQuantileCont:
+    def test_interpolation_matches_duckdb(self, ray_session, tmp_path):
+        # lang "a": 1,2,3,4 -> q25 = 1 + 0.75*(2-1) = 1.75, q50 = 2.5,
+        # q75 = 3.25.  lang "b": single value -> all quantiles equal it.
+        docs = pa.table(
+            {
+                "lang": pa.array(["a"] * 4 + ["b"], pa.string()),
+                "n_chars": pa.array([1, 2, 3, 4, 42], pa.int64()),
+            }
+        )
+        pq.write_table(docs, tmp_path / "documents.parquet")
+        rows = {
+            r["lang"]: r for r in QUERIES["doc_chars_quantile_cont"](str(tmp_path)).take_all()
+        }
+        assert (rows["a"]["q25"], rows["a"]["q50"], rows["a"]["q75"]) == (1.75, 2.5, 3.25)
+        assert (rows["b"]["q25"], rows["b"]["q50"], rows["b"]["q75"]) == (42.0, 42.0, 42.0)
+        oracle = {r[0]: r for r in _oracle(tmp_path, "doc_chars_quantile_cont", ["documents"])}
+        for k, r in rows.items():
+            assert (r["n_docs"], r["q25"], r["q50"], r["q75"]) == tuple(oracle[k][1:])
+
+    def test_exact_rank_has_zero_fraction(self, ray_session, tmp_path):
+        # 5 values -> h = 0.25*4 = 1 exactly: q25 IS the second element,
+        # no interpolation leakage from the neighbor.
+        docs = pa.table(
+            {
+                "lang": pa.array(["x"] * 5, pa.string()),
+                "n_chars": pa.array([10, 20, 30, 40, 1000], pa.int64()),
+            }
+        )
+        pq.write_table(docs, tmp_path / "documents.parquet")
+        (row,) = QUERIES["doc_chars_quantile_cont"](str(tmp_path)).take_all()
+        assert row["q25"] == 20.0 and row["q50"] == 30.0 and row["q75"] == 40.0
+
+
+class TestLineitemQtyDiscountCorr:
+    def test_hand_computed_perfect_correlation(self, ray_session, tmp_path):
+        # qty = 1,2,3 with discount = 0.01,0.02,0.03: corr exactly 1.0.
+        # Flag "N" is anti-correlated: corr exactly -1.0.
+        line = pa.table(
+            {
+                "l_returnflag": pa.array(["A"] * 3 + ["N"] * 3, pa.string()),
+                "l_quantity": pa.array([1.0, 2.0, 3.0, 1.0, 2.0, 3.0], pa.float64()),
+                "l_discount": pa.array([0.01, 0.02, 0.03, 0.03, 0.02, 0.01], pa.float64()),
+            }
+        )
+        pq.write_table(line, tmp_path / "lineitem.parquet")
+        rows = {
+            r["l_returnflag"]: r
+            for r in QUERIES["lineitem_qty_discount_corr"](str(tmp_path)).take_all()
+        }
+        # sqrt(vx)*sqrt(vy) is 1-ulp off the exact integer product, so the
+        # perfect correlation lands 1 ulp from ±1.0 — on BOTH engines
+        # identically (the bit-level match is the oracle assert below).
+        assert rows["A"]["corr_qty_discount"] == pytest.approx(1.0)
+        assert rows["N"]["corr_qty_discount"] == pytest.approx(-1.0)
+        oracle = {
+            r[0]: r for r in _oracle(tmp_path, "lineitem_qty_discount_corr", ["lineitem"])
+        }
+        for k, r in rows.items():
+            assert (r["n_rows"], r["corr_qty_discount"]) == (oracle[k][1], oracle[k][2])
+
+    def test_zero_variance_returns_null_both_sides(self, ray_session, tmp_path):
+        line = pa.table(
+            {
+                "l_returnflag": pa.array(["Z"] * 3, pa.string()),
+                "l_quantity": pa.array([5.0, 5.0, 5.0], pa.float64()),
+                "l_discount": pa.array([0.01, 0.02, 0.03], pa.float64()),
+            }
+        )
+        pq.write_table(line, tmp_path / "lineitem.parquet")
+        (row,) = QUERIES["lineitem_qty_discount_corr"](str(tmp_path)).take_all()
+        assert row["corr_qty_discount"] is None
+        (orow,) = _oracle(tmp_path, "lineitem_qty_discount_corr", ["lineitem"])
+        assert orow[2] is None
+
+    def test_moment_bound_note_holds_at_documented_scale(self):
+        # int64 headroom documented in the docstring: the final n*sxx
+        # product caps the exact-int64 regime at ~6e7 rows per flag
+        # (qty <= 50, discount-cents <= 10); beyond that both engines must
+        # switch the closed form to HUGEINT/python-int.  The per-batch
+        # partials themselves are never the binding constraint.
+        n = 6 * 10**7
+        sxx = n * 50 * 50
+        assert n * sxx < 2**63
+        n_over = 10**8
+        assert n_over * (n_over * 50 * 50) >= 2**63  # the regime really ends
+        batch_n = 65536
+        assert batch_n * (batch_n * 50 * 50) < 2**63
