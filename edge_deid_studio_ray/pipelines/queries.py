@@ -3492,6 +3492,159 @@ def q_lineitem_qty_discount_corr(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def q_inverted_index_postings(sf_dir: str):
+    """Inverted-index build — the classic IR wide shuffle: per-doc DISTINCT
+    (term, doc_id) pairs flow straight into ONE groupby(term); each term
+    group emits document frequency + an md5 fingerprint of its sorted
+    posting list (the value-checkable stand-in for the list itself).
+    Pairs are deduplicated per document map-side (a doc lives in one row),
+    so the shuffle ships each posting exactly once.  Only terms with
+    df ≥ 5 are emitted to bound the output (the cap is a WHERE, not a
+    truncation — both engines apply it identically).  Skew note: a
+    stop-word's group is O(n_docs) ids — at corpus scale the group payload
+    is ids only (8 B/doc), and the salting path is the same band-split
+    used by the LSH buckets."""
+    import hashlib
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        terms: list[str] = []
+        ids: list[int] = []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            for term in set((text or "").split()):
+                terms.append(term)
+                ids.append(doc_id)
+        return pa.table(
+            {
+                "term": pa.array(terms, pa.string()),
+                "doc_id": pa.array(ids, pa.int64()),
+            }
+        )
+
+    def fold_term(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) < 5:
+            return pd.DataFrame(
+                {
+                    "term": pd.array([], dtype="object"),
+                    "df": pd.array([], dtype="int64"),
+                    "postings_md5": pd.array([], dtype="object"),
+                }
+            )
+        ids = sorted(int(i) for i in group["doc_id"])
+        digest = hashlib.md5(",".join(str(i) for i in ids).encode()).hexdigest()
+        return pd.DataFrame(
+            {
+                "term": [group["term"].iloc[0]],
+                "df": pd.array([len(ids)], dtype="int64"),
+                "postings_md5": [digest],
+            }
+        )
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(pairs, batch_format="pyarrow")
+        .groupby("term")
+        .map_groups(fold_term, batch_format="pandas")
+    )
+
+
+def q_doc_pagerank(sf_dir: str):
+    """Iterative distributed PageRank, 5 synchronous rounds, over the
+    deterministic modular graph  src → m + ((src−m)·7 + k) mod N,
+    k ∈ {1,2,3}  on the document ids (every doc has out-degree 3; the
+    graph exists so the ITERATION pattern is oracle-checkable — real link
+    graphs plug into the same loop).  All arithmetic is integer: ranks in
+    1e-6 units, contributions ``r // 3``, damping ``150000 + 85·inflow
+    // 100`` — floor division on non-negative ints is identical in Python
+    and DuckDB, so five chained rounds stay bit-exact with NO float drift.
+    Scale shape per round: contributions are generated map-side from each
+    rank row (the static graph needs no edge-table join), every node also
+    emits a presence row, and ONE bucketed co-group folds inflow + applies
+    damping — nodes without inflow are preserved by the presence rows, so
+    a round is one narrow shuffle of 4 int rows per node."""
+    from ray.data.aggregate import Count, Min
+
+    meta = (
+        _read(sf_dir, "documents", ["doc_id"])
+        .aggregate(Min("doc_id", alias_name="m"), Count(alias_name="n"))
+    )
+    m, n = int(meta["m"]), int(meta["n"])
+    nb = resolve_group_buckets(None)
+
+    def init_ranks(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        return pa.table(
+            {
+                "node": pa.array(ids, pa.int64()),
+                "r": pa.array([1_000_000] * len(ids), pa.int64()),
+            }
+        )
+
+    ranks = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        init_ranks, batch_format="pyarrow"
+    )
+
+    def emit(batch: pa.Table) -> pa.Table:
+        nodes = batch["node"].to_pylist()
+        rs = batch["r"].to_pylist()
+        out_target, out_units, out_kind = [], [], []
+        for node, r in zip(nodes, rs):
+            out_target.append(node)   # presence row (kind 0)
+            out_units.append(0)
+            out_kind.append(0)
+            c = r // 3
+            for k in (1, 2, 3):
+                dst = m + ((node - m) * 7 + k) % n
+                out_target.append(dst)
+                out_units.append(c)
+                out_kind.append(1)
+        return pa.table(
+            {
+                "target": pa.array(out_target, pa.int64()),
+                "units": pa.array(out_units, pa.int64()),
+                "kind": pa.array(out_kind, pa.int8()),
+                "kb": pa.array([t % nb for t in out_target], pa.int32()),
+            }
+        )
+
+    def fold(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "node": pd.array([], dtype="int64"),
+                "r": pd.array([], dtype="int64"),
+            }
+        )
+        if group.empty:
+            return empty
+        nodes = group.loc[group["kind"] == 0, "target"].astype("int64")
+        if nodes.empty:
+            return empty  # inflow to a bucket with no resident nodes: impossible
+        inflow = group[group["kind"] == 1].groupby("target")["units"].sum()
+        new_r = [150000 + (85 * int(inflow.get(v, 0))) // 100 for v in nodes]
+        return pd.DataFrame(
+            {
+                "node": nodes.to_numpy(),
+                "r": pd.array(new_r, dtype="int64"),
+            }
+        )
+
+    for _ in range(5):
+        ranks = (
+            ranks.map_batches(emit, batch_format="pyarrow")
+            .groupby("kb")
+            .map_groups(fold, batch_format="pandas")
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["node"],
+                "rank_units": batch["r"],
+            }
+        )
+
+    return ranks.map_batches(finish, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -3588,7 +3741,39 @@ QUERIES = {
     "nation_trade_flow": q_nation_trade_flow,
     "doc_chars_quantile_cont": q_doc_chars_quantile_cont,
     "lineitem_qty_discount_corr": q_lineitem_qty_discount_corr,
+    "inverted_index_postings": q_inverted_index_postings,
+    "doc_pagerank": q_doc_pagerank,
 }
+
+
+def _pagerank_round_sql(i: int) -> str:
+    """One integer-PageRank round as chained CTEs (r{i-1} → r{i})."""
+    return f"""
+        c{i} AS (
+            SELECT p.m + ((r{i - 1}.node - p.m) * 7 + ks.k) % p.n AS dst,
+                   r{i - 1}.r // 3 AS c
+            FROM r{i - 1}, params p, (VALUES (1), (2), (3)) AS ks(k)
+        ),
+        s{i} AS (SELECT dst, CAST(SUM(c) AS BIGINT) AS inflow FROM c{i} GROUP BY dst),
+        r{i} AS (
+            SELECT nodes.node,
+                   CAST(150000 + (85 * COALESCE(s{i}.inflow, 0)) // 100 AS BIGINT) AS r
+            FROM nodes LEFT JOIN s{i} ON s{i}.dst = nodes.node
+        )"""
+
+
+_PAGERANK_SQL = (
+    """
+        WITH params AS (
+            SELECT min(doc_id) AS m, CAST(count(*) AS BIGINT) AS n FROM documents
+        ),
+        nodes AS (SELECT doc_id AS node FROM documents),
+        r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),"""
+    + ",".join(_pagerank_round_sql(i) for i in range(1, 6))
+    + """
+        SELECT node AS doc_id, r AS rank_units FROM r5
+    """
+)
 
 _STOP_SQL = "['the','of','and','to','a','in','is','it','you','that']"
 
@@ -4723,6 +4908,17 @@ ORACLE_SQL = {
                ROUND(quantile_cont(n_chars, 0.75), 6) AS q75
         FROM documents GROUP BY lang
     """,
+    "inverted_index_postings": """
+        WITH pairs AS (
+            SELECT DISTINCT word AS term, doc_id
+            FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS word
+                  FROM documents)
+        )
+        SELECT term, CAST(count(*) AS BIGINT) AS df,
+               md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS postings_md5
+        FROM pairs GROUP BY term HAVING count(*) >= 5
+    """,
+    "doc_pagerank": _PAGERANK_SQL,
     "lineitem_qty_discount_corr": """
         WITH s AS (
             SELECT l_returnflag,

@@ -442,3 +442,82 @@ class TestLineitemQtyDiscountCorr:
         assert n_over * (n_over * 50 * 50) >= 2**63  # the regime really ends
         batch_n = 65536
         assert batch_n * (batch_n * 50 * 50) < 2**63
+
+
+class TestInvertedIndexPostings:
+    def test_df_threshold_and_per_doc_dedup(self, ray_session, tmp_path):
+        # "kept" appears in 5 docs (twice in doc 0 — must count once);
+        # "dropped" in only 4 docs.
+        texts = ["kept kept dropped", "kept dropped", "kept dropped", "kept dropped", "kept"]
+        docs = pa.table(
+            {
+                "doc_id": pa.array(list(range(5)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+        pq.write_table(docs, tmp_path / "documents.parquet")
+        rows = QUERIES["inverted_index_postings"](str(tmp_path)).take_all()
+        assert len(rows) == 1
+        r = rows[0]
+        assert r["term"] == "kept" and r["df"] == 5
+        import hashlib
+
+        assert r["postings_md5"] == hashlib.md5(b"0,1,2,3,4").hexdigest()
+        oracle = _oracle(tmp_path, "inverted_index_postings", ["documents"])
+        assert [(r["term"], r["df"], r["postings_md5"])] == oracle
+
+
+class TestDocPagerank:
+    def test_regular_graph_reaches_uniform_fixpoint(self, ray_session, tmp_path):
+        # Contiguous ids: the modular graph is 3-regular in AND out, so
+        # uniform ranks stay uniform: inflow = 3*(1e6//3) = 999999,
+        # r = 150000 + 85*999999//100 = 999999 for every node, every round.
+        docs = pa.table({"doc_id": pa.array(list(range(6)), pa.int64())})
+        pq.write_table(docs, tmp_path / "documents.parquet")
+        rows = QUERIES["doc_pagerank"](str(tmp_path)).take_all()
+        assert len(rows) == 6
+        assert {r["rank_units"] for r in rows} == {999999}
+        oracle = dict(_oracle(tmp_path, "doc_pagerank", ["documents"]))
+        assert {r["doc_id"]: r["rank_units"] for r in rows} == oracle
+
+    def test_non_contiguous_ids_drop_mass_identically(self, ray_session, tmp_path):
+        # ids {0, 5}: dst = (src*7+k) % 2 targets id 1, which does not
+        # exist — that mass is dropped on BOTH engines.  Hand-run:
+        # round 1: inflow(0) = 333333 (self, k=2) + 2*333333 (from 5)
+        #   -> r(0) = 150000 + 85*999999//100 = 999999;  r(5) = 150000.
+        # round 2: c(0)=333333, c(5)=50000;
+        #   inflow(0) = 333333 + 2*50000 = 433333
+        #   -> r(0) = 150000 + 85*433333//100 = 518333;  r(5) = 150000.
+        docs = pa.table({"doc_id": pa.array([0, 5], pa.int64())})
+        pq.write_table(docs, tmp_path / "documents.parquet")
+        rows = {r["doc_id"]: r["rank_units"] for r in QUERIES["doc_pagerank"](str(tmp_path)).take_all()}
+        assert rows[5] == 150000
+        oracle = dict(_oracle(tmp_path, "doc_pagerank", ["documents"]))
+        assert rows == oracle
+
+    def test_two_rounds_by_hand(self, ray_session, tmp_path):
+        # Pin the exact floor-division arithmetic of the first two rounds
+        # (values from the docstring walk-through above) by running the
+        # oracle CTE chain truncated at r2.
+        import duckdb
+
+        from edge_deid_studio_ray.pipelines.queries import _pagerank_round_sql
+
+        docs = pa.table({"doc_id": pa.array([0, 5], pa.int64())})
+        pq.write_table(docs, tmp_path / "documents.parquet")
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+        )
+        sql = (
+            """
+            WITH params AS (
+                SELECT min(doc_id) AS m, CAST(count(*) AS BIGINT) AS n FROM documents
+            ),
+            nodes AS (SELECT doc_id AS node FROM documents),
+            r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),"""
+            + ",".join(_pagerank_round_sql(i) for i in (1, 2))
+            + " SELECT node, r FROM r2"
+        )
+        got = dict(con.execute(sql).fetchall())
+        assert got == {0: 518333, 5: 150000}
