@@ -3645,6 +3645,119 @@ def q_doc_pagerank(sf_dir: str):
     return ranks.map_batches(finish, batch_format="pyarrow")
 
 
+def q_events_interarrival_hist(sf_dir: str):
+    """LAG-window semantics at scale: per-user inter-event gaps, bucketed
+    to whole minutes, histogrammed per event type OF THE LATER EVENT.
+    Scale shape: user timelines co-locate via the user-hash bucket groupby
+    (the sessionization partitioning contract — one narrow (us, type)
+    row per event), each bucket sorts its users' timelines once and emits
+    per-(type, gap-minute) partial counts, and the final groupby merges
+    tiny histograms.  Tie contract: equal timestamps sort by event type
+    then gap 0 — deterministic on both engines because the SQL mirror
+    orders its window identically (ts, event_type)."""
+    from ray.data.aggregate import Sum
+
+    nb = resolve_group_buckets(None)
+
+    def project(batch: pa.Table) -> pa.Table:
+        users = batch["user_id"].to_pylist()
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "us": batch["ts"].cast(pa.int64()),
+                "event_type": batch["event_type"],
+                "ub": pa.array([_kbucket(u, nb) for u in users], pa.int32()),
+            }
+        )
+
+    def fold_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "event_type": pd.array([], dtype="object"),
+                "gap_min": pd.array([], dtype="int64"),
+                "n": pd.array([], dtype="int64"),
+            }
+        )
+        if group.empty:
+            return empty
+        g = group.sort_values(["user_id", "us", "event_type"], kind="mergesort")
+        us = g["us"].to_numpy()
+        uid = g["user_id"].to_numpy()
+        prev_same_user = np.zeros(len(g), dtype=bool)
+        prev_same_user[1:] = uid[1:] == uid[:-1]
+        gaps = np.zeros(len(g), dtype=np.int64)
+        gaps[1:] = (us[1:] - us[:-1]) // 60_000_000
+        sub = pd.DataFrame(
+            {
+                "event_type": g["event_type"].to_numpy()[prev_same_user],
+                "gap_min": gaps[prev_same_user],
+            }
+        )
+        out = sub.groupby(["event_type", "gap_min"], as_index=False).size()
+        return pd.DataFrame(
+            {
+                "event_type": out["event_type"],
+                "gap_min": out["gap_min"].astype("int64"),
+                "n": out["size"].astype("int64"),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+        .map_batches(project, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(fold_bucket, batch_format="pandas")
+        .groupby(["event_type", "gap_min"])
+        .aggregate(Sum("n", alias_name="n_gaps"))
+    )
+
+
+def q_nation_customer_fingerprint(sf_dir: str):
+    """Deterministic ordered-group fold: per nation, the md5 of the
+    comma-joined ORDERED customer-name list (the value-checkable stand-in
+    for ``string_agg(... ORDER BY ...)``).  Scale shape: one narrow
+    (nationkey, name) shuffle into the nation groupby; each group sorts
+    and folds locally.  The dimension decode (nationkey → name) is the
+    usual ray.put broadcast.  Giant-group note: a group's fold is O(its
+    names) memory — at web scale the fold would switch to a sorted
+    streaming digest (hash chaining), same contract."""
+    import hashlib
+
+    import ray
+
+    nation = {
+        r["n_nationkey"]: r["n_name"]
+        for r in _read(sf_dir, "nation", ["n_nationkey", "n_name"]).take_all()
+    }
+    nation_ref = ray.put(nation)
+
+    def fold(group: pd.DataFrame) -> pd.DataFrame:
+        if group.empty:
+            return pd.DataFrame(
+                {
+                    "n_name": pd.array([], dtype="object"),
+                    "n_customers": pd.array([], dtype="int64"),
+                    "names_md5": pd.array([], dtype="object"),
+                }
+            )
+        lookup = ray.get(nation_ref)
+        names = sorted(group["c_name"].tolist())
+        return pd.DataFrame(
+            {
+                "n_name": [lookup[int(group["c_nationkey"].iloc[0])]],
+                "n_customers": pd.array([len(names)], dtype="int64"),
+                "names_md5": [hashlib.md5(",".join(names).encode()).hexdigest()],
+            }
+        )
+
+    return (
+        _read(sf_dir, "customer", ["c_nationkey", "c_name"])
+        .groupby("c_nationkey")
+        .map_groups(fold, batch_format="pandas")
+        .select_columns(["n_name", "n_customers", "names_md5"])
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -3743,6 +3856,8 @@ QUERIES = {
     "lineitem_qty_discount_corr": q_lineitem_qty_discount_corr,
     "inverted_index_postings": q_inverted_index_postings,
     "doc_pagerank": q_doc_pagerank,
+    "events_interarrival_hist": q_events_interarrival_hist,
+    "nation_customer_fingerprint": q_nation_customer_fingerprint,
 }
 
 
@@ -4919,6 +5034,25 @@ ORACLE_SQL = {
         FROM pairs GROUP BY term HAVING count(*) >= 5
     """,
     "doc_pagerank": _PAGERANK_SQL,
+    "events_interarrival_hist": """
+        WITH w AS (
+            SELECT event_type, ts,
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_type) AS prev_ts
+            FROM events
+        )
+        SELECT event_type,
+               CAST((epoch_us(ts) - epoch_us(prev_ts)) // 60000000 AS BIGINT) AS gap_min,
+               CAST(count(*) AS BIGINT) AS n_gaps
+        FROM w WHERE prev_ts IS NOT NULL
+        GROUP BY 1, 2
+    """,
+    "nation_customer_fingerprint": """
+        SELECT n.n_name,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               md5(string_agg(c.c_name, ',' ORDER BY c.c_name)) AS names_md5
+        FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY n.n_name
+    """,
     "lineitem_qty_discount_corr": """
         WITH s AS (
             SELECT l_returnflag,

@@ -521,3 +521,71 @@ class TestDocPagerank:
         )
         got = dict(con.execute(sql).fetchall())
         assert got == {0: 518333, 5: 150000}
+
+
+class TestEventsInterarrivalHist:
+    def test_hand_computed_gaps_and_tie_order(self, ray_session, tmp_path):
+        # user 1: A@0s -> B@90s (gap 1 min, typed B) -> C@600s (gap 8 min).
+        # user 2: single event, no gap.
+        # user 3: W@40s -> X@100s (gap 1 min) -> Y@100s (ts tie: event_type
+        #   tie-break puts X before Y, so Y gets gap 0).
+        base = np.datetime64("2024-01-01T00:00:00", "us")
+        s = lambda sec: base + np.timedelta64(sec * 1_000_000, "us")
+        events = pa.table(
+            {
+                "user_id": pa.array([1, 1, 1, 2, 3, 3, 3], pa.int64()),
+                "ts": pa.array(
+                    [s(0), s(90), s(600), s(0), s(40), s(100), s(100)], pa.timestamp("us")
+                ),
+                "event_type": pa.array(["A", "B", "C", "Z", "W", "X", "Y"], pa.string()),
+            }
+        )
+        pq.write_table(events, tmp_path / "events.parquet")
+        rows = {
+            (r["event_type"], r["gap_min"]): r["n_gaps"]
+            for r in QUERIES["events_interarrival_hist"](str(tmp_path)).take_all()
+        }
+        assert rows == {("B", 1): 1, ("C", 8): 1, ("X", 1): 1, ("Y", 0): 1}
+        oracle = {
+            (r[0], r[1]): r[2]
+            for r in _oracle(tmp_path, "events_interarrival_hist", ["events"])
+        }
+        assert rows == oracle
+
+
+class TestNationCustomerFingerprint:
+    def test_ordered_fold_matches_string_agg(self, ray_session, tmp_path):
+        pq.write_table(
+            pa.table(
+                {
+                    "n_nationkey": pa.array([0, 1], pa.int32()),
+                    "n_name": pa.array(["ALPHA", "BETA"], pa.string()),
+                }
+            ),
+            tmp_path / "nation.parquet",
+        )
+        # Names inserted out of order: the fingerprint must reflect the
+        # SORTED list ("b" then "c" then "x").
+        pq.write_table(
+            pa.table(
+                {
+                    "c_nationkey": pa.array([0, 0, 0, 1], pa.int32()),
+                    "c_name": pa.array(["x", "b", "c", "solo"], pa.string()),
+                }
+            ),
+            tmp_path / "customer.parquet",
+        )
+        rows = {
+            r["n_name"]: r
+            for r in QUERIES["nation_customer_fingerprint"](str(tmp_path)).take_all()
+        }
+        import hashlib
+
+        assert rows["ALPHA"]["n_customers"] == 3
+        assert rows["ALPHA"]["names_md5"] == hashlib.md5(b"b,c,x").hexdigest()
+        assert rows["BETA"]["names_md5"] == hashlib.md5(b"solo").hexdigest()
+        oracle = {
+            r[0]: r for r in _oracle(tmp_path, "nation_customer_fingerprint", ["nation", "customer"])
+        }
+        for k, r in rows.items():
+            assert (r["n_customers"], r["names_md5"]) == (oracle[k][1], oracle[k][2])
