@@ -3758,6 +3758,227 @@ def q_nation_customer_fingerprint(sf_dir: str):
     )
 
 
+def q_corpus_snapshot_diff(sf_dir: str):
+    """Snapshot diff (FULL OUTER JOIN shape): classify every doc_id across
+    two corpus versions as added/removed/modified/unchanged — the
+    incremental-refresh primitive (which shards changed → reprocess only
+    those).  v2 derives deterministically from the base corpus
+    (doc_id%10==3 dropped, ==4 text rewritten, ==5 additionally cloned
+    under a new id) so the diff is SQL-mirrorable.  Scale shape: each side
+    ships only (doc_id, kb, side, 64-bit content hash) — never text —
+    into ONE bucketed co-group (the house union+map_groups outer join);
+    each bucket classifies its ids locally and pre-aggregates per-status
+    (count, id_sum) partials, so the final exchange is ≤ buckets×4 rows."""
+    import hashlib
+
+    from ray.data.aggregate import Sum
+
+    nb = resolve_group_buckets(None)
+
+    def sides(batch: pa.Table) -> pa.Table:
+        out_id: list[int] = []
+        out_kb: list[int] = []
+        out_side: list[int] = []
+        out_h: list[int] = []
+
+        def emit(i: int, side: int, t) -> None:
+            out_id.append(i)
+            out_kb.append(i % nb)
+            out_side.append(side)
+            out_h.append(
+                int.from_bytes(
+                    hashlib.md5((t or "").encode()).digest()[:8], "big", signed=True
+                )
+            )
+
+        for i, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            emit(i, 0, t)  # base snapshot
+            m = i % 10
+            if m == 3:
+                continue  # dropped from v2 → 'removed'
+            emit(i, 1, (t or "") + " v2" if m == 4 else t)
+            if m == 5:
+                emit(i + 2_000_000, 1, (t or "") + " new")  # new in v2 → 'added'
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "kb": pa.array(out_kb, pa.int32()),
+                "side": pa.array(out_side, pa.int8()),
+                "h": pa.array(out_h, pa.int64()),
+            }
+        )
+
+    def classify(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "status": pd.array([], dtype="object"),
+                "n": pd.array([], dtype="int64"),
+                "ids": pd.array([], dtype="int64"),
+            }
+        )
+        if group.empty:
+            return empty
+        base = group.loc[group["side"] == 0, ["doc_id", "h"]].rename(columns={"h": "hb"})
+        v2 = group.loc[group["side"] == 1, ["doc_id", "h"]].rename(columns={"h": "hv"})
+        # Int64 (nullable) keeps the 64-bit hashes exact through the outer
+        # merge — plain int64 would upcast to float64 and corrupt equality.
+        base["hb"] = base["hb"].astype("Int64")
+        v2["hv"] = v2["hv"].astype("Int64")
+        m = base.merge(v2, on="doc_id", how="outer")
+        added = m["hb"].isna().to_numpy()
+        removed = m["hv"].isna().to_numpy()
+        same = (m["hb"].fillna(0) == m["hv"].fillna(1)).to_numpy()
+        status = np.where(
+            added, "added", np.where(removed, "removed", np.where(same, "unchanged", "modified"))
+        )
+        g = (
+            pd.DataFrame({"status": status, "doc_id": m["doc_id"].astype("int64")})
+            .groupby("status", as_index=False)
+            .agg(n=("doc_id", "size"), ids=("doc_id", "sum"))
+        )
+        return pd.DataFrame(
+            {
+                "status": g["status"].astype("object"),
+                "n": g["n"].astype("int64"),
+                "ids": g["ids"].astype("int64"),
+            }
+        )
+
+    return (
+        _read_spread(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(sides, batch_format="pyarrow")
+        .groupby("kb")
+        .map_groups(classify, batch_format="pandas")
+        .groupby("status")
+        .aggregate(Sum("n", alias_name="n_docs"), Sum("ids", alias_name="id_sum"))
+        .sort("status")
+    )
+
+
+def q_events_last_per_user(sf_dir: str):
+    """Latest event per user — the ARGMAX / upsert-latest-snapshot
+    primitive (SCD-style 'current state' table from an append-only log).
+    Order contract: max ts, ties broken by max event_id (deterministic).
+    Scale shape: per-batch partial argmax per user (one surviving row per
+    user per batch — the combiner), then ONE bucketed co-group on a
+    user-hash bucket where each bucket finishes its users' argmax; no
+    window function, no global sort of the log.  ts ships as exact
+    epoch-microseconds int64; value is the stored double (pass-through,
+    bit-identical)."""
+    nb = resolve_group_buckets(None)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        best: dict[int, tuple] = {}
+        for u, t, eid, et, v in zip(
+            batch["user_id"].to_pylist(),
+            pc.cast(batch["ts"], pa.int64()).to_pylist(),
+            batch["event_id"].to_pylist(),
+            batch["event_type"].to_pylist(),
+            batch["value"].to_pylist(),
+        ):
+            cur = best.get(u)
+            if cur is None or (t, eid) > (cur[0], cur[1]):
+                best[u] = (t, eid, et, v)
+        users = list(best.keys())
+        return pa.table(
+            {
+                "user_id": pa.array(users, pa.int64()),
+                "kb": pa.array([u % nb for u in users], pa.int32()),
+                "last_ts_us": pa.array([b[0] for b in best.values()], pa.int64()),
+                "event_id": pa.array([b[1] for b in best.values()], pa.int64()),
+                "last_event_type": pa.array([b[2] for b in best.values()], pa.string()),
+                "last_value": pa.array([b[3] for b in best.values()], pa.float64()),
+            }
+        )
+
+    def finish(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "user_id": pd.array([], dtype="int64"),
+                "last_ts_us": pd.array([], dtype="int64"),
+                "last_event_type": pd.array([], dtype="object"),
+                "last_value": pd.array([], dtype="float64"),
+            }
+        )
+        if group.empty:
+            return empty
+        g = group.sort_values(
+            ["user_id", "last_ts_us", "event_id"], ascending=[True, False, False]
+        ).drop_duplicates("user_id", keep="first")
+        return pd.DataFrame(
+            {
+                "user_id": g["user_id"].astype("int64"),
+                "last_ts_us": g["last_ts_us"].astype("int64"),
+                "last_event_type": g["last_event_type"].astype("object"),
+                "last_value": g["last_value"].astype("float64"),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("kb")
+        .map_groups(finish, batch_format="pandas")
+        .sort("user_id")
+    )
+
+
+def q_events_user_top_type(sf_dir: str):
+    """Per-user modal event type (MODE): the two-level aggregation shape —
+    count per (user, type), then argmax per user with a deterministic tie
+    contract (higher count wins; ties break to the lexicographically
+    smaller type).  Scale shape: per-batch (user, type)→count partials
+    (the combiner bounds shuffle rows at distinct pairs per batch), ONE
+    bucketed co-group on user-hash where each bucket sums its pairs and
+    picks the mode locally.  Output also carries the winning count (exact
+    int) so the value check pins the whole distribution head."""
+    nb = resolve_group_buckets(None)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for u, et in zip(batch["user_id"].to_pylist(), batch["event_type"].to_pylist()):
+            c[(u, et)] += 1
+        users = [k[0] for k in c]
+        return pa.table(
+            {
+                "user_id": pa.array(users, pa.int64()),
+                "kb": pa.array([u % nb for u in users], pa.int32()),
+                "event_type": pa.array([k[1] for k in c], pa.string()),
+                "n": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    def finish(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "user_id": pd.array([], dtype="int64"),
+                "top_type": pd.array([], dtype="object"),
+                "n_events": pd.array([], dtype="int64"),
+            }
+        )
+        if group.empty:
+            return empty
+        sums = group.groupby(["user_id", "event_type"], as_index=False)["n"].sum()
+        g = sums.sort_values(
+            ["user_id", "n", "event_type"], ascending=[True, False, True]
+        ).drop_duplicates("user_id", keep="first")
+        return pd.DataFrame(
+            {
+                "user_id": g["user_id"].astype("int64"),
+                "top_type": g["event_type"].astype("object"),
+                "n_events": g["n"].astype("int64"),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["user_id", "event_type"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("kb")
+        .map_groups(finish, batch_format="pandas")
+        .sort("user_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -3858,6 +4079,9 @@ QUERIES = {
     "doc_pagerank": q_doc_pagerank,
     "events_interarrival_hist": q_events_interarrival_hist,
     "nation_customer_fingerprint": q_nation_customer_fingerprint,
+    "corpus_snapshot_diff": q_corpus_snapshot_diff,
+    "events_last_per_user": q_events_last_per_user,
+    "events_user_top_type": q_events_user_top_type,
 }
 
 
@@ -5052,6 +5276,55 @@ ORACLE_SQL = {
                md5(string_agg(c.c_name, ',' ORDER BY c.c_name)) AS names_md5
         FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
         GROUP BY n.n_name
+    """,
+    "corpus_snapshot_diff": """
+        WITH v2 AS (
+            SELECT doc_id, text || ' v2' AS text FROM documents WHERE doc_id % 10 = 4
+            UNION ALL
+            SELECT doc_id, text FROM documents WHERE doc_id % 10 NOT IN (3, 4)
+            UNION ALL
+            SELECT doc_id + 2000000 AS doc_id, text || ' new' AS text
+            FROM documents WHERE doc_id % 10 = 5
+        ), diff AS (
+            SELECT COALESCE(b.doc_id, v.doc_id) AS doc_id,
+                   CASE WHEN b.doc_id IS NULL THEN 'added'
+                        WHEN v.doc_id IS NULL THEN 'removed'
+                        WHEN COALESCE(b.text, '') = COALESCE(v.text, '') THEN 'unchanged'
+                        ELSE 'modified' END AS status
+            FROM documents b FULL OUTER JOIN v2 v ON b.doc_id = v.doc_id
+        )
+        SELECT status,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        FROM diff GROUP BY status ORDER BY status
+    """,
+    "events_last_per_user": """
+        WITH ranked AS (
+            SELECT user_id,
+                   epoch_us(ts) AS last_ts_us,
+                   event_type AS last_event_type,
+                   value AS last_value,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                   ) AS rn
+            FROM events
+        )
+        SELECT user_id, last_ts_us, last_event_type, last_value
+        FROM ranked WHERE rn = 1 ORDER BY user_id
+    """,
+    "events_user_top_type": """
+        WITH counts AS (
+            SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY user_id, event_type
+        ), ranked AS (
+            SELECT user_id, event_type, n,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY n DESC, event_type
+                   ) AS rn
+            FROM counts
+        )
+        SELECT user_id, event_type AS top_type, n AS n_events
+        FROM ranked WHERE rn = 1 ORDER BY user_id
     """,
     "lineitem_qty_discount_corr": """
         WITH s AS (

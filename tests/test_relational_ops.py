@@ -589,3 +589,87 @@ class TestNationCustomerFingerprint:
         }
         for k, r in rows.items():
             assert (r["n_customers"], r["names_md5"]) == (oracle[k][1], oracle[k][2])
+
+
+class TestCorpusSnapshotDiff:
+    def test_every_class_and_null_text(self, ray_session, tmp_path):
+        # id 3 -> removed; id 4 -> modified (text||' v2'); id 5 -> unchanged
+        # AND clones an added doc under id 2000005; id 6 -> unchanged;
+        # id 10 has NULL text -> the engine hashes '' on both sides and the
+        # oracle COALESCEs, so it must classify unchanged, not modified.
+        docs = pa.table(
+            {
+                "doc_id": pa.array([3, 4, 5, 6, 10], pa.int64()),
+                "text": pa.array(["gone", "old", "keep", "same", None], pa.string()),
+            }
+        )
+        pq.write_table(docs, tmp_path / "documents.parquet")
+        rows = {
+            r["status"]: r
+            for r in QUERIES["corpus_snapshot_diff"](str(tmp_path)).take_all()
+        }
+        assert rows["removed"]["n_docs"] == 1 and rows["removed"]["id_sum"] == 3
+        assert rows["modified"]["n_docs"] == 1 and rows["modified"]["id_sum"] == 4
+        assert rows["added"]["n_docs"] == 1 and rows["added"]["id_sum"] == 2000005
+        assert rows["unchanged"]["n_docs"] == 3
+        assert rows["unchanged"]["id_sum"] == 5 + 6 + 10
+        oracle = {r[0]: r for r in _oracle(tmp_path, "corpus_snapshot_diff", ["documents"])}
+        assert set(oracle) == set(rows)
+        for k, r in rows.items():
+            assert (r["n_docs"], r["id_sum"]) == (oracle[k][1], oracle[k][2])
+
+
+class TestEventsLastPerUser:
+    def test_ts_tie_breaks_to_max_event_id(self, ray_session, tmp_path):
+        ts = pa.array(
+            [
+                np.datetime64("2024-01-01T00:00:00.000001", "us"),
+                np.datetime64("2024-01-01T00:00:00.000001", "us"),
+                np.datetime64("2024-01-01T00:00:00.000000", "us"),
+                np.datetime64("2024-06-01T12:00:00.500000", "us"),
+            ],
+            pa.timestamp("us"),
+        )
+        events = pa.table(
+            {
+                "event_id": pa.array([7, 9, 8, 1], pa.int64()),
+                "ts": ts,
+                "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+                "event_type": pa.array(["a", "b", "c", "solo"], pa.string()),
+                "value": pa.array([0.1, 0.25, 0.5, 1.75], pa.float64()),
+            }
+        )
+        pq.write_table(events, tmp_path / "events.parquet")
+        rows = QUERIES["events_last_per_user"](str(tmp_path)).take_all()
+        assert [r["user_id"] for r in rows] == [1, 2]
+        # user 1: two events share the max ts; event_id 9 must win.
+        assert rows[0]["last_event_type"] == "b" and rows[0]["last_value"] == 0.25
+        # exact epoch-us, sub-second preserved
+        assert rows[1]["last_ts_us"] % 1_000_000 == 500_000
+        oracle = _oracle(tmp_path, "events_last_per_user", ["events"])
+        assert [(r["user_id"], r["last_ts_us"], r["last_event_type"], r["last_value"]) for r in rows] == [
+            tuple(o) for o in oracle
+        ]
+
+
+class TestEventsUserTopType:
+    def test_count_tie_breaks_to_lexicographic_min(self, ray_session, tmp_path):
+        events = pa.table(
+            {
+                "user_id": pa.array([1, 1, 1, 1, 1, 2, 2, 2], pa.int64()),
+                "event_type": pa.array(
+                    ["b", "a", "b", "a", "c", "z", "z", "z"], pa.string()
+                ),
+            }
+        )
+        pq.write_table(events, tmp_path / "events.parquet")
+        rows = QUERIES["events_user_top_type"](str(tmp_path)).take_all()
+        # user 1: a and b both count 2 -> 'a' (lexicographic) wins
+        assert [(r["user_id"], r["top_type"], r["n_events"]) for r in rows] == [
+            (1, "a", 2),
+            (2, "z", 3),
+        ]
+        oracle = _oracle(tmp_path, "events_user_top_type", ["events"])
+        assert [(r["user_id"], r["top_type"], r["n_events"]) for r in rows] == [
+            tuple(o) for o in oracle
+        ]
