@@ -3979,6 +3979,138 @@ def q_events_user_top_type(sf_dir: str):
     )
 
 
+def q_event_type_cooccurrence(sf_dir: str):
+    """Market-basket pair counting: for every unordered event-type pair,
+    how many users did BOTH — the co-occurrence/association primitive
+    (feature co-presence, tag affinity).  Scale shape: per-batch distinct
+    (user, type) rows (the combiner — bounded by users×types per batch,
+    not events), ONE bucketed co-group on user-hash where each bucket
+    finishes per-user distinct sets and pre-counts its pairs locally, then
+    a tiny pair-key groupby sums buckets×C(T,2) partial rows.  Pair space
+    is C(distinct_types, 2) — small by construction; a high-cardinality
+    item domain would add a pair-hash bucket to the final groupby."""
+    from ray.data.aggregate import Sum
+
+    nb = resolve_group_buckets(None)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        seen = set(zip(batch["user_id"].to_pylist(), batch["event_type"].to_pylist()))
+        users = [u for u, _ in seen]
+        return pa.table(
+            {
+                "user_id": pa.array(users, pa.int64()),
+                "kb": pa.array([u % nb for u in users], pa.int32()),
+                "event_type": pa.array([t for _, t in seen], pa.string()),
+            }
+        )
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "pair_key": pd.array([], dtype="object"),
+                "n": pd.array([], dtype="int64"),
+            }
+        )
+        if group.empty:
+            return empty
+        g = group.drop_duplicates(["user_id", "event_type"])
+        c: Counter = Counter()
+        for _, sub in g.groupby("user_id"):
+            ts = sorted(sub["event_type"].tolist())
+            for i in range(len(ts)):
+                for j in range(i + 1, len(ts)):
+                    c[f"{ts[i]}|{ts[j]}"] += 1
+        if not c:
+            return empty
+        return pd.DataFrame(
+            {
+                "pair_key": pd.array(list(c.keys()), dtype="object"),
+                "n": pd.array(list(c.values()), dtype="int64"),
+            }
+        )
+
+    def split(batch: pa.Table) -> pa.Table:
+        keys = batch["pair_key"].to_pylist()
+        parts = [k.split("|", 1) for k in keys]
+        return pa.table(
+            {
+                "type_a": pa.array([p[0] for p in parts], pa.string()),
+                "type_b": pa.array([p[1] for p in parts], pa.string()),
+                "n_users": batch["n_users"],
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["user_id", "event_type"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("kb")
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .groupby("pair_key")
+        .aggregate(Sum("n", alias_name="n_users"))
+        .map_batches(split, batch_format="pyarrow")
+        .sort(["type_a", "type_b"])
+    )
+
+
+def q_events_value_quantile_sketch(sf_dir: str):
+    """Approximate quantiles from a deterministic bottom-k (KMV) sample —
+    the order-statistics sketch that completes the mergeable-sketch family
+    (HLL / Misra-Gries / reservoir / Bloom).  Membership = the k rows with
+    the SMALLEST md5 hash of their event_id: order-insensitive (a set, so
+    any merge order yields the same sample — unlike a classic reservoir),
+    mergeable (union → re-take bottom-k) and fully SQL-mirrorable, so the
+    approximate answer itself is value-checked bit-for-bit.  Scale shape:
+    per-batch local bottom-k partials (≤ k rows per batch, never raw
+    events), one tiny sort+limit over blocks×k rows, quantile_disc
+    element picks (1-based ceil(q·n)) from the k-row sample."""
+    import hashlib
+    import math
+
+    K = 1024
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch["value"]))
+        ids = batch["event_id"].to_pylist()
+        vals = batch["value"].to_pylist()
+        rows = sorted(
+            (
+                int.from_bytes(hashlib.md5(str(i).encode()).digest()[:8], "little"),
+                i,
+                v,
+            )
+            for i, v in zip(ids, vals)
+        )[:K]
+        return pa.table(
+            {
+                # md5 uniform is uint64; shift to signed int64 order-preserving
+                "h": pa.array([r[0] - (1 << 63) for r in rows], pa.int64()),
+                "event_id": pa.array([r[1] for r in rows], pa.int64()),
+                "value": pa.array([r[2] for r in rows], pa.float64()),
+            }
+        )
+
+    sample = (
+        _read(sf_dir, "events", ["event_id", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .sort(["h", "event_id"])
+        .limit(K)
+        .take_all()
+    )
+    values = sorted(r["value"] for r in sample)
+    n = len(values)
+    qs = (0.5, 0.9, 0.99)
+    return pa.table(
+        {
+            "q": pa.array(list(qs), pa.float64()),
+            "sample_value": pa.array(
+                [values[max(0, math.ceil(q * n) - 1)] if n else None for q in qs],
+                pa.float64(),
+            ),
+            "n_sample": pa.array([n] * len(qs), pa.int64()),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -4082,6 +4214,8 @@ QUERIES = {
     "corpus_snapshot_diff": q_corpus_snapshot_diff,
     "events_last_per_user": q_events_last_per_user,
     "events_user_top_type": q_events_user_top_type,
+    "event_type_cooccurrence": q_event_type_cooccurrence,
+    "events_value_quantile_sketch": q_events_value_quantile_sketch,
 }
 
 
@@ -5325,6 +5459,35 @@ ORACLE_SQL = {
         )
         SELECT user_id, event_type AS top_type, n AS n_events
         FROM ranked WHERE rn = 1 ORDER BY user_id
+    """,
+    "event_type_cooccurrence": """
+        WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+        SELECT a.event_type AS type_a,
+               b.event_type AS type_b,
+               CAST(count(*) AS BIGINT) AS n_users
+        FROM ut a JOIN ut b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "events_value_quantile_sketch": """
+        WITH sample AS (
+            SELECT value
+            FROM events
+            WHERE value IS NOT NULL
+            ORDER BY md5_number_upper(CAST(event_id AS VARCHAR)), event_id
+            LIMIT 1024
+        ), ordered AS (
+            SELECT value,
+                   ROW_NUMBER() OVER (ORDER BY value) AS vr,
+                   COUNT(*) OVER () AS n
+            FROM sample
+        )
+        SELECT CAST(qq.q AS DOUBLE) AS q,
+               o.value AS sample_value,
+               CAST(o.n AS BIGINT) AS n_sample
+        FROM (VALUES (0.5), (0.9), (0.99)) qq(q)
+        JOIN ordered o ON o.vr = GREATEST(1, CAST(CEIL(qq.q * o.n) AS BIGINT))
+        ORDER BY qq.q
     """,
     "lineitem_qty_discount_corr": """
         WITH s AS (

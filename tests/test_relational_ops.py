@@ -673,3 +673,49 @@ class TestEventsUserTopType:
         assert [(r["user_id"], r["top_type"], r["n_events"]) for r in rows] == [
             tuple(o) for o in oracle
         ]
+
+
+class TestEventTypeCooccurrence:
+    def test_distinct_per_user_and_pair_ordering(self, ray_session, tmp_path):
+        # user 1 has types a,b,c (b repeated -> still one) = pairs
+        # (a,b),(a,c),(b,c); user 2 has a,b -> (a,b); user 3 single type ->
+        # no pairs.  (a,b) therefore counts 2 users.
+        events = pa.table(
+            {
+                "user_id": pa.array([1, 1, 1, 1, 2, 2, 3], pa.int64()),
+                "event_type": pa.array(["a", "b", "b", "c", "b", "a", "z"], pa.string()),
+            }
+        )
+        pq.write_table(events, tmp_path / "events.parquet")
+        rows = [
+            (r["type_a"], r["type_b"], r["n_users"])
+            for r in QUERIES["event_type_cooccurrence"](str(tmp_path)).take_all()
+        ]
+        assert rows == [("a", "b", 2), ("a", "c", 1), ("b", "c", 1)]
+        oracle = _oracle(tmp_path, "event_type_cooccurrence", ["events"])
+        assert rows == [tuple(o) for o in oracle]
+
+
+class TestEventsValueQuantileSketch:
+    def test_small_input_degenerates_to_exact_quantiles(self, ray_session, tmp_path):
+        # n=10 <= k: the bottom-k sample IS the whole table, so the sketch
+        # answer equals the exact discrete quantile: index ceil(q*n) 1-based
+        # -> p50 = 5th smallest = 5.0, p90 = 9th = 9.0, p99 = 10th = 10.0.
+        # A null value must drop from the sample entirely.
+        events = pa.table(
+            {
+                "event_id": pa.array(list(range(10)) + [99], pa.int64()),
+                "value": pa.array([float(v) for v in range(1, 11)] + [None], pa.float64()),
+            }
+        )
+        pq.write_table(events, tmp_path / "events.parquet")
+        rows = QUERIES["events_value_quantile_sketch"](str(tmp_path)).to_pylist()
+        assert [(r["q"], r["sample_value"], r["n_sample"]) for r in rows] == [
+            (0.5, 5.0, 10),
+            (0.9, 9.0, 10),
+            (0.99, 10.0, 10),
+        ]
+        oracle = _oracle(tmp_path, "events_value_quantile_sketch", ["events"])
+        assert [(r["q"], r["sample_value"], r["n_sample"]) for r in rows] == [
+            tuple(o) for o in oracle
+        ]
