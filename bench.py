@@ -139,6 +139,10 @@ def _bench_queries(sf_dir: str) -> dict[str, float]:
         "trigram_lm_nll",
         "lang_temperature_sample",
         "orders_lineitem_ship_band",
+        # late round-3 relational/log-analytics additions
+        "corpus_snapshot_diff",
+        "events_last_per_user",
+        "event_type_cooccurrence",
     ]
     timings: dict[str, float] = {}
     for name in names:

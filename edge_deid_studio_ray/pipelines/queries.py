@@ -4111,6 +4111,240 @@ def q_events_value_quantile_sketch(sf_dir: str):
     )
 
 
+def q_orders_monthly_revenue_growth(sf_dir: str):
+    """Time-series aggregate with month-over-month delta (LAG over the
+    AGGREGATED series, not the raw log): monthly order count + exact-cents
+    revenue + delta vs the previous month.  Scale shape: per-batch
+    (month, n, cents) partials — the shuffle ships one row per month per
+    batch — one tiny grouped sum, then the LAG runs on the driver over the
+    calendar-bounded series (≤ months rows).  Money stays int64 cents
+    through every sum; the one division happens at emit."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        months = pc.strftime(batch["o_orderdate"], format="%Y-%m").to_pylist()
+        cents = pc.cast(
+            pc.round(pc.multiply(batch["o_totalprice"], 100.0)), pa.int64()
+        ).to_pylist()
+        agg: dict[str, list[int]] = {}
+        for mth, c in zip(months, cents):
+            slot = agg.setdefault(mth, [0, 0])
+            slot[0] += 1
+            slot[1] += c
+        return pa.table(
+            {
+                "o_month": pa.array(list(agg.keys()), pa.string()),
+                "n": pa.array([v[0] for v in agg.values()], pa.int64()),
+                "c": pa.array([v[1] for v in agg.values()], pa.int64()),
+            }
+        )
+
+    rows = (
+        _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("o_month")
+        .aggregate(Sum("n", alias_name="n_orders"), Sum("c", alias_name="cents"))
+        .take_all()
+    )
+    rows.sort(key=lambda r: r["o_month"])
+    deltas = [
+        None if i == 0 else int(r["cents"]) - int(rows[i - 1]["cents"])
+        for i, r in enumerate(rows)
+    ]
+    return pa.table(
+        {
+            "o_month": pa.array([r["o_month"] for r in rows], pa.string()),
+            "n_orders": pa.array([int(r["n_orders"]) for r in rows], pa.int64()),
+            "revenue": pa.array([int(r["cents"]) / 100.0 for r in rows], pa.float64()),
+            "delta_cents": pa.array(deltas, pa.int64()),
+        }
+    )
+
+
+def q_customer_acctbal_quartiles(sf_dir: str):
+    """Equi-height binning (NTILE(4)) over (acctbal cents, custkey) with
+    per-quartile exact stats — the quantile-bucketing operator behind
+    'score each row by its global quartile'.  Scale shape: the same
+    two-pass broadcast-prefix machinery as ``docs_global_rank``: a tiny
+    value-histogram pass fixes each distinct cents value's exclusive rank
+    offset (driver holds ≤ distinct-values rows; at web scale this pass
+    would subsample boundary candidates), then a grouped pass ranks within
+    each equal-value group by custkey and assigns NTILE buckets by rank —
+    no global sort materialization.  NTILE sizes follow the SQL rule:
+    first (n mod 4) buckets get ceil(n/4) rows."""
+    import ray
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": batch["c_custkey"],
+                "cents": pc.cast(
+                    pc.round(pc.multiply(batch["c_acctbal"], 100.0)), pa.int64()
+                ),
+            }
+        )
+
+    cents_ds = ds.map_batches(to_cents, batch_format="pyarrow")
+
+    def key_counts(batch: pa.Table) -> pa.Table:
+        c = Counter(batch["cents"].to_pylist())
+        return pa.table(
+            {
+                "cents": pa.array(list(c.keys()), pa.int64()),
+                "n": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    hist = (
+        cents_ds.map_batches(key_counts, batch_format="pyarrow")
+        .groupby("cents")
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    hist.sort(key=lambda r: r["cents"])
+    offsets, run = {}, 0
+    for r in hist:
+        offsets[r["cents"]] = run
+        run += r["n"]
+    n_total = run
+    base, rem = divmod(n_total, 4)
+    sizes = [base + 1 if i < rem else base for i in range(4)]
+    boundaries = np.cumsum(sizes)  # 1-based inclusive upper rank per quartile
+    off_ref = ray.put(offsets)
+
+    def bucket_group(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "quartile": pd.array([], dtype="int64"),
+                "n": pd.array([], dtype="int64"),
+                "s": pd.array([], dtype="int64"),
+                "mn": pd.array([], dtype="int64"),
+                "mx": pd.array([], dtype="int64"),
+            }
+        )
+        if group.empty:
+            return empty
+        cents = int(group["cents"].iloc[0])
+        off = ray.get(off_ref)[cents]
+        ranks = off + 1 + np.arange(len(group))  # order within ties: c_custkey
+        quartiles = np.searchsorted(boundaries, ranks, side="left") + 1
+        qs, counts = np.unique(quartiles, return_counts=True)
+        return pd.DataFrame(
+            {
+                "quartile": pd.array(qs, dtype="int64"),
+                "n": pd.array(counts, dtype="int64"),
+                "s": pd.array(counts * cents, dtype="int64"),
+                "mn": pd.array([cents] * len(qs), dtype="int64"),
+                "mx": pd.array([cents] * len(qs), dtype="int64"),
+            }
+        )
+
+    def sort_keys(group: pd.DataFrame) -> pd.DataFrame:
+        return bucket_group(group.sort_values("c_custkey", kind="mergesort"))
+
+    return (
+        cents_ds.groupby("cents")
+        .map_groups(sort_keys, batch_format="pandas")
+        .groupby("quartile")
+        .aggregate(
+            Sum("n", alias_name="n_customers"),
+            Sum("s", alias_name="sum_cents"),
+            Min("mn", alias_name="min_cents"),
+            Max("mx", alias_name="max_cents"),
+        )
+        .sort("quartile")
+    )
+
+
+def q_events_rolling_7d_users(sf_dir: str):
+    """Rolling 7-day distinct users per active day (the WAU curve) — the
+    windowed COUNT(DISTINCT) that plain window functions cannot express.
+    Scale shape: pass 1 collects the distinct active days (tiny,
+    calendar-bounded, broadcast via ray.put); pass 2 ships per-batch
+    distinct (user, day) pairs into ONE user-hash co-group — a user's
+    whole day-set co-locates, so each bucket expands days to the ≤7
+    present target days per (user, day), dedupes (user, target) locally
+    and emits per-day partial counts; the final exchange is buckets×days
+    rows.  No row replication of the raw log, no global distinct."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    day_us = 86_400_000_000
+    nb = resolve_group_buckets(None)
+    ev = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def day_partial(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.int64()).to_pylist()
+        days = sorted({int(t) // day_us * day_us for t in us})
+        return pa.table({"day_us": pa.array(days, pa.int64())})
+
+    day_rows = (
+        ev.map_batches(day_partial, batch_format="pyarrow")
+        .groupby("day_us")
+        .aggregate(Count(alias_name="n"))
+        .take_all()
+    )
+    days_present = np.array(sorted(r["day_us"] for r in day_rows), dtype=np.int64)
+    days_ref = ray.put(days_present)
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.int64()).to_pylist()
+        seen = {
+            (u, int(t) // day_us * day_us)
+            for u, t in zip(batch["user_id"].to_pylist(), us)
+        }
+        users = [u for u, _ in seen]
+        return pa.table(
+            {
+                "user_id": pa.array(users, pa.int64()),
+                "kb": pa.array([u % nb for u in users], pa.int32()),
+                "day_us": pa.array([d for _, d in seen], pa.int64()),
+            }
+        )
+
+    def bucket_counts(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "day_us": pd.array([], dtype="int64"),
+                "n": pd.array([], dtype="int64"),
+            }
+        )
+        if group.empty:
+            return empty
+        days = ray.get(days_ref)
+        g = group.drop_duplicates(["user_id", "day_us"])
+        covered: set = set()
+        cnt: Counter = Counter()
+        for u, d in zip(g["user_id"].tolist(), g["day_us"].tolist()):
+            lo = int(np.searchsorted(days, d, side="left"))
+            hi = int(np.searchsorted(days, d + 6 * day_us, side="right"))
+            for t in days[lo:hi]:
+                key = (u, int(t))
+                if key not in covered:
+                    covered.add(key)
+                    cnt[int(t)] += 1
+        if not cnt:
+            return empty
+        return pd.DataFrame(
+            {
+                "day_us": pd.array(list(cnt.keys()), dtype="int64"),
+                "n": pd.array(list(cnt.values()), dtype="int64"),
+            }
+        )
+
+    return (
+        ev.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby("kb")
+        .map_groups(bucket_counts, batch_format="pandas")
+        .groupby("day_us")
+        .aggregate(Sum("n", alias_name="n_users_7d"))
+        .sort("day_us")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -4216,6 +4450,9 @@ QUERIES = {
     "events_user_top_type": q_events_user_top_type,
     "event_type_cooccurrence": q_event_type_cooccurrence,
     "events_value_quantile_sketch": q_events_value_quantile_sketch,
+    "orders_monthly_revenue_growth": q_orders_monthly_revenue_growth,
+    "customer_acctbal_quartiles": q_customer_acctbal_quartiles,
+    "events_rolling_7d_users": q_events_rolling_7d_users,
 }
 
 
@@ -5488,6 +5725,45 @@ ORACLE_SQL = {
         FROM (VALUES (0.5), (0.9), (0.99)) qq(q)
         JOIN ordered o ON o.vr = GREATEST(1, CAST(CEIL(qq.q * o.n) AS BIGINT))
         ORDER BY qq.q
+    """,
+    "orders_monthly_revenue_growth": """
+        WITH m AS (
+            SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+            FROM orders GROUP BY 1
+        )
+        SELECT o_month, n_orders,
+               CAST(cents AS DOUBLE) / 100.0 AS revenue,
+               cents - LAG(cents) OVER (ORDER BY o_month) AS delta_cents
+        FROM m ORDER BY o_month
+    """,
+    "customer_acctbal_quartiles": """
+        WITH r AS (
+            SELECT CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents,
+                   NTILE(4) OVER (
+                       ORDER BY CAST(ROUND(c_acctbal * 100) AS BIGINT), c_custkey
+                   ) AS quartile
+            FROM customer
+        )
+        SELECT quartile,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(SUM(cents) AS BIGINT) AS sum_cents,
+               MIN(cents) AS min_cents,
+               MAX(cents) AS max_cents
+        FROM r GROUP BY quartile ORDER BY quartile
+    """,
+    "events_rolling_7d_users": """
+        WITH du AS (
+            SELECT DISTINCT (epoch_us(ts) // 86400000000) * 86400000000 AS day_us,
+                            user_id
+            FROM events
+        ), days AS (SELECT DISTINCT day_us FROM du)
+        SELECT d.day_us,
+               CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS n_users_7d
+        FROM days d JOIN du u
+          ON u.day_us BETWEEN d.day_us - 6 * 86400000000 AND d.day_us
+        GROUP BY d.day_us ORDER BY d.day_us
     """,
     "lineitem_qty_discount_corr": """
         WITH s AS (

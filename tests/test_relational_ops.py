@@ -719,3 +719,106 @@ class TestEventsValueQuantileSketch:
         assert [(r["q"], r["sample_value"], r["n_sample"]) for r in rows] == [
             tuple(o) for o in oracle
         ]
+
+
+class TestOrdersMonthlyRevenueGrowth:
+    def test_lag_delta_and_first_month_null(self, ray_session, tmp_path):
+        ts = pa.array(
+            [
+                np.datetime64("1995-01-05", "us"),
+                np.datetime64("1995-01-20", "us"),
+                np.datetime64("1995-02-01", "us"),
+                np.datetime64("1995-04-10", "us"),  # gap month: no 1995-03 row
+            ],
+            pa.timestamp("us"),
+        )
+        orders = pa.table(
+            {
+                "o_orderdate": ts,
+                "o_totalprice": pa.array([10.25, 4.75, 20.0, 1.0], pa.float64()),
+            }
+        )
+        pq.write_table(orders, tmp_path / "orders.parquet")
+        rows = QUERIES["orders_monthly_revenue_growth"](str(tmp_path)).to_pylist()
+        assert [(r["o_month"], r["n_orders"], r["revenue"], r["delta_cents"]) for r in rows] == [
+            ("1995-01", 2, 15.0, None),
+            ("1995-02", 1, 20.0, 500),
+            ("1995-04", 1, 1.0, -1900),  # LAG is over the series, not the calendar
+        ]
+        oracle = _oracle(tmp_path, "orders_monthly_revenue_growth", ["orders"])
+        assert [(r["o_month"], r["n_orders"], r["revenue"], r["delta_cents"]) for r in rows] == [
+            tuple(o) for o in oracle
+        ]
+
+
+class TestCustomerAcctbalQuartiles:
+    def test_ntile_sizes_and_tie_straddle(self, ray_session, tmp_path):
+        # n=6 -> NTILE(4) sizes 2,2,1,1.  Four customers share cents=100;
+        # order within the tie is c_custkey, so the tie straddles quartiles
+        # 1-3: q1={k1:50, k2:100}, q2={k3:100, k4:100}, q3={k5:100}, q4={k6:999}.
+        customer = pa.table(
+            {
+                "c_custkey": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+                "c_acctbal": pa.array([0.50, 1.0, 1.0, 1.0, 1.0, 9.99], pa.float64()),
+            }
+        )
+        pq.write_table(customer, tmp_path / "customer.parquet")
+        rows = [
+            (r["quartile"], r["n_customers"], r["sum_cents"], r["min_cents"], r["max_cents"])
+            for r in QUERIES["customer_acctbal_quartiles"](str(tmp_path)).take_all()
+        ]
+        assert rows == [
+            (1, 2, 150, 50, 100),
+            (2, 2, 200, 100, 100),
+            (3, 1, 100, 100, 100),
+            (4, 1, 999, 999, 999),
+        ]
+        oracle = _oracle(tmp_path, "customer_acctbal_quartiles", ["customer"])
+        assert rows == [tuple(o) for o in oracle]
+
+
+class TestEventsRolling7dUsers:
+    def test_window_covers_present_days_only(self, ray_session, tmp_path):
+        # users 1,2 active day 0; user 1 again day 8.  Present days: 0 and 8.
+        # Day 0 window [d-6, d] sees both users -> 2.  Day 8 window [2..8]
+        # sees only user 1's day-8 activity (day 0 is outside) -> 1.
+        day = 86_400_000_000
+        ts = pa.array(
+            np.array([0, 0, 8 * day], dtype="datetime64[us]"), pa.timestamp("us")
+        )
+        events = pa.table(
+            {
+                "ts": ts,
+                "user_id": pa.array([1, 2, 1], pa.int64()),
+            }
+        )
+        pq.write_table(events, tmp_path / "events.parquet")
+        rows = [
+            (r["day_us"], r["n_users_7d"])
+            for r in QUERIES["events_rolling_7d_users"](str(tmp_path)).take_all()
+        ]
+        assert rows == [(0, 2), (8 * day, 1)]
+        oracle = _oracle(tmp_path, "events_rolling_7d_users", ["events"])
+        assert rows == [tuple(o) for o in oracle]
+
+    def test_user_counted_once_per_target_day(self, ray_session, tmp_path):
+        # user 1 active on days 0 AND 1: day 1's window sees both activity
+        # days but the user must count once.
+        day = 86_400_000_000
+        ts = pa.array(
+            np.array([0, day, day], dtype="datetime64[us]"), pa.timestamp("us")
+        )
+        events = pa.table(
+            {
+                "ts": ts,
+                "user_id": pa.array([1, 1, 2], pa.int64()),
+            }
+        )
+        pq.write_table(events, tmp_path / "events.parquet")
+        rows = [
+            (r["day_us"], r["n_users_7d"])
+            for r in QUERIES["events_rolling_7d_users"](str(tmp_path)).take_all()
+        ]
+        assert rows == [(0, 1), (day, 2)]
+        oracle = _oracle(tmp_path, "events_rolling_7d_users", ["events"])
+        assert rows == [tuple(o) for o in oracle]
