@@ -4345,6 +4345,102 @@ def q_events_rolling_7d_users(sf_dir: str):
     )
 
 
+def _lev_le1(a: str, b: str) -> bool:
+    """Exact Levenshtein(a,b) <= 1 without the full DP: equal, one
+    substitution (same length), or one indel (length differs by 1)."""
+    if a == b:
+        return True
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:
+        return sum(x != y for x, y in zip(a, b)) <= 1
+    if la > lb:
+        a, b, la = b, a, lb
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1 :]
+
+
+def q_customer_name_editdist_pairs(sf_dir: str):
+    """Fuzzy string-similarity SELF-JOIN (Levenshtein <= 1) via
+    deletion-neighborhood blocking (FastSS): every distinct name emits
+    itself plus its L one-deletion variants as blocking keys; any pair
+    within edit distance 1 provably shares at least one key (equal →
+    identity key, substitution → same-position deletions collide, indel →
+    the longer side's deletion hits the shorter's identity), so the join
+    never compares strings outside a shared block.  Scale shape: the
+    variant rows (L+1 per name, tens of bytes each) are the only
+    replication; blocks co-group in ONE hash-bucketed exchange, each
+    bucket verifies its blocks' candidate pairs with the exact O(L)
+    check, and a tiny pair-key dedup removes cross-block repeats.  The
+    oracle is DuckDB's own ``levenshtein`` over the full cross join —
+    the blocked join must reproduce it exactly."""
+    import zlib
+
+    nb = resolve_group_buckets(None)
+
+    def variants(batch: pa.Table) -> pa.Table:
+        out_v: list[str] = []
+        out_kb: list[int] = []
+        out_n: list[str] = []
+        for s in set(batch["c_name"].to_pylist()):
+            if s is None:
+                continue
+            for v in {s} | {s[:i] + s[i + 1 :] for i in range(len(s))}:
+                out_v.append(v)
+                out_kb.append(zlib.crc32(v.encode()) % nb)
+                out_n.append(s)
+        return pa.table(
+            {
+                "vkey": pa.array(out_v, pa.string()),
+                "kb": pa.array(out_kb, pa.int32()),
+                "c_name": pa.array(out_n, pa.string()),
+            }
+        )
+
+    def bucket_pairs(group: pd.DataFrame) -> pa.Table:
+        pairs: set[tuple[str, str]] = set()
+        if not group.empty:
+            for _, sub in group.groupby("vkey"):
+                names = sorted(set(sub["c_name"]))
+                for i in range(len(names)):
+                    for j in range(i + 1, len(names)):
+                        a, b = names[i], names[j]
+                        if (a, b) not in pairs and _lev_le1(a, b):
+                            pairs.add((a, b))
+        ordered = sorted(pairs)
+        # typed Arrow return (even when empty): keeps every block's schema
+        # identical and the size estimator off the object-dtype path
+        return pa.table(
+            {
+                "pair_key": pa.array([f"{a}|{b}" for a, b in ordered], pa.string()),
+                "name_a": pa.array([a for a, _ in ordered], pa.string()),
+                "name_b": pa.array([b for _, b in ordered], pa.string()),
+            }
+        )
+
+    def first_of_pair(group: pd.DataFrame) -> pa.Table:
+        g = group.head(1)
+        return pa.table(
+            {
+                "name_a": pa.array(g["name_a"].tolist(), pa.string()),
+                "name_b": pa.array(g["name_b"].tolist(), pa.string()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "customer", ["c_name"])
+        .map_batches(variants, batch_format="pyarrow")
+        .groupby("kb")
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .groupby("pair_key")
+        .map_groups(first_of_pair, batch_format="pandas")
+        .sort(["name_a", "name_b"])
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -4453,6 +4549,7 @@ QUERIES = {
     "orders_monthly_revenue_growth": q_orders_monthly_revenue_growth,
     "customer_acctbal_quartiles": q_customer_acctbal_quartiles,
     "events_rolling_7d_users": q_events_rolling_7d_users,
+    "customer_name_editdist_pairs": q_customer_name_editdist_pairs,
 }
 
 
@@ -5764,6 +5861,14 @@ ORACLE_SQL = {
         FROM days d JOIN du u
           ON u.day_us BETWEEN d.day_us - 6 * 86400000000 AND d.day_us
         GROUP BY d.day_us ORDER BY d.day_us
+    """,
+    "customer_name_editdist_pairs": """
+        WITH n AS (SELECT DISTINCT c_name FROM customer WHERE c_name IS NOT NULL)
+        SELECT a.c_name AS name_a, b.c_name AS name_b
+        FROM n a JOIN n b
+          ON a.c_name < b.c_name
+         AND levenshtein(a.c_name, b.c_name) <= 1
+        ORDER BY 1, 2
     """,
     "lineitem_qty_discount_corr": """
         WITH s AS (

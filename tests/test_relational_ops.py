@@ -822,3 +822,39 @@ class TestEventsRolling7dUsers:
         assert rows == [(0, 1), (day, 2)]
         oracle = _oracle(tmp_path, "events_rolling_7d_users", ["events"])
         assert rows == [tuple(o) for o in oracle]
+
+
+class TestCustomerNameEditdistPairs:
+    def test_substitution_indel_and_blocking_completeness(self, ray_session, tmp_path):
+        # abc~abd (substitution), abc~abcd (insertion at end), abc~ab
+        # (deletion), abcd~abd (deletion mid), xyz matches nothing;
+        # duplicate name rows must not produce a self-pair.
+        customer = pa.table(
+            {
+                "c_name": pa.array(
+                    ["abc", "abd", "abcd", "ab", "xyz", "abc"], pa.string()
+                ),
+            }
+        )
+        pq.write_table(customer, tmp_path / "customer.parquet")
+        rows = [
+            (r["name_a"], r["name_b"])
+            for r in QUERIES["customer_name_editdist_pairs"](str(tmp_path)).take_all()
+        ]
+        assert rows == [
+            ("ab", "abc"),
+            ("ab", "abd"),
+            ("abc", "abcd"),
+            ("abc", "abd"),
+            ("abcd", "abd"),
+        ]
+        oracle = _oracle(tmp_path, "customer_name_editdist_pairs", ["customer"])
+        assert rows == [tuple(o) for o in oracle]
+
+    def test_lev_le1_kernel(self):
+        from edge_deid_studio_ray.pipelines.queries import _lev_le1
+
+        assert _lev_le1("a", "a") and _lev_le1("", "a") and _lev_le1("ab", "b")
+        assert _lev_le1("kitten", "mitten") and not _lev_le1("kitten", "sitten_")
+        assert not _lev_le1("abc", "cba") and not _lev_le1("ab", "ba_")
+        assert _lev_le1("abcd", "acd") and not _lev_le1("abcd", "adbc")
