@@ -68,6 +68,11 @@ def test_sigkill_mid_job_then_resume(tmp_path):
     proc.wait(timeout=60)
 
     committed_before = set(os.listdir(manifests)) if os.path.isdir(manifests) else set()
+    if killed and len(committed_before) == 4:
+        # race: between the manifest-count check and SIGKILL delivery the
+        # remaining shards all committed (seen under heavy CPU contention);
+        # treat like the finished-before-kill path — resume must still skip
+        killed = False
     if killed:
         assert 1 <= len(committed_before) < 4
 
