@@ -4441,6 +4441,428 @@ def q_customer_name_editdist_pairs(sf_dir: str):
     )
 
 
+def q_important_parts(sf_dir: str):
+    """TPC-H-Q11-shaped "important stock" (grouped HAVING vs a global
+    scalar subquery): parts whose lineitem value exceeds 1.05× the mean
+    per-part value (mean-relative, so the predicate is non-degenerate at
+    every scale — Q11's fixed fraction must itself be rescaled by SF).
+    Scale shape: per-batch integer partials (price-cents × integral qty)
+    collapse lineitem to ≤ one row per partkey per batch before the ONE
+    grouped sum; the grouped per-part table is bounded by |part|
+    (dimension-sized) so it materializes once, the total AND the group
+    count fold from it as one tiny aggregate (no second fact scan), and
+    the threshold compare stays integer-exact
+    (units × n_parts × 20 > 21 × total — no division; int64 headroom
+    documented: overflows only past ~4e14 part-dollars × |part|).  The
+    surfaced value column is one final exact /100.0, bit-identical to the
+    SQL mirror."""
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(batch["l_extendedprice"], 100.0)), pa.int64())
+        qty = pc.cast(pc.round(batch["l_quantity"]), pa.int64())
+        units = pc.multiply(cents, qty)
+        c: Counter = Counter()
+        for k, u in zip(batch["l_partkey"].to_pylist(), units.to_pylist()):
+            c[k] += u
+        return pa.table(
+            {
+                "l_partkey": pa.array(list(c.keys()), pa.int64()),
+                "units": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    per_part = (
+        _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_quantity"])
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .aggregate(Sum("units", alias_name="units"))
+        .materialize()  # bounded by |part|; reused for the total AND the filter
+    )
+    from ray.data.aggregate import Count
+
+    scal = per_part.aggregate(Sum("units", alias_name="t"), Count(alias_name="n"))
+    total, n_parts = int(scal["t"]), int(scal["n"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.greater(pc.multiply(batch["units"], n_parts * 20), total * 21)
+        )
+        return pa.table(
+            {
+                "l_partkey": batch["l_partkey"],
+                "value": pc.divide(pc.cast(batch["units"], pa.float64()), 100.0),
+            }
+        )
+
+    return per_part.map_batches(finish, batch_format="pyarrow").sort("l_partkey")
+
+
+def q_top_revenue_suppliers(sf_dir: str):
+    """TPC-H-Q15-shaped argmax-equality: the supplier(s) whose 1996-Q1
+    shipped revenue equals the global maximum.  Scale shape: lineitem
+    collapses to per-supplier integer partials per batch, ONE grouped sum
+    produces the |supplier|-bounded revenue table (materialized once), the
+    max folds from it as a tiny aggregate, and the equality filter plus the
+    broadcast supplier-name lookup finish map-side.  Ties surface every
+    argmax row, exactly as the SQL mirror's ``= (SELECT max(..))`` does."""
+    import ray
+    from ray.data.aggregate import Max, Sum
+
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"), pa.timestamp("us"))
+    hi = pa.scalar(np.datetime64("1996-04-01", "us"), pa.timestamp("us"))
+
+    names: dict[int, str] = {}
+    for batch in _read(sf_dir, "supplier", ["s_suppkey", "s_name"]).iter_batches(
+        batch_size=65536, batch_format="pyarrow"
+    ):
+        names.update(zip(batch["s_suppkey"].to_pylist(), batch["s_name"].to_pylist()))
+    names_ref = ray.put(names)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.and_(pc.greater_equal(batch["l_shipdate"], lo), pc.less(batch["l_shipdate"], hi))
+        )
+        units = _money_units(batch["l_extendedprice"], batch["l_discount"])
+        c: Counter = Counter()
+        for k, u in zip(batch["l_suppkey"].to_pylist(), units.to_pylist()):
+            c[k] += u
+        return pa.table(
+            {
+                "s_suppkey": pa.array(list(c.keys()), pa.int64()),
+                "units": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    per_supp = (
+        _read(sf_dir, "lineitem", ["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"])
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby("s_suppkey")
+        .aggregate(Sum("units", alias_name="units"))
+        .materialize()  # bounded by |supplier|
+    )
+    best = int(per_supp.aggregate(Max("units", alias_name="m"))["m"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.equal(batch["units"], best))
+        lookup = ray.get(names_ref)
+        keys = batch["s_suppkey"].to_pylist()
+        return pa.table(
+            {
+                "s_suppkey": pa.array(keys, pa.int64()),
+                "s_name": pa.array([lookup.get(k) for k in keys], pa.string()),
+                "total_revenue": pc.divide(pc.cast(batch["units"], pa.float64()), 10000.0),
+            }
+        )
+
+    return per_supp.map_batches(finish, batch_format="pyarrow").sort("s_suppkey")
+
+
+def q_part_supplier_variety(sf_dir: str):
+    """TPC-H-Q16-shaped supplier variety: exact COUNT(DISTINCT supplier)
+    per part brand over the lineitem fact, excluding one brand (the
+    NOT-IN side).  Scale shape: the part dimension broadcasts once
+    (partkey→brand via ``ray.put``) so lineitem never ships raw rows —
+    each batch emits only its DISTINCT (brand, suppkey) pairs; the pair
+    set (≤ |brand|×|supplier| corpus-wide) co-groups in ONE
+    pair-hash-bucketed exchange where each bucket dedups its pairs and
+    emits per-brand partial counts (every pair lands in exactly one
+    bucket, so partials never double-count), and a final tiny grouped sum
+    yields the exact distinct count."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    nb = resolve_group_buckets()
+    brand_of: dict[int, str] = {}
+    for batch in _read(sf_dir, "part", ["p_partkey", "p_brand"]).iter_batches(
+        batch_size=65536, batch_format="pyarrow"
+    ):
+        brand_of.update(zip(batch["p_partkey"].to_pylist(), batch["p_brand"].to_pylist()))
+    brand_ref = ray.put(brand_of)
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(brand_ref)
+        seen = set()
+        for p, s in zip(batch["l_partkey"].to_pylist(), batch["l_suppkey"].to_pylist()):
+            b = lookup.get(p)
+            if b is not None and b != "Brand#13":
+                seen.add((b, s))
+        items = sorted(seen)
+        return pa.table(
+            {
+                "p_brand": pa.array([b for b, _ in items], pa.string()),
+                "l_suppkey": pa.array([s for _, s in items], pa.int64()),
+                "kb": pa.array([_kbucket(f"{b}|{s}", nb) for b, s in items], pa.int32()),
+            }
+        )
+
+    def bucket_counts(group: pd.DataFrame) -> pd.DataFrame:
+        d = group.drop_duplicates(["p_brand", "l_suppkey"])
+        agg = d.groupby("p_brand").size()
+        return pd.DataFrame(
+            {
+                "p_brand": pd.Series(agg.index, dtype="object"),
+                "n_p": pd.Series(agg.to_numpy(), dtype="int64"),
+            }
+        )
+
+    return (
+        _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+        .map_batches(pairs, batch_format="pyarrow")
+        .groupby("kb")
+        .map_groups(bucket_counts, batch_format="pandas")
+        .groupby("p_brand")
+        .aggregate(Sum("n_p", alias_name="supplier_cnt"))
+        .sort("p_brand")
+    )
+
+
+def q_large_volume_customers(sf_dir: str):
+    """TPC-H-Q18-shaped large-volume-order report: orders whose total
+    lineitem quantity exceeds 250, with the ordering customer's name (the
+    grouped-HAVING → join shape).  Scale shape: lineitem collapses to
+    per-order integer qty partials per batch; the ONLY exchange is one
+    orderkey-hash-bucketed co-group of those partials with the narrow
+    orders projection (the house union + map_groups join — robust to the
+    empty/skewed buckets that break ``Dataset.join``'s pyarrow finalize),
+    where each bucket finishes the per-order sums and applies the HAVING
+    filter so only qualifying rows (~1 per 1000 orders here) leave the
+    bucket; the customer name attaches from a broadcast dimension lookup
+    map-side."""
+    import ray
+
+    nb = resolve_group_buckets()
+    names: dict[int, str] = {}
+    for batch in _read(sf_dir, "customer", ["c_custkey", "c_name"]).iter_batches(
+        batch_size=65536, batch_format="pyarrow"
+    ):
+        names.update(zip(batch["c_custkey"].to_pylist(), batch["c_name"].to_pylist()))
+    names_ref = ray.put(names)
+
+    def line_partial(batch: pa.Table) -> pa.Table:
+        qty = pc.cast(pc.round(batch["l_quantity"]), pa.int64())
+        c: Counter = Counter()
+        for k, q in zip(batch["l_orderkey"].to_pylist(), qty.to_pylist()):
+            c[k] += q
+        okeys = list(c.keys())
+        n = len(okeys)
+        return pa.table(
+            {
+                "okey": pa.array(okeys, pa.int64()),
+                "kb": pa.array([k % nb for k in okeys], pa.int32()),
+                "qty": pa.array(list(c.values()), pa.int64()),
+                "o_custkey": pa.array([None] * n, pa.int64()),
+                "o_orderdate": pa.array([None] * n, pa.string()),
+            }
+        )
+
+    def order_rows(batch: pa.Table) -> pa.Table:
+        okeys = batch["o_orderkey"].to_pylist()
+        return pa.table(
+            {
+                "okey": pa.array(okeys, pa.int64()),
+                "kb": pa.array([k % nb for k in okeys], pa.int32()),
+                "qty": pa.array([0] * len(okeys), pa.int64()),
+                "o_custkey": batch["o_custkey"].cast(pa.int64()),
+                "o_orderdate": pc.strftime(batch["o_orderdate"], format="%Y-%m-%d"),
+            }
+        )
+
+    def bucket_join(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "o_orderkey": pd.array([], dtype="int64"),
+                "c_custkey": pd.array([], dtype="int64"),
+                "o_orderdate": pd.array([], dtype="object"),
+                "total_qty": pd.array([], dtype="int64"),
+            }
+        )
+        if group.empty:
+            return empty
+        dims = group[group["o_orderdate"].notna()]
+        facts = group[group["o_orderdate"].isna()]
+        if dims.empty or facts.empty:
+            return empty
+        sums = facts.groupby("okey", as_index=False)["qty"].sum()
+        sums = sums[sums["qty"] > 250]
+        if sums.empty:
+            return empty
+        merged = sums.merge(dims[["okey", "o_custkey", "o_orderdate"]], on="okey", how="inner")
+        return pd.DataFrame(
+            {
+                "o_orderkey": merged["okey"].astype("int64"),
+                "c_custkey": merged["o_custkey"].astype("int64"),
+                "o_orderdate": merged["o_orderdate"],
+                "total_qty": merged["qty"].astype("int64"),
+            }
+        )
+
+    def attach_names(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(names_ref)
+        return pa.table(
+            {
+                "c_name": pa.array(
+                    [lookup.get(k) for k in batch["c_custkey"].to_pylist()], pa.string()
+                ),
+                "c_custkey": batch["c_custkey"],
+                "o_orderkey": batch["o_orderkey"],
+                "o_orderdate": batch["o_orderdate"],
+                "total_qty": batch["total_qty"],
+            }
+        )
+
+    line = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]).map_batches(
+        line_partial, batch_format="pyarrow"
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        order_rows, batch_format="pyarrow"
+    )
+    return (
+        line.union(orders)
+        .groupby("kb")
+        .map_groups(bucket_join, batch_format="pandas")
+        .map_batches(attach_names, batch_format="pyarrow")
+        .sort(["total_qty", "o_orderkey"], descending=[True, False])
+    )
+
+
+def q_wealthy_inactive_customers(sf_dir: str):
+    """TPC-H-Q22-shaped composite: customers with above-average positive
+    account balance and no HIGH-VALUE order (price > 300k), aggregated per
+    nation (scalar-avg subquery + anti-join + group).  Scale shape: the average threshold is
+    two exact int64 scalars (positive-balance cent sum + count) from one
+    grouped-free aggregate, applied map-side as the integer-exact compare
+    ``cents × n_pos > sum_cents`` (no float division anywhere); the
+    anti-join reuses the Bloom split from ``customers_without_orders`` —
+    definite-miss rows fold into per-nation partials without shuffling,
+    only Bloom "maybe" rows co-group with the distinct order custkeys for
+    the exact verify; a final tiny grouped sum yields per-nation count and
+    balance total (cents → one exact /100.0)."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    from ..functions.sketches import build_bloom
+
+    nb = resolve_group_buckets()
+    customers = _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def pos_cents(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.greater(batch["c_acctbal"], 0.0))
+        return pa.table(
+            {"cents": pc.cast(pc.round(pc.multiply(batch["c_acctbal"], 100.0)), pa.int64())}
+        )
+
+    scal = customers.map_batches(pos_cents, batch_format="pyarrow").aggregate(
+        Sum("cents", alias_name="s"), Count(alias_name="n")
+    )
+    # Dataset.aggregate returns None on an empty pipeline (no positive rows)
+    sum_cents = int(scal["s"]) if scal and scal["s"] is not None else 0
+    n_pos = int(scal["n"]) if scal else 0
+
+    # anti-join side = HIGH-VALUE orders (price > 300k): keeps the result
+    # non-degenerate at every test SF while preserving the Q22 plan shape
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], 300000.0)).select(["o_custkey"]),
+        batch_format="pyarrow",
+    )
+    bloom = build_bloom(orders, "o_custkey")
+    bloom_ref = ray.put(bloom)
+
+    def split_customers(batch: pa.Table) -> pa.Table:
+        """Above-threshold rows split by the Bloom: definite misses fold to
+        per-nation (count, cent-sum) partial rows (kbucket −1 skips the
+        co-group); maybes ship (key, nation, cents) for the exact verify."""
+        b = ray.get(bloom_ref)
+        cents_all = pc.cast(pc.round(pc.multiply(batch["c_acctbal"], 100.0)), pa.int64())
+        mask = pc.greater(pc.multiply(cents_all, n_pos), sum_cents)
+        batch = batch.append_column("cents", cents_all).filter(mask)
+        keys = batch["c_custkey"].to_pylist()
+        nations = batch["c_nationkey"].to_pylist()
+        cents = batch["cents"].to_pylist()
+        maybe = b.contains_many(keys)
+        out = {k: [] for k in ("key", "kbucket", "c_nationkey", "is_cust", "n_p", "cents_p")}
+        miss: dict[int, list[int]] = {}
+        for key, nat, cen, m in zip(keys, nations, cents, maybe):
+            if m:
+                out["key"].append(key)
+                out["kbucket"].append(_kbucket(key, nb))
+                out["c_nationkey"].append(int(nat))
+                out["is_cust"].append(True)
+                out["n_p"].append(0)
+                out["cents_p"].append(cen)
+            else:
+                acc = miss.setdefault(int(nat), [0, 0])
+                acc[0] += 1
+                acc[1] += cen
+        for nat, (n, c) in miss.items():
+            out["key"].append(-1)
+            out["kbucket"].append(-1)
+            out["c_nationkey"].append(nat)
+            out["is_cust"].append(True)
+            out["n_p"].append(n)
+            out["cents_p"].append(c)
+        return pa.table(
+            {
+                "key": pa.array(out["key"], pa.int64()),
+                "kbucket": pa.array(out["kbucket"], pa.int32()),
+                "c_nationkey": pa.array(out["c_nationkey"], pa.int64()),
+                "is_cust": pa.array(out["is_cust"], pa.bool_()),
+                "n_p": pa.array(out["n_p"], pa.int64()),
+                "cents_p": pa.array(out["cents_p"], pa.int64()),
+            }
+        )
+
+    def order_keys(batch: pa.Table) -> pa.Table:
+        keys = pc.unique(batch["o_custkey"]).to_pylist()
+        n = len(keys)
+        return pa.table(
+            {
+                "key": pa.array(keys, pa.int64()),
+                "kbucket": pa.array([_kbucket(k, nb) for k in keys], pa.int32()),
+                "c_nationkey": pa.array([0] * n, pa.int64()),
+                "is_cust": pa.array([False] * n, pa.bool_()),
+                "n_p": pa.array([0] * n, pa.int64()),
+                "cents_p": pa.array([0] * n, pa.int64()),
+            }
+        )
+
+    def anti(bucket: pd.DataFrame) -> pd.DataFrame:
+        if int(bucket["kbucket"].iloc[0]) == -1:
+            sub = bucket
+        else:
+            with_orders = set(bucket.loc[~bucket["is_cust"], "key"])
+            survivors = bucket.loc[bucket["is_cust"] & ~bucket["key"].isin(with_orders)]
+            sub = survivors.assign(n_p=1)
+        agg = sub.groupby("c_nationkey").agg(n=("n_p", "sum"), c=("cents_p", "sum"))
+        return pd.DataFrame(
+            {
+                "c_nationkey": pd.Series(agg.index, dtype="int64"),
+                "n_p": pd.Series(agg["n"].to_numpy(), dtype="int64"),
+                "cents_p": pd.Series(agg["c"].to_numpy(), dtype="int64"),
+            }
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_nationkey": batch["c_nationkey"],
+                "numcust": batch["numcust"],
+                "totacctbal": pc.divide(pc.cast(batch["cents"], pa.float64()), 100.0),
+            }
+        )
+
+    return (
+        orders.map_batches(order_keys, batch_format="pyarrow")
+        .union(customers.map_batches(split_customers, batch_format="pyarrow"))
+        .groupby("kbucket")
+        .map_groups(anti, batch_format="pandas")
+        .groupby("c_nationkey")
+        .aggregate(Sum("n_p", alias_name="numcust"), Sum("cents_p", alias_name="cents"))
+        .map_batches(finish, batch_format="pyarrow")
+        .sort("c_nationkey")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -4550,6 +4972,11 @@ QUERIES = {
     "customer_acctbal_quartiles": q_customer_acctbal_quartiles,
     "events_rolling_7d_users": q_events_rolling_7d_users,
     "customer_name_editdist_pairs": q_customer_name_editdist_pairs,
+    "important_parts": q_important_parts,
+    "top_revenue_suppliers": q_top_revenue_suppliers,
+    "part_supplier_variety": q_part_supplier_variety,
+    "large_volume_customers": q_large_volume_customers,
+    "wealthy_inactive_customers": q_wealthy_inactive_customers,
 }
 
 
@@ -5891,5 +6318,73 @@ ORACLE_SQL = {
                             * sqrt(CAST(n*syy - sy*sy AS DOUBLE)))
                END AS corr_qty_discount
         FROM s
+    """,
+    "important_parts": """
+        WITH per_part AS (
+            SELECT l_partkey,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                            * CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS units
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT l_partkey, CAST(units AS DOUBLE) / 100.0 AS value
+        FROM per_part
+        WHERE units * (SELECT CAST(count(*) AS BIGINT) FROM per_part) * 20
+              > 21 * (SELECT CAST(SUM(units) AS BIGINT) FROM per_part)
+        ORDER BY l_partkey
+    """,
+    "top_revenue_suppliers": """
+        WITH rev AS (
+            SELECT l_suppkey AS s_suppkey,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT) AS units
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'
+            GROUP BY 1
+        )
+        SELECT s.s_suppkey, s.s_name, CAST(units AS DOUBLE) / 10000.0 AS total_revenue
+        FROM rev JOIN supplier s USING (s_suppkey)
+        WHERE units = (SELECT max(units) FROM rev)
+        ORDER BY s.s_suppkey
+    """,
+    "part_supplier_variety": """
+        SELECT p.p_brand, CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_brand <> 'Brand#13'
+        GROUP BY p.p_brand
+        ORDER BY p.p_brand
+    """,
+    "large_volume_customers": """
+        WITH big AS (
+            SELECT l_orderkey,
+                   CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING SUM(CAST(ROUND(l_quantity) AS BIGINT)) > 250
+        )
+        SELECT c.c_name, CAST(o.o_custkey AS BIGINT) AS c_custkey, o.o_orderkey,
+               strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate, b.total_qty
+        FROM big b
+        JOIN orders o ON b.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        ORDER BY b.total_qty DESC, o.o_orderkey
+    """,
+    "wealthy_inactive_customers": """
+        WITH pos AS (
+            SELECT CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS s,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM customer WHERE c_acctbal > 0
+        ),
+        wealthy AS (
+            SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+                   CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+            FROM customer, pos
+            WHERE CAST(ROUND(c_acctbal * 100) AS BIGINT) * pos.n > pos.s
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = customer.c_custkey
+                                AND o.o_totalprice > 300000.0)
+        )
+        SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+               CAST(CAST(SUM(cents) AS BIGINT) AS DOUBLE) / 100.0 AS totacctbal
+        FROM wealthy GROUP BY c_nationkey ORDER BY c_nationkey
     """,
 }

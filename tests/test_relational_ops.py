@@ -858,3 +858,214 @@ class TestCustomerNameEditdistPairs:
         assert _lev_le1("kitten", "mitten") and not _lev_le1("kitten", "sitten_")
         assert not _lev_le1("abc", "cba") and not _lev_le1("ab", "ba_")
         assert _lev_le1("abcd", "acd") and not _lev_le1("abcd", "adbc")
+
+
+class TestImportantParts:
+    def test_strict_mean_relative_boundary(self, ray_session, tmp_path):
+        # per-part units (cents, qty=1): 22, 21, 21, 16 -> total 80, n=4.
+        # Threshold: units*4*20 > 21*80 i.e. units > 21. The two 21s sit
+        # EXACTLY at 1.05x the mean and must be excluded (strict >).
+        lineitem = pa.table(
+            {
+                "l_partkey": pa.array([1, 2, 3, 4], pa.int64()),
+                "l_extendedprice": pa.array([0.22, 0.21, 0.21, 0.16], pa.float64()),
+                "l_quantity": pa.array([1.0, 1.0, 1.0, 1.0], pa.float64()),
+            }
+        )
+        pq.write_table(lineitem, tmp_path / "lineitem.parquet")
+        rows = QUERIES["important_parts"](str(tmp_path)).take_all()
+        assert [(r["l_partkey"], r["value"]) for r in rows] == [(1, 0.22)]
+        oracle = _oracle(tmp_path, "important_parts", ["lineitem"])
+        assert [tuple(o) for o in oracle] == [(1, 0.22)]
+
+    def test_multi_row_parts_aggregate_before_threshold(self, ray_session, tmp_path):
+        # part 1 = two rows of 10.00x2 -> units 2000*2*2; part 2 one small row.
+        lineitem = pa.table(
+            {
+                "l_partkey": pa.array([1, 1, 2], pa.int64()),
+                "l_extendedprice": pa.array([10.0, 10.0, 1.0], pa.float64()),
+                "l_quantity": pa.array([2.0, 2.0, 1.0], pa.float64()),
+            }
+        )
+        pq.write_table(lineitem, tmp_path / "lineitem.parquet")
+        rows = QUERIES["important_parts"](str(tmp_path)).take_all()
+        assert [(r["l_partkey"], r["value"]) for r in rows] == [(1, 40.0)]
+        assert [tuple(o) for o in _oracle(tmp_path, "important_parts", ["lineitem"])] == [
+            (1, 40.0)
+        ]
+
+
+class TestTopRevenueSuppliers:
+    def test_argmax_ties_and_window_bounds(self, ray_session, tmp_path):
+        # supp 1: one 10.00 disc 0 row in-window -> units 100000
+        # supp 2: two 5.00 rows in-window -> tie at 100000 (both emitted)
+        # supp 3: 20.00 row BEFORE the window; supp 4: ON the exclusive end
+        ts = lambda s: np.datetime64(s, "us")
+        lineitem = pa.table(
+            {
+                "l_suppkey": pa.array([1, 2, 2, 3, 4], pa.int64()),
+                "l_shipdate": pa.array(
+                    [
+                        ts("1996-01-01T00:00:00"),  # inclusive start
+                        ts("1996-02-01"),
+                        ts("1996-03-31T23:59:59"),
+                        ts("1995-12-31T23:59:59"),  # before window
+                        ts("1996-04-01T00:00:00"),  # exclusive end
+                    ],
+                    pa.timestamp("us"),
+                ),
+                "l_extendedprice": pa.array([10.0, 5.0, 5.0, 20.0, 20.0], pa.float64()),
+                "l_discount": pa.array([0.0] * 5, pa.float64()),
+            }
+        )
+        supplier = pa.table(
+            {
+                "s_suppkey": pa.array([1, 2, 3, 4], pa.int64()),
+                "s_name": pa.array(["s-one", "s-two", "s-three", "s-four"], pa.string()),
+            }
+        )
+        pq.write_table(lineitem, tmp_path / "lineitem.parquet")
+        pq.write_table(supplier, tmp_path / "supplier.parquet")
+        rows = QUERIES["top_revenue_suppliers"](str(tmp_path)).take_all()
+        got = [(r["s_suppkey"], r["s_name"], r["total_revenue"]) for r in rows]
+        assert got == [(1, "s-one", 10.0), (2, "s-two", 10.0)]
+        assert [tuple(o) for o in _oracle(tmp_path, "top_revenue_suppliers", ["lineitem", "supplier"])] == got
+
+    def test_discount_enters_revenue(self, ray_session, tmp_path):
+        # 10.00 at 10% discount (9000 units/cent) loses to 9.50 at 0%.
+        lineitem = pa.table(
+            {
+                "l_suppkey": pa.array([1, 2], pa.int64()),
+                "l_shipdate": pa.array(
+                    [np.datetime64("1996-02-01", "us")] * 2, pa.timestamp("us")
+                ),
+                "l_extendedprice": pa.array([10.0, 9.5], pa.float64()),
+                "l_discount": pa.array([0.10, 0.0], pa.float64()),
+            }
+        )
+        supplier = pa.table(
+            {
+                "s_suppkey": pa.array([1, 2], pa.int64()),
+                "s_name": pa.array(["a", "b"], pa.string()),
+            }
+        )
+        pq.write_table(lineitem, tmp_path / "lineitem.parquet")
+        pq.write_table(supplier, tmp_path / "supplier.parquet")
+        rows = QUERIES["top_revenue_suppliers"](str(tmp_path)).take_all()
+        assert [(r["s_suppkey"], r["total_revenue"]) for r in rows] == [(2, 9.5)]
+
+
+class TestPartSupplierVariety:
+    def test_distinct_pairs_and_brand_exclusion(self, ray_session, tmp_path):
+        # (brand A, supp 1) appears twice -> counts once; part 4 is
+        # Brand#13 -> excluded entirely; part 5 never shipped -> no row.
+        part = pa.table(
+            {
+                "p_partkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "p_brand": pa.array(
+                    ["Brand#1", "Brand#1", "Brand#2", "Brand#13", "Brand#3"], pa.string()
+                ),
+            }
+        )
+        lineitem = pa.table(
+            {
+                "l_partkey": pa.array([1, 1, 2, 3, 4], pa.int64()),
+                "l_suppkey": pa.array([10, 10, 11, 10, 12], pa.int64()),
+            }
+        )
+        pq.write_table(part, tmp_path / "part.parquet")
+        pq.write_table(lineitem, tmp_path / "lineitem.parquet")
+        rows = QUERIES["part_supplier_variety"](str(tmp_path)).take_all()
+        got = [(r["p_brand"], r["supplier_cnt"]) for r in rows]
+        assert got == [("Brand#1", 2), ("Brand#2", 1)]
+        assert [tuple(o) for o in _oracle(tmp_path, "part_supplier_variety", ["lineitem", "part"])] == got
+
+
+class TestLargeVolumeCustomers:
+    def test_having_boundary_and_name_attach(self, ray_session, tmp_path):
+        # order 100: qty 250 exactly -> excluded (strict >). order 200:
+        # 125+126=251 -> included. order 300: no order row (orphan
+        # lineitem) -> inner-join drops it.
+        lineitem = pa.table(
+            {
+                "l_orderkey": pa.array([100, 200, 200, 300], pa.int64()),
+                "l_quantity": pa.array([250.0, 125.0, 126.0, 999.0], pa.float64()),
+            }
+        )
+        orders = pa.table(
+            {
+                "o_orderkey": pa.array([100, 200], pa.int64()),
+                "o_custkey": pa.array([7, 8], pa.int64()),
+                "o_orderdate": pa.array(
+                    [np.datetime64("1995-01-02", "us"), np.datetime64("1996-07-04", "us")],
+                    pa.timestamp("us"),
+                ),
+            }
+        )
+        customer = pa.table(
+            {
+                "c_custkey": pa.array([7, 8], pa.int64()),
+                "c_name": pa.array(["cust-seven", "cust-eight"], pa.string()),
+            }
+        )
+        pq.write_table(lineitem, tmp_path / "lineitem.parquet")
+        pq.write_table(orders, tmp_path / "orders.parquet")
+        pq.write_table(customer, tmp_path / "customer.parquet")
+        rows = QUERIES["large_volume_customers"](str(tmp_path)).take_all()
+        got = [
+            (r["c_name"], r["c_custkey"], r["o_orderkey"], r["o_orderdate"], r["total_qty"])
+            for r in rows
+        ]
+        assert got == [("cust-eight", 8, 200, "1996-07-04", 251)]
+        assert [tuple(o) for o in _oracle(tmp_path, "large_volume_customers", ["lineitem", "orders", "customer"])] == got
+
+
+class TestWealthyInactiveCustomers:
+    def test_mean_boundary_and_high_value_anti_join(self, ray_session, tmp_path):
+        # positive balances 10, 20, 30, 30, 30 -> mean 24. Customer 1 (10)
+        # and 2 (20) below; 3/4/5 (30) above. Customer 3 has a HIGH-value
+        # order -> excluded; customer 4 has only a low-value order ->
+        # stays; customer 5 has no orders -> stays. Customer 6 (-5) is
+        # excluded from the mean AND can never qualify.
+        customer = pa.table(
+            {
+                "c_custkey": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+                "c_nationkey": pa.array([0, 0, 1, 1, 2, 2], pa.int32()),
+                "c_acctbal": pa.array([10.0, 20.0, 30.0, 30.0, 30.0, -5.0], pa.float64()),
+            }
+        )
+        orders = pa.table(
+            {
+                "o_custkey": pa.array([3, 4], pa.int64()),
+                "o_totalprice": pa.array([300000.01, 299999.99], pa.float64()),
+            }
+        )
+        pq.write_table(customer, tmp_path / "customer.parquet")
+        pq.write_table(orders, tmp_path / "orders.parquet")
+        rows = QUERIES["wealthy_inactive_customers"](str(tmp_path)).take_all()
+        got = [(r["c_nationkey"], r["numcust"], r["totacctbal"]) for r in rows]
+        assert got == [(1, 1, 30.0), (2, 1, 30.0)]
+        assert [tuple(o) for o in _oracle(tmp_path, "wealthy_inactive_customers", ["customer", "orders"])] == got
+
+    def test_exactly_at_mean_excluded(self, ray_session, tmp_path):
+        # all equal balances -> everyone AT the mean -> empty result is
+        # impossible to hash-check, so add one strictly-above row.
+        customer = pa.table(
+            {
+                "c_custkey": pa.array([1, 2, 3], pa.int64()),
+                "c_nationkey": pa.array([0, 0, 1], pa.int32()),
+                "c_acctbal": pa.array([10.0, 10.0, 10.03], pa.float64()),
+            }
+        )
+        orders = pa.table(
+            {
+                "o_custkey": pa.array([], pa.int64()),
+                "o_totalprice": pa.array([], pa.float64()),
+            }
+        )
+        pq.write_table(customer, tmp_path / "customer.parquet")
+        pq.write_table(orders, tmp_path / "orders.parquet")
+        rows = QUERIES["wealthy_inactive_customers"](str(tmp_path)).take_all()
+        assert [(r["c_nationkey"], r["numcust"], r["totacctbal"]) for r in rows] == [
+            (1, 1, 10.03)
+        ]
