@@ -4863,6 +4863,58 @@ def q_wealthy_inactive_customers(sf_dir: str):
     )
 
 
+def q_url_canonical_dedup(sf_dir: str):
+    """URL-canonicalization dedup (the first dedup stage of every
+    Common-Crawl-style pipeline): each document deterministically yields a
+    MESSY crawl URL — odd doc_ids re-crawl the even sibling's page under a
+    different surface form (scheme/host case, ``www.``, explicit ``:443``,
+    reordered query params, ``utm_``/``fbclid`` tracking junk, fragment) —
+    the ``canonicalize_url`` kernel normalizes them, and an exact grouped
+    count per canonical URL exposes the duplicate groups.  The oracle
+    predicts the canonical form from first principles in SQL, so every
+    kernel rule (case, port, www, param sort/strip, fragment) is
+    value-checked, not regression-pinned.  Scale shape: construction +
+    canonicalization are stateless map-side work; the ONE exchange is the
+    grouped merge of per-batch (canonical → count/min-id) partials."""
+    from ray.data.aggregate import Min, Sum
+
+    from ..kernels.urlnorm import canonicalize_url
+
+    def canon_partials(batch: pa.Table) -> pa.Table:
+        agg: dict[str, list[int]] = {}
+        for d, s in zip(batch["doc_id"].to_pylist(), batch["source"].to_pylist()):
+            base = d // 2
+            if d % 2 == 0:
+                raw = f"https://crawl.example.org/doc/{base}?a=1&b={base % 7}"
+            else:
+                # the odd sibling re-crawls the SAME page with every messy
+                # surface difference the canonicalizer must erase (source
+                # rides in a tracking param, which must be dropped)
+                raw = (
+                    f"HTTPS://WWW.CRAWL.EXAMPLE.ORG:443/doc/{base}"
+                    f"?b={base % 7}&utm_source={s}&a=1&fbclid=xyz#frag"
+                )
+            canon = canonicalize_url(raw)
+            acc = agg.setdefault(canon, [0, d])
+            acc[0] += 1
+            acc[1] = min(acc[1], d)
+        return pa.table(
+            {
+                "canonical_url": pa.array(list(agg.keys()), pa.string()),
+                "n_p": pa.array([v[0] for v in agg.values()], pa.int64()),
+                "min_p": pa.array([v[1] for v in agg.values()], pa.int64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "source"])
+        .map_batches(canon_partials, batch_format="pyarrow")
+        .groupby("canonical_url")
+        .aggregate(Sum("n_p", alias_name="n_urls"), Min("min_p", alias_name="min_doc_id"))
+        .sort("canonical_url")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -4977,6 +5029,7 @@ QUERIES = {
     "part_supplier_variety": q_part_supplier_variety,
     "large_volume_customers": q_large_volume_customers,
     "wealthy_inactive_customers": q_wealthy_inactive_customers,
+    "url_canonical_dedup": q_url_canonical_dedup,
 }
 
 
@@ -6386,5 +6439,18 @@ ORACLE_SQL = {
         SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
                CAST(CAST(SUM(cents) AS BIGINT) AS DOUBLE) / 100.0 AS totacctbal
         FROM wealthy GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+    "url_canonical_dedup": """
+        WITH canon AS (
+            SELECT doc_id,
+                   'https://crawl.example.org/doc/'
+                   || CAST(doc_id // 2 AS VARCHAR)
+                   || '?a=1&b=' || CAST((doc_id // 2) % 7 AS VARCHAR) AS canonical_url
+            FROM documents
+        )
+        SELECT canonical_url,
+               CAST(count(*) AS BIGINT) AS n_urls,
+               CAST(min(doc_id) AS BIGINT) AS min_doc_id
+        FROM canon GROUP BY canonical_url ORDER BY canonical_url
     """,
 }

@@ -1,0 +1,63 @@
+"""Hand-computed pins for the URL canonicalization kernel: each rule in
+isolation, rule interactions, and the deliberate non-rules (path case,
+trailing slash, percent-encoding, non-default ports must survive)."""
+
+from edge_deid_studio_ray.kernels.urlnorm import canonicalize_url as c
+
+
+class TestCanonicalizeUrl:
+    def test_scheme_and_host_case(self):
+        assert c("HTTP://ExAmPlE.CoM/A/B") == "http://example.com/A/B"
+
+    def test_path_case_preserved(self):
+        assert c("https://example.com/CaseSensitive") == "https://example.com/CaseSensitive"
+
+    def test_www_stripped_once_and_only_as_prefix(self):
+        assert c("https://www.example.com/x") == "https://example.com/x"
+        assert c("https://wwwx.example.com/") == "https://wwwx.example.com/"
+        # inner "www." label is not a prefix
+        assert c("https://a.www.example.com/") == "https://a.www.example.com/"
+
+    def test_default_ports_stripped_nondefault_kept(self):
+        assert c("http://example.com:80/x") == "http://example.com/x"
+        assert c("https://example.com:443/x") == "https://example.com/x"
+        assert c("http://example.com:8080/x") == "http://example.com:8080/x"
+        # the OTHER scheme's default is not this scheme's default
+        assert c("http://example.com:443/x") == "http://example.com:443/x"
+
+    def test_fragment_removed(self):
+        assert c("https://example.com/x#sec-2") == "https://example.com/x"
+        assert c("https://example.com/x?a=1#f") == "https://example.com/x?a=1"
+
+    def test_tracking_params_dropped_and_rest_sorted(self):
+        assert (
+            c("https://example.com/x?b=2&utm_source=feed&a=1&fbclid=abc&gclid=g")
+            == "https://example.com/x?a=1&b=2"
+        )
+        # all params tracking -> the '?' goes away entirely
+        assert c("https://example.com/x?utm_medium=email") == "https://example.com/x"
+        # 'utm_' is a prefix match; 'fbclid' exact (fbclid2 is NOT tracking)
+        assert c("https://example.com/x?fbclid2=keep") == "https://example.com/x?fbclid2=keep"
+
+    def test_param_sort_is_bytewise_on_whole_pair(self):
+        assert c("https://e.com/?b=1&a=2&a=1") == "https://e.com/?a=1&a=2&b=1"
+
+    def test_empty_query_and_trailing_slash_preserved(self):
+        assert c("https://example.com/dir/") == "https://example.com/dir/"
+        assert c("https://example.com/x?") == "https://example.com/x"
+
+    def test_no_path(self):
+        assert c("HTTPS://WWW.Example.COM:443") == "https://example.com"
+        assert c("https://example.com?b=2&a=1") == "https://example.com?a=1&b=2"
+
+    def test_non_http_schemes_untouched_except_fragment(self):
+        assert c("ftp://Example.com/File#f") == "ftp://Example.com/File"
+        assert c("mailto:user@example.com") == "mailto:user@example.com"
+
+    def test_percent_encoding_preserved(self):
+        assert c("https://example.com/a%2Fb?q=%20x") == "https://example.com/a%2Fb?q=%20x"
+
+    def test_idempotent(self):
+        raw = "HTTP://WWW.E.COM:80/P?z=1&utm_x=1&a=2#f"
+        once = c(raw)
+        assert c(once) == once == "http://e.com/P?a=2&z=1"
