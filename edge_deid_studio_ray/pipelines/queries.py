@@ -4915,6 +4915,103 @@ def q_url_canonical_dedup(sf_dir: str):
     )
 
 
+def q_bm25_top20(sf_dir: str):
+    """Okapi BM25 ranking (k1=1.2, b=0.75, Lucene idf) of every document
+    against the fixed 3-term query {spark, merge, window}, top-20.  The IR
+    companion to TF-IDF: same broadcast-statistics shape, but with document
+    -length normalization and saturating term frequency.
+
+    Scale shape: pass 1 folds (N, total words, per-term df) from per-batch
+    partial rows into one tiny aggregate — three broadcast scalars + a
+    3-entry idf map; pass 2 scores each doc statelessly and keeps only a
+    per-batch local top-20 before the final tiny sort, so the corpus never
+    shuffles.  Float contract: the oracle evaluates the IDENTICAL
+    expression tree (same associativity, ln-based idf) and both sides
+    round to 6dp (term-order divergence ~1e-15 relative, far inside the
+    grid); ties break by doc_id.  Tokenization is single-space split on
+    both engines (``text.split(" ")`` ≡ ``string_split(text, ' ')``)."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    K1, B = 1.2, 0.75
+    TERMS = ("spark", "merge", "window")
+
+    def stat_partials(batch: pa.Table) -> pa.Table:
+        nd, nw = 0, 0
+        dfs = [0, 0, 0]
+        for text in batch["text"].to_pylist():
+            words = (text or "").split(" ")
+            nd += 1
+            nw += len(words)
+            ws = set(words)
+            for i, t in enumerate(TERMS):
+                if t in ws:
+                    dfs[i] += 1
+        return pa.table(
+            {
+                "nd": pa.array([nd], pa.int64()),
+                "nw": pa.array([nw], pa.int64()),
+                "df0": pa.array([dfs[0]], pa.int64()),
+                "df1": pa.array([dfs[1]], pa.int64()),
+                "df2": pa.array([dfs[2]], pa.int64()),
+            }
+        )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    agg = docs.map_batches(stat_partials, batch_format="pyarrow").aggregate(
+        Sum("nd", alias_name="nd"),
+        Sum("nw", alias_name="nw"),
+        Sum("df0", alias_name="df0"),
+        Sum("df1", alias_name="df1"),
+        Sum("df2", alias_name="df2"),
+    )
+    n_docs = int(agg["nd"])
+    avgdl = float(agg["nw"]) / n_docs
+    idf = [
+        math.log(1.0 + (n_docs - int(agg[f"df{i}"]) + 0.5) / (int(agg[f"df{i}"]) + 0.5))
+        for i in range(3)
+    ]
+
+    def score_topk(batch: pa.Table) -> pa.Table:
+        rows = []
+        for d, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            words = (text or "").split(" ")
+            dl = len(words)
+            denom = K1 * (1.0 - B + B * dl / avgdl)
+            score = 0.0
+            for i, t in enumerate(TERMS):
+                tf = words.count(t)
+                score += idf[i] * (tf * (K1 + 1.0)) / (tf + denom)
+            rows.append((round(score, 6), d))
+        rows.sort(key=lambda r: (-r[0], r[1]))
+        rows = rows[:20]
+        return pa.table(
+            {
+                "doc_id": pa.array([r[1] for r in rows], pa.int64()),
+                "bm25": pa.array([r[0] for r in rows], pa.float64()),
+            }
+        )
+
+    def final_topk(batch: pa.Table) -> pa.Table:
+        order = sorted(
+            zip(batch["bm25"].to_pylist(), batch["doc_id"].to_pylist()),
+            key=lambda r: (-r[0], r[1]),
+        )[:20]
+        return pa.table(
+            {
+                "doc_id": pa.array([d for _, d in order], pa.int64()),
+                "bm25": pa.array([s for s, _ in order], pa.float64()),
+            }
+        )
+
+    return (
+        docs.map_batches(score_topk, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final_topk, batch_format="pyarrow")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -5030,6 +5127,7 @@ QUERIES = {
     "large_volume_customers": q_large_volume_customers,
     "wealthy_inactive_customers": q_wealthy_inactive_customers,
     "url_canonical_dedup": q_url_canonical_dedup,
+    "bm25_top20": q_bm25_top20,
 }
 
 
@@ -6452,5 +6550,40 @@ ORACLE_SQL = {
                CAST(count(*) AS BIGINT) AS n_urls,
                CAST(min(doc_id) AS BIGINT) AS min_doc_id
         FROM canon GROUP BY canonical_url ORDER BY canonical_url
+    """,
+    "bm25_top20": """
+        WITH w AS (
+            SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS words
+            FROM documents
+        ),
+        stats AS (
+            SELECT CAST(count(*) AS BIGINT) AS nd,
+                   CAST(SUM(len(words)) AS BIGINT) AS nw,
+                   CAST(count(*) FILTER (list_contains(words, 'spark')) AS BIGINT) AS df0,
+                   CAST(count(*) FILTER (list_contains(words, 'merge')) AS BIGINT) AS df1,
+                   CAST(count(*) FILTER (list_contains(words, 'window')) AS BIGINT) AS df2
+            FROM w
+        ),
+        scored AS (
+            SELECT doc_id,
+                   round(
+                     ((ln(1.0 + (nd - df0 + 0.5) / (df0 + 0.5))
+                        * (len(list_filter(words, x -> x = 'spark')) * 2.2))
+                       / (len(list_filter(words, x -> x = 'spark'))
+                          + 1.2 * (0.25 + (0.75 * len(words)) / (CAST(nw AS DOUBLE) / nd)))
+                     + (ln(1.0 + (nd - df1 + 0.5) / (df1 + 0.5))
+                        * (len(list_filter(words, x -> x = 'merge')) * 2.2))
+                       / (len(list_filter(words, x -> x = 'merge'))
+                          + 1.2 * (0.25 + (0.75 * len(words)) / (CAST(nw AS DOUBLE) / nd))))
+                     + (ln(1.0 + (nd - df2 + 0.5) / (df2 + 0.5))
+                        * (len(list_filter(words, x -> x = 'window')) * 2.2))
+                       / (len(list_filter(words, x -> x = 'window'))
+                          + 1.2 * (0.25 + (0.75 * len(words)) / (CAST(nw AS DOUBLE) / nd))),
+                     6) AS bm25
+            FROM w, stats
+        )
+        SELECT doc_id, bm25 FROM scored
+        ORDER BY bm25 DESC, doc_id
+        LIMIT 20
     """,
 }

@@ -1069,3 +1069,39 @@ class TestWealthyInactiveCustomers:
         assert [(r["c_nationkey"], r["numcust"], r["totacctbal"]) for r in rows] == [
             (1, 1, 10.03)
         ]
+
+
+class TestBm25Top20:
+    def test_tf_saturation_and_length_normalization(self, ray_session, tmp_path):
+        # doc 1: all three terms once, short -> top. doc 2: same tf but
+        # padded 3x longer -> length normalization ranks it below doc 1.
+        # doc 3: 'spark' five times (saturating tf) -> beats doc 4's one
+        # 'spark' but NOT doc 1's three distinct terms. doc 5: no terms ->
+        # score 0, still emitted (top-20 over 5 docs), last by doc_id tie
+        # with nothing.
+        pad = "x " * 20
+        documents = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "text": pa.array(
+                    [
+                        "spark merge window",
+                        "spark merge window " + pad.strip(),
+                        "spark spark spark spark spark",
+                        "spark alone here",
+                        "nothing relevant",
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+        pq.write_table(documents, tmp_path / "documents.parquet")
+        rows = QUERIES["bm25_top20"](str(tmp_path)).take_all()
+        ids = [r["doc_id"] for r in rows]
+        scores = {r["doc_id"]: r["bm25"] for r in rows}
+        assert len(rows) == 5
+        assert ids[0] == 1 and scores[1] > scores[2]          # shorter wins
+        assert scores[1] > scores[3] > scores[4] > scores[5]  # coverage > saturation > single > none
+        assert scores[5] == 0.0
+        oracle = _oracle(tmp_path, "bm25_top20", ["documents"])
+        assert [(r["doc_id"], r["bm25"]) for r in rows] == [tuple(o) for o in oracle]
