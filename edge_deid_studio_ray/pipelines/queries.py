@@ -5012,6 +5012,83 @@ def q_bm25_top20(sf_dir: str):
     )
 
 
+def q_dsir_importance_weights(sf_dir: str):
+    """DSIR-style importance weighting (Xie et al. 2023): per-document
+    log importance ratio ln(p_target/p_raw) under two add-one char-trigram
+    LMs — target trained on the in-domain slice (lang='en'), raw on the
+    whole corpus.  The selection signal behind importance resampling for
+    pre-training data; upstream of any top-k/temperature pick.
+
+    Scale shape: both models train through the existing one-grouped-sum
+    ``trigram_model`` path (table bounded by charset³, NOT corpus size) and
+    broadcast once via ``ray.put``; scoring is a stateless scan.  Float
+    contract: per-position term order, both engines round the mean log
+    ratio to 6dp (unordered-SUM divergence ~1e-11, inside the grid).
+    Unseen-in-target trigrams take the add-one floor ln(1/(N_t+V_t));
+    every scored trigram exists in the raw model by construction."""
+    import math
+
+    import ray
+
+    from ..functions.corpusops import trigram_model
+
+    def _const_lang(tag: str):
+        def f(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "lang": pa.array([tag] * batch.num_rows, pa.string()),
+                    "text": batch["text"],
+                }
+            )
+
+        return f
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    tgt_ds = docs.map_batches(
+        lambda t: t.filter(pc.equal(t["lang"], "en")), batch_format="pyarrow"
+    ).map_batches(_const_lang("_t"), batch_format="pyarrow")
+    raw_ds = docs.map_batches(_const_lang("_r"), batch_format="pyarrow")
+
+    lp_t, den_t = trigram_model(tgt_ds)
+    lp_r, den_r = trigram_model(raw_ds)
+    if "_t" not in den_t or "_r" not in den_r:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_tri": pa.array([], pa.int64()),
+                "log_weight": pa.array([], pa.float64()),
+            }
+        )
+    model_ref = ray.put((lp_t, sum(den_t["_t"]), lp_r, sum(den_r["_r"])))
+
+    def score(batch: pa.Table) -> pa.Table:
+        lt, dt, lr, dr = ray.get(model_ref)
+        floor_t = math.log(1.0 / float(dt))
+        floor_r = math.log(1.0 / float(dr))
+        ids, ntris, ws = [], [], []
+        for key, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            t = text or ""
+            n = len(t) - 2
+            if n <= 0:
+                continue
+            s = 0.0
+            for i in range(n):
+                tri = t[i : i + 3]
+                s += lt.get(("_t", tri), floor_t) - lr.get(("_r", tri), floor_r)
+            ids.append(key)
+            ntris.append(n)
+            ws.append(round(s / n, 6))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tri": pa.array(ntris, pa.int64()),
+                "log_weight": pa.array(ws, pa.float64()),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -5128,6 +5205,7 @@ QUERIES = {
     "wealthy_inactive_customers": q_wealthy_inactive_customers,
     "url_canonical_dedup": q_url_canonical_dedup,
     "bm25_top20": q_bm25_top20,
+    "dsir_importance_weights": q_dsir_importance_weights,
 }
 
 
@@ -6585,5 +6663,29 @@ ORACLE_SQL = {
         SELECT doc_id, bm25 FROM scored
         ORDER BY bm25 DESC, doc_id
         LIMIT 20
+    """,
+    "dsir_importance_weights": """
+        WITH tri AS (
+          SELECT doc_id, lang, substr(text, i, 3) AS t
+          FROM documents, UNNEST(generate_series(1, length(text) - 2)) AS u(i)
+          WHERE length(COALESCE(text, '')) >= 3
+        ),
+        tgt AS (SELECT t, COUNT(*) AS c FROM tri WHERE lang = 'en' GROUP BY t),
+        tgt_tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tok, COUNT(*) AS v FROM tgt),
+        raw AS (SELECT t, COUNT(*) AS c FROM tri GROUP BY t),
+        raw_tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tok, COUNT(*) AS v FROM raw),
+        scored AS (
+          SELECT tri.doc_id,
+                 COUNT(*) AS n_tri,
+                 SUM(COALESCE(ln((tgt.c + 1) / CAST(tgt_tot.n_tok + tgt_tot.v AS DOUBLE)),
+                              ln(1 / CAST(tgt_tot.n_tok + tgt_tot.v AS DOUBLE)))
+                     - ln((raw.c + 1) / CAST(raw_tot.n_tok + raw_tot.v AS DOUBLE))) AS s
+          FROM tri
+          LEFT JOIN tgt USING (t)
+          JOIN raw USING (t)
+          CROSS JOIN tgt_tot CROSS JOIN raw_tot
+          GROUP BY tri.doc_id
+        )
+        SELECT doc_id, n_tri, ROUND(s / n_tri, 6) AS log_weight FROM scored
     """,
 }

@@ -1105,3 +1105,27 @@ class TestBm25Top20:
         assert scores[5] == 0.0
         oracle = _oracle(tmp_path, "bm25_top20", ["documents"])
         assert [(r["doc_id"], r["bm25"]) for r in rows] == [tuple(o) for o in oracle]
+
+
+class TestDsirImportanceWeights:
+    def test_in_domain_scores_above_out_of_domain(self, ray_session, tmp_path):
+        # target LM trains on the 'en' slice ("aaaaa" trigrams); docs made
+        # of 'a' trigrams must out-weigh docs of 'z' trigrams (which take
+        # the target add-one floor but are common in the raw LM).  A
+        # sub-trigram doc (2 chars) is excluded on both engines.
+        documents = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "lang": pa.array(["en", "en", "zh", "zh"], pa.string()),
+                "text": pa.array(["aaaaa", "aaaa", "zzzzz", "zz"], pa.string()),
+            }
+        )
+        pq.write_table(documents, tmp_path / "documents.parquet")
+        rows = {r["doc_id"]: r for r in QUERIES["dsir_importance_weights"](str(tmp_path)).take_all()}
+        assert set(rows) == {1, 2, 3}          # doc 4 sub-trigram -> excluded
+        assert rows[1]["n_tri"] == 3 and rows[2]["n_tri"] == 2
+        assert rows[1]["log_weight"] > rows[3]["log_weight"]
+        assert rows[2]["log_weight"] > rows[3]["log_weight"]
+        oracle = {o[0]: o for o in _oracle(tmp_path, "dsir_importance_weights", ["documents"])}
+        for d, r in rows.items():
+            assert (r["n_tri"], r["log_weight"]) == (oracle[d][1], oracle[d][2])
