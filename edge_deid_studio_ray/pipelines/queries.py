@@ -5089,6 +5089,44 @@ def q_dsir_importance_weights(sf_dir: str):
     return docs.map_batches(score, batch_format="pyarrow")
 
 
+def q_doc_char_entropy(sf_dir: str):
+    """Per-document character-distribution Shannon entropy (nats) — the
+    classic gibberish/repetition filter signal: near-zero entropy flags
+    single-character spam, unusually high entropy flags binary-ish noise.
+    Embarrassingly parallel (stateless per-doc scan, zero shuffles).
+    Float contract: term = -(c/n)·ln(c/n) per distinct char, summed in
+    char-sorted order on the Ray side vs unordered SQL SUM (divergence
+    ~1e-14, far inside the shared 6dp rounding grid).  Empty/null texts
+    are excluded on both engines."""
+    import math
+
+    def entropy(batch: pa.Table) -> pa.Table:
+        ids, lens, ents = [], [], []
+        for d, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            t = text or ""
+            n = len(t)
+            if n == 0:
+                continue
+            h = 0.0
+            for _ch, c in sorted(Counter(t).items()):
+                p = c / n
+                h += -(p) * math.log(p)
+            ids.append(d)
+            lens.append(n)
+            ents.append(round(h, 6))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_chars": pa.array(lens, pa.int64()),
+                "entropy": pa.array(ents, pa.float64()),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        entropy, batch_format="pyarrow"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -5206,6 +5244,7 @@ QUERIES = {
     "url_canonical_dedup": q_url_canonical_dedup,
     "bm25_top20": q_bm25_top20,
     "dsir_importance_weights": q_dsir_importance_weights,
+    "doc_char_entropy": q_doc_char_entropy,
 }
 
 
@@ -6687,5 +6726,16 @@ ORACLE_SQL = {
           GROUP BY tri.doc_id
         )
         SELECT doc_id, n_tri, ROUND(s / n_tri, 6) AS log_weight FROM scored
+    """,
+    "doc_char_entropy": """
+        WITH chars AS (
+          SELECT doc_id, length(text) AS n, substr(text, i, 1) AS ch
+          FROM documents, UNNEST(generate_series(1, length(text))) AS u(i)
+          WHERE length(COALESCE(text, '')) > 0
+        ),
+        freq AS (SELECT doc_id, n, ch, COUNT(*) AS c FROM chars GROUP BY doc_id, n, ch)
+        SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+               ROUND(SUM(-(c / CAST(n AS DOUBLE)) * ln(c / CAST(n AS DOUBLE))), 6) AS entropy
+        FROM freq GROUP BY doc_id, n
     """,
 }

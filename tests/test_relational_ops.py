@@ -1129,3 +1129,26 @@ class TestDsirImportanceWeights:
         oracle = {o[0]: o for o in _oracle(tmp_path, "dsir_importance_weights", ["documents"])}
         for d, r in rows.items():
             assert (r["n_tri"], r["log_weight"]) == (oracle[d][1], oracle[d][2])
+
+
+class TestDocCharEntropy:
+    def test_hand_computed_entropies(self, ray_session, tmp_path):
+        import math
+
+        # "aaaa" -> 0 nats; "ab" -> ln 2; "abcd" -> ln 4; "" excluded;
+        # null excluded.
+        documents = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "text": pa.array(["aaaa", "ab", "abcd", "", None], pa.string()),
+            }
+        )
+        pq.write_table(documents, tmp_path / "documents.parquet")
+        rows = {r["doc_id"]: r for r in QUERIES["doc_char_entropy"](str(tmp_path)).take_all()}
+        assert set(rows) == {1, 2, 3}
+        assert rows[1]["entropy"] == 0.0 and rows[1]["n_chars"] == 4
+        assert rows[2]["entropy"] == round(math.log(2), 6)
+        assert rows[3]["entropy"] == round(math.log(4), 6)
+        oracle = {o[0]: o for o in _oracle(tmp_path, "doc_char_entropy", ["documents"])}
+        for d, r in rows.items():
+            assert (r["n_chars"], r["entropy"]) == (oracle[d][1], oracle[d][2])
