@@ -143,6 +143,12 @@ def _bench_queries(sf_dir: str) -> dict[str, float]:
         "corpus_snapshot_diff",
         "events_last_per_user",
         "event_type_cooccurrence",
+        # continuation session: TPC-H subquery shapes + web/IR layer
+        "large_volume_customers",
+        "wealthy_inactive_customers",
+        "url_canonical_dedup",
+        "bm25_top20",
+        "dsir_importance_weights",
     ]
     timings: dict[str, float] = {}
     for name in names:

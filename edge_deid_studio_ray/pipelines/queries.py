@@ -5127,6 +5127,122 @@ def q_doc_char_entropy(sf_dir: str):
     )
 
 
+def q_weighted_sample_top50(sf_dir: str):
+    """Distributed weighted sampling WITHOUT replacement (Efraimidis–
+    Spirakis A-ES): each row draws the deterministic md5 uniform u and
+    keeps key = −ln(u)/w (weight w = n_chars); the global bottom-k by key
+    IS a weighted sample without replacement — and because the key is a
+    pure row function, the sample is mergeable and reproducible across any
+    partitioning.  Scale shape: stateless key computation + per-batch
+    local bottom-50 prune, then one tiny final merge — the corpus never
+    shuffles.  Float contract: u is bit-identical to DuckDB's
+    ``md5_number_upper/2^64``, keys round to 6dp on both engines and rank
+    ties break by doc_id, so selection and order are value-checkable.
+    Zero-weight rows are excluded (A-ES precondition w > 0)."""
+    import math
+
+    from ..functions.corpusops import md5_uniform
+
+    def keys_topk(batch: pa.Table) -> pa.Table:
+        rows = []
+        for d, w in zip(batch["doc_id"].to_pylist(), batch["n_chars"].to_pylist()):
+            if not w or w <= 0:
+                continue
+            rows.append((round(-math.log(md5_uniform(d)) / w, 6), d, int(w)))
+        rows.sort()
+        rows = rows[:50]
+        return pa.table(
+            {
+                "doc_id": pa.array([r[1] for r in rows], pa.int64()),
+                "n_chars": pa.array([r[2] for r in rows], pa.int64()),
+                "es_key": pa.array([r[0] for r in rows], pa.float64()),
+            }
+        )
+
+    def final_topk(batch: pa.Table) -> pa.Table:
+        order = sorted(
+            zip(
+                batch["es_key"].to_pylist(),
+                batch["doc_id"].to_pylist(),
+                batch["n_chars"].to_pylist(),
+            )
+        )[:50]
+        return pa.table(
+            {
+                "doc_id": pa.array([d for _, d, _ in order], pa.int64()),
+                "n_chars": pa.array([w for _, _, w in order], pa.int64()),
+                "es_key": pa.array([k for k, _, _ in order], pa.float64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "n_chars"])
+        .map_batches(keys_topk, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final_topk, batch_format="pyarrow")
+    )
+
+
+def q_doc_percent_rank(sf_dir: str):
+    """PERCENT_RANK() over the whole corpus per language WITHOUT a global
+    sort: the per-language length histogram (bounded by distinct values,
+    not rows) merges in one grouped sum, broadcasts with exclusive
+    cumulative counts, and each doc looks up rank = count(shorter)/(n−1)
+    map-side.  Exact — one int/int IEEE division per row, bit-identical to
+    the SQL window function; single-row groups define pr = 0."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        c = Counter(zip(batch["lang"].to_pylist(), batch["n_chars"].to_pylist()))
+        return pa.table(
+            {
+                "lang": pa.array([k[0] for k in c], pa.string()),
+                "n_chars": pa.array([k[1] for k in c], pa.int64()),
+                "c": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    hist_rows = (
+        docs.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby(["lang", "n_chars"])
+        .aggregate(Sum("c", alias_name="c"))
+        .take_all()
+    )
+    below: dict[str, dict[int, int]] = {}
+    totals: dict[str, int] = {}
+    by_lang: dict[str, list[tuple[int, int]]] = {}
+    for r in hist_rows:
+        by_lang.setdefault(r["lang"], []).append((int(r["n_chars"]), int(r["c"])))
+    for lang, vals in by_lang.items():
+        vals.sort()
+        cum = 0
+        below[lang] = {}
+        for v, c in vals:
+            below[lang][v] = cum
+            cum += c
+        totals[lang] = cum
+    lut_ref = ray.put((below, totals))
+
+    def rank(batch: pa.Table) -> pa.Table:
+        b, n = ray.get(lut_ref)
+        prs = []
+        for lang, v in zip(batch["lang"].to_pylist(), batch["n_chars"].to_pylist()):
+            total = n[lang]
+            prs.append(0.0 if total <= 1 else b[lang][int(v)] / (total - 1))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang": batch["lang"],
+                "n_chars": batch["n_chars"],
+                "pr": pa.array(prs, pa.float64()),
+            }
+        )
+
+    return docs.map_batches(rank, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -5245,6 +5361,8 @@ QUERIES = {
     "bm25_top20": q_bm25_top20,
     "dsir_importance_weights": q_dsir_importance_weights,
     "doc_char_entropy": q_doc_char_entropy,
+    "weighted_sample_top50": q_weighted_sample_top50,
+    "doc_percent_rank": q_doc_percent_rank,
 }
 
 
@@ -6737,5 +6855,19 @@ ORACLE_SQL = {
         SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
                ROUND(SUM(-(c / CAST(n AS DOUBLE)) * ln(c / CAST(n AS DOUBLE))), 6) AS entropy
         FROM freq GROUP BY doc_id, n
+    """,
+    "weighted_sample_top50": """
+        SELECT doc_id, n_chars,
+               ROUND(-ln(CAST(md5_number_upper(CAST(doc_id AS VARCHAR)) AS DOUBLE)
+                         / 18446744073709551616.0) / n_chars, 6) AS es_key
+        FROM documents
+        WHERE n_chars > 0
+        ORDER BY es_key, doc_id
+        LIMIT 50
+    """,
+    "doc_percent_rank": """
+        SELECT doc_id, lang, n_chars,
+               PERCENT_RANK() OVER (PARTITION BY lang ORDER BY n_chars) AS pr
+        FROM documents
     """,
 }

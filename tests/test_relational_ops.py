@@ -1152,3 +1152,66 @@ class TestDocCharEntropy:
         oracle = {o[0]: o for o in _oracle(tmp_path, "doc_char_entropy", ["documents"])}
         for d, r in rows.items():
             assert (r["n_chars"], r["entropy"]) == (oracle[d][1], oracle[d][2])
+
+
+class TestWeightedSampleTop50:
+    def test_weight_zero_excluded_and_key_formula(self, ray_session, tmp_path):
+        import math
+
+        from edge_deid_studio_ray.functions.corpusops import md5_uniform
+
+        documents = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "n_chars": pa.array([100, 1, 0, 50], pa.int64()),
+            }
+        )
+        pq.write_table(documents, tmp_path / "documents.parquet")
+        rows = QUERIES["weighted_sample_top50"](str(tmp_path)).take_all()
+        ids = [r["doc_id"] for r in rows]
+        assert 3 not in ids and len(rows) == 3
+        expect = {
+            d: round(-math.log(md5_uniform(d)) / w, 6) for d, w in [(1, 100), (2, 1), (4, 50)]
+        }
+        for r in rows:
+            assert r["es_key"] == expect[r["doc_id"]]
+        # ascending key order (bottom-k = the sample)
+        keys = [r["es_key"] for r in rows]
+        assert keys == sorted(keys)
+        oracle = _oracle(tmp_path, "weighted_sample_top50", ["documents"])
+        assert [(r["doc_id"], r["n_chars"], r["es_key"]) for r in rows] == [
+            tuple(o) for o in oracle
+        ]
+
+    def test_heavier_weights_oversampled(self, ray_session, tmp_path):
+        # 400 docs, half weight 1000, half weight 1: the heavy half must
+        # dominate the top-50 (statistical, deterministic given md5 keys).
+        n = 400
+        documents = pa.table(
+            {
+                "doc_id": pa.array(list(range(n)), pa.int64()),
+                "n_chars": pa.array([1000 if d % 2 == 0 else 1 for d in range(n)], pa.int64()),
+            }
+        )
+        pq.write_table(documents, tmp_path / "documents.parquet")
+        rows = QUERIES["weighted_sample_top50"](str(tmp_path)).take_all()
+        assert len(rows) == 50
+        heavy = sum(1 for r in rows if r["n_chars"] == 1000)
+        assert heavy >= 45
+
+
+class TestDocPercentRank:
+    def test_ties_and_single_row_group(self, ray_session, tmp_path):
+        # lang a: values 10,10,20,30 -> pr 0,0,2/3,1. lang b: single row -> 0.
+        documents = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "lang": pa.array(["a", "a", "a", "a", "b"], pa.string()),
+                "n_chars": pa.array([10, 10, 20, 30, 7], pa.int64()),
+            }
+        )
+        pq.write_table(documents, tmp_path / "documents.parquet")
+        rows = {r["doc_id"]: r["pr"] for r in QUERIES["doc_percent_rank"](str(tmp_path)).take_all()}
+        assert rows == {1: 0.0, 2: 0.0, 3: 2 / 3, 4: 1.0, 5: 0.0}
+        oracle = {o[0]: o[3] for o in _oracle(tmp_path, "doc_percent_rank", ["documents"])}
+        assert rows == oracle
