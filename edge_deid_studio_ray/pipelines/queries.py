@@ -5243,6 +5243,73 @@ def q_doc_percent_rank(sf_dir: str):
     return docs.map_batches(rank, batch_format="pyarrow")
 
 
+def q_knn_mmr_rerank(sf_dir: str):
+    """Maximal Marginal Relevance diversity re-ranking: per query, take the
+    distributed exact top-20 cosine candidates, then greedily select 5 by
+    MMR (λ=0.5): argmax of λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s), ties by
+    vec_id.  The retrieval+diversify pattern behind dedup-aware RAG and
+    diverse exemplar selection.
+
+    Scale shape: the heavy part — candidate generation — is the existing
+    distributed brute-force top-k scan (broadcast query matrix, per-batch
+    matmul, tree merge); the rerank itself is O(k²) on ≤20 rows per query
+    and runs driver-side by design.  Float contract: both engines compute
+    cosines in double (numpy vs DuckDB ``list_cosine_similarity`` over
+    ``::DOUBLE[]`` agree to ~1e-17) and every greedy argmax compares the
+    6dp-rounded MMR score, so selection is value-checkable; the output
+    carries only integers (query_id, rank, vec_id)."""
+    import ray.data as rd
+
+    from ..functions.simsearch import knn_bruteforce
+
+    queries = _embedding_queries(sf_dir)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    pool_rows = knn_bruteforce(ds, queries, k=20).take_all()  # ≤60 rows
+    cand_ids = sorted({r["vec_id"] for r in pool_rows})
+    vec_rows = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filter=pc.field("vec_id").isin(cand_ids),
+    ).take_all()
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64) for r in vec_rows}
+
+    def cos(a: np.ndarray, b: np.ndarray) -> float:
+        return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    out_q, out_rank, out_id = [], [], []
+    for qi in range(len(queries)):
+        qv = queries[qi]
+        pool = sorted(r["vec_id"] for r in pool_rows if r["query_id"] == qi)
+        rel = {d: cos(qv, vecs[d]) for d in pool}
+        selected: list[int] = []
+        while len(selected) < 5 and len(selected) < len(pool):
+            best = None
+            for d in pool:
+                if d in selected:
+                    continue
+                if selected:
+                    mmr = round(
+                        0.5 * rel[d] - 0.5 * max(cos(vecs[d], vecs[s]) for s in selected), 6
+                    )
+                else:
+                    mmr = round(rel[d], 6)
+                key = (-mmr, d)
+                if best is None or key < best[0]:
+                    best = (key, d)
+            selected.append(best[1])
+        for rank, d in enumerate(selected, start=1):
+            out_q.append(qi)
+            out_rank.append(rank)
+            out_id.append(d)
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.int64()),
+            "rank": pa.array(out_rank, pa.int64()),
+            "vec_id": pa.array(out_id, pa.int64()),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -5363,6 +5430,7 @@ QUERIES = {
     "doc_char_entropy": q_doc_char_entropy,
     "weighted_sample_top50": q_weighted_sample_top50,
     "doc_percent_rank": q_doc_percent_rank,
+    "knn_mmr_rerank": q_knn_mmr_rerank,
 }
 
 
@@ -6869,5 +6937,81 @@ ORACLE_SQL = {
         SELECT doc_id, lang, n_chars,
                PERCENT_RANK() OVER (PARTITION BY lang ORDER BY n_chars) AS pr
         FROM documents
+    """,
+    "knn_mmr_rerank": """
+        WITH q AS (
+          SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+          FROM embeddings WHERE vec_id IN (0, 1, 2)
+        ),
+        pool AS (
+          SELECT q.qid, top.vec_id, top.e, top.rel
+          FROM q, LATERAL (
+            SELECT e.vec_id, e.embedding::DOUBLE[] AS e,
+                   list_cosine_similarity(e.embedding::DOUBLE[], q.qe) AS rel
+            FROM embeddings e
+            ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qe) DESC, e.vec_id
+            LIMIT 20
+          ) top
+        ),
+        s1 AS (
+          SELECT qid, vec_id, e FROM (
+            SELECT qid, vec_id, e,
+                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY round(rel, 6) DESC, vec_id) AS rn
+            FROM pool) WHERE rn = 1
+        ),
+        s2 AS (
+          SELECT qid, vec_id, e FROM (
+            SELECT p.qid, p.vec_id, p.e,
+                   ROW_NUMBER() OVER (PARTITION BY p.qid ORDER BY
+                     round(0.5 * p.rel
+                           - 0.5 * list_cosine_similarity(p.e, s1.e), 6) DESC, p.vec_id) AS rn
+            FROM pool p JOIN s1 USING (qid)
+            WHERE p.vec_id <> s1.vec_id) WHERE rn = 1
+        ),
+        s3 AS (
+          SELECT qid, vec_id, e FROM (
+            SELECT p.qid, p.vec_id, p.e,
+                   ROW_NUMBER() OVER (PARTITION BY p.qid ORDER BY
+                     round(0.5 * p.rel
+                           - 0.5 * greatest(list_cosine_similarity(p.e, s1.e),
+                                            list_cosine_similarity(p.e, s2.e)), 6) DESC,
+                     p.vec_id) AS rn
+            FROM pool p JOIN s1 USING (qid) JOIN s2 USING (qid)
+            WHERE p.vec_id <> s1.vec_id AND p.vec_id <> s2.vec_id) WHERE rn = 1
+        ),
+        s4 AS (
+          SELECT qid, vec_id, e FROM (
+            SELECT p.qid, p.vec_id, p.e,
+                   ROW_NUMBER() OVER (PARTITION BY p.qid ORDER BY
+                     round(0.5 * p.rel
+                           - 0.5 * greatest(list_cosine_similarity(p.e, s1.e),
+                                            list_cosine_similarity(p.e, s2.e),
+                                            list_cosine_similarity(p.e, s3.e)), 6) DESC,
+                     p.vec_id) AS rn
+            FROM pool p JOIN s1 USING (qid) JOIN s2 USING (qid) JOIN s3 USING (qid)
+            WHERE p.vec_id <> s1.vec_id AND p.vec_id <> s2.vec_id
+              AND p.vec_id <> s3.vec_id) WHERE rn = 1
+        ),
+        s5 AS (
+          SELECT qid, vec_id FROM (
+            SELECT p.qid, p.vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY p.qid ORDER BY
+                     round(0.5 * p.rel
+                           - 0.5 * greatest(list_cosine_similarity(p.e, s1.e),
+                                            list_cosine_similarity(p.e, s2.e),
+                                            list_cosine_similarity(p.e, s3.e),
+                                            list_cosine_similarity(p.e, s4.e)), 6) DESC,
+                     p.vec_id) AS rn
+            FROM pool p JOIN s1 USING (qid) JOIN s2 USING (qid)
+                        JOIN s3 USING (qid) JOIN s4 USING (qid)
+            WHERE p.vec_id <> s1.vec_id AND p.vec_id <> s2.vec_id
+              AND p.vec_id <> s3.vec_id AND p.vec_id <> s4.vec_id) WHERE rn = 1
+        )
+        SELECT qid AS query_id, 1 AS rank, vec_id FROM s1
+        UNION ALL SELECT qid, 2, vec_id FROM s2
+        UNION ALL SELECT qid, 3, vec_id FROM s3
+        UNION ALL SELECT qid, 4, vec_id FROM s4
+        UNION ALL SELECT qid, 5, vec_id FROM s5
+        ORDER BY query_id, rank
     """,
 }

@@ -1215,3 +1215,39 @@ class TestDocPercentRank:
         assert rows == {1: 0.0, 2: 0.0, 3: 2 / 3, 4: 1.0, 5: 0.0}
         oracle = {o[0]: o[3] for o in _oracle(tmp_path, "doc_percent_rank", ["documents"])}
         assert rows == oracle
+
+
+class TestKnnMmrRerank:
+    def test_diversity_beats_redundancy(self, ray_session, tmp_path):
+        # Query = vec 0 ([1,0]). vecs 1/2 are a near-duplicate pair hugging
+        # the query (mutual cosine > either's relevance); vec 3 sits at
+        # -45 degrees, so its sim to the selected cluster is BELOW its
+        # relevance. After s1 = the query itself and s2 = vec 1 (rank-2
+        # scores all tie at 0; vec_id breaks), MMR must prefer the diverse
+        # vec 3 (positive margin rel - maxsim) over the redundant vec 2
+        # (negative margin) at rank 3.
+        vecs = {
+            0: [1.0, 0.0],
+            1: [0.999, 0.01],
+            2: [0.998, 0.012],
+            3: [0.707, -0.707],
+        }
+        embeddings = pa.table(
+            {
+                "vec_id": pa.array(sorted(vecs), pa.int64()),
+                "embedding": pa.array(
+                    [vecs[k] for k in sorted(vecs)], pa.list_(pa.float32())
+                ),
+                "label": pa.array([0] * len(vecs), pa.int32()),
+            }
+        )
+        pq.write_table(embeddings, tmp_path / "embeddings.parquet")
+        rows = QUERIES["knn_mmr_rerank"](str(tmp_path))
+        got = {(r["query_id"], r["rank"]): r["vec_id"] for r in rows.to_pylist()}
+        assert got[(0, 1)] == 0 and got[(0, 2)] == 1
+        assert got[(0, 3)] == 3          # diversity beats the near-duplicate
+        assert got[(0, 4)] == 2
+        oracle = _oracle(tmp_path, "knn_mmr_rerank", ["embeddings"])
+        assert sorted(rows.to_pylist(), key=lambda r: (r["query_id"], r["rank"])) == [
+            {"query_id": o[0], "rank": o[1], "vec_id": o[2]} for o in oracle
+        ]
