@@ -5310,6 +5310,106 @@ def q_knn_mmr_rerank(sf_dir: str):
     )
 
 
+def q_nation_customer_supplier_outer(sf_dir: str):
+    """FULL OUTER JOIN (the one join type the suite hadn't exercised):
+    per-nation customer count vs supplier count, keeping nations present
+    on EITHER side (at small SF the 10-row supplier table leaves real
+    one-sided rows).  Scale shape: both inputs collapse to per-nation
+    partial counts map-side (the shuffle ships ≤ |nation| rows per batch),
+    the two tiny grouped results union with a side marker, and ONE grouped
+    merge applies the outer semantics (COALESCE-to-0 on the absent side).
+    """
+    from ray.data.aggregate import Sum
+
+    def side_partial(col: str, side: str):
+        def f(batch: pa.Table) -> pa.Table:
+            c = Counter(int(v) for v in batch[col].to_pylist())
+            n = len(c)
+            return pa.table(
+                {
+                    "nationkey": pa.array(list(c.keys()), pa.int64()),
+                    "n_customers": pa.array(
+                        list(c.values()) if side == "c" else [0] * n, pa.int64()
+                    ),
+                    "n_suppliers": pa.array(
+                        list(c.values()) if side == "s" else [0] * n, pa.int64()
+                    ),
+                }
+            )
+
+        return f
+
+    cust = _read(sf_dir, "customer", ["c_nationkey"]).map_batches(
+        side_partial("c_nationkey", "c"), batch_format="pyarrow"
+    )
+    supp = _read(sf_dir, "supplier", ["s_nationkey"]).map_batches(
+        side_partial("s_nationkey", "s"), batch_format="pyarrow"
+    )
+    return (
+        cust.union(supp)
+        .groupby("nationkey")
+        .aggregate(
+            Sum("n_customers", alias_name="n_customers"),
+            Sum("n_suppliers", alias_name="n_suppliers"),
+        )
+        .sort("nationkey")
+    )
+
+
+def q_events_value_winsor_bounds(sf_dir: str):
+    """Winsorization bounds + clip counts per event type: exact discrete
+    p05/p95 elements (bit-identical doubles picked from the data via the
+    cumulative-histogram ``quantile_disc`` convention) and the number of
+    rows a clip at those bounds would touch on each side.  The robust-stats
+    companion to the MAD outlier query; no float aggregate anywhere — the
+    output is two stored doubles + three exact counts.  Scale shape:
+    per-batch (type, value) partial counts, one grouped merge."""
+    import math
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch["value"]))
+        c = Counter(zip(batch["event_type"].to_pylist(), batch["value"].to_pylist()))
+        return pa.table(
+            {
+                "event_type": pa.array([k[0] for k in c], pa.string()),
+                "value": pa.array([k[1] for k in c], pa.float64()),
+                "n": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    def winsor(group: pd.DataFrame) -> pd.DataFrame:
+        merged = group.groupby("value", as_index=False)["n"].sum().sort_values("value")
+        counts = merged["n"].to_numpy()
+        values = merged["value"].to_numpy()
+        cum = counts.cumsum()
+        total = int(cum[-1])
+
+        def disc(q: float) -> float:
+            target = math.ceil(q * total)
+            return float(values[int((cum >= target).argmax())])
+
+        lo, hi = disc(0.05), disc(0.95)
+        n_below = int(counts[values < lo].sum())
+        n_above = int(counts[values > hi].sum())
+        return pd.DataFrame(
+            {
+                "event_type": [group["event_type"].iloc[0]],
+                "n_events": pd.array([total], dtype="int64"),
+                "p05": [lo],
+                "p95": [hi],
+                "n_below": pd.array([n_below], dtype="int64"),
+                "n_above": pd.array([n_above], dtype="int64"),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(winsor, batch_format="pandas")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -5431,6 +5531,8 @@ QUERIES = {
     "weighted_sample_top50": q_weighted_sample_top50,
     "doc_percent_rank": q_doc_percent_rank,
     "knn_mmr_rerank": q_knn_mmr_rerank,
+    "nation_customer_supplier_outer": q_nation_customer_supplier_outer,
+    "events_value_winsor_bounds": q_events_value_winsor_bounds,
 }
 
 
@@ -7013,5 +7115,37 @@ ORACLE_SQL = {
         UNION ALL SELECT qid, 4, vec_id FROM s4
         UNION ALL SELECT qid, 5, vec_id FROM s5
         ORDER BY query_id, rank
+    """,
+    "nation_customer_supplier_outer": """
+        WITH c AS (
+            SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+                   CAST(count(*) AS BIGINT) AS n_customers
+            FROM customer GROUP BY 1
+        ),
+        s AS (
+            SELECT CAST(s_nationkey AS BIGINT) AS nationkey,
+                   CAST(count(*) AS BIGINT) AS n_suppliers
+            FROM supplier GROUP BY 1
+        )
+        SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+               COALESCE(c.n_customers, 0) AS n_customers,
+               COALESCE(s.n_suppliers, 0) AS n_suppliers
+        FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+        ORDER BY 1
+    """,
+    "events_value_winsor_bounds": """
+        WITH v AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+        b AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   quantile_disc(value, 0.05) AS p05,
+                   quantile_disc(value, 0.95) AS p95
+            FROM v GROUP BY event_type
+        )
+        SELECT b.event_type, b.n_events, b.p05, b.p95,
+               CAST(count(*) FILTER (v.value < b.p05) AS BIGINT) AS n_below,
+               CAST(count(*) FILTER (v.value > b.p95) AS BIGINT) AS n_above
+        FROM v JOIN b USING (event_type)
+        GROUP BY b.event_type, b.n_events, b.p05, b.p95
     """,
 }

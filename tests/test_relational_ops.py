@@ -1251,3 +1251,50 @@ class TestKnnMmrRerank:
         assert sorted(rows.to_pylist(), key=lambda r: (r["query_id"], r["rank"])) == [
             {"query_id": o[0], "rank": o[1], "vec_id": o[2]} for o in oracle
         ]
+
+
+class TestNationCustomerSupplierOuter:
+    def test_one_sided_rows_survive(self, ray_session, tmp_path):
+        # nation 1: customers only; nation 2: both; nation 3: suppliers only
+        customer = pa.table(
+            {
+                "c_custkey": pa.array([1, 2, 3], pa.int64()),
+                "c_nationkey": pa.array([1, 1, 2], pa.int32()),
+            }
+        )
+        supplier = pa.table(
+            {
+                "s_suppkey": pa.array([10, 11], pa.int64()),
+                "s_nationkey": pa.array([2, 3], pa.int32()),
+            }
+        )
+        pq.write_table(customer, tmp_path / "customer.parquet")
+        pq.write_table(supplier, tmp_path / "supplier.parquet")
+        rows = [
+            (r["nationkey"], r["n_customers"], r["n_suppliers"])
+            for r in QUERIES["nation_customer_supplier_outer"](str(tmp_path)).take_all()
+        ]
+        assert rows == [(1, 2, 0), (2, 1, 1), (3, 0, 1)]
+        assert rows == [tuple(o) for o in _oracle(tmp_path, "nation_customer_supplier_outer", ["customer", "supplier"])]
+
+
+class TestEventsValueWinsorBounds:
+    def test_hand_computed_bounds_and_clip_counts(self, ray_session, tmp_path):
+        # 20 values 1..20 for type a: quantile_disc(.05) = ceil(.05*20)=1st
+        # -> 1.0; p95 = ceil(.95*20)=19th -> 19.0; below 1.0: none;
+        # above 19.0: just 20.0. Nulls dropped.
+        events = pa.table(
+            {
+                "event_type": pa.array(["a"] * 20 + ["b"] * 2, pa.string()),
+                "value": pa.array([float(i) for i in range(1, 21)] + [5.0, None], pa.float64()),
+            }
+        )
+        pq.write_table(events, tmp_path / "events.parquet")
+        rows = {r["event_type"]: r for r in QUERIES["events_value_winsor_bounds"](str(tmp_path)).take_all()}
+        a = rows["a"]
+        assert (a["n_events"], a["p05"], a["p95"], a["n_below"], a["n_above"]) == (20, 1.0, 19.0, 0, 1)
+        b = rows["b"]
+        assert (b["n_events"], b["p05"], b["p95"], b["n_below"], b["n_above"]) == (1, 5.0, 5.0, 0, 0)
+        oracle = {o[0]: o for o in _oracle(tmp_path, "events_value_winsor_bounds", ["events"])}
+        for k, r in rows.items():
+            assert (r["n_events"], r["p05"], r["p95"], r["n_below"], r["n_above"]) == tuple(oracle[k][1:])
