@@ -41,30 +41,39 @@ def _split_once(s: str, sep: str) -> tuple[str, str | None]:
 def canonicalize_url(url: str) -> str:
     """Canonical form of an absolute http(s) URL (rules in module doc).
 
-    Non-http(s) or scheme-less inputs are returned unchanged except for
-    fragment removal — the caller decides whether to dedup those at all.
+    Non-http(s) or scheme-less inputs are returned unchanged (query
+    included) except for fragment removal — the caller decides whether to
+    dedup those at all.  Case-sensitive userinfo survives verbatim.
     """
     base, _frag = _split_once(url, "#")
     head, query = _split_once(base, "?")
 
     scheme_part, rest = _split_once(head, "://")
     if rest is None:
-        return head  # scheme-less: fragment already stripped
+        return base  # scheme-less: only the fragment is stripped
     scheme = scheme_part.lower()
     if scheme not in ("http", "https"):
-        return head
+        return base
 
     authority, slash_path = _split_once(rest, "/")
     path = "" if slash_path is None else "/" + slash_path
 
-    host = authority.lower()
+    # case-sensitive userinfo (user:pass@) is preserved verbatim; only the
+    # host[:port] part is case-insensitive per RFC 3986
+    userinfo = ""
+    hostport = authority
+    at = authority.rfind("@")
+    if at >= 0:
+        userinfo, hostport = authority[: at + 1], authority[at + 1 :]
+
+    host = hostport.lower()
     if host.startswith("www."):
         host = host[4:]
     default_port = ":80" if scheme == "http" else ":443"
     if host.endswith(default_port):
         host = host[: -len(default_port)]
 
-    out = f"{scheme}://{host}{path}"
+    out = f"{scheme}://{userinfo}{host}{path}"
     if query:
         kept = sorted(
             p

@@ -81,6 +81,19 @@ def _kbucket(value, nb: int) -> int:
     return zlib.crc32(str(value).encode()) % nb
 
 
+def _broadcast_dim(sf_dir: str, table: str, key_col: str, val_col: str) -> dict:
+    """Driver-side key→value map of a DIMENSION table (the documented
+    small-side assumption of every broadcast join here): streamed in
+    64k-row batches so the driver never holds more than the dict itself.
+    Callers ``ray.put`` the result once and read it zero-copy per task."""
+    out: dict = {}
+    for batch in _read(sf_dir, table, [key_col, val_col]).iter_batches(
+        batch_size=65536, batch_format="pyarrow"
+    ):
+        out.update(zip(batch[key_col].to_pylist(), batch[val_col].to_pylist()))
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Grouped aggregations (SURVEY §2.5 → Ray groupby/aggregate)
 # ---------------------------------------------------------------------------
@@ -4482,6 +4495,10 @@ def q_important_parts(sf_dir: str):
     from ray.data.aggregate import Count
 
     scal = per_part.aggregate(Sum("units", alias_name="t"), Count(alias_name="n"))
+    if not scal or scal["t"] is None:  # empty lineitem → empty result, typed
+        return pa.table(
+            {"l_partkey": pa.array([], pa.int64()), "value": pa.array([], pa.float64())}
+        )
     total, n_parts = int(scal["t"]), int(scal["n"])
 
     def finish(batch: pa.Table) -> pa.Table:
@@ -4512,12 +4529,7 @@ def q_top_revenue_suppliers(sf_dir: str):
     lo = pa.scalar(np.datetime64("1996-01-01", "us"), pa.timestamp("us"))
     hi = pa.scalar(np.datetime64("1996-04-01", "us"), pa.timestamp("us"))
 
-    names: dict[int, str] = {}
-    for batch in _read(sf_dir, "supplier", ["s_suppkey", "s_name"]).iter_batches(
-        batch_size=65536, batch_format="pyarrow"
-    ):
-        names.update(zip(batch["s_suppkey"].to_pylist(), batch["s_name"].to_pylist()))
-    names_ref = ray.put(names)
+    names_ref = ray.put(_broadcast_dim(sf_dir, "supplier", "s_suppkey", "s_name"))
 
     def partials(batch: pa.Table) -> pa.Table:
         batch = batch.filter(
@@ -4541,17 +4553,33 @@ def q_top_revenue_suppliers(sf_dir: str):
         .aggregate(Sum("units", alias_name="units"))
         .materialize()  # bounded by |supplier|
     )
-    best = int(per_supp.aggregate(Max("units", alias_name="m"))["m"])
+    best_agg = per_supp.aggregate(Max("units", alias_name="m"))
+    if not best_agg or best_agg["m"] is None:  # empty window → empty, typed
+        return pa.table(
+            {
+                "s_suppkey": pa.array([], pa.int64()),
+                "s_name": pa.array([], pa.string()),
+                "total_revenue": pa.array([], pa.float64()),
+            }
+        )
+    best = int(best_agg["m"])
 
     def finish(batch: pa.Table) -> pa.Table:
         batch = batch.filter(pc.equal(batch["units"], best))
         lookup = ray.get(names_ref)
-        keys = batch["s_suppkey"].to_pylist()
+        # inner-join semantics with the dimension (mirror the oracle): rows
+        # whose suppkey has no supplier row are dropped, not null-named
+        keys = [k for k in batch["s_suppkey"].to_pylist() if k in lookup]
+        units = [
+            u
+            for k, u in zip(batch["s_suppkey"].to_pylist(), batch["units"].to_pylist())
+            if k in lookup
+        ]
         return pa.table(
             {
                 "s_suppkey": pa.array(keys, pa.int64()),
-                "s_name": pa.array([lookup.get(k) for k in keys], pa.string()),
-                "total_revenue": pc.divide(pc.cast(batch["units"], pa.float64()), 10000.0),
+                "s_name": pa.array([lookup[k] for k in keys], pa.string()),
+                "total_revenue": pa.array([u / 10000.0 for u in units], pa.float64()),
             }
         )
 
@@ -4573,12 +4601,7 @@ def q_part_supplier_variety(sf_dir: str):
     from ray.data.aggregate import Sum
 
     nb = resolve_group_buckets()
-    brand_of: dict[int, str] = {}
-    for batch in _read(sf_dir, "part", ["p_partkey", "p_brand"]).iter_batches(
-        batch_size=65536, batch_format="pyarrow"
-    ):
-        brand_of.update(zip(batch["p_partkey"].to_pylist(), batch["p_brand"].to_pylist()))
-    brand_ref = ray.put(brand_of)
+    brand_ref = ray.put(_broadcast_dim(sf_dir, "part", "p_partkey", "p_brand"))
 
     def pairs(batch: pa.Table) -> pa.Table:
         lookup = ray.get(brand_ref)
@@ -4632,12 +4655,7 @@ def q_large_volume_customers(sf_dir: str):
     import ray
 
     nb = resolve_group_buckets()
-    names: dict[int, str] = {}
-    for batch in _read(sf_dir, "customer", ["c_custkey", "c_name"]).iter_batches(
-        batch_size=65536, batch_format="pyarrow"
-    ):
-        names.update(zip(batch["c_custkey"].to_pylist(), batch["c_name"].to_pylist()))
-    names_ref = ray.put(names)
+    names_ref = ray.put(_broadcast_dim(sf_dir, "customer", "c_custkey", "c_name"))
 
     def line_partial(batch: pa.Table) -> pa.Table:
         qty = pc.cast(pc.round(batch["l_quantity"]), pa.int64())
@@ -4699,10 +4717,14 @@ def q_large_volume_customers(sf_dir: str):
 
     def attach_names(batch: pa.Table) -> pa.Table:
         lookup = ray.get(names_ref)
+        # inner-join semantics with the dimension (mirror the oracle): an
+        # order whose custkey has no customer row is dropped, not null-named
+        mask = pa.array([k in lookup for k in batch["c_custkey"].to_pylist()], pa.bool_())
+        batch = batch.filter(mask)
         return pa.table(
             {
                 "c_name": pa.array(
-                    [lookup.get(k) for k in batch["c_custkey"].to_pylist()], pa.string()
+                    [lookup[k] for k in batch["c_custkey"].to_pylist()], pa.string()
                 ),
                 "c_custkey": batch["c_custkey"],
                 "o_orderkey": batch["o_orderkey"],
@@ -4966,6 +4988,10 @@ def q_bm25_top20(sf_dir: str):
         Sum("df1", alias_name="df1"),
         Sum("df2", alias_name="df2"),
     )
+    if not agg or not agg["nd"]:  # empty corpus → empty result, typed
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()), "bm25": pa.array([], pa.float64())}
+        )
     n_docs = int(agg["nd"])
     avgdl = float(agg["nw"]) / n_docs
     idf = [
