@@ -5436,6 +5436,74 @@ def q_events_value_winsor_bounds(sf_dir: str):
     )
 
 
+def q_events_type_transitions(sf_dir: str):
+    """First-order Markov transition counts over per-user event streams:
+    how often does event type A immediately precede type B for the same
+    user (the transition-matrix estimate behind next-event prediction and
+    behavioral clustering).  Scale shape: the sessionization partitioning
+    contract — user timelines co-locate via ONE user-hash bucket groupby
+    of narrow (us, event_id, type) rows; each bucket sorts once and folds
+    its transitions to per-(from, to) partial counts, and a final tiny
+    grouped sum merges them.  Order contract: (ts, event_id) — a TOTAL
+    order, so the transition sequence is identical on both engines even
+    under timestamp ties."""
+    from ray.data.aggregate import Sum
+
+    nb = resolve_group_buckets(None)
+
+    def project(batch: pa.Table) -> pa.Table:
+        users = batch["user_id"].to_pylist()
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "us": batch["ts"].cast(pa.int64()),
+                "event_id": batch["event_id"],
+                "event_type": batch["event_type"],
+                "ub": pa.array([_kbucket(u, nb) for u in users], pa.int32()),
+            }
+        )
+
+    def fold_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "from_type": pd.array([], dtype="object"),
+                "to_type": pd.array([], dtype="object"),
+                "n_p": pd.array([], dtype="int64"),
+            }
+        )
+        if group.empty:
+            return empty
+        g = group.sort_values(["user_id", "us", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        types = g["event_type"].to_numpy()
+        same_user = np.zeros(len(g), dtype=bool)
+        same_user[1:] = uid[1:] == uid[:-1]
+        sub = pd.DataFrame(
+            {
+                "from_type": np.concatenate(([""], types[:-1]))[same_user],
+                "to_type": types[same_user],
+            }
+        )
+        out = sub.groupby(["from_type", "to_type"], as_index=False).size()
+        return pd.DataFrame(
+            {
+                "from_type": out["from_type"],
+                "to_type": out["to_type"],
+                "n_p": out["size"].astype("int64"),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+        .map_batches(project, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(fold_bucket, batch_format="pandas")
+        .groupby(["from_type", "to_type"])
+        .aggregate(Sum("n_p", alias_name="n_transitions"))
+        .sort(["from_type", "to_type"])
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -5559,6 +5627,7 @@ QUERIES = {
     "knn_mmr_rerank": q_knn_mmr_rerank,
     "nation_customer_supplier_outer": q_nation_customer_supplier_outer,
     "events_value_winsor_bounds": q_events_value_winsor_bounds,
+    "events_type_transitions": q_events_type_transitions,
 }
 
 
@@ -7173,5 +7242,17 @@ ORACLE_SQL = {
                CAST(count(*) FILTER (v.value > b.p95) AS BIGINT) AS n_above
         FROM v JOIN b USING (event_type)
         GROUP BY b.event_type, b.n_events, b.p05, b.p95
+    """,
+    "events_type_transitions": """
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   LAG(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev_type
+            FROM events
+        )
+        SELECT prev_type AS from_type, event_type AS to_type,
+               CAST(count(*) AS BIGINT) AS n_transitions
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2 ORDER BY 1, 2
     """,
 }

@@ -1298,3 +1298,40 @@ class TestEventsValueWinsorBounds:
         oracle = {o[0]: o for o in _oracle(tmp_path, "events_value_winsor_bounds", ["events"])}
         for k, r in rows.items():
             assert (r["n_events"], r["p05"], r["p95"], r["n_below"], r["n_above"]) == tuple(oracle[k][1:])
+
+
+class TestEventsTypeTransitions:
+    def test_hand_computed_transitions_and_tie_order(self, ray_session, tmp_path):
+        import numpy as np
+
+        ts = lambda s: np.datetime64(s, "us")
+        # user 1: a->b->b ; user 2: b->a ; user 3: single event (no rows).
+        # user 4: two events at the SAME timestamp -> event_id breaks the
+        # tie (id 40 before id 41): c->d, never d->c.
+        events = pa.table(
+            {
+                "event_id": pa.array([10, 11, 12, 20, 21, 30, 41, 40], pa.int64()),
+                "ts": pa.array(
+                    [
+                        ts("2026-01-01T00:00:00"),
+                        ts("2026-01-01T00:01:00"),
+                        ts("2026-01-01T00:02:00"),
+                        ts("2026-01-01T05:00:00"),
+                        ts("2026-01-01T05:01:00"),
+                        ts("2026-01-02T00:00:00"),
+                        ts("2026-01-03T00:00:00"),
+                        ts("2026-01-03T00:00:00"),
+                    ],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([1, 1, 1, 2, 2, 3, 4, 4], pa.int64()),
+                "event_type": pa.array(["a", "b", "b", "b", "a", "x", "d", "c"], pa.string()),
+            }
+        )
+        pq.write_table(events, tmp_path / "events.parquet")
+        rows = [
+            (r["from_type"], r["to_type"], r["n_transitions"])
+            for r in QUERIES["events_type_transitions"](str(tmp_path)).take_all()
+        ]
+        assert rows == [("a", "b", 1), ("b", "a", 1), ("b", "b", 1), ("c", "d", 1)]
+        assert rows == [tuple(o) for o in _oracle(tmp_path, "events_type_transitions", ["events"])]
