@@ -5504,6 +5504,67 @@ def q_events_type_transitions(sf_dir: str):
     )
 
 
+def _skyline_2d(rows: list[tuple[float, int, int]]) -> list[tuple[float, int, int]]:
+    """2-D maximal-vector (skyline) filter over (price, size, key) rows:
+    keep points no OTHER point dominates (≥ in both dims, > in at least
+    one; exact duplicates never dominate each other).  O(n log n): walk
+    price groups descending, tracking the max size seen at strictly
+    higher prices."""
+    out: list[tuple[float, int, int]] = []
+    best_size = None
+    i = 0
+    rows = sorted(rows, key=lambda r: (-r[0], -r[1], r[2]))
+    while i < len(rows):
+        j = i
+        while j < len(rows) and rows[j][0] == rows[i][0]:
+            j += 1
+        group = rows[i:j]
+        group_max = group[0][1]
+        for r in group:
+            if (best_size is None or r[1] > best_size) and r[1] == group_max:
+                out.append(r)
+        best_size = group_max if best_size is None else max(best_size, group_max)
+        i = j
+    return out
+
+
+def q_part_skyline(sf_dir: str):
+    """Distributed skyline (Pareto frontier): parts not dominated in
+    (retail price, size) by any other part — the multi-criteria "best
+    offers" operator.  Scale shape: the skyline's local-prune property —
+    any point dominated within a batch is dominated globally — lets each
+    batch emit only its LOCAL skyline (typically a few points per batch),
+    and one final merge computes the skyline of the surviving union; the
+    corpus never shuffles and no pairwise cross-batch compare exists.
+    Exact duplicates of a frontier point all surface (neither dominates
+    the other), mirroring the SQL NOT EXISTS semantics."""
+
+    def local_skyline(batch: pa.Table) -> pa.Table:
+        rows = list(
+            zip(
+                (float(v) for v in batch["p_retailprice"].to_pylist()),
+                (int(v) for v in batch["p_size"].to_pylist()),
+                (int(v) for v in batch["p_partkey"].to_pylist()),
+            )
+        )
+        sky = _skyline_2d(rows)
+        return pa.table(
+            {
+                "p_partkey": pa.array([r[2] for r in sky], pa.int64()),
+                "p_retailprice": pa.array([r[0] for r in sky], pa.float64()),
+                "p_size": pa.array([r[1] for r in sky], pa.int64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "part", ["p_partkey", "p_retailprice", "p_size"])
+        .map_batches(local_skyline, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(local_skyline, batch_format="pyarrow")
+        .sort("p_partkey")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -5628,6 +5689,7 @@ QUERIES = {
     "nation_customer_supplier_outer": q_nation_customer_supplier_outer,
     "events_value_winsor_bounds": q_events_value_winsor_bounds,
     "events_type_transitions": q_events_type_transitions,
+    "part_skyline": q_part_skyline,
 }
 
 
@@ -7254,5 +7316,16 @@ ORACLE_SQL = {
                CAST(count(*) AS BIGINT) AS n_transitions
         FROM seq WHERE prev_type IS NOT NULL
         GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "part_skyline": """
+        SELECT p_partkey, p_retailprice, CAST(p_size AS BIGINT) AS p_size
+        FROM part p1
+        WHERE NOT EXISTS (
+            SELECT 1 FROM part p2
+            WHERE p2.p_retailprice >= p1.p_retailprice
+              AND p2.p_size >= p1.p_size
+              AND (p2.p_retailprice > p1.p_retailprice OR p2.p_size > p1.p_size)
+        )
+        ORDER BY p_partkey
     """,
 }

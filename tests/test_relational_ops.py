@@ -1335,3 +1335,58 @@ class TestEventsTypeTransitions:
         ]
         assert rows == [("a", "b", 1), ("b", "a", 1), ("b", "b", 1), ("c", "d", 1)]
         assert rows == [tuple(o) for o in _oracle(tmp_path, "events_type_transitions", ["events"])]
+
+
+class TestPartSkyline:
+    def test_dominance_duplicates_and_ties(self, ray_session, tmp_path):
+        # (10, 5) dominates (10, 4) [tie in price, strict in size] and
+        # (9, 5) [strict price, tie size]. Duplicates (10, 5) never
+        # dominate each other -> both on the frontier. (8, 9) survives on
+        # the size axis; (8, 8) is dominated by it.
+        part = pa.table(
+            {
+                "p_partkey": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+                "p_retailprice": pa.array([10.0, 10.0, 10.0, 9.0, 8.0, 8.0], pa.float64()),
+                "p_size": pa.array([5, 5, 4, 5, 9, 8], pa.int32()),
+            }
+        )
+        pq.write_table(part, tmp_path / "part.parquet")
+        rows = [
+            (r["p_partkey"], r["p_retailprice"], r["p_size"])
+            for r in QUERIES["part_skyline"](str(tmp_path)).take_all()
+        ]
+        assert rows == [(1, 10.0, 5), (2, 10.0, 5), (5, 8.0, 9)]
+        assert rows == [tuple(o) for o in _oracle(tmp_path, "part_skyline", ["part"])]
+
+    def test_local_prune_matches_bruteforce(self, ray_session, tmp_path):
+        # 300 deterministic pseudo-random points across multiple batches:
+        # the two-level skyline must equal the O(n^2) brute force.
+        import hashlib
+
+        def h(i, salt):
+            return int(hashlib.md5(f"{salt}:{i}".encode()).hexdigest()[:6], 16)
+
+        n = 300
+        prices = [float(h(i, "p") % 1000) / 10.0 for i in range(n)]
+        sizes = [h(i, "s") % 50 for i in range(n)]
+        part = pa.table(
+            {
+                "p_partkey": pa.array(list(range(n)), pa.int64()),
+                "p_retailprice": pa.array(prices, pa.float64()),
+                "p_size": pa.array(sizes, pa.int32()),
+            }
+        )
+        pq.write_table(part, tmp_path / "part.parquet")
+        got = [
+            (r["p_partkey"], r["p_retailprice"], r["p_size"])
+            for r in QUERIES["part_skyline"](str(tmp_path)).take_all()
+        ]
+        brute = sorted(
+            (k, p, s)
+            for k, p, s in zip(range(n), prices, sizes)
+            if not any(
+                (p2 >= p and s2 >= s and (p2 > p or s2 > s))
+                for p2, s2 in zip(prices, sizes)
+            )
+        )
+        assert got == brute
