@@ -76,3 +76,40 @@ class TestCanonicalizeUrl:
         raw = "HTTP://WWW.E.COM:80/P?z=1&utm_x=1&a=2#f"
         once = c(raw)
         assert c(once) == once == "http://e.com/P?a=2&z=1"
+
+
+class TestCanonicalizeUrlProperties:
+    def test_idempotence_and_invariants_property(self):
+        from hypothesis import given, settings, strategies as st
+
+        scheme = st.sampled_from(["http", "HTTP", "https", "HTTPS", "ftp"])
+        host = st.from_regex(r"(www\.)?[A-Za-z0-9]{1,8}(\.[A-Za-z]{2,4}){1,2}", fullmatch=True)
+        port = st.sampled_from(["", ":80", ":443", ":8080"])
+        path = st.from_regex(r"(/[A-Za-z0-9._~-]{0,6}){0,3}", fullmatch=True)
+        param = st.from_regex(r"(utm_[a-z]{1,4}|fbclid|gclid|[a-z]{1,4})=[A-Za-z0-9]{0,4}", fullmatch=True)
+        query = st.lists(param, max_size=4).map("&".join)
+        frag = st.sampled_from(["", "#f", "#sec-2"])
+
+        @settings(max_examples=300, deadline=None)
+        @given(scheme, host, port, path, query, frag)
+        def check(sch, h, pt, pa_, q, fr):
+            url = f"{sch}://{h}{pt}{pa_}"
+            if q:
+                url += "?" + q
+            url += fr
+            out = c(url)
+            # idempotent; fragments never survive
+            assert c(out) == out
+            assert "#" not in out
+            if sch.lower() in ("http", "https"):
+                # scheme lowercased, tracking params dropped, rest sorted
+                assert out.startswith(sch.lower() + "://")
+                assert "utm_" not in out and "fbclid=" not in out and "gclid=" not in out
+                if "?" in out:
+                    kept = out.split("?", 1)[1].split("&")
+                    assert kept == sorted(kept) and all(kept)
+            else:
+                # non-http(s): untouched except the fragment
+                assert out == url.split("#", 1)[0]
+
+        check()
