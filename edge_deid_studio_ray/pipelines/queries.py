@@ -5569,6 +5569,607 @@ def q_part_skyline(sf_dir: str):
 # Registry + oracle SQL
 # ---------------------------------------------------------------------------
 
+_GOPHER_STOPWORDS = frozenset(
+    ["the", "be", "to", "of", "and", "that", "have", "with"]
+)
+# explicit ASCII classes on BOTH engines: RE2's \s and Python re's \s disagree
+# on Unicode whitespace, so the shared contract spells the class out
+_GOPHER_BULLET_RE = re.compile(r"^[ \t\v\f\r]*[-*•]")
+_GOPHER_ELLIPSIS_RE = re.compile(r"(\.\.\.|…)[ \t\v\f\r]*$")
+
+
+def q_gopher_quality_flags(sf_dir: str):
+    """Gopher-style quality-rule bundle (Rae et al. 2021 §A1.1 heuristics,
+    re-expressed with integer-exact thresholds): per-rule failure counts +
+    the kept count over `documents`.  Rules: word count outside [50, 1e5];
+    mean word length outside [3, 10] (as `wlen < 3·wc OR wlen > 10·wc` —
+    no division anywhere); <80% of words containing a letter
+    (`5·alpha < 4·wc`); >90% bullet-starting lines; >30% ellipsis-ending
+    lines; symbol-to-word ratio (# + …) >10%; fewer than 2 English
+    stopword occurrences.  Scale shape: one stateless pyarrow scan emits an
+    8-row partial histogram per batch; the only exchange is the tiny
+    reason-keyed groupby.  A doc failing k rules counts in all k buckets
+    (reason attribution, not first-match), `kept` = zero failures —
+    matching the SQL mirror's FILTER clauses exactly."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter[str] = Counter(
+            {
+                "word_count": 0,
+                "mean_word_len": 0,
+                "alpha_words": 0,
+                "bullet_lines": 0,
+                "ellipsis_lines": 0,
+                "symbol_ratio": 0,
+                "stopwords": 0,
+                "kept": 0,
+            }
+        )
+        for text in batch["text"].to_pylist():
+            text = text or ""
+            words = text.split()
+            lines = text.split("\n")
+            wc = len(words)
+            wlen = sum(len(w) for w in words)
+            alpha = sum(1 for w in words if any(ch.isalpha() for ch in w))
+            nl = len(lines)
+            bullets = sum(1 for l in lines if _GOPHER_BULLET_RE.match(l))
+            ells = sum(1 for l in lines if _GOPHER_ELLIPSIS_RE.search(l))
+            syms = text.count("#") + text.count("…")
+            stops = sum(1 for w in words if w.lower() in _GOPHER_STOPWORDS)
+            failed = False
+            if wc < 50 or wc > 100_000:
+                c["word_count"] += 1
+                failed = True
+            if wc > 0 and (wlen < 3 * wc or wlen > 10 * wc):
+                c["mean_word_len"] += 1
+                failed = True
+            if wc > 0 and 5 * alpha < 4 * wc:
+                c["alpha_words"] += 1
+                failed = True
+            if 10 * bullets > 9 * nl:
+                c["bullet_lines"] += 1
+                failed = True
+            if 10 * ells > 3 * nl:
+                c["ellipsis_lines"] += 1
+                failed = True
+            if wc > 0 and 10 * syms > wc:
+                c["symbol_ratio"] += 1
+                failed = True
+            if wc > 0 and stops < 2:
+                c["stopwords"] += 1
+                failed = True
+            if not failed:
+                c["kept"] += 1
+        return pa.table(
+            {
+                "reason": pa.array(list(c.keys()), pa.string()),
+                "partial": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "documents", ["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("reason")
+        .aggregate(Sum("partial", alias_name="n_docs"))
+        .sort("reason")
+    )
+
+
+def q_small_quantity_revenue(sf_dir: str):
+    """TPC-H-Q17-shaped correlated-average threshold: revenue from
+    small-quantity lineitems of one brand's parts (`qty < 0.2 × that
+    part's average quantity`, compared as `qty·5·cnt < sum_qty` — exact
+    int64, no division).  Scale shape: pass 1 collapses lineitem to
+    per-part (sum_qty, cnt) integer partials per batch before ONE grouped
+    sum bounded by the brand's slice of |part| (dimension-sized, so the
+    driver-side dict broadcast via ``ray.put`` is the documented
+    small-side assumption); pass 2 re-scans the fact table filtering
+    map-side against the broadcast thresholds — two narrow scans, zero
+    fact-table shuffles.  The single output row divides once at the end,
+    bit-identical to the SQL mirror."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    brand_parts: set[int] = set()
+    for batch in _read(sf_dir, "part", ["p_partkey", "p_brand"]).iter_batches(
+        batch_size=65536, batch_format="pyarrow"
+    ):
+        mask = pc.equal(batch["p_brand"], "Brand#23")
+        brand_parts.update(batch.filter(mask)["p_partkey"].to_pylist())
+    brand_ref = ray.put(brand_parts)
+
+    def qty_partial(batch: pa.Table) -> pa.Table:
+        keys = ray.get(brand_ref)
+        mask = pa.array([k in keys for k in batch["l_partkey"].to_pylist()], pa.bool_())
+        batch = batch.filter(mask)
+        qty = pc.cast(pc.round(batch["l_quantity"]), pa.int64())
+        sums: Counter = Counter()
+        cnts: Counter = Counter()
+        for k, q in zip(batch["l_partkey"].to_pylist(), qty.to_pylist()):
+            sums[k] += q
+            cnts[k] += 1
+        return pa.table(
+            {
+                "pk": pa.array(list(sums.keys()), pa.int64()),
+                "sq": pa.array(list(sums.values()), pa.int64()),
+                "cnt": pa.array([cnts[k] for k in sums.keys()], pa.int64()),
+            }
+        )
+
+    per_part = (
+        _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+        .map_batches(qty_partial, batch_format="pyarrow")
+        .groupby("pk")
+        .aggregate(Sum("sq", alias_name="sq"), Sum("cnt", alias_name="cnt"))
+    )
+    thresholds = {
+        int(r["pk"]): (int(r["sq"]), int(r["cnt"])) for r in per_part.take_all()
+    }  # bounded by the brand's slice of |part| — dimension-sized by construction
+    thr_ref = ray.put(thresholds)
+
+    def small_qty(batch: pa.Table) -> pa.Table:
+        thr = ray.get(thr_ref)
+        pks = batch["l_partkey"].to_pylist()
+        qty = pc.cast(pc.round(batch["l_quantity"]), pa.int64()).to_pylist()
+        cents = pc.cast(
+            pc.round(pc.multiply(batch["l_extendedprice"], 100.0)), pa.int64()
+        ).to_pylist()
+        keep = [
+            i
+            for i, (k, q) in enumerate(zip(pks, qty))
+            if k in thr and q * 5 * thr[k][1] < thr[k][0]
+        ]
+        return pa.table(
+            {
+                "cents": pa.array([cents[i] for i in keep], pa.int64()),
+            }
+        )
+
+    agg = (
+        _read(sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"])
+        .map_batches(small_qty, batch_format="pyarrow")
+        .aggregate(Count(alias_name="n_lines"), Sum("cents", alias_name="cents"))
+    )
+    n_lines = int(agg["n_lines"]) if agg else 0
+    cents = int(agg["cents"]) if agg and agg["cents"] is not None else 0
+    return pa.table(
+        {
+            "n_lines": pa.array([n_lines], pa.int64()),
+            "avg_yearly": pa.array([float(cents) / 700.0], pa.float64()),
+        }
+    )
+
+
+def q_customer_order_counts(sf_dir: str):
+    """TPC-H-Q13-shaped left-join count distribution: how many customers
+    placed exactly k (non-'4-NOT SPECIFIED') orders, INCLUDING the zero
+    bucket.  Scale shape: no join at all — orders collapse to per-custkey
+    integer partials per batch before ONE grouped sum, that |customer|-
+    bounded table histograms map-side into (c_count, partial) rows merged
+    by a second tiny groupby, and the zero bucket folds from two scalar
+    aggregates (|customer| − customers-with-orders) — the LEFT JOIN is
+    pure arithmetic, never an exchange."""
+    from ray.data.aggregate import Count, Sum
+
+    def per_cust_partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.not_equal(batch["o_orderpriority"], "4-NOT SPECIFIED")
+        )
+        c: Counter = Counter()
+        for k in batch["o_custkey"].to_pylist():
+            c[k] += 1
+        return pa.table(
+            {
+                "ck": pa.array(list(c.keys()), pa.int64()),
+                "n": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    per_cust = (
+        _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+        .map_batches(per_cust_partial, batch_format="pyarrow")
+        .groupby("ck")
+        .aggregate(Sum("n", alias_name="c_count"))
+        .materialize()  # bounded by |customer|; reused for histogram + zero bucket
+    )
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for n in batch["c_count"].to_pylist():
+            c[n] += 1
+        return pa.table(
+            {
+                "c_count": pa.array(list(c.keys()), pa.int64()),
+                "partial": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    hist = (
+        per_cust.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("c_count")
+        .aggregate(Sum("partial", alias_name="custdist"))
+    )
+    # NOTE: a SOLO ungrouped Count() without `on` returns 0 in Ray 2.49 (the
+    # lone-Count metadata path); grouped Counts and Count+Sum combos are fine.
+    # Counting a non-null key column sidesteps it.
+    n_cust_agg = _read(sf_dir, "customer", ["c_custkey"]).aggregate(
+        Count(on="c_custkey", alias_name="n")
+    )
+    with_orders_agg = per_cust.aggregate(Count(on="ck", alias_name="n"))
+    zero = (int(n_cust_agg["n"]) if n_cust_agg else 0) - (
+        int(with_orders_agg["n"]) if with_orders_agg else 0
+    )
+    rows = [(int(r["c_count"]), int(r["custdist"])) for r in hist.take_all()]
+    if zero > 0:
+        rows.append((0, zero))
+    rows.sort(key=lambda t: (-t[1], -t[0]))
+    return pa.table(
+        {
+            "c_count": pa.array([r[0] for r in rows], pa.int64()),
+            "custdist": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+
+
+def q_promo_revenue_ratio(sf_dir: str):
+    """TPC-H-Q14-shaped conditional-aggregate ratio: the share of one
+    month's lineitem revenue coming from PROMO-type parts.  Scale shape:
+    the part→is-promo flag broadcasts once via ``ray.put`` (the documented
+    small-side dim assumption), each batch folds to ONE (promo, total)
+    integer partial row, and the global sum sees one row per batch — no
+    shuffle touches the fact table.  The two final divisions are
+    bit-identical to the SQL mirror's expression tree
+    (`(100.0·promo)/total`)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    promo: dict[int, bool] = {}
+    for batch in _read(sf_dir, "part", ["p_partkey", "p_type"]).iter_batches(
+        batch_size=65536, batch_format="pyarrow"
+    ):
+        for k, t in zip(batch["p_partkey"].to_pylist(), batch["p_type"].to_pylist()):
+            promo[k] = t == "PROMO"
+    promo_ref = ray.put(promo)
+
+    lo = pa.scalar(np.datetime64("1996-03-01", "us"), pa.timestamp("us"))
+    hi = pa.scalar(np.datetime64("1996-04-01", "us"), pa.timestamp("us"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flags = ray.get(promo_ref)
+        batch = batch.filter(
+            pc.and_(
+                pc.greater_equal(batch["l_shipdate"], lo),
+                pc.less(batch["l_shipdate"], hi),
+            )
+        )
+        units = _money_units(batch["l_extendedprice"], batch["l_discount"]).to_pylist()
+        p = t = 0
+        for k, u in zip(batch["l_partkey"].to_pylist(), units):
+            if k in flags:  # inner-join semantics vs part
+                t += u
+                if flags[k]:
+                    p += u
+        return pa.table(
+            {
+                "p_units": pa.array([p], pa.int64()),
+                "t_units": pa.array([t], pa.int64()),
+            }
+        )
+
+    agg = (
+        _read(
+            sf_dir,
+            "lineitem",
+            ["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .aggregate(Sum("p_units", alias_name="p"), Sum("t_units", alias_name="t"))
+    )
+    p = int(agg["p"]) if agg and agg["p"] is not None else 0
+    t = int(agg["t"]) if agg and agg["t"] is not None else 0
+    return pa.table(
+        {
+            "promo_revenue": pa.array([float(p) / 10000.0], pa.float64()),
+            "total_revenue": pa.array([float(t) / 10000.0], pa.float64()),
+            "promo_pct": pa.array(
+                [(100.0 * p) / t if t else 0.0], pa.float64()
+            ),
+        }
+    )
+
+
+def q_returned_top_customers(sf_dir: str):
+    """TPC-H-Q10-shaped returned-item report: top-20 customers by revenue
+    from returned ('R') lineitems of 1995-Q4 orders, with name and nation.
+    Scale shape: the only fact-table exchange is ONE bucketed co-group of
+    the two narrow projections on an orderkey-hash bucket (house
+    union+map_groups join — robust to the empty hash partitions that break
+    ``Dataset.join``); each bucket emits per-customer integer partials, a
+    second dimension-bounded grouped sum merges them, local top-20 pruning
+    bounds the final sort to ~20×blocks rows, and the customer/nation name
+    lookups broadcast once via ``ray.put``.  Revenue stays int64 until one
+    final division, bit-identical to the SQL mirror."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    nb = resolve_group_buckets(None)
+    lo = pa.scalar(np.datetime64("1995-10-01", "us"), pa.timestamp("us"))
+    hi = pa.scalar(np.datetime64("1996-01-01", "us"), pa.timestamp("us"))
+
+    cust_dim: dict[int, tuple[str, int]] = {}
+    for batch in _read(
+        sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"]
+    ).iter_batches(batch_size=65536, batch_format="pyarrow"):
+        for k, nm, nk in zip(
+            batch["c_custkey"].to_pylist(),
+            batch["c_name"].to_pylist(),
+            batch["c_nationkey"].to_pylist(),
+        ):
+            cust_dim[k] = (nm, nk)
+    nation_dim = _broadcast_dim(sf_dir, "nation", "n_nationkey", "n_name")
+    cust_ref = ray.put(cust_dim)
+
+    def order_rows(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.and_(
+                pc.greater_equal(batch["o_orderdate"], lo),
+                pc.less(batch["o_orderdate"], hi),
+            )
+        )
+        okeys = batch["o_orderkey"].to_pylist()
+        return pa.table(
+            {
+                "okey": pa.array(okeys, pa.int64()),
+                "kb": pa.array([k % nb for k in okeys], pa.int32()),
+                "units": pa.array([0] * len(okeys), pa.int64()),
+                "custkey": batch["o_custkey"].cast(pa.int64()),
+                "is_dim": pa.array([True] * len(okeys), pa.bool_()),
+            }
+        )
+
+    def lineitem_partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.equal(batch["l_returnflag"], "R"))
+        units = _money_units(batch["l_extendedprice"], batch["l_discount"])
+        c: Counter = Counter()
+        for k, u in zip(batch["l_orderkey"].to_pylist(), units.to_pylist()):
+            c[k] += u
+        okeys = list(c.keys())
+        n = len(okeys)
+        return pa.table(
+            {
+                "okey": pa.array(okeys, pa.int64()),
+                "kb": pa.array([k % nb for k in okeys], pa.int32()),
+                "units": pa.array(list(c.values()), pa.int64()),
+                "custkey": pa.array([0] * n, pa.int64()),
+                "is_dim": pa.array([False] * n, pa.bool_()),
+            }
+        )
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(order_rows, batch_format="pyarrow")
+    line = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    ).map_batches(lineitem_partial, batch_format="pyarrow")
+
+    def bucket_cust(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "ck": pd.array([], dtype="int64"),
+                "units": pd.array([], dtype="int64"),
+            }
+        )
+        if group.empty:
+            return empty
+        dims = group[group["is_dim"]]
+        facts = group[~group["is_dim"]]
+        if dims.empty or facts.empty:
+            return empty
+        sums = facts.groupby("okey", as_index=False)["units"].sum()
+        merged = sums.merge(dims[["okey", "custkey"]], on="okey", how="inner")
+        out = merged.groupby("custkey", as_index=False)["units"].sum()
+        return pd.DataFrame(
+            {
+                "ck": out["custkey"].astype("int64"),
+                "units": out["units"].astype("int64"),
+            }
+        )
+
+    per_cust = (
+        line.union(orders)
+        .groupby("kb")
+        .map_groups(bucket_cust, batch_format="pandas")
+        .groupby("ck")
+        .aggregate(Sum("units", alias_name="units"))
+    )
+
+    def local_top(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(
+            ["units", "ck"], ascending=[False, True]
+        ).head(20)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        cd = ray.get(cust_ref)
+        cks = batch["ck"].to_pylist()
+        return pa.table(
+            {
+                "c_custkey": pa.array(cks, pa.int64()),
+                "c_name": pa.array([cd[k][0] for k in cks], pa.string()),
+                "n_name": pa.array(
+                    [nation_dim[cd[k][1]] for k in cks], pa.string()
+                ),
+                "revenue": pc.divide(pc.cast(batch["units"], pa.float64()), 10000.0),
+            }
+        )
+
+    return (
+        per_cust.map_batches(local_top, batch_format="pyarrow")
+        .sort(["units", "ck"], descending=[True, False])
+        .limit(20)
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def q_word_zipf_slope(sf_dir: str):
+    """Zipf-law fit per language: OLS slope of ln(freq) on ln(rank) over
+    each language's top-100 words (rank ties broken by word — the SQL
+    window's ORDER BY n DESC, word ASC).  Scale shape: per-batch Counter
+    partials collapse the corpus to (lang, word) rows before ONE grouped
+    sum; after that exchange each word lives in exactly one block, so a
+    map-side per-lang top-100 prune bounds the final per-lang fold to
+    ≤100×blocks candidate rows.  The slope's closed form
+    (n·Σxy − Σx·Σy)/(n·Σxx − Σx·Σx) is evaluated with sequential Python
+    float sums in rank order and rounded to 6dp on both engines — the
+    same ln/6dp contract as bm25_top20."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter[tuple[str, str]] = Counter()
+        for lang, text in zip(batch["lang"].to_pylist(), batch["text"].to_pylist()):
+            for w in (text or "").split():
+                c[(lang, w)] += 1
+        keys = list(c.keys())
+        return pa.table(
+            {
+                "lang": pa.array([k[0] for k in keys], pa.string()),
+                "word": pa.array([k[1] for k in keys], pa.string()),
+                "partial": pa.array([c[k] for k in keys], pa.int64()),
+            }
+        )
+
+    counts = (
+        _read(sf_dir, "documents", ["lang", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "word"])
+        .aggregate(Sum("partial", alias_name="n"))
+    )
+
+    def local_top(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = (
+            df.sort_values(["n", "word"], ascending=[False, True])
+            .groupby("lang", as_index=False)
+            .head(100)
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def slope(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "lang": pd.array([], dtype="object"),
+                "n_words": pd.array([], dtype="int64"),
+                "zipf_slope": pd.array([], dtype="float64"),
+            }
+        )
+        if group.empty:
+            return empty
+        g = group.sort_values(["n", "word"], ascending=[False, True]).head(100)
+        ns = g["n"].to_numpy()
+        k = len(ns)
+        sx = sy = sxy = sxx = 0.0
+        for rank, n in enumerate(ns, start=1):
+            x, y = math.log(float(rank)), math.log(float(n))
+            sx += x
+            sy += y
+            sxy += x * y
+            sxx += x * x
+        denom = k * sxx - sx * sx
+        if denom == 0.0:  # k == 1 → ln(rank) constant, slope undefined
+            return empty
+        return pd.DataFrame(
+            {
+                "lang": [group["lang"].iloc[0]],
+                "n_words": pd.array([k], dtype="int64"),
+                "zipf_slope": [round((k * sxy - sx * sy) / denom, 6)],
+            }
+        )
+
+    return (
+        counts.map_batches(local_top, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(slope, batch_format="pandas")
+        .sort("lang")
+    )
+
+
+def q_events_debounced(sf_dir: str):
+    """LAG-window debounce: an event survives if it is the first for its
+    (user, event_type) key or arrives > 60 s after the PREVIOUS RAW event
+    of that key (non-greedy — the gap is measured against the immediate
+    predecessor, kept or not, exactly LAG's semantics).  Scale shape: user
+    timelines co-locate via the user-hash bucket groupby (the
+    sessionization partitioning contract, one narrow row per event); each
+    bucket sorts once, computes vectorized diffs, and emits per-type
+    partial counts merged by a tiny final groupby.  Tie contract: equal
+    timestamps order by event_id, mirroring the SQL window's
+    ORDER BY ts, event_id."""
+    from ray.data.aggregate import Sum
+
+    nb = resolve_group_buckets(None)
+
+    def project(batch: pa.Table) -> pa.Table:
+        users = batch["user_id"].to_pylist()
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "event_type": batch["event_type"],
+                "us": batch["ts"].cast(pa.int64()),
+                "event_id": batch["event_id"],
+                "ub": pa.array([_kbucket(u, nb) for u in users], pa.int32()),
+            }
+        )
+
+    def fold_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "event_type": pd.array([], dtype="object"),
+                "n": pd.array([], dtype="int64"),
+            }
+        )
+        if group.empty:
+            return empty
+        g = group.sort_values(
+            ["user_id", "event_type", "us", "event_id"], kind="mergesort"
+        )
+        us = g["us"].to_numpy()
+        uid = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        same_key = np.zeros(len(g), dtype=bool)
+        same_key[1:] = (uid[1:] == uid[:-1]) & (et[1:] == et[:-1])
+        gaps = np.zeros(len(g), dtype=np.int64)
+        gaps[1:] = us[1:] - us[:-1]
+        kept = ~same_key | (gaps > 60_000_000)
+        out = (
+            pd.DataFrame({"event_type": et[kept]})
+            .groupby("event_type", as_index=False)
+            .size()
+        )
+        return pd.DataFrame(
+            {
+                "event_type": out["event_type"],
+                "n": out["size"].astype("int64"),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["user_id", "event_type", "ts", "event_id"])
+        .map_batches(project, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(fold_bucket, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(Sum("n", alias_name="n_kept"))
+        .sort("event_type")
+    )
+
+
 QUERIES = {
     "doc_stats_by_lang": q_doc_stats_by_lang,
     "doc_token_stats": q_doc_token_stats,
@@ -5690,6 +6291,13 @@ QUERIES = {
     "events_value_winsor_bounds": q_events_value_winsor_bounds,
     "events_type_transitions": q_events_type_transitions,
     "part_skyline": q_part_skyline,
+    "gopher_quality_flags": q_gopher_quality_flags,
+    "small_quantity_revenue": q_small_quantity_revenue,
+    "customer_order_counts": q_customer_order_counts,
+    "promo_revenue_ratio": q_promo_revenue_ratio,
+    "returned_top_customers": q_returned_top_customers,
+    "word_zipf_slope": q_word_zipf_slope,
+    "events_debounced": q_events_debounced,
 }
 
 
@@ -7327,5 +7935,136 @@ ORACLE_SQL = {
               AND (p2.p_retailprice > p1.p_retailprice OR p2.p_size > p1.p_size)
         )
         ORDER BY p_partkey
+    """,
+    "gopher_quality_flags": r"""
+        WITH d AS (
+            SELECT regexp_extract_all(text, '\S+') AS words,
+                   string_split(text, chr(10)) AS lines, text
+            FROM documents
+        ), f AS (
+            SELECT len(words) AS wc,
+                   COALESCE(list_sum(list_transform(words, w -> length(w))), 0) AS wlen,
+                   len(list_filter(words, w -> regexp_matches(w, '\p{L}'))) AS alpha_wc,
+                   len(lines) AS nl,
+                   len(list_filter(lines, l -> regexp_matches(l, '^[ \t\v\f\r]*[-*•]'))) AS bullets,
+                   len(list_filter(lines, l -> regexp_matches(l, '(\.\.\.|…)[ \t\v\f\r]*$'))) AS ells,
+                   (length(text) - length(replace(text, '#', '')))
+                     + (length(text) - length(replace(text, '…', ''))) AS syms,
+                   len(list_filter(words, w -> lower(w) IN
+                       ('the','be','to','of','and','that','have','with'))) AS stops
+            FROM d
+        ), flags AS (
+            SELECT (wc < 50 OR wc > 100000) AS f_word_count,
+                   (wc > 0 AND (wlen < 3*wc OR wlen > 10*wc)) AS f_mean_word_len,
+                   (wc > 0 AND 5*alpha_wc < 4*wc) AS f_alpha_words,
+                   (10*bullets > 9*nl) AS f_bullet_lines,
+                   (10*ells > 3*nl) AS f_ellipsis_lines,
+                   (wc > 0 AND 10*syms > wc) AS f_symbol_ratio,
+                   (wc > 0 AND stops < 2) AS f_stopwords
+            FROM f
+        )
+        SELECT reason, CAST(n_docs AS BIGINT) AS n_docs FROM (
+            SELECT 'word_count' AS reason, count(*) FILTER (f_word_count) AS n_docs FROM flags
+            UNION ALL SELECT 'mean_word_len', count(*) FILTER (f_mean_word_len) FROM flags
+            UNION ALL SELECT 'alpha_words', count(*) FILTER (f_alpha_words) FROM flags
+            UNION ALL SELECT 'bullet_lines', count(*) FILTER (f_bullet_lines) FROM flags
+            UNION ALL SELECT 'ellipsis_lines', count(*) FILTER (f_ellipsis_lines) FROM flags
+            UNION ALL SELECT 'symbol_ratio', count(*) FILTER (f_symbol_ratio) FROM flags
+            UNION ALL SELECT 'stopwords', count(*) FILTER (f_stopwords) FROM flags
+            UNION ALL SELECT 'kept', count(*) FILTER (NOT (f_word_count OR f_mean_word_len
+                OR f_alpha_words OR f_bullet_lines OR f_ellipsis_lines OR f_symbol_ratio
+                OR f_stopwords)) FROM flags
+        ) ORDER BY reason
+    """,
+    "small_quantity_revenue": """
+        WITH agg AS (
+            SELECT l_partkey,
+                   CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sq,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE p_brand = 'Brand#23'
+            GROUP BY 1
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_lines,
+               COALESCE(CAST(CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                             AS DOUBLE) / 700.0, 0.0) AS avg_yearly
+        FROM lineitem l JOIN agg a ON l.l_partkey = a.l_partkey
+        WHERE CAST(ROUND(l.l_quantity) AS BIGINT) * 5 * a.cnt < a.sq
+    """,
+    "customer_order_counts": """
+        WITH per_cust AS (
+            SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+            FROM customer c LEFT JOIN orders o
+              ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '4-NOT SPECIFIED'
+            GROUP BY 1
+        )
+        SELECT CAST(c_count AS BIGINT) AS c_count, CAST(count(*) AS BIGINT) AS custdist
+        FROM per_cust GROUP BY 1 ORDER BY custdist DESC, c_count DESC
+    """,
+    "promo_revenue_ratio": """
+        WITH w AS (
+            SELECT CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)) AS units,
+                   (p.p_type = 'PROMO') AS is_promo
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+              AND l.l_shipdate < TIMESTAMP '1996-04-01'
+        )
+        SELECT CAST(COALESCE(CAST(SUM(units) FILTER (is_promo) AS BIGINT), 0) AS DOUBLE)
+                 / 10000.0 AS promo_revenue,
+               CAST(COALESCE(CAST(SUM(units) AS BIGINT), 0) AS DOUBLE)
+                 / 10000.0 AS total_revenue,
+               CASE WHEN COALESCE(CAST(SUM(units) AS BIGINT), 0) = 0 THEN 0.0
+                    ELSE (100.0 * COALESCE(CAST(SUM(units) FILTER (is_promo) AS BIGINT), 0))
+                         / CAST(SUM(units) AS BIGINT)
+               END AS promo_pct
+        FROM w
+    """,
+    "returned_top_customers": """
+        WITH rev AS (
+            SELECT o.o_custkey AS ck,
+                   CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) AS BIGINT) AS units
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_returnflag = 'R'
+              AND o.o_orderdate >= TIMESTAMP '1995-10-01'
+              AND o.o_orderdate < TIMESTAMP '1996-01-01'
+            GROUP BY 1
+        )
+        SELECT r.ck AS c_custkey, c.c_name, n.n_name,
+               CAST(r.units AS DOUBLE) / 10000.0 AS revenue
+        FROM rev r
+        JOIN customer c ON r.ck = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        ORDER BY r.units DESC, r.ck LIMIT 20
+    """,
+    "word_zipf_slope": r"""
+        WITH w AS (
+            SELECT lang, unnest(regexp_extract_all(text, '\S+')) AS word FROM documents
+        ), cnt AS (
+            SELECT lang, word, count(*) AS n FROM w GROUP BY 1, 2
+        ), ranked AS (
+            SELECT lang, n,
+                   row_number() OVER (PARTITION BY lang ORDER BY n DESC, word ASC) AS rnk
+            FROM cnt
+        ), top AS (
+            SELECT lang, ln(CAST(rnk AS DOUBLE)) AS x, ln(CAST(n AS DOUBLE)) AS y
+            FROM ranked WHERE rnk <= 100
+        )
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+               ROUND((count(*) * sum(x*y) - sum(x) * sum(y))
+                     / (count(*) * sum(x*x) - sum(x) * sum(x)), 6) AS zipf_slope
+        FROM top GROUP BY lang HAVING count(*) > 1 ORDER BY lang
+    """,
+    "events_debounced": """
+        WITH lagged AS (
+            SELECT event_type,
+                   epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                       PARTITION BY user_id, event_type ORDER BY ts, event_id) AS gap
+            FROM events
+        )
+        SELECT event_type,
+               CAST(count(*) FILTER (gap IS NULL OR gap > 60000000) AS BIGINT) AS n_kept
+        FROM lagged GROUP BY 1 ORDER BY 1
     """,
 }
