@@ -5569,6 +5569,245 @@ def q_part_skyline(sf_dir: str):
 # Registry + oracle SQL
 # ---------------------------------------------------------------------------
 
+def q_semdedup_pairs(sf_dir: str):
+    """SemDeDup-style semantic near-dup pairs (Abbas et al. 2023): assign
+    every embedding to its nearest centroid, then compare pairs ONLY within
+    a cluster.  Centroids here are the embeddings of vec_id 0..7 (a
+    deterministic, SQL-expressible codebook — the k-means variant lives in
+    ``knn_ivf``); assignment ties break to the smallest centroid id
+    (np.argmax first-max == the SQL LATERAL's ``ORDER BY cos DESC, cid``).
+    Scale shape: the 8-row codebook broadcasts via ``ray.put`` and
+    assignment is one batch matmul; the only exchange is the cluster
+    groupby, and each cluster's O(m²) pairwise scan runs chunked (1024-row
+    slabs, so temporaries stay a few MB).  Real SemDeDup picks K ≈ √N so
+    m = N/K stays bounded; K=8 here is sized to the test corpus — the knob,
+    not the shape, changes at 100 TB.  Threshold compares at cosine > 0.4
+    (same margin-checked contract as ``embedding_near_dups``)."""
+    import ray
+
+    from ..functions.simsearch import _normalize, _vec_matrix
+
+    import ray.data as rd
+
+    cent_rows = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filter=(pc.field("vec_id") < 8),
+    ).take_all()
+    cent_rows.sort(key=lambda r: r["vec_id"])  # argmax tie → smallest cid
+    cent = _normalize(np.array([r["embedding"] for r in cent_rows], dtype=np.float64))
+    cent_ref = ray.put(cent)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = _normalize(ray.get(cent_ref))
+        mat = _normalize(_vec_matrix(batch["embedding"]))
+        cluster = np.argmax(mat @ c.T, axis=1).astype(np.int64)
+        return pa.table(
+            {
+                "cluster": pa.array(cluster, pa.int64()),
+                "vec_id": batch["vec_id"],
+                "embedding": batch["embedding"],
+            }
+        )
+
+    def cluster_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "cluster": pd.array([], dtype="int64"),
+                "left": pd.array([], dtype="int64"),
+                "right": pd.array([], dtype="int64"),
+            }
+        )
+        if len(group) < 2:
+            return empty
+        order = np.argsort(group["vec_id"].to_numpy())
+        keys = group["vec_id"].to_numpy()[order]
+        mat = _normalize(np.array(list(group["embedding"].to_numpy()[order]), dtype=np.float64))
+        cl = int(group["cluster"].iloc[0])
+        lefts: list[int] = []
+        rights: list[int] = []
+        for lo in range(0, len(keys), 1024):
+            hi = min(lo + 1024, len(keys))
+            sims = mat[lo:hi] @ mat.T  # (chunk, m)
+            ii, jj = np.nonzero(sims > 0.4)
+            gi = ii + lo
+            keep = jj > gi  # strict upper triangle → each pair once, left<right
+            lefts.extend(keys[gi[keep]].tolist())
+            rights.extend(keys[jj[keep]].tolist())
+        return pd.DataFrame(
+            {
+                "cluster": pd.Series([cl] * len(lefts), dtype="int64"),
+                "left": pd.Series(lefts, dtype="int64"),
+                "right": pd.Series(rights, dtype="int64"),
+            }
+        )
+
+    return (
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .map_batches(assign, batch_format="pyarrow")
+        .groupby("cluster")
+        .map_groups(cluster_pairs, batch_format="pandas")
+        .sort(["cluster", "left", "right"])
+    )
+
+
+def q_knn_label_filtered(sf_dir: str):
+    """Filtered vector search: exact cosine top-5 for query vectors 0/1/2
+    restricted to candidates sharing the QUERY's label (the metadata-filter
+    ANN class — pre-filtering, so each query's top-k is over its own
+    candidate subset).  Scale shape: identical to ``knn_bruteforce`` — the
+    (query, label) pairs broadcast once, each batch masks per query and
+    emits its local top-5, and the same two-level tree merge finishes; the
+    filter multiplies shuffle volume by nothing."""
+    import ray
+    import ray.data as rd
+
+    from ..functions.simsearch import _merge_topk, _normalize, _vec_matrix
+
+    q_rows = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding", "label"],
+        filter=(pc.field("vec_id") < 3),
+    ).take_all()
+    q_rows.sort(key=lambda r: r["vec_id"])
+    qmat = _normalize(np.array([r["embedding"] for r in q_rows], dtype=np.float64))
+    qlabels = np.array([int(r["label"]) for r in q_rows], dtype=np.int64)
+    qids = [int(r["vec_id"]) for r in q_rows]
+    q_ref = ray.put((qmat, qlabels))
+
+    def topk(batch: pa.Table) -> pa.Table:
+        qm, ql = ray.get(q_ref)
+        mat = _normalize(_vec_matrix(batch["embedding"]))
+        keys = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        labels = np.asarray(batch["label"].to_pylist(), dtype=np.int64)
+        sims = qm @ mat.T  # (Q, B)
+        out_q: list[int] = []
+        out_k: list[int] = []
+        out_c: list[float] = []
+        for qi in range(sims.shape[0]):
+            valid = np.nonzero(labels == ql[qi])[0]
+            if len(valid) == 0:
+                continue
+            svals = sims[qi, valid]
+            kk = min(5, len(valid))
+            top = valid[np.argpartition(-svals, kk - 1)[:kk]]
+            for j in top:
+                out_q.append(qids[qi])
+                out_k.append(int(keys[j]))
+                out_c.append(float(sims[qi, j]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_k, pa.int64()),
+                "cosine": pa.array(out_c, pa.float64()),
+            }
+        )
+
+    partials = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"]).map_batches(
+        topk, batch_format="pyarrow"
+    )
+    return _merge_topk(partials, 5, "vec_id").select_columns(["query_id", "vec_id"])
+
+
+def q_copurchase_top_pairs(sf_dir: str):
+    """Market-basket pair mining on the fact table: the 20 part pairs most
+    often appearing in the SAME order (each pair counted once per order —
+    a bipartite-graph projection / self-join shape).  Scale shape: baskets
+    co-locate via ONE orderkey-hash bucket groupby; each bucket enumerates
+    its orders' within-basket pairs (C(m,2) bounded by basket size — ≤7
+    lineitems per order in TPC-H-shaped data) into Counter partials, a
+    pair-keyed grouped sum merges them, and map-side top-20 pruning bounds
+    the final sort to ~20×blocks rows.  Full (n desc, p1, p2) tie-break
+    keeps the LIMIT deterministic on both engines."""
+    from itertools import combinations
+
+    from ray.data.aggregate import Sum
+
+    nb = resolve_group_buckets(None)
+
+    def project(batch: pa.Table) -> pa.Table:
+        okeys = batch["l_orderkey"].to_pylist()
+        return pa.table(
+            {
+                "okey": batch["l_orderkey"].cast(pa.int64()),
+                "pkey": batch["l_partkey"].cast(pa.int64()),
+                "kb": pa.array([k % nb for k in okeys], pa.int32()),
+            }
+        )
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "p1": pd.array([], dtype="int64"),
+                "p2": pd.array([], dtype="int64"),
+                "n": pd.array([], dtype="int64"),
+            }
+        )
+        if group.empty:
+            return empty
+        c: Counter = Counter()
+        # pair encoded into ONE int64 (p1 << 32 | p2, partkeys < 2^31): a
+        # single-column grouped sum shuffles ~10× faster than a two-column
+        # key here, and the encoding is order-preserving ((p1,p2) lexicographic
+        # == encoded ascending), so the top-20 tie-break carries through
+        for _, parts in group.groupby("okey")["pkey"]:
+            basket = sorted(set(parts.tolist()))
+            for a, b in combinations(basket, 2):
+                c[(a << 32) | b] += 1
+        keys = list(c.keys())
+        return pd.DataFrame(
+            {
+                "pair": pd.Series(keys, dtype="int64"),
+                "pb": pd.Series([k % nb for k in keys], dtype="int32"),
+                "n": pd.Series(list(c.values()), dtype="int64"),
+            }
+        )
+
+    def merge_and_prune(group: pd.DataFrame) -> pd.DataFrame:
+        # a pair's partials all land in its pb bucket, so the bucket-local
+        # sum is the pair's FULL count and the local top-20 prune is safe;
+        # Ray's generic hash aggregate on ~unique int64 keys measured ~10×
+        # slower than this bucketed pandas fold at 100k pairs
+        empty = pd.DataFrame(
+            {
+                "pair": pd.array([], dtype="int64"),
+                "n_orders": pd.array([], dtype="int64"),
+            }
+        )
+        if group.empty:
+            return empty
+        sums = group.groupby("pair", as_index=False)["n"].sum()
+        sums = sums.rename(columns={"n": "n_orders"})
+        sums["neg_n"] = -sums["n_orders"]
+        top = sums.sort_values(["neg_n", "pair"], kind="mergesort").head(20)
+        return top[["pair", "n_orders"]].astype("int64")
+
+    counts = (
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+        .map_batches(project, batch_format="pyarrow")
+        .groupby("kb")
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .groupby("pb")
+        .map_groups(merge_and_prune, batch_format="pandas")
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        pair = batch["pair"].to_pylist()
+        return pa.table(
+            {
+                "p1": pa.array([p >> 32 for p in pair], pa.int64()),
+                "p2": pa.array([p & 0xFFFFFFFF for p in pair], pa.int64()),
+                "n_orders": batch["n_orders"].cast(pa.int64()),
+            }
+        )
+
+    return (
+        counts.sort(["n_orders", "pair"], descending=[True, False])
+        .limit(20)
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
 _GOPHER_STOPWORDS = frozenset(
     ["the", "be", "to", "of", "and", "that", "have", "with"]
 )
@@ -6298,6 +6537,9 @@ QUERIES = {
     "returned_top_customers": q_returned_top_customers,
     "word_zipf_slope": q_word_zipf_slope,
     "events_debounced": q_events_debounced,
+    "semdedup_pairs": q_semdedup_pairs,
+    "knn_label_filtered": q_knn_label_filtered,
+    "copurchase_top_pairs": q_copurchase_top_pairs,
 }
 
 
@@ -8066,5 +8308,38 @@ ORACLE_SQL = {
         SELECT event_type,
                CAST(count(*) FILTER (gap IS NULL OR gap > 60000000) AS BIGINT) AS n_kept
         FROM lagged GROUP BY 1 ORDER BY 1
+    """,
+    "semdedup_pairs": """
+        WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),
+        assign AS (
+            SELECT e.vec_id, e.embedding, a.cid AS cluster
+            FROM embeddings e, LATERAL (
+                SELECT c.cid FROM cent c
+                ORDER BY list_cosine_similarity(e.embedding, c.ce) DESC, c.cid ASC
+                LIMIT 1
+            ) a
+        )
+        SELECT CAST(a.cluster AS BIGINT) AS cluster, a.vec_id AS left, b.vec_id AS right
+        FROM assign a JOIN assign b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.4
+        ORDER BY cluster, a.vec_id, b.vec_id
+    """,
+    "knn_label_filtered": """
+        WITH q AS (SELECT vec_id AS qid, embedding AS qe, label
+                   FROM embeddings WHERE vec_id IN (0,1,2))
+        SELECT q.qid AS query_id, top.vec_id
+        FROM q, LATERAL (
+            SELECT e.vec_id
+            FROM embeddings e
+            WHERE e.label = q.label
+            ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id ASC
+            LIMIT 5
+        ) top
+    """,
+    "copurchase_top_pairs": """
+        WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        SELECT a.l_partkey AS p1, b.l_partkey AS p2, CAST(count(*) AS BIGINT) AS n_orders
+        FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 ORDER BY n_orders DESC, p1, p2 LIMIT 20
     """,
 }
