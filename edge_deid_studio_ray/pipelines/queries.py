@@ -6409,6 +6409,436 @@ def q_events_debounced(sf_dir: str):
     )
 
 
+def q_waiting_suppliers(sf_dir: str):
+    """TPC-H-Q21-shaped "suppliers who kept orders waiting" (adapted to this
+    schema's columns: the original's commit/receipt-date lateness becomes
+    "sole latest shipper"): over finished ('F') orders with ≥2 distinct
+    suppliers, blame the supplier whose per-order max shipdate is the
+    UNIQUE order-wide max — the multi-branch EXISTS (another supplier in
+    the order) + NOT-EXISTS (another supplier shipping as late) plan shape
+    (reference point: TPC-H Q21; no counterpart in /root/reference — this
+    is the engine's relational layer).
+
+    Scale shape: lineitem pre-aggregates (orderkey, suppkey) → max shipdate
+    per batch, so the ONE exchange (orderkey-hash bucketed co-group with
+    the 'F'-order markers) ships one narrow row per order-supplier, never
+    raw lineitems; all EXISTS logic resolves inside the bucket with
+    vectorized pandas group transforms; the supplier-name dim broadcasts
+    once via ``ray.put``; the final count groupby sees one row per blamed
+    order."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    nb = resolve_group_buckets(None)
+
+    supp_name = {
+        r["s_suppkey"]: r["s_name"]
+        for r in _read(sf_dir, "supplier", ["s_suppkey", "s_name"]).take_all()
+    }
+    supp_ref = ray.put(supp_name)
+
+    def line_partial(batch: pa.Table) -> pa.Table:
+        acc: dict[tuple[int, int], object] = {}
+        for ok, sk, sd in zip(
+            batch["l_orderkey"].to_pylist(),
+            batch["l_suppkey"].to_pylist(),
+            batch["l_shipdate"].to_pylist(),
+        ):
+            key = (ok, sk)
+            prev = acc.get(key)
+            if prev is None or sd > prev:
+                acc[key] = sd
+        okeys = [k[0] for k in acc]
+        return pa.table(
+            {
+                "okey": pa.array(okeys, pa.int64()),
+                "kb": pa.array([k % nb for k in okeys], pa.int32()),
+                "skey": pa.array([k[1] for k in acc], pa.int64()),
+                "smax": pa.array(list(acc.values()), pa.timestamp("us")),
+            }
+        )
+
+    def order_marker(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.equal(batch["o_orderstatus"], "F"))
+        okeys = batch["o_orderkey"].to_pylist()
+        n = len(okeys)
+        return pa.table(
+            {
+                "okey": pa.array(okeys, pa.int64()),
+                "kb": pa.array([k % nb for k in okeys], pa.int32()),
+                "skey": pa.array([-1] * n, pa.int64()),
+                "smax": pa.array([None] * n, pa.timestamp("us")),
+            }
+        )
+
+    def blame(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "skey": pd.array([], dtype="int64"),
+                "n": pd.array([], dtype="int64"),
+            }
+        )
+        if group.empty:
+            return empty
+        finished = set(group.loc[group["skey"] == -1, "okey"].tolist())
+        facts = group[(group["skey"] != -1) & group["okey"].isin(finished)]
+        if facts.empty:
+            return empty
+        # finish the (okey, skey) max across batch partials
+        per_os = facts.groupby(["okey", "skey"], as_index=False)["smax"].max()
+        g = per_os.groupby("okey")["smax"]
+        omax = g.transform("max")
+        nsupp = g.transform("size")
+        at_max = per_os[per_os["smax"] == omax]
+        achievers = at_max.groupby("okey")["skey"].transform("size")
+        blamed = at_max[(achievers == 1) & (nsupp[at_max.index] >= 2)]
+        if blamed.empty:
+            return empty
+        counts = blamed.groupby("skey", as_index=False).size()
+        return pd.DataFrame(
+            {
+                "skey": counts["skey"].astype("int64"),
+                "n": counts["size"].astype("int64"),
+            }
+        )
+
+    line = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_shipdate"]).map_batches(
+        line_partial, batch_format="pyarrow"
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"]).map_batches(
+        order_marker, batch_format="pyarrow"
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        names = ray.get(supp_ref)
+        return pa.table(
+            {
+                "s_name": pa.array(
+                    [names[k] for k in batch["skey"].to_pylist()], pa.string()
+                ),
+                "numwait": batch["numwait"].cast(pa.int64()),
+            }
+        )
+
+    return (
+        line.union(orders)
+        .groupby("kb")
+        .map_groups(blame, batch_format="pandas")
+        .groupby("skey")
+        .aggregate(Sum("n", alias_name="numwait"))
+        .map_batches(finish, batch_format="pyarrow")
+        .sort(["numwait", "s_name"], descending=[True, False])
+        .limit(20)
+    )
+
+
+def q_disjunctive_revenue(sf_dir: str):
+    """TPC-H-Q19-shaped disjunctive predicate revenue: three OR'd
+    (brand, size-band, quantity-band) branches across a lineitem×part
+    join, reduced to ONE number.  Scale shape: part is the small side and
+    broadcasts once via ``ray.put`` as two numpy-backed dict columns; each
+    lineitem batch evaluates the whole disjunction vectorized (numpy
+    boolean algebra over the mapped brand/size arrays) and contributes a
+    single int64 partial — no shuffle at all, the final ``aggregate`` is a
+    scalar tree-reduce.  Revenue stays exact integer units end to end."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    part_attrs = {
+        r["p_partkey"]: (r["p_brand"], r["p_size"])
+        for r in _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"]).take_all()
+    }
+    part_ref = ray.put(part_attrs)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        attrs = ray.get(part_ref)
+        pkeys = batch["l_partkey"].to_pylist()
+        brand = np.array([attrs[k][0] for k in pkeys])
+        size = np.array([attrs[k][1] for k in pkeys], dtype=np.int64)
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        b1 = (brand == "Brand#12") & (size >= 1) & (size <= 5) & (qty >= 1) & (qty <= 11)
+        b2 = (brand == "Brand#23") & (size >= 1) & (size <= 10) & (qty >= 10) & (qty <= 20)
+        b3 = (brand == "Brand#24") & (size >= 1) & (size <= 15) & (qty >= 20) & (qty <= 30)
+        mask = pa.array(b1 | b2 | b3, pa.bool_())
+        kept = batch.filter(mask)
+        units = _money_units(kept["l_extendedprice"], kept["l_discount"])
+        total = pc.sum(units).as_py() or 0
+        return pa.table({"units": pa.array([total], pa.int64())})
+
+    agg = (
+        _read(sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"])
+        .map_batches(partial, batch_format="pyarrow")
+        .aggregate(Sum("units", alias_name="units"))
+    )
+    units = int(agg["units"]) if agg and agg.get("units") is not None else 0
+    return pd.DataFrame({"revenue": [units / 10000.0]})
+
+
+def q_returnflag_priority_counts(sf_dir: str):
+    """TPC-H-Q12-shaped CASE aggregation (l_returnflag standing in for the
+    schema's missing l_shipmode): per return flag, how many 1996-shipped
+    lineitems belong to high-priority (1-URGENT / 2-HIGH) vs low-priority
+    orders.  Scale shape: lineitem pre-aggregates (orderkey, flag) → count
+    per batch, so the hash join with the narrow orders projection ships one
+    row per order-flag; the CASE split happens post-join in a vectorized
+    map and the final groupby sees two int64 partials per flag."""
+    from ray.data.aggregate import Sum
+
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"), pa.timestamp("us"))
+    hi = pa.scalar(np.datetime64("1997-01-01", "us"), pa.timestamp("us"))
+
+    def line_partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.and_(
+                pc.greater_equal(batch["l_shipdate"], lo),
+                pc.less(batch["l_shipdate"], hi),
+            )
+        )
+        c: Counter = Counter()
+        for ok, fl in zip(batch["l_orderkey"].to_pylist(), batch["l_returnflag"].to_pylist()):
+            c[(ok, fl)] += 1
+        keys = list(c.keys())
+        return pa.table(
+            {
+                "okey": pa.array([k[0] for k in keys], pa.int64()),
+                "l_returnflag": pa.array([k[1] for k in keys], pa.string()),
+                "n": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    line = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_returnflag", "l_shipdate"]
+    ).map_batches(line_partial, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+
+    joined = line.join(
+        orders, join_type="inner", num_partitions=8, on=("okey",), right_on=("o_orderkey",)
+    )
+
+    def case_split(batch: pa.Table) -> pa.Table:
+        is_high = pc.or_(
+            pc.equal(batch["o_orderpriority"], "1-URGENT"),
+            pc.equal(batch["o_orderpriority"], "2-HIGH"),
+        )
+        n = batch["n"]
+        zero = pa.array([0] * len(n), pa.int64())
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "high": pc.if_else(is_high, n, zero),
+                "low": pc.if_else(is_high, zero, n),
+            }
+        )
+
+    return (
+        joined.map_batches(case_split, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(
+            Sum("high", alias_name="high_line_count"),
+            Sum("low", alias_name="low_line_count"),
+        )
+        .sort("l_returnflag")
+    )
+
+
+def q_market_share(sf_dir: str):
+    """TPC-H-Q8-shaped market share: among 1996–1997 orders from ASIA
+    customers, NATION_7 suppliers' share of exact-integer revenue per order
+    year.  Scale shape: the two dimension chains broadcast once via
+    ``ray.put`` (customer→in-ASIA keys as a set, supplier→nation); lineitem
+    pre-aggregates (orderkey) → (total units, nation-7 units) per batch;
+    the only exchange is ONE hash join with the filtered orders projection
+    plus a 2-group year aggregate.  The final share division of two exact
+    int64 sums is bit-identical to the SQL mirror."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"), pa.timestamp("us"))
+    hi = pa.scalar(np.datetime64("1998-01-01", "us"), pa.timestamp("us"))
+
+    nation = {
+        r["n_nationkey"]: r["n_name"]
+        for r in _read(sf_dir, "nation", ["n_nationkey", "n_name"]).take_all()
+    }
+    region_keys = {
+        r["r_regionkey"]
+        for r in _read(sf_dir, "region", ["r_regionkey", "r_name"]).take_all()
+        if r["r_name"] == "ASIA"
+    }
+    asia_nations = {
+        r["n_nationkey"]
+        for r in _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).take_all()
+        if r["n_regionkey"] in region_keys
+    }
+    asia_custs: set[int] = set()
+    for batch in _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).iter_batches(
+        batch_size=65536, batch_format="pyarrow"
+    ):
+        for ck, nk in zip(batch["c_custkey"].to_pylist(), batch["c_nationkey"].to_pylist()):
+            if nk in asia_nations:
+                asia_custs.add(ck)
+    supp_nation = {
+        r["s_suppkey"]: nation[r["s_nationkey"]]
+        for r in _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).take_all()
+    }
+    cust_ref = ray.put(asia_custs)
+    supp_ref = ray.put(supp_nation)
+
+    def order_side(batch: pa.Table) -> pa.Table:
+        custs = ray.get(cust_ref)
+        batch = batch.filter(
+            pc.and_(
+                pc.greater_equal(batch["o_orderdate"], lo),
+                pc.less(batch["o_orderdate"], hi),
+            )
+        )
+        mask = pa.array([k in custs for k in batch["o_custkey"].to_pylist()], pa.bool_())
+        batch = batch.filter(mask)
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"].cast(pa.int64()),
+                "o_year": pc.cast(pc.year(batch["o_orderdate"]), pa.int64()),
+            }
+        )
+
+    def line_partial(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(supp_ref)
+        units = _money_units(batch["l_extendedprice"], batch["l_discount"])
+        acc: dict[int, list[int]] = {}
+        for ok, sk, u in zip(
+            batch["l_orderkey"].to_pylist(), batch["l_suppkey"].to_pylist(), units.to_pylist()
+        ):
+            cell = acc.setdefault(ok, [0, 0])
+            cell[0] += u
+            if lookup[sk] == "NATION_7":
+                cell[1] += u
+        return pa.table(
+            {
+                "okey": pa.array(list(acc.keys()), pa.int64()),
+                "total_units": pa.array([v[0] for v in acc.values()], pa.int64()),
+                "nation_units": pa.array([v[1] for v in acc.values()], pa.int64()),
+            }
+        )
+
+    line = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    ).map_batches(line_partial, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        order_side, batch_format="pyarrow"
+    )
+
+    joined = line.join(
+        orders, join_type="inner", num_partitions=8, on=("okey",), right_on=("o_orderkey",)
+    )
+    agg = joined.groupby("o_year").aggregate(
+        Sum("total_units", alias_name="total_units"),
+        Sum("nation_units", alias_name="nation_units"),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_year": batch["o_year"].cast(pa.int64()),
+                "mkt_share": pc.divide(
+                    pc.cast(batch["nation_units"], pa.float64()),
+                    pc.cast(batch["total_units"], pa.float64()),
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("o_year")
+
+
+def q_product_profit(sf_dir: str):
+    """TPC-H-Q9-shaped product-type profit: per (supplier nation, order
+    year), exact-integer profit over parts whose name contains 'red', where
+    profit = revenue − 55%-of-retail cost (the schema has no
+    ps_supplycost; 0.55·p_retailprice·l_quantity is the stand-in cost
+    term, kept exact: qty·retail_cents·55 lands in the same 10^-4 unit
+    scale as ``_money_units``).  Scale shape: part attributes and
+    supplier→nation broadcast once via ``ray.put``; lineitem pre-aggregates
+    (orderkey, nation) → profit partials per batch; ONE hash join against
+    the narrow (orderkey, year) orders projection, then a small
+    (nation, year) aggregate."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    nation = {
+        r["n_nationkey"]: r["n_name"]
+        for r in _read(sf_dir, "nation", ["n_nationkey", "n_name"]).take_all()
+    }
+    supp_nation = {
+        r["s_suppkey"]: nation[r["s_nationkey"]]
+        for r in _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).take_all()
+    }
+    red_retail_cents = {
+        r["p_partkey"]: int(round(r["p_retailprice"] * 100))
+        for r in _read(sf_dir, "part", ["p_partkey", "p_name", "p_retailprice"]).take_all()
+        if "red" in r["p_name"]
+    }
+    supp_ref = ray.put(supp_nation)
+    part_ref = ray.put(red_retail_cents)
+
+    def line_partial(batch: pa.Table) -> pa.Table:
+        supp = ray.get(supp_ref)
+        parts = ray.get(part_ref)
+        units = _money_units(batch["l_extendedprice"], batch["l_discount"])
+        acc: dict[tuple[int, str], int] = {}
+        for ok, pk, sk, q, u in zip(
+            batch["l_orderkey"].to_pylist(),
+            batch["l_partkey"].to_pylist(),
+            batch["l_suppkey"].to_pylist(),
+            batch["l_quantity"].to_pylist(),
+            units.to_pylist(),
+        ):
+            cents = parts.get(pk)
+            if cents is None:
+                continue
+            profit = u - int(q) * cents * 55
+            key = (ok, supp[sk])
+            acc[key] = acc.get(key, 0) + profit
+        return pa.table(
+            {
+                "okey": pa.array([k[0] for k in acc], pa.int64()),
+                "nation": pa.array([k[1] for k in acc], pa.string()),
+                "profit_units": pa.array(list(acc.values()), pa.int64()),
+            }
+        )
+
+    line = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice", "l_discount"],
+    ).map_batches(line_partial, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"]).map_batches(
+        lambda b: pa.table(
+            {
+                "o_orderkey": b["o_orderkey"].cast(pa.int64()),
+                "o_year": pc.cast(pc.year(b["o_orderdate"]), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    joined = line.join(
+        orders, join_type="inner", num_partitions=8, on=("okey",), right_on=("o_orderkey",)
+    )
+    agg = joined.groupby(["nation", "o_year"]).aggregate(
+        Sum("profit_units", alias_name="profit_units")
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "nation": batch["nation"],
+                "o_year": batch["o_year"].cast(pa.int64()),
+                "profit": pc.divide(pc.cast(batch["profit_units"], pa.float64()), 10000.0),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort(["nation", "o_year"])
+
+
 QUERIES = {
     "doc_stats_by_lang": q_doc_stats_by_lang,
     "doc_token_stats": q_doc_token_stats,
@@ -6540,6 +6970,11 @@ QUERIES = {
     "semdedup_pairs": q_semdedup_pairs,
     "knn_label_filtered": q_knn_label_filtered,
     "copurchase_top_pairs": q_copurchase_top_pairs,
+    "waiting_suppliers": q_waiting_suppliers,
+    "disjunctive_revenue": q_disjunctive_revenue,
+    "returnflag_priority_counts": q_returnflag_priority_counts,
+    "market_share": q_market_share,
+    "product_profit": q_product_profit,
 }
 
 
@@ -8341,5 +8776,89 @@ ORACLE_SQL = {
         SELECT a.l_partkey AS p1, b.l_partkey AS p2, CAST(count(*) AS BIGINT) AS n_orders
         FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
         GROUP BY 1, 2 ORDER BY n_orders DESC, p1, p2 LIMIT 20
+    """,
+    "waiting_suppliers": """
+        WITH os AS (
+            SELECT l.l_orderkey, l.l_suppkey, max(l.l_shipdate) AS s_max
+            FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+            WHERE o.o_orderstatus = 'F'
+            GROUP BY 1, 2
+        ), agg AS (
+            SELECT l_orderkey, max(s_max) AS o_max, count(*) AS n_supp
+            FROM os GROUP BY 1
+        ), lat AS (
+            SELECT os.l_orderkey, os.l_suppkey
+            FROM os JOIN agg USING (l_orderkey)
+            WHERE os.s_max = agg.o_max AND agg.n_supp >= 2
+        ), uniq AS (
+            SELECT l_orderkey FROM lat GROUP BY 1 HAVING count(*) = 1
+        )
+        SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+        FROM lat JOIN uniq USING (l_orderkey)
+        JOIN supplier s ON s.s_suppkey = lat.l_suppkey
+        GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20
+    """,
+    "disjunctive_revenue": """
+        SELECT CAST(COALESCE(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))), 0) AS DOUBLE)
+               / 10000.0 AS revenue
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+               AND l.l_quantity BETWEEN 1 AND 11)
+           OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+               AND l.l_quantity BETWEEN 10 AND 20)
+           OR (p.p_brand = 'Brand#24' AND p.p_size BETWEEN 1 AND 15
+               AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    "returnflag_priority_counts": """
+        SELECT l.l_returnflag,
+               CAST(count(*) FILTER (o.o_orderpriority IN ('1-URGENT', '2-HIGH')) AS BIGINT)
+                   AS high_line_count,
+               CAST(count(*) FILTER (o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')) AS BIGINT)
+                   AS low_line_count
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY 1 ORDER BY 1
+    """,
+    "market_share": """
+        WITH asia_cust AS (
+            SELECT c.c_custkey FROM customer c
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            JOIN region r ON r.r_regionkey = n.n_regionkey
+            WHERE r.r_name = 'ASIA'
+        ), rows_ AS (
+            SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                   CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)) AS units,
+                   n.n_name AS supp_nation
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN asia_cust a ON a.c_custkey = o.o_custkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1998-01-01'
+        )
+        SELECT o_year,
+               CAST(COALESCE(SUM(units) FILTER (supp_nation = 'NATION_7'), 0) AS DOUBLE)
+               / CAST(SUM(units) AS DOUBLE) AS mkt_share
+        FROM rows_ GROUP BY 1 ORDER BY 1
+    """,
+    "product_profit": """
+        SELECT n.n_name AS nation,
+               CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))
+                        - CAST(l.l_quantity AS BIGINT)
+                          * CAST(ROUND(p.p_retailprice * 100) AS BIGINT) * 55)
+                    AS DOUBLE) / 10000.0 AS profit
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE p.p_name LIKE '%red%'
+        GROUP BY 1, 2 ORDER BY 1, 2
     """,
 }
