@@ -6839,6 +6839,392 @@ def q_product_profit(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow").sort(["nation", "o_year"])
 
 
+# ---------------------------------------------------------------------------
+# Round-3 continuation batch: range join, grouping sets, gap-fill resample,
+# graph triangles, WITH-TIES top-k, correlated-subquery decorrelation
+# ---------------------------------------------------------------------------
+
+
+def q_events_band_join(sf_dir: str):
+    """Time-band self-join (range join): for every ``click`` event, the count
+    of ``view`` events by the SAME user within ±30 minutes.
+
+    Scale shape — the canonical cell-replication band join: time is cut into
+    cells of exactly the band width W; the probe side (clicks) lands in its
+    own cell ONCE, the build side (views) is replicated to cells c−1, c, c+1.
+    Any pair with |Δt| ≤ W spans at most adjacent cells, so it meets in the
+    probe's cell exactly once (replication is on the build side only — no
+    pair dedup pass needed).  Replication factor is a constant 3× of the
+    build side regardless of data size; each cell joins locally on user_id.
+    Cells are coarsened into ``nb`` shuffle buckets (cell % nb) so the group
+    count tracks the configured parallelism instead of wall-clock span; the
+    in-bucket merge keys on (cell, user_id), which keeps the exactly-once
+    guarantee under any coarsening.  At 10^12-event scale the bucket key
+    becomes (cell, user_bucket) so one hot hour cannot skew a reducer.
+    """
+    W_US = 1_800_000_000
+    nb = resolve_group_buckets()
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.int64())
+        types = batch["event_type"]
+        is_click = pc.equal(types, "click")
+        is_view = pc.equal(types, "view")
+        keep = pc.or_(is_click, is_view)
+        ids = batch["event_id"].filter(keep).to_pylist()
+        uss = us.filter(keep).to_pylist()
+        users = batch["user_id"].filter(keep).to_pylist()
+        clicks = is_click.filter(keep).to_pylist()
+        out_cell, out_id, out_user, out_us, out_side = [], [], [], [], []
+        for eid, t, u, c in zip(ids, uss, users, clicks):
+            cell = t // W_US
+            if c:
+                out_cell.append(cell)
+                out_id.append(eid)
+                out_user.append(u)
+                out_us.append(t)
+                out_side.append(1)
+            else:
+                for rep in (cell - 1, cell, cell + 1):
+                    out_cell.append(rep)
+                    out_id.append(eid)
+                    out_user.append(u)
+                    out_us.append(t)
+                    out_side.append(0)
+        return pa.table(
+            {
+                "cell": pa.array(out_cell, pa.int64()),
+                "gb": pa.array([c % nb for c in out_cell], pa.int32()),
+                "event_id": pa.array(out_id, pa.int64()),
+                "user_id": pa.array(out_user, pa.int64()),
+                "us": pa.array(out_us, pa.int64()),
+                "side": pa.array(out_side, pa.int8()),
+            }
+        )
+
+    def join_cell(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "click_id": pd.array([], dtype="int64"),
+                "n_views": pd.array([], dtype="int64"),
+            }
+        )
+        probes = group[group["side"] == 1]
+        builds = group[group["side"] == 0]
+        if probes.empty or builds.empty:
+            return empty
+        m = probes.merge(builds, on=["cell", "user_id"], suffixes=("_a", "_b"))
+        if m.empty:
+            return empty
+        m = m[(m["us_a"] - m["us_b"]).abs() <= W_US]
+        if m.empty:
+            return empty
+        out = m.groupby("event_id_a", as_index=False).size()
+        out.columns = ["click_id", "n_views"]
+        return out.astype("int64")
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"]).map_batches(
+        keyed, batch_format="pyarrow"
+    )
+    return ds.groupby("gb").map_groups(join_cell, batch_format="pandas")
+
+
+def q_orders_cube(sf_dir: str):
+    """GROUP BY CUBE(year, priority) in ONE shuffle: each input row emits its
+    four grouping-set partials map-side (a dict-combined partial aggregate
+    per batch, so the shuffle carries |groups|×4 rows, not |rows|×4), then a
+    single grouped merge finishes count/max/min for every grouping set at
+    once.  'ALL' is the roll-up sentinel on both engines (no NULL keys in the
+    data, so COALESCE is unambiguous)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        years = pc.cast(pc.year(batch["o_orderdate"]), pa.int64()).to_pylist()
+        prios = batch["o_orderpriority"].to_pylist()
+        prices = batch["o_totalprice"].to_pylist()
+        acc: dict[tuple[str, str], list] = {}
+        for y, p, price in zip(years, prios, prices):
+            ys = str(y)
+            for key in ((ys, p), (ys, "ALL"), ("ALL", p), ("ALL", "ALL")):
+                slot = acc.get(key)
+                if slot is None:
+                    acc[key] = [1, price, price]
+                else:
+                    slot[0] += 1
+                    if price > slot[1]:
+                        slot[1] = price
+                    if price < slot[2]:
+                        slot[2] = price
+        keys = list(acc.keys())
+        return pa.table(
+            {
+                "o_year": pa.array([k[0] for k in keys], pa.string()),
+                "priority": pa.array([k[1] for k in keys], pa.string()),
+                "n_partial": pa.array([v[0] for v in acc.values()], pa.int64()),
+                "max_partial": pa.array([v[1] for v in acc.values()], pa.float64()),
+                "min_partial": pa.array([v[2] for v in acc.values()], pa.float64()),
+            }
+        )
+
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_orderpriority", "o_totalprice"]).map_batches(
+        partials, batch_format="pyarrow"
+    )
+    return ds.groupby(["o_year", "priority"]).aggregate(
+        Sum("n_partial", alias_name="n_orders"),
+        Max("max_partial", alias_name="max_price"),
+        Min("min_partial", alias_name="min_price"),
+    )
+
+
+def q_events_gapfill(sf_dir: str):
+    """Time-series resample with zero-fill: hourly counts per event_type over
+    the FULL global [min, max] hour span — missing (type, hour) cells emitted
+    as explicit zeros (the gap-fill / date-spine operator).
+
+    Scale shape: counts come from a map-side partial aggregate + one small
+    grouped sum; the spine fill happens on the FINISHED aggregate, whose size
+    is bounded by |types| × |hours| (calendar-bounded — hours grow with wall
+    time, not data volume), so densifying it driver-side is the documented
+    small-result exception, not a materialization of the input."""
+    from ray.data.aggregate import Sum
+
+    HOUR_US = 3_600_000_000
+
+    def partials(batch: pa.Table) -> pa.Table:
+        hours = pc.multiply(
+            pc.divide(batch["ts"].cast(pa.int64()), HOUR_US), HOUR_US
+        )
+        t = pa.table({"event_type": batch["event_type"], "hour_us": hours})
+        # arrow-side partial aggregate: one row per (type, hour) per batch
+        agg: dict[tuple[str, int], int] = {}
+        for et, h in zip(t["event_type"].to_pylist(), t["hour_us"].to_pylist()):
+            agg[(et, h)] = agg.get((et, h), 0) + 1
+        return pa.table(
+            {
+                "event_type": pa.array([k[0] for k in agg], pa.string()),
+                "hour_us": pa.array([k[1] for k in agg], pa.int64()),
+                "partial": pa.array(list(agg.values()), pa.int64()),
+            }
+        )
+
+    counts = (
+        _read(sf_dir, "events", ["event_type", "ts"])
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby(["event_type", "hour_us"])
+        .aggregate(Sum("partial", alias_name="n_events"))
+    )
+    df = counts.to_pandas()  # bounded: |types| × |hours|
+    lo, hi = int(df["hour_us"].min()), int(df["hour_us"].max())
+    spine = np.arange(lo, hi + HOUR_US, HOUR_US, dtype=np.int64)
+    types = sorted(df["event_type"].unique())
+    full = pd.MultiIndex.from_product([types, spine], names=["event_type", "hour_us"])
+    dense = (
+        df.set_index(["event_type", "hour_us"])
+        .reindex(full, fill_value=0)
+        .reset_index()
+    )
+    dense["n_events"] = dense["n_events"].astype("int64")
+    return dense
+
+
+def q_copurchase_triangles(sf_dir: str):
+    """Triangle count of the co-purchase graph (parts sharing ≥1 order).
+
+    Scale shape — degree-ordered node-iterator: edges are oriented from the
+    lower-(degree, id) endpoint to the higher, so each triangle is counted
+    exactly once as a wedge at its lowest-ordered corner and per-node wedge
+    work is bounded by out-degree² (the arboricity bound that makes this the
+    standard distributed algorithm).  Wedge existence checks run vectorized
+    (np.searchsorted) against the sorted edge-encoding array broadcast once
+    via ``ray.put`` — O(E) per worker, the documented small-side assumption
+    for product-catalog graphs (E ≈ nodes × bounded basket degree).  For
+    graphs whose edge list outgrows a worker, swap the broadcast lookup for
+    a bucketed hash join of wedge encodings against edges (the
+    ``pair_text_metric`` two-pass pattern).  Edge building reuses the
+    market-basket projection of q_copurchase_top_pairs (one orderkey-bucket
+    groupby, C(basket,2) enumeration)."""
+    import ray
+    from itertools import combinations
+
+    nb = resolve_group_buckets(None)
+
+    def project(batch: pa.Table) -> pa.Table:
+        okeys = batch["l_orderkey"].to_pylist()
+        return pa.table(
+            {
+                "okey": batch["l_orderkey"].cast(pa.int64()),
+                "pkey": batch["l_partkey"].cast(pa.int64()),
+                "kb": pa.array([k % nb for k in okeys], pa.int32()),
+            }
+        )
+
+    def bucket_edges(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"edge": pd.array([], dtype="int64")})
+        if group.empty:
+            return empty
+        seen: set[int] = set()
+        for _, parts in group.groupby("okey")["pkey"]:
+            basket = sorted(set(parts.tolist()))
+            for a, b in combinations(basket, 2):
+                seen.add((a << 32) | b)
+        return pd.DataFrame({"edge": pd.Series(sorted(seen), dtype="int64")})
+
+    edges_ds = (
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+        .map_batches(project, batch_format="pyarrow")
+        .groupby("kb")
+        .map_groups(bucket_edges, batch_format="pandas")
+    )
+    # edge list streams to the driver ONCE (bounded: catalog graph — E grows
+    # with parts × basket degree, not with fact-table rows), is deduped
+    # (an edge can surface from orders in different kb buckets) and broadcast
+    # once; every downstream task reads it zero-copy
+    chunks = [
+        b["edge"].to_numpy()
+        for b in edges_ds.iter_batches(batch_size=65536, batch_format="pyarrow")
+    ]
+    edge_arr = (
+        np.unique(np.concatenate(chunks)) if chunks else np.array([], dtype=np.int64)
+    )
+    if edge_arr.size == 0:
+        return pd.DataFrame({"n_triangles": pd.array([0], dtype="int64")})
+    src = (edge_arr >> 32).astype(np.int64)
+    dst = (edge_arr & 0xFFFFFFFF).astype(np.int64)
+    nodes, counts = np.unique(np.concatenate([src, dst]), return_counts=True)
+    # orientation key: (degree, node id) — vectorized via a rank lookup
+    order = np.lexsort((nodes, counts))
+    rank = np.empty(nodes.size, dtype=np.int64)
+    rank[order] = np.arange(nodes.size)
+    node_rank = dict(zip(nodes.tolist(), rank.tolist()))
+    ra = np.array([node_rank[x] for x in src.tolist()], dtype=np.int64)
+    rb = np.array([node_rank[x] for x in dst.tolist()], dtype=np.int64)
+    lo_first = ra <= rb
+    u = np.where(lo_first, src, dst)
+    v = np.where(lo_first, dst, src)
+    oriented = pa.table(
+        {
+            "u": pa.array(u, pa.int64()),
+            "v": pa.array(v, pa.int64()),
+            "ub": pa.array((u % nb).astype(np.int32), pa.int32()),
+        }
+    )
+    edges_ref = ray.put(edge_arr)
+
+    def wedges(group: pd.DataFrame) -> pd.DataFrame:
+        if group.empty:
+            return pd.DataFrame({"n": pd.array([], dtype="int64")})
+        all_edges = ray.get(edges_ref)
+        total = 0
+        for _, g in group.groupby("u", sort=False):
+            nbrs = np.unique(g["v"].to_numpy())
+            if nbrs.size < 2:
+                continue
+            i, j = np.triu_indices(nbrs.size, k=1)
+            x, y = nbrs[i], nbrs[j]
+            cand = np.where(x < y, (x << 32) | y, (y << 32) | x)
+            pos = np.searchsorted(all_edges, cand)
+            pos[pos >= all_edges.size] = all_edges.size - 1
+            total += int((all_edges[pos] == cand).sum())
+        return pd.DataFrame({"n": pd.array([total], dtype="int64")})
+
+    import ray.data as rd
+
+    parts = (
+        rd.from_arrow(oriented)
+        .repartition(min(nb, 32))
+        .groupby("ub")
+        .map_groups(wedges, batch_format="pandas")
+    )
+    total = int(sum(b["n"].to_numpy().sum() for b in parts.iter_batches(batch_size=4096, batch_format="pyarrow")))
+    return pd.DataFrame({"n_triangles": pd.array([total], dtype="int64")})
+
+
+def q_orders_top_ties(sf_dir: str):
+    """Per-priority top-5 orders by totalprice WITH TIES (RANK, not
+    ROW_NUMBER — every row whose rank ≤ 5 survives, however many tie).
+
+    Scale shape: a block-local rank ≤ 5 prune runs map-side first — rank
+    restricted to a subset can only shrink (rank = 1 + #strictly-greater
+    rows, and a subset has no extra greater rows), so any row with global
+    rank ≤ 5 also has block rank ≤ 5 and the prune is lossless.  The final
+    exact rank then runs on ≤ 5×blocks rows per priority."""
+
+    def local_prune(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        r = df.groupby("o_orderpriority")["o_totalprice"].rank(
+            method="min", ascending=False
+        )
+        return pa.Table.from_pandas(df[r <= 5], preserve_index=False)
+
+    def final_rank(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "o_orderpriority": pd.array([], dtype="str"),
+                "o_orderkey": pd.array([], dtype="int64"),
+                "o_totalprice": pd.array([], dtype="float64"),
+                "rnk": pd.array([], dtype="int64"),
+            }
+        )
+        if group.empty:
+            return empty
+        g = group.copy()
+        g["rnk"] = (
+            g["o_totalprice"].rank(method="min", ascending=False).astype("int64")
+        )
+        g = g[g["rnk"] <= 5]
+        return g[["o_orderpriority", "o_orderkey", "o_totalprice", "rnk"]]
+
+    ds = _read(
+        sf_dir, "orders", ["o_orderpriority", "o_orderkey", "o_totalprice"]
+    ).map_batches(local_prune, batch_format="pyarrow")
+    return ds.groupby("o_orderpriority").map_groups(final_rank, batch_format="pandas")
+
+
+def q_events_above_user_median(sf_dir: str):
+    """Correlated-subquery decorrelation: per user, how many of their events
+    exceed THEIR OWN median event value.  The correlated scalar subquery
+    becomes one user-bucketed co-group (median + comparison inside the
+    group — a single shuffle, no per-row subquery).  Median of an even count
+    is the midpoint of the two middle stored doubles — one IEEE add + halve
+    from identical inputs on both engines, so the > comparison is exact."""
+    nb = resolve_group_buckets()
+
+    def to_rows(batch: pa.Table) -> pa.Table:
+        users = batch["user_id"].to_pylist()
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "value": batch["value"],
+                "ub": pa.array([_kbucket(u, nb) for u in users], pa.int32()),
+            }
+        )
+
+    def per_user(bucket: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "user_id": pd.array([], dtype="int64"),
+                "n_above": pd.array([], dtype="int64"),
+            }
+        )
+        if bucket.empty:
+            return empty
+        rows = []
+        for uid, g in bucket.groupby("user_id", sort=False):
+            med = g["value"].median()
+            rows.append((int(uid), int((g["value"] > med).sum())))
+        return pd.DataFrame(
+            {
+                "user_id": pd.Series([r[0] for r in rows], dtype="int64"),
+                "n_above": pd.Series([r[1] for r in rows], dtype="int64"),
+            }
+        )
+
+    ds = _read(sf_dir, "events", ["user_id", "value"]).map_batches(
+        to_rows, batch_format="pyarrow"
+    )
+    return ds.groupby("ub").map_groups(per_user, batch_format="pandas")
+
+
 QUERIES = {
     "doc_stats_by_lang": q_doc_stats_by_lang,
     "doc_token_stats": q_doc_token_stats,
@@ -6975,6 +7361,12 @@ QUERIES = {
     "returnflag_priority_counts": q_returnflag_priority_counts,
     "market_share": q_market_share,
     "product_profit": q_product_profit,
+    "events_band_join": q_events_band_join,
+    "orders_cube": q_orders_cube,
+    "events_gapfill": q_events_gapfill,
+    "copurchase_triangles": q_copurchase_triangles,
+    "orders_top_ties": q_orders_top_ties,
+    "events_above_user_median": q_events_above_user_median,
 }
 
 
@@ -8860,5 +9252,73 @@ ORACLE_SQL = {
         JOIN orders o ON o.o_orderkey = l.l_orderkey
         WHERE p.p_name LIKE '%red%'
         GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "events_band_join": """
+        SELECT a.event_id AS click_id, CAST(count(*) AS BIGINT) AS n_views
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id
+         AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 1800000000
+        WHERE a.event_type = 'click' AND b.event_type = 'view'
+        GROUP BY a.event_id
+    """,
+    "orders_cube": """
+        SELECT COALESCE(CAST(year(o_orderdate) AS VARCHAR), 'ALL') AS o_year,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               max(o_totalprice) AS max_price,
+               min(o_totalprice) AS min_price
+        FROM orders
+        GROUP BY CUBE (year(o_orderdate), o_orderpriority)
+    """,
+    "events_gapfill": """
+        WITH bounds AS (
+          SELECT (min(epoch_us(ts)) // 3600000000) * 3600000000 AS lo,
+                 (max(epoch_us(ts)) // 3600000000) * 3600000000 AS hi
+          FROM events
+        ),
+        spine AS (
+          SELECT unnest(generate_series(lo, hi, 3600000000)) AS hour_us FROM bounds
+        ),
+        types AS (SELECT DISTINCT event_type FROM events),
+        counts AS (
+          SELECT event_type,
+                 (epoch_us(ts) // 3600000000) * 3600000000 AS hour_us,
+                 count(*) AS n
+          FROM events GROUP BY 1, 2
+        )
+        SELECT t.event_type,
+               s.hour_us,
+               CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+        FROM spine s
+        CROSS JOIN types t
+        LEFT JOIN counts c ON c.event_type = t.event_type AND c.hour_us = s.hour_us
+    """,
+    "copurchase_triangles": """
+        WITH pairs AS (
+          SELECT a.l_partkey AS p1, b.l_partkey AS p2
+          FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+          JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        FROM pairs e1
+        JOIN pairs e2 ON e2.p1 = e1.p2
+        JOIN pairs e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2
+    """,
+    "orders_top_ties": """
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               CAST(rank() OVER (PARTITION BY o_orderpriority
+                                 ORDER BY o_totalprice DESC) AS BIGINT) AS rnk
+        FROM orders
+        QUALIFY rnk <= 5
+    """,
+    "events_above_user_median": """
+        WITH med AS (
+          SELECT user_id, median(value) AS m FROM events GROUP BY user_id
+        )
+        SELECT e.user_id, CAST(count(*) FILTER (e.value > med.m) AS BIGINT) AS n_above
+        FROM events e JOIN med ON med.user_id = e.user_id
+        GROUP BY e.user_id
     """,
 }
