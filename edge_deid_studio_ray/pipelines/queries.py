@@ -7225,6 +7225,215 @@ def q_events_above_user_median(sf_dir: str):
     return ds.groupby("ub").map_groups(per_user, batch_format="pandas")
 
 
+def q_lineitem_ols(sf_dir: str):
+    """Grouped OLS (extendedprice-in-cents ~ quantity per returnflag) from
+    EXACT integer sufficient statistics: each batch folds (n, Σx, Σy, Σx²,
+    Σxy) as int64 partials (quantities are integral, prices scale to cents),
+    one tiny grouped sum merges them, and the closed-form slope/intercept is
+    computed from the exact integers.  The one-pass sufficient-statistics
+    fold is the canonical distributed regression shape — no residual pass,
+    no driver-side matrix.  Cross-engine determinism: numerator/denominator
+    are rounded int→double ONCE each (float(num)/float(den)), the same two
+    correctly-rounded casts DuckDB performs on its HUGEINT sums, so the
+    resulting doubles are bit-identical."""
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        flags = batch["l_returnflag"].to_pylist()
+        qty = batch["l_quantity"].to_pylist()
+        price = batch["l_extendedprice"].to_pylist()
+        acc: dict[str, list[int]] = {}
+        for f, q, p in zip(flags, qty, price):
+            x = int(q)
+            y = int(round(p * 100))
+            s = acc.get(f)
+            if s is None:
+                acc[f] = [1, x, y, x * x, x * y]
+            else:
+                s[0] += 1
+                s[1] += x
+                s[2] += y
+                s[3] += x * x
+                s[4] += x * y
+        keys = list(acc.keys())
+        return pa.table(
+            {
+                "l_returnflag": pa.array(keys, pa.string()),
+                "n_p": pa.array([acc[k][0] for k in keys], pa.int64()),
+                "sx_p": pa.array([acc[k][1] for k in keys], pa.int64()),
+                "sy_p": pa.array([acc[k][2] for k in keys], pa.int64()),
+                "sxx_p": pa.array([acc[k][3] for k in keys], pa.int64()),
+                "sxy_p": pa.array([acc[k][4] for k in keys], pa.int64()),
+            }
+        )
+
+    stats = (
+        _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"])
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(
+            Sum("n_p", alias_name="n"),
+            Sum("sx_p", alias_name="sx"),
+            Sum("sy_p", alias_name="sy"),
+            Sum("sxx_p", alias_name="sxx"),
+            Sum("sxy_p", alias_name="sxy"),
+        )
+    )
+    df = stats.to_pandas()  # |returnflag| rows
+    rows = []
+    for _, r in df.iterrows():
+        n, sx, sy, sxx, sxy = (int(r["n"]), int(r["sx"]), int(r["sy"]), int(r["sxx"]), int(r["sxy"]))
+        num = n * sxy - sx * sy  # exact python ints (no int64 overflow)
+        den = n * sxx - sx * sx
+        slope = float(num) / float(den)
+        intercept = (float(sy) - slope * float(sx)) / float(n)
+        rows.append((r["l_returnflag"], n, slope, intercept))
+    return pd.DataFrame(
+        {
+            "l_returnflag": pd.Series([x[0] for x in rows], dtype="str"),
+            "n": pd.Series([x[1] for x in rows], dtype="int64"),
+            "slope_cents": pd.Series([x[2] for x in rows], dtype="float64"),
+            "intercept_cents": pd.Series([x[3] for x in rows], dtype="float64"),
+        }
+    )
+
+
+def q_events_rolling_max3(sf_dir: str):
+    """ROWS-frame window: per user (ordered by ts, event_id), the max event
+    value over the current + 2 preceding rows — the bounded-frame sliding
+    window that complements the time-based windows elsewhere in the suite.
+    max() involves no arithmetic, so doubles compare exactly.  Same
+    user-bucketed co-group shape as the other per-key window queries."""
+    nb = resolve_group_buckets()
+
+    def to_rows(batch: pa.Table) -> pa.Table:
+        users = batch["user_id"].to_pylist()
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "user_id": batch["user_id"],
+                "us": batch["ts"].cast(pa.int64()),
+                "value": batch["value"],
+                "ub": pa.array([_kbucket(u, nb) for u in users], pa.int32()),
+            }
+        )
+
+    def roll(bucket: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "event_id": pd.array([], dtype="int64"),
+                "rmax3": pd.array([], dtype="float64"),
+            }
+        )
+        if bucket.empty:
+            return empty
+        outs = []
+        for _, g in bucket.groupby("user_id", sort=False):
+            g = g.sort_values(["us", "event_id"])
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "event_id": g["event_id"].to_numpy(),
+                        "rmax3": g["value"].rolling(3, min_periods=1).max().to_numpy(),
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"]).map_batches(
+        to_rows, batch_format="pyarrow"
+    )
+    return ds.groupby("ub").map_groups(roll, batch_format="pandas")
+
+
+def q_lineitem_unpivot(sf_dir: str):
+    """UNPIVOT / melt: the per-returnflag wide aggregate (sum_qty, n_rows)
+    reshaped to long (l_returnflag, measure, value) rows — the wide→long
+    reshape operator.  The melt happens map-side on the finished aggregate
+    (|flags| rows), so it costs nothing at any scale."""
+    from ray.data.aggregate import Count, Sum
+
+    def to_int(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "qty": pc.cast(batch["l_quantity"], pa.int64()),
+            }
+        )
+
+    wide = (
+        _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+        .map_batches(to_int, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(Sum("qty", alias_name="sum_qty"), Count(alias_name="n_rows"))
+    )
+
+    def melt(batch: pa.Table) -> pa.Table:
+        flags = batch["l_returnflag"].to_pylist()
+        sq = batch["sum_qty"].to_pylist()
+        nr = batch["n_rows"].to_pylist()
+        out_f, out_m, out_v = [], [], []
+        for f, a, b in zip(flags, sq, nr):
+            out_f += [f, f]
+            out_m += ["sum_qty", "n_rows"]
+            out_v += [int(a), int(b)]
+        return pa.table(
+            {
+                "l_returnflag": pa.array(out_f, pa.string()),
+                "measure": pa.array(out_m, pa.string()),
+                "value": pa.array(out_v, pa.int64()),
+            }
+        )
+
+    return wide.map_batches(melt, batch_format="pyarrow")
+
+
+def q_events_lead_type(sf_dir: str):
+    """LEAD window function: each event paired with the NEXT event's type in
+    its user's timeline (ordered by ts, event_id; 'NONE' for the last event).
+    Complements the LAG-based debounce/inter-arrival queries."""
+    nb = resolve_group_buckets()
+
+    def to_rows(batch: pa.Table) -> pa.Table:
+        users = batch["user_id"].to_pylist()
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "user_id": batch["user_id"],
+                "us": batch["ts"].cast(pa.int64()),
+                "event_type": batch["event_type"],
+                "ub": pa.array([_kbucket(u, nb) for u in users], pa.int32()),
+            }
+        )
+
+    def lead(bucket: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "event_id": pd.array([], dtype="int64"),
+                "next_type": pd.array([], dtype="str"),
+            }
+        )
+        if bucket.empty:
+            return empty
+        outs = []
+        for _, g in bucket.groupby("user_id", sort=False):
+            g = g.sort_values(["us", "event_id"])
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "event_id": g["event_id"].to_numpy(),
+                        "next_type": g["event_type"].shift(-1).fillna("NONE").to_numpy(),
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"]).map_batches(
+        to_rows, batch_format="pyarrow"
+    )
+    return ds.groupby("ub").map_groups(lead, batch_format="pandas")
+
+
 QUERIES = {
     "doc_stats_by_lang": q_doc_stats_by_lang,
     "doc_token_stats": q_doc_token_stats,
@@ -7367,6 +7576,10 @@ QUERIES = {
     "copurchase_triangles": q_copurchase_triangles,
     "orders_top_ties": q_orders_top_ties,
     "events_above_user_median": q_events_above_user_median,
+    "lineitem_ols": q_lineitem_ols,
+    "events_rolling_max3": q_events_rolling_max3,
+    "lineitem_unpivot": q_lineitem_unpivot,
+    "events_lead_type": q_events_lead_type,
 }
 
 
@@ -9320,5 +9533,50 @@ ORACLE_SQL = {
         SELECT e.user_id, CAST(count(*) FILTER (e.value > med.m) AS BIGINT) AS n_above
         FROM events e JOIN med ON med.user_id = e.user_id
         GROUP BY e.user_id
+    """,
+    "lineitem_ols": """
+        WITH s AS (
+          SELECT l_returnflag,
+                 CAST(count(*) AS HUGEINT) AS n,
+                 CAST(sum(CAST(l_quantity AS BIGINT)) AS HUGEINT) AS sx,
+                 CAST(sum(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS HUGEINT) AS sy,
+                 CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS HUGEINT) AS sxx,
+                 CAST(sum(CAST(l_quantity AS BIGINT)
+                          * CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS HUGEINT) AS sxy
+          FROM lineitem GROUP BY 1
+        )
+        SELECT l_returnflag,
+               CAST(n AS BIGINT) AS n,
+               CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+                 AS slope_cents,
+               (CAST(sy AS DOUBLE)
+                - (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE))
+                  * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept_cents
+        FROM s
+    """,
+    "events_rolling_max3": """
+        SELECT event_id,
+               max(value) OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id
+                                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS rmax3
+        FROM events
+    """,
+    "lineitem_unpivot": """
+        WITH w AS (
+          SELECT l_returnflag,
+                 CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                 CAST(count(*) AS BIGINT) AS n_rows
+          FROM lineitem GROUP BY 1
+        )
+        SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM w
+        UNION ALL
+        SELECT l_returnflag, 'n_rows' AS measure, n_rows AS value FROM w
+    """,
+    "events_lead_type": """
+        SELECT event_id,
+               COALESCE(lead(event_type) OVER (PARTITION BY user_id
+                                               ORDER BY epoch_us(ts), event_id),
+                        'NONE') AS next_type
+        FROM events
     """,
 }
