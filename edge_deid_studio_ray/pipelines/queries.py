@@ -68,6 +68,12 @@ def _read_spread(sf_dir: str, table: str, columns: list[str] | None = None, *, b
     return _read(sf_dir, table, columns).repartition(blocks)
 
 
+# per-worker-process cache for broadcast derived structures (flattened
+# models, lookup tables): module globals survive across tasks within one
+# worker, unlike task-closure state which is re-deserialized per task
+_WORKER_CACHE: dict = {}
+
+
 def _kbucket(value, nb: int) -> int:
     """Coarse co-location bucket for any key type: identity-mod for ints
     (cheap, deterministic), crc32 for strings — NOT Python hash(), which is
@@ -5087,10 +5093,30 @@ def q_dsir_importance_weights(sf_dir: str):
         )
     model_ref = ray.put((lp_t, sum(den_t["_t"]), lp_r, sum(den_r["_r"])))
 
-    def score(batch: pa.Table) -> pa.Table:
-        lt, dt, lr, dr = ray.get(model_ref)
+    def _delta_model(ref) -> tuple[dict, float]:
+        """Per-worker flattened Δ-model cache: one plain tri→(lp_t−lp_r)
+        dict replaces two tuple-keyed lookups per character position.  Each
+        per-trigram Δ is the SAME subtraction the two-lookup loop performed,
+        applied in the same position order, so the document sum is
+        bit-identical.  Built once per worker process (module-level
+        _WORKER_CACHE — task-closure state would be re-deserialized and
+        rebuilt per task)."""
+        ck = ("dsir_delta", ref.hex())
+        hit = _WORKER_CACHE.get(ck)
+        if hit is not None:
+            return hit
+        lt, dt, lr, dr = ray.get(ref)
         floor_t = math.log(1.0 / float(dt))
         floor_r = math.log(1.0 / float(dr))
+        delta = {tri: lt.get(("_t", tri), floor_t) - lpr for (_, tri), lpr in lr.items()}
+        out = (delta, floor_t - floor_r)
+        _WORKER_CACHE.clear()  # one broadcast generation at a time per worker
+        _WORKER_CACHE[ck] = out
+        return out
+
+    def score(batch: pa.Table) -> pa.Table:
+        delta, floor_diff = _delta_model(model_ref)
+        dget = delta.get
         ids, ntris, ws = [], [], []
         for key, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
             t = text or ""
@@ -5099,8 +5125,9 @@ def q_dsir_importance_weights(sf_dir: str):
                 continue
             s = 0.0
             for i in range(n):
-                tri = t[i : i + 3]
-                s += lt.get(("_t", tri), floor_t) - lr.get(("_r", tri), floor_r)
+                # every corpus trigram exists in the raw model by
+                # construction; floor_diff is an unreachable safety default
+                s += dget(t[i : i + 3], floor_diff)
             ids.append(key)
             ntris.append(n)
             ws.append(round(s / n, 6))
@@ -7434,6 +7461,49 @@ def q_events_lead_type(sf_dir: str):
     return ds.groupby("ub").map_groups(lead, batch_format="pandas")
 
 
+def q_bpe_pair_counts(sf_dir: str):
+    """One BPE training round: corpus-wide counts of ADJACENT character
+    pairs inside whitespace tokens (lowercased) — the argmax of this table
+    is the next BPE merge.  Scale shape: per-batch Counter fold (pairs per
+    batch bounded by charset², not text size) → one small grouped sum →
+    map-side top-20 prune before the final sort.  Deterministic (n desc,
+    pair asc) tie-break keeps LIMIT stable on both engines."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for text in batch["text"].to_pylist():
+            for w in (text or "").lower().split():
+                c.update(zip(w, w[1:]))
+        pairs = ["".join(k) for k in c]
+        return pa.table(
+            {
+                "pair": pa.array(pairs, pa.string()),
+                "partial": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    counts = (
+        _read_spread(sf_dir, "documents", ["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("pair")
+        .aggregate(Sum("partial", alias_name="n"))
+    )
+
+    def prune(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["neg_n"] = -df["n"]
+        top = df.sort_values(["neg_n", "pair"], kind="mergesort").head(20)
+        return pa.Table.from_pandas(top[["pair", "n"]], preserve_index=False)
+
+    pruned = counts.map_batches(prune, batch_format="pyarrow")
+    out = pruned.to_pandas()
+    out["neg_n"] = -out["n"]
+    out = out.sort_values(["neg_n", "pair"], kind="mergesort").head(20)
+    out["n"] = out["n"].astype("int64")
+    return out[["pair", "n"]]
+
+
 QUERIES = {
     "doc_stats_by_lang": q_doc_stats_by_lang,
     "doc_token_stats": q_doc_token_stats,
@@ -7580,6 +7650,7 @@ QUERIES = {
     "events_rolling_max3": q_events_rolling_max3,
     "lineitem_unpivot": q_lineitem_unpivot,
     "events_lead_type": q_events_lead_type,
+    "bpe_pair_counts": q_bpe_pair_counts,
 }
 
 
@@ -9578,5 +9649,17 @@ ORACLE_SQL = {
                                                ORDER BY epoch_us(ts), event_id),
                         'NONE') AS next_type
         FROM events
+    """,
+    "bpe_pair_counts": r"""
+        WITH words AS (
+          SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS w FROM documents
+        ),
+        pairs AS (
+          SELECT substr(w, CAST(i AS INTEGER), 2) AS pair
+          FROM words, LATERAL (SELECT unnest(range(1, len(w))) AS i)
+        )
+        SELECT pair, CAST(count(*) AS BIGINT) AS n
+        FROM pairs GROUP BY pair
+        ORDER BY n DESC, pair ASC LIMIT 20
     """,
 }
