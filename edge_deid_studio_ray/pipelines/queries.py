@@ -7504,6 +7504,98 @@ def q_bpe_pair_counts(sf_dir: str):
     return out[["pair", "n"]]
 
 
+def q_copurchase_bfs_hops(sf_dir: str):
+    """BFS hop distances (≤3) from the minimum partkey over the co-purchase
+    graph — the iterative frontier-expansion class (level-synchronous BFS),
+    complementing the fixpoint iterations elsewhere (PageRank, connected
+    components).
+
+    Scale shape: the basket-projected edge list materializes ONCE in the
+    object store (bounded: catalog graph) and each hop is one map_batches
+    scan of it against the broadcast frontier/visited sets (frontier ≤
+    nodes, ships via ray.put per hop — level-synchronous BFS's documented
+    small-side broadcast).  New nodes per hop return as per-block distinct sets;
+    the driver holds only node ids, never edges."""
+    import ray
+    from itertools import combinations
+
+    nb = resolve_group_buckets(None)
+
+    def project(batch: pa.Table) -> pa.Table:
+        okeys = batch["l_orderkey"].to_pylist()
+        return pa.table(
+            {
+                "okey": batch["l_orderkey"].cast(pa.int64()),
+                "pkey": batch["l_partkey"].cast(pa.int64()),
+                "kb": pa.array([k % nb for k in okeys], pa.int32()),
+            }
+        )
+
+    def bucket_edges(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "u": pd.array([], dtype="int64"),
+                "v": pd.array([], dtype="int64"),
+            }
+        )
+        if group.empty:
+            return empty
+        seen: set[tuple[int, int]] = set()
+        for _, parts in group.groupby("okey")["pkey"]:
+            basket = sorted(set(parts.tolist()))
+            for a, b in combinations(basket, 2):
+                seen.add((a, b))
+        return pd.DataFrame(
+            {
+                "u": pd.Series([p[0] for p in seen], dtype="int64"),
+                "v": pd.Series([p[1] for p in seen], dtype="int64"),
+            }
+        )
+
+    edges = (
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+        .map_batches(project, batch_format="pyarrow")
+        .groupby("kb")
+        .map_groups(bucket_edges, batch_format="pandas")
+        .materialize()
+    )
+    seed = int(_read(sf_dir, "lineitem", ["l_partkey"]).min("l_partkey"))
+    visited: dict[int, int] = {seed: 0}
+    frontier = {seed}
+    for hop in (1, 2, 3):
+        f_ref = ray.put(frontier)
+        v_ref = ray.put(set(visited))
+
+        def expand(batch: pa.Table, f_ref=f_ref, v_ref=v_ref) -> pa.Table:
+            f = ray.get(f_ref)
+            vis = ray.get(v_ref)
+            out: set[int] = set()
+            for a, b in zip(batch["u"].to_pylist(), batch["v"].to_pylist()):
+                if a in f and b not in vis:
+                    out.add(b)
+                if b in f and a not in vis:
+                    out.add(a)
+            return pa.table({"node": pa.array(sorted(out), pa.int64())})
+
+        new_nodes: set[int] = set()
+        for b in edges.map_batches(expand, batch_format="pyarrow").iter_batches(
+            batch_size=65536, batch_format="pyarrow"
+        ):
+            new_nodes.update(b["node"].to_pylist())
+        frontier = new_nodes - set(visited)
+        if not frontier:
+            break
+        for n in frontier:
+            visited[n] = hop
+    nodes = sorted(visited)
+    return pd.DataFrame(
+        {
+            "node": pd.Series(nodes, dtype="int64"),
+            "hop": pd.Series([visited[n] for n in nodes], dtype="int64"),
+        }
+    )
+
+
 QUERIES = {
     "doc_stats_by_lang": q_doc_stats_by_lang,
     "doc_token_stats": q_doc_token_stats,
@@ -7651,6 +7743,7 @@ QUERIES = {
     "lineitem_unpivot": q_lineitem_unpivot,
     "events_lead_type": q_events_lead_type,
     "bpe_pair_counts": q_bpe_pair_counts,
+    "copurchase_bfs_hops": q_copurchase_bfs_hops,
 }
 
 
@@ -9661,5 +9754,26 @@ ORACLE_SQL = {
         SELECT pair, CAST(count(*) AS BIGINT) AS n
         FROM pairs GROUP BY pair
         ORDER BY n DESC, pair ASC LIMIT 20
+    """,
+    "copurchase_bfs_hops": """
+        WITH RECURSIVE pairs AS (
+          SELECT a.l_partkey AS p1, b.l_partkey AS p2
+          FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+          JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2
+        ),
+        und AS (
+          SELECT p1 AS u, p2 AS v FROM pairs
+          UNION ALL SELECT p2, p1 FROM pairs
+        ),
+        bfs(node, hop) AS (
+          SELECT CAST(min(l_partkey) AS BIGINT), 0 FROM lineitem
+          UNION
+          SELECT und.v, bfs.hop + 1
+          FROM bfs JOIN und ON und.u = bfs.node
+          WHERE bfs.hop < 3
+        )
+        SELECT node, CAST(min(hop) AS BIGINT) AS hop FROM bfs GROUP BY node
     """,
 }
