@@ -463,6 +463,15 @@ def trigram_model(ds, *, lang_col: str = "lang", text_col: str = "text") -> tupl
         .aggregate(Sum("n", alias_name="c"))
         .take_all()
     )
+    return finish_trigram_model(rows, lang_col=lang_col)
+
+
+def finish_trigram_model(rows: list[dict], *, lang_col: str = "lang") -> tuple[dict, dict]:
+    """Turn the grouped (lang, tri, c) count rows into the add-one model
+    table + denominators — shared by trigram_model and callers that supply
+    their own (fused / multi-tag) counting pass."""
+    import math
+
     totals: dict[str, list[int]] = {}
     for r in rows:
         t = totals.setdefault(r[lang_col], [0, 0])

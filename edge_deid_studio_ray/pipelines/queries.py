@@ -5061,28 +5061,43 @@ def q_dsir_importance_weights(sf_dir: str):
     import math
 
     import ray
+    from ray.data.aggregate import Sum
 
-    from ..functions.corpusops import trigram_model
-
-    def _const_lang(tag: str):
-        def f(batch: pa.Table) -> pa.Table:
-            return pa.table(
-                {
-                    "lang": pa.array([tag] * batch.num_rows, pa.string()),
-                    "text": batch["text"],
-                }
-            )
-
-        return f
+    from ..functions.corpusops import finish_trigram_model
 
     docs = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
-    tgt_ds = docs.map_batches(
-        lambda t: t.filter(pc.equal(t["lang"], "en")), batch_format="pyarrow"
-    ).map_batches(_const_lang("_t"), batch_format="pyarrow")
-    raw_ds = docs.map_batches(_const_lang("_r"), batch_format="pyarrow")
 
-    lp_t, den_t = trigram_model(tgt_ds)
-    lp_r, den_r = trigram_model(raw_ds)
+    def both_partial(batch: pa.Table) -> pa.Table:
+        # fused training pass: ONE corpus scan counts the raw model ('_r',
+        # every doc) and the target model ('_t', in-domain docs) together —
+        # halves the scan+shuffle vs training the two models separately
+        c: Counter = Counter()
+        for lang, text in zip(batch["lang"].to_pylist(), batch["text"].to_pylist()):
+            t = text or ""
+            is_t = lang == "en"
+            for i in range(len(t) - 2):
+                tri = t[i : i + 3]
+                c[("_r", tri)] += 1
+                if is_t:
+                    c[("_t", tri)] += 1
+        keys = list(c.keys())
+        return pa.table(
+            {
+                "lang": pa.array([k[0] for k in keys], pa.string()),
+                "tri": pa.array([k[1] for k in keys], pa.string()),
+                "n": pa.array([c[k] for k in keys], pa.int64()),
+            }
+        )
+
+    rows = (
+        docs.map_batches(both_partial, batch_format="pyarrow")
+        .groupby(["lang", "tri"])
+        .aggregate(Sum("n", alias_name="c"))
+        .take_all()
+    )
+    lp, den = finish_trigram_model(rows)
+    lp_t = lp_r = lp
+    den_t, den_r = den, den
     if "_t" not in den_t or "_r" not in den_r:
         return pa.table(
             {
@@ -5108,7 +5123,11 @@ def q_dsir_importance_weights(sf_dir: str):
         lt, dt, lr, dr = ray.get(ref)
         floor_t = math.log(1.0 / float(dt))
         floor_r = math.log(1.0 / float(dr))
-        delta = {tri: lt.get(("_t", tri), floor_t) - lpr for (_, tri), lpr in lr.items()}
+        delta = {
+            tri: lt.get(("_t", tri), floor_t) - lpr
+            for (tag, tri), lpr in lr.items()
+            if tag == "_r"
+        }
         out = (delta, floor_t - floor_r)
         _WORKER_CACHE.clear()  # one broadcast generation at a time per worker
         _WORKER_CACHE[ck] = out
