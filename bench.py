@@ -149,6 +149,13 @@ def _bench_queries(sf_dir: str) -> dict[str, float]:
         "url_canonical_dedup",
         "bm25_top20",
         "dsir_importance_weights",
+        # round-3 wrap: range join, grouping sets, graph, regression, BPE
+        "events_band_join",
+        "orders_cube",
+        "copurchase_triangles",
+        "lineitem_ols",
+        "bpe_pair_counts",
+        "copurchase_bfs_hops",
     ]
     timings: dict[str, float] = {}
     for name in names:
