@@ -7161,16 +7161,39 @@ def q_copurchase_triangles(sf_dir: str):
             return pd.DataFrame({"n": pd.array([], dtype="int64")})
         all_edges = ray.get(edges_ref)
         total = 0
+        # per-call temporaries bounded to ~1M candidates: a hot node with
+        # degree d would otherwise allocate O(d²) in one shot, which this
+        # host stalls on at first touch (see BASELINE.md allocation-stall
+        # note) — chunk row-wise over the triangular pair space instead
+        CAP = 1 << 20
         for _, g in group.groupby("u", sort=False):
             nbrs = np.unique(g["v"].to_numpy())
-            if nbrs.size < 2:
+            d = nbrs.size
+            if d < 2:
                 continue
-            i, j = np.triu_indices(nbrs.size, k=1)
-            x, y = nbrs[i], nbrs[j]
-            cand = np.where(x < y, (x << 32) | y, (y << 32) | x)
-            pos = np.searchsorted(all_edges, cand)
-            pos[pos >= all_edges.size] = all_edges.size - 1
-            total += int((all_edges[pos] == cand).sum())
+            if d * (d - 1) // 2 <= CAP:
+                # common case: one bounded-vectorized shot
+                i, j = np.triu_indices(d, k=1)
+                cand = (nbrs[i] << 32) | nbrs[j]
+                pos = np.searchsorted(all_edges, cand)
+                pos[pos >= all_edges.size] = all_edges.size - 1
+                total += int((all_edges[pos] == cand).sum())
+                continue
+            lens = np.arange(d - 1, 0, -1)  # pairs contributed by row i
+            cum = np.cumsum(lens)
+            row = 0
+            while row < d - 1:
+                base = cum[row - 1] if row else 0
+                stop = int(np.searchsorted(cum, base + CAP, side="left")) + 1
+                stop = min(max(stop, row + 1), d - 1)
+                ii = np.repeat(np.arange(row, stop), lens[row:stop])
+                jj = np.concatenate([np.arange(i + 1, d) for i in range(row, stop)])
+                x, y = nbrs[ii], nbrs[jj]
+                cand = (x << 32) | y  # nbrs ascending ⇒ x < y already
+                pos = np.searchsorted(all_edges, cand)
+                pos[pos >= all_edges.size] = all_edges.size - 1
+                total += int((all_edges[pos] == cand).sum())
+                row = stop
         return pd.DataFrame({"n": pd.array([total], dtype="int64")})
 
     import ray.data as rd
