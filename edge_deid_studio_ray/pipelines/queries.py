@@ -7638,6 +7638,338 @@ def q_copurchase_bfs_hops(sf_dir: str):
     )
 
 
+# C4-style blocklist lexicon (Raffel et al. 2020 §2.2's "bad words" filter
+# shape): a small dictionary broadcast to every worker, matched as raw
+# substrings of the lowercased text.  Multi-word phrases make the substring
+# (not token) semantics observable; counts are LEFTMOST NON-OVERLAPPING
+# (Python str.count == SQL's replace-length fold), the shared contract.
+_BLOCKLIST_TERMS = (
+    "spark",
+    "slow",
+    "dup",
+    "noise",
+    "scan",
+    "big data",
+    "hash join",
+    "sort merge",
+    "batch batch",
+    "window window",
+)
+
+
+def q_blocklist_term_stats(sf_dir: str):
+    """Dictionary-tagging / blocklist-filter stats (the C4 badword-filter
+    shape): for every lexicon term, how many documents contain it and how
+    many times it occurs corpus-wide.  Scale shape: the lexicon broadcasts
+    in the task closure (tiny, read-only), each batch folds its counts into
+    one |lexicon|-row partial, and the only exchange is the term-keyed
+    grouped sum over those partials — the corpus never shuffles.  Count
+    contract: leftmost non-overlapping occurrences of the raw substring in
+    ``lower(text)`` (Python ``str.count``), mirrored in SQL by the
+    replace-length fold; both engines count code points, so CJK rows are
+    consistent."""
+    from ray.data.aggregate import Sum
+
+    terms = _BLOCKLIST_TERMS
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n_docs = [0] * len(terms)
+        n_occ = [0] * len(terms)
+        for text in batch["text"].to_pylist():
+            t = (text or "").lower()
+            for i, term in enumerate(terms):
+                c = t.count(term)
+                if c:
+                    n_docs[i] += 1
+                    n_occ[i] += c
+        return pa.table(
+            {
+                "term": pa.array(terms, pa.string()),
+                "d": pa.array(n_docs, pa.int64()),
+                "o": pa.array(n_occ, pa.int64()),
+            }
+        )
+
+    ds = _read(sf_dir, "documents", ["text"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    return ds.groupby("term").aggregate(
+        Sum("d", alias_name="n_docs"), Sum("o", alias_name="n_occurrences")
+    )
+
+
+_SYLLABLE_RE = re.compile(r"[aeiouy]+")
+_SENTENCE_RE = re.compile(r"[.!?]+")
+
+
+def q_doc_readability(sf_dir: str):
+    """Per-document Flesch reading ease — the classic readability quality
+    signal for training-data curation.  Shared heuristic contract (spelled
+    out so SQL can mirror it exactly): words = ``\\S+`` runs of
+    ``lower(text)``; syllables per word = number of ``[aeiouy]+`` vowel
+    runs, floored at 1 (CJK words therefore count 1); sentences = number
+    of ``[.!?]+`` runs, floored at 1 (the synthetic corpus has no sentence
+    punctuation, so the floor is exercised corpus-wide — punctuated inputs
+    are pinned in unit tests).  score = 206.835 − 1.015·(words/sentences)
+    − 84.6·(syllables/words), rounded to 6dp: both engines evaluate the
+    identical left-associated float expression on exact-int inputs, so the
+    doubles are bit-identical before rounding.  Zero-word docs are excluded
+    on both engines.  Embarrassingly parallel — stateless per-doc scan,
+    zero shuffles."""
+    token_re = re.compile(r"\S+")
+
+    def flesch(batch: pa.Table) -> pa.Table:
+        ids, nws, nss, syls, scores = [], [], [], [], []
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            t = text or ""
+            words = token_re.findall(t.lower())
+            nw = len(words)
+            if nw == 0:
+                continue
+            syl = sum(max(1, len(_SYLLABLE_RE.findall(w))) for w in words)
+            ns = max(1, len(_SENTENCE_RE.findall(t)))
+            score = round(206.835 - 1.015 * (nw / ns) - 84.6 * (syl / nw), 6)
+            ids.append(doc_id)
+            nws.append(nw)
+            nss.append(ns)
+            syls.append(syl)
+            scores.append(score)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_words": pa.array(nws, pa.int64()),
+                "n_sentences": pa.array(nss, pa.int64()),
+                "n_syllables": pa.array(syls, pa.int64()),
+                "flesch": pa.array(scores, pa.float64()),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        flesch, batch_format="pyarrow"
+    )
+
+
+def q_label_centroid_outliers(sf_dir: str):
+    """Prototype-distance pruning (the SemDeDup/SSL-prototypes curation
+    shape): per label, the 5 vectors LEAST similar to their label's
+    centroid — the candidates a curation pass would drop as outliers or
+    mislabels.  Scale shape: pass 1 folds per-batch per-label float64
+    component sums (≤ |labels| tiny rows per block), the driver merges
+    those sketch-sized partials and broadcasts the centroid matrix via
+    ``ray.put``; pass 2 scores each batch against its label's centroid
+    (one matmul row per vector) with a per-batch bottom-5 prune, and a
+    |labels|-keyed map_groups picks the final bottom-5 — the embedding
+    matrix never shuffles.  Centroids are unnormalized component SUMS
+    (cosine is scale-invariant, so no division drifts).  Float contract:
+    summation order differs between engines (numpy pairwise vs SQL group
+    SUM) at ~1e-15 relative; ranking compares 6dp-ROUNDED cosines with a
+    vec_id tie-break on both engines, so selection and order are
+    value-checkable."""
+    import ray
+
+    from ..functions.simsearch import _vec_matrix
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+
+    def centroid_partials(batch: pa.Table) -> pa.Table:
+        mat = _vec_matrix(batch["embedding"]).astype(np.float64)
+        labels = np.asarray(batch["label"].to_pylist(), dtype=np.int64)
+        out_l: list[int] = []
+        out_s: list[list[float]] = []
+        for lab in np.unique(labels):
+            out_l.append(int(lab))
+            out_s.append(mat[labels == lab].sum(axis=0).tolist())
+        return pa.table(
+            {
+                "label": pa.array(out_l, pa.int64()),
+                "s": pa.array(out_s, pa.list_(pa.float64())),
+            }
+        )
+
+    cents: dict[int, np.ndarray] = {}
+    for row in ds.map_batches(centroid_partials, batch_format="pyarrow").take_all():
+        vec = np.asarray(row["s"], dtype=np.float64)
+        lab = int(row["label"])
+        cents[lab] = cents.get(lab, 0.0) + vec
+    labels_sorted = sorted(cents)
+    lab_index = {lab: i for i, lab in enumerate(labels_sorted)}
+    cmat = np.vstack([cents[lab] for lab in labels_sorted])
+    cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+    c_ref = ray.put((cmat, lab_index))
+
+    def score(batch: pa.Table) -> pa.Table:
+        cm, lidx = ray.get(c_ref)
+        mat = _vec_matrix(batch["embedding"]).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0.0] = 1.0
+        mat = mat / norms[:, None]
+        labels = np.asarray(batch["label"].to_pylist(), dtype=np.int64)
+        rows_idx = np.array([lidx[int(lab)] for lab in labels], dtype=np.int64)
+        cos = np.round(np.einsum("ij,ij->i", mat, cm[rows_idx]), 6)
+        vec_ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        # local bottom-5 per label (same (cos6, vec_id) order as the final)
+        keep = np.zeros(len(labels), dtype=bool)
+        for lab in np.unique(labels):
+            member = np.nonzero(labels == lab)[0]
+            order = np.lexsort((vec_ids[member], cos[member]))
+            keep[member[order[:5]]] = True
+        return pa.table(
+            {
+                "label": pa.array(labels[keep], pa.int64()),
+                "vec_id": pa.array(vec_ids[keep], pa.int64()),
+                "cos_centroid": pa.array(cos[keep], pa.float64()),
+            }
+        )
+
+    def bottom5(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "label": pd.array([], dtype="int64"),
+                "vec_id": pd.array([], dtype="int64"),
+                "cos_centroid": pd.array([], dtype="float64"),
+            }
+        )
+        if group.empty:
+            return empty
+        top = group.sort_values(
+            ["cos_centroid", "vec_id"], kind="mergesort"
+        ).head(5)
+        return top[["label", "vec_id", "cos_centroid"]].reset_index(drop=True)
+
+    return (
+        ds.map_batches(score, batch_format="pyarrow")
+        .groupby("label")
+        .map_groups(bottom5, batch_format="pandas")
+    )
+
+
+def q_part_affinity_lift(sf_dir: str):
+    """Association-rule mining over co-purchase baskets: the top-20 part
+    pairs by basket count, each scored with its LIFT
+    (n_ab·N / (n_a·n_b) — >1 means the pair co-occurs more than
+    independence predicts).  Scale shape: baskets co-locate via ONE
+    orderkey-hash bucket groupby which emits three kinds of narrow int64
+    partials in the same pass — pair counts, per-part distinct-order
+    counts, and the bucket's order count; a second key-hash bucket stage
+    completes every pair/part sum locally and prunes pairs to a local
+    top-20.  The driver folds only the pruned pair rows plus the
+    part-count rows (dimension-sized: O(|part| + blocks), never
+    O(lineitem)) and joins the 40 relevant part counts in memory.  Float
+    contract: lift divides two exact int64 products in ONE double op, so
+    both engines produce bit-identical doubles before the shared 6dp
+    round."""
+    from itertools import combinations
+
+    nb = resolve_group_buckets(None)
+
+    def project(batch: pa.Table) -> pa.Table:
+        okeys = batch["l_orderkey"].to_pylist()
+        return pa.table(
+            {
+                "okey": batch["l_orderkey"].cast(pa.int64()),
+                "pkey": batch["l_partkey"].cast(pa.int64()),
+                "kb": pa.array([k % nb for k in okeys], pa.int32()),
+            }
+        )
+
+    def bucket_partials(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "kind": pd.array([], dtype="int8"),
+                "key": pd.array([], dtype="int64"),
+                "pb": pd.array([], dtype="int32"),
+                "n": pd.array([], dtype="int64"),
+            }
+        )
+        if group.empty:
+            return empty
+        pair_c: Counter = Counter()
+        part_c: Counter = Counter()
+        n_orders = 0
+        for _, parts in group.groupby("okey")["pkey"]:
+            basket = sorted(set(parts.tolist()))
+            n_orders += 1
+            for p in basket:
+                part_c[p] += 1
+            for a, b in combinations(basket, 2):
+                pair_c[(a << 32) | b] += 1
+        kinds = (
+            [0] * len(pair_c) + [1] * len(part_c) + [2]
+        )
+        keys = list(pair_c.keys()) + list(part_c.keys()) + [0]
+        ns = list(pair_c.values()) + list(part_c.values()) + [n_orders]
+        return pd.DataFrame(
+            {
+                "kind": pd.Series(kinds, dtype="int8"),
+                "key": pd.Series(keys, dtype="int64"),
+                "pb": pd.Series(
+                    [(k * 3 + kd) % nb for k, kd in zip(keys, kinds)],
+                    dtype="int32",
+                ),
+                "n": pd.Series(ns, dtype="int64"),
+            }
+        )
+
+    def merge_and_prune(group: pd.DataFrame) -> pd.DataFrame:
+        # every partial for a given (kind, key) lands in this pb bucket, so
+        # sums here are FULL counts and the pair top-20 prune is lossless
+        empty = pd.DataFrame(
+            {
+                "kind": pd.array([], dtype="int8"),
+                "key": pd.array([], dtype="int64"),
+                "n": pd.array([], dtype="int64"),
+            }
+        )
+        if group.empty:
+            return empty
+        sums = group.groupby(["kind", "key"], as_index=False)["n"].sum()
+        pairs = sums[sums["kind"] == 0].copy()
+        pairs["neg_n"] = -pairs["n"]
+        pairs = pairs.sort_values(["neg_n", "key"], kind="mergesort").head(20)
+        rest = sums[sums["kind"] != 0]
+        out = pd.concat([pairs[["kind", "key", "n"]], rest], ignore_index=True)
+        return out.astype({"kind": "int8", "key": "int64", "n": "int64"})
+
+    folded = (
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+        .map_batches(project, batch_format="pyarrow")
+        .groupby("kb")
+        .map_groups(bucket_partials, batch_format="pandas")
+        .groupby("pb")
+        .map_groups(merge_and_prune, batch_format="pandas")
+    ).take_all()
+
+    pair_n: dict[int, int] = {}
+    part_n: dict[int, int] = {}
+    n_total = 0
+    for row in folded:
+        kind, key, n = int(row["kind"]), int(row["key"]), int(row["n"])
+        if kind == 0:
+            pair_n[key] = n
+        elif kind == 1:
+            part_n[key] = n
+        else:
+            n_total += n
+    top = sorted(pair_n.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    p1s, p2s, ns, lifts = [], [], [], []
+    for key, n_ab in top:
+        a, b = key >> 32, key & 0xFFFFFFFF
+        p1s.append(a)
+        p2s.append(b)
+        ns.append(n_ab)
+        lifts.append(round((n_ab * n_total) / (part_n[a] * part_n[b]), 6))
+    return pa.table(
+        {
+            "p1": pa.array(p1s, pa.int64()),
+            "p2": pa.array(p2s, pa.int64()),
+            "n_orders": pa.array(ns, pa.int64()),
+            "lift": pa.array(lifts, pa.float64()),
+        }
+    )
+
+
 QUERIES = {
     "doc_stats_by_lang": q_doc_stats_by_lang,
     "doc_token_stats": q_doc_token_stats,
@@ -7786,6 +8118,10 @@ QUERIES = {
     "events_lead_type": q_events_lead_type,
     "bpe_pair_counts": q_bpe_pair_counts,
     "copurchase_bfs_hops": q_copurchase_bfs_hops,
+    "blocklist_term_stats": q_blocklist_term_stats,
+    "doc_readability": q_doc_readability,
+    "label_centroid_outliers": q_label_centroid_outliers,
+    "part_affinity_lift": q_part_affinity_lift,
 }
 
 
@@ -9817,5 +10153,96 @@ ORACLE_SQL = {
           WHERE bfs.hop < 3
         )
         SELECT node, CAST(min(hop) AS BIGINT) AS hop FROM bfs GROUP BY node
+    """,
+    # leftmost non-overlapping substring counts == Python str.count == the
+    # replace-length fold; both engines count code points (CJK-safe)
+    "blocklist_term_stats": """
+        WITH terms(term) AS (VALUES """
+    + ", ".join(f"('{t}')" for t in _BLOCKLIST_TERMS)
+    + """),
+        lt AS (SELECT lower(text) AS t FROM documents)
+        SELECT term,
+               CAST(count(*) FILTER (WHERE contains(t, term)) AS BIGINT) AS n_docs,
+               CAST(SUM((length(t) - length(replace(t, term, ''))) // length(term))
+                    AS BIGINT) AS n_occurrences
+        FROM terms CROSS JOIN lt
+        GROUP BY term
+    """,
+    "doc_readability": """
+        WITH w AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(lower(text), '\\S+')) AS word
+          FROM documents
+        ),
+        ws AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+                 CAST(SUM(GREATEST(1, len(regexp_extract_all(word, '[aeiouy]+'))))
+                      AS BIGINT) AS n_syllables
+          FROM w GROUP BY doc_id
+        ),
+        s AS (
+          SELECT doc_id,
+                 GREATEST(1, len(regexp_extract_all(text, '[.!?]+'))) AS n_sentences
+          FROM documents
+        )
+        SELECT ws.doc_id, ws.n_words, CAST(s.n_sentences AS BIGINT) AS n_sentences,
+               ws.n_syllables,
+               ROUND(206.835
+                     - 1.015 * (ws.n_words / CAST(s.n_sentences AS DOUBLE))
+                     - 84.6 * (ws.n_syllables / CAST(ws.n_words AS DOUBLE)),
+                     6) AS flesch
+        FROM ws JOIN s USING (doc_id)
+        WHERE ws.n_words > 0
+    """,
+    # centroid = per-label per-dim float64 component SUM (unnormalized —
+    # cosine is scale-invariant); rank on the 6dp-rounded cosine with a
+    # vec_id tie-break, the same order the engine prunes by
+    "label_centroid_outliers": """
+        WITH el AS (
+          SELECT label,
+                 unnest(embedding)::DOUBLE AS v,
+                 unnest(range(len(embedding))) AS d
+          FROM embeddings
+        ),
+        cent AS (
+          SELECT label, array_agg(sv ORDER BY d) AS ce
+          FROM (SELECT label, d, SUM(v) AS sv FROM el GROUP BY label, d)
+          GROUP BY label
+        ),
+        scored AS (
+          SELECT e.label, e.vec_id,
+                 ROUND(list_cosine_similarity(e.embedding::DOUBLE[], c.ce), 6)
+                     AS cos_centroid
+          FROM embeddings e JOIN cent c USING (label)
+        )
+        SELECT CAST(label AS BIGINT) AS label, vec_id, cos_centroid
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (
+                      PARTITION BY label
+                      ORDER BY cos_centroid ASC, vec_id ASC) AS rn
+          FROM scored
+        )
+        WHERE rn <= 5
+    """,
+    # lift divides two exact int64 products in ONE double op → bit-identical
+    "part_affinity_lift": """
+        WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        tot AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_total FROM op),
+        pc AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_p FROM op GROUP BY 1),
+        pairs AS (
+          SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+                 CAST(count(*) AS BIGINT) AS n_orders
+          FROM op a JOIN op b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2
+        ),
+        top AS (SELECT * FROM pairs ORDER BY n_orders DESC, p1, p2 LIMIT 20)
+        SELECT t.p1, t.p2, t.n_orders,
+               ROUND(CAST(t.n_orders * tot.n_total AS DOUBLE)
+                     / (pa.n_p * pb.n_p), 6) AS lift
+        FROM top t
+        CROSS JOIN tot
+        JOIN pc pa ON pa.l_partkey = t.p1
+        JOIN pc pb ON pb.l_partkey = t.p2
     """,
 }
