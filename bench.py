@@ -156,6 +156,9 @@ def _bench_queries(sf_dir: str) -> dict[str, float]:
         "lineitem_ols",
         "bpe_pair_counts",
         "copurchase_bfs_hops",
+        # continuation: curation layer
+        "part_affinity_lift",
+        "minhash_estimate_error",
     ]
     timings: dict[str, float] = {}
     for name in names:

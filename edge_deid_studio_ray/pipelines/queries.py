@@ -7970,6 +7970,131 @@ def q_part_affinity_lift(sf_dir: str):
     )
 
 
+def _gram_strings(text: str) -> set[str]:
+    """Distinct word-3gram strings (space-joined) of ``lower(text)`` — the
+    same gram set `word_ngram_jaccard` uses, in the canonical string form
+    both engines hash (`array_to_string(w[i:i+2], ' ')` in SQL)."""
+    words = (text or "").lower().split()
+    if not words:
+        return set()
+    if len(words) < 3:
+        return {" ".join(words)}
+    return {" ".join(words[i : i + 3]) for i in range(len(words) - 2)}
+
+
+def q_minhash_estimate_error(sf_dir: str):
+    """MinHash ACCURACY audit: for each (document, document+' appended')
+    pair, the 16-permutation MinHash Jaccard ESTIMATE (fraction of salted
+    min-hashes that agree) next to the exact word-3gram Jaccard and the
+    absolute error — the estimator-calibration table a dedup pipeline uses
+    to pick its signature width.  Unlike the production MinHash (numpy
+    universal hashing), this estimator's hash is the md5 bridge
+    (``int.from_bytes(md5(f"{salt}|{gram}")[:8], 'little')`` ==
+    ``md5_number_upper``), so DuckDB recomputes the SIGNATURES themselves —
+    the estimate is value-checked, not just the machinery.  Scale shape:
+    the perturbed partner derives from the row's own text, so the whole
+    audit is one stateless scan — zero shuffles.  Float contract:
+    est = eq/16 (dyadic), exact = int/int, err = one double subtract —
+    all bit-identical."""
+    import hashlib
+
+    from ..functions.dedup import word_ngram_jaccard
+
+    K = 16
+    salts = [f"{i}|".encode() for i in range(K)]
+
+    def sig(grams: set[str]) -> list[int]:
+        mins = [None] * K
+        for g in grams:
+            gb = g.encode("utf-8", "replace")
+            for i in range(K):
+                h = int.from_bytes(hashlib.md5(salts[i] + gb).digest()[:8], "little")
+                if mins[i] is None or h < mins[i]:
+                    mins[i] = h
+        return mins
+
+    def audit(batch: pa.Table) -> pa.Table:
+        lefts, rights, exacts, ests, errs = [], [], [], [], []
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            ta = text or ""
+            tb = ta + " appended"
+            ga, gb = _gram_strings(ta), _gram_strings(tb)
+            exact = word_ngram_jaccard(ta, tb, 3)
+            if ga and gb:
+                sa, sb = sig(ga), sig(gb)
+                est = sum(1 for x, y in zip(sa, sb) if x == y) / K
+            else:
+                est = 1.0 if (not ga and not gb) else 0.0
+            lefts.append(doc_id)
+            rights.append(doc_id + 1_000_000)
+            exacts.append(exact)
+            ests.append(est)
+            errs.append(abs(est - exact))
+        return pa.table(
+            {
+                "left": pa.array(lefts, pa.int64()),
+                "right": pa.array(rights, pa.int64()),
+                "ngram_jaccard": pa.array(exacts, pa.float64()),
+                "est_jaccard": pa.array(ests, pa.float64()),
+                "abs_err": pa.array(errs, pa.float64()),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        audit, batch_format="pyarrow"
+    )
+
+
+def q_doc_containment(sf_dir: str):
+    """Broder CONTAINMENT (the asymmetric near-dup metric: how much of A's
+    gram set lies inside B — detects quotes/inclusion where Jaccard stays
+    low): C = |G(half) ∩ G(full)| / |G(half)| for each (document,
+    first-half-of-document) pair, resolved through the distributed
+    ``pair_text_metric`` two-pass hash join (corpus ships ×1, no driver
+    text state).  Convention: empty half-gram set → 1.0 (vacuous
+    containment), mirrored in SQL.  Exact int/int division — bit-identical
+    doubles, no rounding."""
+    from ..functions.dedup import pair_text_metric
+
+    base = _read_spread(sf_dir, "documents", ["doc_id", "text"])
+
+    def halved(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = [t or "" for t in batch["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    ids + [d + 1_000_000 for d in ids], pa.int64()
+                ),
+                "text": pa.array(
+                    texts + [t[: len(t) // 2] for t in texts], pa.string()
+                ),
+            }
+        )
+
+    corpus = base.map_batches(halved, batch_format="pyarrow")
+
+    def to_pairs(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        return pa.table(
+            {
+                "left": pa.array([d + 1_000_000 for d in ids], pa.int64()),
+                "right": pa.array(ids, pa.int64()),
+            }
+        )
+
+    def containment(a: str, b: str) -> float:
+        ga, gb = _gram_strings(a), _gram_strings(b)
+        if not ga:
+            return 1.0
+        return len(ga & gb) / len(ga)
+
+    pairs = base.map_batches(to_pairs, batch_format="pyarrow")
+    return pair_text_metric(pairs, corpus, containment, out_col="containment")
+
+
 QUERIES = {
     "doc_stats_by_lang": q_doc_stats_by_lang,
     "doc_token_stats": q_doc_token_stats,
@@ -8122,6 +8247,8 @@ QUERIES = {
     "doc_readability": q_doc_readability,
     "label_centroid_outliers": q_label_centroid_outliers,
     "part_affinity_lift": q_part_affinity_lift,
+    "minhash_estimate_error": q_minhash_estimate_error,
+    "doc_containment": q_doc_containment,
 }
 
 
@@ -10244,5 +10371,103 @@ ORACLE_SQL = {
         CROSS JOIN tot
         JOIN pc pa ON pa.l_partkey = t.p1
         JOIN pc pb ON pb.l_partkey = t.p2
+    """,
+    # DuckDB recomputes the 16 salted-md5 minhash SIGNATURES themselves:
+    # md5_number_upper == int.from_bytes(md5[:8], 'little'); est = eq/16
+    # (dyadic) and exact = int/int are bit-identical doubles on both engines
+    "minhash_estimate_error": """
+        WITH corpus AS (
+          SELECT doc_id, COALESCE(text, '') AS ta,
+                 COALESCE(text, '') || ' appended' AS tb
+          FROM documents
+        ),
+        grams AS (
+          SELECT doc_id,
+            CASE WHEN len(wa) = 0 THEN CAST([] AS VARCHAR[])
+                 WHEN len(wa) < 3 THEN [array_to_string(wa, ' ')]
+                 ELSE list_distinct([array_to_string(wa[i:i+2], ' ')
+                                     for i in range(1, len(wa) - 1)])
+            END AS ga,
+            CASE WHEN len(wb) = 0 THEN CAST([] AS VARCHAR[])
+                 WHEN len(wb) < 3 THEN [array_to_string(wb, ' ')]
+                 ELSE list_distinct([array_to_string(wb[i:i+2], ' ')
+                                     for i in range(1, len(wb) - 1)])
+            END AS gb
+          FROM (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(ta), '\\s+'), x -> x <> '') AS wa,
+                   list_filter(regexp_split_to_array(lower(tb), '\\s+'), x -> x <> '') AS wb
+            FROM corpus
+          )
+        ),
+        salts AS (SELECT unnest(range(16)) AS i),
+        mins AS (
+          SELECT g.doc_id, s.i,
+                 MIN(md5_number_upper(CAST(s.i AS VARCHAR) || '|' || u.e)) AS ma
+          FROM grams g CROSS JOIN salts s, unnest(g.ga) AS u(e)
+          GROUP BY g.doc_id, s.i
+        ),
+        minsb AS (
+          SELECT g.doc_id, s.i,
+                 MIN(md5_number_upper(CAST(s.i AS VARCHAR) || '|' || u.e)) AS mb
+          FROM grams g CROSS JOIN salts s, unnest(g.gb) AS u(e)
+          GROUP BY g.doc_id, s.i
+        ),
+        eqc AS (
+          SELECT a.doc_id,
+                 CAST(SUM(CASE WHEN a.ma = b.mb THEN 1 ELSE 0 END) AS BIGINT) AS eq
+          FROM mins a JOIN minsb b USING (doc_id, i)
+          GROUP BY a.doc_id
+        ),
+        scored AS (
+          SELECT g.doc_id,
+                 CASE WHEN len(g.ga) = 0 AND len(g.gb) = 0 THEN 1.0
+                      WHEN len(list_distinct(g.ga || g.gb)) = 0 THEN 1.0
+                      ELSE CAST(len(list_intersect(g.ga, g.gb)) AS DOUBLE)
+                           / len(list_distinct(g.ga || g.gb))
+                 END AS exact,
+                 CASE WHEN len(g.ga) = 0 AND len(g.gb) = 0 THEN 1.0
+                      WHEN len(g.ga) = 0 OR len(g.gb) = 0 THEN 0.0
+                      ELSE CAST(e.eq AS DOUBLE) / 16
+                 END AS est
+          FROM grams g LEFT JOIN eqc e USING (doc_id)
+        )
+        SELECT doc_id AS "left", doc_id + 1000000 AS "right",
+               exact AS ngram_jaccard, est AS est_jaccard,
+               ABS(est - exact) AS abs_err
+        FROM scored
+    """,
+    # containment C = |G(half) ∩ G(full)| / |G(half)|; empty half set → 1.0
+    "doc_containment": """
+        WITH pairs AS (
+          SELECT doc_id,
+                 COALESCE(text, '') AS full_t,
+                 substr(COALESCE(text, ''), 1, length(COALESCE(text, '')) // 2) AS half_t
+          FROM documents
+        ),
+        grams AS (
+          SELECT doc_id,
+            CASE WHEN len(wf) = 0 THEN CAST([] AS VARCHAR[])
+                 WHEN len(wf) < 3 THEN [array_to_string(wf, ' ')]
+                 ELSE list_distinct([array_to_string(wf[i:i+2], ' ')
+                                     for i in range(1, len(wf) - 1)])
+            END AS gf,
+            CASE WHEN len(wh) = 0 THEN CAST([] AS VARCHAR[])
+                 WHEN len(wh) < 3 THEN [array_to_string(wh, ' ')]
+                 ELSE list_distinct([array_to_string(wh[i:i+2], ' ')
+                                     for i in range(1, len(wh) - 1)])
+            END AS gh
+          FROM (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(full_t), '\\s+'), x -> x <> '') AS wf,
+                   list_filter(regexp_split_to_array(lower(half_t), '\\s+'), x -> x <> '') AS wh
+            FROM pairs
+          )
+        )
+        SELECT doc_id + 1000000 AS "left", doc_id AS "right",
+               CASE WHEN len(gh) = 0 THEN 1.0
+                    ELSE CAST(len(list_intersect(gh, gf)) AS DOUBLE) / len(gh)
+               END AS containment
+        FROM grams
     """,
 }

@@ -194,3 +194,93 @@ class TestPartAffinityLift:
             for p1, p2, n, lift in _oracle(tmp_path, "part_affinity_lift", ["lineitem"])
         }
         assert oracle == rows
+
+
+class TestMinhashEstimateError:
+    def test_signature_and_exact_jaccard_pins(self, ray_session, tmp_path):
+        import hashlib
+
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([1, 2, 3], pa.int64()),
+                    "text": pa.array(
+                        [
+                            "a b c d",  # grams {a b c, b c d}; +appended adds 1
+                            "",  # empty vs {"appended"} → est 0, exact 0
+                            "hi",  # {"hi"} vs {"hi appended"} → 0
+                        ],
+                        pa.string(),
+                    ),
+                }
+            ),
+            tmp_path / "documents.parquet",
+        )
+        rows = {
+            r["left"]: r
+            for r in QUERIES["minhash_estimate_error"](str(tmp_path)).take_all()
+        }
+        assert rows[1]["ngram_jaccard"] == 2 / 3
+
+        # independent recompute of the doc-1 estimate via the md5 bridge
+        def h(i, g):
+            return int.from_bytes(
+                hashlib.md5(f"{i}|{g}".encode()).digest()[:8], "little"
+            )
+
+        ga = {"a b c", "b c d"}
+        gb = {"a b c", "b c d", "c d appended"}
+        eq = sum(
+            1
+            for i in range(16)
+            if min(h(i, g) for g in ga) == min(h(i, g) for g in gb)
+        )
+        assert rows[1]["est_jaccard"] == eq / 16
+        assert rows[1]["abs_err"] == abs(eq / 16 - 2 / 3)
+        assert (rows[2]["est_jaccard"], rows[2]["ngram_jaccard"]) == (0.0, 0.0)
+        assert (rows[3]["est_jaccard"], rows[3]["ngram_jaccard"]) == (0.0, 0.0)
+        oracle = {
+            r[0]: r
+            for r in _oracle(tmp_path, "minhash_estimate_error", ["documents"])
+        }
+        for d in (1, 2, 3):
+            assert oracle[d] == (
+                rows[d]["left"],
+                rows[d]["right"],
+                rows[d]["ngram_jaccard"],
+                rows[d]["est_jaccard"],
+                rows[d]["abs_err"],
+            )
+
+
+class TestDocContainment:
+    def test_half_in_full_and_edge_cases(self, ray_session, tmp_path):
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([1, 2, 3], pa.int64()),
+                    "text": pa.array(
+                        [
+                            # len 11 → half "a b c": gram {a b c} ⊆ full grams
+                            "a b c d e f",
+                            # half "ab cd" (2 words → joined gram) not a full
+                            # trigram → 0.0
+                            "ab cd ef gh",
+                            # empty → vacuous containment 1.0
+                            "",
+                        ],
+                        pa.string(),
+                    ),
+                }
+            ),
+            tmp_path / "documents.parquet",
+        )
+        rows = {
+            r["right"]: r["containment"]
+            for r in QUERIES["doc_containment"](str(tmp_path)).take_all()
+        }
+        assert rows == {1: 1.0, 2: 0.0, 3: 1.0}
+        oracle = {
+            r[1]: r[2] for r in _oracle(tmp_path, "doc_containment", ["documents"])
+        }
+        assert oracle == rows
