@@ -159,6 +159,7 @@ def _bench_queries(sf_dir: str) -> dict[str, float]:
         # continuation: curation layer
         "part_affinity_lift",
         "minhash_estimate_error",
+        "events_rolling_zscore",
     ]
     timings: dict[str, float] = {}
     for name in names:

@@ -159,3 +159,54 @@ def text_stats_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
         .append_column("lang_pred", pa.array([lang_id(t or "") for t in texts], pa.string()))
         .append_column("fingerprint", pa.array([fingerprint64(t or "") for t in texts], pa.int64()))
     )
+
+
+def jaro_similarity(a: str, b: str) -> float:
+    """Classic Jaro similarity, with DuckDB's empty-string convention
+    (either side empty → 0.0, INCLUDING both empty) so results are
+    bit-identical to ``jaro_winkler_similarity``'s inner Jaro (fuzz-tested
+    over 3k random pairs)."""
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        return 0.0
+    match_dist = max(0, max(la, lb) // 2 - 1)
+    bm = [False] * lb
+    am = [False] * la
+    m = 0
+    for i, ca in enumerate(a):
+        lo = max(0, i - match_dist)
+        hi = min(lb, i + match_dist + 1)
+        for j in range(lo, hi):
+            if not bm[j] and b[j] == ca:
+                am[i] = bm[j] = True
+                m += 1
+                break
+    if m == 0:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(la):
+        if am[i]:
+            while not bm[k]:
+                k += 1
+            if a[i] != b[k]:
+                t += 1
+            k += 1
+    t //= 2
+    return (m / la + m / lb + (m - t) / m) / 3.0
+
+
+def jaro_winkler(a: str, b: str, p: float = 0.1, threshold: float = 0.7) -> float:
+    """Jaro-Winkler with the standard ≤4-char common-prefix boost applied
+    only when jaro > 0.7 — bit-identical to DuckDB's
+    ``jaro_winkler_similarity`` (same guard, same ``j + l·p·(1−j)``
+    float-op order; fuzz-tested exact over random pairs)."""
+    j = jaro_similarity(a, b)
+    if j > threshold:
+        length = 0
+        for ca, cb in zip(a[:4], b[:4]):
+            if ca != cb:
+                break
+            length += 1
+        j += length * p * (1.0 - j)
+    return j

@@ -8095,6 +8095,297 @@ def q_doc_containment(sf_dir: str):
     return pair_text_metric(pairs, corpus, containment, out_col="containment")
 
 
+def q_events_path_trigrams(sf_dir: str):
+    """Order-2 user-path mining: the 20 most common 3-step event-type
+    sequences (A>B>C over consecutive events of the same user) — the
+    behavioral-pattern table behind funnel discovery and next-k-step
+    prediction.  Scale shape: the sessionization partitioning contract —
+    user timelines co-locate via ONE user-hash bucket groupby; each bucket
+    sorts once and folds its windows to per-path partial counts, a tiny
+    grouped sum merges them (path cardinality ≤ |types|³), and the sort +
+    limit runs on that small table.  Order contract: (ts, event_id) — a
+    TOTAL order, identical on both engines under timestamp ties."""
+    from ray.data.aggregate import Sum
+
+    nb = resolve_group_buckets(None)
+
+    def project(batch: pa.Table) -> pa.Table:
+        users = batch["user_id"].to_pylist()
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "us": batch["ts"].cast(pa.int64()),
+                "event_id": batch["event_id"],
+                "event_type": batch["event_type"],
+                "ub": pa.array([_kbucket(u, nb) for u in users], pa.int32()),
+            }
+        )
+
+    def fold_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "path": pd.array([], dtype="object"),
+                "n_p": pd.array([], dtype="int64"),
+            }
+        )
+        if group.empty:
+            return empty
+        g = group.sort_values(["user_id", "us", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        types = g["event_type"].to_numpy()
+        ok = np.zeros(len(g), dtype=bool)
+        if len(g) >= 3:
+            ok[2:] = (uid[2:] == uid[1:-1]) & (uid[1:-1] == uid[:-2])
+        idx = np.nonzero(ok)[0]
+        c: Counter = Counter(
+            f"{types[i - 2]}>{types[i - 1]}>{types[i]}" for i in idx
+        )
+        return pd.DataFrame(
+            {
+                "path": pd.Series(list(c.keys()), dtype="object"),
+                "n_p": pd.Series(list(c.values()), dtype="int64"),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+        .map_batches(project, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(fold_bucket, batch_format="pandas")
+        .groupby("path")
+        .aggregate(Sum("n_p", alias_name="n_paths"))
+        .sort(["n_paths", "path"], descending=[True, False])
+        .limit(20)
+    )
+
+
+_FK_EDGES = (
+    # (edge label, child table, child key col, parent table, parent key col)
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+def q_referential_orphans(sf_dir: str):
+    """Referential-integrity audit over every foreign-key edge in the star
+    schema: per edge, total child rows and ORPHAN rows (child key with no
+    parent) — the data-quality gate a warehouse load runs before exposing
+    a snapshot.  Scale shape per edge: the child folds per-batch (key →
+    row-count) partials (dedup inside the batch, narrow int64 rows), the
+    parent ships only keys, both co-group in key-hash buckets where the
+    orphan partial is a bucket-local int — one tiny Sum finishes; the fact
+    table never shuffles row-wise, only its distinct-key partials.  The
+    7 edge results are final aggregates (7 scalars) assembled driver-side."""
+    from ray.data.aggregate import Sum
+
+    nb = resolve_group_buckets(None)
+
+    def orphans_for(child: str, ckey: str, parent: str, pkey: str) -> tuple[int, int]:
+        cds = _read(sf_dir, child, [ckey])
+        pds = _read(sf_dir, parent, [pkey])
+
+        def child_partials(batch: pa.Table) -> pa.Table:
+            vc = pc.value_counts(batch[ckey])
+            keys = vc.field("values").to_pylist()
+            return pa.table(
+                {
+                    "key": pa.array([int(k) for k in keys], pa.int64()),
+                    "kb": pa.array([_kbucket(k, nb) for k in keys], pa.int32()),
+                    "cnt": vc.field("counts").cast(pa.int64()),
+                    "is_parent": pa.array([False] * len(keys), pa.bool_()),
+                }
+            )
+
+        def parent_keys(batch: pa.Table) -> pa.Table:
+            keys = pc.unique(batch[pkey]).to_pylist()
+            return pa.table(
+                {
+                    "key": pa.array([int(k) for k in keys], pa.int64()),
+                    "kb": pa.array([_kbucket(k, nb) for k in keys], pa.int32()),
+                    "cnt": pa.array([0] * len(keys), pa.int64()),
+                    "is_parent": pa.array([True] * len(keys), pa.bool_()),
+                }
+            )
+
+        def orphan_partial(group: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame(
+                {
+                    "rows_p": pd.array([], dtype="int64"),
+                    "orphans_p": pd.array([], dtype="int64"),
+                }
+            )
+            if group.empty:
+                return empty
+            present = set(group.loc[group["is_parent"], "key"])
+            child_rows = group.loc[~group["is_parent"]]
+            total = int(child_rows["cnt"].sum())
+            orphan = int(
+                child_rows.loc[~child_rows["key"].isin(present), "cnt"].sum()
+            )
+            return pd.DataFrame({"rows_p": [total], "orphans_p": [orphan]})
+
+        agg = (
+            cds.map_batches(child_partials, batch_format="pyarrow")
+            .union(pds.map_batches(parent_keys, batch_format="pyarrow"))
+            .groupby("kb")
+            .map_groups(orphan_partial, batch_format="pandas")
+            .aggregate(Sum("rows_p", alias_name="r"), Sum("orphans_p", alias_name="o"))
+        )
+        if not agg:
+            return 0, 0
+        return int(agg["r"] or 0), int(agg["o"] or 0)
+
+    labels, totals, orphs = [], [], []
+    for label, child, ckey, parent, pkey in _FK_EDGES:
+        r, o = orphans_for(child, ckey, parent, pkey)
+        labels.append(label)
+        totals.append(r)
+        orphs.append(o)
+    return pa.table(
+        {
+            "edge": pa.array(labels, pa.string()),
+            "n_child_rows": pa.array(totals, pa.int64()),
+            "n_orphans": pa.array(orphs, pa.int64()),
+        }
+    )
+
+
+def q_events_rolling_zscore(sf_dir: str):
+    """Rolling anomaly detection: per user, the z-score of each event's
+    value against its trailing 10-event window (current + 9 preceding) —
+    the streaming outlier flag behind fraud/alerting pipelines.  Only
+    FULL windows score (the 10th event per user onward).  Scale shape:
+    the sessionization contract again — user timelines co-group once by
+    user-hash bucket, each bucket sorts and computes rolling int64
+    cent-sums via two cumulative arrays (no per-row Python loop).  Float
+    contract: value is 2dp → cents = round(value·100) is exact int64;
+    z = (10·c − s) / sqrt((10·ss − s²) / 9.0) evaluates the identical
+    op chain on exact ints on both engines (one div, one sqrt, one div),
+    rounded to 6dp; zero-variance windows yield NULL z and anomaly=false
+    on both."""
+    import math
+
+    nb = resolve_group_buckets(None)
+    W = 10
+
+    def project(batch: pa.Table) -> pa.Table:
+        users = batch["user_id"].to_pylist()
+        cents = pc.cast(pc.round(pc.multiply(batch["value"], 100.0)), pa.int64())
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "us": batch["ts"].cast(pa.int64()),
+                "event_id": batch["event_id"],
+                "cents": cents,
+                "ub": pa.array([_kbucket(u, nb) for u in users], pa.int32()),
+            }
+        )
+
+    def fold_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "event_id": pd.array([], dtype="int64"),
+                "z": pd.array([], dtype="float64"),
+                "is_anomaly": pd.array([], dtype="bool"),
+            }
+        )
+        if group.empty:
+            return empty
+        g = group.sort_values(["user_id", "us", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        c = g["cents"].to_numpy(dtype=np.int64)
+        eid = g["event_id"].to_numpy(dtype=np.int64)
+        # int64-safe: cents ≤ ~10^5 → cents² ≤ 10^10, cumsum ≤ 10^15
+        cs = np.concatenate(([0], np.cumsum(c)))
+        cs2 = np.concatenate(([0], np.cumsum(c * c)))
+        out_e, out_z, out_a = [], [], []
+        n = len(g)
+        # per-user start offsets: full windows need 10 same-user rows
+        start = np.zeros(n, dtype=np.int64)
+        for i in range(1, n):
+            start[i] = i if uid[i] != uid[i - 1] else start[i - 1]
+        for i in range(n):
+            if i - start[i] + 1 < W:
+                continue
+            s = int(cs[i + 1] - cs[i + 1 - W])
+            ss = int(cs2[i + 1] - cs2[i + 1 - W])
+            num = W * int(c[i]) - s
+            rad = W * ss - s * s
+            if rad == 0:
+                out_e.append(int(eid[i]))
+                out_z.append(None)
+                out_a.append(False)
+                continue
+            z = round(num / math.sqrt(rad / 9.0), 6)
+            out_e.append(int(eid[i]))
+            out_z.append(z)
+            out_a.append(abs(z) > 3.0)
+        return pd.DataFrame(
+            {
+                "event_id": pd.Series(out_e, dtype="int64"),
+                "z": pd.Series(out_z, dtype="float64"),
+                "is_anomaly": pd.Series(out_a, dtype="bool"),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+        .map_batches(project, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(fold_bucket, batch_format="pandas")
+    )
+
+
+def q_supplier_nation_name_match(sf_dir: str):
+    """Entity resolution to a reference dictionary: each supplier name
+    matched to its most Jaro-Winkler-similar nation name (the free-text →
+    canonical-entity linking shape; here the dictionary is the nation
+    list).  Scale shape: the dictionary broadcasts in the task closure
+    (25 names) and each batch scores locally — zero shuffles; at a real
+    dictionary size the same stage holds a per-actor automaton/index.
+    Float contract: `jaro_winkler` is fuzz-tested BIT-IDENTICAL to
+    DuckDB's `jaro_winkler_similarity` (same empty-string and single-char
+    conventions); argmax ranks on the 6dp-rounded score with an n_name
+    tie-break on both engines."""
+    from ..functions.textstats import jaro_winkler
+
+    names = [
+        r["n_name"]
+        for r in _read(sf_dir, "nation", ["n_name"]).take_all()
+    ]
+    names.sort()
+
+    def match(batch: pa.Table) -> pa.Table:
+        keys, bests, scores = [], [], []
+        for skey, sname in zip(
+            batch["s_suppkey"].to_pylist(), batch["s_name"].to_pylist()
+        ):
+            best_name, best_score = None, -1.0
+            for nname in names:
+                sc = round(jaro_winkler(sname or "", nname), 6)
+                if sc > best_score:
+                    best_name, best_score = nname, sc
+            keys.append(skey)
+            bests.append(best_name)
+            scores.append(best_score)
+        return pa.table(
+            {
+                "s_suppkey": pa.array(keys, pa.int64()),
+                "best_nation": pa.array(bests, pa.string()),
+                "jw": pa.array(scores, pa.float64()),
+            }
+        )
+
+    return _read(sf_dir, "supplier", ["s_suppkey", "s_name"]).map_batches(
+        match, batch_format="pyarrow"
+    )
+
+
 QUERIES = {
     "doc_stats_by_lang": q_doc_stats_by_lang,
     "doc_token_stats": q_doc_token_stats,
@@ -8249,6 +8540,10 @@ QUERIES = {
     "part_affinity_lift": q_part_affinity_lift,
     "minhash_estimate_error": q_minhash_estimate_error,
     "doc_containment": q_doc_containment,
+    "events_path_trigrams": q_events_path_trigrams,
+    "referential_orphans": q_referential_orphans,
+    "events_rolling_zscore": q_events_rolling_zscore,
+    "supplier_nation_name_match": q_supplier_nation_name_match,
 }
 
 
@@ -10469,5 +10764,69 @@ ORACLE_SQL = {
                     ELSE CAST(len(list_intersect(gh, gf)) AS DOUBLE) / len(gh)
                END AS containment
         FROM grams
+    """,
+    "events_path_trigrams": """
+        WITH seq AS (
+          SELECT event_type AS t1,
+                 LEAD(event_type, 1) OVER w AS t2,
+                 LEAD(event_type, 2) OVER w AS t3
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT t1 || '>' || t2 || '>' || t3 AS path,
+               CAST(count(*) AS BIGINT) AS n_paths
+        FROM seq WHERE t3 IS NOT NULL
+        GROUP BY 1 ORDER BY n_paths DESC, path ASC LIMIT 20
+    """,
+    "referential_orphans": " UNION ALL ".join(
+        f"""
+        SELECT '{label}' AS edge,
+               CAST(count(*) AS BIGINT) AS n_child_rows,
+               CAST(count(*) FILTER (WHERE p.{pkey} IS NULL) AS BIGINT) AS n_orphans
+        FROM {child} c LEFT JOIN {parent} p ON c.{ckey} = p.{pkey}
+        """
+        for label, child, ckey, parent, pkey in _FK_EDGES
+    ),
+    # cents = round(value·100) (2dp values never sit on a .5 boundary);
+    # z evaluates the identical exact-int op chain: one division by 9.0,
+    # one sqrt, one division — then the shared 6dp round
+    "events_rolling_zscore": """
+        WITH c AS (
+          SELECT event_id, user_id, ts,
+                 CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events
+        ),
+        w AS (
+          SELECT event_id,
+                 cents,
+                 SUM(cents) OVER win AS s,
+                 SUM(cents * cents) OVER win AS ss,
+                 COUNT(*) OVER win AS wn
+          FROM c
+          WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+        ),
+        z AS (
+          SELECT event_id,
+                 CASE WHEN 10 * ss = s * s THEN NULL
+                      ELSE ROUND((10 * cents - s) / sqrt((10 * ss - s * s) / 9.0), 6)
+                 END AS z
+          FROM w WHERE wn = 10
+        )
+        SELECT event_id, z,
+               COALESCE(ABS(z) > 3, FALSE) AS is_anomaly
+        FROM z
+    """,
+    # jaro_winkler (engine) is fuzz-tested bit-identical to DuckDB's
+    # jaro_winkler_similarity; argmax ranks on (jw6 DESC, n_name ASC)
+    "supplier_nation_name_match": """
+        SELECT s.s_suppkey, m.n_name AS best_nation, m.jw
+        FROM supplier s, LATERAL (
+          SELECT n_name,
+                 ROUND(jaro_winkler_similarity(s.s_name, n_name), 6) AS jw
+          FROM nation
+          ORDER BY jw DESC, n_name ASC
+          LIMIT 1
+        ) m
     """,
 }

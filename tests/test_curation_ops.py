@@ -284,3 +284,239 @@ class TestDocContainment:
             r[1]: r[2] for r in _oracle(tmp_path, "doc_containment", ["documents"])
         }
         assert oracle == rows
+
+
+def _ts_us(seconds: int):
+    import numpy as np
+
+    return np.datetime64(seconds, "s").astype("datetime64[us]")
+
+
+class TestEventsPathTrigrams:
+    def test_paths_and_total_order_contract(self, ray_session, tmp_path):
+        # user 1: A,B,A,C → A>B>A, B>A>C; user 2: only 2 events → none.
+        # events 3/4 share a timestamp → event_id breaks the tie.
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+                    "ts": pa.array(
+                        [_ts_us(s) for s in (10, 20, 30, 30, 10, 20)],
+                        pa.timestamp("us"),
+                    ),
+                    "user_id": pa.array([1, 1, 1, 1, 2, 2], pa.int64()),
+                    "event_type": pa.array(
+                        ["A", "B", "A", "C", "X", "Y"], pa.string()
+                    ),
+                }
+            ),
+            tmp_path / "events.parquet",
+        )
+        out = {
+            r["path"]: r["n_paths"]
+            for r in QUERIES["events_path_trigrams"](str(tmp_path)).take_all()
+        }
+        assert out == {"A>B>A": 1, "B>A>C": 1}
+        assert dict(_oracle(tmp_path, "events_path_trigrams", ["events"])) == out
+
+
+class TestReferentialOrphans:
+    def test_orphans_counted_per_edge(self, ray_session, tmp_path):
+        pq.write_table(
+            pa.table({"r_regionkey": pa.array([0], pa.int64())}),
+            tmp_path / "region.parquet",
+        )
+        # nation 1 points at region 99 (orphan)
+        pq.write_table(
+            pa.table(
+                {
+                    "n_nationkey": pa.array([0, 1], pa.int64()),
+                    "n_regionkey": pa.array([0, 99], pa.int64()),
+                }
+            ),
+            tmp_path / "nation.parquet",
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "c_custkey": pa.array([1], pa.int64()),
+                    "c_nationkey": pa.array([0], pa.int64()),
+                }
+            ),
+            tmp_path / "customer.parquet",
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "s_suppkey": pa.array([1], pa.int64()),
+                    "s_nationkey": pa.array([0], pa.int64()),
+                }
+            ),
+            tmp_path / "supplier.parquet",
+        )
+        pq.write_table(
+            pa.table({"p_partkey": pa.array([1], pa.int64())}),
+            tmp_path / "part.parquet",
+        )
+        # order 2 points at customer 99 (orphan)
+        pq.write_table(
+            pa.table(
+                {
+                    "o_orderkey": pa.array([1, 2], pa.int64()),
+                    "o_custkey": pa.array([1, 99], pa.int64()),
+                }
+            ),
+            tmp_path / "orders.parquet",
+        )
+        # row 2: orphan orderkey; row 3: orphan partkey — each lineitem row
+        # counts once in EACH of the three lineitem edges
+        pq.write_table(
+            pa.table(
+                {
+                    "l_orderkey": pa.array([1, 99, 1], pa.int64()),
+                    "l_partkey": pa.array([1, 1, 99], pa.int64()),
+                    "l_suppkey": pa.array([1, 1, 1], pa.int64()),
+                }
+            ),
+            tmp_path / "lineitem.parquet",
+        )
+        out = {
+            r["edge"]: (r["n_child_rows"], r["n_orphans"])
+            for r in QUERIES["referential_orphans"](str(tmp_path)).to_pylist()
+        }
+        assert out == {
+            "lineitem.l_orderkey->orders": (3, 1),
+            "lineitem.l_partkey->part": (3, 1),
+            "lineitem.l_suppkey->supplier": (3, 0),
+            "orders.o_custkey->customer": (2, 1),
+            "customer.c_nationkey->nation": (1, 0),
+            "supplier.s_nationkey->nation": (1, 0),
+            "nation.n_regionkey->region": (2, 1),
+        }
+        oracle = {
+            e: (n, o)
+            for e, n, o in _oracle(
+                tmp_path,
+                "referential_orphans",
+                ["region", "nation", "customer", "supplier", "part", "orders", "lineitem"],
+            )
+        }
+        assert oracle == out
+
+
+class TestEventsRollingZscore:
+    def test_full_window_zscore_and_zero_variance(self, ray_session, tmp_path):
+        import math
+
+        # user 1: values 1..9 then a spike of 100 → one full window at the
+        # 10th event; user 2: ten identical values → zero variance → NULL z;
+        # user 3: nine events → no full window
+        vals = [float(v) for v in range(1, 10)] + [100.0]
+        rows = []
+        for i, v in enumerate(vals):
+            rows.append((i + 1, 10 + i, 1, v))
+        for i in range(10):
+            rows.append((100 + i, 10 + i, 2, 5.0))
+        for i in range(9):
+            rows.append((200 + i, 10 + i, 3, float(i)))
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "ts": pa.array(
+                        [_ts_us(r[1]) for r in rows], pa.timestamp("us")
+                    ),
+                    "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                    "value": pa.array([r[3] for r in rows], pa.float64()),
+                }
+            ),
+            tmp_path / "events.parquet",
+        )
+        def norm(z):
+            # engine NULLs ride as float64 NaN (pandas), oracle as SQL NULL;
+            # the driver's value canon treats them identically
+            return None if z is None or (isinstance(z, float) and z != z) else z
+
+        out = {
+            r["event_id"]: (norm(r["z"]), r["is_anomaly"])
+            for r in QUERIES["events_rolling_zscore"](str(tmp_path)).take_all()
+        }
+        cents = [v * 100 for v in (1, 2, 3, 4, 5, 6, 7, 8, 9, 100)]
+        s = sum(int(c) for c in cents)
+        ss = sum(int(c) * int(c) for c in cents)
+        z10 = round((10 * 10000 - s) / math.sqrt((10 * ss - s * s) / 9.0), 6)
+        assert out == {10: (z10, abs(z10) > 3.0), 109: (None, False)}
+        oracle = {
+            e: (norm(z), a)
+            for e, z, a in _oracle(tmp_path, "events_rolling_zscore", ["events"])
+        }
+        assert oracle == out
+
+
+class TestSupplierNationNameMatch:
+    def test_argmax_and_tie_break(self, ray_session, tmp_path):
+        pq.write_table(
+            pa.table(
+                {
+                    "s_suppkey": pa.array([1, 2], pa.int64()),
+                    "s_name": pa.array(["NATIOM_1", "zzzz"], pa.string()),
+                }
+            ),
+            tmp_path / "supplier.parquet",
+        )
+        # NATION_1 beats NATION_2 for NATIOM_1; for "zzzz" every nation
+        # scores 0.0 → lexicographically smallest name wins on both engines
+        pq.write_table(
+            pa.table(
+                {"n_name": pa.array(["NATION_1", "NATION_2"], pa.string())}
+            ),
+            tmp_path / "nation.parquet",
+        )
+        out = {
+            r["s_suppkey"]: (r["best_nation"], r["jw"])
+            for r in QUERIES["supplier_nation_name_match"](str(tmp_path)).take_all()
+        }
+        from edge_deid_studio_ray.functions.textstats import jaro_winkler
+
+        assert out[1][0] == "NATION_1"
+        assert out[1][1] == round(jaro_winkler("NATIOM_1", "NATION_1"), 6)
+        assert out[2] == ("NATION_1", 0.0)
+        oracle = {
+            k: (n, j)
+            for k, n, j in _oracle(
+                tmp_path, "supplier_nation_name_match", ["supplier", "nation"]
+            )
+        }
+        assert oracle == out
+
+
+class TestJaroWinklerBridge:
+    def test_bit_identical_to_duckdb(self):
+        import random
+        import string
+
+        from edge_deid_studio_ray.functions.textstats import jaro_winkler
+
+        con = duckdb.connect()
+        random.seed(3)
+        cases = [("", ""), ("", "x"), ("F", "F"), ("a", "b"),
+                 ("MARTHA", "MARHTA"), ("DIXON", "DICKSONX")]
+        for _ in range(500):
+            cases.append(
+                tuple(
+                    "".join(
+                        random.choices(
+                            string.ascii_uppercase[:8] + "#_0123456789",
+                            k=random.randint(0, 18),
+                        )
+                    )
+                    for _ in range(2)
+                )
+            )
+        for a, b in cases:
+            assert (
+                jaro_winkler(a, b)
+                == con.execute(
+                    "SELECT jaro_winkler_similarity(?, ?)", [a, b]
+                ).fetchone()[0]
+            ), (a, b)
