@@ -8386,6 +8386,129 @@ def q_supplier_nation_name_match(sf_dir: str):
     )
 
 
+def q_kmeans_spherical(sf_dir: str):
+    """Spherical k-means over the embedding table — 3 Lloyd rounds with
+    K=8 centroids seeded from vec_id 0..7 (the iterative-ML clustering
+    shape; SemDeDup/IVF partitioning both start exactly here).  Round =
+    assign every vector to its most-cosine-similar centroid, then replace
+    each centroid with its members' component SUM (direction only —
+    spherical assignment is scale-invariant, so no mean division drifts);
+    empty clusters keep their previous centroid.  Scale shape per round:
+    centroids broadcast via ``ray.put`` (K×dim floats), one stateless scan
+    folds per-batch per-cluster component-sum/count partials (≤K tiny rows
+    per block), the driver merges the sketch-sized partials — the
+    embedding matrix never shuffles, and rounds are sequential scans, not
+    iterated shuffles.  Output: per-cluster member count and vec_id sum
+    after the 3rd assignment (exact ints).  Float contract: assignment
+    ranks 6dp-ROUNDED cosines with a centroid-id tie-break on both
+    engines (ULP-level summation drift sits ~1e-9 under the grid);
+    the oracle unrolls the 3 rounds as chained CTEs (the PageRank-style
+    iterative mirror)."""
+    import ray
+    import ray.data as rd
+
+    from ..functions.simsearch import _vec_matrix
+
+    K, ROUNDS = 8, 3
+    seed_rows = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filter=(pc.field("vec_id") < K),
+    ).take_all()
+    seed_rows.sort(key=lambda r: r["vec_id"])
+    cmat = np.array([r["embedding"] for r in seed_rows], dtype=np.float64)
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def assign_partials(batch: pa.Table, cm: np.ndarray) -> pa.Table:
+        mat = _vec_matrix(batch["embedding"]).astype(np.float64)
+        vn = np.linalg.norm(mat, axis=1)
+        vn[vn == 0.0] = 1.0
+        cn = np.linalg.norm(cm, axis=1)
+        cn[cn == 0.0] = 1.0
+        cos = np.round((mat @ cm.T) / np.outer(vn, cn), 6)
+        assign = np.argmax(cos, axis=1)  # first max == smallest cid tie-break
+        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        cids, ns, idsums, sums = [], [], [], []
+        for cid in np.unique(assign):
+            member = assign == cid
+            cids.append(int(cid))
+            ns.append(int(member.sum()))
+            idsums.append(int(ids[member].sum()))
+            sums.append(mat[member].sum(axis=0).tolist())
+        return pa.table(
+            {
+                "cid": pa.array(cids, pa.int64()),
+                "n_p": pa.array(ns, pa.int64()),
+                "idsum_p": pa.array(idsums, pa.int64()),
+                "s": pa.array(sums, pa.list_(pa.float64())),
+            }
+        )
+
+    folded: dict[int, tuple[int, int, np.ndarray]] = {}
+    for _ in range(ROUNDS):
+        ref = ray.put(cmat)
+
+        def partial(batch: pa.Table, _ref=ref) -> pa.Table:
+            return assign_partials(batch, ray.get(_ref))
+
+        folded = {}
+        for row in ds.map_batches(partial, batch_format="pyarrow").take_all():
+            cid = int(row["cid"])
+            n, idsum, s = folded.get(cid, (0, 0, 0.0))
+            folded[cid] = (
+                n + int(row["n_p"]),
+                idsum + int(row["idsum_p"]),
+                s + np.asarray(row["s"], dtype=np.float64),
+            )
+        new_cmat = cmat.copy()
+        for cid, (_, _, s) in folded.items():
+            new_cmat[cid] = s
+        cmat = new_cmat
+
+    clusters = sorted(folded)
+    return pa.table(
+        {
+            "cluster": pa.array(clusters, pa.int64()),
+            "n_members": pa.array([folded[c][0] for c in clusters], pa.int64()),
+            "id_sum": pa.array([folded[c][1] for c in clusters], pa.int64()),
+        }
+    )
+
+
+def q_lang_confusion_matrix(sf_dir: str):
+    """Language-ID evaluation: the (labeled lang × predicted lang)
+    confusion matrix over the corpus — the quality gate for the n-gram
+    langid heuristic itself.  Scale shape: stateless per-batch prediction
+    folds straight into ≤|langs|² partial rows; the only exchange is the
+    tiny pair-keyed grouped sum."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.textstats import lang_id
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for lang, text in zip(
+            batch["lang"].to_pylist(), batch["text"].to_pylist()
+        ):
+            c[(lang, lang_id(text or ""))] += 1
+        keys = list(c.keys())
+        return pa.table(
+            {
+                "actual": pa.array([k[0] for k in keys], pa.string()),
+                "predicted": pa.array([k[1] for k in keys], pa.string()),
+                "n_p": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "documents", ["lang", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["actual", "predicted"])
+        .aggregate(Sum("n_p", alias_name="n_docs"))
+    )
+
+
 QUERIES = {
     "doc_stats_by_lang": q_doc_stats_by_lang,
     "doc_token_stats": q_doc_token_stats,
@@ -8544,6 +8667,8 @@ QUERIES = {
     "referential_orphans": q_referential_orphans,
     "events_rolling_zscore": q_events_rolling_zscore,
     "supplier_nation_name_match": q_supplier_nation_name_match,
+    "kmeans_spherical": q_kmeans_spherical,
+    "lang_confusion_matrix": q_lang_confusion_matrix,
 }
 
 
@@ -8620,6 +8745,94 @@ def _hll_sql(table: str, col: str, p: int = 12) -> str:
         FROM raw
     """
 _MEDICAL_RE = "\\b[A-Za-z0-9]{6,12}\\b"
+
+
+def _kmeans_round_sql(r: int, *, final: bool) -> str:
+    """One spherical-k-means round as chained CTEs: assign against
+    cent{r-1} (6dp-rounded cosine, cid tie-break), then — unless this is
+    the final assignment — rebuild centroids as per-cluster component
+    sums with empty clusters keeping their previous centroid."""
+    assign = f"""
+        a{r} AS (
+          SELECT e.vec_id, e.v, x.cid
+          FROM e, LATERAL (
+            SELECT cid FROM cent{r - 1} c
+            ORDER BY ROUND(list_cosine_similarity(e.v, c.ce), 6) DESC, cid ASC
+            LIMIT 1
+          ) x
+        )"""
+    if final:
+        return assign
+    return (
+        assign
+        + f""",
+        n{r} AS (
+          SELECT cid, array_agg(sv ORDER BY d) AS ce
+          FROM (
+            SELECT cid, d, SUM(val) AS sv
+            FROM (
+              SELECT cid, unnest(v) AS val, unnest(range(len(v))) AS d
+              FROM a{r}
+            )
+            GROUP BY cid, d
+          )
+          GROUP BY cid
+        ),
+        cent{r} AS (
+          SELECT p.cid, COALESCE(n.ce, p.ce) AS ce
+          FROM cent{r - 1} p LEFT JOIN n{r} n USING (cid)
+        )"""
+    )
+
+
+_KMEANS_SQL = (
+    """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        cent0 AS (
+          SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+          FROM embeddings WHERE vec_id < 8
+        ),"""
+    + ",".join(
+        _kmeans_round_sql(r, final=(r == 3)) for r in (1, 2, 3)
+    )
+    + """
+        SELECT CAST(cid AS BIGINT) AS cluster,
+               CAST(count(*) AS BIGINT) AS n_members,
+               CAST(SUM(vec_id) AS BIGINT) AS id_sum
+        FROM a3 GROUP BY cid
+    """
+)
+
+# the SQL mirror of kernels' lang_id heuristic — shared by the per-doc
+# prediction oracle and the confusion-matrix oracle
+_LANGID_PRED_SQL = """
+        WITH w AS (
+          SELECT doc_id, text,
+                 list_transform(regexp_extract_all(text, '[A-Za-z]+'), x -> lower(x)) AS words
+          FROM documents
+        ), s AS (
+          SELECT doc_id, text, len(words) AS n_words,
+            len(list_filter(words, x -> list_contains(
+              ['the','of','and','to','a','in','is','it','you','that','he','was','for','on','are'], x))) AS s_en,
+            len(list_filter(words, x -> list_contains(
+              ['der','die','und','den','von','zu','das','mit','sich','des','auf','ist','im'], x))) AS s_de,
+            len(list_filter(words, x -> list_contains(
+              ['de','la','que','el','en','y','a','los','del','se','las','por','un','para','es'], x))) AS s_es,
+            len(list_filter(words, x -> list_contains(
+              ['de','la','le','et','les','des','en','un','du','une','que','est','pour','qui'], x))) AS s_fr,
+            len(regexp_extract_all(text, '[一-鿿]')) AS cjk
+          FROM w
+        )
+        SELECT doc_id,
+          CASE WHEN len(text) > 0 AND cjk * 1.0 / len(text) > 0.15 THEN 'zh'
+               WHEN n_words = 0 THEN 'und'
+               WHEN s_en = 0 AND s_de = 0 AND s_es = 0 AND s_fr = 0 THEN 'und'
+               WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+               WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+               WHEN s_es >= s_fr THEN 'es'
+               ELSE 'fr' END AS lang_pred
+        FROM s
+    """
 
 ORACLE_SQL = {
     "approx_distinct": " UNION ALL ".join(
@@ -8823,34 +9036,7 @@ ORACLE_SQL = {
               UNION ALL SELECT doc_id, text FROM documents)
         GROUP BY md5(text)
     """,
-    "doc_lang_id": """
-        WITH w AS (
-          SELECT doc_id, text,
-                 list_transform(regexp_extract_all(text, '[A-Za-z]+'), x -> lower(x)) AS words
-          FROM documents
-        ), s AS (
-          SELECT doc_id, text, len(words) AS n_words,
-            len(list_filter(words, x -> list_contains(
-              ['the','of','and','to','a','in','is','it','you','that','he','was','for','on','are'], x))) AS s_en,
-            len(list_filter(words, x -> list_contains(
-              ['der','die','und','den','von','zu','das','mit','sich','des','auf','ist','im'], x))) AS s_de,
-            len(list_filter(words, x -> list_contains(
-              ['de','la','que','el','en','y','a','los','del','se','las','por','un','para','es'], x))) AS s_es,
-            len(list_filter(words, x -> list_contains(
-              ['de','la','le','et','les','des','en','un','du','une','que','est','pour','qui'], x))) AS s_fr,
-            len(regexp_extract_all(text, '[一-鿿]')) AS cjk
-          FROM w
-        )
-        SELECT doc_id,
-          CASE WHEN len(text) > 0 AND cjk * 1.0 / len(text) > 0.15 THEN 'zh'
-               WHEN n_words = 0 THEN 'und'
-               WHEN s_en = 0 AND s_de = 0 AND s_es = 0 AND s_fr = 0 THEN 'und'
-               WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
-               WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
-               WHEN s_es >= s_fr THEN 'es'
-               ELSE 'fr' END AS lang_pred
-        FROM s
-    """,
+    "doc_lang_id": _LANGID_PRED_SQL,
     "doc_quality_counts": f"""
         SELECT doc_id,
                CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
@@ -10816,6 +11002,13 @@ ORACLE_SQL = {
         SELECT event_id, z,
                COALESCE(ABS(z) > 3, FALSE) AS is_anomaly
         FROM z
+    """,
+    "kmeans_spherical": _KMEANS_SQL,
+    "lang_confusion_matrix": f"""
+        SELECT d.lang AS actual, p.lang_pred AS predicted,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents d JOIN ({_LANGID_PRED_SQL}) p ON p.doc_id = d.doc_id
+        GROUP BY 1, 2
     """,
     # jaro_winkler (engine) is fuzz-tested bit-identical to DuckDB's
     # jaro_winkler_similarity; argmax ranks on (jw6 DESC, n_name ASC)

@@ -520,3 +520,97 @@ class TestJaroWinklerBridge:
                     "SELECT jaro_winkler_similarity(?, ?)", [a, b]
                 ).fetchone()[0]
             ), (a, b)
+
+
+class TestKmeansSpherical:
+    def test_tie_break_mass_conservation_and_oracle(self, ray_session, tmp_path):
+        # seeds 0..7 are the first 8 vectors; vec 8 = [1,1] ties between
+        # centroids 0=[1,0] and 1=[0,1] at cos 0.707107 → smaller cid wins
+        vecs = [
+            [1.0, 0.0],
+            [0.0, 1.0],
+            [-1.0, 0.0],
+            [0.0, -1.0],
+            [1.0, 0.2],
+            [0.2, 1.0],
+            [-1.0, -0.2],
+            [-0.2, -1.0],
+            [1.0, 1.0],
+            [0.9, 0.1],
+        ]
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(list(range(len(vecs))), pa.int64()),
+                    "embedding": pa.array(vecs, pa.list_(pa.float32())),
+                }
+            ),
+            tmp_path / "embeddings.parquet",
+        )
+        out = QUERIES["kmeans_spherical"](str(tmp_path)).to_pylist()
+        assert sum(r["n_members"] for r in out) == len(vecs)
+        assert sum(r["id_sum"] for r in out) == sum(range(len(vecs)))
+        by_cluster = {r["cluster"]: r for r in out}
+        # every cluster's (count, id_sum) matches an independent numpy
+        # re-run of the 3 Lloyd rounds (argmax ties → smaller cid)
+        for cid in by_cluster:
+            _members_of(by_cluster, cid, vecs)
+        oracle = sorted(
+            _oracle(tmp_path, "kmeans_spherical", ["embeddings"])
+        )
+        assert oracle == sorted(
+            (r["cluster"], r["n_members"], r["id_sum"]) for r in out
+        )
+
+
+def _members_of(by_cluster, cid, vecs):
+    """Recover one cluster's member set from id_sum/n_members by re-running
+    the reference rounds in plain numpy (test-side mirror)."""
+    import numpy as np
+
+    K, ROUNDS = 8, 3
+    mat = np.array(vecs, dtype=np.float64)
+    cmat = mat[:K].copy()
+    assign = None
+    for _ in range(ROUNDS):
+        vn = np.linalg.norm(mat, axis=1)
+        vn[vn == 0.0] = 1.0
+        cn = np.linalg.norm(cmat, axis=1)
+        cn[cn == 0.0] = 1.0
+        cos = np.round((mat @ cmat.T) / np.outer(vn, cn), 6)
+        assign = np.argmax(cos, axis=1)
+        new = cmat.copy()
+        for c in np.unique(assign):
+            new[c] = mat[assign == c].sum(axis=0)
+        cmat = new
+    members = set(np.nonzero(assign == cid)[0].tolist())
+    row = by_cluster[cid]
+    assert row["n_members"] == len(members)
+    assert row["id_sum"] == sum(members)
+    return members
+
+
+class TestLangConfusionMatrix:
+    def test_confusion_counts(self, ray_session, tmp_path):
+        en = "the cat is on the mat and it was for you"
+        de = "der hund und die katze von dem haus mit im"
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([1, 2, 3], pa.int64()),
+                    "lang": pa.array(["en", "de", "de"], pa.string()),
+                    "text": pa.array([en, de, en], pa.string()),
+                }
+            ),
+            tmp_path / "documents.parquet",
+        )
+        out = {
+            (r["actual"], r["predicted"]): r["n_docs"]
+            for r in QUERIES["lang_confusion_matrix"](str(tmp_path)).take_all()
+        }
+        assert out == {("en", "en"): 1, ("de", "de"): 1, ("de", "en"): 1}
+        oracle = {
+            (a, p): n
+            for a, p, n in _oracle(tmp_path, "lang_confusion_matrix", ["documents"])
+        }
+        assert oracle == out
