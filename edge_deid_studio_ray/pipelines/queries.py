@@ -8509,6 +8509,135 @@ def q_lang_confusion_matrix(sf_dir: str):
     )
 
 
+def q_pq_codes(sf_dir: str):
+    """Product-quantization encode — THE billion-scale ANN compression
+    step: the 64-dim embedding splits into 8 contiguous 8-dim subspaces,
+    each assigned to its nearest of 4 codebook entries (subvectors of
+    vec_id 0..3), emitting an 8-digit code per vector (64 dims × 4 B →
+    8 B).  Scale shape: the codebook broadcasts via ``ray.put`` (4×64
+    floats) and each batch encodes locally with one distance tensor —
+    zero shuffles.  Float contract: assignment ranks the 6dp-ROUNDED
+    euclidean distance with a code-id tie-break on both engines (numpy
+    vs `list_distance` summation differs at ~1e-15, far under the
+    grid)."""
+    import ray
+    import ray.data as rd
+
+    from ..functions.simsearch import _vec_matrix
+
+    C, S, SUB = 4, 8, 8
+    seed_rows = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filter=(pc.field("vec_id") < C),
+    ).take_all()
+    seed_rows.sort(key=lambda r: r["vec_id"])
+    codebook = np.array([r["embedding"] for r in seed_rows], dtype=np.float64)
+    cb_ref = ray.put(codebook)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        cb = ray.get(cb_ref)  # (C, S*SUB)
+        mat = _vec_matrix(batch["embedding"]).astype(np.float64)
+        ids = batch["vec_id"].to_pylist()
+        codes = np.empty((len(ids), S), dtype=np.int64)
+        for s in range(S):
+            lo, hi = s * SUB, (s + 1) * SUB
+            # (B, C) euclidean distances in this subspace
+            diff = mat[:, None, lo:hi] - cb[None, :, lo:hi]
+            d = np.round(np.sqrt((diff * diff).sum(axis=2)), 6)
+            codes[:, s] = np.argmin(d, axis=1)  # first min == smaller code
+        strs = ["".join(str(c) for c in row) for row in codes]
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "pq_code": pa.array(strs, pa.string()),
+            }
+        )
+
+    return _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        encode, batch_format="pyarrow"
+    )
+
+
+def q_countmin_word_freqs(sf_dir: str):
+    """Count-Min sketch audit over corpus word frequencies: the top-20
+    words (exact contract of `word_freq_top20`) with BOTH their exact
+    count and their CMS estimate from a 4×1024 sketch — the
+    overestimate-only guarantee (est ≥ exact) made value-checkable
+    because the hash is the md5 bridge (`md5_number_upper % width`), so
+    DuckDB rebuilds the very same sketch cells.  Scale shape: each batch
+    folds its words into ONE flat 4096-cell int64 partial row; the driver
+    merges those sketch-sized partials (cells are mergeable by +), and
+    the exact top-20 comes from the normal grouped sum — the corpus
+    words shuffle once (for the exact side), the sketch side never
+    shuffles."""
+    import hashlib
+
+    from ray.data.aggregate import Sum
+
+    D, W = 4, 1024
+    salts = [f"{d}|".encode() for d in range(D)]
+
+    def bridge(d: int, w: str) -> int:
+        return (
+            int.from_bytes(
+                hashlib.md5(salts[d] + w.encode("utf-8", "replace")).digest()[:8],
+                "little",
+            )
+            % W
+        )
+
+    token_re = re.compile(r"\S+")
+
+    def cms_partial(batch: pa.Table) -> pa.Table:
+        cells = np.zeros((D, W), dtype=np.int64)
+        c: Counter = Counter()
+        for text in batch["text"].to_pylist():
+            c.update(token_re.findall(text or ""))
+        for w, n in c.items():
+            for d in range(D):
+                cells[d, bridge(d, w)] += n
+        return pa.table({"cells": pa.array([cells.ravel().tolist()], pa.list_(pa.int64()))})
+
+    def word_partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for text in batch["text"].to_pylist():
+            c.update(token_re.findall(text or ""))
+        return pa.table(
+            {
+                "word": pa.array(list(c.keys()), pa.string()),
+                "n_p": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    docs = _read(sf_dir, "documents", ["text"])
+    cells = np.zeros(D * W, dtype=np.int64)
+    for row in docs.map_batches(cms_partial, batch_format="pyarrow").take_all():
+        cells += np.asarray(row["cells"], dtype=np.int64)
+    cells = cells.reshape(D, W)
+
+    top = (
+        docs.map_batches(word_partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("n_p", alias_name="n"))
+        .sort(["n", "word"], descending=[True, False])
+        .limit(20)
+        .take_all()
+    )
+    words = [r["word"] for r in top]
+    ns = [int(r["n"]) for r in top]
+    ests = [
+        int(min(cells[d, bridge(d, w)] for d in range(D))) for w in words
+    ]
+    return pa.table(
+        {
+            "word": pa.array(words, pa.string()),
+            "n": pa.array(ns, pa.int64()),
+            "cms_est": pa.array(ests, pa.int64()),
+        }
+    )
+
+
 QUERIES = {
     "doc_stats_by_lang": q_doc_stats_by_lang,
     "doc_token_stats": q_doc_token_stats,
@@ -8669,6 +8798,8 @@ QUERIES = {
     "supplier_nation_name_match": q_supplier_nation_name_match,
     "kmeans_spherical": q_kmeans_spherical,
     "lang_confusion_matrix": q_lang_confusion_matrix,
+    "pq_codes": q_pq_codes,
+    "countmin_word_freqs": q_countmin_word_freqs,
 }
 
 
@@ -11004,6 +11135,54 @@ ORACLE_SQL = {
         FROM z
     """,
     "kmeans_spherical": _KMEANS_SQL,
+    # per-subspace argmin on 6dp-rounded list_distance, code tie-break asc;
+    # v[a:b] slices are 1-based inclusive in DuckDB
+    "pq_codes": """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        cb AS (
+          SELECT vec_id AS code, embedding::DOUBLE[] AS cv
+          FROM embeddings WHERE vec_id < 4
+        ),
+        subs AS (SELECT unnest(range(8)) AS s),
+        choice AS (
+          SELECT e.vec_id, s.s, x.code
+          FROM e CROSS JOIN subs s, LATERAL (
+            SELECT cb.code FROM cb
+            ORDER BY ROUND(list_distance(e.v[(s.s * 8 + 1):(s.s * 8 + 8)],
+                                         cb.cv[(s.s * 8 + 1):(s.s * 8 + 8)]), 6) ASC,
+                     cb.code ASC
+            LIMIT 1
+          ) x
+        )
+        SELECT vec_id,
+               string_agg(CAST(code AS VARCHAR), '' ORDER BY s) AS pq_code
+        FROM choice GROUP BY vec_id
+    """,
+    # DuckDB rebuilds the SAME 4x1024 sketch via the md5 bridge, so the
+    # CMS estimates (min over rows of the hashed cell) are value-checked
+    "countmin_word_freqs": """
+        WITH words AS (
+          SELECT unnest(regexp_extract_all(text, '\\S+')) AS w FROM documents
+        ),
+        cnt AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM words GROUP BY w),
+        top AS (SELECT * FROM cnt ORDER BY n DESC, w ASC LIMIT 20),
+        ds AS (SELECT unnest(range(4)) AS d),
+        cells AS (
+          SELECT ds.d,
+                 CAST(md5_number_upper(CAST(ds.d AS VARCHAR) || '|' || cnt.w) % 1024
+                      AS BIGINT) AS col,
+                 CAST(SUM(cnt.n) AS BIGINT) AS cell
+          FROM cnt CROSS JOIN ds
+          GROUP BY 1, 2
+        )
+        SELECT t.w AS word, t.n, CAST(MIN(c.cell) AS BIGINT) AS cms_est
+        FROM top t CROSS JOIN ds
+        JOIN cells c
+          ON c.d = ds.d
+         AND c.col = CAST(md5_number_upper(CAST(ds.d AS VARCHAR) || '|' || t.w) % 1024
+                          AS BIGINT)
+        GROUP BY t.w, t.n
+    """,
     "lang_confusion_matrix": f"""
         SELECT d.lang AS actual, p.lang_pred AS predicted,
                CAST(count(*) AS BIGINT) AS n_docs

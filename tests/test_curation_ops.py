@@ -614,3 +614,66 @@ class TestLangConfusionMatrix:
             for a, p, n in _oracle(tmp_path, "lang_confusion_matrix", ["documents"])
         }
         assert oracle == out
+
+
+class TestPqCodes:
+    def test_subspace_argmin_and_tie(self, ray_session, tmp_path):
+        # codebook c = all-constant vectors (value c); probe subspace s
+        # holds value x_s → per-subspace distance sqrt(8)·|x_s − c|, so
+        # the code is the nearest integer with .5 ties → smaller code
+        probe = []
+        xs = [0.0, 0.5, 2.4, 3.9, 1.0, 2.5, 0.4, 3.0]
+        for x in xs:
+            probe.extend([x] * 8)
+        vecs = [[float(c)] * 64 for c in range(4)] + [probe]
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array([0, 1, 2, 3, 10], pa.int64()),
+                    "embedding": pa.array(vecs, pa.list_(pa.float32())),
+                }
+            ),
+            tmp_path / "embeddings.parquet",
+        )
+        out = {r["vec_id"]: r["pq_code"] for r in QUERIES["pq_codes"](str(tmp_path)).take_all()}
+        assert out[0] == "00000000"
+        assert out[3] == "33333333"
+        # xs → nearest codes: 0, 0(tie), 2, 3(3.9→3... nearest of {0..3}), 1, 2(tie), 0, 3
+        assert out[10] == "00231203"
+        oracle = dict(_oracle(tmp_path, "pq_codes", ["embeddings"]))
+        assert oracle == out
+
+
+class TestCountminWordFreqs:
+    def test_overestimate_guarantee_and_exactness_without_collisions(
+        self, ray_session, tmp_path
+    ):
+        pq.write_table(
+            pa.table(
+                {
+                    "text": pa.array(
+                        ["solo solo solo", "solo solo"], pa.string()
+                    )
+                }
+            ),
+            tmp_path / "documents.parquet",
+        )
+        (row,) = QUERIES["countmin_word_freqs"](str(tmp_path)).to_pylist()
+        # a single distinct word cannot collide with anything: est == exact
+        assert (row["word"], row["n"], row["cms_est"]) == ("solo", 5, 5)
+        assert _oracle(tmp_path, "countmin_word_freqs", ["documents"]) == [
+            ("solo", 5, 5)
+        ]
+
+    def test_estimates_bound_exact_counts(self, ray_session, tmp_path):
+        docs = [f"w{i % 37} w{i % 11} common" for i in range(200)]
+        pq.write_table(
+            pa.table({"text": pa.array(docs, pa.string())}),
+            tmp_path / "documents.parquet",
+        )
+        rows = QUERIES["countmin_word_freqs"](str(tmp_path)).to_pylist()
+        assert len(rows) == 20
+        for r in rows:
+            assert r["cms_est"] >= r["n"]
+        oracle = sorted(_oracle(tmp_path, "countmin_word_freqs", ["documents"]))
+        assert oracle == sorted((r["word"], r["n"], r["cms_est"]) for r in rows)
