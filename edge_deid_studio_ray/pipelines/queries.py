@@ -8638,6 +8638,163 @@ def q_countmin_word_freqs(sf_dir: str):
     )
 
 
+def q_doc_ngram_novelty(sf_dir: str):
+    """Per-document n-gram NOVELTY — the uniqueness/diversity curation
+    signal (inverse of duplication): the fraction of a doc's distinct
+    13-grams that appear in NO other document.  Scale shape: each batch
+    emits one narrow (gram-hash, doc_id) row per distinct gram; grams
+    co-locate via their hash bucket, where document frequency is
+    bucket-complete, so each bucket folds per-doc (n_grams, n_unique)
+    partials and a grouped sum finishes — the texts themselves never
+    shuffle.  Hash contract: the engine keys grams by 64-bit md5 (w.h.p.
+    collision-free at any tested scale) while the oracle uses exact gram
+    strings — same contract `duplicate_ngram_spans` established.  Docs
+    with fewer than 13 words have no grams and are excluded on both
+    engines; novelty = n_unique/n_grams is one exact int/int double."""
+    import hashlib
+
+    from ray.data.aggregate import Sum
+
+    from ..functions.corpusops import _ngrams, _words
+
+    nb = resolve_group_buckets(None)
+    N = 13
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ghash, docs = [], []
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            for g in set(_ngrams(_words(text), N)):
+                h = int.from_bytes(
+                    hashlib.md5(g.encode("utf-8", "replace")).digest()[:8],
+                    "little",
+                )
+                ghash.append(h - (1 << 63))  # center into int64
+                docs.append(doc_id)
+        return pa.table(
+            {
+                "gh": pa.array(ghash, pa.int64()),
+                "doc_id": pa.array(docs, pa.int64()),
+                "gb": pa.array([_kbucket(h, nb) for h in ghash], pa.int32()),
+            }
+        )
+
+    def fold_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "doc_id": pd.array([], dtype="int64"),
+                "n_grams_p": pd.array([], dtype="int64"),
+                "n_unique_p": pd.array([], dtype="int64"),
+            }
+        )
+        if group.empty:
+            return empty
+        df = group.groupby("gh")["doc_id"].transform("size")
+        sub = pd.DataFrame(
+            {"doc_id": group["doc_id"], "uniq": (df == 1).astype("int64")}
+        )
+        out = sub.groupby("doc_id", as_index=False).agg(
+            n_grams_p=("uniq", "size"), n_unique_p=("uniq", "sum")
+        )
+        return out.astype(
+            {"doc_id": "int64", "n_grams_p": "int64", "n_unique_p": "int64"}
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n_grams = batch["n_grams"].to_pylist()
+        n_unique = batch["n_unique"].to_pylist()
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_grams": batch["n_grams"],
+                "n_unique": batch["n_unique"],
+                "novelty": pa.array(
+                    [u / g for u, g in zip(n_unique, n_grams)], pa.float64()
+                ),
+            }
+        )
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(explode, batch_format="pyarrow")
+        .groupby("gb")
+        .map_groups(fold_bucket, batch_format="pandas")
+        .groupby("doc_id")
+        .aggregate(
+            Sum("n_grams_p", alias_name="n_grams"),
+            Sum("n_unique_p", alias_name="n_unique"),
+        )
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def q_revenue_concentration(sf_dir: str):
+    """Revenue concentration (the Pareto report): the share of total
+    order revenue held by the top ceil(1%) of customers — ranked by
+    (revenue desc, custkey asc) so the boundary is deterministic.  Scale
+    shape: per-customer exact cent sums stay a distributed grouped
+    aggregate; pass 1 takes only two scalars (customer count + total
+    cents), pass 2 extracts the top-k with a lossless map-side local
+    top-k prune before the small sort, and the share divides two exact
+    int64 sums in ONE double op — bit-identical on both engines."""
+    import math
+
+    from ray.data.aggregate import Count, Sum
+
+    def cents(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": batch["o_custkey"],
+                "c_p": pc.cast(
+                    pc.round(pc.multiply(batch["o_totalprice"], 100.0)),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def rev(_sf=sf_dir):
+        return (
+            _read(_sf, "orders", ["o_custkey", "o_totalprice"])
+            .map_batches(cents, batch_format="pyarrow")
+            .groupby("o_custkey")
+            .aggregate(Sum("c_p", alias_name="cents"))
+        )
+
+    scal = rev().aggregate(Sum("cents", alias_name="total"), Count(alias_name="n"))
+    total = int(scal["total"]) if scal and scal["total"] is not None else 0
+    n = int(scal["n"]) if scal else 0
+    k = int(math.ceil(n / 100.0))
+
+    top_cents = 0
+    if k > 0:
+        def prune(batch: pa.Table) -> pa.Table:
+            idx = pc.select_k_unstable(
+                batch,
+                k=min(k, batch.num_rows),
+                sort_keys=[("cents", "descending"), ("o_custkey", "ascending")],
+            )
+            return batch.take(idx)
+
+        top = (
+            rev()
+            .map_batches(prune, batch_format="pyarrow")
+            .sort(["cents", "o_custkey"], descending=[True, False])
+            .limit(k)
+            .aggregate(Sum("cents", alias_name="s"))
+        )
+        top_cents = int(top["s"]) if top and top["s"] is not None else 0
+
+    share = (float(top_cents) / total) if total else None
+    return pa.table(
+        {
+            "n_customers": pa.array([n], pa.int64()),
+            "top_k": pa.array([k], pa.int64()),
+            "revenue_share": pa.array([share], pa.float64()),
+        }
+    )
+
+
 QUERIES = {
     "doc_stats_by_lang": q_doc_stats_by_lang,
     "doc_token_stats": q_doc_token_stats,
@@ -8800,6 +8957,8 @@ QUERIES = {
     "lang_confusion_matrix": q_lang_confusion_matrix,
     "pq_codes": q_pq_codes,
     "countmin_word_freqs": q_countmin_word_freqs,
+    "doc_ngram_novelty": q_doc_ngram_novelty,
+    "revenue_concentration": q_revenue_concentration,
 }
 
 
@@ -9630,7 +9789,7 @@ ORACLE_SQL = {
         ),
         grams AS (
           SELECT doc_id, array_to_string(ws[i:i+12], ' ') AS ng
-          FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(ws) - 11, 0) + 1)) AS i) r
+          FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(ws) - 12, 0) + 1)) AS i) r
         ),
         ev AS (
           SELECT DISTINCT ng FROM grams WHERE doc_id < 1000000 AND doc_id % 97 = 0
@@ -9879,7 +10038,7 @@ ORACLE_SQL = {
         ),
         grams AS (
           SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, array_to_string(ws[i:i+12], ' ') AS ng
-          FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(ws) - 11, 0) + 1)) AS i) r
+          FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(ws) - 12, 0) + 1)) AS i) r
         ),
         multi AS (
           SELECT ng FROM grams GROUP BY ng HAVING count(DISTINCT doc_id) > 1
@@ -11157,6 +11316,55 @@ ORACLE_SQL = {
         SELECT vec_id,
                string_agg(CAST(code AS VARCHAR), '' ORDER BY s) AS pq_code
         FROM choice GROUP BY vec_id
+    """,
+    # engine keys grams by 64-bit md5, the oracle by exact strings (the
+    # duplicate_ngram_spans hash contract); novelty = one int/int double
+    "doc_ngram_novelty": """
+        WITH toks AS (
+          SELECT doc_id,
+                 string_split(trim(regexp_replace(COALESCE(text, ''), '\\s+', ' ', 'g'), ' '), ' ') AS ws
+          FROM documents
+        ),
+        grams AS (
+          -- 1-based INCLUSIVE slice: full 13-grams start at 1..len-12
+          SELECT DISTINCT doc_id, array_to_string(ws[i:i+12], ' ') AS ng
+          FROM toks, LATERAL (
+            SELECT unnest(range(1, greatest(len(ws) - 12, 0) + 1)) AS i
+          ) r
+        ),
+        df AS (SELECT ng, count(*) AS d FROM grams GROUP BY ng),
+        agg AS (
+          SELECT g.doc_id,
+                 CAST(count(*) AS BIGINT) AS n_grams,
+                 CAST(count(*) FILTER (WHERE df.d = 1) AS BIGINT) AS n_unique
+          FROM grams g JOIN df USING (ng)
+          GROUP BY g.doc_id
+        )
+        SELECT doc_id, n_grams, n_unique,
+               CAST(n_unique AS DOUBLE) / n_grams AS novelty
+        FROM agg
+    """,
+    # share divides two exact int64 cent sums in ONE double op
+    "revenue_concentration": """
+        WITH rev AS (
+          SELECT o_custkey,
+                 CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+          FROM orders GROUP BY 1
+        ),
+        p AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(SUM(cents) AS BIGINT) AS total
+          FROM rev
+        ),
+        kk AS (SELECT CAST(CEIL(n / 100.0) AS BIGINT) AS k, n, total FROM p),
+        top AS (
+          SELECT cents FROM rev
+          ORDER BY cents DESC, o_custkey ASC
+          LIMIT (SELECT k FROM kk)
+        )
+        SELECT kk.n AS n_customers, kk.k AS top_k,
+               CAST((SELECT SUM(cents) FROM top) AS DOUBLE) / kk.total AS revenue_share
+        FROM kk
     """,
     # DuckDB rebuilds the SAME 4x1024 sketch via the md5 bridge, so the
     # CMS estimates (min over rows of the hashed cell) are value-checked

@@ -677,3 +677,61 @@ class TestCountminWordFreqs:
             assert r["cms_est"] >= r["n"]
         oracle = sorted(_oracle(tmp_path, "countmin_word_freqs", ["documents"]))
         assert oracle == sorted((r["word"], r["n"], r["cms_est"]) for r in rows)
+
+
+class TestDocNgramNovelty:
+    def test_unique_vs_shared_grams(self, ray_session, tmp_path):
+        shared = " ".join(f"s{i}" for i in range(13))
+        # doc 1: 13 shared words + 1 extra → grams at pos 0 (shared, df=2)
+        # and pos 1 (unique) → novelty 1/2; doc 2: exactly the shared gram
+        # → novelty 0; doc 3: 12 words → no grams → excluded
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([1, 2, 3], pa.int64()),
+                    "text": pa.array(
+                        [
+                            shared + " tail",
+                            shared,
+                            " ".join(f"w{i}" for i in range(12)),
+                        ],
+                        pa.string(),
+                    ),
+                }
+            ),
+            tmp_path / "documents.parquet",
+        )
+        out = {
+            r["doc_id"]: (r["n_grams"], r["n_unique"], r["novelty"])
+            for r in QUERIES["doc_ngram_novelty"](str(tmp_path)).take_all()
+        }
+        assert out == {1: (2, 1, 0.5), 2: (1, 0, 0.0)}
+        oracle = {
+            d: (g, u, nv)
+            for d, g, u, nv in _oracle(tmp_path, "doc_ngram_novelty", ["documents"])
+        }
+        assert oracle == out
+
+
+class TestRevenueConcentration:
+    def test_ceil_boundary_and_exact_share(self, ray_session, tmp_path):
+        # 101 customers → k = ceil(1.01) = 2; top-2 by (cents desc, key asc)
+        # include the tie at 300.00 resolved to the smaller custkey
+        keys = list(range(1, 102))
+        prices = [300.0, 300.0] + [10.0] * 99
+        pq.write_table(
+            pa.table(
+                {
+                    "o_custkey": pa.array(keys, pa.int64()),
+                    "o_totalprice": pa.array(prices, pa.float64()),
+                }
+            ),
+            tmp_path / "orders.parquet",
+        )
+        (row,) = QUERIES["revenue_concentration"](str(tmp_path)).to_pylist()
+        total = 30000 + 30000 + 99 * 1000
+        assert (row["n_customers"], row["top_k"]) == (101, 2)
+        assert row["revenue_share"] == 60000 / total
+        assert _oracle(tmp_path, "revenue_concentration", ["orders"]) == [
+            (101, 2, 60000 / total)
+        ]
