@@ -8795,6 +8795,134 @@ def q_revenue_concentration(sf_dir: str):
     )
 
 
+def q_doc_self_repetition(sf_dir: str):
+    """Intra-document repetition ratio — the self-plagiarism/boilerplate
+    signal (complement of cross-doc `duplicate_ngram_spans`): per doc,
+    total 5-gram positions, distinct 5-grams, and the repeated fraction
+    (total − distinct) / total.  Stateless per-doc scan, zero shuffles.
+    Float contract: one exact int/int double, no rounding needed.  Docs
+    with fewer than 5 words are excluded on both engines."""
+    from ..functions.corpusops import _ngrams, _words
+
+    N = 5
+
+    def rep(batch: pa.Table) -> pa.Table:
+        ids, totals, uniqs, ratios = [], [], [], []
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            grams = _ngrams(_words(text), N)
+            if not grams:
+                continue
+            total = len(grams)
+            uniq = len(set(grams))
+            ids.append(doc_id)
+            totals.append(total)
+            uniqs.append(uniq)
+            ratios.append((total - uniq) / total)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_grams": pa.array(totals, pa.int64()),
+                "n_distinct": pa.array(uniqs, pa.int64()),
+                "repetition": pa.array(ratios, pa.float64()),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        rep, batch_format="pyarrow"
+    )
+
+
+def q_embedding_dim_stats(sf_dir: str):
+    """Per-dimension embedding profile (the feature-scaling /
+    PCA-preparation scan): for each of the 64 dimensions, exact min and
+    max plus the 6dp-rounded sum of squares.  Scale shape: each batch
+    folds to ONE 64-row partial (min/max/ssq per dim); the driver merges
+    the sketch-sized partials — order-independent min/max are exact, and
+    the ssq's summation-order drift (~1e-15 relative) sits far under the
+    shared 6dp grid."""
+    from ..functions.simsearch import _vec_matrix
+
+    def partials(batch: pa.Table) -> pa.Table:
+        mat = _vec_matrix(batch["embedding"]).astype(np.float64)
+        return pa.table(
+            {
+                "d": pa.array(list(range(mat.shape[1])), pa.int64()),
+                "mn": pa.array(mat.min(axis=0).tolist(), pa.float64()),
+                "mx": pa.array(mat.max(axis=0).tolist(), pa.float64()),
+                "ssq": pa.array((mat * mat).sum(axis=0).tolist(), pa.float64()),
+            }
+        )
+
+    rows: dict[int, list[float]] = {}
+    ds = _read(sf_dir, "embeddings", ["embedding"])
+    for row in ds.map_batches(partials, batch_format="pyarrow").take_all():
+        d = int(row["d"])
+        if d in rows:
+            acc = rows[d]
+            acc[0] = min(acc[0], row["mn"])
+            acc[1] = max(acc[1], row["mx"])
+            acc[2] += row["ssq"]
+        else:
+            rows[d] = [row["mn"], row["mx"], row["ssq"]]
+    dims = sorted(rows)
+    return pa.table(
+        {
+            "d": pa.array(dims, pa.int64()),
+            "dim_min": pa.array([rows[d][0] for d in dims], pa.float64()),
+            "dim_max": pa.array([rows[d][1] for d in dims], pa.float64()),
+            "ssq": pa.array([round(rows[d][2], 6) for d in dims], pa.float64()),
+        }
+    )
+
+
+def q_curation_funnel(sf_dir: str):
+    """Sequential curation-funnel attrition report — the per-gate survivor
+    counts every production filtering pipeline publishes: input → word
+    count in [30, 10000] → ≥2 stopword hits → symbol ratio ≤ 10%
+    (10·symbols ≤ words, integer-exact).  A doc is counted at stage k only
+    if it passed ALL earlier gates (sequential semantics, not per-rule
+    attribution — that's `gopher_quality_flags`).  One stateless scan
+    emits a 4-value partial per batch; the only exchange is the tiny
+    stage-keyed grouped sum."""
+    from ray.data.aggregate import Sum
+
+    stop = ("the", "of", "and", "to", "a", "in", "is", "it", "you", "that")
+    token_re = re.compile(r"\S+")
+    stages = ("0_input", "1_word_count", "2_stopwords", "3_symbol_ratio")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts = [0, 0, 0, 0]
+        for text in batch["text"].to_pylist():
+            t = text or ""
+            counts[0] += 1
+            words = token_re.findall(t.lower())
+            if not (30 <= len(words) <= 10000):
+                continue
+            counts[1] += 1
+            if sum(1 for w in words if w in stop) < 2:
+                continue
+            counts[2] += 1
+            syms = t.count("#") + t.count("…")
+            if 10 * syms > len(words):
+                continue
+            counts[3] += 1
+        return pa.table(
+            {
+                "stage": pa.array(list(stages), pa.string()),
+                "n_p": pa.array(counts, pa.int64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "documents", ["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("stage")
+        .aggregate(Sum("n_p", alias_name="n_surviving"))
+    )
+
+
 QUERIES = {
     "doc_stats_by_lang": q_doc_stats_by_lang,
     "doc_token_stats": q_doc_token_stats,
@@ -8959,6 +9087,9 @@ QUERIES = {
     "countmin_word_freqs": q_countmin_word_freqs,
     "doc_ngram_novelty": q_doc_ngram_novelty,
     "revenue_concentration": q_revenue_concentration,
+    "doc_self_repetition": q_doc_self_repetition,
+    "embedding_dim_stats": q_embedding_dim_stats,
+    "curation_funnel": q_curation_funnel,
 }
 
 
@@ -11343,6 +11474,55 @@ ORACLE_SQL = {
         SELECT doc_id, n_grams, n_unique,
                CAST(n_unique AS DOUBLE) / n_grams AS novelty
         FROM agg
+    """,
+    "doc_self_repetition": """
+        WITH toks AS (
+          SELECT doc_id,
+                 string_split(trim(regexp_replace(COALESCE(text, ''), '\\s+', ' ', 'g'), ' '), ' ') AS ws
+          FROM documents
+        ),
+        grams AS (
+          SELECT doc_id, array_to_string(ws[i:i+4], ' ') AS ng
+          FROM toks, LATERAL (
+            SELECT unnest(range(1, greatest(len(ws) - 4, 0) + 1)) AS i
+          ) r
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(count(DISTINCT ng) AS BIGINT) AS n_distinct,
+               CAST(count(*) - count(DISTINCT ng) AS DOUBLE) / count(*) AS repetition
+        FROM grams GROUP BY doc_id
+    """,
+    "embedding_dim_stats": """
+        WITH el AS (
+          SELECT unnest(embedding)::DOUBLE AS v,
+                 unnest(range(len(embedding))) AS d
+          FROM embeddings
+        )
+        SELECT CAST(d AS BIGINT) AS d,
+               MIN(v) AS dim_min,
+               MAX(v) AS dim_max,
+               ROUND(SUM(v * v), 6) AS ssq
+        FROM el GROUP BY d
+    """,
+    "curation_funnel": f"""
+        WITH s AS (
+          SELECT len(regexp_extract_all(lower(text), '\\S+')) AS wc,
+                 len(list_filter(regexp_extract_all(lower(text), '\\S+'),
+                                 x -> list_contains({_STOP_SQL}, x))) AS sw,
+                 len(regexp_extract_all(text, '[#…]')) AS syms
+          FROM documents
+        )
+        SELECT '0_input' AS stage, CAST(count(*) AS BIGINT) AS n_surviving FROM s
+        UNION ALL
+        SELECT '1_word_count', CAST(count(*) FILTER (
+          WHERE wc BETWEEN 30 AND 10000) AS BIGINT) FROM s
+        UNION ALL
+        SELECT '2_stopwords', CAST(count(*) FILTER (
+          WHERE wc BETWEEN 30 AND 10000 AND sw >= 2) AS BIGINT) FROM s
+        UNION ALL
+        SELECT '3_symbol_ratio', CAST(count(*) FILTER (
+          WHERE wc BETWEEN 30 AND 10000 AND sw >= 2 AND 10 * syms <= wc) AS BIGINT) FROM s
     """,
     # share divides two exact int64 cent sums in ONE double op
     "revenue_concentration": """

@@ -735,3 +735,81 @@ class TestRevenueConcentration:
         assert _oracle(tmp_path, "revenue_concentration", ["orders"]) == [
             (101, 2, 60000 / total)
         ]
+
+
+class TestDocSelfRepetition:
+    def test_repeated_gram_ratio(self, ray_session, tmp_path):
+        # "a b c d e a b c d e a b c d e": 15 words → 11 5-gram positions,
+        # 5 distinct cyclic grams → repetition 6/11; 4-word doc excluded
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([1, 2], pa.int64()),
+                    "text": pa.array(
+                        [" ".join(list("abcde") * 3), "a b c d"], pa.string()
+                    ),
+                }
+            ),
+            tmp_path / "documents.parquet",
+        )
+        out = {
+            r["doc_id"]: (r["n_grams"], r["n_distinct"], r["repetition"])
+            for r in QUERIES["doc_self_repetition"](str(tmp_path)).take_all()
+        }
+        assert out == {1: (11, 5, 6 / 11)}
+        oracle = {
+            d: (g, u, rr)
+            for d, g, u, rr in _oracle(tmp_path, "doc_self_repetition", ["documents"])
+        }
+        assert oracle == out
+
+
+class TestEmbeddingDimStats:
+    def test_min_max_ssq(self, ray_session, tmp_path):
+        pq.write_table(
+            pa.table(
+                {
+                    "embedding": pa.array(
+                        [[1.0, -2.0], [3.0, 0.5]], pa.list_(pa.float32())
+                    )
+                }
+            ),
+            tmp_path / "embeddings.parquet",
+        )
+        out = {
+            r["d"]: (r["dim_min"], r["dim_max"], r["ssq"])
+            for r in QUERIES["embedding_dim_stats"](str(tmp_path)).to_pylist()
+        }
+        assert out == {0: (1.0, 3.0, 10.0), 1: (-2.0, 0.5, 4.25)}
+        oracle = {
+            d: (mn, mx, s)
+            for d, mn, mx, s in _oracle(tmp_path, "embedding_dim_stats", ["embeddings"])
+        }
+        assert oracle == out
+
+
+class TestCurationFunnel:
+    def test_sequential_attrition(self, ray_session, tmp_path):
+        passing = "the a " + " ".join(["word"] * 30)  # 32 words, 2 stopwords
+        docs = [
+            passing,  # survives all gates
+            "too short",  # fails word count
+            " ".join(["word"] * 40),  # fails stopwords (0 hits)
+            "the a " + " ".join(["word"] * 27) + " ####",  # 30 words, 4 syms → 40 > 30
+            None,  # null → input only
+        ]
+        pq.write_table(
+            pa.table({"text": pa.array(docs, pa.string())}),
+            tmp_path / "documents.parquet",
+        )
+        out = {
+            r["stage"]: r["n_surviving"]
+            for r in QUERIES["curation_funnel"](str(tmp_path)).take_all()
+        }
+        assert out == {
+            "0_input": 5,
+            "1_word_count": 3,
+            "2_stopwords": 2,
+            "3_symbol_ratio": 1,
+        }
+        assert dict(_oracle(tmp_path, "curation_funnel", ["documents"])) == out
