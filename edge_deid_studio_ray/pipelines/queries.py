@@ -37,6 +37,12 @@ from ..kernels.docpipe import process_document
 from ..stages.deid import make_deid_batch_fn
 
 
+# the shared 10-word English stopword contract: the engine tuple and the
+# SQL list literal (_STOP_SQL below) derive from this ONE constant so the
+# engine/oracle agreement is structural
+_STOP_WORDS = ("the", "of", "and", "to", "a", "in", "is", "it", "you", "that")
+
+
 def _strip_meta(t: pa.Table) -> pa.Table:
     # pandas-written parquet carries dict-valued schema metadata that Ray's
     # shuffle reduce cannot hash (log spam per reduce task); dropping it is
@@ -123,7 +129,7 @@ def q_doc_token_stats(sf_dir: str):
     inside map_batches, then a tiny groupby-sum (pre-aggregation pattern)."""
     from ray.data.aggregate import Sum
 
-    stop = ("the", "of", "and", "to", "a", "in", "is", "it", "you", "that")
+    stop = _STOP_WORDS
     token_re = re.compile(r"\S+")
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -7796,7 +7802,9 @@ def q_label_centroid_outliers(sf_dir: str):
     labels_sorted = sorted(cents)
     lab_index = {lab: i for i, lab in enumerate(labels_sorted)}
     cmat = np.vstack([cents[lab] for lab in labels_sorted])
-    cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+    cnorm = np.linalg.norm(cmat, axis=1, keepdims=True)
+    cnorm[cnorm == 0.0] = 1.0  # zero centroid → cos 0.0 (mirrored in SQL)
+    cmat = cmat / cnorm
     c_ref = ray.put((cmat, lab_index))
 
     def score(batch: pa.Table) -> pa.Table:
@@ -7998,8 +8006,6 @@ def q_minhash_estimate_error(sf_dir: str):
     all bit-identical."""
     import hashlib
 
-    from ..functions.dedup import word_ngram_jaccard
-
     K = 16
     salts = [f"{i}|".encode() for i in range(K)]
 
@@ -8021,7 +8027,14 @@ def q_minhash_estimate_error(sf_dir: str):
             ta = text or ""
             tb = ta + " appended"
             ga, gb = _gram_strings(ta), _gram_strings(tb)
-            exact = word_ngram_jaccard(ta, tb, 3)
+            # exact Jaccard from the SAME gram sets the signatures hash
+            # (space-joined grams are injective over space-split words, so
+            # this equals word_ngram_jaccard's tuple-set definition)
+            if not ga and not gb:
+                exact = 1.0
+            else:
+                union = len(ga | gb)
+                exact = len(ga & gb) / union if union else 1.0
             if ga and gb:
                 sa, sb = sig(ga), sig(gb)
                 est = sum(1 for x, y in zip(sa, sb) if x == y) / K
@@ -8190,22 +8203,35 @@ def q_referential_orphans(sf_dir: str):
         pds = _read(sf_dir, parent, [pkey])
 
         def child_partials(batch: pa.Table) -> pa.Table:
-            vc = pc.value_counts(batch[ckey])
-            keys = vc.field("values").to_pylist()
+            # NULL FK values are definitionally orphans (they match no
+            # parent): they fold into the reserved bucket −1, which no
+            # parent key ever reaches
+            n_null = batch[ckey].null_count
+            vc = pc.value_counts(pc.drop_null(batch[ckey]))
+            keys = [int(k) for k in vc.field("values").to_pylist()]
+            cnts = [int(c) for c in vc.field("counts").to_pylist()]
+            kbs = [_kbucket(k, nb) for k in keys]
+            if n_null:
+                keys.append(0)
+                cnts.append(int(n_null))
+                kbs.append(-1)
             return pa.table(
                 {
-                    "key": pa.array([int(k) for k in keys], pa.int64()),
-                    "kb": pa.array([_kbucket(k, nb) for k in keys], pa.int32()),
-                    "cnt": vc.field("counts").cast(pa.int64()),
+                    "key": pa.array(keys, pa.int64()),
+                    "kb": pa.array(kbs, pa.int32()),
+                    "cnt": pa.array(cnts, pa.int64()),
                     "is_parent": pa.array([False] * len(keys), pa.bool_()),
                 }
             )
 
         def parent_keys(batch: pa.Table) -> pa.Table:
-            keys = pc.unique(batch[pkey]).to_pylist()
+            keys = [
+                int(k)
+                for k in pc.unique(pc.drop_null(batch[pkey])).to_pylist()
+            ]
             return pa.table(
                 {
-                    "key": pa.array([int(k) for k in keys], pa.int64()),
+                    "key": pa.array(keys, pa.int64()),
                     "kb": pa.array([_kbucket(k, nb) for k in keys], pa.int32()),
                     "cnt": pa.array([0] * len(keys), pa.int64()),
                     "is_parent": pa.array([True] * len(keys), pa.bool_()),
@@ -8268,8 +8294,6 @@ def q_events_rolling_zscore(sf_dir: str):
     op chain on exact ints on both engines (one div, one sqrt, one div),
     rounded to 6dp; zero-variance windows yield NULL z and anomaly=false
     on both."""
-    import math
-
     nb = resolve_group_buckets(None)
     W = 10
 
@@ -8301,35 +8325,32 @@ def q_events_rolling_zscore(sf_dir: str):
         c = g["cents"].to_numpy(dtype=np.int64)
         eid = g["event_id"].to_numpy(dtype=np.int64)
         # int64-safe: cents ≤ ~10^5 → cents² ≤ 10^10, cumsum ≤ 10^15
+        n = len(g)
         cs = np.concatenate(([0], np.cumsum(c)))
         cs2 = np.concatenate(([0], np.cumsum(c * c)))
-        out_e, out_z, out_a = [], [], []
-        n = len(g)
-        # per-user start offsets: full windows need 10 same-user rows
-        start = np.zeros(n, dtype=np.int64)
-        for i in range(1, n):
-            start[i] = i if uid[i] != uid[i - 1] else start[i - 1]
-        for i in range(n):
-            if i - start[i] + 1 < W:
-                continue
-            s = int(cs[i + 1] - cs[i + 1 - W])
-            ss = int(cs2[i + 1] - cs2[i + 1 - W])
-            num = W * int(c[i]) - s
-            rad = W * ss - s * s
-            if rad == 0:
-                out_e.append(int(eid[i]))
-                out_z.append(None)
-                out_a.append(False)
-                continue
-            z = round(num / math.sqrt(rad / 9.0), 6)
-            out_e.append(int(eid[i]))
-            out_z.append(z)
-            out_a.append(abs(z) > 3.0)
+        # per-user segment starts, fully vectorized: positions where the
+        # user changes seed a running maximum
+        seg = np.zeros(n, dtype=np.int64)
+        if n > 1:
+            chg = np.nonzero(uid[1:] != uid[:-1])[0] + 1
+            seg[chg] = chg
+        start = np.maximum.accumulate(seg)
+        idx = np.nonzero(np.arange(n) - start + 1 >= W)[0]
+        s = cs[idx + 1] - cs[idx + 1 - W]
+        ss = cs2[idx + 1] - cs2[idx + 1 - W]
+        num = W * c[idx] - s
+        rad = W * ss - s * s
+        zero = rad == 0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = np.round(num / np.sqrt(rad / 9.0), 6)
+        z[zero] = np.nan
+        anomaly = np.zeros(len(idx), dtype=bool)
+        anomaly[~zero] = np.abs(z[~zero]) > 3.0
         return pd.DataFrame(
             {
-                "event_id": pd.Series(out_e, dtype="int64"),
-                "z": pd.Series(out_z, dtype="float64"),
-                "is_anomaly": pd.Series(out_a, dtype="bool"),
+                "event_id": pd.Series(eid[idx], dtype="int64"),
+                "z": pd.Series(z, dtype="float64"),
+                "is_anomaly": pd.Series(anomaly, dtype="bool"),
             }
         )
 
@@ -8589,16 +8610,6 @@ def q_countmin_word_freqs(sf_dir: str):
 
     token_re = re.compile(r"\S+")
 
-    def cms_partial(batch: pa.Table) -> pa.Table:
-        cells = np.zeros((D, W), dtype=np.int64)
-        c: Counter = Counter()
-        for text in batch["text"].to_pylist():
-            c.update(token_re.findall(text or ""))
-        for w, n in c.items():
-            for d in range(D):
-                cells[d, bridge(d, w)] += n
-        return pa.table({"cells": pa.array([cells.ravel().tolist()], pa.list_(pa.int64()))})
-
     def word_partial(batch: pa.Table) -> pa.Table:
         c: Counter = Counter()
         for text in batch["text"].to_pylist():
@@ -8610,17 +8621,33 @@ def q_countmin_word_freqs(sf_dir: str):
             }
         )
 
-    docs = _read(sf_dir, "documents", ["text"])
+    def cms_partial(batch: pa.Table) -> pa.Table:
+        cells = np.zeros((D, W), dtype=np.int64)
+        for w, n in zip(batch["word"].to_pylist(), batch["n"].to_pylist()):
+            for d in range(D):
+                cells[d, bridge(d, w)] += int(n)
+        return pa.table(
+            {"cells": pa.array([cells.ravel().tolist()], pa.list_(pa.int64()))}
+        )
+
+    # ONE corpus scan: tokenize → vocab-sized grouped counts, materialized
+    # so both the sketch fold and the top-20 sort read it without
+    # re-scanning the documents table
+    counts = (
+        _read(sf_dir, "documents", ["text"])
+        .map_batches(word_partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("n_p", alias_name="n"))
+        .materialize()
+    )
+
     cells = np.zeros(D * W, dtype=np.int64)
-    for row in docs.map_batches(cms_partial, batch_format="pyarrow").take_all():
+    for row in counts.map_batches(cms_partial, batch_format="pyarrow").take_all():
         cells += np.asarray(row["cells"], dtype=np.int64)
     cells = cells.reshape(D, W)
 
     top = (
-        docs.map_batches(word_partial, batch_format="pyarrow")
-        .groupby("word")
-        .aggregate(Sum("n_p", alias_name="n"))
-        .sort(["n", "word"], descending=[True, False])
+        counts.sort(["n", "word"], descending=[True, False])
         .limit(20)
         .take_all()
     )
@@ -8753,15 +8780,17 @@ def q_revenue_concentration(sf_dir: str):
             }
         )
 
-    def rev(_sf=sf_dir):
-        return (
-            _read(_sf, "orders", ["o_custkey", "o_totalprice"])
-            .map_batches(cents, batch_format="pyarrow")
-            .groupby("o_custkey")
-            .aggregate(Sum("c_p", alias_name="cents"))
-        )
+    # materialized ONCE (customer-dimension-sized aggregate) so the scalar
+    # pass and the top-k pass don't each re-scan and re-group orders
+    rev_ds = (
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(cents, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("c_p", alias_name="cents"))
+        .materialize()
+    )
 
-    scal = rev().aggregate(Sum("cents", alias_name="total"), Count(alias_name="n"))
+    scal = rev_ds.aggregate(Sum("cents", alias_name="total"), Count(alias_name="n"))
     total = int(scal["total"]) if scal and scal["total"] is not None else 0
     n = int(scal["n"]) if scal else 0
     k = int(math.ceil(n / 100.0))
@@ -8777,7 +8806,7 @@ def q_revenue_concentration(sf_dir: str):
             return batch.take(idx)
 
         top = (
-            rev()
+            rev_ds
             .map_batches(prune, batch_format="pyarrow")
             .sort(["cents", "o_custkey"], descending=[True, False])
             .limit(k)
@@ -8888,7 +8917,7 @@ def q_curation_funnel(sf_dir: str):
     stage-keyed grouped sum."""
     from ray.data.aggregate import Sum
 
-    stop = ("the", "of", "and", "to", "a", "in", "is", "it", "you", "that")
+    stop = _STOP_WORDS
     token_re = re.compile(r"\S+")
     stages = ("0_input", "1_word_count", "2_stopwords", "3_symbol_ratio")
 
@@ -9122,7 +9151,7 @@ _PAGERANK_SQL = (
     """
 )
 
-_STOP_SQL = "['the','of','and','to','a','in','is','it','you','that']"
+_STOP_SQL = "[" + ",".join(f"'{w}'" for w in _STOP_WORDS) + "]"
 
 
 def _hll_sql(table: str, col: str, p: int = 12) -> str:
@@ -9178,7 +9207,11 @@ def _kmeans_round_sql(r: int, *, final: bool) -> str:
           SELECT e.vec_id, e.v, x.cid
           FROM e, LATERAL (
             SELECT cid FROM cent{r - 1} c
-            ORDER BY ROUND(list_cosine_similarity(e.v, c.ce), 6) DESC, cid ASC
+            ORDER BY CASE WHEN list_inner_product(e.v, e.v) = 0
+                            OR list_inner_product(c.ce, c.ce) = 0
+                          THEN 0.0
+                          ELSE ROUND(list_cosine_similarity(e.v, c.ce), 6)
+                     END DESC, cid ASC
             LIMIT 1
           ) x
         )"""
@@ -11239,9 +11272,14 @@ ORACLE_SQL = {
           GROUP BY label
         ),
         scored AS (
+          -- zero-norm guard mirrors the engine: zero vector/centroid → 0.0
           SELECT e.label, e.vec_id,
-                 ROUND(list_cosine_similarity(e.embedding::DOUBLE[], c.ce), 6)
-                     AS cos_centroid
+                 CASE WHEN list_inner_product(e.embedding::DOUBLE[],
+                                              e.embedding::DOUBLE[]) = 0
+                        OR list_inner_product(c.ce, c.ce) = 0
+                      THEN 0.0
+                      ELSE ROUND(list_cosine_similarity(e.embedding::DOUBLE[], c.ce), 6)
+                 END AS cos_centroid
           FROM embeddings e JOIN cent c USING (label)
         )
         SELECT CAST(label AS BIGINT) AS label, vec_id, cos_centroid

@@ -813,3 +813,89 @@ class TestCurationFunnel:
             "3_symbol_ratio": 1,
         }
         assert dict(_oracle(tmp_path, "curation_funnel", ["documents"])) == out
+
+
+class TestReviewFixes:
+    def test_referential_orphans_null_keys(self, ray_session, tmp_path):
+        # NULL child FK = orphan by definition; NULL parent keys never match
+        pq.write_table(
+            pa.table({"r_regionkey": pa.array([0, None], pa.int64())}),
+            tmp_path / "region.parquet",
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "n_nationkey": pa.array([0], pa.int64()),
+                    "n_regionkey": pa.array([None], pa.int64()),
+                }
+            ),
+            tmp_path / "nation.parquet",
+        )
+        for t, cols in (
+            ("customer", {"c_custkey": [1], "c_nationkey": [0]}),
+            ("supplier", {"s_suppkey": [1], "s_nationkey": [0]}),
+            ("part", {"p_partkey": [1]}),
+            ("orders", {"o_orderkey": [1], "o_custkey": [1]}),
+            (
+                "lineitem",
+                {"l_orderkey": [1], "l_partkey": [1], "l_suppkey": [1]},
+            ),
+        ):
+            pq.write_table(
+                pa.table({k: pa.array(v, pa.int64()) for k, v in cols.items()}),
+                tmp_path / f"{t}.parquet",
+            )
+        out = {
+            r["edge"]: (r["n_child_rows"], r["n_orphans"])
+            for r in QUERIES["referential_orphans"](str(tmp_path)).to_pylist()
+        }
+        assert out["nation.n_regionkey->region"] == (1, 1)
+        oracle = {
+            e: (n, o)
+            for e, n, o in _oracle(
+                tmp_path,
+                "referential_orphans",
+                ["region", "nation", "customer", "supplier", "part", "orders", "lineitem"],
+            )
+        }
+        assert oracle == out
+
+    def test_centroid_outliers_zero_vector_parity(self, ray_session, tmp_path):
+        # zero vector scores cos 0.0 on BOTH engines (guard + SQL mirror)
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array([1, 2, 3], pa.int64()),
+                    "embedding": pa.array(
+                        [[0.0, 0.0], [1.0, 0.0], [2.0, 0.0]],
+                        pa.list_(pa.float32()),
+                    ),
+                    "label": pa.array([0, 0, 0], pa.int32()),
+                }
+            ),
+            tmp_path / "embeddings.parquet",
+        )
+        rows = sorted(
+            (r["label"], r["vec_id"], r["cos_centroid"])
+            for r in QUERIES["label_centroid_outliers"](str(tmp_path)).take_all()
+        )
+        assert rows == [(0, 1, 0.0), (0, 2, 1.0), (0, 3, 1.0)]
+        assert sorted(_oracle(tmp_path, "label_centroid_outliers", ["embeddings"])) == rows
+
+    def test_kmeans_zero_vector_parity(self, ray_session, tmp_path):
+        vecs = [[float(c)] * 4 + [1.0] * 60 for c in range(1, 9)]
+        vecs.append([0.0] * 64)  # zero vector → cos 0.0 with every centroid
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(list(range(len(vecs))), pa.int64()),
+                    "embedding": pa.array(vecs, pa.list_(pa.float32())),
+                }
+            ),
+            tmp_path / "embeddings.parquet",
+        )
+        out = sorted(
+            (r["cluster"], r["n_members"], r["id_sum"])
+            for r in QUERIES["kmeans_spherical"](str(tmp_path)).to_pylist()
+        )
+        assert sorted(_oracle(tmp_path, "kmeans_spherical", ["embeddings"])) == out
