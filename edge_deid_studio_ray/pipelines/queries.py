@@ -8952,6 +8952,78 @@ def q_curation_funnel(sf_dir: str):
     )
 
 
+def q_events_active_time(sf_dir: str):
+    """Interval-union coverage: each event opens a 5-minute activity
+    window [ts, ts+300s); per user, the total UNION length of those
+    windows in exact int64 microseconds plus the number of merged
+    activity islands — the classic gaps-and-islands interval-algebra
+    report (billing / engagement time).  Because every window has the
+    SAME length and timestamps sort ascending, the union telescopes:
+    each event contributes min(next_ts − ts, W), the user's last event
+    contributes W, and a new island opens exactly when the gap exceeds W
+    (half-open adjacency merges).  Scale shape: the sessionization
+    contract — user timelines co-locate via ONE user-hash bucket
+    groupby; each bucket sorts once and folds fully vectorized, and
+    because a user lives entirely in its bucket the per-user rows are
+    final (no second shuffle).  Duplicate timestamps contribute gap 0
+    regardless of tie order, so the result is total-order-independent."""
+    nb = resolve_group_buckets(None)
+    WIN_US = 300 * 1_000_000
+
+    def project(batch: pa.Table) -> pa.Table:
+        users = batch["user_id"].to_pylist()
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "us": batch["ts"].cast(pa.int64()),
+                "ub": pa.array([_kbucket(u, nb) for u in users], pa.int32()),
+            }
+        )
+
+    def fold_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "user_id": pd.array([], dtype="int64"),
+                "active_us": pd.array([], dtype="int64"),
+                "n_islands": pd.array([], dtype="int64"),
+            }
+        )
+        if group.empty:
+            return empty
+        g = group.sort_values(["user_id", "us"], kind="mergesort")
+        uid = g["user_id"].to_numpy(dtype=np.int64)
+        ts = g["us"].to_numpy(dtype=np.int64)
+        n = len(g)
+        last_of_user = np.ones(n, dtype=bool)
+        last_of_user[:-1] = uid[1:] != uid[:-1]
+        gap = np.empty(n, dtype=np.int64)
+        gap[:-1] = ts[1:] - ts[:-1]
+        gap[last_of_user] = WIN_US  # last event of each user contributes W
+        contrib = np.minimum(gap, WIN_US)
+        # island ends: within-user gap > W, or the user's last row
+        ends_island = last_of_user | np.concatenate(
+            (~last_of_user[:-1] & (ts[1:] - ts[:-1] > WIN_US), [False])
+        )
+        out = pd.DataFrame(
+            {
+                "user_id": uid,
+                "active_us": contrib,
+                "n_islands": ends_island.astype("int64"),
+            }
+        )
+        agg = out.groupby("user_id", as_index=False).sum()
+        return agg.astype(
+            {"user_id": "int64", "active_us": "int64", "n_islands": "int64"}
+        )
+
+    return (
+        _read(sf_dir, "events", ["user_id", "ts"])
+        .map_batches(project, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(fold_bucket, batch_format="pandas")
+    )
+
+
 QUERIES = {
     "doc_stats_by_lang": q_doc_stats_by_lang,
     "doc_token_stats": q_doc_token_stats,
@@ -9119,6 +9191,7 @@ QUERIES = {
     "doc_self_repetition": q_doc_self_repetition,
     "embedding_dim_stats": q_embedding_dim_stats,
     "curation_funnel": q_curation_funnel,
+    "events_active_time": q_events_active_time,
 }
 
 
@@ -11512,6 +11585,23 @@ ORACLE_SQL = {
         SELECT doc_id, n_grams, n_unique,
                CAST(n_unique AS DOUBLE) / n_grams AS novelty
         FROM agg
+    """,
+    # constant windows telescope the interval union: per event
+    # min(next−ts, W), last event W; island ends where the gap exceeds W
+    "events_active_time": """
+        WITH t AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        w AS (
+          SELECT user_id, us,
+                 LEAD(us) OVER (PARTITION BY user_id ORDER BY us) AS nxt
+          FROM t
+        )
+        SELECT user_id,
+               CAST(SUM(CASE WHEN nxt IS NULL THEN 300000000
+                             WHEN nxt - us < 300000000 THEN nxt - us
+                             ELSE 300000000 END) AS BIGINT) AS active_us,
+               CAST(SUM(CASE WHEN nxt IS NULL OR nxt - us > 300000000
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_islands
+        FROM w GROUP BY user_id
     """,
     "doc_self_repetition": """
         WITH toks AS (

@@ -899,3 +899,41 @@ class TestReviewFixes:
             for r in QUERIES["kmeans_spherical"](str(tmp_path)).to_pylist()
         )
         assert sorted(_oracle(tmp_path, "kmeans_spherical", ["embeddings"])) == out
+
+
+class TestEventsActiveTime:
+    def test_island_merge_adjacency_and_gaps(self, ray_session, tmp_path):
+        # user 1: events at 0s, 200s (overlap), 500s (adjacent: 200+300),
+        # 1000s (gap > 300 → new island).  Union: [0,800) ∪ [1000,1300)
+        # = 1100s, 2 islands.  user 2: single event → 300s, 1 island.
+        # user 3: duplicate timestamps → still one 300s island.
+        rows = [
+            (1, 0), (1, 200), (1, 500), (1, 1000),
+            (2, 50),
+            (3, 10), (3, 10),
+        ]
+        pq.write_table(
+            pa.table(
+                {
+                    "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "ts": pa.array(
+                        [_ts_us(r[1]) for r in rows], pa.timestamp("us")
+                    ),
+                }
+            ),
+            tmp_path / "events.parquet",
+        )
+        out = {
+            r["user_id"]: (r["active_us"], r["n_islands"])
+            for r in QUERIES["events_active_time"](str(tmp_path)).take_all()
+        }
+        assert out == {
+            1: (1_100 * 1_000_000, 2),
+            2: (300 * 1_000_000, 1),
+            3: (300 * 1_000_000, 1),
+        }
+        oracle = {
+            u: (a, i)
+            for u, a, i in _oracle(tmp_path, "events_active_time", ["events"])
+        }
+        assert oracle == out
