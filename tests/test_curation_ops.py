@@ -937,3 +937,69 @@ class TestEventsActiveTime:
             for u, a, i in _oracle(tmp_path, "events_active_time", ["events"])
         }
         assert oracle == out
+
+
+class TestContractProperties:
+    """Hypothesis pins for the pure contracts the oracles rely on."""
+
+    def test_count_equals_replace_length_fold(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        alphabet = st.text(alphabet="ab ", min_size=0, max_size=40)
+        term = st.text(alphabet="ab ", min_size=1, max_size=5)
+
+        @settings(max_examples=300, deadline=None)
+        @given(alphabet, term)
+        def prop(t, w):
+            # Python str.count == the SQL replace-length fold (the
+            # blocklist_term_stats occurrence contract)
+            assert t.count(w) == (len(t) - len(t.replace(w, ""))) // len(w)
+
+        prop()
+
+    def test_jaro_winkler_symmetry_and_range(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from edge_deid_studio_ray.functions.textstats import jaro_winkler
+
+        s = st.text(alphabet="abc#1", min_size=0, max_size=12)
+
+        @settings(max_examples=300, deadline=None)
+        @given(s, s)
+        def prop(a, b):
+            j = jaro_winkler(a, b)
+            assert j == jaro_winkler(b, a)
+            assert 0.0 <= j <= 1.0
+            if a == b and a:
+                assert j == 1.0
+
+        prop()
+
+    def test_gram_strings_count_invariant(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from edge_deid_studio_ray.pipelines.queries import _gram_strings
+
+        words = st.lists(
+            st.text(alphabet="xyz", min_size=1, max_size=4), max_size=15
+        )
+
+        @settings(max_examples=300, deadline=None)
+        @given(words)
+        def prop(ws):
+            text = " ".join(ws)
+            grams = _gram_strings(text)
+            n = len([w for w in text.lower().split()])
+            if n == 0:
+                assert grams == set()
+            elif n < 3:
+                assert len(grams) == 1
+            else:
+                # distinct count ≤ positions; every gram has 3 words
+                assert 1 <= len(grams) <= n - 2
+                assert all(len(g.split(" ")) == 3 for g in grams)
+
+        prop()
