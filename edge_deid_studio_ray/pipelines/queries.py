@@ -9024,6 +9024,75 @@ def q_events_active_time(sf_dir: str):
     )
 
 
+def q_events_cusum_alarms(sf_dir: str):
+    """CUSUM change-point detection per user — the classic sequential
+    drift monitor: S_0 = 0, S_i = max(0, S_{i−1} + cents_i − 10500)
+    (target 100.00 + slack 5.00), alarm while S_i > 50000.  Output per
+    user: the peak statistic and the alarm-row count.  The recurrence is
+    non-linear but telescopes exactly: with cd = cumsum(cents − 10500),
+    S_i = cd_i − min(0, min_{j≤i} cd_j) — so each user folds with two
+    vectorized cumulative scans, all int64-exact.  Scale shape: the
+    sessionization contract (user-hash buckets, one sort per bucket,
+    per-user rows final).  The oracle replays the recurrence as a
+    WITH-RECURSIVE row-by-row join — the third recursive-CTE-checked
+    operator (after BFS and near-dup closure)."""
+    nb = resolve_group_buckets(None)
+    DRIFT = 10_500  # target 10000 cents + slack 500
+    H = 50_000
+
+    def project(batch: pa.Table) -> pa.Table:
+        users = batch["user_id"].to_pylist()
+        cents = pc.cast(pc.round(pc.multiply(batch["value"], 100.0)), pa.int64())
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "us": batch["ts"].cast(pa.int64()),
+                "event_id": batch["event_id"],
+                "cents": cents,
+                "ub": pa.array([_kbucket(u, nb) for u in users], pa.int32()),
+            }
+        )
+
+    def fold_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "user_id": pd.array([], dtype="int64"),
+                "peak_s": pd.array([], dtype="int64"),
+                "n_alarms": pd.array([], dtype="int64"),
+            }
+        )
+        if group.empty:
+            return empty
+        g = group.sort_values(["user_id", "us", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy(dtype=np.int64)
+        d = g["cents"].to_numpy(dtype=np.int64) - DRIFT
+        bounds = np.concatenate(
+            ([0], np.nonzero(uid[1:] != uid[:-1])[0] + 1, [len(g)])
+        )
+        users_out, peaks, alarms = [], [], []
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            cd = np.cumsum(d[a:b])
+            floor = np.minimum(np.minimum.accumulate(cd), 0)
+            s = cd - floor
+            users_out.append(int(uid[a]))
+            peaks.append(int(s.max()))
+            alarms.append(int((s > H).sum()))
+        return pd.DataFrame(
+            {
+                "user_id": pd.Series(users_out, dtype="int64"),
+                "peak_s": pd.Series(peaks, dtype="int64"),
+                "n_alarms": pd.Series(alarms, dtype="int64"),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+        .map_batches(project, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(fold_bucket, batch_format="pandas")
+    )
+
+
 QUERIES = {
     "doc_stats_by_lang": q_doc_stats_by_lang,
     "doc_token_stats": q_doc_token_stats,
@@ -9192,6 +9261,7 @@ QUERIES = {
     "embedding_dim_stats": q_embedding_dim_stats,
     "curation_funnel": q_curation_funnel,
     "events_active_time": q_events_active_time,
+    "events_cusum_alarms": q_events_cusum_alarms,
 }
 
 
@@ -11585,6 +11655,29 @@ ORACLE_SQL = {
         SELECT doc_id, n_grams, n_unique,
                CAST(n_unique AS DOUBLE) / n_grams AS novelty
         FROM agg
+    """,
+    # the oracle replays the non-linear CUSUM recurrence row by row as a
+    # WITH-RECURSIVE join over per-user row numbers
+    "events_cusum_alarms": """
+        WITH RECURSIVE c AS (
+          SELECT user_id,
+                 CAST(round(value * 100) AS BIGINT) AS cents,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS rn
+          FROM events
+        ),
+        r(user_id, rn, s) AS (
+          SELECT user_id, rn, GREATEST(0, cents - 10500)
+          FROM c WHERE rn = 1
+          UNION ALL
+          SELECT c.user_id, c.rn, GREATEST(0, r.s + c.cents - 10500)
+          FROM r JOIN c ON c.user_id = r.user_id AND c.rn = r.rn + 1
+        )
+        SELECT user_id,
+               CAST(MAX(s) AS BIGINT) AS peak_s,
+               CAST(SUM(CASE WHEN s > 50000 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_alarms
+        FROM r GROUP BY user_id
     """,
     # constant windows telescope the interval union: per event
     # min(next−ts, W), last event W; island ends where the gap exceeds W

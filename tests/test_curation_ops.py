@@ -1003,3 +1003,42 @@ class TestContractProperties:
                 assert all(len(g.split(" ")) == 3 for g in grams)
 
         prop()
+
+
+class TestEventsCusumAlarms:
+    def test_recurrence_clamp_and_alarm_threshold(self, ray_session, tmp_path):
+        # user 1 values (cents): 200.00, 50.00, 700.00, 700.00 with drift
+        # 105.00 → d = 9500, -5500, 59500, 59500
+        # S: 9500, 4000, 63500 (>50000 alarm), 123000 (alarm) → peak 123000,
+        # 2 alarms.  user 2: all below drift → S clamps at 0 throughout.
+        rows = [
+            (1, 0, 1, 200.0),
+            (2, 10, 1, 50.0),
+            (3, 20, 1, 700.0),
+            (4, 30, 1, 700.0),
+            (5, 0, 2, 1.0),
+            (6, 10, 2, 2.0),
+        ]
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "ts": pa.array(
+                        [_ts_us(r[1]) for r in rows], pa.timestamp("us")
+                    ),
+                    "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                    "value": pa.array([r[3] for r in rows], pa.float64()),
+                }
+            ),
+            tmp_path / "events.parquet",
+        )
+        out = {
+            r["user_id"]: (r["peak_s"], r["n_alarms"])
+            for r in QUERIES["events_cusum_alarms"](str(tmp_path)).take_all()
+        }
+        assert out == {1: (123000, 2), 2: (0, 0)}
+        oracle = {
+            u: (p, a)
+            for u, p, a in _oracle(tmp_path, "events_cusum_alarms", ["events"])
+        }
+        assert oracle == out
