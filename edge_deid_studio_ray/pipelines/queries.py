@@ -9093,6 +9093,83 @@ def q_events_cusum_alarms(sf_dir: str):
     )
 
 
+def q_bpe_apply_merge(sf_dir: str):
+    """One full BPE training STEP (train → apply): find the corpus argmax
+    adjacent-char pair (the `bpe_pair_counts` table's head) and apply that
+    merge corpus-wide, reporting token and symbol counts before/after —
+    the compression measurement that drives tokenizer-training loops.
+    Merge semantics: leftmost non-overlapping occurrences within each
+    word collapse to one symbol (`str.count` == the SQL replace-length
+    fold — the `blocklist_term_stats` contract).  Scale shape: pass 1 is
+    the charset²-bounded pair-count grouped sum with a driver-side argmax
+    (a scalar); pass 2 broadcasts the 2-char pair in the closure and
+    folds three exact int64 sums per batch — the corpus shuffles
+    nothing."""
+    from ray.data.aggregate import Sum
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for text in batch["text"].to_pylist():
+            for w in (text or "").lower().split():
+                c.update(zip(w, w[1:]))
+        return pa.table(
+            {
+                "pair": pa.array(["".join(k) for k in c], pa.string()),
+                "partial": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    docs = _read(sf_dir, "documents", ["text"])
+    counts = (
+        docs.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby("pair")
+        .aggregate(Sum("partial", alias_name="n"))
+        .take_all()
+    )
+    if not counts:
+        return pa.table(
+            {
+                "merge_pair": pa.array([], pa.string()),
+                "n_words": pa.array([], pa.int64()),
+                "symbols_before": pa.array([], pa.int64()),
+                "symbols_after": pa.array([], pa.int64()),
+            }
+        )
+    best = min(counts, key=lambda r: (-int(r["n"]), r["pair"]))["pair"]
+
+    def apply_partial(batch: pa.Table) -> pa.Table:
+        n_words = before = merges = 0
+        for text in batch["text"].to_pylist():
+            for w in (text or "").lower().split():
+                n_words += 1
+                before += len(w)
+                merges += w.count(best)
+        return pa.table(
+            {
+                "w_p": pa.array([n_words], pa.int64()),
+                "b_p": pa.array([before], pa.int64()),
+                "m_p": pa.array([merges], pa.int64()),
+            }
+        )
+
+    agg = docs.map_batches(apply_partial, batch_format="pyarrow").aggregate(
+        Sum("w_p", alias_name="w"),
+        Sum("b_p", alias_name="b"),
+        Sum("m_p", alias_name="m"),
+    )
+    w = int(agg["w"] or 0) if agg else 0
+    b = int(agg["b"] or 0) if agg else 0
+    m = int(agg["m"] or 0) if agg else 0
+    return pa.table(
+        {
+            "merge_pair": pa.array([best], pa.string()),
+            "n_words": pa.array([w], pa.int64()),
+            "symbols_before": pa.array([b], pa.int64()),
+            "symbols_after": pa.array([b - m], pa.int64()),
+        }
+    )
+
+
 QUERIES = {
     "doc_stats_by_lang": q_doc_stats_by_lang,
     "doc_token_stats": q_doc_token_stats,
@@ -9262,6 +9339,7 @@ QUERIES = {
     "curation_funnel": q_curation_funnel,
     "events_active_time": q_events_active_time,
     "events_cusum_alarms": q_events_cusum_alarms,
+    "bpe_apply_merge": q_bpe_apply_merge,
 }
 
 
@@ -11655,6 +11733,29 @@ ORACLE_SQL = {
         SELECT doc_id, n_grams, n_unique,
                CAST(n_unique AS DOUBLE) / n_grams AS novelty
         FROM agg
+    """,
+    # merges = leftmost non-overlapping replace-length fold; the argmax
+    # pair ties break (n DESC, pair ASC) like bpe_pair_counts
+    "bpe_apply_merge": r"""
+        WITH words AS (
+          SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS w FROM documents
+        ),
+        pairs AS (
+          SELECT substr(w, CAST(i AS INTEGER), 2) AS pair
+          FROM words, LATERAL (SELECT unnest(range(1, len(w))) AS i)
+        ),
+        best AS (
+          SELECT pair FROM pairs GROUP BY pair
+          ORDER BY count(*) DESC, pair ASC LIMIT 1
+        )
+        SELECT best.pair AS merge_pair,
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(SUM(len(w)) AS BIGINT) AS symbols_before,
+               CAST(SUM(len(w)
+                        - (len(w) - len(replace(w, best.pair, ''))) // 2)
+                    AS BIGINT) AS symbols_after
+        FROM words CROSS JOIN best
+        GROUP BY best.pair
     """,
     # the oracle replays the non-linear CUSUM recurrence row by row as a
     # WITH-RECURSIVE join over per-user row numbers

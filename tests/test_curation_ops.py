@@ -1042,3 +1042,27 @@ class TestEventsCusumAlarms:
             for u, p, a in _oracle(tmp_path, "events_cusum_alarms", ["events"])
         }
         assert oracle == out
+
+
+class TestBpeApplyMerge:
+    def test_argmax_tie_and_overlapping_merge(self, ray_session, tmp_path):
+        # pairs: "aa" appears 4x ("aaa" has 2 adjacent positions, "aa" 1,
+        # plus "baa" 1); leftmost non-overlap merging: "aaa" → 1 merge,
+        # "aa" → 1, "baa" → 1.  Words: aaa(3), aa(2), baa(3), cd(2) →
+        # before 10, merges 3 → after 7
+        pq.write_table(
+            pa.table(
+                {"text": pa.array(["AAA aa", "baa cd"], pa.string())}
+            ),
+            tmp_path / "documents.parquet",
+        )
+        (row,) = QUERIES["bpe_apply_merge"](str(tmp_path)).to_pylist()
+        assert row == {
+            "merge_pair": "aa",
+            "n_words": 4,
+            "symbols_before": 10,
+            "symbols_after": 7,
+        }
+        assert _oracle(tmp_path, "bpe_apply_merge", ["documents"]) == [
+            ("aa", 4, 10, 7)
+        ]
