@@ -160,6 +160,8 @@ def _bench_queries(sf_dir: str) -> dict[str, float]:
         "part_affinity_lift",
         "minhash_estimate_error",
         "events_rolling_zscore",
+        "doc_ngram_novelty",
+        "kmeans_spherical",
     ]
     timings: dict[str, float] = {}
     for name in names:

@@ -8680,8 +8680,6 @@ def q_doc_ngram_novelty(sf_dir: str):
     engines; novelty = n_unique/n_grams is one exact int/int double."""
     import hashlib
 
-    from ray.data.aggregate import Sum
-
     from ..functions.corpusops import _ngrams, _words
 
     nb = resolve_group_buckets(None)
@@ -8708,9 +8706,14 @@ def q_doc_ngram_novelty(sf_dir: str):
         )
 
     def fold_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        # df is bucket-complete (a gram's hash fixes its bucket); partials
+        # re-key by doc-hash bucket for the second fold — Ray's generic
+        # hash aggregate on ~|docs| int64 keys measured ~100× slower than
+        # this two-stage bucketed pandas fold at sf0.1
         empty = pd.DataFrame(
             {
                 "doc_id": pd.array([], dtype="int64"),
+                "db": pd.array([], dtype="int32"),
                 "n_grams_p": pd.array([], dtype="int64"),
                 "n_unique_p": pd.array([], dtype="int64"),
             }
@@ -8724,21 +8727,34 @@ def q_doc_ngram_novelty(sf_dir: str):
         out = sub.groupby("doc_id", as_index=False).agg(
             n_grams_p=("uniq", "size"), n_unique_p=("uniq", "sum")
         )
-        return out.astype(
+        out["db"] = (out["doc_id"] % nb).astype("int32")
+        return out[["doc_id", "db", "n_grams_p", "n_unique_p"]].astype(
             {"doc_id": "int64", "n_grams_p": "int64", "n_unique_p": "int64"}
         )
 
-    def finish(batch: pa.Table) -> pa.Table:
-        n_grams = batch["n_grams"].to_pylist()
-        n_unique = batch["n_unique"].to_pylist()
-        return pa.table(
+    def fold_doc(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
             {
-                "doc_id": batch["doc_id"],
-                "n_grams": batch["n_grams"],
-                "n_unique": batch["n_unique"],
-                "novelty": pa.array(
-                    [u / g for u, g in zip(n_unique, n_grams)], pa.float64()
-                ),
+                "doc_id": pd.array([], dtype="int64"),
+                "n_grams": pd.array([], dtype="int64"),
+                "n_unique": pd.array([], dtype="int64"),
+                "novelty": pd.array([], dtype="float64"),
+            }
+        )
+        if group.empty:
+            return empty
+        agg = group.groupby("doc_id", as_index=False).agg(
+            n_grams=("n_grams_p", "sum"), n_unique=("n_unique_p", "sum")
+        )
+        agg["novelty"] = agg["n_unique"].astype("int64") / agg[
+            "n_grams"
+        ].astype("int64")
+        return agg.astype(
+            {
+                "doc_id": "int64",
+                "n_grams": "int64",
+                "n_unique": "int64",
+                "novelty": "float64",
             }
         )
 
@@ -8747,12 +8763,8 @@ def q_doc_ngram_novelty(sf_dir: str):
         .map_batches(explode, batch_format="pyarrow")
         .groupby("gb")
         .map_groups(fold_bucket, batch_format="pandas")
-        .groupby("doc_id")
-        .aggregate(
-            Sum("n_grams_p", alias_name="n_grams"),
-            Sum("n_unique_p", alias_name="n_unique"),
-        )
-        .map_batches(finish, batch_format="pyarrow")
+        .groupby("db")
+        .map_groups(fold_doc, batch_format="pandas")
     )
 
 
