@@ -7509,6 +7509,22 @@ def q_events_lead_type(sf_dir: str):
     return ds.groupby("ub").map_groups(lead, batch_format="pandas")
 
 
+def _bpe_pair_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch Counter fold of adjacent char pairs inside lowercased
+    whitespace tokens — the ONE pair contract both BPE operators
+    (`q_bpe_pair_counts`, `q_bpe_apply_merge`) and their oracles share."""
+    c: Counter = Counter()
+    for text in batch["text"].to_pylist():
+        for w in (text or "").lower().split():
+            c.update(zip(w, w[1:]))
+    return pa.table(
+        {
+            "pair": pa.array(["".join(k) for k in c], pa.string()),
+            "partial": pa.array(list(c.values()), pa.int64()),
+        }
+    )
+
+
 def q_bpe_pair_counts(sf_dir: str):
     """One BPE training round: corpus-wide counts of ADJACENT character
     pairs inside whitespace tokens (lowercased) — the argmax of this table
@@ -7518,22 +7534,9 @@ def q_bpe_pair_counts(sf_dir: str):
     pair asc) tie-break keeps LIMIT stable on both engines."""
     from ray.data.aggregate import Sum
 
-    def partial(batch: pa.Table) -> pa.Table:
-        c: Counter = Counter()
-        for text in batch["text"].to_pylist():
-            for w in (text or "").lower().split():
-                c.update(zip(w, w[1:]))
-        pairs = ["".join(k) for k in c]
-        return pa.table(
-            {
-                "pair": pa.array(pairs, pa.string()),
-                "partial": pa.array(list(c.values()), pa.int64()),
-            }
-        )
-
     counts = (
         _read_spread(sf_dir, "documents", ["text"])
-        .map_batches(partial, batch_format="pyarrow")
+        .map_batches(_bpe_pair_partial, batch_format="pyarrow")
         .groupby("pair")
         .aggregate(Sum("partial", alias_name="n"))
     )
@@ -9076,25 +9079,20 @@ def q_events_cusum_alarms(sf_dir: str):
         if group.empty:
             return empty
         g = group.sort_values(["user_id", "us", "event_id"], kind="mergesort")
-        uid = g["user_id"].to_numpy(dtype=np.int64)
-        d = g["cents"].to_numpy(dtype=np.int64) - DRIFT
-        bounds = np.concatenate(
-            ([0], np.nonzero(uid[1:] != uid[:-1])[0] + 1, [len(g)])
+        # fully segmented vectorized scans: per-user cumsum of the drift
+        # deltas, per-user running min clamped at 0, S = cd − floor
+        d = g["cents"].astype("int64") - DRIFT
+        by_user = d.groupby(g["user_id"].to_numpy())
+        cd = by_user.cumsum()
+        floor = cd.groupby(g["user_id"].to_numpy()).cummin().clip(upper=0)
+        s = cd - floor
+        agg = pd.DataFrame(
+            {"user_id": g["user_id"].to_numpy(), "s": s, "alarm": (s > H)}
+        ).groupby("user_id", as_index=False).agg(
+            peak_s=("s", "max"), n_alarms=("alarm", "sum")
         )
-        users_out, peaks, alarms = [], [], []
-        for a, b in zip(bounds[:-1], bounds[1:]):
-            cd = np.cumsum(d[a:b])
-            floor = np.minimum(np.minimum.accumulate(cd), 0)
-            s = cd - floor
-            users_out.append(int(uid[a]))
-            peaks.append(int(s.max()))
-            alarms.append(int((s > H).sum()))
-        return pd.DataFrame(
-            {
-                "user_id": pd.Series(users_out, dtype="int64"),
-                "peak_s": pd.Series(peaks, dtype="int64"),
-                "n_alarms": pd.Series(alarms, dtype="int64"),
-            }
+        return agg.astype(
+            {"user_id": "int64", "peak_s": "int64", "n_alarms": "int64"}
         )
 
     return (
@@ -9119,21 +9117,9 @@ def q_bpe_apply_merge(sf_dir: str):
     nothing."""
     from ray.data.aggregate import Sum
 
-    def pair_partial(batch: pa.Table) -> pa.Table:
-        c: Counter = Counter()
-        for text in batch["text"].to_pylist():
-            for w in (text or "").lower().split():
-                c.update(zip(w, w[1:]))
-        return pa.table(
-            {
-                "pair": pa.array(["".join(k) for k in c], pa.string()),
-                "partial": pa.array(list(c.values()), pa.int64()),
-            }
-        )
-
-    docs = _read(sf_dir, "documents", ["text"])
+    docs = _read_spread(sf_dir, "documents", ["text"])
     counts = (
-        docs.map_batches(pair_partial, batch_format="pyarrow")
+        docs.map_batches(_bpe_pair_partial, batch_format="pyarrow")
         .groupby("pair")
         .aggregate(Sum("partial", alias_name="n"))
         .take_all()
