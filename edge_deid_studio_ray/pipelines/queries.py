@@ -9186,6 +9186,71 @@ def q_bpe_apply_merge(sf_dir: str):
     )
 
 
+def q_events_user_entropy(sf_dir: str):
+    """Per-user behavioral diversity: the Shannon entropy (nats) of each
+    user's event-type distribution — near-zero entropy flags
+    single-action bots, high entropy flags broad engagement (the
+    per-entity companion of `doc_char_entropy`).  Scale shape: the
+    sessionization contract — ONE user-hash bucket groupby of narrow
+    (user, type) rows; a user's type counts are bucket-complete, so the
+    per-user rows are final.  Float contract: terms −(c/n)·ln(c/n) sum
+    in TYPE-SORTED order on the engine vs unordered SQL SUM (~1e-16
+    drift, far under the shared 6dp grid)."""
+    import math
+
+    nb = resolve_group_buckets(None)
+
+    def project(batch: pa.Table) -> pa.Table:
+        users = batch["user_id"].to_pylist()
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "event_type": batch["event_type"],
+                "ub": pa.array([_kbucket(u, nb) for u in users], pa.int32()),
+            }
+        )
+
+    def fold_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "user_id": pd.array([], dtype="int64"),
+                "n_events": pd.array([], dtype="int64"),
+                "entropy": pd.array([], dtype="float64"),
+            }
+        )
+        if group.empty:
+            return empty
+        counts = (
+            group.groupby(["user_id", "event_type"]).size().reset_index(name="c")
+        )
+        users, totals, ents = [], [], []
+        for uid, sub in counts.groupby("user_id"):
+            n = int(sub["c"].sum())
+            h = 0.0
+            for _t, c in sorted(
+                zip(sub["event_type"], sub["c"].astype(int))
+            ):
+                p = c / n
+                h += -(p) * math.log(p)
+            users.append(int(uid))
+            totals.append(n)
+            ents.append(round(h, 6))
+        return pd.DataFrame(
+            {
+                "user_id": pd.Series(users, dtype="int64"),
+                "n_events": pd.Series(totals, dtype="int64"),
+                "entropy": pd.Series(ents, dtype="float64"),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["user_id", "event_type"])
+        .map_batches(project, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(fold_bucket, batch_format="pandas")
+    )
+
+
 QUERIES = {
     "doc_stats_by_lang": q_doc_stats_by_lang,
     "doc_token_stats": q_doc_token_stats,
@@ -9356,6 +9421,7 @@ QUERIES = {
     "events_active_time": q_events_active_time,
     "events_cusum_alarms": q_events_cusum_alarms,
     "bpe_apply_merge": q_bpe_apply_merge,
+    "events_user_entropy": q_events_user_entropy,
 }
 
 
@@ -11749,6 +11815,18 @@ ORACLE_SQL = {
         SELECT doc_id, n_grams, n_unique,
                CAST(n_unique AS DOUBLE) / n_grams AS novelty
         FROM agg
+    """,
+    "events_user_entropy": """
+        WITH freq AS (
+          SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+          FROM events GROUP BY 1, 2
+        ),
+        tot AS (SELECT user_id, SUM(c) AS n FROM freq GROUP BY 1)
+        SELECT f.user_id, CAST(t.n AS BIGINT) AS n_events,
+               ROUND(SUM(-(f.c / CAST(t.n AS DOUBLE))
+                         * ln(f.c / CAST(t.n AS DOUBLE))), 6) AS entropy
+        FROM freq f JOIN tot t USING (user_id)
+        GROUP BY f.user_id, t.n
     """,
     # merges = leftmost non-overlapping replace-length fold; the argmax
     # pair ties break (n DESC, pair ASC) like bpe_pair_counts

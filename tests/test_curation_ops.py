@@ -1066,3 +1066,35 @@ class TestBpeApplyMerge:
         assert _oracle(tmp_path, "bpe_apply_merge", ["documents"]) == [
             ("aa", 4, 10, 7)
         ]
+
+
+class TestEventsUserEntropy:
+    def test_hand_computed_entropy(self, ray_session, tmp_path):
+        import math
+
+        # user 1: A,A,B,C → H = -(1/2 ln 1/2 + 1/4 ln 1/4 ×2);
+        # user 2: single type → 0.0
+        types = ["A", "A", "B", "C", "X", "X"]
+        users = [1, 1, 1, 1, 2, 2]
+        pq.write_table(
+            pa.table(
+                {
+                    "user_id": pa.array(users, pa.int64()),
+                    "event_type": pa.array(types, pa.string()),
+                }
+            ),
+            tmp_path / "events.parquet",
+        )
+        out = {
+            r["user_id"]: (r["n_events"], r["entropy"])
+            for r in QUERIES["events_user_entropy"](str(tmp_path)).take_all()
+        }
+        h1 = round(
+            -(0.5 * math.log(0.5)) - 2 * (0.25 * math.log(0.25)), 6
+        )
+        assert out == {1: (4, h1), 2: (2, 0.0)}
+        oracle = {
+            u: (n, h)
+            for u, n, h in _oracle(tmp_path, "events_user_entropy", ["events"])
+        }
+        assert oracle == out
