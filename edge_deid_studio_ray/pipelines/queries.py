@@ -9251,6 +9251,66 @@ def q_events_user_entropy(sf_dir: str):
     )
 
 
+def q_supplier_balance_gini(sf_dir: str):
+    """Gini coefficient of positive supplier account balances — the
+    inequality metric (companion of `revenue_concentration`'s top-share
+    view).  With x sorted ascending and rank ties irrelevant within equal
+    values, G = Σ(2i − n − 1)·x_i / (n·Σx) — and each equal-value group's
+    numerator has a CLOSED FORM in (value, count, prefix-count), so the
+    entire statistic folds from the value HISTOGRAM: one grouped sum of
+    per-batch cent counters (the shuffle ships one (cents, n) row per
+    distinct value per batch, never supplier rows), then an exact-int64
+    driver fold over the histogram.  Float contract: numerator and
+    denominator are exact ints; both engines convert each to double
+    (round-nearest) and divide once — bit-identical.  All-non-positive
+    input yields the SQL aggregate's single NULL row on both engines."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "supplier", ["s_suppkey", "s_acctbal"])
+
+    def cent_counts(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.greater(batch["s_acctbal"], 0.0))
+        cents = pc.cast(pc.round(pc.multiply(t["s_acctbal"], 100.0)), pa.int64())
+        c = Counter(cents.to_pylist())
+        return pa.table(
+            {
+                "c": pa.array(list(c.keys()), pa.int64()),
+                "m_p": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    hist = (
+        ds.map_batches(cent_counts, batch_format="pyarrow")
+        .groupby("c")
+        .aggregate(Sum("m_p", alias_name="m"))
+        .take_all()
+    )
+    if not hist:
+        return pa.table(
+            {
+                "n_suppliers": pa.array([None], pa.int64()),
+                "gini": pa.array([None], pa.float64()),
+            }
+        )
+    hist.sort(key=lambda r: int(r["c"]))
+    n = sum(int(r["m"]) for r in hist)
+    sx = sum(int(r["c"]) * int(r["m"]) for r in hist)
+    base = 0
+    num = 0
+    for r in hist:
+        c, m = int(r["c"]), int(r["m"])
+        # Σ_{i=base+1..base+m} (2i − n − 1)·c, in closed form
+        num += c * (2 * (m * base + m * (m + 1) // 2) - m * (n + 1))
+        base += m
+    gini = float(num) / float(n * sx)
+    return pa.table(
+        {
+            "n_suppliers": pa.array([n], pa.int64()),
+            "gini": pa.array([gini], pa.float64()),
+        }
+    )
+
+
 QUERIES = {
     "doc_stats_by_lang": q_doc_stats_by_lang,
     "doc_token_stats": q_doc_token_stats,
@@ -9422,6 +9482,7 @@ QUERIES = {
     "events_cusum_alarms": q_events_cusum_alarms,
     "bpe_apply_merge": q_bpe_apply_merge,
     "events_user_entropy": q_events_user_entropy,
+    "supplier_balance_gini": q_supplier_balance_gini,
 }
 
 
@@ -11815,6 +11876,24 @@ ORACLE_SQL = {
         SELECT doc_id, n_grams, n_unique,
                CAST(n_unique AS DOUBLE) / n_grams AS novelty
         FROM agg
+    """,
+    # num/den are exact ints on both engines; one double division each
+    "supplier_balance_gini": """
+        WITH pos AS (
+          SELECT s_suppkey, CAST(round(s_acctbal * 100) AS BIGINT) AS c
+          FROM supplier WHERE s_acctbal > 0
+        ),
+        ranked AS (
+          SELECT c,
+                 ROW_NUMBER() OVER (ORDER BY c, s_suppkey) AS i,
+                 COUNT(*) OVER () AS n,
+                 SUM(c) OVER () AS sx
+          FROM pos
+        )
+        SELECT CAST(MAX(n) AS BIGINT) AS n_suppliers,
+               CAST(SUM((2 * i - n - 1) * c) AS DOUBLE)
+                   / CAST(MAX(n) * MAX(sx) AS DOUBLE) AS gini
+        FROM ranked
     """,
     "events_user_entropy": """
         WITH freq AS (

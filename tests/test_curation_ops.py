@@ -1098,3 +1098,40 @@ class TestEventsUserEntropy:
             for u, n, h in _oracle(tmp_path, "events_user_entropy", ["events"])
         }
         assert oracle == out
+
+
+class TestSupplierBalanceGini:
+    def test_closed_form_against_definition(self, ray_session, tmp_path):
+        # balances 1.00, 1.00, 2.00, 4.00 (positive); one negative ignored.
+        # sorted cents [100,100,200,400], n=4, Σx=800
+        # num = Σ(2i−5)·x = (−3)(100)+(−1)(100)+(1)(200)+(3)(400) = 1000
+        # G = 1000/(4·800) = 0.3125
+        pq.write_table(
+            pa.table(
+                {
+                    "s_suppkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                    "s_acctbal": pa.array(
+                        [1.0, 1.0, 2.0, 4.0, -3.0], pa.float64()
+                    ),
+                }
+            ),
+            tmp_path / "supplier.parquet",
+        )
+        (row,) = QUERIES["supplier_balance_gini"](str(tmp_path)).to_pylist()
+        assert (row["n_suppliers"], row["gini"]) == (4, 0.3125)
+        assert _oracle(tmp_path, "supplier_balance_gini", ["supplier"]) == [
+            (4, 0.3125)
+        ]
+
+    def test_equal_balances_give_zero(self, ray_session, tmp_path):
+        pq.write_table(
+            pa.table(
+                {
+                    "s_suppkey": pa.array([1, 2, 3], pa.int64()),
+                    "s_acctbal": pa.array([5.0, 5.0, 5.0], pa.float64()),
+                }
+            ),
+            tmp_path / "supplier.parquet",
+        )
+        (row,) = QUERIES["supplier_balance_gini"](str(tmp_path)).to_pylist()
+        assert (row["n_suppliers"], row["gini"]) == (3, 0.0)
