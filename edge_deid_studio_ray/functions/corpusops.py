@@ -426,15 +426,32 @@ def temperature_sample_summary(ds, rates: dict[str, float], *, lang_col: str = "
 # ---------------------------------------------------------------------------
 
 
-def trigram_model(ds, *, lang_col: str = "lang", text_col: str = "text") -> tuple[dict, dict]:
+def trigram_model(
+    ds,
+    *,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    min_count: int = 1,
+    prune_stats: dict | None = None,
+) -> tuple[dict, dict]:
     """Train a per-language add-one character-trigram LM on the corpus.
 
     Pass 1 of the CCNet-style quality filter: per-batch pre-aggregated
     ``(lang, trigram) -> count`` partials, ONE grouped sum, and the model
-    table comes to the driver for broadcast.  The table is bounded by
-    charset^3 per language (not corpus size), which is broadcast-budget
-    for real charsets; if a pathological charset blows it, score via the
-    shuffle-join formulation (the oracle's shape) instead.
+    table comes to the driver for broadcast.
+
+    **Broadcast-size bound** (the 100×-scale contract): with the default
+    ``min_count=1`` the table is bounded by charset³ per language — fine
+    for Latin charsets, effectively unbounded for CJK at web scale.  Set
+    ``min_count=m ≥ 2`` to train on trigram types seen at least m times:
+    kept types per language are then ≤ N_l/m (and still ≤ charset³), a
+    bound that a deployment caps independently of corpus size by scaling m
+    with corpus tokens.  The prune is part of the model DEFINITION (N_l and
+    V_l are computed over kept types; pruned trigrams score at the add-one
+    floor like any unseen trigram) so an SQL oracle mirrors it with one
+    HAVING clause.  It is never silent: pass ``prune_stats`` (a dict) to
+    receive per-language ``{kept_types, dropped_types, dropped_tokens}``,
+    which pruned-query outputs carry as columns.
 
     Returns ``(logp, denoms)``: ``logp[(lang, tri)] = ln((c+1)/(N_l+V_l))``
     and ``denoms[lang] = (N_l, V_l)`` for smoothing unseen trigrams."""
@@ -463,15 +480,36 @@ def trigram_model(ds, *, lang_col: str = "lang", text_col: str = "text") -> tupl
         .aggregate(Sum("n", alias_name="c"))
         .take_all()
     )
-    return finish_trigram_model(rows, lang_col=lang_col)
+    return finish_trigram_model(
+        rows, lang_col=lang_col, min_count=min_count, prune_stats=prune_stats
+    )
 
 
-def finish_trigram_model(rows: list[dict], *, lang_col: str = "lang") -> tuple[dict, dict]:
+def finish_trigram_model(
+    rows: list[dict],
+    *,
+    lang_col: str = "lang",
+    min_count: int = 1,
+    prune_stats: dict | None = None,
+) -> tuple[dict, dict]:
     """Turn the grouped (lang, tri, c) count rows into the add-one model
     table + denominators — shared by trigram_model and callers that supply
-    their own (fused / multi-tag) counting pass."""
+    their own (fused / multi-tag) counting pass.  ``min_count``/``prune_stats``:
+    see :func:`trigram_model` (the prune happens HERE so both entry points
+    share the definition)."""
     import math
 
+    dropped: dict[str, list[int]] = {}
+    if min_count > 1:
+        kept = []
+        for r in rows:
+            if int(r["c"]) >= min_count:
+                kept.append(r)
+            else:
+                d = dropped.setdefault(r[lang_col], [0, 0])
+                d[0] += 1
+                d[1] += int(r["c"])
+        rows = kept
     totals: dict[str, list[int]] = {}
     for r in rows:
         t = totals.setdefault(r[lang_col], [0, 0])
@@ -484,6 +522,21 @@ def finish_trigram_model(rows: list[dict], *, lang_col: str = "lang") -> tuple[d
         )
         for r in rows
     }
+    if prune_stats is not None:
+        for lang, (_n, v) in denoms.items():
+            dt, dk = dropped.get(lang, (0, 0))
+            prune_stats[lang] = {
+                "kept_types": v,
+                "dropped_types": dt,
+                "dropped_tokens": dk,
+            }
+        for lang, (dt, dk) in dropped.items():
+            if lang not in prune_stats:  # language pruned away entirely
+                prune_stats[lang] = {
+                    "kept_types": 0,
+                    "dropped_types": dt,
+                    "dropped_tokens": dk,
+                }
     return logp, denoms
 
 

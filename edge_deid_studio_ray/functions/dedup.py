@@ -741,15 +741,15 @@ def _pointer_double(labels, nb: int = DEFAULT_GROUP_BUCKETS):
     """
 
     def explode(t: pa.Table) -> pa.Table:
-        nodes = t["node"].to_pylist()
-        lbls = t["label"].to_pylist()
-        keys = lbls + nodes
-        payloads = nodes + lbls
-        is_req = [True] * len(nodes) + [False] * len(nodes)
+        nodes = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lbls = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keys = np.concatenate([lbls, nodes])
+        payloads = np.concatenate([nodes, lbls])
+        is_req = [True] * nodes.size + [False] * nodes.size
         return pa.table(
             {
                 "key": pa.array(keys, pa.int64()),
-                "kbucket": pa.array([k % nb for k in keys], pa.int32()),
+                "kbucket": pa.array((keys % nb).astype(np.int32), pa.int32()),
                 "payload": pa.array(payloads, pa.int64()),
                 "is_req": pa.array(is_req, pa.bool_()),
             }

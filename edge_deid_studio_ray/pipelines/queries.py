@@ -102,6 +102,40 @@ def _kbucket(value, nb: int) -> int:
     return zlib.crc32(str(value).encode()) % nb
 
 
+def _ibuckets(values, nb: int) -> pa.Array:
+    """Vectorized int-key shuffle buckets: ONE numpy modulo over the whole
+    column instead of a per-row Python loop (the hot-stage rule — a
+    ``[_kbucket(k, nb) for k in col.to_pylist()]`` loop costs ~100 ns/row of
+    interpreter time that this replaces with a C kernel).  Accepts a pyarrow
+    (Chunked)Array, numpy array, pandas Series or Python list of integer
+    keys; element-wise identical to ``_kbucket(int(k), nb)`` (both mods are
+    non-negative for positive ``nb``)."""
+    if isinstance(values, (pa.Array, pa.ChunkedArray)):
+        arr = values.to_numpy(zero_copy_only=False)
+    else:
+        arr = np.asarray(values)
+    return pa.array((arr.astype(np.int64, copy=False) % nb).astype(np.int32), pa.int32())
+
+
+# synthetic dedup-fixture partner ids derive as doc_id + this offset; real
+# ids at/above it would silently collide with derived ids (wrong pair texts,
+# no error).  The offset is mirrored verbatim in ~8 oracle SQL strings, so
+# it is a loud assert, not a data-derived value.
+_PERTURB_ID_OFFSET = 1_000_000
+
+
+def _assert_id_headroom(col, limit: int = _PERTURB_ID_OFFSET) -> None:
+    """Fail loudly if any id would collide with a synthetic partner id
+    (one vectorized max per batch — negligible next to the text work)."""
+    mx = pc.max(col).as_py()
+    if mx is not None and mx >= limit:
+        raise ValueError(
+            f"doc_id {mx} >= perturb offset {limit}: synthetic partner ids "
+            "would collide with real ids; raise _PERTURB_ID_OFFSET and "
+            "mirror the new offset in the ORACLE_SQL fixtures"
+        )
+
+
 def _broadcast_dim(sf_dir: str, table: str, key_col: str, val_col: str) -> dict:
     """Driver-side key→value map of a DIMENSION table (the documented
     small-side assumption of every broadcast join here): streamed in
@@ -286,14 +320,13 @@ def q_events_sessions(sf_dir: str):
     nb = resolve_group_buckets()
 
     def to_us(batch: pa.Table) -> pa.Table:
-        users = batch["user_id"].to_pylist()
         return pa.table(
             {
                 "user_id": batch["user_id"],
                 "us": batch["ts"].cast(pa.int64()),
                 # bucketed key co-location: all of a user's events share a
                 # bucket, Ray sees ~128 groups instead of one per user
-                "user_bucket": pa.array([_kbucket(u, nb) for u in users], pa.int32()),
+                "user_bucket": _ibuckets(batch["user_id"], nb),
             }
         )
 
@@ -355,13 +388,12 @@ def q_events_running_total(sf_dir: str):
     nb = resolve_group_buckets()
 
     def to_rows(batch: pa.Table) -> pa.Table:
-        users = batch["user_id"].to_pylist()
         return pa.table(
             {
                 "event_id": batch["event_id"],
                 "user_id": batch["user_id"],
                 "us": batch["ts"].cast(pa.int64()),
-                "user_bucket": pa.array([_kbucket(u, nb) for u in users], pa.int32()),
+                "user_bucket": _ibuckets(batch["user_id"], nb),
             }
         )
 
@@ -392,13 +424,12 @@ def q_events_asof_join(sf_dir: str):
     nb = resolve_group_buckets()
 
     def to_rows(batch: pa.Table) -> pa.Table:
-        users = batch["user_id"].to_pylist()
         return pa.table(
             {
                 "event_id": batch["event_id"],
                 "user_id": batch["user_id"],
                 "us": batch["ts"].cast(pa.int64()),
-                "user_bucket": pa.array([_kbucket(u, nb) for u in users], pa.int32()),
+                "user_bucket": _ibuckets(batch["user_id"], nb),
             }
         )
 
@@ -514,7 +545,7 @@ def q_events_late_data(sf_dir: str):
     def bucketize(batch: pa.Table) -> pa.Table:
         return batch.append_column(
             "rbucket",
-            pa.array([_kbucket(int(r), nb) for r in batch["range_id"].to_pylist()], pa.int32()),
+            _ibuckets(batch["range_id"], nb),
         )
 
     partials = (
@@ -547,13 +578,12 @@ def q_events_funnel(sf_dir: str):
     steps = ("view", "click", "purchase")
 
     def to_us(batch: pa.Table) -> pa.Table:
-        users = batch["user_id"].to_pylist()
         return pa.table(
             {
                 "user_id": batch["user_id"],
                 "us": batch["ts"].cast(pa.int64()),
                 "event_type": batch["event_type"],
-                "user_bucket": pa.array([_kbucket(u, nb) for u in users], pa.int32()),
+                "user_bucket": _ibuckets(batch["user_id"], nb),
             }
         )
 
@@ -723,44 +753,51 @@ def q_customers_without_orders(sf_dir: str):
 
     def split_customers(batch: pa.Table) -> pa.Table:
         """Definite-miss rows → per-segment partial counts (is_cust=None
-        marker rows); maybe rows → keyed rows for the exact co-group."""
+        marker rows); maybe rows → keyed rows for the exact co-group.
+        Fully vectorized: numpy masks split the batch, np.unique folds the
+        miss counts — no per-row Python loop."""
         b = ray.get(bloom_ref)
-        keys = batch["c_custkey"].to_pylist()
-        segs = batch["c_mktsegment"].to_pylist()
-        maybe = b.contains_many(keys)
-        out_key, out_bucket, out_seg, out_cust, out_partial = [], [], [], [], []
-        miss_counts: dict[str, int] = {}
-        for key, seg, m in zip(keys, segs, maybe):
-            if m:
-                out_key.append(key)
-                out_bucket.append(_kbucket(key, nb))
-                out_seg.append(seg)
-                out_cust.append(True)
-                out_partial.append(0)
-            else:
-                miss_counts[seg] = miss_counts.get(seg, 0) + 1
-        for seg, n in miss_counts.items():
-            out_key.append(-1)
-            out_bucket.append(-1)  # partial-count rows skip the co-group
-            out_seg.append(seg)
-            out_cust.append(True)
-            out_partial.append(n)
+        keys = batch["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        segs = batch["c_mktsegment"].to_numpy(zero_copy_only=False)
+        maybe = b.contains_many(keys.tolist())
+        hit_keys = keys[maybe]
+        miss_segs, miss_ns = np.unique(segs[~maybe], return_counts=True)
+        n_miss = miss_segs.size
         return pa.table(
             {
-                "key": pa.array(out_key, pa.int64()),
-                "kbucket": pa.array(out_bucket, pa.int32()),
-                "c_mktsegment": pa.array(out_seg, pa.string()),
-                "is_cust": pa.array(out_cust, pa.bool_()),
-                "partial": pa.array(out_partial, pa.int64()),
+                "key": pa.array(
+                    np.concatenate([hit_keys, np.full(n_miss, -1, np.int64)]),
+                    pa.int64(),
+                ),
+                # partial-count rows get bucket -1 and skip the co-group
+                "kbucket": pa.array(
+                    np.concatenate(
+                        [
+                            (hit_keys % nb).astype(np.int32),
+                            np.full(n_miss, -1, np.int32),
+                        ]
+                    ),
+                    pa.int32(),
+                ),
+                "c_mktsegment": pa.array(
+                    np.concatenate([segs[maybe], miss_segs]).tolist(), pa.string()
+                ),
+                "is_cust": pa.array([True] * (hit_keys.size + n_miss), pa.bool_()),
+                "partial": pa.array(
+                    np.concatenate(
+                        [np.zeros(hit_keys.size, np.int64), miss_ns.astype(np.int64)]
+                    ),
+                    pa.int64(),
+                ),
             }
         )
 
     def order_keys(batch: pa.Table) -> pa.Table:
-        keys = pc.unique(batch["o_custkey"]).to_pylist()
+        keys = pc.unique(batch["o_custkey"])
         return pa.table(
             {
-                "key": pa.array(keys, pa.int64()),
-                "kbucket": pa.array([_kbucket(k, nb) for k in keys], pa.int32()),
+                "key": keys.cast(pa.int64()),
+                "kbucket": _ibuckets(keys, nb),
                 "c_mktsegment": pa.array([None] * len(keys), pa.string()),
                 "is_cust": pa.array([False] * len(keys), pa.bool_()),
                 "partial": pa.array([0] * len(keys), pa.int64()),
@@ -876,10 +913,12 @@ def _doc_perturb_fn(suffix: str):
     suffix) — the forced near-duplicate fixture the dedup queries share."""
 
     def perturb(batch: pa.Table) -> pa.Table:
+        _assert_id_headroom(batch["doc_id"])
         return pa.table(
             {
                 "doc_id": pa.array(
-                    [d + 1_000_000 for d in batch["doc_id"].to_pylist()], pa.int64()
+                    [d + _PERTURB_ID_OFFSET for d in batch["doc_id"].to_pylist()],
+                    pa.int64(),
                 ),
                 "text": pa.array(
                     [(t or "") + suffix for t in batch["text"].to_pylist()], pa.string()
@@ -1621,7 +1660,7 @@ def q_events_window_rank(sf_dir: str):
     def bucketize(batch: pa.Table) -> pa.Table:
         return batch.append_column(
             "ubucket",
-            pa.array([_kbucket(u, nb) for u in batch["user_id"].to_pylist()], pa.int32()),
+            _ibuckets(batch["user_id"], nb),
         )
 
     def rank(bucket: pd.DataFrame) -> pd.DataFrame:
@@ -1830,11 +1869,12 @@ def q_jaccard_doc_perturbed(sf_dir: str):
     base, corpus = _docs_with_perturbed(sf_dir)
 
     def to_pairs(batch: pa.Table) -> pa.Table:
+        _assert_id_headroom(batch["doc_id"])
         ids = batch["doc_id"].to_pylist()
         return pa.table(
             {
                 "left": pa.array(ids, pa.int64()),
-                "right": pa.array([d + 1_000_000 for d in ids], pa.int64()),
+                "right": pa.array([d + _PERTURB_ID_OFFSET for d in ids], pa.int64()),
             }
         )
 
@@ -2170,51 +2210,65 @@ def q_tfidf_top_terms(sf_dir: str):
     """TF-IDF-style top terms: for each document, the top-3 terms ranked by
     (tf desc, df asc, term asc) — the integer-only ordering is exactly the
     tf·idf ranking for this corpus (idf is monotone decreasing in df) while
-    staying bit-exact for the oracle.  Document frequencies come from one
-    distinct-(doc,term) groupby; the df table is broadcast via ray.put
-    (vocabulary ≪ corpus; at 100-TB vocab scale swap the broadcast for a
-    term-keyed co-group join)."""
-    import ray
-    from ray.data.aggregate import Count
+    staying bit-exact for the oracle.
 
+    Scale shape — NO driver-side vocabulary state: the tokenizer emits one
+    row per distinct (doc, term), so after a term-hash bucket co-group every
+    row of a term is co-resident and the bucket-local per-term row count IS
+    the term's exact document frequency.  df annotation therefore costs one
+    narrow shuffle of the term rows themselves — no groupby().take_all(),
+    no ``ray.put`` of an O(vocabulary) dict (web-corpus vocab grows with
+    Heap's law; at 100 TB that dict is tens of GB).  A second doc-hash
+    bucket co-group computes the per-doc head(3).  Two shuffles total,
+    both of already-narrow (id, term, int) rows."""
+    import zlib
+
+    nb = resolve_group_buckets()
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def doc_terms(batch: pa.Table) -> pa.Table:
-        out_doc, out_term, out_tf = [], [], []
+        out_doc, out_term, out_tf, out_tb = [], [], [], []
         for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
             counts = Counter((text or "").lower().split())
             for term, tf in counts.items():
                 out_doc.append(doc_id)
                 out_term.append(term)
                 out_tf.append(tf)
+                out_tb.append(zlib.crc32(term.encode()) % nb)
         return pa.table(
             {
                 "doc_id": pa.array(out_doc, pa.int64()),
                 "term": pa.array(out_term, pa.string()),
                 "tf": pa.array(out_tf, pa.int64()),
+                "tbucket": pa.array(out_tb, pa.int32()),
             }
         )
 
-    # two consumers (df aggregate + per-doc top-k): materialize once so the
-    # tokenize map does not lazily re-execute per consumer
-    terms = ds.map_batches(doc_terms, batch_format="pyarrow").materialize()
-    df_rows = terms.groupby("term").aggregate(Count(alias_name="df")).take_all()
-    df_ref = ray.put({r["term"]: r["df"] for r in df_rows})
+    _TFIDF_EMPTY = pd.DataFrame(
+        {
+            "doc_id": pd.array([], dtype="int64"),
+            "term": pd.array([], dtype="str"),
+            "tf": pd.array([], dtype="int64"),
+            "df": pd.array([], dtype="int64"),
+            "dbucket": pd.array([], dtype="int32"),
+        }
+    )
 
-    # a doc's term rows must be co-resident for the per-doc head(3):
-    # blocks do not guarantee that across the shuffle, so co-group by a
-    # coarse doc bucket
-    nb = resolve_group_buckets()
-
-    def bucketize(batch: pa.Table) -> pa.Table:
-        return batch.append_column(
-            "dbucket",
-            pa.array([_kbucket(d, nb) for d in batch["doc_id"].to_pylist()], pa.int32()),
-        )
+    def annotate_df(bucket: pd.DataFrame) -> pd.DataFrame:
+        if bucket.empty:
+            return _TFIDF_EMPTY
+        # rows are distinct (doc, term) pairs and a term's rows all land in
+        # this bucket ⇒ the local per-term row count is the exact global df
+        df_map = bucket.groupby("term")["doc_id"].size()
+        out = bucket.assign(df=bucket["term"].map(df_map).astype("int64"))
+        out["dbucket"] = (out["doc_id"].to_numpy() % nb).astype("int32")
+        return out[["doc_id", "term", "tf", "df", "dbucket"]]
 
     def topk_group(bucket: pd.DataFrame) -> pd.DataFrame:
-        df_map = ray.get(df_ref)
-        bucket = bucket.assign(df=bucket["term"].map(df_map).astype("int64"))
+        if bucket.empty:
+            return _TFIDF_EMPTY.assign(
+                rnk=pd.array([], dtype="int64")
+            )[["doc_id", "rnk", "term", "tf", "df"]]
         kept = (
             bucket.sort_values(
                 ["doc_id", "tf", "df", "term"], ascending=[True, False, True, True]
@@ -2226,7 +2280,11 @@ def q_tfidf_top_terms(sf_dir: str):
         return kept[["doc_id", "rnk", "term", "tf", "df"]]
 
     return (
-        terms.map_batches(bucketize, batch_format="pyarrow")
+        _arrow_blocks(
+            ds.map_batches(doc_terms, batch_format="pyarrow")
+            .groupby("tbucket")
+            .map_groups(annotate_df, batch_format="pandas")
+        )
         .groupby("dbucket")
         .map_groups(topk_group, batch_format="pandas")
     )
@@ -2422,12 +2480,13 @@ def q_duplicate_ngram_spans(sf_dir: str):
     base = _read_spread(sf_dir, "documents", ["doc_id", "text"])
 
     def partial_copy(batch: pa.Table) -> pa.Table:
+        _assert_id_headroom(batch["doc_id"])
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         keep = ids % 7 == 0
         out_ids, out_texts = [], []
         for d, t in zip(ids[keep], batch["text"].filter(pa.array(keep)).to_pylist()):
             ws = _words(t)[:20]
-            out_ids.append(int(d) + 1000000)
+            out_ids.append(int(d) + _PERTURB_ID_OFFSET)
             out_texts.append(" ".join(ws) + f" uniq{int(d)}")
         return pa.table(
             {
@@ -2492,6 +2551,39 @@ def q_trigram_lm_nll(sf_dir: str):
     return trigram_nll_scores(
         _read_spread(sf_dir, "documents", ["doc_id", "lang", "text"]), logp, denoms
     )
+
+
+def q_trigram_lm_nll_pruned(sf_dir: str):
+    """CCNet LM scoring with the min-count vocabulary prune — the CJK /
+    wide-charset scale path (VERDICT r3 #3): the broadcast model keeps only
+    trigram types seen ≥ 2 times, bounding the driver/broadcast table by
+    N_l/2 regardless of charset (a deployment scales min_count with corpus
+    tokens to cap it absolutely).  The truncation is NOT silent: every
+    output row carries its language's kept/dropped type counts.  Pruned
+    trigrams score at the add-one floor exactly like unseen ones, so the
+    oracle mirrors the whole definition with one HAVING c >= 2 clause plus
+    a LEFT JOIN floor."""
+    from ..functions.corpusops import trigram_model, trigram_nll_scores
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    stats: dict = {}
+    logp, denoms = trigram_model(docs, min_count=2, prune_stats=stats)
+    scored = trigram_nll_scores(
+        _read_spread(sf_dir, "documents", ["doc_id", "lang", "text"]), logp, denoms
+    )
+    # per-language audit columns (|langs| entries — trivially broadcastable)
+    kept = {lang: s["kept_types"] for lang, s in stats.items()}
+    drop = {lang: s["dropped_types"] for lang, s in stats.items()}
+
+    def annotate(batch: pa.Table) -> pa.Table:
+        langs = batch["lang"].to_pylist()
+        return batch.append_column(
+            "n_types_kept", pa.array([kept[lang] for lang in langs], pa.int64())
+        ).append_column(
+            "n_types_dropped", pa.array([drop[lang] for lang in langs], pa.int64())
+        )
+
+    return scored.map_batches(annotate, batch_format="pyarrow")
 
 
 def q_trigram_quality_buckets(sf_dir: str):
@@ -3143,7 +3235,7 @@ def q_customer_order_cohorts(sf_dir: str):
                 "o_custkey": pa.array(keys, pa.int64()),
                 "order_month": pa.array([k[1] for k in c], pa.string()),
                 "n": pa.array(list(c.values()), pa.int64()),
-                "kb": pa.array([k % nb for k in keys], pa.int32()),
+                "kb": _ibuckets(keys, nb),
             }
         )
 
@@ -3229,7 +3321,7 @@ def q_shipping_priority(sf_dir: str):
         return pa.table(
             {
                 "okey": pa.array(okeys, pa.int64()),
-                "kb": pa.array([k % nb for k in okeys], pa.int32()),
+                "kb": _ibuckets(okeys, nb),
                 "units": pa.array([0] * len(okeys), pa.int64()),
                 "o_orderdate": pc.strftime(batch["o_orderdate"], format="%Y-%m-%d"),
                 "o_orderpriority": batch["o_orderpriority"],
@@ -3247,7 +3339,7 @@ def q_shipping_priority(sf_dir: str):
         return pa.table(
             {
                 "okey": pa.array(okeys, pa.int64()),
-                "kb": pa.array([k % nb for k in okeys], pa.int32()),
+                "kb": _ibuckets(okeys, nb),
                 "units": pa.array(list(c.values()), pa.int64()),
                 "o_orderdate": pa.array([None] * n, pa.string()),
                 "o_orderpriority": pa.array([None] * n, pa.string()),
@@ -3636,7 +3728,7 @@ def q_doc_pagerank(sf_dir: str):
                 "target": pa.array(out_target, pa.int64()),
                 "units": pa.array(out_units, pa.int64()),
                 "kind": pa.array(out_kind, pa.int8()),
-                "kb": pa.array([t % nb for t in out_target], pa.int32()),
+                "kb": _ibuckets(out_target, nb),
             }
         )
 
@@ -3694,13 +3786,12 @@ def q_events_interarrival_hist(sf_dir: str):
     nb = resolve_group_buckets(None)
 
     def project(batch: pa.Table) -> pa.Table:
-        users = batch["user_id"].to_pylist()
         return pa.table(
             {
                 "user_id": batch["user_id"],
                 "us": batch["ts"].cast(pa.int64()),
                 "event_type": batch["event_type"],
-                "ub": pa.array([_kbucket(u, nb) for u in users], pa.int32()),
+                "ub": _ibuckets(batch["user_id"], nb),
             }
         )
 
@@ -3917,7 +4008,7 @@ def q_events_last_per_user(sf_dir: str):
         return pa.table(
             {
                 "user_id": pa.array(users, pa.int64()),
-                "kb": pa.array([u % nb for u in users], pa.int32()),
+                "kb": _ibuckets(users, nb),
                 "last_ts_us": pa.array([b[0] for b in best.values()], pa.int64()),
                 "event_id": pa.array([b[1] for b in best.values()], pa.int64()),
                 "last_event_type": pa.array([b[2] for b in best.values()], pa.string()),
@@ -3976,7 +4067,7 @@ def q_events_user_top_type(sf_dir: str):
         return pa.table(
             {
                 "user_id": pa.array(users, pa.int64()),
-                "kb": pa.array([u % nb for u in users], pa.int32()),
+                "kb": _ibuckets(users, nb),
                 "event_type": pa.array([k[1] for k in c], pa.string()),
                 "n": pa.array(list(c.values()), pa.int64()),
             }
@@ -4033,7 +4124,7 @@ def q_event_type_cooccurrence(sf_dir: str):
         return pa.table(
             {
                 "user_id": pa.array(users, pa.int64()),
-                "kb": pa.array([u % nb for u in users], pa.int32()),
+                "kb": _ibuckets(users, nb),
                 "event_type": pa.array([t for _, t in seen], pa.string()),
             }
         )
@@ -4334,7 +4425,7 @@ def q_events_rolling_7d_users(sf_dir: str):
         return pa.table(
             {
                 "user_id": pa.array(users, pa.int64()),
-                "kb": pa.array([u % nb for u in users], pa.int32()),
+                "kb": _ibuckets(users, nb),
                 "day_us": pa.array([d for _, d in seen], pa.int64()),
             }
         )
@@ -4688,7 +4779,7 @@ def q_large_volume_customers(sf_dir: str):
         return pa.table(
             {
                 "okey": pa.array(okeys, pa.int64()),
-                "kb": pa.array([k % nb for k in okeys], pa.int32()),
+                "kb": _ibuckets(okeys, nb),
                 "qty": pa.array(list(c.values()), pa.int64()),
                 "o_custkey": pa.array([None] * n, pa.int64()),
                 "o_orderdate": pa.array([None] * n, pa.string()),
@@ -4700,7 +4791,7 @@ def q_large_volume_customers(sf_dir: str):
         return pa.table(
             {
                 "okey": pa.array(okeys, pa.int64()),
-                "kb": pa.array([k % nb for k in okeys], pa.int32()),
+                "kb": _ibuckets(okeys, nb),
                 "qty": pa.array([0] * len(okeys), pa.int64()),
                 "o_custkey": batch["o_custkey"].cast(pa.int64()),
                 "o_orderdate": pc.strftime(batch["o_orderdate"], format="%Y-%m-%d"),
@@ -4819,49 +4910,50 @@ def q_wealthy_inactive_customers(sf_dir: str):
         cents_all = pc.cast(pc.round(pc.multiply(batch["c_acctbal"], 100.0)), pa.int64())
         mask = pc.greater(pc.multiply(cents_all, n_pos), sum_cents)
         batch = batch.append_column("cents", cents_all).filter(mask)
-        keys = batch["c_custkey"].to_pylist()
-        nations = batch["c_nationkey"].to_pylist()
-        cents = batch["cents"].to_pylist()
-        maybe = b.contains_many(keys)
-        out = {k: [] for k in ("key", "kbucket", "c_nationkey", "is_cust", "n_p", "cents_p")}
-        miss: dict[int, list[int]] = {}
-        for key, nat, cen, m in zip(keys, nations, cents, maybe):
-            if m:
-                out["key"].append(key)
-                out["kbucket"].append(_kbucket(key, nb))
-                out["c_nationkey"].append(int(nat))
-                out["is_cust"].append(True)
-                out["n_p"].append(0)
-                out["cents_p"].append(cen)
-            else:
-                acc = miss.setdefault(int(nat), [0, 0])
-                acc[0] += 1
-                acc[1] += cen
-        for nat, (n, c) in miss.items():
-            out["key"].append(-1)
-            out["kbucket"].append(-1)
-            out["c_nationkey"].append(nat)
-            out["is_cust"].append(True)
-            out["n_p"].append(n)
-            out["cents_p"].append(c)
+        keys = batch["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nations = batch["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = batch["cents"].to_numpy(zero_copy_only=False).astype(np.int64)
+        maybe = b.contains_many(keys.tolist())
+        # maybes ship as keyed rows; definite misses fold to per-nation
+        # (count, cent-sum) partials — all via numpy masks + one np.unique
+        # inverse-index bincount, no per-row Python loop
+        hit_k, hit_n, hit_c = keys[maybe], nations[maybe], cents[maybe]
+        miss_nat, inv = np.unique(nations[~maybe], return_inverse=True)
+        miss_n = np.bincount(inv, minlength=miss_nat.size).astype(np.int64)
+        # exact int64 cent sums (bincount's float64 weights would round past
+        # 2^53): scatter-add into an int64 accumulator
+        miss_c = np.zeros(miss_nat.size, np.int64)
+        np.add.at(miss_c, inv, cents[~maybe])
+        nm = miss_nat.size
         return pa.table(
             {
-                "key": pa.array(out["key"], pa.int64()),
-                "kbucket": pa.array(out["kbucket"], pa.int32()),
-                "c_nationkey": pa.array(out["c_nationkey"], pa.int64()),
-                "is_cust": pa.array(out["is_cust"], pa.bool_()),
-                "n_p": pa.array(out["n_p"], pa.int64()),
-                "cents_p": pa.array(out["cents_p"], pa.int64()),
+                "key": pa.array(
+                    np.concatenate([hit_k, np.full(nm, -1, np.int64)]), pa.int64()
+                ),
+                "kbucket": pa.array(
+                    np.concatenate(
+                        [(hit_k % nb).astype(np.int32), np.full(nm, -1, np.int32)]
+                    ),
+                    pa.int32(),
+                ),
+                "c_nationkey": pa.array(np.concatenate([hit_n, miss_nat]), pa.int64()),
+                "is_cust": pa.array([True] * (hit_k.size + nm), pa.bool_()),
+                "n_p": pa.array(
+                    np.concatenate([np.zeros(hit_k.size, np.int64), miss_n]), pa.int64()
+                ),
+                "cents_p": pa.array(
+                    np.concatenate([hit_c, miss_c]), pa.int64()
+                ),
             }
         )
 
     def order_keys(batch: pa.Table) -> pa.Table:
-        keys = pc.unique(batch["o_custkey"]).to_pylist()
+        keys = pc.unique(batch["o_custkey"])
         n = len(keys)
         return pa.table(
             {
-                "key": pa.array(keys, pa.int64()),
-                "kbucket": pa.array([_kbucket(k, nb) for k in keys], pa.int32()),
+                "key": keys.cast(pa.int64()),
+                "kbucket": _ibuckets(keys, nb),
                 "c_nationkey": pa.array([0] * n, pa.int64()),
                 "is_cust": pa.array([False] * n, pa.bool_()),
                 "n_p": pa.array([0] * n, pa.int64()),
@@ -5513,14 +5605,13 @@ def q_events_type_transitions(sf_dir: str):
     nb = resolve_group_buckets(None)
 
     def project(batch: pa.Table) -> pa.Table:
-        users = batch["user_id"].to_pylist()
         return pa.table(
             {
                 "user_id": batch["user_id"],
                 "us": batch["ts"].cast(pa.int64()),
                 "event_id": batch["event_id"],
                 "event_type": batch["event_type"],
-                "ub": pa.array([_kbucket(u, nb) for u in users], pa.int32()),
+                "ub": _ibuckets(batch["user_id"], nb),
             }
         )
 
@@ -5787,12 +5878,11 @@ def q_copurchase_top_pairs(sf_dir: str):
     nb = resolve_group_buckets(None)
 
     def project(batch: pa.Table) -> pa.Table:
-        okeys = batch["l_orderkey"].to_pylist()
         return pa.table(
             {
                 "okey": batch["l_orderkey"].cast(pa.int64()),
                 "pkey": batch["l_partkey"].cast(pa.int64()),
-                "kb": pa.array([k % nb for k in okeys], pa.int32()),
+                "kb": _ibuckets(batch["l_orderkey"], nb),
             }
         )
 
@@ -5815,12 +5905,15 @@ def q_copurchase_top_pairs(sf_dir: str):
             basket = sorted(set(parts.tolist()))
             for a, b in combinations(basket, 2):
                 c[(a << 32) | b] += 1
-        keys = list(c.keys())
+        keys = np.fromiter(c.keys(), dtype=np.int64, count=len(c))
         return pd.DataFrame(
             {
                 "pair": pd.Series(keys, dtype="int64"),
-                "pb": pd.Series([k % nb for k in keys], dtype="int32"),
-                "n": pd.Series(list(c.values()), dtype="int64"),
+                "pb": pd.Series((keys % nb).astype(np.int32), dtype="int32"),
+                "n": pd.Series(
+                    np.fromiter(c.values(), dtype=np.int64, count=len(c)),
+                    dtype="int64",
+                ),
             }
         )
 
@@ -6223,7 +6316,7 @@ def q_returned_top_customers(sf_dir: str):
         return pa.table(
             {
                 "okey": pa.array(okeys, pa.int64()),
-                "kb": pa.array([k % nb for k in okeys], pa.int32()),
+                "kb": _ibuckets(okeys, nb),
                 "units": pa.array([0] * len(okeys), pa.int64()),
                 "custkey": batch["o_custkey"].cast(pa.int64()),
                 "is_dim": pa.array([True] * len(okeys), pa.bool_()),
@@ -6241,7 +6334,7 @@ def q_returned_top_customers(sf_dir: str):
         return pa.table(
             {
                 "okey": pa.array(okeys, pa.int64()),
-                "kb": pa.array([k % nb for k in okeys], pa.int32()),
+                "kb": _ibuckets(okeys, nb),
                 "units": pa.array(list(c.values()), pa.int64()),
                 "custkey": pa.array([0] * n, pa.int64()),
                 "is_dim": pa.array([False] * n, pa.bool_()),
@@ -6416,14 +6509,13 @@ def q_events_debounced(sf_dir: str):
     nb = resolve_group_buckets(None)
 
     def project(batch: pa.Table) -> pa.Table:
-        users = batch["user_id"].to_pylist()
         return pa.table(
             {
                 "user_id": batch["user_id"],
                 "event_type": batch["event_type"],
                 "us": batch["ts"].cast(pa.int64()),
                 "event_id": batch["event_id"],
-                "ub": pa.array([_kbucket(u, nb) for u in users], pa.int32()),
+                "ub": _ibuckets(batch["user_id"], nb),
             }
         )
 
@@ -6513,7 +6605,7 @@ def q_waiting_suppliers(sf_dir: str):
         return pa.table(
             {
                 "okey": pa.array(okeys, pa.int64()),
-                "kb": pa.array([k % nb for k in okeys], pa.int32()),
+                "kb": _ibuckets(okeys, nb),
                 "skey": pa.array([k[1] for k in acc], pa.int64()),
                 "smax": pa.array(list(acc.values()), pa.timestamp("us")),
             }
@@ -6526,7 +6618,7 @@ def q_waiting_suppliers(sf_dir: str):
         return pa.table(
             {
                 "okey": pa.array(okeys, pa.int64()),
-                "kb": pa.array([k % nb for k in okeys], pa.int32()),
+                "kb": _ibuckets(okeys, nb),
                 "skey": pa.array([-1] * n, pa.int64()),
                 "smax": pa.array([None] * n, pa.timestamp("us")),
             }
@@ -6955,7 +7047,7 @@ def q_events_band_join(sf_dir: str):
         return pa.table(
             {
                 "cell": pa.array(out_cell, pa.int64()),
-                "gb": pa.array([c % nb for c in out_cell], pa.int32()),
+                "gb": _ibuckets(out_cell, nb),
                 "event_id": pa.array(out_id, pa.int64()),
                 "user_id": pa.array(out_user, pa.int64()),
                 "us": pa.array(out_us, pa.int64()),
@@ -7088,20 +7180,58 @@ def q_events_gapfill(sf_dir: str):
     return dense
 
 
-def q_copurchase_triangles(sf_dir: str):
+def _wedge_pair_chunks(nbrs: np.ndarray, cap: int = 1 << 20):
+    """Yield the C(d,2) id-ordered wedge encodings ((x<<32)|y, x<y) of an
+    ASCENDING-sorted neighbor array in ≤``cap``-sized numpy chunks.  A hot
+    node with degree d would otherwise allocate O(d²) in one shot, which
+    this host stalls on at first touch (BASELINE.md allocation-stall
+    note)."""
+    d = nbrs.size
+    if d < 2:
+        return
+    if d * (d - 1) // 2 <= cap:
+        i, j = np.triu_indices(d, k=1)
+        yield (nbrs[i] << 32) | nbrs[j]
+        return
+    lens = np.arange(d - 1, 0, -1)  # pairs contributed by row i
+    cum = np.cumsum(lens)
+    row = 0
+    while row < d - 1:
+        base = cum[row - 1] if row else 0
+        stop = int(np.searchsorted(cum, base + cap, side="left")) + 1
+        stop = min(max(stop, row + 1), d - 1)
+        ii = np.repeat(np.arange(row, stop), lens[row:stop])
+        jj = np.concatenate([np.arange(i + 1, d) for i in range(row, stop)])
+        yield (nbrs[ii] << 32) | nbrs[jj]  # nbrs ascending ⇒ x < y already
+        row = stop
+
+
+def q_copurchase_triangles(sf_dir: str, *, broadcast_edge_cap: int | None = None):
     """Triangle count of the co-purchase graph (parts sharing ≥1 order).
 
     Scale shape — degree-ordered node-iterator: edges are oriented from the
     lower-(degree, id) endpoint to the higher, so each triangle is counted
     exactly once as a wedge at its lowest-ordered corner and per-node wedge
     work is bounded by out-degree² (the arboricity bound that makes this the
-    standard distributed algorithm).  Wedge existence checks run vectorized
-    (np.searchsorted) against the sorted edge-encoding array broadcast once
-    via ``ray.put`` — O(E) per worker, the documented small-side assumption
-    for product-catalog graphs (E ≈ nodes × bounded basket degree).  For
-    graphs whose edge list outgrows a worker, swap the broadcast lookup for
-    a bucketed hash join of wedge encodings against edges (the
-    ``pair_text_metric`` two-pass pattern).  Edge building reuses the
+    standard distributed algorithm).  TWO execution paths with an automatic
+    switch on the deduped edge count (``broadcast_edge_cap``, env
+    ``EDS_TRIANGLE_BROADCAST_EDGES``, default 10M ≈ 80 MB):
+
+    - **broadcast** (edge list fits a worker): the sorted edge-encoding
+      array ships once via ``ray.put``; wedge existence checks run
+      vectorized (np.searchsorted) per u-bucket — O(E) per worker, the
+      right trade for product-catalog graphs (E ≈ nodes × basket degree).
+    - **bucketed** (edge list outgrows a worker): NOTHING is driver- or
+      worker-resident.  Degrees come from an endpoint-hash co-group (all
+      half-rows of a node land in one bucket, so the local count is the
+      exact degree — no degree broadcast); orientation regroups the two
+      half-rows per edge; wedge candidates then co-group WITH the edges by
+      candidate-encoding hash, where a sorted-array membership test counts
+      matches.  Five narrow int64 shuffles, per-stage state O(bucket).
+
+    Both paths share the same orientation contract ((deg, id) lexicographic)
+    and the same chunked candidate enumeration (``_wedge_pair_chunks``), and
+    a test pins them to identical outputs.  Edge building reuses the
     market-basket projection of q_copurchase_top_pairs (one orderkey-bucket
     groupby, C(basket,2) enumeration)."""
     import ray
@@ -7110,12 +7240,11 @@ def q_copurchase_triangles(sf_dir: str):
     nb = resolve_group_buckets(None)
 
     def project(batch: pa.Table) -> pa.Table:
-        okeys = batch["l_orderkey"].to_pylist()
         return pa.table(
             {
                 "okey": batch["l_orderkey"].cast(pa.int64()),
                 "pkey": batch["l_partkey"].cast(pa.int64()),
-                "kb": pa.array([k % nb for k in okeys], pa.int32()),
+                "kb": _ibuckets(batch["l_orderkey"], nb),
             }
         )
 
@@ -7123,6 +7252,13 @@ def q_copurchase_triangles(sf_dir: str):
         empty = pd.DataFrame({"edge": pd.array([], dtype="int64")})
         if group.empty:
             return empty
+        # edge encodings pack as (a<<32)|b — same loud 2^32 guard as
+        # q_part_affinity_lift (ADVICE r3: fail instead of corrupting)
+        if int(group["pkey"].max()) >= 1 << 32:
+            raise ValueError(
+                f"l_partkey {int(group['pkey'].max())} >= 2^32: packed edge "
+                "encodings would collide; switch to two-column edge keys"
+            )
         seen: set[int] = set()
         for _, parts in group.groupby("okey")["pkey"]:
             basket = sorted(set(parts.tolist()))
@@ -7130,25 +7266,57 @@ def q_copurchase_triangles(sf_dir: str):
                 seen.add((a << 32) | b)
         return pd.DataFrame({"edge": pd.Series(sorted(seen), dtype="int64")})
 
-    edges_ds = (
+    # global edge dedup (an edge can surface from orders in different kb
+    # buckets): one edge-hash bucket co-group; materialized because both
+    # paths re-consume it (count + either broadcast or the half-row stages)
+    def edge_bucket(batch: pa.Table) -> pa.Table:
+        e = batch["edge"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "edge": pa.array(e, pa.int64()),
+                "eb": pa.array((e % nb).astype(np.int32), pa.int32()),
+            }
+        )
+
+    def dedup_group(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"edge": pd.Series(np.unique(g["edge"].to_numpy()), dtype="int64")}
+        )
+
+    dedup_edges = (
         _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
         .map_batches(project, batch_format="pyarrow")
         .groupby("kb")
         .map_groups(bucket_edges, batch_format="pandas")
-    )
-    # edge list streams to the driver ONCE (bounded: catalog graph — E grows
-    # with parts × basket degree, not with fact-table rows), is deduped
-    # (an edge can surface from orders in different kb buckets) and broadcast
-    # once; every downstream task reads it zero-copy
+        # edge_bucket doubles as the pandas→arrow re-encode before the shuffle
+        .map_batches(edge_bucket, batch_format="pyarrow")
+        .groupby("eb")
+        .map_groups(dedup_group, batch_format="pandas")
+    ).materialize()
+    n_edges = dedup_edges.count()
+    if n_edges == 0:
+        return pd.DataFrame({"n_triangles": pd.array([0], dtype="int64")})
+
+    cap = broadcast_edge_cap
+    if cap is None:
+        cap = int(os.environ.get("EDS_TRIANGLE_BROADCAST_EDGES", str(10_000_000)))
+
+    if n_edges <= cap:
+        return _triangles_broadcast(dedup_edges, nb)
+    return _triangles_bucketed(dedup_edges, nb)
+
+
+def _triangles_broadcast(dedup_edges, nb: int) -> pd.DataFrame:
+    """Small-edge-list path: the sorted edge array is driver-folded once and
+    broadcast; wedge checks are a local searchsorted per u-bucket."""
+    import ray
+    import ray.data as rd
+
     chunks = [
         b["edge"].to_numpy()
-        for b in edges_ds.iter_batches(batch_size=65536, batch_format="pyarrow")
+        for b in dedup_edges.iter_batches(batch_size=65536, batch_format="pyarrow")
     ]
-    edge_arr = (
-        np.unique(np.concatenate(chunks)) if chunks else np.array([], dtype=np.int64)
-    )
-    if edge_arr.size == 0:
-        return pd.DataFrame({"n_triangles": pd.array([0], dtype="int64")})
+    edge_arr = np.sort(np.concatenate(chunks))  # globally unique already
     src = (edge_arr >> 32).astype(np.int64)
     dst = (edge_arr & 0xFFFFFFFF).astype(np.int64)
     nodes, counts = np.unique(np.concatenate([src, dst]), return_counts=True)
@@ -7176,42 +7344,12 @@ def q_copurchase_triangles(sf_dir: str):
             return pd.DataFrame({"n": pd.array([], dtype="int64")})
         all_edges = ray.get(edges_ref)
         total = 0
-        # per-call temporaries bounded to ~1M candidates: a hot node with
-        # degree d would otherwise allocate O(d²) in one shot, which this
-        # host stalls on at first touch (see BASELINE.md allocation-stall
-        # note) — chunk row-wise over the triangular pair space instead
-        CAP = 1 << 20
         for _, g in group.groupby("u", sort=False):
-            nbrs = np.unique(g["v"].to_numpy())
-            d = nbrs.size
-            if d < 2:
-                continue
-            if d * (d - 1) // 2 <= CAP:
-                # common case: one bounded-vectorized shot
-                i, j = np.triu_indices(d, k=1)
-                cand = (nbrs[i] << 32) | nbrs[j]
+            for cand in _wedge_pair_chunks(np.unique(g["v"].to_numpy())):
                 pos = np.searchsorted(all_edges, cand)
                 pos[pos >= all_edges.size] = all_edges.size - 1
                 total += int((all_edges[pos] == cand).sum())
-                continue
-            lens = np.arange(d - 1, 0, -1)  # pairs contributed by row i
-            cum = np.cumsum(lens)
-            row = 0
-            while row < d - 1:
-                base = cum[row - 1] if row else 0
-                stop = int(np.searchsorted(cum, base + CAP, side="left")) + 1
-                stop = min(max(stop, row + 1), d - 1)
-                ii = np.repeat(np.arange(row, stop), lens[row:stop])
-                jj = np.concatenate([np.arange(i + 1, d) for i in range(row, stop)])
-                x, y = nbrs[ii], nbrs[jj]
-                cand = (x << 32) | y  # nbrs ascending ⇒ x < y already
-                pos = np.searchsorted(all_edges, cand)
-                pos[pos >= all_edges.size] = all_edges.size - 1
-                total += int((all_edges[pos] == cand).sum())
-                row = stop
         return pd.DataFrame({"n": pd.array([total], dtype="int64")})
-
-    import ray.data as rd
 
     parts = (
         rd.from_arrow(oriented)
@@ -7219,7 +7357,130 @@ def q_copurchase_triangles(sf_dir: str):
         .groupby("ub")
         .map_groups(wedges, batch_format="pandas")
     )
-    total = int(sum(b["n"].to_numpy().sum() for b in parts.iter_batches(batch_size=4096, batch_format="pyarrow")))
+    total = int(
+        sum(
+            b["n"].to_numpy().sum()
+            for b in parts.iter_batches(batch_size=4096, batch_format="pyarrow")
+        )
+    )
+    return pd.DataFrame({"n_triangles": pd.array([total], dtype="int64")})
+
+
+def _triangles_bucketed(dedup_edges, nb: int) -> pd.DataFrame:
+    """Large-edge-list path: no edge list on the driver or in any worker.
+
+    degrees ← endpoint-hash co-group (a node's half-rows all land in one
+    bucket, so the local count is the exact degree); orientation ← regroup
+    the two degree-annotated half-rows per edge; existence ← wedge
+    candidates co-grouped WITH the edges by candidate-encoding hash."""
+
+    def halves(batch: pa.Table) -> pa.Table:
+        e = batch["edge"].to_numpy(zero_copy_only=False).astype(np.int64)
+        a = e >> 32
+        b = e & 0xFFFFFFFF
+        node = np.concatenate([a, b])
+        return pa.table(
+            {
+                "node": pa.array(node, pa.int64()),
+                "edge": pa.array(np.concatenate([e, e]), pa.int64()),
+                "slot": pa.array(
+                    np.concatenate(
+                        [np.zeros(e.size, np.int8), np.ones(e.size, np.int8)]
+                    ),
+                    pa.int8(),
+                ),
+                "hb": pa.array((node % nb).astype(np.int32), pa.int32()),
+            }
+        )
+
+    def annotate_deg(g: pd.DataFrame) -> pd.DataFrame:
+        deg = g.groupby("node")["edge"].size()  # exact: bucket-complete per node
+        edges = g["edge"].to_numpy()
+        return pd.DataFrame(
+            {
+                "edge": edges,
+                "slot": g["slot"].to_numpy(),
+                "node": g["node"].to_numpy(),
+                "deg": g["node"].map(deg).astype("int64").to_numpy(),
+                "geb": (edges % nb).astype("int32"),
+            }
+        )
+
+    def orient(g: pd.DataFrame) -> pd.DataFrame:
+        s0 = g.loc[g["slot"] == 0].sort_values("edge")
+        s1 = g.loc[g["slot"] == 1].sort_values("edge")
+        a, da = s0["node"].to_numpy(), s0["deg"].to_numpy()
+        b, db = s1["node"].to_numpy(), s1["deg"].to_numpy()
+        # (deg, id) lexicographic — identical contract to the broadcast
+        # path's rank comparison
+        take_a = (da < db) | ((da == db) & (a <= b))
+        u = np.where(take_a, a, b)
+        v = np.where(take_a, b, a)
+        return pd.DataFrame(
+            {
+                "u": pd.Series(u, dtype="int64"),
+                "v": pd.Series(v, dtype="int64"),
+                "ub": pd.Series((u % nb).astype(np.int32), dtype="int32"),
+            }
+        )
+
+    def wedge_candidates(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, gg in g.groupby("u", sort=False):
+            out.extend(_wedge_pair_chunks(np.unique(gg["v"].to_numpy())))
+        cands = np.concatenate(out) if out else np.zeros(0, np.int64)
+        return pd.DataFrame(
+            {
+                "k": pd.Series(cands, dtype="int64"),
+                "cb": pd.Series((cands % nb).astype(np.int32), dtype="int32"),
+                "is_edge": pd.Series(np.zeros(cands.size, np.int8), dtype="int8"),
+            }
+        )
+
+    def edge_side(batch: pa.Table) -> pa.Table:
+        e = batch["edge"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "k": pa.array(e, pa.int64()),
+                "cb": pa.array((e % nb).astype(np.int32), pa.int32()),
+                "is_edge": pa.array(np.ones(e.size, np.int8), pa.int8()),
+            }
+        )
+
+    def count_matches(g: pd.DataFrame) -> pd.DataFrame:
+        ek = np.unique(g.loc[g["is_edge"] == 1, "k"].to_numpy())
+        ck = g.loc[g["is_edge"] == 0, "k"].to_numpy()
+        if ek.size == 0 or ck.size == 0:
+            return pd.DataFrame({"n": pd.array([0], dtype="int64")})
+        pos = np.searchsorted(ek, ck)
+        pos[pos >= ek.size] = ek.size - 1
+        return pd.DataFrame(
+            {"n": pd.array([int((ek[pos] == ck).sum())], dtype="int64")}
+        )
+
+    oriented = _arrow_blocks(
+        _arrow_blocks(
+            dedup_edges.map_batches(halves, batch_format="pyarrow")
+            .groupby("hb")
+            .map_groups(annotate_deg, batch_format="pandas")
+        )
+        .groupby("geb")
+        .map_groups(orient, batch_format="pandas")
+    )
+    candidates = _arrow_blocks(
+        oriented.groupby("ub").map_groups(wedge_candidates, batch_format="pandas")
+    )
+    parts = (
+        candidates.union(dedup_edges.map_batches(edge_side, batch_format="pyarrow"))
+        .groupby("cb")
+        .map_groups(count_matches, batch_format="pandas")
+    )
+    total = int(
+        sum(
+            b["n"].to_numpy().sum()
+            for b in parts.iter_batches(batch_size=4096, batch_format="pyarrow")
+        )
+    )
     return pd.DataFrame({"n_triangles": pd.array([total], dtype="int64")})
 
 
@@ -7274,12 +7535,11 @@ def q_events_above_user_median(sf_dir: str):
     nb = resolve_group_buckets()
 
     def to_rows(batch: pa.Table) -> pa.Table:
-        users = batch["user_id"].to_pylist()
         return pa.table(
             {
                 "user_id": batch["user_id"],
                 "value": batch["value"],
-                "ub": pa.array([_kbucket(u, nb) for u in users], pa.int32()),
+                "ub": _ibuckets(batch["user_id"], nb),
             }
         )
 
@@ -7391,14 +7651,13 @@ def q_events_rolling_max3(sf_dir: str):
     nb = resolve_group_buckets()
 
     def to_rows(batch: pa.Table) -> pa.Table:
-        users = batch["user_id"].to_pylist()
         return pa.table(
             {
                 "event_id": batch["event_id"],
                 "user_id": batch["user_id"],
                 "us": batch["ts"].cast(pa.int64()),
                 "value": batch["value"],
-                "ub": pa.array([_kbucket(u, nb) for u in users], pa.int32()),
+                "ub": _ibuckets(batch["user_id"], nb),
             }
         )
 
@@ -7479,14 +7738,13 @@ def q_events_lead_type(sf_dir: str):
     nb = resolve_group_buckets()
 
     def to_rows(batch: pa.Table) -> pa.Table:
-        users = batch["user_id"].to_pylist()
         return pa.table(
             {
                 "event_id": batch["event_id"],
                 "user_id": batch["user_id"],
                 "us": batch["ts"].cast(pa.int64()),
                 "event_type": batch["event_type"],
-                "ub": pa.array([_kbucket(u, nb) for u in users], pa.int32()),
+                "ub": _ibuckets(batch["user_id"], nb),
             }
         )
 
@@ -7582,12 +7840,11 @@ def q_copurchase_bfs_hops(sf_dir: str):
     nb = resolve_group_buckets(None)
 
     def project(batch: pa.Table) -> pa.Table:
-        okeys = batch["l_orderkey"].to_pylist()
         return pa.table(
             {
                 "okey": batch["l_orderkey"].cast(pa.int64()),
                 "pkey": batch["l_partkey"].cast(pa.int64()),
-                "kb": pa.array([k % nb for k in okeys], pa.int32()),
+                "kb": _ibuckets(batch["l_orderkey"], nb),
             }
         )
 
@@ -7877,20 +8134,21 @@ def q_part_affinity_lift(sf_dir: str):
     top-20.  The driver folds only the pruned pair rows plus the
     part-count rows (dimension-sized: O(|part| + blocks), never
     O(lineitem)) and joins the 40 relevant part counts in memory.  Float
-    contract: lift divides two exact int64 products in ONE double op, so
-    both engines produce bit-identical doubles before the shared 6dp
-    round."""
+    contract: both engines cast the exact int64 numerator n_ab·N to double
+    FIRST, then perform one IEEE division by the exact int denominator —
+    the same op order as the oracle's CAST(n_ab*n_total AS DOUBLE) /
+    (n_a*n_b), bit-identical even past 2^53 where int/int and double/int
+    division would differ."""
     from itertools import combinations
 
     nb = resolve_group_buckets(None)
 
     def project(batch: pa.Table) -> pa.Table:
-        okeys = batch["l_orderkey"].to_pylist()
         return pa.table(
             {
                 "okey": batch["l_orderkey"].cast(pa.int64()),
                 "pkey": batch["l_partkey"].cast(pa.int64()),
-                "kb": pa.array([k % nb for k in okeys], pa.int32()),
+                "kb": _ibuckets(batch["l_orderkey"], nb),
             }
         )
 
@@ -7905,6 +8163,14 @@ def q_part_affinity_lift(sf_dir: str):
         )
         if group.empty:
             return empty
+        # pair keys pack as (a<<32)|b: a partkey at/above 2^32 would bleed
+        # into the high word and silently corrupt pair counts — fail loudly
+        # (one vectorized max per group)
+        if int(group["pkey"].max()) >= 1 << 32:
+            raise ValueError(
+                f"l_partkey {int(group['pkey'].max())} >= 2^32: packed pair "
+                "keys would collide; switch the pair key to two columns"
+            )
         pair_c: Counter = Counter()
         part_c: Counter = Counter()
         n_orders = 0
@@ -7988,7 +8254,10 @@ def q_part_affinity_lift(sf_dir: str):
         p1s.append(a)
         p2s.append(b)
         ns.append(n_ab)
-        lifts.append(round((n_ab * n_total) / (part_n[a] * part_n[b]), 6))
+        # op order matches the oracle exactly: CAST(n_ab*n_total AS DOUBLE)
+        # first, THEN one IEEE division by the exact int product — above
+        # 2^53 Python's correctly-rounded int/int would diverge from it
+        lifts.append(round(float(n_ab * n_total) / (part_n[a] * part_n[b]), 6))
     return pa.table(
         {
             "p1": pa.array(p1s, pa.int64()),
@@ -8041,6 +8310,7 @@ def q_minhash_estimate_error(sf_dir: str):
         return mins
 
     def audit(batch: pa.Table) -> pa.Table:
+        _assert_id_headroom(batch["doc_id"])
         lefts, rights, exacts, ests, errs = [], [], [], [], []
         for doc_id, text in zip(
             batch["doc_id"].to_pylist(), batch["text"].to_pylist()
@@ -8062,7 +8332,7 @@ def q_minhash_estimate_error(sf_dir: str):
             else:
                 est = 1.0 if (not ga and not gb) else 0.0
             lefts.append(doc_id)
-            rights.append(doc_id + 1_000_000)
+            rights.append(doc_id + _PERTURB_ID_OFFSET)
             exacts.append(exact)
             ests.append(est)
             errs.append(abs(est - exact))
@@ -8095,12 +8365,13 @@ def q_doc_containment(sf_dir: str):
     base = _read_spread(sf_dir, "documents", ["doc_id", "text"])
 
     def halved(batch: pa.Table) -> pa.Table:
+        _assert_id_headroom(batch["doc_id"])
         ids = batch["doc_id"].to_pylist()
         texts = [t or "" for t in batch["text"].to_pylist()]
         return pa.table(
             {
                 "doc_id": pa.array(
-                    ids + [d + 1_000_000 for d in ids], pa.int64()
+                    ids + [d + _PERTURB_ID_OFFSET for d in ids], pa.int64()
                 ),
                 "text": pa.array(
                     texts + [t[: len(t) // 2] for t in texts], pa.string()
@@ -8114,7 +8385,7 @@ def q_doc_containment(sf_dir: str):
         ids = batch["doc_id"].to_pylist()
         return pa.table(
             {
-                "left": pa.array([d + 1_000_000 for d in ids], pa.int64()),
+                "left": pa.array([d + _PERTURB_ID_OFFSET for d in ids], pa.int64()),
                 "right": pa.array(ids, pa.int64()),
             }
         )
@@ -8144,14 +8415,13 @@ def q_events_path_trigrams(sf_dir: str):
     nb = resolve_group_buckets(None)
 
     def project(batch: pa.Table) -> pa.Table:
-        users = batch["user_id"].to_pylist()
         return pa.table(
             {
                 "user_id": batch["user_id"],
                 "us": batch["ts"].cast(pa.int64()),
                 "event_id": batch["event_id"],
                 "event_type": batch["event_type"],
-                "ub": pa.array([_kbucket(u, nb) for u in users], pa.int32()),
+                "ub": _ibuckets(batch["user_id"], nb),
             }
         )
 
@@ -8229,13 +8499,13 @@ def q_referential_orphans(sf_dir: str):
             # parent key ever reaches
             n_null = batch[ckey].null_count
             vc = pc.value_counts(pc.drop_null(batch[ckey]))
-            keys = [int(k) for k in vc.field("values").to_pylist()]
-            cnts = [int(c) for c in vc.field("counts").to_pylist()]
-            kbs = [_kbucket(k, nb) for k in keys]
+            keys = vc.field("values").to_numpy(zero_copy_only=False).astype(np.int64)
+            cnts = vc.field("counts").to_numpy(zero_copy_only=False).astype(np.int64)
+            kbs = (keys % nb).astype(np.int32)
             if n_null:
-                keys.append(0)
-                cnts.append(int(n_null))
-                kbs.append(-1)
+                keys = np.concatenate([keys, [0]])
+                cnts = np.concatenate([cnts, [int(n_null)]])
+                kbs = np.concatenate([kbs, np.array([-1], np.int32)])
             return pa.table(
                 {
                     "key": pa.array(keys, pa.int64()),
@@ -8246,14 +8516,11 @@ def q_referential_orphans(sf_dir: str):
             )
 
         def parent_keys(batch: pa.Table) -> pa.Table:
-            keys = [
-                int(k)
-                for k in pc.unique(pc.drop_null(batch[pkey])).to_pylist()
-            ]
+            keys = pc.unique(pc.drop_null(batch[pkey]))
             return pa.table(
                 {
-                    "key": pa.array(keys, pa.int64()),
-                    "kb": pa.array([_kbucket(k, nb) for k in keys], pa.int32()),
+                    "key": keys.cast(pa.int64()),
+                    "kb": _ibuckets(keys, nb),
                     "cnt": pa.array([0] * len(keys), pa.int64()),
                     "is_parent": pa.array([True] * len(keys), pa.bool_()),
                 }
@@ -8319,7 +8586,6 @@ def q_events_rolling_zscore(sf_dir: str):
     W = 10
 
     def project(batch: pa.Table) -> pa.Table:
-        users = batch["user_id"].to_pylist()
         cents = pc.cast(pc.round(pc.multiply(batch["value"], 100.0)), pa.int64())
         return pa.table(
             {
@@ -8327,7 +8593,7 @@ def q_events_rolling_zscore(sf_dir: str):
                 "us": batch["ts"].cast(pa.int64()),
                 "event_id": batch["event_id"],
                 "cents": cents,
-                "ub": pa.array([_kbucket(u, nb) for u in users], pa.int32()),
+                "ub": _ibuckets(batch["user_id"], nb),
             }
         )
 
@@ -8718,11 +8984,12 @@ def q_doc_ngram_novelty(sf_dir: str):
                 )
                 ghash.append(h - (1 << 63))  # center into int64
                 docs.append(doc_id)
+        gh_arr = np.asarray(ghash, dtype=np.int64) if ghash else np.zeros(0, np.int64)
         return pa.table(
             {
-                "gh": pa.array(ghash, pa.int64()),
+                "gh": pa.array(gh_arr, pa.int64()),
                 "doc_id": pa.array(docs, pa.int64()),
-                "gb": pa.array([_kbucket(h, nb) for h in ghash], pa.int32()),
+                "gb": pa.array((gh_arr % nb).astype(np.int32), pa.int32()),
             }
         )
 
@@ -9004,12 +9271,11 @@ def q_events_active_time(sf_dir: str):
     WIN_US = 300 * 1_000_000
 
     def project(batch: pa.Table) -> pa.Table:
-        users = batch["user_id"].to_pylist()
         return pa.table(
             {
                 "user_id": batch["user_id"],
                 "us": batch["ts"].cast(pa.int64()),
-                "ub": pa.array([_kbucket(u, nb) for u in users], pa.int32()),
+                "ub": _ibuckets(batch["user_id"], nb),
             }
         )
 
@@ -9074,7 +9340,6 @@ def q_events_cusum_alarms(sf_dir: str):
     H = 50_000
 
     def project(batch: pa.Table) -> pa.Table:
-        users = batch["user_id"].to_pylist()
         cents = pc.cast(pc.round(pc.multiply(batch["value"], 100.0)), pa.int64())
         return pa.table(
             {
@@ -9082,7 +9347,7 @@ def q_events_cusum_alarms(sf_dir: str):
                 "us": batch["ts"].cast(pa.int64()),
                 "event_id": batch["event_id"],
                 "cents": cents,
-                "ub": pa.array([_kbucket(u, nb) for u in users], pa.int32()),
+                "ub": _ibuckets(batch["user_id"], nb),
             }
         )
 
@@ -9201,12 +9466,11 @@ def q_events_user_entropy(sf_dir: str):
     nb = resolve_group_buckets(None)
 
     def project(batch: pa.Table) -> pa.Table:
-        users = batch["user_id"].to_pylist()
         return pa.table(
             {
                 "user_id": batch["user_id"],
                 "event_type": batch["event_type"],
-                "ub": pa.array([_kbucket(u, nb) for u in users], pa.int32()),
+                "ub": _ibuckets(batch["user_id"], nb),
             }
         )
 
@@ -9385,6 +9649,7 @@ QUERIES = {
     "token_stream_pack": q_token_stream_pack,
     "lang_temperature_sample": q_lang_temperature_sample,
     "trigram_lm_nll": q_trigram_lm_nll,
+    "trigram_lm_nll_pruned": q_trigram_lm_nll_pruned,
     "trigram_quality_buckets": q_trigram_quality_buckets,
     "dataset_split_counts": q_dataset_split_counts,
     "events_distinct_users_hourly": q_events_distinct_users_hourly,
@@ -10433,6 +10698,40 @@ ORACLE_SQL = {
           GROUP BY tri.doc_id, tri.lang
         )
         SELECT doc_id, lang, n_tri, ROUND(-s / n_tri, 6) AS nll FROM scored
+    """,
+    "trigram_lm_nll_pruned": """
+        WITH tri AS (
+          SELECT doc_id, lang, substr(text, i, 3) AS t
+          FROM documents, UNNEST(generate_series(1, length(text) - 2)) AS u(i)
+          WHERE length(COALESCE(text, '')) >= 3
+        ),
+        model_all AS (SELECT lang, t, COUNT(*) AS c FROM tri GROUP BY lang, t),
+        model AS (SELECT * FROM model_all WHERE c >= 2),
+        dropped AS (
+          SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_types_dropped
+          FROM model_all WHERE c < 2 GROUP BY lang
+        ),
+        totals AS (
+          SELECT lang, CAST(SUM(c) AS BIGINT) AS n_tok, CAST(COUNT(*) AS BIGINT) AS v
+          FROM model GROUP BY lang
+        ),
+        scored AS (
+          SELECT tri.doc_id, tri.lang,
+                 COUNT(*) AS n_tri,
+                 SUM(ln((COALESCE(model.c, 0) + 1)
+                        / CAST(totals.n_tok + totals.v AS DOUBLE))) AS s
+          FROM tri
+          LEFT JOIN model ON model.lang = tri.lang AND model.t = tri.t
+          JOIN totals ON totals.lang = tri.lang
+          GROUP BY tri.doc_id, tri.lang
+        )
+        SELECT s.doc_id, s.lang, CAST(s.n_tri AS BIGINT) AS n_tri,
+               ROUND(-s.s / s.n_tri, 6) AS nll,
+               t.v AS n_types_kept,
+               COALESCE(d.n_types_dropped, 0) AS n_types_dropped
+        FROM scored s
+        JOIN totals t ON t.lang = s.lang
+        LEFT JOIN dropped d ON d.lang = s.lang
     """,
     "trigram_quality_buckets": """
         WITH tri AS (
