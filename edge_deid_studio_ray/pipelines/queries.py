@@ -1026,11 +1026,14 @@ def q_deid_blackbox_stats(sf_dir: str):
 
 
 def q_deid_replace_documents(sf_dir: str):
-    """Full replace-mode deid over documents (deterministic surrogates).
-
-    Not SQL-expressible (seeded RNG surrogates) → rows-only driver check;
-    byte-identity is guaranteed by tests/test_reference_parity.py.
-    """
+    """Full replace-mode deid over documents — the STRUCTURE of the result
+    is oracle-checked even though the surrogate strings are seeded-RNG bound
+    (their bytes are pinned by tests/test_reference_parity.py): this corpus
+    only triggers MEDICAL_ID spans, whose surrogate is always 'M' + 7 digits
+    (kernels/replace.py:85-87, mirroring the reference fake_provider), so
+    the oracle predicts len(clean_text) exactly as
+    len(text) − masked_chars + 8·n_spans — the replace-stage span
+    arithmetic verified end-to-end through the REAL replacement path."""
     cfg = EngineConfig()
     deid = make_deid_batch_fn(cfg)
 
@@ -1040,8 +1043,10 @@ def q_deid_replace_documents(sf_dir: str):
             {
                 "doc_id": batch["doc_id"],
                 "context_hash": out["context_hash"],
-                "clean_text": out["clean_text"],
                 "n_spans": out["n_spans"],
+                "clean_len": pa.array(
+                    [len(t or "") for t in out["clean_text"].to_pylist()], pa.int64()
+                ),
             }
         )
 
@@ -1356,6 +1361,74 @@ def pages_rows_for(sf_dir: str) -> int:
     return _SF_PAGES.get(tail, 500)
 
 
+# Fixed path the pages oracles read via read_parquet() — the harness runs
+# the query BEFORE its oracle, and each pages query (re)materializes this
+# fixture for its sf at build time, so the SQL always sees the corpus the
+# engine just processed.
+_PAGES_FIXTURE = "/tmp/eds_pages_fixture/pages.parquet"
+
+
+def _ensure_pages_fixture(sf_dir: str) -> str:
+    """Materialize the DECODED synthetic pages corpus once per (n, seed,
+    generator version) so oracle SQL can re-derive extraction semantics from
+    first principles over the raw page strings (VERDICT r3 #4 pattern).
+
+    Columns: url; route (the registry routing rule re-stated on raw row
+    facts — text present / .csv suffix / %PDF- magic / html — NOT by running
+    the extractor); page (decoded html string, html route only); text (the
+    passthrough payload).  Pure driver-side generation (no Ray): the fixture
+    is test infrastructure, not the operator under test; idempotent via a
+    version marker so repeated bench runs pay the write once."""
+    import pyarrow.parquet as pq
+
+    from ..kernels.html_text import decode_html_bytes
+    from ..kernels.pdf_text import is_pdf
+    from ..sources.pages import GENERATOR_VERSION, synthesize_pages_table
+
+    n = pages_rows_for(sf_dir)
+    d = os.path.dirname(_PAGES_FIXTURE)
+    marker = os.path.join(d, "_MARKER")
+    stamp = f"n={n} seed=42 v={GENERATOR_VERSION} fx=1"
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if f.read() == stamp:
+                return _PAGES_FIXTURE
+    os.makedirs(d, exist_ok=True)
+    chunks = []
+    for lo in range(0, n, 2048):
+        raw = synthesize_pages_table(range(lo, min(lo + 2048, n)))
+        urls = raw["url"].to_pylist()
+        texts = raw["text"].to_pylist()
+        payloads = raw["html"].to_pylist()
+        routes, pages_out = [], []
+        for url, text, payload in zip(urls, texts, payloads):
+            payload = payload or b""
+            if text is not None:
+                route = "text"
+            elif url.lower().endswith(".csv"):
+                route = "csv"
+            elif is_pdf(payload):
+                route = "pdf"
+            else:
+                route = "html"
+            routes.append(route)
+            pages_out.append(decode_html_bytes(payload) if route == "html" else "")
+        chunks.append(
+            pa.table(
+                {
+                    "url": pa.array(urls, pa.string()),
+                    "route": pa.array(routes, pa.string()),
+                    "page": pa.array(pages_out, pa.string()),
+                    "text": raw["text"],
+                }
+            )
+        )
+    pq.write_table(pa.concat_tables(chunks), _PAGES_FIXTURE)
+    with open(marker, "w") as f:
+        f.write(stamp)
+    return _PAGES_FIXTURE
+
+
 def q_pages_pipeline_counters(sf_dir: str):
     """Flagship extraction+deid over synthetic pages; per-partition lineage
     counters (pid → docs/spans/bytes) — the north-rule metrics surface."""
@@ -1372,26 +1445,67 @@ def q_pages_pipeline_counters(sf_dir: str):
     )
 
 
-def q_pages_extract_hashes(sf_dir: str):
-    """Per-url extracted/clean text hashes on the synthetic pages corpus
-    (deterministic; byte-identity enforced by the parity test suite)."""
-    from ..pipelines.deid import build_deid_pipeline
+def _oracle_visible_pages(sf_dir: str, *, include_text_route: bool):
+    """The pages subset whose extraction an SQL oracle can re-derive from
+    the fixture: html-route rows whose decode produced no U+FFFD (the 2%
+    malformed-splice slice can break a tag differently for a stream parser
+    vs a regex — those rows stay covered by the rows-only pipeline queries
+    and the parity tests), plus optionally the passthrough-text rows.
+    Filtering happens on the INPUT (row-wise pure pipeline ⇒ identical
+    per-row results), so the full deid pipeline still runs downstream."""
+    from ..kernels.pdf_text import is_pdf
     from ..sources.pages import pages_dataset
 
-    ds = build_deid_pipeline(pages_dataset(pages_rows_for(sf_dir)))
+    def keep(batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        texts = batch["text"].to_pylist()
+        payloads = batch["html"].to_pylist()
+        mask = []
+        for url, text, payload in zip(urls, texts, payloads):
+            payload = payload or b""
+            if text is not None:
+                mask.append(include_text_route)
+            elif url.lower().endswith(".csv") or is_pdf(payload):
+                mask.append(False)
+            else:
+                mask.append("�" not in payload.decode("utf-8", errors="replace"))
+        return batch.filter(pa.array(mask))
+
+    return pages_dataset(pages_rows_for(sf_dir)).map_batches(
+        keep, batch_format="pyarrow"
+    )
+
+
+def q_pages_extract_hashes(sf_dir: str):
+    """Per-url EXTRACTION hash + length over the synthetic pages corpus,
+    oracle-checked from first principles: the query materializes the decoded
+    page fixture, and the oracle re-derives get_text("\\n") semantics in SQL
+    (strip script/style bodies, split on markup tokens, drop empty runs,
+    join with newline, decode &copy;) plus the passthrough route verbatim.
+    Covers the html + text routes without U+FFFD decodes (the pdf/csv/
+    malformed slices remain covered by pages_pipeline_counters and the
+    parity suite).  The deid half of the pipeline still executes here —
+    only the compared columns are extraction-side (deid bytes are oracled
+    by deid_context_hashes / deid_blackbox_stats)."""
+    from ..pipelines.deid import build_deid_pipeline
+
+    _ensure_pages_fixture(sf_dir)
+    ds = build_deid_pipeline(_oracle_visible_pages(sf_dir, include_text_route=True))
 
     def hashes(batch: pa.Table) -> pa.Table:
         from ..functions.dedup import md5_hex
 
+        texts = batch["extracted_text"].to_pylist()
         return pa.table(
             {
                 "url": batch["url"],
                 "route": batch["route"],
-                "context_hash": batch["context_hash"],
-                "clean_md5": pa.array(
-                    [md5_hex(t) for t in batch["clean_text"].to_pylist()], pa.string()
+                "extract_md5": pa.array(
+                    [md5_hex(t or "") for t in texts], pa.string()
                 ),
-                "n_spans": batch["n_spans"],
+                "n_extract_chars": pa.array(
+                    [len(t or "") for t in texts], pa.int64()
+                ),
             }
         )
 
@@ -1403,12 +1517,18 @@ def q_pages_link_stats(sf_dir: str):
     extraction pass): top-20 hrefs by total occurrences with the number of
     distinct pages linking them.  Per-batch partial counts pre-aggregate
     (href vocabulary, not page count, ships), one grouped sum, map-side
-    top-k prune before the final sort.  Deterministic rows-only (the
-    corpus is synthetic; kernel semantics pinned by unit tests)."""
+    top-k prune before the final sort.
+
+    Oracle-checked: the engine runs the streaming HTMLParser link collector;
+    the oracle re-derives the hrefs with a regex over the decoded page
+    fixture.  Scope = fetched-html route without U+FFFD decodes (see
+    _oracle_visible_pages) — links live in markup, so the pdf/csv/
+    passthrough routes are out of domain by definition."""
     from ray.data.aggregate import Sum
 
     from ..kernels.html_text import decode_html_bytes, extract_links
-    from ..sources.pages import pages_dataset
+
+    _ensure_pages_fixture(sf_dir)
 
     def partial(batch: pa.Table) -> pa.Table:
         totals: Counter = Counter()
@@ -1430,7 +1550,7 @@ def q_pages_link_stats(sf_dir: str):
         )
 
     out = (
-        pages_dataset(pages_rows_for(sf_dir))
+        _oracle_visible_pages(sf_dir, include_text_route=False)
         .map_batches(partial, batch_format="pyarrow")
         .groupby("href")
         .aggregate(
@@ -1469,26 +1589,34 @@ def q_training_data_pipeline(sf_dir: str):
 
 def q_pages_main_content(sf_dir: str):
     """Boilerplate-stripped (jusText/Readability-style) extraction over the
-    synthetic pages corpus: per-url main-content hash + reduction ratio
-    (north-star capability 1; deterministic rows-only check)."""
+    synthetic pages corpus: per-url main-content hash + length (north-star
+    capability 1), through the FULL deid pipeline in main_content mode.
+
+    Oracle-checked from first principles: the SQL re-derives the block
+    classifier over the fixture page strings — <p> blocks only (title is
+    sub-threshold, nav/footer are boilerplate containers, link density 0 in
+    paragraphs), whitespace-normalized, kept iff ≥ 25 chars or ending in
+    sentence punctuation, joined with newlines — exactly the published
+    heuristics kernels/boilerplate.py implements.  Scope: html route
+    without U+FFFD decodes."""
     from ..config import EngineConfig
     from ..pipelines.deid import build_deid_pipeline
-    from ..sources.pages import pages_dataset
 
+    _ensure_pages_fixture(sf_dir)
     cfg = EngineConfig(extract_mode="main_content")
-    ds = build_deid_pipeline(pages_dataset(pages_rows_for(sf_dir)), cfg)
+    ds = build_deid_pipeline(
+        _oracle_visible_pages(sf_dir, include_text_route=False), cfg
+    )
 
     def hashes(batch: pa.Table) -> pa.Table:
         from ..functions.dedup import md5_hex
 
+        texts = batch["extracted_text"].to_pylist()
         return pa.table(
             {
                 "url": batch["url"],
-                "main_md5": pa.array(
-                    [md5_hex(t) for t in batch["extracted_text"].to_pylist()], pa.string()
-                ),
-                "n_chars": batch["n_chars"],
-                "n_spans": batch["n_spans"],
+                "main_md5": pa.array([md5_hex(t or "") for t in texts], pa.string()),
+                "n_main_chars": pa.array([len(t or "") for t in texts], pa.int64()),
             }
         )
 
@@ -10110,6 +10238,65 @@ ORACLE_SQL = {
                     ELSE CAST(len(regexp_extract_all(text, '{_MEDICAL_RE}')) AS BIGINT)
                END AS n_spans
         FROM documents
+    """,
+    "deid_replace_documents": f"""
+        SELECT doc_id,
+               sha256(text) AS context_hash,
+               CASE WHEN lang = 'zh' THEN 0
+                    ELSE CAST(len(regexp_extract_all(text, '{_MEDICAL_RE}')) AS BIGINT)
+               END AS n_spans,
+               CAST(len(text) AS BIGINT)
+               - CASE WHEN lang = 'zh' THEN 0
+                      ELSE CAST(coalesce(list_aggregate(
+                           list_transform(regexp_extract_all(text, '{_MEDICAL_RE}'),
+                                          x -> len(x)), 'sum'), 0) AS BIGINT)
+                 END
+               + 8 * CASE WHEN lang = 'zh' THEN 0
+                          ELSE CAST(len(regexp_extract_all(text, '{_MEDICAL_RE}')) AS BIGINT)
+                     END AS clean_len
+        FROM documents
+    """,
+    "pages_extract_hashes": """
+        WITH fx AS (SELECT * FROM read_parquet('/tmp/eds_pages_fixture/pages.parquet')),
+        html_rows AS (
+          SELECT url, route,
+                 replace(array_to_string(list_filter(regexp_split_to_array(
+                     regexp_replace(regexp_replace(page,
+                        '(?s)(<script[^>]*>).*?(</script>)', '\\1\\2', 'g'),
+                        '(?s)(<style[^>]*>).*?(</style>)', '\\1\\2', 'g'),
+                     '<[^>]*>'), x -> x <> ''), chr(10)), '&copy;', chr(169)) AS extracted
+          FROM fx WHERE route = 'html' AND instr(page, chr(65533)) = 0
+        ),
+        text_rows AS (SELECT url, route, text AS extracted FROM fx WHERE route = 'text')
+        SELECT url, route, md5(extracted) AS extract_md5,
+               CAST(length(extracted) AS BIGINT) AS n_extract_chars
+        FROM (SELECT * FROM html_rows UNION ALL SELECT * FROM text_rows)
+    """,
+    "pages_link_stats": """
+        WITH links AS (
+          SELECT url, unnest(regexp_extract_all(page, '<a href="([^"]*)"', 1)) AS href
+          FROM read_parquet('/tmp/eds_pages_fixture/pages.parquet')
+          WHERE route = 'html' AND instr(page, chr(65533)) = 0
+        )
+        SELECT href, CAST(count(*) AS BIGINT) AS n_total,
+               CAST(count(DISTINCT url) AS BIGINT) AS n_pages
+        FROM links GROUP BY href
+        ORDER BY n_total DESC, href LIMIT 20
+    """,
+    "pages_main_content": """
+        WITH mains AS (
+          SELECT url, array_to_string(
+            list_filter(
+              list_transform(regexp_extract_all(page, '<p>([^<]*)</p>', 1),
+                             x -> trim(regexp_replace(x, ' +', ' ', 'g'))),
+              t -> length(t) >= 25 OR regexp_matches(t, '[.!?。！？…"”]$')
+            ), chr(10)) AS main
+          FROM read_parquet('/tmp/eds_pages_fixture/pages.parquet')
+          WHERE route = 'html' AND instr(page, chr(65533)) = 0
+        )
+        SELECT url, md5(main) AS main_md5,
+               CAST(length(main) AS BIGINT) AS n_main_chars
+        FROM mains
     """,
     "exact_dedup_groups": """
         SELECT md5(text) AS text_md5,
