@@ -356,6 +356,10 @@ def run_once() -> tuple[dict, dict]:
         except (OSError, ValueError):
             prev = None
         delta = None
+        if prev and not all(
+            prev.get(k) == result.get(k) for k in ("sf", "num_cpus", "pages_n")
+        ):
+            prev = None  # different config — a delta would compare apples to oranges
         if prev and prev.get("queries"):
             common = {
                 k: round(queries[k] - prev["queries"][k], 3)
