@@ -1290,42 +1290,135 @@ def q_knn_ivf_full_probe(sf_dir: str):
 def q_knn_ivf_nprobe(sf_dir: str):
     """IVF-flat ANN at the actual scale configuration (``nprobe=2`` of 8 —
     score only a quarter of the inverted cells): per-query overlap with the
-    exact top-5, i.e. recall@5 accounting.  Fully deterministic: the k-means
-    codebook trains on a content-keyed sample (vec_id hash stride), so the
-    result is invariant to block boundaries and num_cpus; no_oracle because
-    the codebook is not SQL-expressible — the full-probe variant
-    (``knn_ivf_full_probe``) carries the SQL value check for the same path.
+    exact top-5, i.e. recall@5 accounting.
 
-    Both branch outputs are tiny (n_queries × k rows), so the final overlap
-    join runs on the driver like any other final aggregate."""
-    import zlib
+    Fully oracle-checked (r4 — previously rows-only): the codebook reuses
+    the q_kmeans_spherical contract exactly — seed centroids vec_id 0..7,
+    3 spherical Lloyd rounds with 6dp-ROUNDED cosine assignment (lowest-cid
+    tie-break) and component-SUM updates (spherical assignment is
+    scale-invariant, so the un-divided sum is the same direction as the
+    mean and nothing drifts), empty cells keep their centroid — trained on
+    the md5-bridge quarter sample (``bridge(vec_id) % 4 == 0``, which
+    DuckDB re-derives with ``md5_number_upper``).  The SQL then re-derives
+    the full-corpus cell assignment, the per-query nprobe=2 probe sets,
+    the in-cell exact top-5 (raw-cosine order, vec_id tie-break — the
+    proven knn_bruteforce contract) and the recall overlap.
 
-    from ..functions.simsearch import knn_bruteforce, knn_ivf
+    Scale shape: the sample is corpus/4 here for oracle compactness — at
+    production scale train on q_kmeans_spherical's distributed per-round
+    fold (identical contract, embeddings never leave the cluster); corpus
+    assignment + in-cell scoring are stateless scans with the K×dim
+    codebook broadcast once, and the top-k merge is the same two-level
+    tree as knn_bruteforce (O(queries × k × batches) shuffle)."""
+    import hashlib
 
-    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    q = _embedding_queries(sf_dir)
+    import ray
 
-    # content-keyed training sample (vec_id hash stride): invariant to block
-    # boundaries and cluster parallelism, so the codebook — and therefore the
-    # approximate result — is reproducible across any num_cpus
-    def train_rows(batch: pa.Table) -> pa.Table:
-        mask = pa.array(
-            [zlib.crc32(str(v).encode()) % 4 == 0 for v in batch["vec_id"].to_pylist()]
-        )
-        return batch.filter(mask)
+    from ..functions.simsearch import (
+        _merge_topk,
+        _normalize,
+        _vec_matrix,
+        knn_bruteforce,
+    )
+
+    K, ROUNDS, NPROBE, TOPK = 8, 3, 2, 5
+
+    import ray.data as rd
+
+    seed_rows = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filter=(pc.field("vec_id") < K),
+    ).take_all()
+    seed_rows.sort(key=lambda r: r["vec_id"])
+    cmat = np.array([r["embedding"] for r in seed_rows], dtype=np.float64)
+
+    def bridge_mask(batch: pa.Table) -> pa.Table:
+        keep = [
+            int.from_bytes(hashlib.md5(str(v).encode()).digest()[:8], "little") % 4
+            == 0
+            for v in batch["vec_id"].to_pylist()
+        ]
+        return batch.filter(pa.array(keep))
 
     train = (
         _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-        .map_batches(train_rows, batch_format="pyarrow")
+        .map_batches(bridge_mask, batch_format="pyarrow")
         .to_pandas()
         .sort_values("vec_id")
     )
-    train_vecs = np.array(list(train["embedding"]), dtype=np.float64)
-    approx = knn_ivf(
-        ds, q, k=5, num_centroids=8, nprobe=2, train_vectors=train_vecs
-    ).to_pandas()
+    sm = np.array(list(train["embedding"]), dtype=np.float64)
+
+    def _cos6(mat: np.ndarray, cm: np.ndarray) -> np.ndarray:
+        vn = np.linalg.norm(mat, axis=1)
+        vn[vn == 0.0] = 1.0
+        cn = np.linalg.norm(cm, axis=1)
+        cn[cn == 0.0] = 1.0
+        return np.round((mat @ cm.T) / np.outer(vn, cn), 6)
+
+    for _ in range(ROUNDS):
+        assign = np.argmax(_cos6(sm, cmat), axis=1)  # first max == lowest cid
+        new = cmat.copy()
+        for cid in range(K):
+            members = sm[assign == cid]
+            if len(members):
+                new[cid] = members.sum(axis=0)
+        cmat = new
+
+    qmat = _embedding_queries(sf_dir)
+    cosq = _cos6(qmat, cmat)
+    # top-NPROBE cells per query: cos desc, cid asc (lexsort: last key primary)
+    probe_sets = np.stack(
+        [np.lexsort((np.arange(K), -cosq[qi]))[:NPROBE] for qi in range(len(qmat))]
+    )
+
+    cmat_ref = ray.put(cmat)
+    q_ref = ray.put(qmat)
+
+    def cell_topk(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            }
+        )
+        mat = _vec_matrix(batch["embedding"])
+        if mat.size == 0:
+            return empty
+        cm = ray.get(cmat_ref)
+        qm = ray.get(q_ref)
+        assign = np.argmax(_cos6(mat, cm), axis=1)
+        nmat = _normalize(mat)
+        nq = _normalize(qm)
+        keys = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out_q, out_k, out_c = [], [], []
+        for qi in range(len(qm)):
+            mask = np.isin(assign, probe_sets[qi])
+            if not mask.any():
+                continue
+            sims = nmat[mask] @ nq[qi]
+            kk = min(TOPK, sims.size)
+            idx = np.argpartition(-sims, kk - 1)[:kk] if sims.size > kk else np.arange(sims.size)
+            out_q.extend([qi] * len(idx))
+            out_k.extend(keys[mask][idx].tolist())
+            out_c.extend(sims[idx].tolist())
+        if not out_q:
+            return empty
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_k, pa.int64()),
+                "cosine": pa.array(out_c, pa.float64()),
+            }
+        )
+
+    partials = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        cell_topk, batch_format="pyarrow"
+    )
+    approx = _merge_topk(partials, TOPK, "vec_id").to_pandas()
     exact = knn_bruteforce(
-        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), q, k=5
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), qmat, k=TOPK
     ).to_pandas()
     ex_sets = exact.groupby("query_id")["vec_id"].apply(set)
     ap_sets = approx.groupby("query_id")["vec_id"].apply(set)
@@ -9954,15 +10047,17 @@ def _hll_sql(table: str, col: str, p: int = 12) -> str:
 _MEDICAL_RE = "\\b[A-Za-z0-9]{6,12}\\b"
 
 
-def _kmeans_round_sql(r: int, *, final: bool) -> str:
+def _kmeans_round_sql(r: int, *, final: bool, src: str = "e") -> str:
     """One spherical-k-means round as chained CTEs: assign against
     cent{r-1} (6dp-rounded cosine, cid tie-break), then — unless this is
     the final assignment — rebuild centroids as per-cluster component
-    sums with empty clusters keeping their previous centroid."""
+    sums with empty clusters keeping their previous centroid.  ``src``
+    names the CTE the rounds train over (the full corpus for
+    kmeans_spherical, the md5-bridge sample for knn_ivf_nprobe)."""
     assign = f"""
         a{r} AS (
           SELECT e.vec_id, e.v, x.cid
-          FROM e, LATERAL (
+          FROM {src} e, LATERAL (
             SELECT cid FROM cent{r - 1} c
             ORDER BY CASE WHEN list_inner_product(e.v, e.v) = 0
                             OR list_inner_product(c.ce, c.ce) = 0
@@ -10011,6 +10106,74 @@ _KMEANS_SQL = (
                CAST(count(*) AS BIGINT) AS n_members,
                CAST(SUM(vec_id) AS BIGINT) AS id_sum
         FROM a3 GROUP BY cid
+    """
+)
+
+# IVF-nprobe recall oracle: the SAME spherical-k-means rounds, trained on
+# the md5-bridge quarter sample, then full-corpus cell assignment, per-query
+# nprobe=2 probe sets, in-cell exact top-5 and overlap with the global
+# exact top-5 — the complete approximate-index audit re-derived in SQL.
+_IVF_NPROBE_SQL = (
+    """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        tr AS (
+          SELECT vec_id, v FROM e
+          WHERE md5_number_upper(CAST(vec_id AS VARCHAR)) % 4 = 0
+        ),
+        cent0 AS (
+          SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+          FROM embeddings WHERE vec_id < 8
+        ),"""
+    + ",".join(_kmeans_round_sql(r, final=False, src="tr") for r in (1, 2, 3))
+    + """,
+        q AS (SELECT vec_id AS qid, v AS qe FROM e WHERE vec_id IN (0, 1, 2)),
+        probes AS (
+          SELECT q.qid, p.cid
+          FROM q, LATERAL (
+            SELECT cid FROM cent3 c
+            ORDER BY CASE WHEN list_inner_product(q.qe, q.qe) = 0
+                            OR list_inner_product(c.ce, c.ce) = 0
+                          THEN 0.0
+                          ELSE ROUND(list_cosine_similarity(q.qe, c.ce), 6)
+                     END DESC, cid ASC
+            LIMIT 2
+          ) p
+        ),
+        assign_all AS (
+          SELECT e.vec_id, e.v, x.cid
+          FROM e, LATERAL (
+            SELECT cid FROM cent3 c
+            ORDER BY CASE WHEN list_inner_product(e.v, e.v) = 0
+                            OR list_inner_product(c.ce, c.ce) = 0
+                          THEN 0.0
+                          ELSE ROUND(list_cosine_similarity(e.v, c.ce), 6)
+                     END DESC, cid ASC
+            LIMIT 1
+          ) x
+        ),
+        approx AS (
+          SELECT q.qid, t.vec_id
+          FROM q, LATERAL (
+            SELECT a.vec_id
+            FROM assign_all a
+            WHERE a.cid IN (SELECT cid FROM probes pr WHERE pr.qid = q.qid)
+            ORDER BY list_cosine_similarity(a.v, q.qe) DESC, a.vec_id ASC
+            LIMIT 5
+          ) t
+        ),
+        exact AS (
+          SELECT q.qid, t.vec_id
+          FROM q, LATERAL (
+            SELECT e2.vec_id FROM e e2
+            ORDER BY list_cosine_similarity(e2.v, q.qe) DESC, e2.vec_id ASC
+            LIMIT 5
+          ) t
+        )
+        SELECT ex.qid AS query_id,
+               CAST(count(ap.vec_id) AS BIGINT) AS recall_hits
+        FROM exact ex
+        LEFT JOIN approx ap ON ap.qid = ex.qid AND ap.vec_id = ex.vec_id
+        GROUP BY ex.qid
     """
 )
 
@@ -12313,6 +12476,7 @@ ORACLE_SQL = {
         FROM z
     """,
     "kmeans_spherical": _KMEANS_SQL,
+    "knn_ivf_nprobe": _IVF_NPROBE_SQL,
     # per-subspace argmin on 6dp-rounded list_distance, code tie-break asc;
     # v[a:b] slices are 1-based inclusive in DuckDB
     "pq_codes": """
