@@ -241,6 +241,25 @@ def embedding_near_dups(
     )
 
 
+def bridge_gaussian(tag: str) -> float:
+    """Deterministic standard normal from the md5 bridge via Box–Muller:
+    both uniforms come from ``md5_number_upper``-equivalent 64-bit hashes
+    (``int.from_bytes(md5(s)[:8], 'little')``), so an SQL oracle regenerates
+    the identical value with ``sqrt(-2*ln(u1)) * cos(2*pi*u2)``.  The +1.0
+    is applied AFTER the float cast (matching SQL's ``CAST(h AS DOUBLE) +
+    1``) and only exists to dodge u == 0."""
+    import hashlib
+    import math
+
+    def u(salt: str) -> float:
+        h = int.from_bytes(
+            hashlib.md5(f"{tag}:{salt}".encode()).digest()[:8], "little"
+        )
+        return (float(h) + 1.0) / 2.0**64
+
+    return math.sqrt(-2.0 * math.log(u("1"))) * math.cos(2.0 * math.pi * u("2"))
+
+
 def embedding_near_dups_lsh(
     ds,
     *,
@@ -250,6 +269,8 @@ def embedding_near_dups_lsh(
     num_planes: int = 6,
     num_tables: int = 8,
     seed: int = 29,
+    plane_mode: str = "numpy",
+    sign_round_dp: int | None = None,
 ):
     """Approximate embedding near-dup pairs — the 100-TB path: rows are
     bucketed by random-hyperplane sign pattern in ``num_tables`` independent
@@ -257,6 +278,17 @@ def embedding_near_dups_lsh(
     matmul), and pairs found by multiple tables are deduped with one
     bucketed grouping.  Recall = 1 - (1 - p^planes)^tables where
     p = 1 - angle/π; misses only pairs near the threshold.
+
+    ``plane_mode="bridge"`` derives every plane component from the md5
+    bridge (:func:`bridge_gaussian` on ``hp:{seed}:{t}:{p}:{d}``) instead of
+    ``np.random.RandomState`` — numerically identical planes are then
+    re-derivable in SQL, which makes the WHOLE approximate pipeline
+    oracle-checkable.  Pair it with ``sign_round_dp=12``: the bucket sign
+    reads ``round(dot, 12) >= 0`` on both engines, a grid that absorbs the
+    ~1e-15 summation-order drift while keeping the boundary-flip
+    probability negligible (a 6dp grid would be too coarse here — normalized
+    dots sit O(1), and ~1e-6-wide sign boundaries WOULD get hit across
+    corpus×tables×planes dots).
 
     Shuffle volume is num_tables× the corpus vectors — constant per row,
     independent of corpus size; no group ever sees more than one bucket.
@@ -267,6 +299,20 @@ def embedding_near_dups_lsh(
     nb = resolve_group_buckets()
 
     def plane_set(dim: int) -> np.ndarray:
+        if plane_mode == "bridge":
+            return np.array(
+                [
+                    [
+                        [
+                            bridge_gaussian(f"hp:{seed}:{t}:{p}:{d}")
+                            for d in range(dim)
+                        ]
+                        for p in range(num_planes)
+                    ]
+                    for t in range(num_tables)
+                ],
+                dtype=np.float64,
+            )
         return np.random.RandomState(seed).standard_normal((num_tables, num_planes, dim))
 
     def explode(batch: pa.Table) -> pa.Table:
@@ -288,7 +334,9 @@ def embedding_near_dups_lsh(
         buckets_out, tkeys_out, keys_out, vecs_out = [], [], [], []
         vec_lists = batch[vec_col].to_pylist()
         for t in range(num_tables):
-            bucket_ids = hyperplane_bucket(nm, all_planes[t])
+            bucket_ids = hyperplane_bucket(
+                nm, all_planes[t], sign_round_dp=sign_round_dp
+            )
             for i, key in enumerate(keys):
                 tk = f"{t}:{bucket_ids[i]}"
                 tkeys_out.append(tk)
@@ -327,9 +375,16 @@ def embedding_near_dups_lsh(
     return _dedupe_pair_rows(pairs, nb)
 
 
-def hyperplane_bucket(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
-    """Sign-pattern bucket id per row (random-hyperplane LSH)."""
-    signs = (mat @ planes.T) >= 0  # (N, P)
+def hyperplane_bucket(
+    mat: np.ndarray, planes: np.ndarray, *, sign_round_dp: int | None = None
+) -> np.ndarray:
+    """Sign-pattern bucket id per row (random-hyperplane LSH).
+    ``sign_round_dp`` rounds the dot before the sign test so an SQL oracle
+    computing the same rounded dot lands on the identical bucket."""
+    dots = mat @ planes.T  # (N, P)
+    if sign_round_dp is not None:
+        dots = np.round(dots, sign_round_dp)
+    signs = dots >= 0
     weights = 1 << np.arange(planes.shape[0], dtype=np.int64)
     return signs.astype(np.int64) @ weights
 

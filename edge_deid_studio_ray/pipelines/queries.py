@@ -2591,13 +2591,27 @@ def q_sources_except(sf_dir: str):
 def q_embedding_near_dups_lsh(sf_dir: str):
     """Approximate embedding near-dup pairs — the >10^6-row scale path
     (multi-table random-hyperplane buckets, in-bucket exact verify).
-    Deterministic (fixed seed) rows-only: approximate recall is by design,
-    so no exact SQL equivalent; the exact variant is oracle-checked by
-    ``embedding_near_dups``."""
+
+    Fully oracle-checked (r4 — previously rows-only): the hyperplanes are
+    md5-bridge Box–Muller gaussians (``bridge_gaussian``, bit-identical to
+    the SQL ``sqrt(-2 ln u1)·cos(2π u2)`` over ``md5_number_upper``
+    uniforms — validated exactly) and bucket signs read the 12dp-rounded
+    normalized dot, so DuckDB regenerates the planes, every per-table sign
+    bucket, the same-bucket candidate pairs and the exact cosine verify.
+    The approximation itself (recall < 1) is therefore VALUE-checked, not
+    just row-counted — the oracle reproduces exactly which near-dups the
+    index finds and which it misses."""
     from ..functions.simsearch import embedding_near_dups_lsh
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    pairs = embedding_near_dups_lsh(ds, threshold=0.4, num_planes=4, num_tables=12)
+    pairs = embedding_near_dups_lsh(
+        ds,
+        threshold=0.4,
+        num_planes=4,
+        num_tables=12,
+        plane_mode="bridge",
+        sign_round_dp=12,
+    )
     return pairs.select_columns(["left", "right"])
 
 
@@ -12500,6 +12514,51 @@ ORACLE_SQL = {
     """,
     "kmeans_spherical": _KMEANS_SQL,
     "knn_ivf_nprobe": _IVF_NPROBE_SQL,
+    "embedding_near_dups_lsh": """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        pl AS (
+          SELECT t.t, p.p, array_agg(
+                   sqrt(-2 * ln((CAST(md5_number_upper(
+                        'hp:29:' || t.t || ':' || p.p || ':' || d.d || ':1'
+                      ) AS DOUBLE) + 1) / 18446744073709551616.0))
+                   * cos(2 * pi() * ((CAST(md5_number_upper(
+                        'hp:29:' || t.t || ':' || p.p || ':' || d.d || ':2'
+                      ) AS DOUBLE) + 1) / 18446744073709551616.0))
+                   ORDER BY d.d) AS w
+          FROM range(12) AS t(t), range(4) AS p(p),
+               (SELECT unnest(range(len(v))) AS d
+                FROM (SELECT v FROM e ORDER BY vec_id LIMIT 1)) AS d
+          GROUP BY t.t, p.p
+        ),
+        dots AS (
+          SELECT e.vec_id, pl.t, pl.p,
+                 CASE WHEN list_inner_product(e.v, e.v) = 0 THEN 0.0
+                      ELSE ROUND(list_inner_product(e.v, pl.w)
+                                 / sqrt(list_inner_product(e.v, e.v)), 12)
+                 END AS s
+          FROM e, pl
+        ),
+        bkt AS (
+          SELECT vec_id, t,
+                 CAST(SUM(CASE WHEN s >= 0
+                               THEN (CAST(1 AS BIGINT) << CAST(p AS INT))
+                               ELSE 0 END) AS BIGINT) AS b
+          FROM dots GROUP BY vec_id, t
+        ),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS l, b2.vec_id AS r
+          FROM bkt a JOIN bkt b2
+            ON a.t = b2.t AND a.b = b2.b AND a.vec_id < b2.vec_id
+        )
+        SELECT c.l AS "left", c.r AS "right"
+        FROM cand c
+        JOIN e ea ON ea.vec_id = c.l
+        JOIN e eb ON eb.vec_id = c.r
+        WHERE CASE WHEN list_inner_product(ea.v, ea.v) = 0
+                     OR list_inner_product(eb.v, eb.v) = 0
+                   THEN 0.0
+                   ELSE list_cosine_similarity(ea.v, eb.v) END > 0.4
+    """,
     # per-subspace argmin on 6dp-rounded list_distance, code tie-break asc;
     # v[a:b] slices are 1-based inclusive in DuckDB
     "pq_codes": """
