@@ -130,3 +130,28 @@ class TestTrigramPrune:
         assert "xx" not in denoms and "en" in denoms
         rows = trigram_nll_scores(ds, logp, denoms).take_all()
         assert sorted(r["doc_id"] for r in rows) == [2]
+
+
+class TestBridgeLsh:
+    def test_bridge_gaussian_deterministic_and_standard(self):
+        from edge_deid_studio_ray.functions.simsearch import bridge_gaussian
+
+        vals = [bridge_gaussian(f"hp:29:{t}:{p}:{d}") for t in range(4) for p in range(4) for d in range(16)]
+        assert vals == [bridge_gaussian(f"hp:29:{t}:{p}:{d}") for t in range(4) for p in range(4) for d in range(16)]
+        # crude standard-normal sanity: mean ~0, sd ~1 over 256 draws
+        m = sum(vals) / len(vals)
+        sd = (sum((v - m) ** 2 for v in vals) / len(vals)) ** 0.5
+        assert abs(m) < 0.25 and 0.75 < sd < 1.25
+
+    def test_sign_round_dp_changes_only_boundary_dots(self):
+        import numpy as np
+
+        from edge_deid_studio_ray.functions.simsearch import hyperplane_bucket
+
+        rng = np.random.default_rng(3)
+        mat = rng.standard_normal((50, 8))
+        planes = rng.standard_normal((4, 8))
+        plain = hyperplane_bucket(mat, planes)
+        rounded = hyperplane_bucket(mat, planes, sign_round_dp=12)
+        # dots here are O(1), far from the 1e-12 grid: identical buckets
+        assert plain.tolist() == rounded.tolist()
