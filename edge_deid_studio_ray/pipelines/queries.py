@@ -665,12 +665,30 @@ def q_orders_join_customers(sf_dir: str):
     segment."""
     from ray.data.aggregate import Count
 
+    from ray.data.aggregate import Sum
+
     orders = _read(sf_dir, "orders", ["o_custkey"])
     customer = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     joined = orders.join(
         customer, join_type="inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",)
     )
-    return joined.groupby("c_mktsegment").aggregate(Count(alias_name="n_orders"))
+
+    # map-side partial fold after the join: the groupby ships |segments|×
+    # blocks rows instead of one row per joined order
+    def fold(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(batch["c_mktsegment"])
+        return pa.table(
+            {
+                "c_mktsegment": vc.field("values"),
+                "n_p": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    return (
+        joined.map_batches(fold, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(Sum("n_p", alias_name="n_orders"))
+    )
 
 
 def q_asia_order_volume(sf_dir: str):
