@@ -43,4 +43,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     from edge_deid_studio_ray.pipelines.queries import ORACLE_SQL
 
+    # The pages_* oracles read a /tmp fixture the corresponding query writes
+    # at build time (query runs before its oracle in the harness).  In case
+    # a driver evaluates an oracle first, pre-materialize the fixture for
+    # the driver's documented sf here — pure Python, idempotent, and never
+    # allowed to break oracle_sql() itself.
+    try:
+        from edge_deid_studio_ray.pipelines.queries import _ensure_pages_fixture
+
+        _ensure_pages_fixture("/root/testdata/sf0.01")
+    except Exception:
+        pass
     return dict(ORACLE_SQL)
