@@ -2819,7 +2819,9 @@ def q_trigram_lm_nll(sf_dir: str):
     driver), then per-doc mean negative log-likelihood under the model
     broadcast via ray.put.  The oracle reproduces train+score in SQL via a
     trigram join; both sides round the per-doc score to 6dp (term-order
-    float divergence ~1e-11, far inside the grid)."""
+    float divergence ~1e-11, far inside the grid).  At CJK/web scale pass
+    ``min_count`` to :func:`trigram_model` to bound the broadcast table —
+    ``trigram_lm_nll_pruned`` is that configuration, oracle-checked."""
     from ..functions.corpusops import trigram_model, trigram_nll_scores
 
     docs = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
@@ -5540,7 +5542,10 @@ def q_dsir_importance_weights(sf_dir: str):
 
     Scale shape: both models train through the existing one-grouped-sum
     ``trigram_model`` path (table bounded by charset³, NOT corpus size) and
-    broadcast once via ``ray.put``; scoring is a stateless scan.  Float
+    broadcast once via ``ray.put``; scoring is a stateless scan.  For
+    CJK/web-scale charsets, ``finish_trigram_model(min_count=m)`` bounds
+    both tables by N/m with the truncation recorded (the knob
+    ``trigram_lm_nll_pruned`` exercises oracle-checked).  Float
     contract: per-position term order, both engines round the mean log
     ratio to 6dp (unordered-SUM divergence ~1e-11, inside the grid).
     Unseen-in-target trigrams take the add-one floor ln(1/(N_t+V_t));
