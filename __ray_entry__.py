@@ -49,9 +49,13 @@ def oracle_sql() -> dict[str, str]:
     # the driver's documented sf here — pure Python, idempotent, and never
     # allowed to break oracle_sql() itself.
     try:
-        from edge_deid_studio_ray.pipelines.queries import _ensure_pages_fixture
+        from edge_deid_studio_ray.pipelines.queries import (
+            _ensure_pages_fixture,
+            _ensure_synth_fixture,
+        )
 
         _ensure_pages_fixture("/root/testdata/sf0.01")
+        _ensure_synth_fixture("/root/testdata/sf0.01")
     except Exception:
         pass
     return dict(ORACLE_SQL)

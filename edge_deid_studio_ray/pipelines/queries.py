@@ -1769,13 +1769,127 @@ def _synth_rows_for(sf_dir: str) -> int:
     return _SF_SYNTH.get(tail, 200)
 
 
+# Fixed paths the synthetic-corpus oracles read via read_parquet() — same
+# contract as the pages fixture: the query (or oracle_sql()) materializes the
+# deterministic corpus driver-side, so the SQL re-derives validation/count
+# semantics from the raw example/entity rows, not from the engine's output.
+_SYNTH_FIXTURE_DIR = "/tmp/eds_synth_fixture"
+_SYNTH_MUTATE_EVERY = 37
+
+
+def _mutate_arrow_entities(i: int, text: str, ents: list) -> list:
+    """Deterministic corruption slice for the quality-report corpus: every
+    37th example gets ONE of five invalid variants (missing type, span out
+    of bounds, empty span, text mismatch, overlapping duplicate), cycling by
+    example index — so ``validate_span_example`` (reference
+    training/quality.py:41-119 semantics) is exercised with NONZERO issue
+    counts and the oracle SQL re-derives every issue kind from raw rows.
+    Pure function of (example_id, row): identical under any slicing."""
+    if i % _SYNTH_MUTATE_EVERY != 0 or not ents:
+        return ents
+    v = (i // _SYNTH_MUTATE_EVERY) % 5
+    e0 = dict(ents[0])
+    if v == 0:
+        e0["type"] = ""
+    elif v == 1:
+        e0["end"] = len(text) + 5
+    elif v == 2:
+        e0["end"] = e0["start"]
+    elif v == 3:
+        e0["text"] = (e0["text"] or "") + "x"
+    else:
+        return [dict(ents[0]), dict(ents[0])] + list(ents[1:])
+    return [e0] + list(ents[1:])
+
+
+def _ensure_synth_fixture(sf_dir: str) -> tuple[str, str]:
+    """Materialize the (mutated) synthetic span corpus as two parquet files
+    — examples(example_id, text) + unnested entities(example_id, ent_idx,
+    type, start, end, ent_text) — once per (n, seed, mutation version), so
+    oracle SQL can re-derive the validation semantics from first principles.
+    Driver-side generation: fixture infrastructure, not the operator under
+    test (the distributed path regenerates the same rows per slice)."""
+    import pyarrow.parquet as pq
+
+    from ..kernels.synthetic import generate_synthetic_span_examples
+    from ..pipelines.training_data import _entities_to_arrow
+
+    n = _synth_rows_for(sf_dir)
+    d = _SYNTH_FIXTURE_DIR
+    ex_path = os.path.join(d, "examples.parquet")
+    ent_path = os.path.join(d, "entities.parquet")
+    marker = os.path.join(d, "_MARKER")
+    stamp = f"n={n} seed=9 mut={_SYNTH_MUTATE_EVERY} fx=1"
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if f.read() == stamp:
+                return ex_path, ent_path
+    os.makedirs(d, exist_ok=True)
+    exs = generate_synthetic_span_examples(num_examples=n, seed=9, language="zh")
+    erows: list[tuple[int, int, str, int, int, str]] = []
+    for i, ex in enumerate(exs):
+        ents = _mutate_arrow_entities(i, ex["text"], _entities_to_arrow(ex["entities"]))
+        for j, e in enumerate(ents):
+            erows.append((i, j, e["type"], e["start"], e["end"], e["text"]))
+    pq.write_table(
+        pa.table(
+            {
+                "example_id": pa.array(range(n), pa.int64()),
+                "text": pa.array([ex["text"] for ex in exs], pa.string()),
+            }
+        ),
+        ex_path,
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "example_id": pa.array([r[0] for r in erows], pa.int64()),
+                "ent_idx": pa.array([r[1] for r in erows], pa.int64()),
+                "type": pa.array([r[2] for r in erows], pa.string()),
+                "start": pa.array([r[3] for r in erows], pa.int64()),
+                "end": pa.array([r[4] for r in erows], pa.int64()),
+                "ent_text": pa.array([r[5] for r in erows], pa.string()),
+            }
+        ),
+        ent_path,
+    )
+    with open(marker, "w") as f:
+        f.write(stamp)
+    return ex_path, ent_path
+
+
 def q_synthetic_quality_report(sf_dir: str):
     """Distributed corpus quality report over the deterministic synthetic
-    span corpus (reference analyze_span_examples semantics, G1)."""
-    from ..pipelines.training_data import synthetic_span_dataset
+    span corpus ∪ corruption slice (reference analyze_span_examples
+    semantics, G1).  Oracle-checked from first principles: the query
+    materializes the raw example/entity fixture, and the SQL re-derives
+    every validate_span_example issue kind (missing_type, out-of-bounds,
+    empty span, text mismatch, adjacent-sorted-span overlap) plus the
+    entity/type tallies over it."""
+    from ..pipelines.training_data import SPAN_ENTITY_STRUCT, synthetic_span_dataset
     from ..stages.quality import quality_report
 
-    report = quality_report(synthetic_span_dataset(_synth_rows_for(sf_dir), seed=9))
+    _ensure_synth_fixture(sf_dir)
+
+    def corrupt(batch: pa.Table) -> pa.Table:
+        mutated = [
+            _mutate_arrow_entities(i, t or "", es or [])
+            for i, t, es in zip(
+                batch["example_id"].to_pylist(),
+                batch["text"].to_pylist(),
+                batch["entities"].to_pylist(),
+            )
+        ]
+        return batch.set_column(
+            batch.schema.get_field_index("entities"),
+            "entities",
+            pa.array(mutated, pa.list_(SPAN_ENTITY_STRUCT)),
+        )
+
+    ds = synthetic_span_dataset(_synth_rows_for(sf_dir), seed=9).map_batches(
+        corrupt, batch_format="pyarrow"
+    )
+    report = quality_report(ds)
     summary = report["summary"]
     rows = {
         "metric": ["examples", "entities", "invalid_examples", "invalid_entities"]
@@ -11042,6 +11156,46 @@ ORACLE_SQL = {
                                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
             FROM documents
         ) WHERE rn <= 20
+    """,
+    # re-derives validate_span_example (training/quality.py:41-119) from the
+    # raw fixture rows: per-entity issue flags, adjacent-sorted-span overlap
+    # via lag(), invalid-entity arithmetic, type tallies.  The fixture is the
+    # deterministic synthetic corpus ∪ corruption slice the query processed.
+    "synthetic_quality_report": f"""
+        WITH ex AS (SELECT * FROM read_parquet('{_SYNTH_FIXTURE_DIR}/examples.parquet')),
+        ent AS (SELECT * FROM read_parquet('{_SYNTH_FIXTURE_DIR}/entities.parquet')),
+        f AS (
+          SELECT n.example_id, n.ent_idx, n.type, n.start, n."end", n.ent_text, x.text,
+                 (n.type IS NULL OR n.type = '') AS missing_type,
+                 (n.start < 0 OR n."end" < 0 OR n.start > length(x.text)
+                  OR n."end" > length(x.text)) AS oob
+          FROM ent n JOIN ex x USING (example_id)),
+        g AS (
+          SELECT *,
+                 (NOT oob AND start >= "end") AS empty_span,
+                 (NOT oob AND start < "end") AS valid_span
+          FROM f),
+        h AS (
+          SELECT *,
+                 (valid_span AND ent_text IS NOT NULL
+                  AND ent_text <> substr(text, start + 1, "end" - start)) AS mismatch
+          FROM g),
+        ovl AS (
+          SELECT example_id FROM (
+            SELECT example_id, start,
+                   lag("end") OVER (PARTITION BY example_id ORDER BY start, "end") AS prev_end
+            FROM h WHERE valid_span)
+          WHERE prev_end IS NOT NULL AND start < prev_end),
+        bad AS (
+          SELECT example_id FROM h WHERE missing_type OR oob OR empty_span OR mismatch
+          UNION SELECT example_id FROM ovl)
+        SELECT 'examples' AS metric, COUNT(*)::BIGINT AS value FROM ex
+        UNION ALL SELECT 'entities', COUNT(*)::BIGINT FROM ent
+        UNION ALL SELECT 'invalid_examples', COUNT(DISTINCT example_id)::BIGINT FROM bad
+        UNION ALL SELECT 'invalid_entities',
+                         COUNT(*) FILTER (WHERE oob OR empty_span)::BIGINT FROM g
+        UNION ALL SELECT 'type:' || type, COUNT(*)::BIGINT FROM ent
+                  WHERE type IS NOT NULL AND type <> '' GROUP BY type
     """,
     "tfidf_top_terms": """
         WITH toks AS (

@@ -155,3 +155,68 @@ class TestBridgeLsh:
         rounded = hyperplane_bucket(mat, planes, sign_round_dp=12)
         # dots here are O(1), far from the 1e-12 grid: identical buckets
         assert plain.tolist() == rounded.tolist()
+
+
+class TestSynthQualityFixture:
+    """The corruption slice must surface every validate_span_example issue
+    kind, and the fixture writer must mirror the distributed mutation."""
+
+    def test_mutation_variants_cover_all_issue_kinds(self):
+        from edge_deid_studio_ray.kernels.quality import validate_span_example
+        from edge_deid_studio_ray.pipelines.queries import (
+            _SYNTH_MUTATE_EVERY,
+            _mutate_arrow_entities,
+        )
+
+        text = "hello world example"
+        base = [
+            {"type": "NAME", "start": 0, "end": 5, "text": "hello",
+             "confidence": 1.0, "source": "synthetic", "language": "zh"},
+            {"type": "ID", "start": 6, "end": 11, "text": "world",
+             "confidence": 1.0, "source": "synthetic", "language": "zh"},
+        ]
+        kinds = set()
+        for v in range(5):
+            i = v * _SYNTH_MUTATE_EVERY
+            mutated = _mutate_arrow_entities(i, text, [dict(e) for e in base])
+            ents = [{**e, "span": (e["start"], e["end"])} for e in mutated]
+            for issue in validate_span_example(text, ents):
+                kinds.add(issue["kind"])
+        assert kinds == {
+            "missing_type", "span_out_of_bounds", "empty_span",
+            "text_mismatch", "overlap",
+        }
+        # non-slice rows pass through untouched
+        assert _mutate_arrow_entities(1, text, base) is base
+
+    def test_fixture_mirrors_distributed_mutation(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from edge_deid_studio_ray.pipelines import queries as q
+
+        ex_path, ent_path = q._ensure_synth_fixture("/root/testdata/sf0.001")
+        ex = pq.read_table(ex_path)
+        ent = pq.read_table(ent_path)
+        assert ex.num_rows == q._synth_rows_for("/root/testdata/sf0.001")
+        # the distributed query path regenerates the same mutated rows:
+        # re-derive entity tuples for a handful of examples straight from
+        # the seeded generator + mutation kernel
+        from edge_deid_studio_ray.kernels.synthetic import generate_synthetic_span_examples
+        from edge_deid_studio_ray.pipelines.training_data import _entities_to_arrow
+
+        exs = generate_synthetic_span_examples(num_examples=ex.num_rows, seed=9, language="zh")
+        by_ex: dict[int, list] = {}
+        for eid, t, s, e, tx in zip(
+            ent["example_id"].to_pylist(), ent["type"].to_pylist(),
+            ent["start"].to_pylist(), ent["end"].to_pylist(),
+            ent["ent_text"].to_pylist(),
+        ):
+            by_ex.setdefault(eid, []).append((t, s, e, tx))
+        for i in [0, 1, 37, 74, 111, 148, 185]:
+            expect = [
+                (e["type"], e["start"], e["end"], e["text"])
+                for e in q._mutate_arrow_entities(
+                    i, exs[i]["text"], _entities_to_arrow(exs[i]["entities"])
+                )
+            ]
+            assert by_ex.get(i, []) == expect, i
