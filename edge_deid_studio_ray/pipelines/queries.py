@@ -1695,11 +1695,28 @@ def q_pages_link_stats(sf_dir: str):
     return out.sort(["n_total", "href"], descending=[True, False]).limit(20)
 
 
+# Staging dir for the training-data flow: the query writes the deid output
+# (url, extracted_text, context_hash) here mid-pipeline — the resumable-
+# staging pattern a 100-TB run uses between expensive phases — and BOTH the
+# curation stages and the DuckDB oracle consume the staged parquet, so the
+# SQL re-derives quality_score, the ≥0.4/≥50-char filter, exact dedup and
+# all four attrition counters from the same rows the engine curated.
+_TDP_STAGING = "/tmp/eds_tdp_staging"
+
+
 def q_training_data_pipeline(sf_dir: str):
-    """The composite web-text flow (extract+deid → quality filter → exact
-    dedup) over synthetic pages ∪ duplicated pages; per-stage attrition
-    counters (deterministic rows-only)."""
-    from ..pipelines.webtext import training_data_report
+    """The composite web-text flow (extract+deid → staged parquet → quality
+    filter → exact dedup) over synthetic pages ∪ duplicated pages; per-stage
+    attrition counters.  Oracle-checked: the SQL recomputes the quality
+    score (discrete-factor product over exact counts — the one-float-op
+    divisions are bit-identical), the filter, the duplicate collapse and the
+    counters over the staged extraction fixture."""
+    import shutil
+
+    import ray.data as rd
+
+    from ..pipelines.deid import build_deid_pipeline
+    from ..pipelines.webtext import attrition_report, curate_extracted
     from ..sources.pages import pages_dataset
 
     n = pages_rows_for(sf_dir)
@@ -1712,7 +1729,12 @@ def q_training_data_pipeline(sf_dir: str):
         return batch.set_column(0, "url", pa.array(urls, pa.string()))
 
     doubled = base.union(base.map_batches(relabel, batch_format="pyarrow"))
-    report = training_data_report(doubled, rows_in=2 * n)
+    shutil.rmtree(_TDP_STAGING, ignore_errors=True)
+    build_deid_pipeline(doubled).select_columns(
+        ["url", "extracted_text", "context_hash"]
+    ).write_parquet(_TDP_STAGING)
+    curated = curate_extracted(rd.read_parquet(_TDP_STAGING))
+    report = attrition_report(curated, rows_in=2 * n)
     return pa.table(
         {
             "metric": pa.array(sorted(report.keys()), pa.string()),
@@ -11156,6 +11178,44 @@ ORACLE_SQL = {
                                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
             FROM documents
         ) WHERE rn <= 20
+    """,
+    # re-derives the curation half of the training-data flow from the staged
+    # extraction parquet: quality_counts (Unicode classes pinned vs Python
+    # str.isalpha / re \w over the real corpus), the discrete-factor quality
+    # score, the ≥0.4 / ≥50-char filter, exact dedup (distinct text ==
+    # distinct sha256), and the four attrition counters.
+    "training_data_pipeline": f"""
+        WITH t AS (
+          SELECT url, COALESCE(extracted_text, '') AS text
+          FROM read_parquet('{_TDP_STAGING}/*.parquet')),
+        c AS (
+          SELECT url, text,
+                 length(text) AS n_chars,
+                 len(regexp_extract_all(text, '\\S+')) AS n_tokens,
+                 len(regexp_extract_all(text, '[\\p{{L}}]')) AS n_alpha,
+                 len(regexp_extract_all(text, '[^\\p{{L}}\\p{{N}}_\\s\\p{{Z}}]')) AS n_punct,
+                 len(list_filter(regexp_extract_all(lower(text), '\\S+'),
+                     x -> list_contains(['the','of','and','to','a','in','is','it','you','that'], x))) AS n_stopwords
+          FROM t),
+        s AS (
+          SELECT url, text, n_chars,
+            CASE WHEN n_chars = 0 OR n_tokens = 0 THEN 0.0 ELSE
+              round(CAST(
+                  (CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.5 END)
+                * (CASE WHEN CAST(n_alpha AS DOUBLE)/greatest(1, n_tokens)
+                        BETWEEN CAST(2.0 AS DOUBLE) AND CAST(12.0 AS DOUBLE) THEN 1.0 ELSE 0.5 END)
+                * (CASE WHEN CAST(n_punct AS DOUBLE)/n_chars < CAST(0.2 AS DOUBLE) THEN 1.0 ELSE 0.3 END)
+                * (CASE WHEN CAST(n_stopwords AS DOUBLE)/n_tokens >= CAST(0.01 AS DOUBLE) THEN 1.0 ELSE 0.7 END)
+                AS DOUBLE), 6)
+            END AS score
+          FROM c),
+        pass AS (SELECT * FROM s WHERE score >= CAST(0.4 AS DOUBLE) AND n_chars >= 50)
+        SELECT 'rows_in' AS metric, (SELECT COUNT(*) FROM t)::BIGINT AS value
+        UNION ALL SELECT 'dropped_quality',
+                         ((SELECT COUNT(*) FROM t) - (SELECT COUNT(*) FROM pass))::BIGINT
+        UNION ALL SELECT 'dropped_duplicates',
+                         ((SELECT COUNT(*) FROM pass) - (SELECT COUNT(DISTINCT text) FROM pass))::BIGINT
+        UNION ALL SELECT 'rows_out', (SELECT COUNT(DISTINCT text) FROM pass)::BIGINT
     """,
     # re-derives validate_span_example (training/quality.py:41-119) from the
     # raw fixture rows: per-entity issue flags, adjacent-sorted-span overlap

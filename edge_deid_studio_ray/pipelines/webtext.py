@@ -26,24 +26,22 @@ from ..functions.textstats import lang_id, quality_score
 from .deid import build_deid_pipeline
 
 
-def build_training_data_pipeline(
-    pages_ds,
-    cfg: EngineConfig | None = None,
+def curate_extracted(
+    deid,
     *,
     min_quality: float = 0.4,
     min_chars: int = 50,
 ):
-    """pages Dataset → filtered, deduped, de-identified training rows.
-
-    Returns the lazy output Dataset with columns
-    ``url, lang_pred, quality, clean_text, n_spans, n_chars`` plus the
-    deid columns; consume with write_parquet / aggregation.
+    """Curation half of the training-data flow over a POST-deid dataset
+    (needs ``url``, ``extracted_text``, ``context_hash``): quality
+    stats+filter (map-side) → exact dedup on the extracted-text hash
+    (bucketed grouping, keeper = min url).  Split out of
+    :func:`build_training_data_pipeline` so callers can stage the deid
+    output to parquet (resumable staging) and curate from the staged file.
     """
     import pandas as pd
 
-    cfg = cfg or EngineConfig()
     nb = resolve_group_buckets()
-    deid = build_deid_pipeline(pages_ds, cfg)
 
     def stats_and_filter(batch: pa.Table) -> pa.Table:
         texts = batch["extracted_text"].to_pylist()
@@ -84,6 +82,45 @@ def build_training_data_pipeline(
     )
 
 
+def build_training_data_pipeline(
+    pages_ds,
+    cfg: EngineConfig | None = None,
+    *,
+    min_quality: float = 0.4,
+    min_chars: int = 50,
+):
+    """pages Dataset → filtered, deduped, de-identified training rows.
+
+    Returns the lazy output Dataset with columns
+    ``url, lang_pred, quality, clean_text, n_spans, n_chars`` plus the
+    deid columns; consume with write_parquet / aggregation.
+    """
+    cfg = cfg or EngineConfig()
+    return curate_extracted(
+        build_deid_pipeline(pages_ds, cfg),
+        min_quality=min_quality,
+        min_chars=min_chars,
+    )
+
+
+def attrition_report(curated, *, rows_in: int) -> dict[str, int]:
+    """Per-stage attrition counters from ONE aggregate over the curated
+    output (``n_copies`` = quality-pass rows collapsed into each keeper)."""
+    from ray.data.aggregate import Count, Sum
+
+    agg = curated.aggregate(Count(alias_name="rows_out"), Sum("n_copies", alias_name="quality_pass"))
+    # Dataset.aggregate returns None on an empty dataset (e.g. every row
+    # failed the quality filter) — report zeros, not a TypeError
+    rows_out = int(agg["rows_out"]) if agg else 0
+    quality_pass = int(agg["quality_pass"] or 0) if agg else 0
+    return {
+        "rows_in": rows_in,
+        "dropped_quality": rows_in - quality_pass,
+        "dropped_duplicates": quality_pass - rows_out,
+        "rows_out": rows_out,
+    }
+
+
 def training_data_report(
     pages_ds, cfg: EngineConfig | None = None, *, rows_in: int | None = None, **kwargs: Any
 ) -> dict[str, int]:
@@ -96,19 +133,7 @@ def training_data_report(
     (e.g. a synthesized corpus); otherwise it costs one ``count()`` of the
     input (metadata-only for parquet reads, a generator pass otherwise).
     """
-    from ray.data.aggregate import Count, Sum
-
     if rows_in is None:
         rows_in = pages_ds.count()
     out = build_training_data_pipeline(pages_ds, cfg, **kwargs)
-    agg = out.aggregate(Count(alias_name="rows_out"), Sum("n_copies", alias_name="quality_pass"))
-    # Dataset.aggregate returns None on an empty dataset (e.g. every row
-    # failed the quality filter) — report zeros, not a TypeError
-    rows_out = int(agg["rows_out"]) if agg else 0
-    quality_pass = int(agg["quality_pass"] or 0) if agg else 0
-    return {
-        "rows_in": rows_in,
-        "dropped_quality": rows_in - quality_pass,
-        "dropped_duplicates": quality_pass - rows_out,
-        "rows_out": rows_out,
-    }
+    return attrition_report(out, rows_in=rows_in)
