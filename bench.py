@@ -173,6 +173,8 @@ def _bench_queries(sf_dir: str) -> dict[str, float]:
         "trigram_lm_nll_pruned",
         "pages_extract_hashes",
         "pages_link_stats",
+        # round-4 continuation: supervised classifier train+apply
+        "nb_lang_confusion",
     ]
     timings: dict[str, float] = {}
     for name in names:

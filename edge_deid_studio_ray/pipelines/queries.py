@@ -9338,6 +9338,178 @@ def q_lang_confusion_matrix(sf_dir: str):
     )
 
 
+def q_nb_lang_confusion(sf_dir: str):
+    """Distributed multinomial Naive-Bayes language classifier — trained
+    AND applied over the documents table (add-one smoothing over word
+    unigrams, doc-count priors), reported as the (true lang × predicted
+    lang) confusion matrix.  A supervised classifier train+apply as ONE
+    Ray Data flow.
+
+    Scale shape — no O(vocabulary) state leaves the workers: train and
+    score share one term-hash-bucket co-group (every row of a term is
+    co-resident, so the bucket-local per-(term, lang) sum IS the global
+    count and per-doc score partials Σ n·ln(c+1) emit from the same
+    group).  The unseen-word case is algebraically eliminated:
+
+        score_l = ln(docs_l/N) − T_doc·ln(n_tok_l + v_l) + Σ_w n_w·ln(c_{w,l}+1)
+
+    since ln(0+1) = 0, only per-lang-SEEN terms contribute — the smoothing
+    denominator folds into one per-lang constant.  Per-lang constants
+    (token totals, vocab sizes) reduce from tiny bucket-stat rows; the
+    doc-level fold + argmax run in a doc-hash-bucket co-group that also
+    folds the confusion counts map-side, so the final exchange is ≤|langs|²
+    rows.  Float contract: the argmax ranks 6dp-ROUNDED scores with a
+    lang-ascending tie-break on both engines (the per-term doubles are
+    bit-identical; only summation order drifts, absorbed by the grid —
+    the trigram_lm_nll contract)."""
+    import math
+    import zlib
+
+    from ray.data.aggregate import Sum
+
+    nb = resolve_group_buckets()
+    langrows = (
+        _read(sf_dir, "documents", ["lang"]).groupby("lang").count().take_all()
+    )
+    docs_l = {r["lang"]: int(r["count()"]) for r in langrows}
+    langs = sorted(docs_l)
+    total_docs = sum(docs_l.values())
+    scols = [f"s_{i}" for i in range(len(langs))]
+
+    def doc_terms(batch: pa.Table) -> pa.Table:
+        out_doc, out_lang, out_term, out_n, out_tb = [], [], [], [], []
+        for doc_id, lang, text in zip(
+            batch["doc_id"].to_pylist(),
+            batch["lang"].to_pylist(),
+            batch["text"].to_pylist(),
+        ):
+            for term, n in Counter((text or "").lower().split()).items():
+                out_doc.append(doc_id)
+                out_lang.append(lang)
+                out_term.append(term)
+                out_n.append(n)
+                out_tb.append(zlib.crc32(term.encode()) % nb)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_doc, pa.int64()),
+                "lang": pa.array(out_lang, pa.string()),
+                "term": pa.array(out_term, pa.string()),
+                "n": pa.array(out_n, pa.int64()),
+                "tbucket": pa.array(out_tb, pa.int32()),
+            }
+        )
+
+    _NB_EMPTY = pd.DataFrame(
+        {
+            "doc_id": pd.array([], dtype="int64"),
+            "lang": pd.array([], dtype="str"),
+            "t_part": pd.array([], dtype="int64"),
+            **{c: pd.array([], dtype="float64") for c in scols},
+            "dbucket": pd.array([], dtype="int32"),
+        }
+    )
+
+    def train_and_score(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return _NB_EMPTY
+        # bucket-local model: c per (term, lang) — exact global counts,
+        # because a term's rows all hash into this bucket
+        model = g.groupby(["term", "lang"], sort=False)["n"].sum()
+        wide = model.unstack("lang").reindex(columns=langs)
+        lnc = np.log(wide.fillna(0.0).to_numpy(dtype=np.float64) + 1.0)
+        term_idx = {t: i for i, t in enumerate(wide.index)}
+        ti = g["term"].map(term_idx).to_numpy()
+        contrib = lnc[ti] * g["n"].to_numpy(dtype=np.float64)[:, None]
+        tmp = pd.DataFrame(contrib, columns=scols)
+        tmp["doc_id"] = g["doc_id"].to_numpy()
+        tmp["lang"] = g["lang"].to_numpy()
+        tmp["t_part"] = g["n"].to_numpy(dtype=np.int64)
+        agg = (
+            tmp.groupby(["doc_id", "lang"], sort=False)[["t_part"] + scols]
+            .sum()
+            .reset_index()
+        )
+        agg["dbucket"] = (agg["doc_id"].to_numpy() % nb).astype("int32")
+        # per-lang model stats as two sentinel rows (ints ≤ 2^53, exact in
+        # float64): doc_id −1 → Σc (token totals), −2 → vocab sizes
+        n_tok_p = model.groupby(level="lang").sum().reindex(langs).fillna(0)
+        v_p = model.groupby(level="lang").size().reindex(langs).fillna(0)
+        stats = pd.DataFrame(
+            {
+                "doc_id": pd.array([-1, -2], dtype="int64"),
+                "lang": pd.array(["", ""], dtype="str"),
+                "t_part": pd.array([0, 0], dtype="int64"),
+                **{
+                    c: pd.array(
+                        [float(n_tok_p.iloc[i]), float(v_p.iloc[i])], dtype="float64"
+                    )
+                    for i, c in enumerate(scols)
+                },
+                "dbucket": pd.array([0, 0], dtype="int32"),
+            }
+        )
+        return pd.concat([agg[_NB_EMPTY.columns], stats], ignore_index=True)
+
+    staged = _arrow_blocks(
+        _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+        .map_batches(doc_terms, batch_format="pyarrow")
+        .groupby("tbucket")
+        .map_groups(train_and_score, batch_format="pandas")
+    ).materialize()
+
+    def keep_stats(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.less(batch["doc_id"], 0))
+
+    n_tok = np.zeros(len(langs))
+    v = np.zeros(len(langs))
+    for row in staged.map_batches(keep_stats, batch_format="pyarrow").take_all():
+        tgt = n_tok if row["doc_id"] == -1 else v
+        for i, c in enumerate(scols):
+            tgt[i] += row[c]
+    prior = np.array([math.log(docs_l[l] / total_docs) for l in langs])
+    lnden = np.log(n_tok + v)
+
+    def keep_docs(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater_equal(batch["doc_id"], 0))
+
+    _CONF_EMPTY = pd.DataFrame(
+        {
+            "lang": pd.array([], dtype="str"),
+            "nb_pred": pd.array([], dtype="str"),
+            "n_p": pd.array([], dtype="int64"),
+        }
+    )
+
+    def fold_and_argmax(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return _CONF_EMPTY
+        agg = g.groupby(["doc_id", "lang"], sort=False)[["t_part"] + scols].sum()
+        T = agg["t_part"].to_numpy(dtype=np.float64)
+        s = agg[scols].to_numpy(dtype=np.float64)
+        scores = np.round(prior[None, :] - T[:, None] * lnden[None, :] + s, 6)
+        # argmax picks the FIRST max → langs ascending = the tie-break
+        pred = np.argmax(scores, axis=1)
+        out = pd.DataFrame(
+            {
+                "lang": agg.index.get_level_values("lang"),
+                "nb_pred": [langs[p] for p in pred],
+            }
+        )
+        folded = out.groupby(["lang", "nb_pred"], sort=False).size().reset_index(name="n_p")
+        folded["n_p"] = folded["n_p"].astype("int64")
+        return folded
+
+    return (
+        _arrow_blocks(
+            staged.map_batches(keep_docs, batch_format="pyarrow")
+            .groupby("dbucket")
+            .map_groups(fold_and_argmax, batch_format="pandas")
+        )
+        .groupby(["lang", "nb_pred"])
+        .aggregate(Sum("n_p", alias_name="n"))
+    )
+
+
 def q_pq_codes(sf_dir: str):
     """Product-quantization encode — THE billion-scale ANN compression
     step: the 64-dim embedding splits into 8 contiguous 8-dim subspaces,
@@ -10142,6 +10314,7 @@ QUERIES = {
     "pages_main_content": q_pages_main_content,
     "training_data_pipeline": q_training_data_pipeline,
     "synthetic_quality_report": q_synthetic_quality_report,
+    "nb_lang_confusion": q_nb_lang_confusion,
     "ner_stub_entity_counts": q_ner_stub_entity_counts,
     "placeholder_corpus": q_placeholder_corpus,
     "deid_eval_aggregate": q_deid_eval_aggregate,
@@ -11178,6 +11351,39 @@ ORACLE_SQL = {
                                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
             FROM documents
         ) WHERE rn <= 20
+    """,
+    # re-derives the full Naive-Bayes train+apply: unigram model with
+    # add-one smoothing, per-lang constants, the unseen-word-free score
+    # decomposition, 6dp-rounded argmax with lang-ascending tie-break.
+    "nb_lang_confusion": """
+        WITH toks AS (
+          SELECT doc_id, lang, unnest(regexp_extract_all(lower(COALESCE(text,'')), '\\S+')) AS w
+          FROM documents),
+        tf AS (SELECT doc_id, lang, w, COUNT(*)::BIGINT AS n FROM toks GROUP BY ALL),
+        model AS (SELECT lang, w, SUM(n)::BIGINT AS c FROM tf GROUP BY lang, w),
+        lstats AS (SELECT lang, SUM(c)::BIGINT AS n_tok, COUNT(*)::BIGINT AS v FROM model GROUP BY lang),
+        docs_l AS (SELECT lang, COUNT(*)::BIGINT AS d FROM documents GROUP BY lang),
+        nd AS (SELECT SUM(d)::BIGINT AS total FROM docs_l),
+        doct AS (SELECT doc_id, lang AS true_lang, SUM(n)::BIGINT AS t FROM tf GROUP BY doc_id, lang),
+        spart AS (
+          SELECT tf.doc_id, m.lang, SUM(tf.n * ln(m.c + 1)) AS s
+          FROM tf JOIN model m ON m.w = tf.w
+          GROUP BY tf.doc_id, m.lang),
+        scores AS (
+          SELECT doct.doc_id, doct.true_lang, ls.lang,
+                 ROUND(ln(CAST(dl.d AS DOUBLE) / nd.total)
+                       - doct.t * ln(CAST(ls.n_tok + ls.v AS DOUBLE))
+                       + COALESCE(sp.s, 0.0), 6) AS score
+          FROM doct CROSS JOIN lstats ls
+          JOIN docs_l dl ON dl.lang = ls.lang
+          CROSS JOIN nd
+          LEFT JOIN spart sp ON sp.doc_id = doct.doc_id AND sp.lang = ls.lang),
+        pred AS (
+          SELECT doc_id, true_lang, lang AS nb_pred,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn
+          FROM scores)
+        SELECT true_lang AS lang, nb_pred, COUNT(*)::BIGINT AS n
+        FROM pred WHERE rn = 1 GROUP BY ALL
     """,
     # re-derives the curation half of the training-data flow from the staged
     # extraction parquet: quality_counts (Unicode classes pinned vs Python
