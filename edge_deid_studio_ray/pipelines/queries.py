@@ -9510,6 +9510,111 @@ def q_nb_lang_confusion(sf_dir: str):
     )
 
 
+def q_chi2_term_lang(sf_dir: str):
+    """Chi-square term–class feature selection: top-20 (term, lang) pairs
+    by the χ² statistic of the 2×2 presence/class contingency table —
+    the classic supervised feature-selection step for quality/domain
+    classifiers over a training corpus.
+
+    Scale shape: per-batch document-frequency partials (term presence ×
+    lang) fold map-side, ONE term-hash-bucket shuffle co-locates each
+    term's df row set (bucket-local sums are exact global df counts —
+    the tfidf/nb co-group pattern), χ² is computed per cell from EXACT
+    Python-int sufficient statistics (N·(ad−bc)² overflows int64/float64
+    at corpus scale; the cell count is ∝ vocabulary, not corpus, so the
+    per-cell loop is off the hot path), and each bucket prunes to its
+    local top-20 before the tiny global sort — the final exchange is
+    ≤ buckets×20 rows.  Float contract: ONE division float(num)/float(den)
+    over exact ints, mirrored as CAST(HUGEINT AS DOUBLE)/CAST(... AS
+    DOUBLE) in SQL (operands rounded to double first on both engines);
+    ranking uses the raw identical doubles with (term, lang) tie-break."""
+    import zlib
+
+    nb = resolve_group_buckets()
+    langrows = (
+        _read(sf_dir, "documents", ["lang"]).groupby("lang").count().take_all()
+    )
+    n_l = {r["lang"]: int(r["count()"]) for r in langrows}
+    langs = sorted(n_l)
+    n_total = sum(n_l.values())
+
+    def presence_partials(batch: pa.Table) -> pa.Table:
+        cnt: Counter = Counter()
+        for lang, text in zip(batch["lang"].to_pylist(), batch["text"].to_pylist()):
+            for w in set((text or "").lower().split()):
+                cnt[(w, lang)] += 1
+        keys = list(cnt)
+        return pa.table(
+            {
+                "term": pa.array([k[0] for k in keys], pa.string()),
+                "lang": pa.array([k[1] for k in keys], pa.string()),
+                "a_p": pa.array([cnt[k] for k in keys], pa.int64()),
+                "tbucket": pa.array(
+                    [zlib.crc32(k[0].encode()) % nb for k in keys], pa.int32()
+                ),
+            }
+        )
+
+    _CHI_EMPTY = pd.DataFrame(
+        {
+            "term": pd.array([], dtype="str"),
+            "lang": pd.array([], dtype="str"),
+            "chi2_raw": pd.array([], dtype="float64"),
+        }
+    )
+
+    def chi2_topk(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return _CHI_EMPTY
+        a_tl = g.groupby(["term", "lang"], sort=False)["a_p"].sum()
+        wide = a_tl.unstack("lang").reindex(columns=langs).fillna(0).astype("int64")
+        best: list[tuple[float, str, str]] = []
+        for term, row in zip(wide.index, wide.to_numpy()):
+            dft = int(row.sum())
+            for lang, a_np in zip(langs, row):
+                a = int(a_np)
+                b = dft - a
+                c = n_l[lang] - a
+                d = n_total - n_l[lang] - b
+                den = (a + b) * (c + d) * (a + c) * (b + d)
+                num = n_total * (a * d - b * c) ** 2
+                chi2 = float(num) / float(den) if den else 0.0
+                best.append((chi2, term, lang))
+        best.sort(key=lambda x: (-x[0], x[1], x[2]))
+        best = best[:20]
+        return pd.DataFrame(
+            {
+                "term": pd.array([t for _, t, _ in best], dtype="str"),
+                "lang": pd.array([l for _, _, l in best], dtype="str"),
+                "chi2_raw": pd.array([x for x, _, _ in best], dtype="float64"),
+            }
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "term": batch["term"],
+                "lang": batch["lang"],
+                "chi2": pa.array(
+                    np.round(batch["chi2_raw"].to_numpy(zero_copy_only=False), 6),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return (
+        _arrow_blocks(
+            _read(sf_dir, "documents", ["lang", "text"])
+            .map_batches(presence_partials, batch_format="pyarrow")
+            .groupby("tbucket")
+            .map_groups(chi2_topk, batch_format="pandas")
+        )
+        .sort(["chi2_raw", "term", "lang"], descending=[True, False, False])
+        .limit(20)
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
 def q_pq_codes(sf_dir: str):
     """Product-quantization encode — THE billion-scale ANN compression
     step: the 64-dim embedding splits into 8 contiguous 8-dim subspaces,
@@ -10315,6 +10420,7 @@ QUERIES = {
     "training_data_pipeline": q_training_data_pipeline,
     "synthetic_quality_report": q_synthetic_quality_report,
     "nb_lang_confusion": q_nb_lang_confusion,
+    "chi2_term_lang": q_chi2_term_lang,
     "ner_stub_entity_counts": q_ner_stub_entity_counts,
     "placeholder_corpus": q_placeholder_corpus,
     "deid_eval_aggregate": q_deid_eval_aggregate,
@@ -11351,6 +11457,37 @@ ORACLE_SQL = {
                                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
             FROM documents
         ) WHERE rn <= 20
+    """,
+    # chi-square feature selection: exact-integer contingency cells in
+    # HUGEINT, ONE operands-rounded-to-double division, raw-double ranking
+    # with (term, lang) tie-break — mirrors the engine's float contract.
+    "chi2_term_lang": """
+        WITH d AS (
+          SELECT doc_id, lang,
+                 unnest(list_distinct(regexp_extract_all(lower(COALESCE(text,'')), '\\S+'))) AS w
+          FROM documents),
+        df_tl AS (SELECT w, lang, COUNT(*)::BIGINT AS a FROM d GROUP BY ALL),
+        nl AS (SELECT lang, COUNT(*)::BIGINT AS n_l FROM documents GROUP BY lang),
+        nn AS (SELECT COUNT(*)::BIGINT AS n FROM documents),
+        df_t AS (SELECT w, SUM(a)::BIGINT AS dft FROM df_tl GROUP BY w),
+        cells AS (
+          SELECT t.w, l.lang,
+                 COALESCE(x.a, 0)::HUGEINT AS a,
+                 (t.dft - COALESCE(x.a, 0))::HUGEINT AS b,
+                 (l.n_l - COALESCE(x.a, 0))::HUGEINT AS c,
+                 (nn.n - l.n_l - (t.dft - COALESCE(x.a, 0)))::HUGEINT AS dd,
+                 nn.n::HUGEINT AS n
+          FROM df_t t CROSS JOIN nl l CROSS JOIN nn
+          LEFT JOIN df_tl x ON x.w = t.w AND x.lang = l.lang),
+        chi AS (
+          SELECT w, lang,
+                 CASE WHEN (a+b)*(c+dd)*(a+c)*(b+dd) = 0 THEN 0.0
+                      ELSE CAST(n*(a*dd - b*c)*(a*dd - b*c) AS DOUBLE)
+                           / CAST((a+b)*(c+dd)*(a+c)*(b+dd) AS DOUBLE)
+                 END AS chi2
+          FROM cells)
+        SELECT w AS term, lang, ROUND(chi.chi2, 6) AS chi2
+        FROM chi ORDER BY chi.chi2 DESC, w ASC, lang ASC LIMIT 20
     """,
     # re-derives the full Naive-Bayes train+apply: unigram model with
     # add-one smoothing, per-lang constants, the unseen-word-free score
