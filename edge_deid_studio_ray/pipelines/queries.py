@@ -9615,6 +9615,52 @@ def q_chi2_term_lang(sf_dir: str):
     )
 
 
+def q_jl_distortion(sf_dir: str):
+    """Johnson–Lindenstrauss random projection (d → 16 dims) with a
+    per-vector distortion audit — THE dimensionality-reduction step before
+    billion-scale ANN (project once, index the short vectors; distortion
+    ratio |Mv|²/(k·|v|²) certifies how much geometry survived).
+
+    Scale shape: the projection matrix is 16×d bridge-gaussians (~8 KB) —
+    generated deterministically on the driver and captured in the closure
+    (re-derivable anywhere, never shuffled); the stage is a pure
+    vectorized map (one float64 matmul per batch), zero exchanges.
+    Float contract: matrix entries come from the md5 Box–Muller bridge
+    (bit-identical in SQL); matmul/summation order drifts ~1e-15 and the
+    6dp-rounded ratio absorbs it; zero vectors guard to 0.0 on both
+    engines."""
+    from ..functions.simsearch import bridge_gaussian
+
+    first = _read(sf_dir, "embeddings", ["embedding"]).take(1)
+    d = len(first[0]["embedding"])
+    k = 16
+    m = np.array(
+        [[bridge_gaussian(f"jl:7:{i}:{j}") for j in range(d)] for i in range(k)]
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        v = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        if v.size == 0:
+            return pa.table(
+                {"vec_id": batch["vec_id"], "distortion": pa.array([], pa.float64())}
+            )
+        p = v @ m.T
+        s = (p**2).sum(axis=1)
+        vnorm = (v**2).sum(axis=1)
+        safe = np.where(vnorm == 0, 1.0, vnorm)
+        ratio = np.where(vnorm == 0, 0.0, np.round((s / float(k)) / safe, 6))
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                "distortion": pa.array(ratio, pa.float64()),
+            }
+        )
+
+    return _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        project, batch_format="pyarrow"
+    )
+
+
 def q_pq_codes(sf_dir: str):
     """Product-quantization encode — THE billion-scale ANN compression
     step: the 64-dim embedding splits into 8 contiguous 8-dim subspaces,
@@ -10421,6 +10467,7 @@ QUERIES = {
     "synthetic_quality_report": q_synthetic_quality_report,
     "nb_lang_confusion": q_nb_lang_confusion,
     "chi2_term_lang": q_chi2_term_lang,
+    "jl_distortion": q_jl_distortion,
     "ner_stub_entity_counts": q_ner_stub_entity_counts,
     "placeholder_corpus": q_placeholder_corpus,
     "deid_eval_aggregate": q_deid_eval_aggregate,
@@ -11457,6 +11504,28 @@ ORACLE_SQL = {
                                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
             FROM documents
         ) WHERE rn <= 20
+    """,
+    # JL projection: the 16×d matrix regenerates from the md5 Box–Muller
+    # bridge (bit-identical entries), the distortion ratio mirrors the
+    # engine's (s/16)/|v|² op order under a 6dp round.
+    "jl_distortion": """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        m AS (
+          SELECT k.k, array_agg(
+                   sqrt(-2 * ln((CAST(md5_number_upper('jl:7:' || k.k || ':' || d.d || ':1') AS DOUBLE) + 1) / 18446744073709551616.0))
+                   * cos(2 * pi() * ((CAST(md5_number_upper('jl:7:' || k.k || ':' || d.d || ':2') AS DOUBLE) + 1) / 18446744073709551616.0))
+                   ORDER BY d.d) AS w
+          FROM range(16) AS k(k),
+               (SELECT unnest(range(len(v))) AS d
+                FROM (SELECT v FROM e ORDER BY vec_id LIMIT 1)) AS d
+          GROUP BY k.k),
+        dots AS (
+          SELECT e.vec_id, SUM(pow(list_inner_product(e.v, m.w), 2)) AS s,
+                 ANY_VALUE(list_inner_product(e.v, e.v)) AS vn
+          FROM e, m GROUP BY e.vec_id)
+        SELECT vec_id,
+               CASE WHEN vn = 0 THEN 0.0 ELSE ROUND((s / 16.0) / vn, 6) END AS distortion
+        FROM dots
     """,
     # chi-square feature selection: exact-integer contingency cells in
     # HUGEINT, ONE operands-rounded-to-double division, raw-double ranking
