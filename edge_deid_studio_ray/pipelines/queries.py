@@ -9615,6 +9615,91 @@ def q_chi2_term_lang(sf_dir: str):
     )
 
 
+def q_k_anonymity_audit(sf_dir: str):
+    """k-anonymity / l-diversity audit — the release-side privacy gate of
+    a de-identification pipeline: customers generalize to quasi-identifier
+    classes (nation, market segment, 1000-unit balance band); the report
+    is the anonymity spectrum — for each class size k: how many classes,
+    how many rows sit at that exposure level, and the minimum l-diversity
+    (distinct sensitive values, here exact balance cents) among them.
+
+    Scale shape: per-batch pandas fold to distinct (QI, sensitive) partial
+    counts (rows shrink to the class structure before any exchange), ONE
+    QI-hash-bucket co-group makes class sizes exact, per-bucket histogram
+    fold, final ≤|k-values| grouped merge.  All-integer: cents via the
+    exact-int money contract, band = floor(cents/100000) mirrored as
+    floor(CAST AS DOUBLE / 100000) (quotients ≲1e7 are exact doubles)."""
+    import zlib
+
+    from ray.data.aggregate import Min, Sum
+
+    nb = resolve_group_buckets()
+
+    def class_partials(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        cents = np.round(df["c_acctbal"].to_numpy() * 100).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "nat": df["c_nationkey"].astype("int64"),
+                "seg": df["c_mktsegment"],
+                "band": cents // 100000,
+                "cents": cents,
+            }
+        )
+        folded = df.groupby(["nat", "seg", "band", "cents"], sort=False).size().reset_index(name="n_p")
+        folded["qbucket"] = [
+            zlib.crc32(f"{n}|{s}|{b}".encode()) % nb
+            for n, s, b in zip(folded["nat"], folded["seg"], folded["band"])
+        ]
+        folded["n_p"] = folded["n_p"].astype("int64")
+        return pa.Table.from_pandas(folded, preserve_index=False)
+
+    _KA_EMPTY = pd.DataFrame(
+        {
+            "k": pd.array([], dtype="int64"),
+            "n_classes_p": pd.array([], dtype="int64"),
+            "n_rows_p": pd.array([], dtype="int64"),
+            "min_l_p": pd.array([], dtype="int64"),
+        }
+    )
+
+    def spectrum_fold(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return _KA_EMPTY
+        # rows are (QI, cents) partials; a QI class is fully co-resident
+        per = g.groupby(["nat", "seg", "band"], sort=False).agg(
+            k=("n_p", "sum"), l=("cents", "nunique")
+        )
+        hist = per.groupby("k").agg(
+            n_classes_p=("l", "size"), min_l_p=("l", "min")
+        )
+        hist["n_rows_p"] = hist.index.to_numpy() * hist["n_classes_p"].to_numpy()
+        out = hist.reset_index()
+        return pd.DataFrame(
+            {
+                "k": out["k"].astype("int64"),
+                "n_classes_p": out["n_classes_p"].astype("int64"),
+                "n_rows_p": out["n_rows_p"].astype("int64"),
+                "min_l_p": out["min_l_p"].astype("int64"),
+            }
+        )
+
+    return (
+        _arrow_blocks(
+            _read(sf_dir, "customer", ["c_nationkey", "c_mktsegment", "c_acctbal"])
+            .map_batches(class_partials, batch_format="pyarrow")
+            .groupby("qbucket")
+            .map_groups(spectrum_fold, batch_format="pandas")
+        )
+        .groupby("k")
+        .aggregate(
+            Sum("n_classes_p", alias_name="n_classes"),
+            Sum("n_rows_p", alias_name="n_rows"),
+            Min("min_l_p", alias_name="min_l"),
+        )
+    )
+
+
 def q_jl_distortion(sf_dir: str):
     """Johnson–Lindenstrauss random projection (d → 16 dims) with a
     per-vector distortion audit — THE dimensionality-reduction step before
@@ -10468,6 +10553,7 @@ QUERIES = {
     "nb_lang_confusion": q_nb_lang_confusion,
     "chi2_term_lang": q_chi2_term_lang,
     "jl_distortion": q_jl_distortion,
+    "k_anonymity_audit": q_k_anonymity_audit,
     "ner_stub_entity_counts": q_ner_stub_entity_counts,
     "placeholder_corpus": q_placeholder_corpus,
     "deid_eval_aggregate": q_deid_eval_aggregate,
@@ -11504,6 +11590,23 @@ ORACLE_SQL = {
                                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
             FROM documents
         ) WHERE rn <= 20
+    """,
+    # k-anonymity spectrum: QI classes on (nation, segment, 1000-unit
+    # balance band via exact-int cents), per-k class/row counts + min
+    # l-diversity — all-integer re-derivation.
+    "k_anonymity_audit": """
+        WITH c AS (
+          SELECT c_nationkey AS nat, c_mktsegment AS seg,
+                 CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+          FROM customer),
+        cls AS (
+          SELECT nat, seg,
+                 CAST(floor(CAST(cents AS DOUBLE) / 100000) AS BIGINT) AS band,
+                 COUNT(*)::BIGINT AS k, COUNT(DISTINCT cents)::BIGINT AS l
+          FROM c GROUP BY ALL)
+        SELECT k, COUNT(*)::BIGINT AS n_classes, SUM(k)::BIGINT AS n_rows,
+               MIN(l)::BIGINT AS min_l
+        FROM cls GROUP BY k
     """,
     # JL projection: the 16×d matrix regenerates from the md5 Box–Muller
     # bridge (bit-identical entries), the distortion ratio mirrors the
