@@ -9700,6 +9700,63 @@ def q_k_anonymity_audit(sf_dir: str):
     )
 
 
+def q_dp_noisy_counts(sf_dir: str):
+    """Differentially-private release counts: per-language document counts
+    + Laplace(1/ε) noise (ε=1, sensitivity 1 for a unit-contribution count
+    query) — the standard DP release mechanism, with the noise drawn
+    DETERMINISTICALLY from the md5 bridge (inverse-CDF over a seeded
+    uniform) so the mechanism is testable and the oracle SQL regenerates
+    the identical noised values.  A production release would swap the
+    bridge uniform for a secret-seeded DRBG — the mechanism, sensitivity
+    bound and inverse-CDF transform are exactly what ships.
+
+    Scale shape: per-batch count partials → one tiny grouped sum (≤|langs|
+    rows) → noise added in a final driver-free map.  Float contract: the
+    inverse-CDF chain (u→ln→±) is bit-identical; the count+noise sum is
+    one float op; ROUND 6dp on both engines."""
+    import hashlib
+    import math
+
+    from ray.data.aggregate import Sum
+
+    def count_partials(batch: pa.Table) -> pa.Table:
+        c = Counter(batch["lang"].to_pylist())
+        return pa.table(
+            {
+                "lang": pa.array(list(c.keys()), pa.string()),
+                "n_p": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    def add_noise(batch: pa.Table) -> pa.Table:
+        out_lang, out_v = [], []
+        for lang, n in zip(batch["lang"].to_pylist(), batch["n"].to_pylist()):
+            h = int.from_bytes(
+                hashlib.md5(f"dp:5:{lang}".encode()).digest()[:8], "little"
+            )
+            u = (float(h) + 1.0) / 2.0**64
+            if u >= 0.5:
+                lap = -1.0 * math.log(1.0 - 2.0 * (u - 0.5))
+            else:
+                lap = 1.0 * math.log(1.0 - 2.0 * (0.5 - u))
+            out_lang.append(lang)
+            out_v.append(round(n + lap, 6))
+        return pa.table(
+            {
+                "lang": pa.array(out_lang, pa.string()),
+                "noisy_count": pa.array(out_v, pa.float64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "documents", ["lang"])
+        .map_batches(count_partials, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("n_p", alias_name="n"))
+        .map_batches(add_noise, batch_format="pyarrow")
+    )
+
+
 def q_jl_distortion(sf_dir: str):
     """Johnson–Lindenstrauss random projection (d → 16 dims) with a
     per-vector distortion audit — THE dimensionality-reduction step before
@@ -10554,6 +10611,7 @@ QUERIES = {
     "chi2_term_lang": q_chi2_term_lang,
     "jl_distortion": q_jl_distortion,
     "k_anonymity_audit": q_k_anonymity_audit,
+    "dp_noisy_counts": q_dp_noisy_counts,
     "ner_stub_entity_counts": q_ner_stub_entity_counts,
     "placeholder_corpus": q_placeholder_corpus,
     "deid_eval_aggregate": q_deid_eval_aggregate,
@@ -11590,6 +11648,18 @@ ORACLE_SQL = {
                                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
             FROM documents
         ) WHERE rn <= 20
+    """,
+    # DP Laplace mechanism with bridge-seeded noise: the inverse-CDF chain
+    # regenerates bit-identically from md5_number_upper.
+    "dp_noisy_counts": """
+        WITH g AS (SELECT lang, COUNT(*)::BIGINT AS n FROM documents GROUP BY lang),
+        u AS (SELECT lang, n,
+                (CAST(md5_number_upper('dp:5:' || lang) AS DOUBLE) + 1) / 18446744073709551616.0 AS u
+              FROM g)
+        SELECT lang,
+               ROUND(n + CASE WHEN u >= 0.5 THEN -1.0 * ln(1.0 - 2.0 * (u - 0.5))
+                              ELSE 1.0 * ln(1.0 - 2.0 * (0.5 - u)) END, 6) AS noisy_count
+        FROM u
     """,
     # k-anonymity spectrum: QI classes on (nation, segment, 1000-unit
     # balance band via exact-int cents), per-k class/row counts + min
