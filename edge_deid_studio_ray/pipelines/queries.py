@@ -9700,6 +9700,59 @@ def q_k_anonymity_audit(sf_dir: str):
     )
 
 
+def q_events_hourly_hll(sf_dir: str):
+    """Distinct users per tumbling hour via GROUP-WISE HLL sketches
+    (p=8, 256 registers) — the mergeable-sketch scale path: each batch
+    ships one 2 KB register partial per hour it saw (constant per
+    batch×window, independent of user cardinality — the exact-pair
+    companion `events_distinct_users_hourly` ships the distinct pair set
+    instead), the per-window fold is a register-wise max, and the
+    estimate is computed once per window.  Float contract: sum(2^-reg)
+    accumulates as the exact integer Σ 2^(64-reg) (register histogram →
+    Python bigint), rounded to float ONCE — the approx_distinct bridge,
+    per window."""
+    from ..functions.sketches import _hash_column, _hll_update, hll_estimate
+
+    p = 8
+
+    def sketch_partials(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.int64()).to_pylist()
+        users = batch["user_id"].to_pylist()
+        per_win: dict[int, list] = {}
+        for t, u in zip(us, users):
+            per_win.setdefault(int(t) // 3_600_000_000 * 3_600_000_000, []).append(u)
+        wins, sketches = [], []
+        for w, vals in per_win.items():
+            regs = np.zeros(1 << p, dtype=np.int64)
+            _hll_update(regs, _hash_column(vals), p)
+            wins.append(w)
+            sketches.append(regs.tobytes())
+        return pa.table(
+            {
+                "window_us": pa.array(wins, pa.int64()),
+                "sketch": pa.array(sketches, pa.binary()),
+            }
+        )
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        regs = np.zeros(1 << p, dtype=np.int64)
+        for blob in group["sketch"]:
+            regs = np.maximum(regs, np.frombuffer(blob, dtype=np.int64))
+        return pd.DataFrame(
+            {
+                "window_us": pd.array([int(group["window_us"].iloc[0])], dtype="int64"),
+                "hll_users": pd.array([round(hll_estimate(regs), 4)], dtype="float64"),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["ts", "user_id"])
+        .map_batches(sketch_partials, batch_format="pyarrow")
+        .groupby("window_us")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
 def q_dp_noisy_counts(sf_dir: str):
     """Differentially-private release counts: per-language document counts
     + Laplace(1/ε) noise (ε=1, sensitivity 1 for a unit-contribution count
@@ -10612,6 +10665,7 @@ QUERIES = {
     "jl_distortion": q_jl_distortion,
     "k_anonymity_audit": q_k_anonymity_audit,
     "dp_noisy_counts": q_dp_noisy_counts,
+    "events_hourly_hll": q_events_hourly_hll,
     "ner_stub_entity_counts": q_ner_stub_entity_counts,
     "placeholder_corpus": q_placeholder_corpus,
     "deid_eval_aggregate": q_deid_eval_aggregate,
@@ -11648,6 +11702,35 @@ ORACLE_SQL = {
                                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
             FROM documents
         ) WHERE rn <= 20
+    """,
+    # group-wise HLL: the approx_distinct register bridge (md5 hash → idx /
+    # rank, exact-HUGEINT Σ2^(64-reg), one float rounding) GROUPed by hour.
+    "events_hourly_hll": """
+        WITH hv AS (
+          SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS w,
+                 md5_number_upper(CAST(user_id AS VARCHAR)) AS h
+          FROM events),
+        parts AS (
+          SELECT w, CAST(h >> 56 AS BIGINT) AS idx,
+                 strpos(lpad(bin(CAST(
+                     ((CAST(h AS HUGEINT) << 8) | 255) % 18446744073709551616
+                 AS UBIGINT)), 64, '0'), '1') AS rank
+          FROM hv),
+        regs AS (SELECT w, idx, MAX(rank) AS reg FROM parts GROUP BY w, idx),
+        folded AS (
+          SELECT w, 256 - COUNT(*) AS zeros,
+                 CAST(256 - COUNT(*) AS HUGEINT) * (CAST(1 AS HUGEINT) << 64)
+                     + SUM(CAST(1 AS HUGEINT) << (64 - reg)) AS s_exact
+          FROM regs GROUP BY w),
+        raw AS (
+          SELECT w, zeros,
+                 (0.7213 / (1 + 1.079 / 256)) * 256 * 256
+                     / (CAST(s_exact AS DOUBLE) / 18446744073709551616.0) AS est
+          FROM folded)
+        SELECT w AS window_us,
+               ROUND(CASE WHEN est <= 2.5 * 256 AND zeros > 0
+                          THEN 256 * ln(256 / zeros) ELSE est END, 4) AS hll_users
+        FROM raw
     """,
     # DP Laplace mechanism with bridge-seeded noise: the inverse-CDF chain
     # regenerates bit-identically from md5_number_upper.
