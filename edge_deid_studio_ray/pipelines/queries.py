@@ -9700,6 +9700,84 @@ def q_k_anonymity_audit(sf_dir: str):
     )
 
 
+def q_quality_len_spearman(sf_dir: str):
+    """Spearman rank correlation between two per-doc quality signals
+    (composite quality score × whitespace token count) — the calibration
+    audit for curation-filter design (are two signals redundant?).
+
+    Scale shape: rank statistics WITHOUT a global sort — both signals are
+    discrete (the score is a product of four factors, token counts are
+    small ints), so the whole computation reduces over the JOINT
+    CONTINGENCY TABLE: per-batch (x, y) pair-count partials fold map-side,
+    one grouped sum ships ≤|X|·|Y| cells (≈150 at every tested sf —
+    bounded by signal cardinality, not corpus size), and the driver
+    finishes with exact Python-int sufficient statistics over doubled
+    average ranks (r2 = 2·lt + cnt + 1 keeps tie-averaged ranks integral;
+    n·Σr2x·r2y-style products overflow int64 at corpus scale → bigints,
+    HUGEINT in SQL).  Float contract: ONE div-over-sqrt-of-product chain
+    on operands each rounded to double first, 6dp output."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    from ..functions.textstats import quality_score, token_count
+
+    def cell_partials(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch["text"].to_pylist():
+            t = t or ""
+            c[(quality_score(t), token_count(t))] += 1
+        keys = list(c)
+        return pa.table(
+            {
+                "x": pa.array([k[0] for k in keys], pa.float64()),
+                "y": pa.array([k[1] for k in keys], pa.int64()),
+                "c_p": pa.array([c[k] for k in keys], pa.int64()),
+            }
+        )
+
+    cells = {
+        (r["x"], r["y"]): int(r["c"])
+        for r in (
+            _read(sf_dir, "documents", ["text"])
+            .map_batches(cell_partials, batch_format="pyarrow")
+            .groupby(["x", "y"])
+            .aggregate(Sum("c_p", alias_name="c"))
+            .take_all()
+        )
+    }
+
+    def rank2(hist: dict) -> dict:
+        out, lt = {}, 0
+        for v in sorted(hist):
+            out[v] = 2 * lt + hist[v] + 1
+            lt += hist[v]
+        return out
+
+    cx: Counter = Counter()
+    cy: Counter = Counter()
+    for (x, y), c in cells.items():
+        cx[x] += c
+        cy[y] += c
+    r2x, r2y = rank2(cx), rank2(cy)
+    n = sum(cells.values())
+    sx = sum(c * r2x[x] for (x, _), c in cells.items())
+    sy = sum(c * r2y[y] for (_, y), c in cells.items())
+    sxx = sum(c * r2x[x] ** 2 for (x, _), c in cells.items())
+    syy = sum(c * r2y[y] ** 2 for (_, y), c in cells.items())
+    sxy = sum(c * r2x[x] * r2y[y] for (x, y), c in cells.items())
+    num = n * sxy - sx * sy
+    d1 = n * sxx - sx * sx
+    d2 = n * syy - sy * sy
+    rho = 0.0 if d1 * d2 == 0 else round(float(num) / math.sqrt(float(d1) * float(d2)), 6)
+    return pa.table(
+        {
+            "n": pa.array([n], pa.int64()),
+            "spearman_rho": pa.array([rho], pa.float64()),
+        }
+    )
+
+
 def q_events_hourly_hll(sf_dir: str):
     """Distinct users per tumbling hour via GROUP-WISE HLL sketches
     (p=8, 256 registers) — the mergeable-sketch scale path: each batch
@@ -10666,6 +10744,7 @@ QUERIES = {
     "k_anonymity_audit": q_k_anonymity_audit,
     "dp_noisy_counts": q_dp_noisy_counts,
     "events_hourly_hll": q_events_hourly_hll,
+    "quality_len_spearman": q_quality_len_spearman,
     "ner_stub_entity_counts": q_ner_stub_entity_counts,
     "placeholder_corpus": q_placeholder_corpus,
     "deid_eval_aggregate": q_deid_eval_aggregate,
@@ -11702,6 +11781,47 @@ ORACLE_SQL = {
                                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
             FROM documents
         ) WHERE rn <= 20
+    """,
+    # Spearman over the joint contingency table: doubled tie-averaged ranks
+    # stay integral, HUGEINT sufficient statistics, one div/sqrt chain.
+    "quality_len_spearman": """
+        WITH t AS (SELECT COALESCE(text,'') AS text FROM documents),
+        cnt AS (
+          SELECT length(text) AS n_chars,
+                 len(regexp_extract_all(text, '\\S+')) AS n_tokens,
+                 len(regexp_extract_all(text, '[\\p{L}]')) AS n_alpha,
+                 len(regexp_extract_all(text, '[^\\p{L}\\p{N}_\\s\\p{Z}]')) AS n_punct,
+                 len(list_filter(regexp_extract_all(lower(text), '\\S+'),
+                     x -> list_contains(['the','of','and','to','a','in','is','it','you','that'], x))) AS n_stopwords
+          FROM t),
+        d AS (
+          SELECT CASE WHEN n_chars = 0 OR n_tokens = 0 THEN 0.0 ELSE
+                   round(CAST(
+                       (CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.5 END)
+                     * (CASE WHEN CAST(n_alpha AS DOUBLE)/greatest(1, n_tokens)
+                             BETWEEN CAST(2.0 AS DOUBLE) AND CAST(12.0 AS DOUBLE) THEN 1.0 ELSE 0.5 END)
+                     * (CASE WHEN CAST(n_punct AS DOUBLE)/n_chars < CAST(0.2 AS DOUBLE) THEN 1.0 ELSE 0.3 END)
+                     * (CASE WHEN CAST(n_stopwords AS DOUBLE)/n_tokens >= CAST(0.01 AS DOUBLE) THEN 1.0 ELSE 0.7 END)
+                     AS DOUBLE), 6)
+                 END AS x,
+                 n_tokens::BIGINT AS y
+          FROM cnt),
+        cells AS (SELECT x, y, COUNT(*)::HUGEINT AS c FROM d GROUP BY ALL),
+        cx AS (SELECT x, SUM(c)::HUGEINT AS cnt FROM cells GROUP BY x),
+        cy AS (SELECT y, SUM(c)::HUGEINT AS cnt FROM cells GROUP BY y),
+        rx AS (SELECT x, 2 * COALESCE(SUM(cnt) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + cnt + 1 AS r2 FROM cx),
+        ry AS (SELECT y, 2 * COALESCE(SUM(cnt) OVER (ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + cnt + 1 AS r2 FROM cy),
+        sums AS (
+          SELECT SUM(c) AS n, SUM(c * rx.r2) AS sx, SUM(c * rx.r2 * rx.r2) AS sxx,
+                 SUM(c * ry.r2) AS sy, SUM(c * ry.r2 * ry.r2) AS syy,
+                 SUM(c * rx.r2 * ry.r2) AS sxy
+          FROM cells JOIN rx USING (x) JOIN ry USING (y))
+        SELECT CAST(n AS BIGINT) AS n,
+               CASE WHEN (n*sxx - sx*sx) * (n*syy - sy*sy) = 0 THEN 0.0
+                    ELSE ROUND(CAST(n*sxy - sx*sy AS DOUBLE)
+                               / sqrt(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)), 6)
+               END AS spearman_rho
+        FROM sums
     """,
     # group-wise HLL: the approx_distinct register bridge (md5 hash → idx /
     # rank, exact-HUGEINT Σ2^(64-reg), one float rounding) GROUPed by hour.
