@@ -9902,7 +9902,7 @@ def q_jl_distortion(sf_dir: str):
     (bit-identical in SQL); matmul/summation order drifts ~1e-15 and the
     6dp-rounded ratio absorbs it; zero vectors guard to 0.0 on both
     engines."""
-    from ..functions.simsearch import bridge_gaussian
+    from ..functions.simsearch import _vec_matrix, bridge_gaussian
 
     first = _read(sf_dir, "embeddings", ["embedding"]).take(1)
     d = len(first[0]["embedding"])
@@ -9912,7 +9912,7 @@ def q_jl_distortion(sf_dir: str):
     )
 
     def project(batch: pa.Table) -> pa.Table:
-        v = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        v = _vec_matrix(batch["embedding"])
         if v.size == 0:
             return pa.table(
                 {"vec_id": batch["vec_id"], "distortion": pa.array([], pa.float64())}
