@@ -1565,7 +1565,15 @@ def _ensure_pages_fixture(sf_dir: str) -> str:
 
 def q_pages_pipeline_counters(sf_dir: str):
     """Flagship extraction+deid over synthetic pages; per-partition lineage
-    counters (pid → docs/spans/bytes) — the north-rule metrics surface."""
+    counters (pid → docs/spans/bytes) — the north-rule metrics surface.
+
+    Rows-only by necessity: n_spans comes from the full YAML regex detector
+    + composite conflict resolution over ALL routes (pdf/csv/malformed
+    included) — re-implementing that rule set in SQL would be a second
+    engine, not an oracle.  The extraction half is oracled by
+    pages_extract_hashes / pages_main_content / pages_link_stats; the
+    detector by deid_entity_counts; determinism is pinned by the
+    rows-only double-run check."""
     from ray.data.aggregate import Count, Sum
 
     from ..pipelines.deid import build_deid_pipeline
@@ -1929,7 +1937,13 @@ def q_synthetic_quality_report(sf_dir: str):
 
 def q_ner_stub_entity_counts(sf_dir: str):
     """NER actor-pool stage (stub backend + regex backstop + composite
-    resolution) over the synthetic corpus; counts by (type, source)."""
+    resolution) over the synthetic corpus; counts by (type, source).
+
+    Rows-only by necessity: the output mixes the stub NER regexes with the
+    full YAML detector + composite overlap-priority resolution — a SQL
+    re-derivation would re-implement the detector rule set wholesale.
+    The composite semantics are parity-tested against the reference
+    resolver; determinism pinned by the double-run check."""
     from ray.data.aggregate import Sum
 
     from ..pipelines.training_data import synthetic_span_dataset
@@ -1963,7 +1977,13 @@ def q_ner_stub_entity_counts(sf_dir: str):
 
 def q_placeholder_corpus(sf_dir: str):
     """Span corpus → `<TYPE>` placeholder masking + deterministic refill
-    (training placeholders/rewriter operators, M11)."""
+    (training placeholders/rewriter operators, M11).
+
+    Rows-only by necessity: filled_text values come from the seeded
+    fake-provider RNG draw sequence (byte-identity contract with the
+    reference, enforced by test_training_parity) — RNG call sequences are
+    not SQL-expressible.  The masking arithmetic is covered by markup
+    parity tests; determinism pinned by the double-run check."""
     from ..pipelines.training_data import placeholder_corpus, synthetic_span_dataset
 
     ds = placeholder_corpus(synthetic_span_dataset(_synth_rows_for(sf_dir), seed=2))
@@ -1972,7 +1992,14 @@ def q_placeholder_corpus(sf_dir: str):
 
 def q_deid_eval_aggregate(sf_dir: str):
     """Distributed deid evaluation aggregate (G2): markup-annotated inputs
-    scored against blackbox-redacted predictions."""
+    scored against blackbox-redacted predictions.
+
+    Rows-only by necessity: non_pii_similarity / over_rewrite_rate are
+    difflib.SequenceMatcher ratios (junk/popularity heuristics, autojunk at
+    len ≥ 200) — not SQL-expressible without re-implementing difflib.  The
+    integer halves (leak counts, type-consistency regex counts, compliance
+    flags) are covered by evalkit parity tests against the live reference
+    code."""
     from ..kernels.replace import replace_text
     from ..pipelines.training_data import synthetic_span_dataset
     from ..stages.quality import eval_aggregate
