@@ -7762,8 +7762,11 @@ def q_copurchase_triangles(sf_dir: str, *, broadcast_edge_cap: int | None = None
     exactly once as a wedge at its lowest-ordered corner and per-node wedge
     work is bounded by out-degree² (the arboricity bound that makes this the
     standard distributed algorithm).  TWO execution paths with an automatic
-    switch on the deduped edge count (``broadcast_edge_cap``, env
-    ``EDS_TRIANGLE_BROADCAST_EDGES``, default 10M ≈ 80 MB):
+    switch on the per-bucket edge row count — an upper bound on distinct
+    edges, erring only toward the bucketed path — (``broadcast_edge_cap``,
+    env ``EDS_TRIANGLE_BROADCAST_EDGES``, default 10M ≈ 80 MB); the
+    broadcast path dedups globally on the driver via np.unique over the
+    array it folds anyway, skipping the edge-hash dedup shuffle:
 
     - **broadcast** (edge list fits a worker): the sorted edge-encoding
       array ships once via ``ray.put``; wedge existence checks run
@@ -7831,26 +7834,35 @@ def q_copurchase_triangles(sf_dir: str, *, broadcast_edge_cap: int | None = None
             {"edge": pd.Series(np.unique(g["edge"].to_numpy()), dtype="int64")}
         )
 
-    dedup_edges = (
+    # per-kb-bucket edges are already locally deduped+sorted; the broadcast
+    # path dedups globally ON THE DRIVER (np.unique over the folded array it
+    # fetches anyway), so the common small-graph path skips the global
+    # edge-hash dedup shuffle entirely.  The path switch uses the per-bucket
+    # row count — an upper bound on distinct edges, so it only ever errs
+    # toward the fully-bucketed path.
+    edges_raw = (
         _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
         .map_batches(project, batch_format="pyarrow")
         .groupby("kb")
         .map_groups(bucket_edges, batch_format="pandas")
-        # edge_bucket doubles as the pandas→arrow re-encode before the shuffle
-        .map_batches(edge_bucket, batch_format="pyarrow")
-        .groupby("eb")
-        .map_groups(dedup_group, batch_format="pandas")
     ).materialize()
-    n_edges = dedup_edges.count()
-    if n_edges == 0:
+    n_edges_upper = edges_raw.count()
+    if n_edges_upper == 0:
         return pd.DataFrame({"n_triangles": pd.array([0], dtype="int64")})
 
     cap = broadcast_edge_cap
     if cap is None:
         cap = int(os.environ.get("EDS_TRIANGLE_BROADCAST_EDGES", str(10_000_000)))
 
-    if n_edges <= cap:
-        return _triangles_broadcast(dedup_edges, nb)
+    if n_edges_upper <= cap:
+        return _triangles_broadcast(edges_raw, nb)
+    # large-graph path: dedup via one edge-hash bucket co-group first;
+    # materialized because the bucketed stages consume it twice
+    dedup_edges = (
+        edges_raw.map_batches(edge_bucket, batch_format="pyarrow")
+        .groupby("eb")
+        .map_groups(dedup_group, batch_format="pandas")
+    ).materialize()
     return _triangles_bucketed(dedup_edges, nb)
 
 
@@ -7864,7 +7876,9 @@ def _triangles_broadcast(dedup_edges, nb: int) -> pd.DataFrame:
         b["edge"].to_numpy()
         for b in dedup_edges.iter_batches(batch_size=65536, batch_format="pyarrow")
     ]
-    edge_arr = np.sort(np.concatenate(chunks))  # globally unique already
+    # input is per-kb-bucket deduped only — the same edge may arrive from
+    # orders in different buckets; np.unique both sorts and dedups globally
+    edge_arr = np.unique(np.concatenate(chunks))
     src = (edge_arr >> 32).astype(np.int64)
     dst = (edge_arr & 0xFFFFFFFF).astype(np.int64)
     nodes, counts = np.unique(np.concatenate([src, dst]), return_counts=True)
