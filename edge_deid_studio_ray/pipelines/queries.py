@@ -9741,6 +9741,81 @@ def q_k_anonymity_audit(sf_dir: str):
     )
 
 
+def q_events_funnel_conformance(sf_dir: str):
+    """Sequence-alignment funnel conformance: each user's first-20 event
+    path (type initials, (ts, event_id)-ordered) aligned against the ideal
+    signup→view→click→purchase funnel by FULL Levenshtein distance,
+    reported as a distance histogram — the behavioral-cohort metric
+    sessionization/funnel counts can't express (it scores HOW FAR each
+    journey deviates, not just whether steps completed in order).
+
+    Scale shape: one user-hash bucket co-group (a user's events are
+    co-resident, so the head-20 cut and path build are exact), the O(20·4)
+    DP runs per user inside the fold, and per-bucket histogram partials
+    make the final exchange ≤|distinct distances| rows.  All-integer —
+    DuckDB's levenshtein is the oracle."""
+    from ray.data.aggregate import Sum
+
+    nb = resolve_group_buckets()
+    target = "svcp"
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "ts_us": batch["ts"].cast(pa.int64()),
+                "event_id": batch["event_id"],
+                "c": pa.array(
+                    [(t or "?")[0] for t in batch["event_type"].to_pylist()],
+                    pa.string(),
+                ),
+                "ub": _ibuckets(batch["user_id"], nb),
+            }
+        )
+
+    _FC_EMPTY = pd.DataFrame(
+        {
+            "dist": pd.array([], dtype="int64"),
+            "n_p": pd.array([], dtype="int64"),
+        }
+    )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return _FC_EMPTY
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        hist: Counter = Counter()
+        for _, sub in g.groupby("user_id", sort=False):
+            path = "".join(sub["c"].iloc[:20])
+            hist[lev(path, target)] += 1
+        return pd.DataFrame(
+            {
+                "dist": pd.array(list(hist.keys()), dtype="int64"),
+                "n_p": pd.array(list(hist.values()), dtype="int64"),
+            }
+        )
+
+    return (
+        _arrow_blocks(
+            _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+            .map_batches(project, batch_format="pyarrow")
+            .groupby("ub")
+            .map_groups(fold, batch_format="pandas")
+        )
+        .groupby("dist")
+        .aggregate(Sum("n_p", alias_name="n_users"))
+    )
+
+
 def q_quality_len_spearman(sf_dir: str):
     """Spearman rank correlation between two per-doc quality signals
     (composite quality score × whitespace token count) — the calibration
@@ -10786,6 +10861,7 @@ QUERIES = {
     "dp_noisy_counts": q_dp_noisy_counts,
     "events_hourly_hll": q_events_hourly_hll,
     "quality_len_spearman": q_quality_len_spearman,
+    "events_funnel_conformance": q_events_funnel_conformance,
     "ner_stub_entity_counts": q_ner_stub_entity_counts,
     "placeholder_corpus": q_placeholder_corpus,
     "deid_eval_aggregate": q_deid_eval_aggregate,
@@ -11822,6 +11898,19 @@ ORACLE_SQL = {
                                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
             FROM documents
         ) WHERE rn <= 20
+    """,
+    # funnel conformance: first-20 path per user (rn over (ts, event_id)),
+    # DuckDB's own levenshtein as the alignment oracle.
+    "events_funnel_conformance": """
+        WITH e AS (
+          SELECT user_id, substr(event_type, 1, 1) AS c,
+                 ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          FROM events),
+        p AS (
+          SELECT user_id, string_agg(c, '' ORDER BY rn) AS path
+          FROM e WHERE rn <= 20 GROUP BY user_id),
+        d AS (SELECT levenshtein(path, 'svcp')::BIGINT AS dist FROM p)
+        SELECT dist, COUNT(*)::BIGINT AS n_users FROM d GROUP BY dist
     """,
     # Spearman over the joint contingency table: doubled tie-averaged ranks
     # stay integral, HUGEINT sufficient statistics, one div/sqrt chain.
