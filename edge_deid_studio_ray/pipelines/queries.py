@@ -9816,6 +9816,74 @@ def q_events_funnel_conformance(sf_dir: str):
     )
 
 
+def q_events_welch_ttest(sf_dir: str):
+    """Welch's two-sample t-test between event segments (purchase vs view
+    values) — the A/B-testing primitive: unequal-variance t statistic and
+    Welch–Satterthwaite degrees of freedom from one-pass sufficient
+    statistics (n, Σv, Σv²).
+
+    Scale shape: per-batch partial moments fold map-side; the only
+    exchange is a 2-row grouped sum; the driver finishes with scalar
+    arithmetic.  Float contract: both engines compute the identical
+    (ss − s²/n)/(n−1) → /n → t/df chains over the summed doubles; the
+    summation-order drift (~1e-12 relative) is absorbed by the 6dp round
+    (trigram_lm_nll contract)."""
+    import math
+
+    from ray.data.aggregate import Count, Sum
+
+    def moments(batch: pa.Table) -> pa.Table:
+        agg: dict[str, list[float]] = {}
+        for t, v in zip(
+            batch["event_type"].to_pylist(), batch["value"].to_pylist()
+        ):
+            if t in ("purchase", "view") and v is not None:
+                a = agg.setdefault(t, [0, 0.0, 0.0])
+                a[0] += 1
+                a[1] += v
+                a[2] += v * v
+        keys = list(agg)
+        return pa.table(
+            {
+                "event_type": pa.array(keys, pa.string()),
+                "n_p": pa.array([agg[k][0] for k in keys], pa.int64()),
+                "s_p": pa.array([agg[k][1] for k in keys], pa.float64()),
+                "ss_p": pa.array([agg[k][2] for k in keys], pa.float64()),
+            }
+        )
+
+    rows = {
+        r["event_type"]: r
+        for r in (
+            _read(sf_dir, "events", ["event_type", "value"])
+            .map_batches(moments, batch_format="pyarrow")
+            .groupby("event_type")
+            .aggregate(
+                Sum("n_p", alias_name="n"),
+                Sum("s_p", alias_name="s"),
+                Sum("ss_p", alias_name="ss"),
+            )
+            .take_all()
+        )
+    }
+    r1, r2 = rows["purchase"], rows["view"]
+    n1, s1, ss1 = int(r1["n"]), float(r1["s"]), float(r1["ss"])
+    n2, s2, ss2 = int(r2["n"]), float(r2["s"]), float(r2["ss"])
+    m1, m2 = s1 / n1, s2 / n2
+    se1 = ((ss1 - s1 * s1 / n1) / (n1 - 1)) / n1
+    se2 = ((ss2 - s2 * s2 / n2) / (n2 - 1)) / n2
+    t = (m1 - m2) / math.sqrt(se1 + se2)
+    df = (se1 + se2) ** 2 / (se1 * se1 / (n1 - 1) + se2 * se2 / (n2 - 1))
+    return pa.table(
+        {
+            "n1": pa.array([n1], pa.int64()),
+            "n2": pa.array([n2], pa.int64()),
+            "t_stat": pa.array([round(t, 6)], pa.float64()),
+            "welch_df": pa.array([round(df, 6)], pa.float64()),
+        }
+    )
+
+
 def q_quality_len_spearman(sf_dir: str):
     """Spearman rank correlation between two per-doc quality signals
     (composite quality score × whitespace token count) — the calibration
@@ -10862,6 +10930,7 @@ QUERIES = {
     "events_hourly_hll": q_events_hourly_hll,
     "quality_len_spearman": q_quality_len_spearman,
     "events_funnel_conformance": q_events_funnel_conformance,
+    "events_welch_ttest": q_events_welch_ttest,
     "ner_stub_entity_counts": q_ner_stub_entity_counts,
     "placeholder_corpus": q_placeholder_corpus,
     "deid_eval_aggregate": q_deid_eval_aggregate,
@@ -11898,6 +11967,33 @@ ORACLE_SQL = {
                                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
             FROM documents
         ) WHERE rn <= 20
+    """,
+    # Welch t-test: identical moment/variance/t/df op chains over summed
+    # doubles; 6dp round absorbs summation-order drift.
+    "events_welch_ttest": """
+        WITH g AS (
+          SELECT event_type, COUNT(*)::BIGINT AS n, SUM(value) AS s, SUM(value*value) AS ss
+          FROM events
+          WHERE event_type IN ('purchase','view') AND value IS NOT NULL
+          GROUP BY event_type),
+        w AS (
+          SELECT
+            (SELECT n FROM g WHERE event_type='purchase') AS n1,
+            (SELECT s FROM g WHERE event_type='purchase') AS s1,
+            (SELECT ss FROM g WHERE event_type='purchase') AS ss1,
+            (SELECT n FROM g WHERE event_type='view') AS n2,
+            (SELECT s FROM g WHERE event_type='view') AS s2,
+            (SELECT ss FROM g WHERE event_type='view') AS ss2),
+        c AS (
+          SELECT n1, n2,
+                 ((ss1 - s1*s1/n1) / (n1 - 1)) / n1 AS se1,
+                 ((ss2 - s2*s2/n2) / (n2 - 1)) / n2 AS se2,
+                 s1/n1 AS m1, s2/n2 AS m2
+          FROM w)
+        SELECT n1, n2,
+               ROUND((m1 - m2) / sqrt(se1 + se2), 6) AS t_stat,
+               ROUND((se1 + se2)*(se1 + se2) / (se1*se1/(n1 - 1) + se2*se2/(n2 - 1)), 6) AS welch_df
+        FROM c
     """,
     # funnel conformance: first-20 path per user (rn over (ts, event_id)),
     # DuckDB's own levenshtein as the alignment oracle.
