@@ -8384,6 +8384,153 @@ def q_bpe_pair_counts(sf_dir: str):
     return out[["pair", "n"]]
 
 
+def q_copurchase_kcore(sf_dir: str):
+    """k-core decomposition (k=80) of the co-purchase graph by iterative
+    peeling — the graph-curation primitive (strip low-connectivity nodes
+    until every survivor has ≥ k surviving neighbors), complementing the
+    one-shot wedge/triangle and frontier/BFS classes with the
+    REMOVE-until-fixpoint iteration class.
+
+    Scale shape: the deduped edge list materializes ONCE (exact degrees
+    need global dedup — duplicated edges would inflate them); each peel
+    round is one vectorized scan of it (np.isin mask against the sorted
+    removed-node array, broadcast via ray.put — driver holds node ids
+    only, never edges, the BFS contract) plus a node-keyed grouped sum of
+    per-batch degree partials.  Rounds are data-dependent; a 16-round cap
+    fails LOUDLY instead of returning a non-fixpoint (measured ≤5 at
+    every sf).  Output is all-integer (nodes, Σdeg/2 edges); the oracle
+    unrolls the peel as 16 chained MATERIALIZED CTEs (the k-means
+    unrolled-iteration pattern — non-materialized CTEs inline
+    exponentially)."""
+    import ray
+    from itertools import combinations
+
+    k = 80
+    max_rounds = 16
+    nb = resolve_group_buckets(None)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "okey": batch["l_orderkey"].cast(pa.int64()),
+                "pkey": batch["l_partkey"].cast(pa.int64()),
+                "kb": _ibuckets(batch["l_orderkey"], nb),
+            }
+        )
+
+    def bucket_edges(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"edge": pd.array([], dtype="int64")})
+        if group.empty:
+            return empty
+        if int(group["pkey"].max()) >= 1 << 32:
+            raise ValueError("l_partkey >= 2^32: packed edge encodings would collide")
+        seen: set[int] = set()
+        for _, parts in group.groupby("okey")["pkey"]:
+            basket = sorted(set(parts.tolist()))
+            for a, b in combinations(basket, 2):
+                seen.add((a << 32) | b)
+        return pd.DataFrame({"edge": pd.Series(sorted(seen), dtype="int64")})
+
+    def edge_bucket(batch: pa.Table) -> pa.Table:
+        e = batch["edge"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "edge": pa.array(e, pa.int64()),
+                "eb": pa.array((e % nb).astype(np.int32), pa.int32()),
+            }
+        )
+
+    def dedup_group(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"edge": pd.Series(np.unique(g["edge"].to_numpy()), dtype="int64")}
+        )
+
+    edges = (
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+        .map_batches(project, batch_format="pyarrow")
+        .groupby("kb")
+        .map_groups(bucket_edges, batch_format="pandas")
+        .map_batches(edge_bucket, batch_format="pyarrow")
+        .groupby("eb")
+        .map_groups(dedup_group, batch_format="pandas")
+    ).materialize()
+
+    _KC_EMPTY = pd.DataFrame(
+        {
+            "low": pd.array([], dtype=object),
+            "n_ok": pd.array([], dtype="int64"),
+            "deg_ok": pd.array([], dtype="int64"),
+        }
+    )
+
+    removed = np.array([], dtype=np.int64)
+    for _round in range(max_rounds + 1):
+        rem_ref = ray.put(np.sort(removed))
+
+        def deg_partials(batch: pa.Table, rem_ref=rem_ref) -> pa.Table:
+            rem = ray.get(rem_ref)
+            e = batch["edge"].to_numpy(zero_copy_only=False).astype(np.int64)
+            u = e >> 32
+            v = e & 0xFFFFFFFF
+            if rem.size:
+                mask = ~np.isin(u, rem) & ~np.isin(v, rem)
+                u, v = u[mask], v[mask]
+            nodes, counts = np.unique(np.concatenate([u, v]), return_counts=True)
+            return pa.table(
+                {
+                    "node": pa.array(nodes, pa.int64()),
+                    "d_p": pa.array(counts, pa.int64()),
+                    # node-hash bucket for the degree fold (the ≥5k-key
+                    # generic aggregate is pathological — bucketed pandas
+                    # fold instead, the doc_ngram_novelty rule)
+                    "nbkt": pa.array((nodes % nb).astype(np.int32), pa.int32()),
+                }
+            )
+
+        def round_fold(g: pd.DataFrame) -> pd.DataFrame:
+            if g.empty:
+                return _KC_EMPTY
+            d = g.groupby("node")["d_p"].sum()  # bucket-complete: exact degree
+            ok = d[d >= k]
+            return pd.DataFrame(
+                {
+                    "low": [d.index[d < k].to_numpy(dtype=np.int64).tobytes()],
+                    "n_ok": pd.array([int(ok.size)], dtype="int64"),
+                    "deg_ok": pd.array([int(ok.sum())], dtype="int64"),
+                }
+            )
+
+        n_core_nodes, total_deg = 0, 0
+        drops: list[np.ndarray] = []
+        rows = (
+            edges.map_batches(deg_partials, batch_format="pyarrow")
+            .groupby("nbkt")
+            .map_groups(round_fold, batch_format="pandas")
+            .take_all()
+        )
+        for r in rows:
+            drops.append(np.frombuffer(r["low"], dtype=np.int64))
+            n_core_nodes += int(r["n_ok"])
+            total_deg += int(r["deg_ok"])
+        new_drop = np.concatenate(drops) if drops else np.array([], dtype=np.int64)
+        if new_drop.size == 0:
+            break
+        removed = np.concatenate([removed, new_drop])
+    else:
+        raise ValueError(
+            f"k-core peeling did not converge within {max_rounds} rounds; "
+            "raise max_rounds (and the oracle's unroll depth) together"
+        )
+
+    assert total_deg % 2 == 0, total_deg
+    return pa.table(
+        {
+            "n_core_nodes": pa.array([n_core_nodes], pa.int64()),
+            "n_core_edges": pa.array([total_deg // 2], pa.int64()),
+        }
+    )
+
+
 def q_copurchase_bfs_hops(sf_dir: str):
     """BFS hop distances (≤3) from the minimum partkey over the co-purchase
     graph — the iterative frontier-expansion class (level-synchronous BFS),
@@ -10931,6 +11078,7 @@ QUERIES = {
     "quality_len_spearman": q_quality_len_spearman,
     "events_funnel_conformance": q_events_funnel_conformance,
     "events_welch_ttest": q_events_welch_ttest,
+    "copurchase_kcore": q_copurchase_kcore,
     "ner_stub_entity_counts": q_ner_stub_entity_counts,
     "placeholder_corpus": q_placeholder_corpus,
     "deid_eval_aggregate": q_deid_eval_aggregate,
@@ -11297,7 +11445,39 @@ _LANGID_PRED_SQL = """
         FROM s
     """
 
+def _kcore_unrolled_sql(k: int = 80, rounds: int = 16) -> str:
+    """Unrolled k-core peel (the k-means chained-CTE pattern): each round
+    recomputes degrees over the previous round's surviving edges and keeps
+    nodes with degree ≥ k.  MATERIALIZED is load-bearing — DuckDB inlines
+    plain CTEs, and surv{i} references surv{i-1} three times, so a
+    non-materialized unroll blows up exponentially (observed as 'Too many
+    open files').  16 rounds ≥ the engine's loud convergence cap."""
+    cte = [
+        "baskets AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem)",
+        "surv0 AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v "
+        "FROM baskets a JOIN baskets b ON a.o = b.o AND a.p < b.p)",
+    ]
+    for i in range(1, rounds + 1):
+        cte.append(
+            f"deg{i} AS MATERIALIZED (SELECT node, COUNT(*) AS c FROM "
+            f"(SELECT u AS node FROM surv{i-1} UNION ALL SELECT v FROM surv{i-1}) GROUP BY node)"
+        )
+        cte.append(f"keep{i} AS MATERIALIZED (SELECT node FROM deg{i} WHERE c >= {k})")
+        cte.append(
+            f"surv{i} AS MATERIALIZED (SELECT u, v FROM surv{i-1} "
+            f"WHERE u IN (SELECT node FROM keep{i}) AND v IN (SELECT node FROM keep{i}))"
+        )
+    return (
+        "WITH " + ",\n".join(cte) + f"""
+        SELECT (SELECT COUNT(*) FROM (SELECT DISTINCT node FROM
+                  (SELECT u AS node FROM surv{rounds} UNION ALL SELECT v FROM surv{rounds})))::BIGINT AS n_core_nodes,
+               (SELECT COUNT(*) FROM surv{rounds})::BIGINT AS n_core_edges
+    """
+    )
+
+
 ORACLE_SQL = {
+    "copurchase_kcore": _kcore_unrolled_sql(),
     "approx_distinct": " UNION ALL ".join(
         f"SELECT * FROM ({_hll_sql(t, c)})"
         for t, c in (("documents", "source"), ("events", "event_type"), ("orders", "o_custkey"))
