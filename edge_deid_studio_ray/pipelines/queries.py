@@ -9963,6 +9963,83 @@ def q_events_funnel_conformance(sf_dir: str):
     )
 
 
+def q_lang_jsd_divergence(sf_dir: str):
+    """Jensen–Shannon divergence between the en and de word distributions
+    — the corpus-drift / domain-shift metric (symmetric, bounded KL):
+    JSD = ½Σ p·ln(2p/(p+q)) + ½Σ q·ln(2q/(p+q)) over unigram frequencies.
+
+    Scale shape: per-batch (word, side) count partials fold map-side; the
+    word rows (vocabulary-bounded, not corpus-bounded) materialize once —
+    token totals reduce from them with one tiny aggregate, and a word-hash
+    bucket co-group makes per-word counts exact while emitting ONE float
+    partial per bucket.  Float contract: each per-word term is the
+    identical int/int-division → ln chain on both engines; only summation
+    order drifts, absorbed by the 6dp round."""
+    import math
+    import zlib
+
+    from ray.data.aggregate import Sum
+
+    nb = resolve_group_buckets()
+
+    def word_partials(batch: pa.Table) -> pa.Table:
+        a: Counter = Counter()
+        b: Counter = Counter()
+        for lang, text in zip(batch["lang"].to_pylist(), batch["text"].to_pylist()):
+            if lang == "en":
+                a.update((text or "").lower().split())
+            elif lang == "de":
+                b.update((text or "").lower().split())
+        words = sorted(set(a) | set(b))
+        return pa.table(
+            {
+                "w": pa.array(words, pa.string()),
+                "c1_p": pa.array([a.get(w, 0) for w in words], pa.int64()),
+                "c2_p": pa.array([b.get(w, 0) for w in words], pa.int64()),
+                "wbkt": pa.array(
+                    [zlib.crc32(w.encode()) % nb for w in words], pa.int32()
+                ),
+            }
+        )
+
+    wrows = (
+        _read(sf_dir, "documents", ["lang", "text"])
+        .map_batches(word_partials, batch_format="pyarrow")
+        .materialize()
+    )
+    tot = wrows.aggregate(Sum("c1_p", alias_name="n1"), Sum("c2_p", alias_name="n2"))
+    n1, n2 = int(tot["n1"]), int(tot["n2"])
+
+    _JSD_EMPTY = pd.DataFrame({"jsd_p": pd.array([], dtype="float64")})
+
+    def bucket_jsd(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return _JSD_EMPTY
+        per = g.groupby("w", sort=True)[["c1_p", "c2_p"]].sum()  # bucket-complete
+        s = 0.0
+        for c1, c2 in zip(per["c1_p"], per["c2_p"]):
+            p = c1 / n1
+            q = c2 / n2
+            if c1 > 0:
+                s += 0.5 * (p * math.log(2.0 * p / (p + q)))
+            if c2 > 0:
+                s += 0.5 * (q * math.log(2.0 * q / (p + q)))
+        return pd.DataFrame({"jsd_p": pd.array([s], dtype="float64")})
+
+    jsd = 0.0
+    for r in (
+        wrows.groupby("wbkt").map_groups(bucket_jsd, batch_format="pandas").take_all()
+    ):
+        jsd += float(r["jsd_p"])
+    return pa.table(
+        {
+            "n1": pa.array([n1], pa.int64()),
+            "n2": pa.array([n2], pa.int64()),
+            "jsd": pa.array([round(jsd, 6)], pa.float64()),
+        }
+    )
+
+
 def q_events_welch_ttest(sf_dir: str):
     """Welch's two-sample t-test between event segments (purchase vs view
     values) — the A/B-testing primitive: unequal-variance t statistic and
@@ -11079,6 +11156,7 @@ QUERIES = {
     "events_funnel_conformance": q_events_funnel_conformance,
     "events_welch_ttest": q_events_welch_ttest,
     "copurchase_kcore": q_copurchase_kcore,
+    "lang_jsd_divergence": q_lang_jsd_divergence,
     "ner_stub_entity_counts": q_ner_stub_entity_counts,
     "placeholder_corpus": q_placeholder_corpus,
     "deid_eval_aggregate": q_deid_eval_aggregate,
@@ -12147,6 +12225,25 @@ ORACLE_SQL = {
                                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
             FROM documents
         ) WHERE rn <= 20
+    """,
+    # JSD: per-word int/int-division → ln chains identical on both engines;
+    # 6dp round absorbs summation order.
+    "lang_jsd_divergence": """
+        WITH toks AS (
+          SELECT lang, unnest(regexp_extract_all(lower(COALESCE(text,'')), '\\S+')) AS w
+          FROM documents WHERE lang IN ('en','de')),
+        wc AS (SELECT w,
+                      COUNT(*) FILTER (WHERE lang='en')::BIGINT AS c1,
+                      COUNT(*) FILTER (WHERE lang='de')::BIGINT AS c2
+               FROM toks GROUP BY w),
+        tot AS (SELECT SUM(c1)::BIGINT AS n1, SUM(c2)::BIGINT AS n2 FROM wc),
+        terms AS (
+          SELECT CASE WHEN c1 > 0 THEN 0.5 * ((c1/CAST(n1 AS DOUBLE)) * ln(2.0 * (c1/CAST(n1 AS DOUBLE)) / ((c1/CAST(n1 AS DOUBLE)) + (c2/CAST(n2 AS DOUBLE))))) ELSE 0.0 END
+               + CASE WHEN c2 > 0 THEN 0.5 * ((c2/CAST(n2 AS DOUBLE)) * ln(2.0 * (c2/CAST(n2 AS DOUBLE)) / ((c1/CAST(n1 AS DOUBLE)) + (c2/CAST(n2 AS DOUBLE))))) ELSE 0.0 END AS t
+          FROM wc, tot)
+        SELECT (SELECT n1 FROM tot) AS n1, (SELECT n2 FROM tot) AS n2,
+               ROUND(SUM(t), 6) AS jsd
+        FROM terms
     """,
     # Welch t-test: identical moment/variance/t/df op chains over summed
     # doubles; 6dp round absorbs summation-order drift.
