@@ -173,8 +173,12 @@ def _bench_queries(sf_dir: str) -> dict[str, float]:
         "trigram_lm_nll_pruned",
         "pages_extract_hashes",
         "pages_link_stats",
-        # round-4 continuation: supervised classifier train+apply
+        # round-4 continuation: supervised classifier train+apply,
+        # feature selection, graph peeling, group-wise sketches
         "nb_lang_confusion",
+        "chi2_term_lang",
+        "copurchase_kcore",
+        "events_hourly_hll",
     ]
     timings: dict[str, float] = {}
     for name in names:

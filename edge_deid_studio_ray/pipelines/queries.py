@@ -8391,17 +8391,19 @@ def q_copurchase_kcore(sf_dir: str):
     one-shot wedge/triangle and frontier/BFS classes with the
     REMOVE-until-fixpoint iteration class.
 
-    Scale shape: the deduped edge list materializes ONCE (exact degrees
-    need global dedup — duplicated edges would inflate them); each peel
-    round is one vectorized scan of it (np.isin mask against the sorted
-    removed-node array, broadcast via ray.put — driver holds node ids
-    only, never edges, the BFS contract) plus a node-keyed grouped sum of
-    per-batch degree partials.  Rounds are data-dependent; a 16-round cap
-    fails LOUDLY instead of returning a non-fixpoint (measured ≤5 at
-    every sf).  Output is all-integer (nodes, Σdeg/2 edges); the oracle
-    unrolls the peel as 16 chained MATERIALIZED CTEs (the k-means
-    unrolled-iteration pattern — non-materialized CTEs inline
-    exponentially)."""
+    Scale shape — DELTA peeling, no per-round shuffle: the deduped edge
+    list materializes ONCE (exact degrees need global dedup); initial
+    degrees fold from one pass of packed per-batch partials; each round
+    then scans the immutable edge list for decrements caused by the
+    NEWLY dropped nodes only (vectorized np.isin against the ray.put
+    sorted arrays) and re-checks just the decremented nodes.  The driver
+    holds node ids + int degrees — catalog-bounded, the BFS contract;
+    edges never leave the object store.  Rounds are data-dependent; a
+    16-round cap fails LOUDLY instead of returning a non-fixpoint
+    (measured ≤5 at every sf).  Output is all-integer (nodes, Σdeg/2
+    edges); the oracle unrolls the peel as 16 chained MATERIALIZED CTEs
+    (the k-means unrolled-iteration pattern — non-materialized CTEs
+    inline exponentially)."""
     import ray
     from itertools import combinations
 
@@ -8455,77 +8457,92 @@ def q_copurchase_kcore(sf_dir: str):
         .map_groups(dedup_group, batch_format="pandas")
     ).materialize()
 
-    _KC_EMPTY = pd.DataFrame(
-        {
-            "low": pd.array([], dtype=object),
-            "n_ok": pd.array([], dtype="int64"),
-            "deg_ok": pd.array([], dtype="int64"),
-        }
-    )
+    # initial degrees: ONE pass of per-batch partials folded on the driver
+    # (node ids + int degrees only — catalog-bounded, the BFS contract; the
+    # edge list itself never leaves the object store)
+    def deg_partials(batch: pa.Table) -> pa.Table:
+        e = batch["edge"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = e >> 32
+        v = e & 0xFFFFFFFF
+        nodes, counts = np.unique(np.concatenate([u, v]), return_counts=True)
+        return pa.table(
+            {
+                "nodes": pa.array([nodes.tobytes()], pa.binary()),
+                "counts": pa.array([counts.tobytes()], pa.binary()),
+            }
+        )
 
+    deg: Counter = Counter()
+    for r in edges.map_batches(deg_partials, batch_format="pyarrow").take_all():
+        nodes = np.frombuffer(r["nodes"], dtype=np.int64)
+        counts = np.frombuffer(r["counts"], dtype=np.int64)
+        for n, c in zip(nodes.tolist(), counts.tolist()):
+            deg[n] += c
+
+    # delta peeling: each round scans the immutable edge list once for
+    # decrements caused by the NEWLY dropped nodes (no per-round shuffle —
+    # partials are (survivor, dec) counts over the affected frontier only),
+    # then only decremented nodes are re-checked against k.
     removed = np.array([], dtype=np.int64)
-    for _round in range(max_rounds + 1):
-        rem_ref = ray.put(np.sort(removed))
+    newly = np.array(sorted(n for n, c in deg.items() if c < k), dtype=np.int64)
+    for _round in range(max_rounds):
+        if newly.size == 0:
+            break
+        removed = np.sort(np.concatenate([removed, newly]))
+        for n in newly.tolist():
+            del deg[n]
+        newly_ref = ray.put(newly)
+        removed_ref = ray.put(removed)
 
-        def deg_partials(batch: pa.Table, rem_ref=rem_ref) -> pa.Table:
-            rem = ray.get(rem_ref)
+        def dec_partials(
+            batch: pa.Table, newly_ref=newly_ref, removed_ref=removed_ref
+        ) -> pa.Table:
+            new_arr = ray.get(newly_ref)
+            rem_arr = ray.get(removed_ref)
             e = batch["edge"].to_numpy(zero_copy_only=False).astype(np.int64)
             u = e >> 32
             v = e & 0xFFFFFFFF
-            if rem.size:
-                mask = ~np.isin(u, rem) & ~np.isin(v, rem)
-                u, v = u[mask], v[mask]
-            nodes, counts = np.unique(np.concatenate([u, v]), return_counts=True)
+            u_new = np.isin(u, new_arr)
+            v_new = np.isin(v, new_arr)
+            # decrement the SURVIVING endpoint of edges losing their other
+            # endpoint this round (both-dropped / already-dropped edges
+            # contribute nothing — the partner is in the removed set)
+            surv = np.concatenate(
+                [v[u_new & ~np.isin(v, rem_arr)], u[v_new & ~np.isin(u, rem_arr)]]
+            )
+            nodes, counts = np.unique(surv, return_counts=True)
             return pa.table(
                 {
-                    "node": pa.array(nodes, pa.int64()),
-                    "d_p": pa.array(counts, pa.int64()),
-                    # node-hash bucket for the degree fold (the ≥5k-key
-                    # generic aggregate is pathological — bucketed pandas
-                    # fold instead, the doc_ngram_novelty rule)
-                    "nbkt": pa.array((nodes % nb).astype(np.int32), pa.int32()),
+                    "nodes": pa.array([nodes.tobytes()], pa.binary()),
+                    "counts": pa.array([counts.tobytes()], pa.binary()),
                 }
             )
 
-        def round_fold(g: pd.DataFrame) -> pd.DataFrame:
-            if g.empty:
-                return _KC_EMPTY
-            d = g.groupby("node")["d_p"].sum()  # bucket-complete: exact degree
-            ok = d[d >= k]
-            return pd.DataFrame(
-                {
-                    "low": [d.index[d < k].to_numpy(dtype=np.int64).tobytes()],
-                    "n_ok": pd.array([int(ok.size)], dtype="int64"),
-                    "deg_ok": pd.array([int(ok.sum())], dtype="int64"),
-                }
-            )
-
-        n_core_nodes, total_deg = 0, 0
-        drops: list[np.ndarray] = []
-        rows = (
-            edges.map_batches(deg_partials, batch_format="pyarrow")
-            .groupby("nbkt")
-            .map_groups(round_fold, batch_format="pandas")
-            .take_all()
-        )
-        for r in rows:
-            drops.append(np.frombuffer(r["low"], dtype=np.int64))
-            n_core_nodes += int(r["n_ok"])
-            total_deg += int(r["deg_ok"])
-        new_drop = np.concatenate(drops) if drops else np.array([], dtype=np.int64)
-        if new_drop.size == 0:
-            break
-        removed = np.concatenate([removed, new_drop])
+        touched: Counter = Counter()
+        for r in edges.map_batches(dec_partials, batch_format="pyarrow").take_all():
+            nodes = np.frombuffer(r["nodes"], dtype=np.int64)
+            counts = np.frombuffer(r["counts"], dtype=np.int64)
+            for n, c in zip(nodes.tolist(), counts.tolist()):
+                touched[n] += c
+        next_drop = []
+        for n, dec in touched.items():
+            if n in deg:
+                deg[n] -= dec
+                if deg[n] < k:
+                    next_drop.append(n)
+        newly = np.array(sorted(next_drop), dtype=np.int64)
     else:
-        raise ValueError(
-            f"k-core peeling did not converge within {max_rounds} rounds; "
-            "raise max_rounds (and the oracle's unroll depth) together"
-        )
+        if newly.size:
+            raise ValueError(
+                f"k-core peeling did not converge within {max_rounds} rounds; "
+                "raise max_rounds (and the oracle's unroll depth) together"
+            )
 
+    total_deg = sum(deg.values())
     assert total_deg % 2 == 0, total_deg
     return pa.table(
         {
-            "n_core_nodes": pa.array([n_core_nodes], pa.int64()),
+            "n_core_nodes": pa.array([len(deg)], pa.int64()),
             "n_core_edges": pa.array([total_deg // 2], pa.int64()),
         }
     )
