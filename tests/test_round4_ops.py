@@ -220,3 +220,40 @@ class TestSynthQualityFixture:
                 )
             ]
             assert by_ex.get(i, []) == expect, i
+
+
+class TestNewOpsBucketInvariance:
+    """The continuation-session co-group operators must produce identical
+    results under any EDS_GROUP_BUCKETS value (physical knob only)."""
+
+    NAMES = [
+        "nb_lang_confusion",
+        "chi2_term_lang",
+        "k_anonymity_audit",
+        "lang_jsd_divergence",
+        "events_funnel_conformance",
+        "copurchase_kcore",
+    ]
+
+    def _canon(self, result):
+        import pandas as pd
+        from ray.data import Dataset
+
+        if isinstance(result, Dataset):
+            df = result.to_pandas()
+        elif isinstance(result, pa.Table):
+            df = result.to_pandas()
+        else:
+            df = result
+        df = df[sorted(df.columns)].copy()
+        return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+    def test_results_invariant_under_bucket_count(self, ray_session, monkeypatch):
+        from edge_deid_studio_ray.pipelines.queries import QUERIES
+
+        sf = "/root/testdata/sf0.001"
+        base = {n: self._canon(QUERIES[n](sf)) for n in self.NAMES}
+        monkeypatch.setenv("EDS_GROUP_BUCKETS", "5")
+        for n in self.NAMES:
+            again = self._canon(QUERIES[n](sf))
+            assert again.equals(base[n]), n
