@@ -10313,6 +10313,81 @@ def q_dp_noisy_counts(sf_dir: str):
     )
 
 
+def q_embedding_intrinsic_dim(sf_dir: str):
+    """TwoNN intrinsic-dimension estimate (Facco et al. 2017) over the
+    embedding table — the embedding-diagnostics operator: d̂ = N / Σ ln(μ)
+    with μ = r₂/r₁ the per-point two-nearest-neighbor distance ratio.
+    A 64-dim table whose d̂ is much lower than 64 is compressible (JL /
+    PQ / IVF budgets follow from it).
+
+    Scale shape: the reference matrix broadcasts once via ``ray.put`` and
+    each batch computes its rows' two smallest squared distances with one
+    matmul (the knn_bruteforce pattern) — per-batch partials are TWO
+    scalars (valid count, Σ lnμ).  At corpus scale the estimator runs on
+    a bounded sample by construction (it converges at O(10⁴) points);
+    here the full table is the sample.  Float contract: squared distances
+    on the 6dp ROUND grid via the identical ‖a‖²+‖b‖²−2ab op chain
+    (pq_codes contract); duplicate points (r₁=0 on the grid) are excluded
+    on both engines; ln/division chains identical; final 6dp round."""
+    import ray
+
+    from ..functions.simsearch import _vec_matrix
+
+    mat_rows = []
+    id_rows = []
+    for b in _read(sf_dir, "embeddings", ["vec_id", "embedding"]).iter_batches(
+        batch_size=65536, batch_format="pyarrow"
+    ):
+        mat_rows.append(_vec_matrix(b["embedding"]))
+        id_rows.append(b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64))
+    ref_mat = np.concatenate(mat_rows)
+    ref_ids = np.concatenate(id_rows)
+    ref_norms = (ref_mat**2).sum(axis=1)
+    ref = ray.put((ref_ids, ref_mat, ref_norms))
+
+    def partials(batch: pa.Table) -> pa.Table:
+        ids_all, mat, norms = ray.get(ref)
+        v = _vec_matrix(batch["embedding"])
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if v.size == 0:
+            return pa.table(
+                {
+                    "n_p": pa.array([0], pa.int64()),
+                    "s_p": pa.array([0.0], pa.float64()),
+                }
+            )
+        vnorm = (v**2).sum(axis=1)
+        d2 = np.round(vnorm[:, None] + norms[None, :] - 2.0 * (v @ mat.T), 6)
+        d2[ids[:, None] == ids_all[None, :]] = np.inf  # mask self by id
+        two = np.partition(d2, 1, axis=1)[:, :2]
+        d1, d2v = two[:, 0], two[:, 1]
+        valid = d1 > 0
+        lnmu = 0.5 * np.log(d2v[valid] / d1[valid])
+        return pa.table(
+            {
+                "n_p": pa.array([int(valid.sum())], pa.int64()),
+                "s_p": pa.array([float(lnmu.sum())], pa.float64()),
+            }
+        )
+
+    n_used, s = 0, 0.0
+    for r in (
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .map_batches(partials, batch_format="pyarrow")
+        .take_all()
+    ):
+        n_used += int(r["n_p"])
+        s += float(r["s_p"])
+    return pa.table(
+        {
+            "n_used": pa.array([n_used], pa.int64()),
+            "intrinsic_dim": pa.array(
+                [round(float(n_used) / float(s), 6)], pa.float64()
+            ),
+        }
+    )
+
+
 def q_jl_distortion(sf_dir: str):
     """Johnson–Lindenstrauss random projection (d → 16 dims) with a
     per-vector distortion audit — THE dimensionality-reduction step before
@@ -11174,6 +11249,7 @@ QUERIES = {
     "events_welch_ttest": q_events_welch_ttest,
     "copurchase_kcore": q_copurchase_kcore,
     "lang_jsd_divergence": q_lang_jsd_divergence,
+    "embedding_intrinsic_dim": q_embedding_intrinsic_dim,
     "ner_stub_entity_counts": q_ner_stub_entity_counts,
     "placeholder_corpus": q_placeholder_corpus,
     "deid_eval_aggregate": q_deid_eval_aggregate,
@@ -12242,6 +12318,24 @@ ORACLE_SQL = {
                                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
             FROM documents
         ) WHERE rn <= 20
+    """,
+    # TwoNN intrinsic dimension: 6dp squared-distance grid via the identical
+    # norm+norm-2ab chain, self masked by id, duplicate points excluded.
+    "embedding_intrinsic_dim": """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        d AS (
+          SELECT a.vec_id AS i, b.vec_id AS j,
+                 ROUND(list_inner_product(a.v, a.v) + list_inner_product(b.v, b.v)
+                       - 2.0 * list_inner_product(a.v, b.v), 6) AS d2
+          FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+        r AS (SELECT i, d2, ROW_NUMBER() OVER (PARTITION BY i ORDER BY d2 ASC, j ASC) AS rn FROM d),
+        two AS (SELECT i, MAX(CASE WHEN rn = 1 THEN d2 END) AS d1,
+                       MAX(CASE WHEN rn = 2 THEN d2 END) AS d2v
+                FROM r WHERE rn <= 2 GROUP BY i),
+        valid AS (SELECT 0.5 * ln(d2v / d1) AS lnmu FROM two WHERE d1 > 0 AND d2v IS NOT NULL)
+        SELECT COUNT(*)::BIGINT AS n_used,
+               ROUND(COUNT(*) / SUM(lnmu), 6) AS intrinsic_dim
+        FROM valid
     """,
     # JSD: per-word int/int-division → ln chains identical on both engines;
     # 6dp round absorbs summation order.
