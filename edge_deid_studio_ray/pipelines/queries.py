@@ -10057,6 +10057,122 @@ def q_lang_jsd_divergence(sf_dir: str):
     )
 
 
+def q_incremental_refresh(sf_dir: str):
+    """Incremental corpus refresh END-TO-END — the operational composite a
+    long-lived 100-TB corpus actually runs between snapshots: diff the new
+    snapshot against the catalog (v2 derives deterministically: %10==3
+    dropped, ==4 rewritten, ==5 cloned-new, ==6 cloned as an EXACT
+    duplicate), reprocess ONLY the changed/added docs, exact-dedup them
+    against the unchanged catalog, quality-gate the survivors, and report
+    every attrition counter.
+
+    Scale shape: ONE pass over the corpus, ONE shuffle — the classify map
+    emits catalog rows as (md5, bucket) hashes ONLY (never text) and
+    changed/new docs with their text; a text-hash bucket co-group then
+    dedups (equal hashes are co-resident) and quality-scores the appended
+    docs in place, folding ALL counters into per-bucket partials, so the
+    final exchange is ≤ buckets×9 metric rows.  The incremental point is
+    the data movement: unchanged docs ship 40 bytes each, only the ~20%%
+    changed slice ships text."""
+    import hashlib
+    import zlib
+
+    from ray.data.aggregate import Sum
+
+    from ..functions.textstats import quality_score
+
+    nb = resolve_group_buckets()
+
+    def classify(batch: pa.Table) -> pa.Table:
+        side: list[int] = []
+        hh: list[str] = []
+        text: list[str] = []
+        hb: list[int] = []
+
+        def emit(s: int, t: str | None) -> None:
+            side.append(s)
+            if s == 2:  # removed: counter-only row
+                hh.append("")
+                text.append("")
+                hb.append(0)
+                return
+            digest = hashlib.md5((t or "").encode()).hexdigest()
+            hh.append(digest)
+            text.append("" if s == 0 else (t or ""))
+            hb.append(zlib.crc32(digest.encode()) % nb)
+
+        for i, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            t = t or ""
+            m = i % 10
+            if m == 3:
+                emit(2, None)  # dropped from v2
+                continue
+            if m == 4:
+                emit(3, t + " v2")  # modified → reprocess (v1 text leaves
+                continue  # the catalog: it is superseded, not unchanged)
+            emit(0, t)  # unchanged catalog text (hash only)
+            if m == 5:
+                emit(4, t + " new")  # new unique doc
+            elif m == 6:
+                emit(4, t)  # new EXACT duplicate of a catalog doc
+        return pa.table(
+            {
+                "side": pa.array(side, pa.int8()),
+                "hh": pa.array(hh, pa.string()),
+                "text": pa.array(text, pa.string()),
+                "hb": pa.array(hb, pa.int32()),
+            }
+        )
+
+    _IR_EMPTY = pd.DataFrame(
+        {
+            "metric": pd.array([], dtype="str"),
+            "n_p": pd.array([], dtype="int64"),
+        }
+    )
+
+    def refresh_fold(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return _IR_EMPTY
+        sides = g["side"].to_numpy()
+        cat = set(g.loc[sides == 0, "hh"])
+        newrows = g[(sides == 3) | (sides == 4)]
+        dup = newrows["hh"].isin(cat).to_numpy()
+        appended = newrows.loc[~dup, "text"]
+        quality = sum(
+            1 for t in appended if quality_score(t) >= 0.4 and len(t) >= 50
+        )
+        c = {
+            "unchanged": int((sides == 0).sum()),
+            "removed": int((sides == 2).sum()),
+            "modified": int((sides == 3).sum()),
+            "added": int((sides == 4).sum()),
+            "reprocessed": int(len(newrows)),
+            "dup_vs_catalog": int(dup.sum()),
+            "appended": int(len(appended)),
+            "quality_pass": int(quality),
+        }
+        c["rows_v1"] = c["unchanged"] + c["removed"] + c["modified"]
+        keys = sorted(c)
+        return pd.DataFrame(
+            {
+                "metric": pd.array(keys, dtype="str"),
+                "n_p": pd.array([c[k] for k in keys], dtype="int64"),
+            }
+        )
+
+    return (
+        _arrow_blocks(
+            _read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(classify, batch_format="pyarrow")
+            .groupby("hb")
+            .map_groups(refresh_fold, batch_format="pandas")
+        )
+        .groupby("metric")
+        .aggregate(Sum("n_p", alias_name="value"))
+    )
+
+
 def q_events_welch_ttest(sf_dir: str):
     """Welch's two-sample t-test between event segments (purchase vs view
     values) — the A/B-testing primitive: unequal-variance t statistic and
@@ -11250,6 +11366,7 @@ QUERIES = {
     "copurchase_kcore": q_copurchase_kcore,
     "lang_jsd_divergence": q_lang_jsd_divergence,
     "embedding_intrinsic_dim": q_embedding_intrinsic_dim,
+    "incremental_refresh": q_incremental_refresh,
     "ner_stub_entity_counts": q_ner_stub_entity_counts,
     "placeholder_corpus": q_placeholder_corpus,
     "deid_eval_aggregate": q_deid_eval_aggregate,
@@ -12318,6 +12435,45 @@ ORACLE_SQL = {
                                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
             FROM documents
         ) WHERE rn <= 20
+    """,
+    # incremental refresh: the deterministic v2 derivation + text-equality
+    # catalog dedup + quality gate re-derived end to end; 'value' column
+    # name matches the engine's grouped-sum alias.
+    "incremental_refresh": """
+        WITH base AS (SELECT doc_id AS i, COALESCE(text,'') AS t FROM documents),
+        cat AS (SELECT t FROM base WHERE i % 10 NOT IN (3, 4)),
+        newdocs AS (
+          SELECT i, t || ' v2' AS t FROM base WHERE i % 10 = 4
+          UNION ALL SELECT i + 2000000, t || ' new' FROM base WHERE i % 10 = 5
+          UNION ALL SELECT i + 3000000, t FROM base WHERE i % 10 = 6),
+        app AS (SELECT * FROM newdocs WHERE t NOT IN (SELECT t FROM cat)),
+        cnt AS (
+          SELECT length(t) AS n_chars,
+                 len(regexp_extract_all(t, '\\S+')) AS n_tokens,
+                 len(regexp_extract_all(t, '[\\p{L}]')) AS n_alpha,
+                 len(regexp_extract_all(t, '[^\\p{L}\\p{N}_\\s\\p{Z}]')) AS n_punct,
+                 len(list_filter(regexp_extract_all(lower(t), '\\S+'),
+                     x -> list_contains(['the','of','and','to','a','in','is','it','you','that'], x))) AS n_stopwords
+          FROM app)
+        SELECT 'rows_v1' AS metric, (SELECT COUNT(*) FROM base)::BIGINT AS value
+        UNION ALL SELECT 'removed', (SELECT COUNT(*) FROM base WHERE i % 10 = 3)
+        UNION ALL SELECT 'modified', (SELECT COUNT(*) FROM base WHERE i % 10 = 4)
+        UNION ALL SELECT 'unchanged', (SELECT COUNT(*) FROM base WHERE i % 10 NOT IN (3, 4))
+        UNION ALL SELECT 'added', (SELECT COUNT(*) FROM base WHERE i % 10 IN (5, 6))
+        UNION ALL SELECT 'reprocessed', (SELECT COUNT(*) FROM newdocs)
+        UNION ALL SELECT 'dup_vs_catalog', (SELECT COUNT(*) FROM newdocs WHERE t IN (SELECT t FROM cat))
+        UNION ALL SELECT 'appended', (SELECT COUNT(*) FROM app)
+        UNION ALL SELECT 'quality_pass',
+          (SELECT COUNT(*) FROM cnt WHERE
+            CASE WHEN n_chars = 0 OR n_tokens = 0 THEN 0.0 ELSE
+              round(CAST(
+                  (CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.5 END)
+                * (CASE WHEN CAST(n_alpha AS DOUBLE)/greatest(1, n_tokens)
+                        BETWEEN CAST(2.0 AS DOUBLE) AND CAST(12.0 AS DOUBLE) THEN 1.0 ELSE 0.5 END)
+                * (CASE WHEN CAST(n_punct AS DOUBLE)/n_chars < CAST(0.2 AS DOUBLE) THEN 1.0 ELSE 0.3 END)
+                * (CASE WHEN CAST(n_stopwords AS DOUBLE)/n_tokens >= CAST(0.01 AS DOUBLE) THEN 1.0 ELSE 0.7 END)
+                AS DOUBLE), 6)
+            END >= CAST(0.4 AS DOUBLE) AND n_chars >= 50)
     """,
     # TwoNN intrinsic dimension: 6dp squared-distance grid via the identical
     # norm+norm-2ab chain, self masked by id, duplicate points excluded.
