@@ -10173,6 +10173,101 @@ def q_incremental_refresh(sf_dir: str):
     )
 
 
+def q_events_ks_test(sf_dir: str):
+    """Exact two-sample Kolmogorov–Smirnov statistic between event
+    segments (purchase vs view values) — the distribution-drift test the
+    t-test can't do (it compares WHOLE distributions, not means).
+
+    Scale shape — distributed ECDF via a two-phase prefix sum, the
+    pattern global sorts usually force: per-batch distinct-value count
+    partials carry a RANGE bucket (monotone binning on the one-pass
+    min/max), phase A folds per-bucket subtotals driver-side (≤ buckets
+    rows — the prefix OFFSETS), phase B is one range-bucket co-group
+    where each bucket scans its sorted values with its offset and emits
+    a single candidate max.  All-integer: the sup statistic is computed
+    as max |p1·n2 − p2·n1| in Python bigints (overflows int64 at corpus
+    scale; HUGEINT in SQL) with ONE operands-rounded-to-double division
+    at the end — exact, no float comparisons anywhere."""
+    from ray.data.aggregate import Max, Min
+
+    nb = resolve_group_buckets()
+
+    base = _read(sf_dir, "events", ["event_type", "value"])
+    mm = base.aggregate(Min("value"), Max("value"))
+    lo, hi = float(mm["min(value)"]), float(mm["max(value)"])
+    span = (hi - lo) or 1.0
+
+    def val_partials(batch: pa.Table) -> pa.Table:
+        c1: Counter = Counter()
+        c2: Counter = Counter()
+        for t, v in zip(batch["event_type"].to_pylist(), batch["value"].to_pylist()):
+            if v is None:
+                continue
+            if t == "purchase":
+                c1[v] += 1
+            elif t == "view":
+                c2[v] += 1
+        vals = sorted(set(c1) | set(c2))
+        rb = [min(nb - 1, max(0, int((v - lo) / span * nb))) for v in vals]
+        return pa.table(
+            {
+                "v": pa.array(vals, pa.float64()),
+                "c1_p": pa.array([c1.get(v, 0) for v in vals], pa.int64()),
+                "c2_p": pa.array([c2.get(v, 0) for v in vals], pa.int64()),
+                "rb": pa.array(rb, pa.int32()),
+            }
+        )
+
+    vrows = base.map_batches(val_partials, batch_format="pyarrow").materialize()
+
+    # phase A: per-bucket subtotals → prefix offsets (≤ nb rows on driver)
+    def bucket_totals(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().groupby("rb")[["c1_p", "c2_p"]].sum().reset_index()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    t1: Counter = Counter()
+    t2: Counter = Counter()
+    for r in vrows.map_batches(bucket_totals, batch_format="pyarrow").take_all():
+        t1[int(r["rb"])] += int(r["c1_p"])
+        t2[int(r["rb"])] += int(r["c2_p"])
+    n1, n2 = sum(t1.values()), sum(t2.values())
+    offsets: dict[int, tuple[int, int]] = {}
+    o1 = o2 = 0
+    for rb in sorted(set(t1) | set(t2)):
+        offsets[rb] = (o1, o2)
+        o1 += t1[rb]
+        o2 += t2[rb]
+
+    _KS_EMPTY = pd.DataFrame({"num_p": pd.array([], dtype=object)})
+
+    def bucket_max(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return _KS_EMPTY
+        per = g.groupby("v", sort=True)[["c1_p", "c2_p"]].sum()
+        p1, p2 = offsets[int(g["rb"].iloc[0])]
+        best = 0
+        for c1, c2 in zip(per["c1_p"], per["c2_p"]):
+            p1 += int(c1)
+            p2 += int(c2)
+            best = max(best, abs(p1 * n2 - p2 * n1))
+        # bigint-safe transport: decimal string, parsed back on the driver
+        return pd.DataFrame({"num_p": pd.array([str(best)], dtype=object)})
+
+    best = 0
+    for r in (
+        vrows.groupby("rb").map_groups(bucket_max, batch_format="pandas").take_all()
+    ):
+        best = max(best, int(r["num_p"]))
+    ks = round(float(best) / float(n1 * n2), 6)
+    return pa.table(
+        {
+            "n1": pa.array([n1], pa.int64()),
+            "n2": pa.array([n2], pa.int64()),
+            "ks_stat": pa.array([ks], pa.float64()),
+        }
+    )
+
+
 def q_events_welch_ttest(sf_dir: str):
     """Welch's two-sample t-test between event segments (purchase vs view
     values) — the A/B-testing primitive: unequal-variance t statistic and
@@ -11367,6 +11462,7 @@ QUERIES = {
     "lang_jsd_divergence": q_lang_jsd_divergence,
     "embedding_intrinsic_dim": q_embedding_intrinsic_dim,
     "incremental_refresh": q_incremental_refresh,
+    "events_ks_test": q_events_ks_test,
     "ner_stub_entity_counts": q_ner_stub_entity_counts,
     "placeholder_corpus": q_placeholder_corpus,
     "deid_eval_aggregate": q_deid_eval_aggregate,
@@ -12435,6 +12531,23 @@ ORACLE_SQL = {
                                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
             FROM documents
         ) WHERE rn <= 20
+    """,
+    # exact KS: integer sup-statistic max|p1*n2 - p2*n1| in HUGEINT, one
+    # operands-rounded division at the end.
+    "events_ks_test": """
+        WITH vals AS (
+          SELECT value AS v,
+                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS c1,
+                 CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS c2
+          FROM events
+          WHERE event_type IN ('purchase','view') AND value IS NOT NULL),
+        g AS (SELECT v, SUM(c1)::HUGEINT AS c1, SUM(c2)::HUGEINT AS c2 FROM vals GROUP BY v),
+        tot AS (SELECT SUM(c1)::HUGEINT AS n1, SUM(c2)::HUGEINT AS n2 FROM g),
+        p AS (SELECT SUM(c1) OVER (ORDER BY v) AS p1, SUM(c2) OVER (ORDER BY v) AS p2 FROM g)
+        SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+               ROUND(CAST((SELECT MAX(ABS(p1*n2 - p2*n1)) FROM p, tot) AS DOUBLE)
+                     / CAST(n1*n2 AS DOUBLE), 6) AS ks_stat
+        FROM tot
     """,
     # incremental refresh: the deterministic v2 derivation + text-equality
     # catalog dedup + quality gate re-derived end to end; 'value' column
