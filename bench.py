@@ -179,6 +179,8 @@ def _bench_queries(sf_dir: str) -> dict[str, float]:
         "chi2_term_lang",
         "copurchase_kcore",
         "events_hourly_hll",
+        "incremental_refresh",
+        "events_ks_test",
     ]
     timings: dict[str, float] = {}
     for name in names:

@@ -10173,6 +10173,66 @@ def q_incremental_refresh(sf_dir: str):
     )
 
 
+def q_quality_auc_en(sf_dir: str):
+    """ROC-AUC of the composite quality score as a classifier for
+    lang=='en' — the filter-evaluation metric (is a curation signal
+    actually discriminative?), computed exactly as the tie-corrected
+    Mann–Whitney statistic: AUC = (Σ r₂(positives) − n₁(n₁+1)) / (2n₁n₀)
+    over DOUBLED average ranks (integral under ties).
+
+    Scale shape: the score is discrete (a product of four factors), so
+    the whole computation reduces over the (score, label) contingency
+    cells — per-batch partials fold map-side, one tiny grouped sum ships
+    ≤ 2·|score values| rows, driver finishes with exact bigint rank sums
+    (HUGEINT in SQL) and ONE operands-rounded division."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.textstats import quality_score
+
+    def cell_partials(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for lang, t in zip(batch["lang"].to_pylist(), batch["text"].to_pylist()):
+            c[(quality_score(t or ""), 1 if lang == "en" else 0)] += 1
+        keys = list(c)
+        return pa.table(
+            {
+                "s": pa.array([k[0] for k in keys], pa.float64()),
+                "y": pa.array([k[1] for k in keys], pa.int8()),
+                "c_p": pa.array([c[k] for k in keys], pa.int64()),
+            }
+        )
+
+    cells = {
+        (r["s"], int(r["y"])): int(r["c"])
+        for r in (
+            _read(sf_dir, "documents", ["lang", "text"])
+            .map_batches(cell_partials, batch_format="pyarrow")
+            .groupby(["s", "y"])
+            .aggregate(Sum("c_p", alias_name="c"))
+            .take_all()
+        )
+    }
+    cs: Counter = Counter()
+    for (s, _y), c in cells.items():
+        cs[s] += c
+    r2: dict[float, int] = {}
+    lt = 0
+    for s in sorted(cs):
+        r2[s] = 2 * lt + cs[s] + 1
+        lt += cs[s]
+    n1 = sum(c for (_s, y), c in cells.items() if y == 1)
+    n0 = sum(c for (_s, y), c in cells.items() if y == 0)
+    u2 = sum(c * r2[s] for (s, y), c in cells.items() if y == 1) - n1 * (n1 + 1)
+    auc = round(float(u2) / float(2 * n1 * n0), 6)
+    return pa.table(
+        {
+            "n1": pa.array([n1], pa.int64()),
+            "n0": pa.array([n0], pa.int64()),
+            "auc": pa.array([auc], pa.float64()),
+        }
+    )
+
+
 def q_events_ks_test(sf_dir: str):
     """Exact two-sample Kolmogorov–Smirnov statistic between event
     segments (purchase vs view values) — the distribution-drift test the
@@ -11463,6 +11523,7 @@ QUERIES = {
     "embedding_intrinsic_dim": q_embedding_intrinsic_dim,
     "incremental_refresh": q_incremental_refresh,
     "events_ks_test": q_events_ks_test,
+    "quality_auc_en": q_quality_auc_en,
     "ner_stub_entity_counts": q_ner_stub_entity_counts,
     "placeholder_corpus": q_placeholder_corpus,
     "deid_eval_aggregate": q_deid_eval_aggregate,
@@ -12531,6 +12592,44 @@ ORACLE_SQL = {
                                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
             FROM documents
         ) WHERE rn <= 20
+    """,
+    # ROC-AUC as tie-corrected Mann-Whitney over the (score, label)
+    # contingency cells: doubled average ranks stay integral, HUGEINT rank
+    # sums, one operands-rounded division.
+    "quality_auc_en": """
+        WITH t AS (SELECT lang, COALESCE(text,'') AS text FROM documents),
+        cnt AS (
+          SELECT lang, length(text) AS n_chars,
+                 len(regexp_extract_all(text, '\\S+')) AS n_tokens,
+                 len(regexp_extract_all(text, '[\\p{L}]')) AS n_alpha,
+                 len(regexp_extract_all(text, '[^\\p{L}\\p{N}_\\s\\p{Z}]')) AS n_punct,
+                 len(list_filter(regexp_extract_all(lower(text), '\\S+'),
+                     x -> list_contains(['the','of','and','to','a','in','is','it','you','that'], x))) AS n_stopwords
+          FROM t),
+        d AS (
+          SELECT CASE WHEN n_chars = 0 OR n_tokens = 0 THEN 0.0 ELSE
+                   round(CAST(
+                       (CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.5 END)
+                     * (CASE WHEN CAST(n_alpha AS DOUBLE)/greatest(1, n_tokens)
+                             BETWEEN CAST(2.0 AS DOUBLE) AND CAST(12.0 AS DOUBLE) THEN 1.0 ELSE 0.5 END)
+                     * (CASE WHEN CAST(n_punct AS DOUBLE)/n_chars < CAST(0.2 AS DOUBLE) THEN 1.0 ELSE 0.3 END)
+                     * (CASE WHEN CAST(n_stopwords AS DOUBLE)/n_tokens >= CAST(0.01 AS DOUBLE) THEN 1.0 ELSE 0.7 END)
+                     AS DOUBLE), 6)
+                 END AS s,
+                 CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+          FROM cnt),
+        cells AS (SELECT s, y, COUNT(*)::HUGEINT AS c FROM d GROUP BY ALL),
+        cs AS (SELECT s, SUM(c)::HUGEINT AS cnt FROM cells GROUP BY s),
+        r AS (SELECT s, 2 * COALESCE(SUM(cnt) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + cnt + 1 AS r2 FROM cs),
+        sums AS (
+          SELECT SUM(c) FILTER (WHERE y = 1) AS n1,
+                 SUM(c) FILTER (WHERE y = 0) AS n0,
+                 SUM(c * r.r2) FILTER (WHERE y = 1) AS sum_r2_pos
+          FROM cells JOIN r USING (s))
+        SELECT CAST(n1 AS BIGINT) AS n1, CAST(n0 AS BIGINT) AS n0,
+               ROUND(CAST(sum_r2_pos - n1 * (n1 + 1) AS DOUBLE)
+                     / CAST(2 * n1 * n0 AS DOUBLE), 6) AS auc
+        FROM sums
     """,
     # exact KS: integer sup-statistic max|p1*n2 - p2*n1| in HUGEINT, one
     # operands-rounded division at the end.
