@@ -9905,6 +9905,18 @@ def q_k_anonymity_audit(sf_dir: str):
     )
 
 
+def _levenshtein(a: str, b: str) -> int:
+    """Full edit distance, hypothesis-pinned bit-identical to DuckDB's
+    ``levenshtein`` (the oracle function for the alignment operators)."""
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
 def q_events_funnel_conformance(sf_dir: str):
     """Sequence-alignment funnel conformance: each user's first-20 event
     path (type initials, (ts, event_id)-ordered) aligned against the ideal
@@ -9922,15 +9934,7 @@ def q_events_funnel_conformance(sf_dir: str):
 
     nb = resolve_group_buckets()
     target = "svcp"
-
-    def lev(a: str, b: str) -> int:
-        prev = list(range(len(b) + 1))
-        for i, ca in enumerate(a, 1):
-            cur = [i]
-            for j, cb in enumerate(b, 1):
-                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
-            prev = cur
-        return prev[-1]
+    lev = _levenshtein
 
     def project(batch: pa.Table) -> pa.Table:
         return pa.table(

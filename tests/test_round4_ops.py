@@ -257,3 +257,26 @@ class TestNewOpsBucketInvariance:
         for n in self.NAMES:
             again = self._canon(QUERIES[n](sf))
             assert again.equals(base[n]), n
+
+
+class TestLevenshteinOracleEquivalence:
+    """The funnel-conformance DP must be bit-identical to DuckDB's
+    levenshtein (the oracle function) on arbitrary strings."""
+
+    def test_hypothesis_matches_duckdb(self):
+        import duckdb
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from edge_deid_studio_ray.pipelines.queries import _levenshtein as lev
+
+        con = duckdb.connect()
+        alphabet = st.text(alphabet="svcpe?", max_size=24)
+
+        @settings(max_examples=200, deadline=None)
+        @given(alphabet, alphabet)
+        def check(a, b):
+            got = con.sql("SELECT levenshtein(?, ?)", params=[a, b]).fetchone()[0]
+            assert lev(a, b) == got, (a, b)
+
+        check()
