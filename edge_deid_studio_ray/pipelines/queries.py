@@ -10177,6 +10177,76 @@ def q_incremental_refresh(sf_dir: str):
     )
 
 
+def q_lang_quality_ols(sf_dir: str):
+    """GROUPED OLS: per-language slope of quality score vs token count —
+    per-segment model fitting (does length buy quality differently per
+    language?), complementing the single global regression
+    (lineitem_ols).
+
+    Scale shape: per-batch exact sufficient statistics (n, Σx, Σy₆, Σxy₆,
+    Σx²) fold map-side into ≤|langs| rows; the slope finishes with scalar
+    math.  Integer-exact: the 6dp score lifts to EXACT millionths
+    (score·10⁶ is integral by construction), every moment is a bigint
+    (HUGEINT in SQL — Σxy₆ overflows int64 at corpus scale), and the
+    slope is ONE operands-rounded division chain (/den, /10⁶, round 6)."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.textstats import quality_score, token_count
+
+    def moments(batch: pa.Table) -> pa.Table:
+        agg: dict[str, list[int]] = {}
+        for lang, t in zip(batch["lang"].to_pylist(), batch["text"].to_pylist()):
+            t = t or ""
+            x = token_count(t)
+            y6 = int(round(quality_score(t) * 1e6))
+            s = agg.setdefault(lang, [0, 0, 0, 0, 0])
+            s[0] += 1
+            s[1] += x
+            s[2] += y6
+            s[3] += x * y6
+            s[4] += x * x
+        keys = list(agg)
+        return pa.table(
+            {
+                "lang": pa.array(keys, pa.string()),
+                "n_p": pa.array([agg[k][0] for k in keys], pa.int64()),
+                "sx_p": pa.array([agg[k][1] for k in keys], pa.int64()),
+                "sy_p": pa.array([agg[k][2] for k in keys], pa.int64()),
+                "sxy_p": pa.array([agg[k][3] for k in keys], pa.int64()),
+                "sxx_p": pa.array([agg[k][4] for k in keys], pa.int64()),
+            }
+        )
+
+    rows = (
+        _read(sf_dir, "documents", ["lang", "text"])
+        .map_batches(moments, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum("n_p", alias_name="n"),
+            Sum("sx_p", alias_name="sx"),
+            Sum("sy_p", alias_name="sy"),
+            Sum("sxy_p", alias_name="sxy"),
+            Sum("sxx_p", alias_name="sxx"),
+        )
+        .take_all()
+    )
+    langs, ns, slopes = [], [], []
+    for r in sorted(rows, key=lambda r: r["lang"]):
+        n, sx, sy, sxy, sxx = (int(r[k]) for k in ("n", "sx", "sy", "sxy", "sxx"))
+        num = n * sxy - sx * sy
+        den = n * sxx - sx * sx
+        langs.append(r["lang"])
+        ns.append(n)
+        slopes.append(0.0 if den == 0 else round(float(num) / float(den) / 1000000.0, 6))
+    return pa.table(
+        {
+            "lang": pa.array(langs, pa.string()),
+            "n": pa.array(ns, pa.int64()),
+            "slope": pa.array(slopes, pa.float64()),
+        }
+    )
+
+
 def q_quality_auc_en(sf_dir: str):
     """ROC-AUC of the composite quality score as a classifier for
     lang=='en' — the filter-evaluation metric (is a curation signal
@@ -11528,6 +11598,7 @@ QUERIES = {
     "incremental_refresh": q_incremental_refresh,
     "events_ks_test": q_events_ks_test,
     "quality_auc_en": q_quality_auc_en,
+    "lang_quality_ols": q_lang_quality_ols,
     "ner_stub_entity_counts": q_ner_stub_entity_counts,
     "placeholder_corpus": q_placeholder_corpus,
     "deid_eval_aggregate": q_deid_eval_aggregate,
@@ -12596,6 +12667,41 @@ ORACLE_SQL = {
                                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
             FROM documents
         ) WHERE rn <= 20
+    """,
+    # grouped OLS: 6dp score lifted to exact millionths, HUGEINT moments,
+    # one operands-rounded division chain per language.
+    "lang_quality_ols": """
+        WITH t AS (SELECT lang, COALESCE(text,'') AS text FROM documents),
+        cnt AS (
+          SELECT lang, length(text) AS n_chars,
+                 len(regexp_extract_all(text, '\\S+')) AS n_tokens,
+                 len(regexp_extract_all(text, '[\\p{L}]')) AS n_alpha,
+                 len(regexp_extract_all(text, '[^\\p{L}\\p{N}_\\s\\p{Z}]')) AS n_punct,
+                 len(list_filter(regexp_extract_all(lower(text), '\\S+'),
+                     x -> list_contains(['the','of','and','to','a','in','is','it','you','that'], x))) AS n_stopwords
+          FROM t),
+        d AS (
+          SELECT lang, n_tokens::HUGEINT AS x,
+                 CAST(round(
+                   CASE WHEN n_chars = 0 OR n_tokens = 0 THEN 0.0 ELSE
+                     round(CAST(
+                         (CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.5 END)
+                       * (CASE WHEN CAST(n_alpha AS DOUBLE)/greatest(1, n_tokens)
+                               BETWEEN CAST(2.0 AS DOUBLE) AND CAST(12.0 AS DOUBLE) THEN 1.0 ELSE 0.5 END)
+                       * (CASE WHEN CAST(n_punct AS DOUBLE)/n_chars < CAST(0.2 AS DOUBLE) THEN 1.0 ELSE 0.3 END)
+                       * (CASE WHEN CAST(n_stopwords AS DOUBLE)/n_tokens >= CAST(0.01 AS DOUBLE) THEN 1.0 ELSE 0.7 END)
+                       AS DOUBLE), 6)
+                   END * 1000000) AS HUGEINT) AS y6
+          FROM cnt),
+        s AS (SELECT lang, COUNT(*)::HUGEINT AS n, SUM(x) AS sx, SUM(y6) AS sy,
+                     SUM(x*y6) AS sxy, SUM(x*x) AS sxx
+              FROM d GROUP BY lang)
+        SELECT lang, CAST(n AS BIGINT) AS n,
+               CASE WHEN n*sxx - sx*sx = 0 THEN 0.0
+                    ELSE ROUND(CAST(n*sxy - sx*sy AS DOUBLE)
+                               / CAST(n*sxx - sx*sx AS DOUBLE) / 1000000.0, 6)
+               END AS slope
+        FROM s
     """,
     # ROC-AUC as tie-corrected Mann-Whitney over the (score, label)
     # contingency cells: doubled average ranks stay integral, HUGEINT rank
