@@ -1712,6 +1712,54 @@ def q_pages_link_stats(sf_dir: str):
 _TDP_STAGING = "/tmp/eds_tdp_staging"
 
 
+def q_pages_host_rollup(sf_dir: str):
+    """Per-HOST web-analytics rollup over the flagship extraction output
+    (the crawl-operations view: which hosts contribute how many pages and
+    how much extracted text).  Runs the FULL deid pipeline on the
+    oracle-visible pages and folds (host → pages, extracted chars)
+    map-side — host cardinality is bounded by the web, not the crawl, so
+    the exchange is one tiny grouped sum.  Oracle-checked from first
+    principles: the SQL re-derives get_text extraction over the decoded
+    page fixture and groups by the regexp host."""
+    import re as _re
+
+    from ray.data.aggregate import Sum
+
+    from ..pipelines.deid import build_deid_pipeline
+
+    _ensure_pages_fixture(sf_dir)
+    ds = build_deid_pipeline(_oracle_visible_pages(sf_dir, include_text_route=True))
+    host_re = _re.compile(r"^https?://([^/]+)")
+
+    def fold(batch: pa.Table) -> pa.Table:
+        pages: Counter = Counter()
+        chars: Counter = Counter()
+        for url, t in zip(
+            batch["url"].to_pylist(), batch["extracted_text"].to_pylist()
+        ):
+            m = host_re.match(url)
+            host = m.group(1) if m else ""
+            pages[host] += 1
+            chars[host] += len(t or "")
+        keys = list(pages)
+        return pa.table(
+            {
+                "host": pa.array(keys, pa.string()),
+                "n_pages_p": pa.array([pages[k] for k in keys], pa.int64()),
+                "n_chars_p": pa.array([chars[k] for k in keys], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(fold, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(
+            Sum("n_pages_p", alias_name="n_pages"),
+            Sum("n_chars_p", alias_name="n_chars"),
+        )
+    )
+
+
 def q_training_data_pipeline(sf_dir: str):
     """The composite web-text flow (extract+deid → staged parquet → quality
     filter → exact dedup) over synthetic pages ∪ duplicated pages; per-stage
@@ -11599,6 +11647,7 @@ QUERIES = {
     "events_ks_test": q_events_ks_test,
     "quality_auc_en": q_quality_auc_en,
     "lang_quality_ols": q_lang_quality_ols,
+    "pages_host_rollup": q_pages_host_rollup,
     "ner_stub_entity_counts": q_ner_stub_entity_counts,
     "placeholder_corpus": q_placeholder_corpus,
     "deid_eval_aggregate": q_deid_eval_aggregate,
@@ -12223,6 +12272,24 @@ ORACLE_SQL = {
         SELECT url, route, md5(extracted) AS extract_md5,
                CAST(length(extracted) AS BIGINT) AS n_extract_chars
         FROM (SELECT * FROM html_rows UNION ALL SELECT * FROM text_rows)
+    """,
+    "pages_host_rollup": """
+        WITH fx AS (SELECT * FROM read_parquet('/tmp/eds_pages_fixture/pages.parquet')),
+        html_rows AS (
+          SELECT url,
+                 replace(array_to_string(list_filter(regexp_split_to_array(
+                     regexp_replace(regexp_replace(page,
+                        '(?s)(<script[^>]*>).*?(</script>)', '\\1\\2', 'g'),
+                        '(?s)(<style[^>]*>).*?(</style>)', '\\1\\2', 'g'),
+                     '<[^>]*>'), x -> x <> ''), chr(10)), '&copy;', chr(169)) AS extracted
+          FROM fx WHERE route = 'html' AND instr(page, chr(65533)) = 0
+        ),
+        text_rows AS (SELECT url, text AS extracted FROM fx WHERE route = 'text'),
+        u AS (SELECT * FROM html_rows UNION ALL SELECT * FROM text_rows)
+        SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+               COUNT(*)::BIGINT AS n_pages,
+               SUM(length(extracted))::BIGINT AS n_chars
+        FROM u GROUP BY host
     """,
     "pages_link_stats": """
         WITH links AS (
