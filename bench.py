@@ -181,6 +181,10 @@ def _bench_queries(sf_dir: str) -> dict[str, float]:
         "events_hourly_hll",
         "incremental_refresh",
         "events_ks_test",
+        # round-4 wrap: link inversion, CCNet line dedup, script-mix gate
+        "pages_anchor_text",
+        "pages_line_dedup",
+        "doc_script_ratios",
     ]
     timings: dict[str, float] = {}
     for name in names:

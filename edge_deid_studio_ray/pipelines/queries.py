@@ -1760,6 +1760,185 @@ def q_pages_host_rollup(sf_dir: str):
     )
 
 
+def q_pages_anchor_text(sf_dir: str):
+    """Anchor-text inversion over the pages corpus — the second WAT-side
+    product of a Common-Crawl extraction pass: for each link TARGET, what
+    text do pages use to point at it (the classic web-search relevance /
+    training-data signal).  Per-batch partial Counters fold (href, anchor)
+    pairs map-side, so the exchange ships the site link vocabulary per
+    batch, never the crawl; one grouped sum co-locates each (href, anchor)
+    pair, and a per-href merge derives total occurrences, distinct-anchor
+    count and the modal anchor (ties broken lexicographically).  At 100 TB
+    the (href, anchor) key space is web-vocabulary-bounded and shards
+    evenly; no stage holds more than one site's vocabulary.
+
+    Oracle-checked: the SQL re-extracts the <a> tags from the decoded page
+    fixture with a regex and re-derives the same aggregation with window
+    functions.  Scope = html route without U+FFFD decodes (links live in
+    markup; see _oracle_visible_pages)."""
+    from ray.data.aggregate import Sum
+
+    from ..kernels.html_text import decode_html_bytes, extract_links
+
+    _ensure_pages_fixture(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pairs: Counter = Counter()
+        for raw in batch["html"].to_pylist():
+            if not raw:
+                continue
+            pairs.update(extract_links(decode_html_bytes(raw)))
+        keys = list(pairs)
+        return pa.table(
+            {
+                "href": pa.array([h for h, _ in keys], pa.string()),
+                "anchor": pa.array([a for _, a in keys], pa.string()),
+                "n_p": pa.array([pairs[k] for k in keys], pa.int64()),
+            }
+        )
+
+    summed = (
+        _oracle_visible_pages(sf_dir, include_text_route=False)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["href", "anchor"])
+        .aggregate(Sum("n_p", alias_name="n"))
+    )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        top = df.sort_values(["n", "anchor"], ascending=[False, True]).iloc[0]
+        return pd.DataFrame(
+            {
+                "href": [df["href"].iloc[0]],
+                "n_total": [int(df["n"].sum())],
+                "n_anchors": [int(len(df))],
+                "top_anchor": [str(top["anchor"])],
+                "top_anchor_n": [int(top["n"])],
+            }
+        )
+
+    out = _arrow_blocks(summed.groupby("href").map_groups(merge, batch_format="pandas"))
+    return out.sort(["n_total", "href"], descending=[True, False]).limit(20)
+
+
+def q_pages_line_dedup(sf_dir: str):
+    """CCNet-style line-level duplicate detection over the EXTRACTED web
+    text: hash every line of every page's extraction, count occurrences
+    and distinct pages, report the top template lines (≥2 distinct pages).
+    This is the signal CCNet/C4 use to strip nav/footer boilerplate at
+    corpus scale — a line shared by many pages is template, not content.
+    Per-batch partial Counters pre-aggregate (line → n_total, n_pages)
+    map-side (each page's lines live in exactly one task, so summed
+    per-batch set-counts are the exact distinct-page counts); the exchange
+    ships the line vocabulary once per batch, never the corpus, and the
+    line-hash key space shards evenly — the only heavy keys are the
+    template lines, which are exactly the output.
+
+    Oracle-checked: the SQL re-derives get_text("\\n") extraction over the
+    decoded page fixture, splits on newline and re-aggregates.  The full
+    deid pipeline still executes upstream — compared columns are
+    extraction-side."""
+    from ray.data.aggregate import Sum
+
+    from ..pipelines.deid import build_deid_pipeline
+
+    _ensure_pages_fixture(sf_dir)
+    ds = build_deid_pipeline(_oracle_visible_pages(sf_dir, include_text_route=True))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        totals: Counter = Counter()
+        pages: Counter = Counter()
+        for text in batch["extracted_text"].to_pylist():
+            lines = [ln for ln in (text or "").split("\n") if ln]
+            totals.update(lines)
+            pages.update(set(lines))
+        keys = list(totals)
+        return pa.table(
+            {
+                "line": pa.array(keys, pa.string()),
+                "n_total_p": pa.array([totals[k] for k in keys], pa.int64()),
+                "n_pages_p": pa.array([pages[k] for k in keys], pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("line")
+        .aggregate(
+            Sum("n_total_p", alias_name="n_total"),
+            Sum("n_pages_p", alias_name="n_pages"),
+        )
+        .map_batches(
+            lambda t: t.filter(pc.greater_equal(t["n_pages"], 2)),
+            batch_format="pyarrow",
+        )
+    )
+    return out.sort(
+        ["n_pages", "n_total", "line"], descending=[True, True, False]
+    ).limit(20)
+
+
+def q_doc_script_ratios(sf_dir: str):
+    """Per-language character-class composition of the corpus (Latin
+    letters / digits / whitespace / CJK / total) — the script-mix signal a
+    language-ID gate monitors for drift at corpus scale.  Fully
+    vectorized: each batch decodes ALL its text into ONE UTF-32 numpy
+    codepoint array plus a per-char lang index (np.repeat over text
+    lengths), and range-mask bincounts produce the per-lang partials —
+    zero per-char Python work; one tiny grouped sum ships per batch
+    (partial width = langs present in the batch, not chars).
+
+    Oracle: the same char classes re-counted with RE2 in SQL (codepoint
+    semantics match: Python len() and DuckDB length() both count
+    codepoints)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        langs = batch["lang"].to_pylist()
+        uniq = sorted(set(langs))
+        lid = {l: i for i, l in enumerate(uniq)}
+        nb = len(uniq)
+        blob = "".join(t or "" for t in texts)
+        cp = np.frombuffer(blob.encode("utf-32-le"), dtype=np.uint32)
+        idx = np.repeat(
+            np.fromiter((lid[l] for l in langs), np.int64, len(langs)),
+            np.fromiter((len(t or "") for t in texts), np.int64, len(texts)),
+        )
+        alpha = ((cp >= 65) & (cp <= 90)) | ((cp >= 97) & (cp <= 122))
+        digit = (cp >= 48) & (cp <= 57)
+        space = (cp == 32) | (cp == 9) | (cp == 10) | (cp == 13)
+        cjk = (cp >= 0x4E00) & (cp <= 0x9FFF)
+
+        def bc(mask) -> pa.Array:
+            return pa.array(np.bincount(idx[mask], minlength=nb).astype(np.int64))
+
+        return pa.table(
+            {
+                "lang": pa.array(uniq, pa.string()),
+                "n_alpha_p": bc(alpha),
+                "n_digit_p": bc(digit),
+                "n_space_p": bc(space),
+                "n_cjk_p": bc(cjk),
+                "n_chars_p": pa.array(
+                    np.bincount(idx, minlength=nb).astype(np.int64)
+                ),
+            }
+        )
+
+    return (
+        _read(sf_dir, "documents", columns=["text", "lang"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum("n_alpha_p", alias_name="n_alpha"),
+            Sum("n_digit_p", alias_name="n_digit"),
+            Sum("n_space_p", alias_name="n_space"),
+            Sum("n_cjk_p", alias_name="n_cjk"),
+            Sum("n_chars_p", alias_name="n_chars"),
+        )
+    )
+
+
 def q_training_data_pipeline(sf_dir: str):
     """The composite web-text flow (extract+deid → staged parquet → quality
     filter → exact dedup) over synthetic pages ∪ duplicated pages; per-stage
@@ -11648,6 +11827,9 @@ QUERIES = {
     "quality_auc_en": q_quality_auc_en,
     "lang_quality_ols": q_lang_quality_ols,
     "pages_host_rollup": q_pages_host_rollup,
+    "pages_anchor_text": q_pages_anchor_text,
+    "pages_line_dedup": q_pages_line_dedup,
+    "doc_script_ratios": q_doc_script_ratios,
     "ner_stub_entity_counts": q_ner_stub_entity_counts,
     "placeholder_corpus": q_placeholder_corpus,
     "deid_eval_aggregate": q_deid_eval_aggregate,
@@ -12290,6 +12472,59 @@ ORACLE_SQL = {
                COUNT(*)::BIGINT AS n_pages,
                SUM(length(extracted))::BIGINT AS n_chars
         FROM u GROUP BY host
+    """,
+    "pages_anchor_text": """
+        WITH m AS (
+          SELECT unnest(regexp_extract_all(page, '<a href="[^"]*">[^<]*</a>')) AS tag
+          FROM read_parquet('/tmp/eds_pages_fixture/pages.parquet')
+          WHERE route = 'html' AND instr(page, chr(65533)) = 0
+        ), pairs AS (
+          SELECT regexp_extract(tag, '"([^"]*)"', 1) AS href,
+                 regexp_extract(tag, '>([^<]*)</a>', 1) AS anchor
+          FROM m
+        ), per AS (
+          SELECT href, anchor, CAST(count(*) AS BIGINT) AS n
+          FROM pairs GROUP BY href, anchor
+        ), ranked AS (
+          SELECT href, anchor, n,
+                 CAST(SUM(n) OVER (PARTITION BY href) AS BIGINT) AS n_total,
+                 CAST(COUNT(*) OVER (PARTITION BY href) AS BIGINT) AS n_anchors,
+                 ROW_NUMBER() OVER (PARTITION BY href ORDER BY n DESC, anchor) AS rk
+          FROM per
+        )
+        SELECT href, n_total, n_anchors, anchor AS top_anchor, n AS top_anchor_n
+        FROM ranked WHERE rk = 1
+        ORDER BY n_total DESC, href LIMIT 20
+    """,
+    "pages_line_dedup": """
+        WITH fx AS (SELECT * FROM read_parquet('/tmp/eds_pages_fixture/pages.parquet')),
+        html_rows AS (
+          SELECT url, replace(array_to_string(list_filter(regexp_split_to_array(
+               regexp_replace(regexp_replace(page,
+                  '(?s)(<script[^>]*>).*?(</script>)', '\\1\\2', 'g'),
+                  '(?s)(<style[^>]*>).*?(</style>)', '\\1\\2', 'g'),
+               '<[^>]*>'), x -> x <> ''), chr(10)), '&copy;', chr(169)) AS extracted
+          FROM fx WHERE route = 'html' AND instr(page, chr(65533)) = 0
+        ),
+        text_rows AS (SELECT url, text AS extracted FROM fx WHERE route = 'text'),
+        u AS (SELECT * FROM html_rows UNION ALL SELECT * FROM text_rows),
+        lines AS (
+          SELECT url, unnest(string_split(extracted, chr(10))) AS line FROM u
+        )
+        SELECT line, CAST(count(*) AS BIGINT) AS n_total,
+               CAST(count(DISTINCT url) AS BIGINT) AS n_pages
+        FROM lines WHERE line <> ''
+        GROUP BY line HAVING count(DISTINCT url) >= 2
+        ORDER BY n_pages DESC, n_total DESC, line LIMIT 20
+    """,
+    "doc_script_ratios": """
+        SELECT lang,
+               CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+               CAST(SUM(len(regexp_extract_all(text, '[0-9]'))) AS BIGINT) AS n_digit,
+               CAST(SUM(len(regexp_extract_all(text, '[ \\t\\n\\r]'))) AS BIGINT) AS n_space,
+               CAST(SUM(len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]'))) AS BIGINT) AS n_cjk,
+               CAST(SUM(length(text)) AS BIGINT) AS n_chars
+        FROM documents GROUP BY lang
     """,
     "pages_link_stats": """
         WITH links AS (

@@ -280,3 +280,83 @@ class TestLevenshteinOracleEquivalence:
             assert lev(a, b) == got, (a, b)
 
         check()
+
+
+class TestRound4WrapOps:
+    """Link inversion (pages_anchor_text), CCNet line dedup
+    (pages_line_dedup) and the script-mix gate (doc_script_ratios).
+    The oracle sweep pins them against DuckDB; these tests pin the parts
+    SQL can't: UTF-32 codepoint semantics (astral chars count once) and
+    the structural invariants of the aggregations."""
+
+    def test_script_ratios_astral_and_cjk(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from edge_deid_studio_ray.pipelines.queries import q_doc_script_ratios
+
+        t = pa.table(
+            {
+                "text": pa.array(["ab1 \U0001F680\U0001F680漢字", "\U0001F30D xyz", None, ""], pa.string()),
+                "lang": pa.array(["en", "en", "zh", "zh"], pa.string()),
+            }
+        )
+        pq.write_table(t, tmp_path / "documents.parquet")
+        got = q_doc_script_ratios(str(tmp_path)).to_pandas().set_index("lang")
+        en = got.loc["en"]
+        assert int(en["n_alpha"]) == 5 and int(en["n_digit"]) == 1
+        assert int(en["n_space"]) == 2 and int(en["n_cjk"]) == 2
+        # astral chars are ONE codepoint each in UTF-32: 8 + 5
+        assert int(en["n_chars"]) == 13
+        zh = got.loc["zh"]
+        assert int(zh["n_chars"]) == 0 and int(zh["n_cjk"]) == 0
+
+    def test_script_ratios_matches_python_recount(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from edge_deid_studio_ray.pipelines.queries import q_doc_script_ratios
+
+        sf = "/root/testdata/sf0.001"
+        got = q_doc_script_ratios(sf).to_pandas().set_index("lang").sort_index()
+        t = pq.read_table(f"{sf}/documents.parquet", columns=["text", "lang"])
+        from collections import defaultdict
+
+        agg = defaultdict(lambda: [0] * 5)
+        for text, lang in zip(t["text"].to_pylist(), t["lang"].to_pylist()):
+            a = agg[lang]
+            for ch in text or "":
+                o = ord(ch)
+                a[0] += (65 <= o <= 90) or (97 <= o <= 122)
+                a[1] += 48 <= o <= 57
+                a[2] += o in (32, 9, 10, 13)
+                a[3] += 0x4E00 <= o <= 0x9FFF
+                a[4] += 1
+        assert set(got.index) == set(agg)
+        for lang, (na, nd, nsp, nc, nch) in agg.items():
+            row = got.loc[lang]
+            assert (
+                int(row["n_alpha"]),
+                int(row["n_digit"]),
+                int(row["n_space"]),
+                int(row["n_cjk"]),
+                int(row["n_chars"]),
+            ) == (na, nd, nsp, nc, nch)
+
+    def test_pages_line_dedup_finds_template_lines(self, ray_session):
+        from edge_deid_studio_ray.pipelines.queries import q_pages_line_dedup
+
+        df = q_pages_line_dedup("/root/testdata/sf0.001").to_pandas()
+        assert len(df) > 0
+        assert (df["n_pages"] >= 2).all()
+        assert (df["n_total"] >= df["n_pages"]).all()
+        # boilerplate lines are nav/footer template tokens, not content
+        assert int(df["line"].str.len().max()) < 200
+
+    def test_pages_anchor_text_invariants(self, ray_session):
+        from edge_deid_studio_ray.pipelines.queries import q_pages_anchor_text
+
+        df = q_pages_anchor_text("/root/testdata/sf0.001").to_pandas()
+        assert len(df) > 0
+        assert (df["top_anchor_n"] <= df["n_total"]).all()
+        assert (df["n_anchors"] >= 1).all()
+        assert df["href"].str.startswith("/").all()
+        assert df["href"].is_unique
