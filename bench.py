@@ -185,6 +185,7 @@ def _bench_queries(sf_dir: str) -> dict[str, float]:
         "pages_anchor_text",
         "pages_line_dedup",
         "doc_script_ratios",
+        "pages_pii_density",
     ]
     timings: dict[str, float] = {}
     for name in names:

@@ -1877,6 +1877,67 @@ def q_pages_line_dedup(sf_dir: str):
     ).limit(20)
 
 
+def q_pages_pii_density(sf_dir: str):
+    """Per-HOST PII-density rollup over the extracted web text — the
+    crawl-governance view: which hosts carry how much detectable PII per
+    extracted char (the gate a 100-TB crawl uses to route hosts into
+    stricter redaction tiers).  Span counting uses the shared
+    ``_MEDICAL_RE`` token contract — the SQL-expressible detector subset;
+    the full YAML detector is oracled by deid_entity_counts and covered
+    rows-only by pages_pipeline_counters — with the same CJK carve-out the
+    documents oracles use (Python's unicode ``\\b`` and RE2's ASCII ``\\b``
+    disagree around CJK word chars, so CJK-bearing extractions score 0).
+    Partials fold (host → pages, chars, spans) map-side; host cardinality
+    is web-bounded, so ONE tiny grouped sum ships per batch.
+
+    Oracle: SQL re-derives extraction over the decoded page fixture and
+    re-counts the same regex under the same carve-out."""
+    import re as _re
+
+    from ray.data.aggregate import Sum
+
+    from ..pipelines.deid import build_deid_pipeline
+
+    _ensure_pages_fixture(sf_dir)
+    ds = build_deid_pipeline(_oracle_visible_pages(sf_dir, include_text_route=True))
+    host_re = _re.compile(r"^https?://([^/]+)")
+    med_re = _re.compile(_MEDICAL_RE)
+    cjk_re = _re.compile("[一-鿿]")
+
+    def fold(batch: pa.Table) -> pa.Table:
+        pages: Counter = Counter()
+        chars: Counter = Counter()
+        spans: Counter = Counter()
+        for url, t in zip(
+            batch["url"].to_pylist(), batch["extracted_text"].to_pylist()
+        ):
+            m = host_re.match(url)
+            host = m.group(1) if m else ""
+            t = t or ""
+            pages[host] += 1
+            chars[host] += len(t)
+            spans[host] += 0 if cjk_re.search(t) else len(med_re.findall(t))
+        keys = list(pages)
+        return pa.table(
+            {
+                "host": pa.array(keys, pa.string()),
+                "n_pages_p": pa.array([pages[k] for k in keys], pa.int64()),
+                "n_chars_p": pa.array([chars[k] for k in keys], pa.int64()),
+                "n_pii_p": pa.array([spans[k] for k in keys], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(fold, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(
+            Sum("n_pages_p", alias_name="n_pages"),
+            Sum("n_chars_p", alias_name="n_chars"),
+            Sum("n_pii_p", alias_name="n_pii"),
+        )
+    )
+
+
 def q_doc_script_ratios(sf_dir: str):
     """Per-language character-class composition of the corpus (Latin
     letters / digits / whitespace / CJK / total) — the script-mix signal a
@@ -11829,6 +11890,7 @@ QUERIES = {
     "pages_host_rollup": q_pages_host_rollup,
     "pages_anchor_text": q_pages_anchor_text,
     "pages_line_dedup": q_pages_line_dedup,
+    "pages_pii_density": q_pages_pii_density,
     "doc_script_ratios": q_doc_script_ratios,
     "ner_stub_entity_counts": q_ner_stub_entity_counts,
     "placeholder_corpus": q_placeholder_corpus,
@@ -12516,6 +12578,25 @@ ORACLE_SQL = {
         FROM lines WHERE line <> ''
         GROUP BY line HAVING count(DISTINCT url) >= 2
         ORDER BY n_pages DESC, n_total DESC, line LIMIT 20
+    """,
+    "pages_pii_density": f"""
+        WITH fx AS (SELECT * FROM read_parquet('/tmp/eds_pages_fixture/pages.parquet')),
+        html_rows AS (
+          SELECT url, replace(array_to_string(list_filter(regexp_split_to_array(
+               regexp_replace(regexp_replace(page,
+                  '(?s)(<script[^>]*>).*?(</script>)', '\\1\\2', 'g'),
+                  '(?s)(<style[^>]*>).*?(</style>)', '\\1\\2', 'g'),
+               '<[^>]*>'), x -> x <> ''), chr(10)), '&copy;', chr(169)) AS extracted
+          FROM fx WHERE route = 'html' AND instr(page, chr(65533)) = 0
+        ),
+        text_rows AS (SELECT url, text AS extracted FROM fx WHERE route = 'text'),
+        u AS (SELECT * FROM html_rows UNION ALL SELECT * FROM text_rows)
+        SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+               CAST(COUNT(*) AS BIGINT) AS n_pages,
+               CAST(SUM(length(extracted)) AS BIGINT) AS n_chars,
+               CAST(SUM(CASE WHEN regexp_matches(extracted, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 0
+                        ELSE len(regexp_extract_all(extracted, '{_MEDICAL_RE}')) END) AS BIGINT) AS n_pii
+        FROM u GROUP BY host
     """,
     "doc_script_ratios": """
         SELECT lang,

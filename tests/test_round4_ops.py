@@ -351,6 +351,17 @@ class TestRound4WrapOps:
         # boilerplate lines are nav/footer template tokens, not content
         assert int(df["line"].str.len().max()) < 200
 
+    def test_pages_pii_density_invariants(self, ray_session):
+        from edge_deid_studio_ray.pipelines.queries import q_pages_pii_density
+
+        df = q_pages_pii_density("/root/testdata/sf0.001").to_pandas()
+        assert len(df) > 0
+        assert (df["n_chars"] >= df["n_pages"]).all()
+        assert (df["n_pii"] >= 0).all()
+        # the synthetic corpus embeds PII in content paragraphs, so the
+        # token contract must fire somewhere
+        assert int(df["n_pii"].sum()) > 0
+
     def test_pages_anchor_text_invariants(self, ray_session):
         from edge_deid_studio_ray.pipelines.queries import q_pages_anchor_text
 
