@@ -186,6 +186,7 @@ def _bench_queries(sf_dir: str) -> dict[str, float]:
         "pages_line_dedup",
         "doc_script_ratios",
         "pages_pii_density",
+        "copurchase_assortativity",
     ]
     timings: dict[str, float] = {}
     for name in names:

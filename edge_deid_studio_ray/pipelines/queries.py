@@ -8672,6 +8672,137 @@ def q_bpe_pair_counts(sf_dir: str):
     return out[["pair", "n"]]
 
 
+def q_copurchase_assortativity(sf_dir: str):
+    """Degree assortativity (Newman's degree-degree Pearson r) of the
+    co-purchase graph — the macro-structure health metric of a catalog
+    affinity graph (r > 0: hubs co-purchase with hubs; r < 0: hubs bridge
+    the long tail).  With per-edge endpoint degrees (j, k) over M edges:
+
+        r = (4M·Σjk − (Σ(j+k))²) / (2M·Σ(j²+k²) − (Σ(j+k))²)
+
+    — every moment an EXACT integer, ONE operand-rounded float division at
+    the very end (both engines cast the two exact integer operands to
+    double then divide — identical IEEE result; output 6dp-rounded).
+
+    Scale shape: baskets → per-order-bucket packed edges → edge-bucket
+    global dedup (the kcore/triangles pipeline).  Degrees fold from one
+    pass of packed per-batch partials; the degree table (node → int) is
+    CATALOG-bounded (nodes = parts dimension), so it broadcasts once via
+    ray.put and a vectorized double searchsorted resolves both endpoints
+    per edge batch — the same documented small-side assumption every
+    part-keyed dim lookup in this suite uses (beyond catalog scale, the
+    coded bucketed co-group of q_copurchase_triangles is the drop-in:
+    degrees are strictly smaller than its edge list).  Moment partials
+    are four int64 scalars per batch; the driver folds them in
+    arbitrary-precision Python ints."""
+    import ray
+    from itertools import combinations
+
+    nb = resolve_group_buckets(None)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "okey": batch["l_orderkey"].cast(pa.int64()),
+                "pkey": batch["l_partkey"].cast(pa.int64()),
+                "kb": _ibuckets(batch["l_orderkey"], nb),
+            }
+        )
+
+    def bucket_edges(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"edge": pd.array([], dtype="int64")})
+        if group.empty:
+            return empty
+        if int(group["pkey"].max()) >= 1 << 32:
+            raise ValueError("l_partkey >= 2^32: packed edge encodings would collide")
+        seen: set[int] = set()
+        for _, parts in group.groupby("okey")["pkey"]:
+            basket = sorted(set(parts.tolist()))
+            for a, b in combinations(basket, 2):
+                seen.add((a << 32) | b)
+        return pd.DataFrame({"edge": pd.Series(sorted(seen), dtype="int64")})
+
+    def edge_bucket(batch: pa.Table) -> pa.Table:
+        e = batch["edge"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "edge": pa.array(e, pa.int64()),
+                "eb": pa.array((e % nb).astype(np.int32), pa.int32()),
+            }
+        )
+
+    def dedup_group(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"edge": pd.Series(np.unique(g["edge"].to_numpy()), dtype="int64")}
+        )
+
+    edges = (
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+        .map_batches(project, batch_format="pyarrow")
+        .groupby("kb")
+        .map_groups(bucket_edges, batch_format="pandas")
+        .map_batches(edge_bucket, batch_format="pyarrow")
+        .groupby("eb")
+        .map_groups(dedup_group, batch_format="pandas")
+    ).materialize()
+
+    def deg_partials(batch: pa.Table) -> pa.Table:
+        e = batch["edge"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nodes, counts = np.unique(
+            np.concatenate([e >> 32, e & 0xFFFFFFFF]), return_counts=True
+        )
+        return pa.table(
+            {
+                "nodes": pa.array([nodes.tobytes()], pa.binary()),
+                "counts": pa.array([counts.tobytes()], pa.binary()),
+            }
+        )
+
+    deg: Counter = Counter()
+    for row in edges.map_batches(deg_partials, batch_format="pyarrow").take_all():
+        nodes = np.frombuffer(row["nodes"], dtype=np.int64)
+        counts = np.frombuffer(row["counts"], dtype=np.int64)
+        for n, c in zip(nodes.tolist(), counts.tolist()):
+            deg[n] += c
+
+    nodes_sorted = np.array(sorted(deg), dtype=np.int64)
+    degs_sorted = np.array([deg[n] for n in nodes_sorted.tolist()], dtype=np.int64)
+    deg_ref = ray.put((nodes_sorted, degs_sorted))
+
+    def moment_partials(batch: pa.Table, deg_ref=deg_ref) -> pa.Table:
+        nodes_s, degs_s = ray.get(deg_ref)
+        e = batch["edge"].to_numpy(zero_copy_only=False).astype(np.int64)
+        du = degs_s[np.searchsorted(nodes_s, e >> 32)]
+        dv = degs_s[np.searchsorted(nodes_s, e & 0xFFFFFFFF)]
+        return pa.table(
+            {
+                "m_p": pa.array([int(e.size)], pa.int64()),
+                "d2_p": pa.array([int((du + dv).sum())], pa.int64()),
+                "d3_p": pa.array([int((du * du + dv * dv).sum())], pa.int64()),
+                "jk_p": pa.array([int((du * dv).sum())], pa.int64()),
+            }
+        )
+
+    m = d2 = d3 = jk = 0
+    for row in edges.map_batches(moment_partials, batch_format="pyarrow").take_all():
+        m += row["m_p"]
+        d2 += row["d2_p"]
+        d3 += row["d3_p"]
+        jk += row["jk_p"]
+    num = 4 * m * jk - d2 * d2
+    den = 2 * m * d3 - d2 * d2
+    r_val = round(float(num) / float(den), 6) if den else 0.0
+    return pd.DataFrame(
+        {
+            "m_edges": [m],
+            "sum_d2": [d2],
+            "sum_d3": [d3],
+            "sum_jk": [jk],
+            "assortativity": [r_val],
+        }
+    )
+
+
 def q_copurchase_kcore(sf_dir: str):
     """k-core decomposition (k=80) of the co-purchase graph by iterative
     peeling — the graph-curation primitive (strip low-connectivity nodes
@@ -11881,6 +12012,7 @@ QUERIES = {
     "events_funnel_conformance": q_events_funnel_conformance,
     "events_welch_ttest": q_events_welch_ttest,
     "copurchase_kcore": q_copurchase_kcore,
+    "copurchase_assortativity": q_copurchase_assortativity,
     "lang_jsd_divergence": q_lang_jsd_divergence,
     "embedding_intrinsic_dim": q_embedding_intrinsic_dim,
     "incremental_refresh": q_incremental_refresh,
@@ -12291,6 +12423,39 @@ def _kcore_unrolled_sql(k: int = 80, rounds: int = 16) -> str:
 
 ORACLE_SQL = {
     "copurchase_kcore": _kcore_unrolled_sql(),
+    # exact integer moments over per-edge endpoint degrees; the single
+    # division casts the two exact integer operands to double first — the
+    # same operand-rounding the engine performs (float(num)/float(den))
+    "copurchase_assortativity": """
+        WITH baskets AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        edges AS (
+          SELECT DISTINCT a.p AS u, b.p AS v
+          FROM baskets a JOIN baskets b ON a.o = b.o AND a.p < b.p
+        ),
+        deg AS (
+          SELECT node, CAST(count(*) AS BIGINT) AS d
+          FROM (SELECT u AS node FROM edges UNION ALL SELECT v AS node FROM edges)
+          GROUP BY node
+        ),
+        j AS (
+          SELECT du.d AS d_u, dv.d AS d_v
+          FROM edges e JOIN deg du ON e.u = du.node JOIN deg dv ON e.v = dv.node
+        ),
+        mom AS (
+          SELECT CAST(count(*) AS BIGINT) AS m_edges,
+                 CAST(SUM(d_u + d_v) AS BIGINT) AS sum_d2,
+                 CAST(SUM(d_u*d_u + d_v*d_v) AS BIGINT) AS sum_d3,
+                 CAST(SUM(d_u*d_v) AS BIGINT) AS sum_jk
+          FROM j
+        )
+        SELECT m_edges, sum_d2, sum_d3, sum_jk,
+               CASE WHEN CAST(2 AS HUGEINT)*m_edges*sum_d3 - CAST(sum_d2 AS HUGEINT)*sum_d2 = 0 THEN 0.0
+                    ELSE ROUND(
+                      CAST(CAST(4 AS HUGEINT)*m_edges*sum_jk - CAST(sum_d2 AS HUGEINT)*sum_d2 AS DOUBLE)
+                      / CAST(CAST(2 AS HUGEINT)*m_edges*sum_d3 - CAST(sum_d2 AS HUGEINT)*sum_d2 AS DOUBLE), 6)
+               END AS assortativity
+        FROM mom
+    """,
     "approx_distinct": " UNION ALL ".join(
         f"SELECT * FROM ({_hll_sql(t, c)})"
         for t, c in (("documents", "source"), ("events", "event_type"), ("orders", "o_custkey"))

@@ -371,3 +371,14 @@ class TestRound4WrapOps:
         assert (df["n_anchors"] >= 1).all()
         assert df["href"].str.startswith("/").all()
         assert df["href"].is_unique
+
+    def test_copurchase_assortativity_bounds_and_moments(self, ray_session):
+        from edge_deid_studio_ray.pipelines.queries import q_copurchase_assortativity
+
+        df = q_copurchase_assortativity("/root/testdata/sf0.001")
+        row = df.iloc[0]
+        assert row["m_edges"] > 0
+        # Σ(j+k) over edges = Σ_u d_u² ≥ 2M (every degree ≥ 1)
+        assert row["sum_d2"] >= 2 * row["m_edges"]
+        assert row["sum_d3"] >= row["sum_d2"]
+        assert -1.0 <= row["assortativity"] <= 1.0
