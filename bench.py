@@ -187,6 +187,7 @@ def _bench_queries(sf_dir: str) -> dict[str, float]:
         "doc_script_ratios",
         "pages_pii_density",
         "copurchase_assortativity",
+        "embedding_covariance",
     ]
     timings: dict[str, float] = {}
     for name in names:

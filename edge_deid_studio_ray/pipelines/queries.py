@@ -11587,6 +11587,66 @@ def q_embedding_dim_stats(sf_dir: str):
     )
 
 
+def q_embedding_covariance(sf_dir: str):
+    """Exact population covariance matrix of the embedding columns — the
+    whitening / PCA-preparation moment pass (the step every embedding
+    post-processor runs before decorrelation).  EXACT across engines via
+    millionth-lifting: both engines quantize each coordinate with the
+    identical IEEE chain ``floor(double(x)·1e6 + 0.5)`` (half-up, no
+    banker's-rounding divergence), so the d×d second-moment matrix and the
+    column sums are INTEGER partials — one ``Qᵀ Q`` int64 matmul per batch
+    ships a single fixed-size packed row (d² + d + 1 ints ≈ 33 KB at
+    d=64), independent of batch row count.  The driver folds partials in
+    arbitrary-precision Python ints and emits the upper triangle with
+    cov = (n·Sxy − Sx·Sy)/n²/1e12, ONE operand-rounded division chain
+    mirrored verbatim in SQL.  At 100 TB: partial size is O(d²) per
+    batch — the all-reduce is a few MB regardless of corpus size."""
+    from ..functions.simsearch import _vec_matrix
+
+    def partials(batch: pa.Table) -> pa.Table:
+        mat = _vec_matrix(batch["embedding"]).astype(np.float64)
+        q = np.floor(mat * 1e6 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "n_p": pa.array([int(q.shape[0])], pa.int64()),
+                "sxy_p": pa.array([(q.T @ q).tobytes()], pa.binary()),
+                "sx_p": pa.array([q.sum(axis=0).tobytes()], pa.binary()),
+            }
+        )
+
+    n = 0
+    sxy = None
+    sx = None
+    ds = _read(sf_dir, "embeddings", ["embedding"])
+    for row in ds.map_batches(partials, batch_format="pyarrow").take_all():
+        n += row["n_p"]
+        sx_r = np.frombuffer(row["sx_p"], dtype=np.int64)
+        d = sx_r.size
+        sxy_r = np.frombuffer(row["sxy_p"], dtype=np.int64).reshape(d, d)
+        if sxy is None:
+            # object-dtype accumulators: Python-int cells never overflow
+            sxy = sxy_r.astype(object)
+            sx = sx_r.astype(object)
+        else:
+            sxy = sxy + sxy_r
+            sx = sx + sx_r
+    d = 0 if sx is None else sx.size
+    ii, jj, cov = [], [], []
+    for i in range(d):
+        for j in range(i, d):
+            num = n * int(sxy[i, j]) - int(sx[i]) * int(sx[j])
+            ii.append(i)
+            jj.append(j)
+            cov.append(round(float(num) / float(n) / float(n) / 1e12, 6))
+    return pa.table(
+        {
+            "i": pa.array(ii, pa.int64()),
+            "j": pa.array(jj, pa.int64()),
+            "cov": pa.array(cov, pa.float64()),
+        }
+    )
+
+
 def q_curation_funnel(sf_dir: str):
     """Sequential curation-funnel attrition report — the per-gate survivor
     counts every production filtering pipeline publishes: input → word
@@ -12013,6 +12073,7 @@ QUERIES = {
     "events_welch_ttest": q_events_welch_ttest,
     "copurchase_kcore": q_copurchase_kcore,
     "copurchase_assortativity": q_copurchase_assortativity,
+    "embedding_covariance": q_embedding_covariance,
     "lang_jsd_divergence": q_lang_jsd_divergence,
     "embedding_intrinsic_dim": q_embedding_intrinsic_dim,
     "incremental_refresh": q_incremental_refresh,
@@ -13542,6 +13603,31 @@ ORACLE_SQL = {
         SELECT vec_id,
                CASE WHEN vn = 0 THEN 0.0 ELSE ROUND((s / 16.0) / vn, 6) END AS distortion
         FROM dots
+    """,
+    # exact covariance via millionth-lifted integer moments: both engines
+    # quantize with the identical IEEE chain floor(double(x)*1e6 + 0.5),
+    # so every moment is an exact integer; the one division chain is
+    # operand-rounded in the same order on both sides
+    "embedding_covariance": """
+        WITH e AS (
+          SELECT vec_id,
+                 list_transform(embedding::DOUBLE[],
+                                x -> CAST(FLOOR(x*1000000 + 0.5) AS BIGINT)) AS q
+          FROM embeddings),
+        dims AS (SELECT unnest(range(len(q))) AS i
+                 FROM (SELECT q FROM e ORDER BY vec_id LIMIT 1)),
+        pairs AS (SELECT a.i AS i, b.i AS j FROM dims a, dims b WHERE a.i <= b.i),
+        mom AS (
+          SELECT p.i, p.j,
+                 COUNT(*)::HUGEINT AS n,
+                 SUM(CAST(e.q[p.i + 1] AS HUGEINT) * e.q[p.j + 1]) AS sxy,
+                 SUM(CAST(e.q[p.i + 1] AS HUGEINT)) AS sx,
+                 SUM(CAST(e.q[p.j + 1] AS HUGEINT)) AS sy
+          FROM e CROSS JOIN pairs p GROUP BY p.i, p.j)
+        SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+               ROUND(CAST(n*sxy - sx*sy AS DOUBLE)
+                     / CAST(n AS DOUBLE) / CAST(n AS DOUBLE) / 1000000000000.0, 6) AS cov
+        FROM mom
     """,
     # chi-square feature selection: exact-integer contingency cells in
     # HUGEINT, ONE operands-rounded-to-double division, raw-double ranking

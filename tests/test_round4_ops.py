@@ -382,3 +382,25 @@ class TestRound4WrapOps:
         assert row["sum_d2"] >= 2 * row["m_edges"]
         assert row["sum_d3"] >= row["sum_d2"]
         assert -1.0 <= row["assortativity"] <= 1.0
+
+    def test_embedding_covariance_diagonal_matches_variance(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from edge_deid_studio_ray.pipelines.queries import q_embedding_covariance
+
+        sf = "/root/testdata/sf0.001"
+        got = q_embedding_covariance(sf).to_pandas()
+        t = pq.read_table(f"{sf}/embeddings.parquet", columns=["embedding"])
+        mat = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        q = np.floor(mat * 1e6 + 0.5)
+        n = q.shape[0]
+        # independent recount of one diagonal and one off-diagonal cell
+        for i, j in [(0, 0), (0, 1), (5, 9)]:
+            num = n * float((q[:, i] * q[:, j]).sum()) - q[:, i].sum() * q[:, j].sum()
+            expect = round(num / n / n / 1e12, 6)
+            cell = got[(got["i"] == i) & (got["j"] == j)]["cov"].iloc[0]
+            assert abs(cell - expect) < 2e-6
+        # upper triangle only, all dims present
+        assert (got["i"] <= got["j"]).all()
+        d = int(got["j"].max()) + 1
+        assert len(got) == d * (d + 1) // 2
