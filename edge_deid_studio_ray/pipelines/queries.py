@@ -12998,7 +12998,7 @@ ORACLE_SQL = {
                CAST(count(*) AS BIGINT) AS n_events
         FROM events GROUP BY event_type
     """,
-    "minhash_near_dups": """
+    "minhash_near_dups": r"""
         WITH corpus AS (
           SELECT doc_id, trim(regexp_replace(lower(COALESCE(text,'')), '\s+', ' ', 'g')) AS norm
           FROM documents
@@ -13023,7 +13023,7 @@ ORACLE_SQL = {
         )
         SELECT l AS "left", r AS "right" FROM pairs
     """,
-    "near_dup_clusters": """
+    "near_dup_clusters": r"""
         WITH RECURSIVE corpus AS (
           SELECT doc_id, trim(regexp_replace(lower(COALESCE(text,'')), '\s+', ' ', 'g')) AS norm
           FROM documents
@@ -13056,7 +13056,7 @@ ORACLE_SQL = {
         SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
         FROM comp GROUP BY component
     """,
-    "near_dedup_survivors": """
+    "near_dedup_survivors": r"""
         WITH RECURSIVE corpus AS (
           SELECT doc_id, trim(regexp_replace(lower(COALESCE(text,'')), '\s+', ' ', 'g')) AS norm
           FROM documents
@@ -13097,7 +13097,7 @@ ORACLE_SQL = {
         EXCEPT
         SELECT DISTINCT source FROM documents WHERE lang = 'zh'
     """,
-    "simhash_near_dups": """
+    "simhash_near_dups": r"""
         WITH corpus AS (
           SELECT doc_id, COALESCE(text,'') AS text FROM documents
           UNION ALL
@@ -13126,7 +13126,7 @@ ORACLE_SQL = {
         FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.s, b.s)) <= 6
     """,
-    "text_fingerprints": """
+    "text_fingerprints": r"""
         WITH t AS (SELECT doc_id, COALESCE(text,'') AS text FROM documents),
         norm AS (
           SELECT doc_id, text, trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g'), ' ') AS n FROM t
@@ -13199,7 +13199,7 @@ ORACLE_SQL = {
         LEFT JOIN sig_signed ss ON ss.doc_id = fp.doc_id
         JOIN lang ON lang.doc_id = fp.doc_id
     """,
-    "ngram_jaccard_pairs": """
+    "ngram_jaccard_pairs": r"""
         WITH corpus AS (
           SELECT doc_id, trim(regexp_replace(lower(COALESCE(text,'')), '\s+', ' ', 'g')) AS norm
           FROM documents
