@@ -12016,6 +12016,398 @@ def q_supplier_balance_gini(sf_dir: str):
     )
 
 
+def q_benford_price_audit(sf_dir: str):
+    """Benford's-law first-digit audit over order prices — the forensic
+    data-quality screen for fabricated/synthetic numeric columns (here it
+    quantifies HOW non-Benford the uniform-ish TPC-H prices are).
+
+    Scale shape: per-batch digit-histogram partials (leading digit via a
+    ≤19-pass vectorized integer-halving loop — no string formatting, no
+    per-row Python) fold map-side; exactly ONE ≤9-row grouped sum leaves
+    the workers; the driver finishes with the χ² scalar chain.  Float
+    contract: expected shares ln(1+1/d)/ln(10) and the (o−e)²/e terms
+    mirror the oracle op-for-op on doubles, both sides round to 6dp (the
+    9-term SUM-order drift is ~1e-11 absolute at χ²≈1e5)."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = (
+            pc.cast(pc.round(pc.multiply(batch["o_totalprice"], 100.0)), pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        cents = cents[cents > 0]
+        while cents.size and (cents >= 10).any():
+            cents = np.where(cents >= 10, cents // 10, cents)
+        counts = np.bincount(cents, minlength=10)[1:10]
+        keep = counts > 0
+        return pa.table(
+            {
+                "digit": pa.array(np.arange(1, 10, dtype=np.int64)[keep]),
+                "n_p": pa.array(counts[keep].astype(np.int64)),
+            }
+        )
+
+    rows = (
+        _read(sf_dir, "orders", ["o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("digit")
+        .aggregate(Sum("n_p", alias_name="n_obs"))
+        .take_all()
+    )
+    rows.sort(key=lambda r: int(r["digit"]))
+    n = sum(int(r["n_obs"]) for r in rows)
+    digits = [int(r["digit"]) for r in rows]
+    obs = [int(r["n_obs"]) for r in rows]
+    exp = [n * (math.log(1.0 + 1.0 / d) / math.log(10.0)) for d in digits]
+    chi2 = sum((o - e) * (o - e) / e for o, e in zip(obs, exp))
+    return pa.table(
+        {
+            "digit": pa.array(digits, pa.int64()),
+            "n_obs": pa.array(obs, pa.int64()),
+            "expected": pa.array([round(e, 6) for e in exp], pa.float64()),
+            "chi2": pa.array([round(chi2, 6)] * len(digits), pa.float64()),
+        }
+    )
+
+
+def q_events_mann_kendall(sf_dir: str):
+    """Mann–Kendall trend test + Theil–Sen slope over the daily event-count
+    series — the standard nonparametric "is traffic drifting?" monitor
+    (exact integer S statistic, tie-corrected variance, median-of-pairwise
+    slopes robust to outlier days).
+
+    Scale shape: the DAILY series is bounded by the corpus time span, not
+    the corpus size — per-batch (day, count) partials fold map-side, one
+    ≤|days|-row grouped sum leaves the workers, and the driver runs the
+    O(days²) pair scan on the tiny series (30 days ⇒ 435 pairs; ten years
+    ⇒ 6.7M pairs, still trivial).  Exactness: S, n and the variance
+    numerator are exact Python ints; var_s, z and the Sen slope mirror the
+    oracle's double op order and round to 6dp (numpy median = DuckDB
+    median for doubles: both average the two middles)."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        days = pc.cast(batch["ts"], pa.date32())
+        vc = pc.value_counts(days)
+        return pa.table(
+            {
+                "day": vc.field("values").cast(pa.int32()),
+                "n_p": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    rows = (
+        _read(sf_dir, "events", ["ts"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("n_p", alias_name="n"))
+        .take_all()
+    )
+    rows.sort(key=lambda r: int(r["day"]))
+    day = np.array([int(r["day"]) for r in rows], np.int64)
+    x = np.array([int(r["n"]) for r in rows], np.int64)
+    nd = x.size
+    diff = x[None, :] - x[:, None]  # diff[i, j] = x_j - x_i
+    iu = np.triu_indices(nd, k=1)
+    s_stat = int(np.sign(diff[iu]).sum())
+    dd = (day[None, :] - day[:, None])[iu].astype(np.float64)
+    sen = float(np.median(diff[iu].astype(np.float64) / dd))
+    _, tcounts = np.unique(x, return_counts=True)
+    tie_term = sum(int(t) * (int(t) - 1) * (2 * int(t) + 5) for t in tcounts)
+    vnum = nd * (nd - 1) * (2 * nd + 5) - tie_term  # exact int
+    var_s = vnum / 18.0
+    if s_stat > 0:
+        z = (s_stat - 1) / math.sqrt(var_s)
+    elif s_stat < 0:
+        z = (s_stat + 1) / math.sqrt(var_s)
+    else:
+        z = 0.0
+    return pa.table(
+        {
+            "n_days": pa.array([nd], pa.int64()),
+            "s_stat": pa.array([s_stat], pa.int64()),
+            "var_s": pa.array([round(var_s, 6)], pa.float64()),
+            "z_stat": pa.array([round(z, 6)], pa.float64()),
+            "sen_slope": pa.array([round(sen, 6)], pa.float64()),
+        }
+    )
+
+
+def q_events_acf(sf_dir: str):
+    """Autocorrelation function of the hourly event-count series at lags
+    1..12 — the seasonality diagnostic (a daily cycle shows as a bump at
+    the 24-lag harmonic; short-memory burstiness decays geometrically).
+
+    Scale shape: like the trend test, the HOURLY series is time-bounded —
+    per-batch (hour, count) partials, one grouped sum, then the driver
+    zero-fills interior gaps and runs the O(hours × lags) numpy scan
+    (720 hours here; a decade is 87k floats).  Float contract: x̄ =
+    exact-int Σx / n (one division), then the Σ(xₜ−x̄)(xₜ₊ₖ−x̄)/Σ(xₜ−x̄)²
+    chain mirrors the oracle; 6dp absorbs the SUM-order drift on values
+    in [−1, 1]."""
+    from ray.data.aggregate import Sum
+
+    US_PER_HOUR = 3_600_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        hours = us // US_PER_HOUR
+        hu, hc = np.unique(hours, return_counts=True)
+        return pa.table(
+            {
+                "hour": pa.array(hu, pa.int64()),
+                "n_p": pa.array(hc.astype(np.int64)),
+            }
+        )
+
+    rows = (
+        _read(sf_dir, "events", ["ts"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("hour")
+        .aggregate(Sum("n_p", alias_name="n"))
+        .take_all()
+    )
+    counts = {int(r["hour"]): int(r["n"]) for r in rows}
+    h_lo, h_hi = min(counts), max(counts)
+    x = np.array([counts.get(h, 0) for h in range(h_lo, h_hi + 1)], np.int64)
+    n = x.size
+    xbar = float(int(x.sum())) / n  # exact integer sum, ONE division
+    c = x.astype(np.float64) - xbar
+    den = float(np.sum(c * c))
+    lags = list(range(1, 13))
+    acf = [float(np.sum(c[:-k] * c[k:])) / den for k in lags]
+    return pa.table(
+        {
+            "lag": pa.array(lags, pa.int64()),
+            "acf": pa.array([round(v, 6) for v in acf], pa.float64()),
+        }
+    )
+
+
+def q_user_retention_km(sf_dir: str):
+    """Kaplan–Meier time-to-first-purchase curve with administrative right
+    censoring — the product-limit estimate of P(no purchase within t hours
+    of a user's first event), observation truncated at corpus_start + 48 h:
+    users who purchase inside the window die at t = hours(first_purchase −
+    first_event); users first seen inside the window who haven't purchased
+    by its end are CENSORED at t = hours(window_end − first_event).  The
+    survival primitive behind conversion/retention dashboards; a naive
+    "fraction converted by t" over-counts exactly the users censoring
+    excludes.  (Administrative truncation is what makes the censored arm
+    non-degenerate on this corpus — every synthetic user eventually
+    purchases, so lifetime-based censoring would never fire.)
+
+    Scale shape: one narrow user-keyed grouped min/min (the only
+    corpus-scale exchange — (id, 2×int64) rows; absent first-purchase
+    encodes as an int64-max sentinel so Ray's Min folds it for free), then
+    per-batch (t_hour, censored) histogram partials and a second grouped
+    sum bounded by 2×|window hours|; the driver finishes the KM scan on
+    the tiny life table.  The corpus-min timestamp is a separate
+    one-scalar aggregate.  Float contract: the ordered product Π(1−dᵢ/nᵢ)
+    multiplies ascending-t in BOTH engines (DuckDB windowed product() —
+    no exp/ln detour), each factor one double division; 6dp round."""
+    from ray.data.aggregate import Min, Sum
+
+    US_PER_HOUR = 3_600_000_000
+    WINDOW_US = 48 * US_PER_HOUR
+    NO_PURCHASE = (1 << 62)  # sentinel: min() never sees a real ts this large
+
+    events = _read(sf_dir, "events", ["user_id", "ts", "event_type"]).map_batches(
+        lambda t: pa.table(
+            {"user_id": t["user_id"], "us": pc.cast(t["ts"], pa.int64()),
+             "is_p": pc.equal(t["event_type"], "purchase")}
+        ),
+        batch_format="pyarrow",
+    )
+    corpus_min = int(events.aggregate(Min("us", alias_name="m"))["m"])
+    wend = corpus_min + WINDOW_US
+
+    def per_user_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        f = df.groupby("user_id")["us"].min()
+        pdf = df[df["is_p"]]
+        fp = pdf.groupby("user_id")["us"].min().reindex(f.index)
+        return pa.table(
+            {
+                "user_id": pa.array(f.index.to_numpy(), pa.int64()),
+                "f_p": pa.array(f.to_numpy(), pa.int64()),
+                "fp_p": pa.array(
+                    fp.fillna(NO_PURCHASE).astype(np.int64).to_numpy(), pa.int64()
+                ),
+            }
+        )
+
+    def life_partial(batch: pa.Table) -> pa.Table:
+        f = batch["f"].to_numpy(zero_copy_only=False)
+        fp = batch["fp"].to_numpy(zero_copy_only=False)
+        keep = f < wend
+        f, fp = f[keep], fp[keep]
+        death = fp <= wend
+        t = np.where(death, (fp - f) // US_PER_HOUR, (wend - f) // US_PER_HOUR)
+        key = t * 2 + (~death).astype(np.int64)
+        ku, kc = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "t_hours": pa.array(ku // 2, pa.int64()),
+                "cens": pa.array((ku % 2).astype(np.int8), pa.int8()),
+                "n_p": pa.array(kc.astype(np.int64)),
+            }
+        )
+
+    life = (
+        events.map_batches(per_user_partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Min("f_p", alias_name="f"), Min("fp_p", alias_name="fp"))
+        .map_batches(life_partial, batch_format="pyarrow")
+        .groupby(["t_hours", "cens"])
+        .aggregate(Sum("n_p", alias_name="n"))
+        .take_all()
+    )
+    total = {}  # t -> users leaving the risk set at t (death or censoring)
+    deaths = {}  # t -> uncensored deaths at t
+    for r in life:
+        t = int(r["t_hours"])
+        total[t] = total.get(t, 0) + int(r["n"])
+        if int(r["cens"]) == 0:
+            deaths[t] = deaths.get(t, 0) + int(r["n"])
+    n_users = sum(total.values())
+    out_t, out_d, out_n, out_s = [], [], [], []
+    at_risk = n_users
+    surv = 1.0
+    prev_t = None
+    for t in sorted(total):
+        if prev_t is not None:
+            at_risk -= total[prev_t]
+        prev_t = t
+        d = deaths.get(t, 0)
+        if d == 0:
+            continue  # censoring-only times shrink the risk set silently
+        surv = surv * (1.0 - d / at_risk)
+        out_t.append(t)
+        out_d.append(d)
+        out_n.append(at_risk)
+        out_s.append(round(surv, 6))
+    return pa.table(
+        {
+            "t_hours": pa.array(out_t, pa.int64()),
+            "n_deaths": pa.array(out_d, pa.int64()),
+            "n_at_risk": pa.array(out_n, pa.int64()),
+            "survival": pa.array(out_s, pa.float64()),
+        }
+    )
+
+
+def q_hll_user_overlap(sf_dir: str):
+    """Sketch ALGEBRA: estimated audience overlap |view ∩ purchase| via
+    inclusion–exclusion over mergeable HLLs — |A∩B| ≈ est(A) + est(B) −
+    est(A∪B), where the union sketch is the REGISTER-WISE MAX of the two
+    arm sketches (exactly the HLL built over the concatenated multiset, so
+    the identity is deterministic, not approximate-on-approximate).  This
+    is the composable form audience/reach systems use: per-segment
+    sketches are built once, any pairwise overlap is three register folds
+    — no re-scan of the raw events.  Exact distinct counts ride along for
+    the error audit (the estimate column is still value-checked: the
+    oracle rebuilds every register from md5 in SQL).
+
+    Scale shape: ONE pass over events builds both arm sketches per batch
+    (8 KB each) and the driver folds register maxima; the exact columns
+    reuse the flag-groupby pattern (user-keyed narrow shuffle).  Float
+    contract: integer-exact register folds (`hll_estimate`), 4dp rounds,
+    and the inclusion–exclusion runs over the ROUNDED estimates in both
+    engines."""
+    from ray.data.aggregate import Max, Sum
+
+    from ..functions.sketches import _hash_column, _hll_update, hll_estimate
+
+    P = 12
+
+    events = _read(sf_dir, "events", ["user_id", "event_type"]).map_batches(
+        lambda t: t.filter(
+            pc.is_in(t["event_type"], value_set=pa.array(["view", "purchase"]))
+        ),
+        batch_format="pyarrow",
+    )
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        arms, blobs = [], []
+        for arm in ("view", "purchase"):
+            users = batch.filter(pc.equal(batch["event_type"], arm))["user_id"]
+            regs = np.zeros(1 << P, dtype=np.int64)
+            _hll_update(regs, _hash_column(users.to_pylist()), P)
+            arms.append(arm)
+            blobs.append(regs.tobytes())
+        return pa.table(
+            {"arm": pa.array(arms, pa.string()), "sketch": pa.array(blobs, pa.binary())}
+        )
+
+    merged = {
+        "view": np.zeros(1 << P, dtype=np.int64),
+        "purchase": np.zeros(1 << P, dtype=np.int64),
+    }
+    for row in events.map_batches(sketch, batch_format="pyarrow").take_all():
+        merged[row["arm"]] = np.maximum(
+            merged[row["arm"]], np.frombuffer(row["sketch"], dtype=np.int64)
+        )
+    est_v = round(hll_estimate(merged["view"]), 4)
+    est_p = round(hll_estimate(merged["purchase"]), 4)
+    est_u = round(hll_estimate(np.maximum(merged["view"], merged["purchase"])), 4)
+    est_i = round(est_v + est_p - est_u, 4)
+
+    def flags(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.assign(
+            v=(df["event_type"] == "view").astype(np.int64),
+            p=(df["event_type"] == "purchase").astype(np.int64),
+        ).groupby("user_id")[["v", "p"]].max()
+        return pa.table(
+            {
+                "user_id": pa.array(g.index.to_numpy(), pa.int64()),
+                "v_p": pa.array(g["v"].to_numpy(), pa.int64()),
+                "p_p": pa.array(g["p"].to_numpy(), pa.int64()),
+            }
+        )
+
+    both = (
+        events.map_batches(flags, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Max("v_p", alias_name="v"), Max("p_p", alias_name="p"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "nv": pa.array([int(pc.sum(t["v"]).as_py() or 0)], pa.int64()),
+                    "np_": pa.array([int(pc.sum(t["p"]).as_py() or 0)], pa.int64()),
+                    "nb": pa.array(
+                        [int(pc.sum(pc.multiply(t["v"], t["p"])).as_py() or 0)],
+                        pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .aggregate(
+            Sum("nv", alias_name="nv"),
+            Sum("np_", alias_name="np_"),
+            Sum("nb", alias_name="nb"),
+        )
+    )
+    return pa.table(
+        {
+            "est_view": pa.array([est_v], pa.float64()),
+            "est_purchase": pa.array([est_p], pa.float64()),
+            "est_union": pa.array([est_u], pa.float64()),
+            "est_intersection": pa.array([est_i], pa.float64()),
+            "exact_view": pa.array([int(both["nv"])], pa.int64()),
+            "exact_purchase": pa.array([int(both["np_"])], pa.int64()),
+            "exact_intersection": pa.array([int(both["nb"])], pa.int64()),
+        }
+    )
+
+
 QUERIES = {
     "doc_stats_by_lang": q_doc_stats_by_lang,
     "doc_token_stats": q_doc_token_stats,
@@ -12212,6 +12604,11 @@ QUERIES = {
     "bpe_apply_merge": q_bpe_apply_merge,
     "events_user_entropy": q_events_user_entropy,
     "supplier_balance_gini": q_supplier_balance_gini,
+    "hll_user_overlap": q_hll_user_overlap,
+    "benford_price_audit": q_benford_price_audit,
+    "events_mann_kendall": q_events_mann_kendall,
+    "events_acf": q_events_acf,
+    "user_retention_km": q_user_retention_km,
 }
 
 
@@ -12287,6 +12684,44 @@ def _hll_sql(table: str, col: str, p: int = 12) -> str:
                (SELECT CAST(COUNT(DISTINCT {col}) AS BIGINT) FROM {table}) AS exact
         FROM raw
     """
+def _hll_scalar_sql(subq: str, p: int = 12) -> str:
+    """Scalar form of `_hll_sql`: the 4dp HLL estimate over a subquery that
+    yields one column ``u`` — used by sketch-algebra oracles that combine
+    several estimates (the register rebuild is identical; the union arm's
+    registers equal the max-merge of the part sketches by the HLL
+    register-max identity)."""
+    m = 1 << p
+    two64 = "18446744073709551616"
+    return f"""(
+        WITH hv AS (
+            SELECT md5_number_upper(CAST(u AS VARCHAR)) AS h FROM ({subq}) WHERE u IS NOT NULL
+        ),
+        parts AS (
+            SELECT CAST(h >> {64 - p} AS BIGINT) AS idx,
+                   strpos(lpad(bin(CAST(
+                       ((CAST(h AS HUGEINT) << {p}) | {m - 1}) % {two64}
+                   AS UBIGINT)), 64, '0'), '1') AS rank
+            FROM hv
+        ),
+        regs AS (SELECT idx, MAX(rank) AS reg FROM parts GROUP BY idx),
+        folded AS (
+            SELECT {m} - COUNT(*) AS zeros,
+                   CAST({m} - COUNT(*) AS HUGEINT) * (CAST(1 AS HUGEINT) << 64)
+                       + SUM(CAST(1 AS HUGEINT) << (64 - reg)) AS s_exact
+            FROM regs
+        ),
+        raw AS (
+            SELECT zeros,
+                   (0.7213 / (1 + 1.079 / {m})) * {m} * {m}
+                       / (CAST(s_exact AS DOUBLE) / {two64}.0) AS est
+            FROM folded
+        )
+        SELECT ROUND(CASE WHEN est <= 2.5 * {m} AND zeros > 0
+                          THEN {m} * ln({m} / zeros) ELSE est END, 4)
+        FROM raw
+    )"""
+
+
 _MEDICAL_RE = "\\b[A-Za-z0-9]{6,12}\\b"
 
 
@@ -15670,5 +16105,126 @@ ORACLE_SQL = {
           ORDER BY jw DESC, n_name ASC
           LIMIT 1
         ) m
+    """,
+    # sketch algebra: three register rebuilds (view / purchase / union
+    # multiset — the register-max identity makes the union arm exact),
+    # inclusion–exclusion over the 4dp-rounded estimates
+    "hll_user_overlap": f"""
+        SELECT
+          {_hll_scalar_sql("SELECT user_id AS u FROM events WHERE event_type = 'view'")} AS est_view,
+          {_hll_scalar_sql("SELECT user_id AS u FROM events WHERE event_type = 'purchase'")} AS est_purchase,
+          {_hll_scalar_sql("SELECT user_id AS u FROM events WHERE event_type IN ('view','purchase')")} AS est_union,
+          ROUND(
+            {_hll_scalar_sql("SELECT user_id AS u FROM events WHERE event_type = 'view'")}
+            + {_hll_scalar_sql("SELECT user_id AS u FROM events WHERE event_type = 'purchase'")}
+            - {_hll_scalar_sql("SELECT user_id AS u FROM events WHERE event_type IN ('view','purchase')")},
+          4) AS est_intersection,
+          (SELECT COUNT(DISTINCT user_id) FROM events WHERE event_type = 'view')::BIGINT AS exact_view,
+          (SELECT COUNT(DISTINCT user_id) FROM events WHERE event_type = 'purchase')::BIGINT AS exact_purchase,
+          (SELECT COUNT(DISTINCT user_id) FROM events
+            WHERE event_type = 'view'
+              AND user_id IN (SELECT user_id FROM events WHERE event_type = 'purchase'))::BIGINT AS exact_intersection
+    """,
+    # Benford first-digit audit: leading digit of the exact cent value,
+    # expected counts n·ln(1+1/d)/ln(10), χ² summed over observed digits
+    "benford_price_audit": """
+        WITH d AS (
+          SELECT CAST(substr(CAST(CAST(round(o_totalprice*100) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+          FROM orders
+          WHERE round(o_totalprice*100) > 0),
+        g AS (SELECT digit, COUNT(*)::BIGINT AS n_obs FROM d GROUP BY digit),
+        t AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM g),
+        e AS (
+          SELECT digit, n_obs,
+                 (SELECT n FROM t) * (ln(1.0 + 1.0/digit) / ln(10.0)) AS exp_n
+          FROM g)
+        SELECT digit, n_obs,
+               ROUND(exp_n, 6) AS expected,
+               ROUND((SELECT SUM((n_obs - exp_n)*(n_obs - exp_n)/exp_n) FROM e), 6) AS chi2
+        FROM e
+    """,
+    # Mann–Kendall on the daily count series: exact integer S and variance
+    # numerator, tie correction from the count spectrum, Theil–Sen slope =
+    # median of pairwise (Δcount/Δday)
+    "events_mann_kendall": """
+        WITH g AS (
+          SELECT CAST(ts AS DATE) AS day, COUNT(*)::BIGINT AS n
+          FROM events GROUP BY day),
+        p AS (
+          SELECT a.n AS xi, b.n AS xj, date_diff('day', a.day, b.day) AS dd
+          FROM g a JOIN g b ON a.day < b.day),
+        s AS (
+          SELECT CAST(SUM(CASE WHEN xj > xi THEN 1 WHEN xj < xi THEN -1 ELSE 0 END) AS BIGINT) AS s_stat,
+                 median(CAST(xj - xi AS DOUBLE) / dd) AS sen
+          FROM p),
+        t AS (SELECT COUNT(*)::BIGINT AS nd FROM g),
+        ties AS (
+          SELECT CAST(COALESCE(SUM(t*(t-1)*(2*t+5)), 0) AS BIGINT) AS tt
+          FROM (SELECT COUNT(*)::BIGINT AS t FROM g GROUP BY n) q),
+        v AS (SELECT (nd*(nd-1)*(2*nd+5) - tt) AS vnum, nd FROM t, ties)
+        SELECT v.nd AS n_days, s.s_stat,
+               ROUND(v.vnum/18.0, 6) AS var_s,
+               ROUND(CASE WHEN s.s_stat > 0 THEN (s.s_stat - 1)/sqrt(v.vnum/18.0)
+                          WHEN s.s_stat < 0 THEN (s.s_stat + 1)/sqrt(v.vnum/18.0)
+                          ELSE 0.0 END, 6) AS z_stat,
+               ROUND(s.sen, 6) AS sen_slope
+        FROM s, v
+    """,
+    # ACF lags 1..12 over the gap-zero-filled hourly series; x̄ = exact-int
+    # sum / count, same chain as the engine
+    "events_acf": """
+        WITH b AS (
+          SELECT epoch_us(ts) // 3600000000 AS h, COUNT(*)::BIGINT AS n
+          FROM events GROUP BY h),
+        r AS (
+          SELECT unnest(range((SELECT min(h) FROM b), (SELECT max(h) FROM b) + 1)) AS h),
+        s AS (
+          SELECT r.h, CAST(COALESCE(b.n, 0) AS BIGINT) AS x,
+                 ROW_NUMBER() OVER (ORDER BY r.h) AS i
+          FROM r LEFT JOIN b USING (h)),
+        m AS (
+          SELECT CAST(CAST(SUM(x) AS BIGINT) AS DOUBLE) / COUNT(*) AS xbar
+          FROM s),
+        lags AS (SELECT unnest(range(1, 13)) AS lag),
+        num AS (
+          SELECT lags.lag AS lag,
+                 SUM((a.x - m.xbar) * (b2.x - m.xbar)) AS nm
+          FROM lags CROSS JOIN m CROSS JOIN s a CROSS JOIN s b2
+          WHERE b2.i = a.i + lags.lag
+          GROUP BY lags.lag),
+        den AS (SELECT SUM((x - m.xbar)*(x - m.xbar)) AS dn FROM s, m)
+        SELECT CAST(lag AS BIGINT) AS lag,
+               ROUND(nm / (SELECT dn FROM den), 6) AS acf
+        FROM num
+    """,
+    # Kaplan–Meier time-to-first-purchase life table, observation
+    # administratively truncated at corpus_start + 48 h; survival is the
+    # ascending-t windowed product of (1 − d/n)
+    "user_retention_km": """
+        WITH mn AS (SELECT min(epoch_us(ts)) + 172800000000 AS wend FROM events),
+        u AS (
+          SELECT user_id, min(epoch_us(ts)) AS f,
+                 min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS fp
+          FROM events GROUP BY user_id),
+        per AS (
+          SELECT CASE WHEN fp IS NOT NULL AND fp <= wend
+                      THEN (fp - f) // 3600000000
+                      ELSE (wend - f) // 3600000000 END AS t,
+                 CASE WHEN fp IS NOT NULL AND fp <= wend THEN 0 ELSE 1 END AS cens
+          FROM u, mn WHERE f < wend),
+        ev AS (
+          SELECT t, COUNT(*)::BIGINT AS d
+          FROM per WHERE cens = 0 GROUP BY t),
+        risk AS (
+          SELECT e.t, e.d,
+                 (SELECT COUNT(*) FROM per p WHERE p.t >= e.t)::BIGINT AS n
+          FROM ev e),
+        km AS (
+          SELECT t, d, n,
+                 product(1.0 - CAST(d AS DOUBLE)/n) OVER (ORDER BY t) AS surv
+          FROM risk)
+        SELECT t AS t_hours, d AS n_deaths, n AS n_at_risk,
+               ROUND(surv, 6) AS survival
+        FROM km
     """,
 }
