@@ -12408,6 +12408,132 @@ def q_hll_user_overlap(sf_dir: str):
     )
 
 
+def q_user_rfm_segments(sf_dir: str):
+    """RFM segmentation — every user coded 1..4 on Recency (days since
+    their last event, vs corpus max), Frequency (event count) and Monetary
+    (exact cent sum), quartile boundaries computed over the per-user
+    metric distributions; output is the 4×4×4 segment-cell census the
+    lifecycle-marketing pipelines key on.
+
+    Scale shape: ONE user-keyed grouped aggregate builds the per-user
+    triple (the only corpus-scale shuffle; `materialize()` pins it because
+    it is legitimately consumed twice — once for boundaries, once for
+    coding — and it is the aggregated SMALL side, not the input).  Metric
+    histograms are value-bounded (days ≤ corpus span, counts/cents ≤
+    activity range), so boundary selection walks a tiny merged histogram
+    on the driver.  Quartile rule is explicit and integer-exact in both
+    engines — b_q = smallest v with cum_count(≤v) ≥ k_q, k_q =
+    ((n+3)//4, (n+1)//2, (3n+3)//4) — no reliance on any engine's
+    quantile interpolation.  Codes: 1 + Σ (v > b_q), ascending in the
+    metric value.  Output ≤64 exact-int rows."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    US_PER_DAY = 86_400_000_000
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "us": pc.cast(batch["ts"], pa.int64()),
+                "cents": pc.cast(
+                    pc.round(pc.multiply(batch["value"], 100.0)), pa.int64()
+                ),
+            }
+        )
+
+    per_user = (
+        _read(sf_dir, "events", ["user_id", "ts", "value"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(
+            Max("us", alias_name="last_us"),
+            Count(alias_name="f"),
+            Sum("cents", alias_name="cents"),
+        )
+        .materialize()
+    )
+    corpus_max = int(per_user.aggregate(Max("last_us", alias_name="m"))["m"])
+
+    def metrics(batch: pa.Table) -> pa.Table:
+        last = batch["last_us"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "r": pa.array((corpus_max - last) // US_PER_DAY, pa.int64()),
+                "f": batch["f"].cast(pa.int64()),
+                "m": pa.array(
+                    batch["cents"].to_numpy(zero_copy_only=False) // 100, pa.int64()
+                ),
+            }
+        )
+
+    met = per_user.map_batches(metrics, batch_format="pyarrow")
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        ms, vs, ns = [], [], []
+        for mname in ("r", "f", "m"):
+            vu, vn = np.unique(batch[mname].to_numpy(zero_copy_only=False), return_counts=True)
+            ms.extend([mname] * vu.size)
+            vs.extend(vu.tolist())
+            ns.extend(vn.tolist())
+        return pa.table(
+            {
+                "metric": pa.array(ms, pa.string()),
+                "value": pa.array(vs, pa.int64()),
+                "n": pa.array(ns, pa.int64()),
+            }
+        )
+
+    hist = (
+        met.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby(["metric", "value"])
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    bounds: dict[str, tuple[int, int, int]] = {}
+    for mname in ("r", "f", "m"):
+        rows = sorted(
+            ((int(r["value"]), int(r["n"])) for r in hist if r["metric"] == mname)
+        )
+        total = sum(n for _, n in rows)
+        ks = ((total + 3) // 4, (total + 1) // 2, (3 * total + 3) // 4)
+        bs, cum, ki = [], 0, 0
+        for v, n in rows:
+            cum += n
+            while ki < 3 and cum >= ks[ki]:
+                bs.append(v)
+                ki += 1
+            if ki == 3:
+                break
+        bounds[mname] = tuple(bs)
+
+    def code(batch: pa.Table) -> pa.Table:
+        out = {}
+        for mname in ("r", "f", "m"):
+            v = batch[mname].to_numpy(zero_copy_only=False)
+            b = bounds[mname]
+            out[f"{mname}_code"] = (
+                1 + (v > b[0]).astype(np.int64) + (v > b[1]) + (v > b[2])
+            )
+        key = out["r_code"] * 100 + out["f_code"] * 10 + out["m_code"]
+        ku, kc = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "r_code": pa.array(ku // 100, pa.int64()),
+                "f_code": pa.array((ku // 10) % 10, pa.int64()),
+                "m_code": pa.array(ku % 10, pa.int64()),
+                "n_p": pa.array(kc.astype(np.int64)),
+            }
+        )
+
+    from ray.data.aggregate import Sum as _Sum
+
+    return (
+        met.map_batches(code, batch_format="pyarrow")
+        .groupby(["r_code", "f_code", "m_code"])
+        .aggregate(_Sum("n_p", alias_name="n_users"))
+    )
+
+
 QUERIES = {
     "doc_stats_by_lang": q_doc_stats_by_lang,
     "doc_token_stats": q_doc_token_stats,
@@ -12605,6 +12731,7 @@ QUERIES = {
     "events_user_entropy": q_events_user_entropy,
     "supplier_balance_gini": q_supplier_balance_gini,
     "hll_user_overlap": q_hll_user_overlap,
+    "user_rfm_segments": q_user_rfm_segments,
     "benford_price_audit": q_benford_price_audit,
     "events_mann_kendall": q_events_mann_kendall,
     "events_acf": q_events_acf,
@@ -16124,6 +16251,40 @@ ORACLE_SQL = {
           (SELECT COUNT(DISTINCT user_id) FROM events
             WHERE event_type = 'view'
               AND user_id IN (SELECT user_id FROM events WHERE event_type = 'purchase'))::BIGINT AS exact_intersection
+    """,
+    # RFM: explicit integer quartile rule (b_q = min v with cum >= k_q,
+    # k_q = (n+3)//4, (n+1)//2, (3n+3)//4) — no engine quantile builtin
+    "user_rfm_segments": """
+        WITH mx AS (SELECT max(epoch_us(ts)) AS m FROM events),
+        u AS (
+          SELECT user_id,
+                 ((SELECT m FROM mx) - max(epoch_us(ts))) // 86400000000 AS r,
+                 COUNT(*)::BIGINT AS f,
+                 CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) // 100 AS m
+          FROM events GROUP BY user_id),
+        n AS (SELECT COUNT(*)::BIGINT AS total FROM u),
+        ks AS (
+          SELECT (total + 3) // 4 AS k1, (total + 1) // 2 AS k2,
+                 (3*total + 3) // 4 AS k3
+          FROM n),
+        b AS (
+          SELECT
+            (SELECT min(r) FROM (SELECT r, COUNT(*) OVER (ORDER BY r) c FROM u) WHERE c >= (SELECT k1 FROM ks)) AS br1,
+            (SELECT min(r) FROM (SELECT r, COUNT(*) OVER (ORDER BY r) c FROM u) WHERE c >= (SELECT k2 FROM ks)) AS br2,
+            (SELECT min(r) FROM (SELECT r, COUNT(*) OVER (ORDER BY r) c FROM u) WHERE c >= (SELECT k3 FROM ks)) AS br3,
+            (SELECT min(f) FROM (SELECT f, COUNT(*) OVER (ORDER BY f) c FROM u) WHERE c >= (SELECT k1 FROM ks)) AS bf1,
+            (SELECT min(f) FROM (SELECT f, COUNT(*) OVER (ORDER BY f) c FROM u) WHERE c >= (SELECT k2 FROM ks)) AS bf2,
+            (SELECT min(f) FROM (SELECT f, COUNT(*) OVER (ORDER BY f) c FROM u) WHERE c >= (SELECT k3 FROM ks)) AS bf3,
+            (SELECT min(m) FROM (SELECT m, COUNT(*) OVER (ORDER BY m) c FROM u) WHERE c >= (SELECT k1 FROM ks)) AS bm1,
+            (SELECT min(m) FROM (SELECT m, COUNT(*) OVER (ORDER BY m) c FROM u) WHERE c >= (SELECT k2 FROM ks)) AS bm2,
+            (SELECT min(m) FROM (SELECT m, COUNT(*) OVER (ORDER BY m) c FROM u) WHERE c >= (SELECT k3 FROM ks)) AS bm3),
+        coded AS (
+          SELECT 1 + (r > br1)::BIGINT + (r > br2)::BIGINT + (r > br3)::BIGINT AS r_code,
+                 1 + (f > bf1)::BIGINT + (f > bf2)::BIGINT + (f > bf3)::BIGINT AS f_code,
+                 1 + (m > bm1)::BIGINT + (m > bm2)::BIGINT + (m > bm3)::BIGINT AS m_code
+          FROM u, b)
+        SELECT r_code, f_code, m_code, COUNT(*)::BIGINT AS n_users
+        FROM coded GROUP BY r_code, f_code, m_code
     """,
     # Benford first-digit audit: leading digit of the exact cent value,
     # expected counts n·ln(1+1/d)/ln(10), χ² summed over observed digits
