@@ -12534,6 +12534,119 @@ def q_user_rfm_segments(sf_dir: str):
     )
 
 
+def q_orders_profile(sf_dir: str):
+    """One-pass TABLE PROFILING — the data-catalog primitive: for every
+    column of ``orders``, null count, HLL approximate distinct, and typed
+    min/max, from a SINGLE scan (per-batch partials: one 8 KB sketch +
+    four scalars per column; the driver folds ≤ columns × blocks rows —
+    no per-column passes, no shuffle at all).
+
+    Hash normalization is explicit per type so the md5 sketch is
+    SQL-mirrorable: ints hash as their decimal string, doubles as the
+    exact cent integer, timestamps as epoch-microseconds, strings raw —
+    never str(float)/str(datetime), whose formatting is
+    engine-dependent.  min/max report as DOUBLE for numeric/timestamp
+    columns (epoch-µs ≈ 1.7e15 < 2^53, exact) and as VARCHAR for string
+    columns (memcmp collation in both engines on this ASCII data)."""
+    from ..functions.sketches import _hash_column, _hll_update, hll_estimate
+
+    P = 12
+    SPECS = (
+        ("o_orderkey", "int"),
+        ("o_custkey", "int"),
+        ("o_orderstatus", "str"),
+        ("o_totalprice", "cents"),
+        ("o_orderdate", "ts"),
+        ("o_orderpriority", "str"),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cols, nulls, mnn, mxn, mns, mxs, blobs = [], [], [], [], [], [], []
+        for col, kind in SPECS:
+            arr = batch[col]
+            valid = arr.drop_null()
+            if kind == "int":
+                hvals = valid.to_pylist()
+                lo, hi = pc.min(valid).as_py(), pc.max(valid).as_py()
+                lo_n, hi_n = (float(lo), float(hi)) if lo is not None else (None, None)
+                lo_s = hi_s = None
+            elif kind == "cents":
+                hvals = pc.cast(
+                    pc.round(pc.multiply(valid, 100.0)), pa.int64()
+                ).to_pylist()
+                lo, hi = pc.min(valid).as_py(), pc.max(valid).as_py()
+                lo_n, hi_n = lo, hi
+                lo_s = hi_s = None
+            elif kind == "ts":
+                us = pc.cast(valid, pa.int64())
+                hvals = us.to_pylist()
+                lo, hi = pc.min(us).as_py(), pc.max(us).as_py()
+                lo_n, hi_n = (float(lo), float(hi)) if lo is not None else (None, None)
+                lo_s = hi_s = None
+            else:
+                hvals = valid.to_pylist()
+                lo_s = pc.min(valid).as_py()
+                hi_s = pc.max(valid).as_py()
+                lo_n = hi_n = None
+            regs = np.zeros(1 << P, dtype=np.int64)
+            if hvals:
+                _hll_update(regs, _hash_column(hvals), P)
+            cols.append(col)
+            nulls.append(arr.null_count)
+            mnn.append(lo_n)
+            mxn.append(hi_n)
+            mns.append(lo_s)
+            mxs.append(hi_s)
+            blobs.append(regs.tobytes())
+        return pa.table(
+            {
+                "column": pa.array(cols, pa.string()),
+                "nulls": pa.array(nulls, pa.int64()),
+                "min_num": pa.array(mnn, pa.float64()),
+                "max_num": pa.array(mxn, pa.float64()),
+                "min_str": pa.array(mns, pa.string()),
+                "max_str": pa.array(mxs, pa.string()),
+                "sketch": pa.array(blobs, pa.binary()),
+            }
+        )
+
+    state: dict[str, list] = {
+        c: [0, None, None, None, None, np.zeros(1 << P, dtype=np.int64)]
+        for c, _ in SPECS
+    }
+    parts = (
+        _read(sf_dir, "orders", [c for c, _ in SPECS])
+        .map_batches(partial, batch_format="pyarrow")
+        .take_all()
+    )
+    for r in parts:
+        s = state[r["column"]]
+        s[0] += int(r["nulls"])
+        for i, key in ((1, "min_num"), (3, "min_str")):
+            v = r[key]
+            if v is not None:
+                s[i] = v if s[i] is None else min(s[i], v)
+        for i, key in ((2, "max_num"), (4, "max_str")):
+            v = r[key]
+            if v is not None:
+                s[i] = v if s[i] is None else max(s[i], v)
+        s[5] = np.maximum(s[5], np.frombuffer(r["sketch"], dtype=np.int64))
+    names = [c for c, _ in SPECS]
+    return pa.table(
+        {
+            "column": pa.array(names, pa.string()),
+            "null_count": pa.array([state[c][0] for c in names], pa.int64()),
+            "approx_distinct": pa.array(
+                [round(hll_estimate(state[c][5]), 4) for c in names], pa.float64()
+            ),
+            "min_num": pa.array([state[c][1] for c in names], pa.float64()),
+            "max_num": pa.array([state[c][2] for c in names], pa.float64()),
+            "min_str": pa.array([state[c][3] for c in names], pa.string()),
+            "max_str": pa.array([state[c][4] for c in names], pa.string()),
+        }
+    )
+
+
 QUERIES = {
     "doc_stats_by_lang": q_doc_stats_by_lang,
     "doc_token_stats": q_doc_token_stats,
@@ -12732,6 +12845,7 @@ QUERIES = {
     "supplier_balance_gini": q_supplier_balance_gini,
     "hll_user_overlap": q_hll_user_overlap,
     "user_rfm_segments": q_user_rfm_segments,
+    "orders_profile": q_orders_profile,
     "benford_price_audit": q_benford_price_audit,
     "events_mann_kendall": q_events_mann_kendall,
     "events_acf": q_events_acf,
@@ -16251,6 +16365,51 @@ ORACLE_SQL = {
           (SELECT COUNT(DISTINCT user_id) FROM events
             WHERE event_type = 'view'
               AND user_id IN (SELECT user_id FROM events WHERE event_type = 'purchase'))::BIGINT AS exact_intersection
+    """,
+    # one-pass column profile; the hll estimates rebuild from the same
+    # per-type normalized values the engine hashes (ints/cents/epoch-µs)
+    "orders_profile": f"""
+        SELECT 'o_orderkey' AS "column",
+               (SELECT COUNT(*) FILTER (WHERE o_orderkey IS NULL) FROM orders)::BIGINT AS null_count,
+               {_hll_scalar_sql("SELECT o_orderkey AS u FROM orders")} AS approx_distinct,
+               (SELECT CAST(min(o_orderkey) AS DOUBLE) FROM orders) AS min_num,
+               (SELECT CAST(max(o_orderkey) AS DOUBLE) FROM orders) AS max_num,
+               NULL AS min_str, NULL AS max_str
+        UNION ALL
+        SELECT 'o_custkey',
+               (SELECT COUNT(*) FILTER (WHERE o_custkey IS NULL) FROM orders)::BIGINT,
+               {_hll_scalar_sql("SELECT o_custkey AS u FROM orders")},
+               (SELECT CAST(min(o_custkey) AS DOUBLE) FROM orders),
+               (SELECT CAST(max(o_custkey) AS DOUBLE) FROM orders),
+               NULL, NULL
+        UNION ALL
+        SELECT 'o_orderstatus',
+               (SELECT COUNT(*) FILTER (WHERE o_orderstatus IS NULL) FROM orders)::BIGINT,
+               {_hll_scalar_sql("SELECT o_orderstatus AS u FROM orders")},
+               NULL, NULL,
+               (SELECT min(o_orderstatus) FROM orders),
+               (SELECT max(o_orderstatus) FROM orders)
+        UNION ALL
+        SELECT 'o_totalprice',
+               (SELECT COUNT(*) FILTER (WHERE o_totalprice IS NULL) FROM orders)::BIGINT,
+               {_hll_scalar_sql("SELECT CAST(round(o_totalprice*100) AS BIGINT) AS u FROM orders")},
+               (SELECT min(o_totalprice) FROM orders),
+               (SELECT max(o_totalprice) FROM orders),
+               NULL, NULL
+        UNION ALL
+        SELECT 'o_orderdate',
+               (SELECT COUNT(*) FILTER (WHERE o_orderdate IS NULL) FROM orders)::BIGINT,
+               {_hll_scalar_sql("SELECT epoch_us(o_orderdate) AS u FROM orders")},
+               (SELECT CAST(min(epoch_us(o_orderdate)) AS DOUBLE) FROM orders),
+               (SELECT CAST(max(epoch_us(o_orderdate)) AS DOUBLE) FROM orders),
+               NULL, NULL
+        UNION ALL
+        SELECT 'o_orderpriority',
+               (SELECT COUNT(*) FILTER (WHERE o_orderpriority IS NULL) FROM orders)::BIGINT,
+               {_hll_scalar_sql("SELECT o_orderpriority AS u FROM orders")},
+               NULL, NULL,
+               (SELECT min(o_orderpriority) FROM orders),
+               (SELECT max(o_orderpriority) FROM orders)
     """,
     # RFM: explicit integer quartile rule (b_q = min v with cum >= k_q,
     # k_q = (n+3)//4, (n+1)//2, (3n+3)//4) — no engine quantile builtin
