@@ -12647,6 +12647,160 @@ def q_orders_profile(sf_dir: str):
     )
 
 
+def q_events_changepoint(sf_dir: str):
+    """Single change-point detection on the daily event-count series
+    (binary segmentation, first split): the day boundary that maximizes
+    the variance-reduction gain A²/n_l + B²/n_r (A, B = exact integer
+    left/right sums) — the monitoring primitive behind "did traffic
+    shift?" alerts; iterating it on the halves gives full binary
+    segmentation.
+
+    Scale shape: same as the trend test — per-batch (day, count)
+    partials, one time-bounded grouped sum, O(days) prefix scan on the
+    driver.  Float contract: gain is computed as the identical
+    double-op chain in both engines from exact integer prefix sums
+    (A·A/n_l + B·B/n_r), argmax tie-broken by earliest day; means and
+    the SSE reduction round to 6dp."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        days = pc.cast(batch["ts"], pa.date32())
+        vc = pc.value_counts(days)
+        return pa.table(
+            {
+                "day": vc.field("values").cast(pa.int32()),
+                "n_p": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    rows = (
+        _read(sf_dir, "events", ["ts"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("n_p", alias_name="n"))
+        .take_all()
+    )
+    rows.sort(key=lambda r: int(r["day"]))
+    day = [int(r["day"]) for r in rows]
+    x = [int(r["n"]) for r in rows]
+    nd = len(x)
+    total = sum(x)
+    best = None  # (gain, i) maximized with earliest-day tie-break (strict >)
+    acc = 0
+    for i in range(nd - 1):  # split AFTER position i
+        acc += x[i]
+        n_l, n_r = i + 1, nd - (i + 1)
+        a, b = acc, total - acc
+        # float(a)*a/n_l — the identical op chain to the oracle's
+        # CAST(a AS DOUBLE)*a/i (round a once, one multiply, one divide)
+        gain = (float(a) * a) / n_l + (float(b) * b) / n_r
+        if best is None or gain > best[0]:
+            best = (gain, i)
+    gain, i = best
+    n_l, n_r = i + 1, nd - (i + 1)
+    a = sum(x[: i + 1])
+    b = total - a
+    sq = float(sum(v * v for v in x))
+    sse_tot = sq - (float(total) * total) / nd
+    sse_split = sq - gain
+    return pa.table(
+        {
+            "split_day_us": pa.array([day[i] * 86_400_000_000], pa.int64()),
+            "n_left": pa.array([n_l], pa.int64()),
+            "n_right": pa.array([n_r], pa.int64()),
+            "mean_left": pa.array([round(float(a) / n_l, 6)], pa.float64()),
+            "mean_right": pa.array([round(float(b) / n_r, 6)], pa.float64()),
+            "sse_reduction": pa.array([round(sse_tot - sse_split, 6)], pa.float64()),
+        }
+    )
+
+
+def q_event_type_entropy_rate(sf_dir: str):
+    """Markov entropy rate of the per-user event-type process: the
+    conditional entropy H(next | current) = Σ_s π(s) H(next | s) over the
+    observed bigram transition counts (π = empirical source-state share)
+    — the sequence-predictability scalar that complements the existing
+    unconditional user entropy and the transition-matrix operator.
+
+    Scale shape: per-user ordered bigrams come from the SAME user-bucket
+    co-group pattern as events_type_transitions (one narrow shuffle);
+    transition counts are |types|² ≤ 25 rows.  Float contract: the H
+    terms (c/n)·ln(n/c) are identical double chains in both engines;
+    each per-source sum folds ≤|types| doubles, so SUM-order drift is
+    below the 6dp grid, and the rate folds the UNROUNDED per-source
+    entropies weighted by exact integer shares."""
+    nb = resolve_group_buckets()
+
+    def to_rows(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "us": pc.cast(batch["ts"], pa.int64()),
+                "event_id": batch["event_id"],
+                "event_type": batch["event_type"],
+                "ub": _ibuckets(batch["user_id"], nb),
+            }
+        )
+
+    def bigrams(bucket: pd.DataFrame) -> pd.DataFrame:
+        if bucket.empty:
+            return pd.DataFrame(
+                {
+                    "cur": pd.array([], dtype="str"),
+                    "nxt": pd.array([], dtype="str"),
+                    "n": pd.array([], dtype="int64"),
+                }
+            )
+        bucket = bucket.sort_values(["user_id", "us", "event_id"], kind="mergesort")
+        same_user = bucket["user_id"].to_numpy()[1:] == bucket["user_id"].to_numpy()[:-1]
+        cur = bucket["event_type"].to_numpy()[:-1][same_user]
+        nxt = bucket["event_type"].to_numpy()[1:][same_user]
+        g = (
+            pd.DataFrame({"cur": cur, "nxt": nxt})
+            .groupby(["cur", "nxt"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    from ray.data.aggregate import Sum
+
+    counts = (
+        _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+        .map_batches(to_rows, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(bigrams, batch_format="pandas")
+    )
+    rows = (
+        _arrow_blocks(counts).groupby(["cur", "nxt"]).aggregate(Sum("n", alias_name="n")).take_all()
+    )
+    import math
+
+    per_src: dict[str, dict[str, int]] = {}
+    for r in rows:
+        per_src.setdefault(r["cur"], {})[r["nxt"]] = int(r["n"])
+    grand = sum(sum(d.values()) for d in per_src.values())
+    out_src, out_n, out_h = [], [], []
+    rate = 0.0
+    for src in sorted(per_src):
+        d = per_src[src]
+        n_src = sum(d.values())
+        h = sum((c / n_src) * math.log(n_src / c) for _, c in sorted(d.items()))
+        out_src.append(src)
+        out_n.append(n_src)
+        out_h.append(round(h, 6))
+        rate += (n_src / grand) * h
+    return pa.table(
+        {
+            "cur": pa.array(out_src, pa.string()),
+            "n_bigrams": pa.array(out_n, pa.int64()),
+            "h_next": pa.array(out_h, pa.float64()),
+            "entropy_rate": pa.array([round(rate, 6)] * len(out_src), pa.float64()),
+        }
+    )
+
+
 QUERIES = {
     "doc_stats_by_lang": q_doc_stats_by_lang,
     "doc_token_stats": q_doc_token_stats,
@@ -12846,6 +13000,8 @@ QUERIES = {
     "hll_user_overlap": q_hll_user_overlap,
     "user_rfm_segments": q_user_rfm_segments,
     "orders_profile": q_orders_profile,
+    "events_changepoint": q_events_changepoint,
+    "event_type_entropy_rate": q_event_type_entropy_rate,
     "benford_price_audit": q_benford_price_audit,
     "events_mann_kendall": q_events_mann_kendall,
     "events_acf": q_events_acf,
@@ -16365,6 +16521,62 @@ ORACLE_SQL = {
           (SELECT COUNT(DISTINCT user_id) FROM events
             WHERE event_type = 'view'
               AND user_id IN (SELECT user_id FROM events WHERE event_type = 'purchase'))::BIGINT AS exact_intersection
+    """,
+    # binary-segmentation changepoint: exact integer prefix sums, gain =
+    # CAST(a AS DOUBLE)*a/n_l + (b)*b/n_r, argmax (gain DESC, day ASC)
+    "events_changepoint": """
+        WITH g AS (
+          SELECT epoch_us(ts) // 86400000000 AS day, COUNT(*)::BIGINT AS n
+          FROM events GROUP BY day),
+        t AS (
+          SELECT COUNT(*)::BIGINT AS nd, CAST(SUM(n) AS BIGINT) AS total,
+                 CAST(SUM(n*n) AS DOUBLE) AS sq
+          FROM g),
+        pre AS (
+          SELECT day, CAST(SUM(n) OVER (ORDER BY day) AS BIGINT) AS a,
+                 ROW_NUMBER() OVER (ORDER BY day) AS i
+          FROM g),
+        cand AS (
+          SELECT day, i AS n_l, (SELECT nd FROM t) - i AS n_r,
+                 a, (SELECT total FROM t) - a AS b,
+                 CAST(a AS DOUBLE) * a / i
+                   + CAST((SELECT total FROM t) - a AS DOUBLE)
+                     * ((SELECT total FROM t) - a) / ((SELECT nd FROM t) - i) AS gain
+          FROM pre WHERE i < (SELECT nd FROM t)),
+        best AS (SELECT * FROM cand ORDER BY gain DESC, day ASC LIMIT 1)
+        SELECT day * 86400000000 AS split_day_us,
+               n_l AS n_left, n_r AS n_right,
+               ROUND(CAST(a AS DOUBLE) / n_l, 6) AS mean_left,
+               ROUND(CAST(b AS DOUBLE) / n_r, 6) AS mean_right,
+               ROUND(((SELECT sq FROM t)
+                        - CAST((SELECT total FROM t) AS DOUBLE)
+                          * (SELECT total FROM t) / (SELECT nd FROM t))
+                     - ((SELECT sq FROM t) - gain), 6) AS sse_reduction
+        FROM best
+    """,
+    # Markov entropy rate: per-source conditional entropies over the
+    # user-ordered bigram counts, rate = Σ share·H (unrounded H)
+    "event_type_entropy_rate": """
+        WITH e AS (
+          SELECT user_id, event_type,
+                 ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          FROM events),
+        b AS (
+          SELECT a.event_type AS cur, c.event_type AS nxt, COUNT(*)::BIGINT AS n
+          FROM e a JOIN e c ON c.user_id = a.user_id AND c.rn = a.rn + 1
+          GROUP BY 1, 2),
+        src AS (SELECT cur, CAST(SUM(n) AS BIGINT) AS n_src FROM b GROUP BY cur),
+        hh AS (
+          SELECT b.cur, s.n_src,
+                 SUM((CAST(b.n AS DOUBLE)/s.n_src) * ln(CAST(s.n_src AS DOUBLE)/b.n)) AS h
+          FROM b JOIN src s USING (cur) GROUP BY b.cur, s.n_src),
+        tot AS (SELECT CAST(SUM(n_src) AS BIGINT) AS grand FROM src),
+        rate AS (
+          SELECT SUM((CAST(n_src AS DOUBLE)/(SELECT grand FROM tot)) * h) AS r
+          FROM hh)
+        SELECT cur, n_src AS n_bigrams, ROUND(h, 6) AS h_next,
+               ROUND((SELECT r FROM rate), 6) AS entropy_rate
+        FROM hh
     """,
     # one-pass column profile; the hll estimates rebuild from the same
     # per-type normalized values the engine hashes (ints/cents/epoch-µs)
