@@ -12801,6 +12801,137 @@ def q_event_type_entropy_rate(sf_dir: str):
     )
 
 
+def q_crawl_frontier(sf_dir: str):
+    """Crawl-frontier construction — the step AFTER an extraction pass in a
+    Common-Crawl-style loop: resolve every outlink against its page's
+    authority (root-relative ``/path`` → ``scheme://host/path``; absolute
+    kept; other relatives dropped), ANTI-JOIN against the already-crawled
+    url set, and emit each host's top-3 uncrawled targets by inbound
+    reference count (the per-host cap is the politeness budget; the
+    priority is the in-degree signal a frontier scheduler keys on).
+
+    Scale shape: link partials fold per batch (Counter over resolved
+    urls); the anti-join is a url-hash BUCKETED CO-GROUP with the crawled
+    set (both sides corpus-scale — never a broadcast membership set); the
+    per-host cap is a second host-hash co-group emitting ≤3 rows per host.
+    Two narrow string-keyed shuffles total.  Oracle: SQL re-resolves links
+    from the decoded page fixture with the same LIKE/regexp rules and
+    re-derives the cap with a window rank (scope: html route without
+    U+FFFD decodes, the pages_anchor_text contract)."""
+    import zlib
+
+    from ray.data.aggregate import Sum
+
+    from ..kernels.html_text import decode_html_bytes, extract_links
+    from ..sources.pages import pages_dataset
+
+    nb = resolve_group_buckets()
+    _ensure_pages_fixture(sf_dir)
+    base_re = re.compile(r"^(https?://[^/]+)")
+
+    def link_rows(batch: pa.Table) -> pa.Table:
+        refs: Counter = Counter()
+        for url, raw in zip(batch["url"].to_pylist(), batch["html"].to_pylist()):
+            if not raw:
+                continue
+            base = base_re.match(url)
+            for href, _anchor in extract_links(decode_html_bytes(raw)):
+                if href.startswith("http://") or href.startswith("https://"):
+                    absu = href
+                elif href.startswith("/") and base:
+                    absu = base.group(1) + href
+                else:
+                    continue
+                refs[absu] += 1
+        keys = list(refs)
+        return pa.table(
+            {
+                "u": pa.array(keys, pa.string()),
+                "kind": pa.array([0] * len(keys), pa.int8()),
+                "n_p": pa.array([refs[k] for k in keys], pa.int64()),
+                "kb": pa.array(
+                    [zlib.crc32(k.encode()) % nb for k in keys], pa.int32()
+                ),
+            }
+        )
+
+    def crawled_rows(batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        return pa.table(
+            {
+                "u": pa.array(urls, pa.string()),
+                "kind": pa.array([1] * len(urls), pa.int8()),
+                "n_p": pa.array([0] * len(urls), pa.int64()),
+                "kb": pa.array(
+                    [zlib.crc32(u.encode()) % nb for u in urls], pa.int32()
+                ),
+            }
+        )
+
+    links = _oracle_visible_pages(sf_dir, include_text_route=False).map_batches(
+        link_rows, batch_format="pyarrow"
+    )
+    crawled = pages_dataset(pages_rows_for(sf_dir)).map_batches(
+        crawled_rows, batch_format="pyarrow"
+    )
+
+    _EMPTY_CAND = pd.DataFrame(
+        {
+            "host": pd.array([], dtype="str"),
+            "u": pd.array([], dtype="str"),
+            "n_refs": pd.array([], dtype="int64"),
+            "hb": pd.array([], dtype="int32"),
+        }
+    )
+
+    def anti(bucket: pd.DataFrame) -> pd.DataFrame:
+        if bucket.empty:
+            return _EMPTY_CAND
+        seen = set(bucket.loc[bucket["kind"] == 1, "u"])
+        cand = bucket[(bucket["kind"] == 0) & ~bucket["u"].isin(seen)]
+        if cand.empty:
+            return _EMPTY_CAND
+        g = cand.groupby("u", as_index=False)["n_p"].sum()
+        g = g.rename(columns={"n_p": "n_refs"})
+        g["n_refs"] = g["n_refs"].astype("int64")
+        g["host"] = g["u"].str.extract(r"^https?://([^/]+)")
+        g["hb"] = pd.array(
+            [zlib.crc32(h.encode()) % nb for h in g["host"]], dtype="int32"
+        )
+        return g[["host", "u", "n_refs", "hb"]]
+
+    _EMPTY_OUT = pd.DataFrame(
+        {
+            "host": pd.array([], dtype="str"),
+            "url": pd.array([], dtype="str"),
+            "n_refs": pd.array([], dtype="int64"),
+            "rnk": pd.array([], dtype="int64"),
+        }
+    )
+
+    def per_host_cap(bucket: pd.DataFrame) -> pd.DataFrame:
+        if bucket.empty:
+            return _EMPTY_OUT
+        kept = (
+            bucket.sort_values(
+                ["host", "n_refs", "u"], ascending=[True, False, True], kind="mergesort"
+            )
+            .groupby("host", sort=False)
+            .head(3)
+        )
+        kept = kept.assign(rnk=(kept.groupby("host").cumcount() + 1).astype("int64"))
+        kept = kept.rename(columns={"u": "url"})
+        return kept[["host", "url", "n_refs", "rnk"]]
+
+    return (
+        _arrow_blocks(
+            links.union(crawled).groupby("kb").map_groups(anti, batch_format="pandas")
+        )
+        .groupby("hb")
+        .map_groups(per_host_cap, batch_format="pandas")
+    )
+
+
 QUERIES = {
     "doc_stats_by_lang": q_doc_stats_by_lang,
     "doc_token_stats": q_doc_token_stats,
@@ -13002,6 +13133,7 @@ QUERIES = {
     "orders_profile": q_orders_profile,
     "events_changepoint": q_events_changepoint,
     "event_type_entropy_rate": q_event_type_entropy_rate,
+    "crawl_frontier": q_crawl_frontier,
     "benford_price_audit": q_benford_price_audit,
     "events_mann_kendall": q_events_mann_kendall,
     "events_acf": q_events_acf,
@@ -16521,6 +16653,38 @@ ORACLE_SQL = {
           (SELECT COUNT(DISTINCT user_id) FROM events
             WHERE event_type = 'view'
               AND user_id IN (SELECT user_id FROM events WHERE event_type = 'purchase'))::BIGINT AS exact_intersection
+    """,
+    # crawl frontier: resolve root-relative links against the page
+    # authority, anti-join vs crawled urls, per-host top-3 window cap
+    "crawl_frontier": """
+        WITH fx AS (SELECT * FROM read_parquet('/tmp/eds_pages_fixture/pages.parquet')),
+        m AS (
+          SELECT url, unnest(regexp_extract_all(page, '<a href="[^"]*">[^<]*</a>')) AS tag
+          FROM fx WHERE route = 'html' AND instr(page, chr(65533)) = 0
+        ),
+        hrefs AS (
+          SELECT url, regexp_extract(tag, '"([^"]*)"', 1) AS href FROM m
+        ),
+        links AS (
+          SELECT CASE WHEN href LIKE 'http://%' OR href LIKE 'https://%' THEN href
+                      WHEN href LIKE '/%' THEN regexp_extract(url, '^(https?://[^/]+)', 1) || href
+                      ELSE NULL END AS u
+          FROM hrefs
+        ),
+        cand AS (
+          SELECT u, COUNT(*)::BIGINT AS n_refs FROM links
+          WHERE u IS NOT NULL AND u NOT IN (SELECT url FROM fx)
+          GROUP BY u
+        ),
+        ranked AS (
+          SELECT regexp_extract(u, '^https?://([^/]+)', 1) AS host, u, n_refs,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY regexp_extract(u, '^https?://([^/]+)', 1)
+                   ORDER BY n_refs DESC, u) AS rnk
+          FROM cand
+        )
+        SELECT host, u AS url, n_refs, CAST(rnk AS BIGINT) AS rnk
+        FROM ranked WHERE rnk <= 3
     """,
     # binary-segmentation changepoint: exact integer prefix sums, gain =
     # CAST(a AS DOUBLE)*a/n_l + (b)*b/n_r, argmax (gain DESC, day ASC)
