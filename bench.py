@@ -188,6 +188,11 @@ def _bench_queries(sf_dir: str) -> dict[str, float]:
         "pages_pii_density",
         "copurchase_assortativity",
         "embedding_covariance",
+        # round-4 wrap 2: frontier, survival, sketch algebra, RFM census
+        "crawl_frontier",
+        "user_retention_km",
+        "hll_user_overlap",
+        "user_rfm_segments",
     ]
     timings: dict[str, float] = {}
     for name in names:

@@ -12932,6 +12932,151 @@ def q_crawl_frontier(sf_dir: str):
     )
 
 
+def q_join_size_estimate(sf_dir: str):
+    """Join-cardinality estimation via the COUNT-MIN INNER PRODUCT
+    (AGMS/CM classic): |A ⋈_k B| ≤ min_d Σ_col A_d[col]·B_d[col], the
+    sketch-only audit a planner runs BEFORE a join to catch quadratic
+    blowups.  Two audited joins: the skew-sensitive events-×-events
+    self-join on user_id (exact size Σ_u n_u² — the blowup detector) and
+    the FK join orders ⋈ lineitem on orderkey (exact size Σ_k n_o·n_l).
+    The overestimate-only guarantee (est ≥ exact) is value-checked: the
+    hash is the md5 bridge (`md5_number_upper(d||'|'||key) % W`), so the
+    oracle rebuilds the very same cells.
+
+    Scale shape: each batch folds its keys into ONE flat D×W int64
+    partial row per side (sketches merge by +, the driver holds 4×1024
+    cells per side — O(1) in the corpus); the EXACT sizes use per-key
+    grouped counts co-located by the groupby (narrow int rows).  All
+    arithmetic integer-exact; the ratio rounds to 6dp."""
+    import hashlib
+
+    from ray.data.aggregate import Sum
+
+    D, W = 4, 1024
+    salts = [f"{d}|".encode() for d in range(D)]
+
+    def bridge_cols(values) -> np.ndarray:
+        out = np.empty((D, len(values)), dtype=np.int64)
+        for i, v in enumerate(values):
+            sv = str(v).encode("utf-8", "replace")
+            for d in range(D):
+                out[d, i] = (
+                    int.from_bytes(hashlib.md5(salts[d] + sv).digest()[:8], "little")
+                    % W
+                )
+        return out
+
+    def cms_of(ds, col: str) -> np.ndarray:
+        def partial(batch: pa.Table) -> pa.Table:
+            vu, vn = np.unique(
+                batch[col].to_numpy(zero_copy_only=False), return_counts=True
+            )
+            cells = np.zeros((D, W), dtype=np.int64)
+            cols = bridge_cols(vu.tolist())
+            for d in range(D):
+                np.add.at(cells[d], cols[d], vn)
+            return pa.table({"cells": pa.array([cells.tobytes()], pa.binary())})
+
+        merged = np.zeros((D, W), dtype=np.int64)
+        for row in ds.map_batches(partial, batch_format="pyarrow").take_all():
+            merged += np.frombuffer(row["cells"], dtype=np.int64).reshape(D, W)
+        return merged
+
+    def key_counts(ds, col: str):
+        def partial(batch: pa.Table) -> pa.Table:
+            vu, vn = np.unique(
+                batch[col].to_numpy(zero_copy_only=False), return_counts=True
+            )
+            return pa.table(
+                {"k": pa.array(vu, pa.int64()), "n_p": pa.array(vn.astype(np.int64))}
+            )
+
+        return (
+            ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("k")
+            .aggregate(Sum("n_p", alias_name="n"))
+        )
+
+    events = _read(sf_dir, "events", ["user_id"])
+    ev_cms = cms_of(events, "user_id")
+    # exact Σ n_u²: the grouped counts are user-cardinality-sized; square
+    # and sum map-side, one scalar aggregate leaves the workers
+    ev_exact = int(
+        key_counts(events, "user_id")
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "sq": pa.array(
+                        [int((t["n"].to_numpy(zero_copy_only=False).astype(object) ** 2).sum())],
+                        pa.int64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .aggregate(Sum("sq", alias_name="s"))["s"]
+    )
+    ev_est = int(min(int((ev_cms[d].astype(object) ** 2).sum()) for d in range(D)))
+
+    orders = _read(sf_dir, "orders", ["o_orderkey"])
+    lineitem = _read(sf_dir, "lineitem", ["l_orderkey"])
+    o_cms = cms_of(orders, "o_orderkey")
+    l_cms = cms_of(lineitem, "l_orderkey")
+    fk_est = int(
+        min(int((o_cms[d].astype(object) * l_cms[d].astype(object)).sum()) for d in range(D))
+    )
+    # exact Σ_k n_o·n_l via a key-bucket co-group of the two count tables
+    o_counts = key_counts(orders, "o_orderkey").map_batches(
+        lambda t: t.append_column("side", pa.array([0] * len(t), pa.int8())),
+        batch_format="pyarrow",
+    )
+    l_counts = key_counts(lineitem, "l_orderkey").map_batches(
+        lambda t: t.append_column("side", pa.array([1] * len(t), pa.int8())),
+        batch_format="pyarrow",
+    )
+
+    def prod(bucket: pd.DataFrame) -> pd.DataFrame:
+        if bucket.empty:
+            return pd.DataFrame({"p": pd.array([], dtype="int64")})
+        piv = bucket.pivot_table(
+            index="k", columns="side", values="n", aggfunc="sum", fill_value=0
+        )
+        if 0 not in piv.columns or 1 not in piv.columns:
+            return pd.DataFrame({"p": pd.array([], dtype="int64")})
+        return pd.DataFrame(
+            {"p": pd.array([int((piv[0] * piv[1]).sum())], dtype="int64")}
+        )
+
+    nb = resolve_group_buckets()
+    fk_exact_rows = (
+        o_counts.union(l_counts)
+        .map_batches(
+            lambda t: t.append_column("kb", _ibuckets(t["k"], nb)),
+            batch_format="pyarrow",
+        )
+        .groupby("kb")
+        .map_groups(prod, batch_format="pandas")
+        .take_all()
+    )
+    fk_exact = sum(int(r["p"]) for r in fk_exact_rows)
+    return pa.table(
+        {
+            "join": pa.array(
+                ["events_self_user", "orders_lineitem_orderkey"], pa.string()
+            ),
+            "exact_pairs": pa.array([ev_exact, fk_exact], pa.int64()),
+            "cms_est": pa.array([ev_est, fk_est], pa.int64()),
+            "over_ratio": pa.array(
+                [
+                    round(float(ev_est) / ev_exact, 6),
+                    round(float(fk_est) / fk_exact, 6),
+                ],
+                pa.float64(),
+            ),
+        }
+    )
+
+
 QUERIES = {
     "doc_stats_by_lang": q_doc_stats_by_lang,
     "doc_token_stats": q_doc_token_stats,
@@ -13134,6 +13279,7 @@ QUERIES = {
     "events_changepoint": q_events_changepoint,
     "event_type_entropy_rate": q_event_type_entropy_rate,
     "crawl_frontier": q_crawl_frontier,
+    "join_size_estimate": q_join_size_estimate,
     "benford_price_audit": q_benford_price_audit,
     "events_mann_kendall": q_events_mann_kendall,
     "events_acf": q_events_acf,
@@ -16653,6 +16799,51 @@ ORACLE_SQL = {
           (SELECT COUNT(DISTINCT user_id) FROM events
             WHERE event_type = 'view'
               AND user_id IN (SELECT user_id FROM events WHERE event_type = 'purchase'))::BIGINT AS exact_intersection
+    """,
+    # CM inner-product join-size audit: rebuild both sides' cells from the
+    # md5 bridge, est = min_d Σ cellA·cellB, exact from grouped counts
+    "join_size_estimate": """
+        WITH ds AS (SELECT unnest(range(4)) AS d),
+        ec AS (SELECT user_id AS k, COUNT(*)::BIGINT AS n FROM events GROUP BY 1),
+        ecell AS (
+          SELECT ds.d,
+                 CAST(md5_number_upper(CAST(ds.d AS VARCHAR) || '|' || CAST(ec.k AS VARCHAR)) % 1024 AS BIGINT) AS col,
+                 CAST(SUM(ec.n) AS BIGINT) AS cell
+          FROM ec CROSS JOIN ds GROUP BY 1, 2),
+        eest AS (
+          SELECT CAST(MIN(s) AS BIGINT) AS est
+          FROM (SELECT d, CAST(SUM(cell*cell) AS BIGINT) AS s FROM ecell GROUP BY d)),
+        eexact AS (SELECT CAST(SUM(n*n) AS BIGINT) AS ex FROM ec),
+        oc AS (SELECT o_orderkey AS k, COUNT(*)::BIGINT AS n FROM orders GROUP BY 1),
+        lc AS (SELECT l_orderkey AS k, COUNT(*)::BIGINT AS n FROM lineitem GROUP BY 1),
+        ocell AS (
+          SELECT ds.d,
+                 CAST(md5_number_upper(CAST(ds.d AS VARCHAR) || '|' || CAST(oc.k AS VARCHAR)) % 1024 AS BIGINT) AS col,
+                 CAST(SUM(oc.n) AS BIGINT) AS cell
+          FROM oc CROSS JOIN ds GROUP BY 1, 2),
+        lcell AS (
+          SELECT ds.d,
+                 CAST(md5_number_upper(CAST(ds.d AS VARCHAR) || '|' || CAST(lc.k AS VARCHAR)) % 1024 AS BIGINT) AS col,
+                 CAST(SUM(lc.n) AS BIGINT) AS cell
+          FROM lc CROSS JOIN ds GROUP BY 1, 2),
+        fest AS (
+          SELECT CAST(MIN(s) AS BIGINT) AS est
+          FROM (
+            SELECT o.d, CAST(SUM(o.cell * COALESCE(l.cell, 0)) AS BIGINT) AS s
+            FROM ocell o LEFT JOIN lcell l ON l.d = o.d AND l.col = o.col
+            GROUP BY o.d)),
+        fexact AS (
+          SELECT CAST(SUM(oc.n * lc.n) AS BIGINT) AS ex
+          FROM oc JOIN lc USING (k))
+        SELECT 'events_self_user' AS "join",
+               (SELECT ex FROM eexact) AS exact_pairs,
+               (SELECT est FROM eest) AS cms_est,
+               ROUND(CAST((SELECT est FROM eest) AS DOUBLE) / (SELECT ex FROM eexact), 6) AS over_ratio
+        UNION ALL
+        SELECT 'orders_lineitem_orderkey',
+               (SELECT ex FROM fexact),
+               (SELECT est FROM fest),
+               ROUND(CAST((SELECT est FROM fest) AS DOUBLE) / (SELECT ex FROM fexact), 6)
     """,
     # crawl frontier: resolve root-relative links against the page
     # authority, anti-join vs crawled urls, per-host top-3 window cap
