@@ -13077,6 +13077,187 @@ def q_join_size_estimate(sf_dir: str):
     )
 
 
+def q_events_hourly_ewma(sf_dir: str):
+    """Exponentially weighted moving average over the hourly count series
+    (α = 0.2, s₀ = x₀, sₜ = α·xₜ + (1−α)·sₜ₋₁) — the smoothing
+    recurrence behind anomaly baselines and forecast seeds; inherently
+    ORDERED state, so it doubles as the ordered-recurrence parity case:
+    the oracle replays the identical two-op recurrence through a
+    recursive CTE rather than a closed-form reweighting, so every
+    intermediate double matches bit-for-bit before the final 6dp round.
+
+    Scale shape: identical to the ACF — the hourly series is
+    time-bounded; per-batch (hour, count) partials, one grouped sum, a
+    driver-side O(hours) scan.  Output: the last 24 hours with their
+    smoothed values."""
+    from ray.data.aggregate import Sum
+
+    US_PER_HOUR = 3_600_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        hu, hc = np.unique(us // US_PER_HOUR, return_counts=True)
+        return pa.table(
+            {"hour": pa.array(hu, pa.int64()), "n_p": pa.array(hc.astype(np.int64))}
+        )
+
+    rows = (
+        _read(sf_dir, "events", ["ts"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("hour")
+        .aggregate(Sum("n_p", alias_name="n"))
+        .take_all()
+    )
+    counts = {int(r["hour"]): int(r["n"]) for r in rows}
+    h_lo, h_hi = min(counts), max(counts)
+    hours = list(range(h_lo, h_hi + 1))
+    x = [counts.get(h, 0) for h in hours]
+    alpha = 0.2
+    s = float(x[0])
+    smoothed = [s]
+    for v in x[1:]:
+        s = alpha * v + (1.0 - alpha) * s
+        smoothed.append(s)
+    keep = slice(-24, None)
+    return pa.table(
+        {
+            "hour_us": pa.array(
+                [h * US_PER_HOUR for h in hours[keep]], pa.int64()
+            ),
+            "n": pa.array(x[keep], pa.int64()),
+            "ewma": pa.array([round(v, 6) for v in smoothed[keep]], pa.float64()),
+        }
+    )
+
+
+def q_cdc_merge_apply(sf_dir: str):
+    """CDC MERGE — apply a change table (deletes / updates / inserts) to a
+    base table by key in one pass: the lakehouse upsert primitive behind
+    incremental corpus refresh, here with a deterministic synthetic change
+    set (doc_id%7==0 → DELETE, ==1 → UPDATE text+' [rev2]', ==2 → INSERT
+    id+offset) so the oracle re-derives the entire merge in SQL.
+
+    Scale shape: ONE doc_id-hash bucketed co-group of base rows and change
+    rows — every key's base row and its change rows land in the same
+    bucket, so precedence (delete > update, inserts appended) applies
+    locally; per-bucket partials carry op counts plus an order-independent
+    md5 fingerprint SUM over the FINAL rows (mod 1e9+7 so corpus-scale
+    sums stay in int64), and a grouped scalar sum emits the one audit
+    row.  No driver-side state, no broadcast; the merged table itself
+    never materializes on the driver."""
+    import hashlib
+
+    from ray.data.aggregate import Sum
+
+    nb = resolve_group_buckets()
+    MOD = 1_000_000_007
+
+    def row_fp(doc_id: int, text: str) -> int:
+        digest = hashlib.md5(
+            (str(doc_id) + "|" + text).encode("utf-8", "replace")
+        ).digest()
+        return int.from_bytes(digest[:8], "little") % MOD
+
+    def to_rows(batch: pa.Table) -> pa.Table:
+        _assert_id_headroom(batch["doc_id"])
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        out_id, out_op, out_text = [], [], []
+        for d, t in zip(ids, texts):
+            t = t or ""
+            out_id.append(d)
+            out_op.append("B")
+            out_text.append(t)
+            m = d % 7
+            if m == 0:
+                out_id.append(d)
+                out_op.append("D")
+                out_text.append("")
+            elif m == 1:
+                out_id.append(d)
+                out_op.append("U")
+                out_text.append(t + " [rev2]")
+            elif m == 2:
+                out_id.append(d + _PERTURB_ID_OFFSET)
+                out_op.append("I")
+                out_text.append("new " + str(d))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "op": pa.array(out_op, pa.string()),
+                "text": pa.array(out_text, pa.string()),
+                "kb": pa.array([i % nb for i in out_id], pa.int32()),
+            }
+        )
+
+    _EMPTY = pd.DataFrame(
+        {
+            "n_deleted": pd.array([], dtype="int64"),
+            "n_updated": pd.array([], dtype="int64"),
+            "n_inserted": pd.array([], dtype="int64"),
+            "n_rows": pd.array([], dtype="int64"),
+            "fp": pd.array([], dtype="int64"),
+        }
+    )
+
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        if bucket.empty:
+            return _EMPTY
+        n_del = n_upd = n_ins = n_rows = fp = 0
+        for doc_id, grp in bucket.groupby("doc_id", sort=False):
+            ops = dict(zip(grp["op"], grp["text"]))
+            if "I" in ops:
+                n_ins += 1
+                n_rows += 1
+                fp += row_fp(int(doc_id), ops["I"])
+            if "B" not in ops:
+                continue
+            if "D" in ops:
+                n_del += 1
+                continue
+            if "U" in ops:
+                n_upd += 1
+                text = ops["U"]
+            else:
+                text = ops["B"]
+            n_rows += 1
+            fp += row_fp(int(doc_id), text)
+        return pd.DataFrame(
+            {
+                "n_deleted": pd.array([n_del], dtype="int64"),
+                "n_updated": pd.array([n_upd], dtype="int64"),
+                "n_inserted": pd.array([n_ins], dtype="int64"),
+                "n_rows": pd.array([n_rows], dtype="int64"),
+                "fp": pd.array([fp], dtype="int64"),
+            }
+        )
+
+    totals = (
+        _arrow_blocks(
+            _read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(to_rows, batch_format="pyarrow")
+            .groupby("kb")
+            .map_groups(merge, batch_format="pandas")
+        )
+        .aggregate(
+            Sum("n_deleted", alias_name="n_deleted"),
+            Sum("n_updated", alias_name="n_updated"),
+            Sum("n_inserted", alias_name="n_inserted"),
+            Sum("n_rows", alias_name="n_rows"),
+            Sum("fp", alias_name="fingerprint"),
+        )
+    )
+    return pa.table(
+        {
+            "n_deleted": pa.array([int(totals["n_deleted"])], pa.int64()),
+            "n_updated": pa.array([int(totals["n_updated"])], pa.int64()),
+            "n_inserted": pa.array([int(totals["n_inserted"])], pa.int64()),
+            "n_rows": pa.array([int(totals["n_rows"])], pa.int64()),
+            "fingerprint": pa.array([int(totals["fingerprint"])], pa.int64()),
+        }
+    )
+
+
 QUERIES = {
     "doc_stats_by_lang": q_doc_stats_by_lang,
     "doc_token_stats": q_doc_token_stats,
@@ -13280,6 +13461,8 @@ QUERIES = {
     "event_type_entropy_rate": q_event_type_entropy_rate,
     "crawl_frontier": q_crawl_frontier,
     "join_size_estimate": q_join_size_estimate,
+    "events_hourly_ewma": q_events_hourly_ewma,
+    "cdc_merge_apply": q_cdc_merge_apply,
     "benford_price_audit": q_benford_price_audit,
     "events_mann_kendall": q_events_mann_kendall,
     "events_acf": q_events_acf,
@@ -16799,6 +16982,53 @@ ORACLE_SQL = {
           (SELECT COUNT(DISTINCT user_id) FROM events
             WHERE event_type = 'view'
               AND user_id IN (SELECT user_id FROM events WHERE event_type = 'purchase'))::BIGINT AS exact_intersection
+    """,
+    # CDC merge: the oracle re-derives the synthetic change set and the
+    # whole upsert, fingerprint = Σ md5(id|text) % 1e9+7 over final rows
+    "cdc_merge_apply": """
+        WITH base AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents),
+        del AS (SELECT doc_id FROM base WHERE doc_id % 7 = 0),
+        upd AS (SELECT doc_id, text || ' [rev2]' AS text FROM base WHERE doc_id % 7 = 1),
+        ins AS (
+          SELECT doc_id + 1000000 AS doc_id, 'new ' || CAST(doc_id AS VARCHAR) AS text
+          FROM base WHERE doc_id % 7 = 2),
+        final AS (
+          SELECT b.doc_id, COALESCE(u.text, b.text) AS text
+          FROM base b LEFT JOIN upd u USING (doc_id)
+          WHERE b.doc_id NOT IN (SELECT doc_id FROM del)
+          UNION ALL
+          SELECT doc_id, text FROM ins),
+        fp AS (
+          SELECT CAST(SUM(md5_number_upper(CAST(doc_id AS VARCHAR) || '|' || text)
+                          % 1000000007) AS BIGINT) AS f,
+                 COUNT(*)::BIGINT AS n
+          FROM final)
+        SELECT (SELECT COUNT(*) FROM del)::BIGINT AS n_deleted,
+               (SELECT COUNT(*) FROM upd)::BIGINT AS n_updated,
+               (SELECT COUNT(*) FROM ins)::BIGINT AS n_inserted,
+               (SELECT n FROM fp) AS n_rows,
+               (SELECT f FROM fp) AS fingerprint
+    """,
+    # EWMA: the oracle replays the SAME two-op recurrence via a recursive
+    # CTE over the zero-filled hourly series (ordered-recurrence parity)
+    "events_hourly_ewma": """
+        WITH RECURSIVE b AS (
+          SELECT epoch_us(ts) // 3600000000 AS h, COUNT(*)::BIGINT AS n
+          FROM events GROUP BY h),
+        r AS (
+          SELECT unnest(range((SELECT min(h) FROM b), (SELECT max(h) FROM b) + 1)) AS h),
+        s AS (
+          SELECT r.h, CAST(COALESCE(b.n, 0) AS BIGINT) AS x,
+                 ROW_NUMBER() OVER (ORDER BY r.h) AS i
+          FROM r LEFT JOIN b USING (h)),
+        rec AS (
+          SELECT i, h, x, CAST(x AS DOUBLE) AS s_val FROM s WHERE i = 1
+          UNION ALL
+          SELECT s.i, s.h, s.x, 0.2 * s.x + (1.0 - 0.2) * rec.s_val
+          FROM rec JOIN s ON s.i = rec.i + 1),
+        tot AS (SELECT COUNT(*)::BIGINT AS n_hours FROM s)
+        SELECT h * 3600000000 AS hour_us, x AS n, ROUND(s_val, 6) AS ewma
+        FROM rec WHERE i > (SELECT n_hours FROM tot) - 24
     """,
     # CM inner-product join-size audit: rebuild both sides' cells from the
     # md5 bridge, est = min_d Σ cellA·cellB, exact from grouped counts
