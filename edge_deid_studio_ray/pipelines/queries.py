@@ -6732,6 +6732,11 @@ def q_copurchase_top_pairs(sf_dir: str):
         )
         if group.empty:
             return empty
+        if int(group["pkey"].max()) >= 1 << 32:
+            raise ValueError(
+                "copurchase_top_pairs: partkey >= 2^32 would corrupt the "
+                "packed (p1<<32)|p2 pair key — use a two-column pair key"
+            )
         c: Counter = Counter()
         # pair encoded into ONE int64 (p1 << 32 | p2, partkeys < 2^31): a
         # single-column grouped sum shuffles ~10× faster than a two-column
@@ -12932,6 +12937,224 @@ def q_crawl_frontier(sf_dir: str):
     )
 
 
+def q_link_pagerank(sf_dir: str):
+    """PageRank over the URL-level outlink graph the extraction pass
+    yields (link-analysis centrality — the canonical web-graph operator;
+    Page et al. 1999) — INTEGER-EXACT so the iteration is bit-identical
+    and shuffle-order-free on both engines: ranks live as scaled int64
+    (S = 10^12), each edge ships floor(r(u)/outdeg(u)), dangling mass is
+    redistributed evenly, and the damping update is
+    r'(v) = (15·(S//n))//100 + (85·(in(v) + dang//n))//100 — every sum is
+    an integer sum (associative ⇒ block order can't perturb the result,
+    unlike float PageRank where Σ order matters).
+
+    Scale shape — Pregel-style bucketed message passing, K=4 rounds: the
+    edge list (globally distinct by construction: each (src,dst) edge can
+    only originate from src's single page row, deduped per page) carries
+    outdeg inline, so one src-hash co-group of ranks ∪ edges emits
+    (dst, contribution) messages plus per-bucket dangling partials; one
+    dst-hash co-group applies the damping update.  2 narrow shuffles of
+    (url, int64) rows per round; per-round driver state is ONE scalar
+    (the dangling-mass total).  Rank state materializes between rounds in
+    the OBJECT STORE (O(nodes) rows, distributed — never a driver list).
+    Graph nodes are src ∪ dst of the html-route pages (the
+    pages_anchor_text oracle scope); the oracle unrolls the 4 rounds as
+    chained CTEs over the same fixture-derived edges."""
+    import zlib
+
+    from ..kernels.html_text import decode_html_bytes, extract_links
+
+    K = 4
+    SCALE = 1_000_000_000_000
+    nb = resolve_group_buckets()
+    _ensure_pages_fixture(sf_dir)
+    base_re = re.compile(r"^(https?://[^/]+)")
+
+    def _ubuckets(urls: list) -> pa.Array:
+        return pa.array([zlib.crc32(u.encode()) % nb for u in urls], pa.int32())
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        src_out, dst_out, deg_out = [], [], []
+        for url, raw in zip(batch["url"].to_pylist(), batch["html"].to_pylist()):
+            if not raw:
+                continue
+            base = base_re.match(url)
+            dsts = set()
+            for href, _anchor in extract_links(decode_html_bytes(raw)):
+                if href.startswith("http://") or href.startswith("https://"):
+                    absu = href
+                elif href.startswith("/") and base:
+                    absu = base.group(1) + href
+                else:
+                    continue
+                if absu != url:
+                    dsts.add(absu)
+            for d in dsts:
+                src_out.append(url)
+                dst_out.append(d)
+                deg_out.append(len(dsts))
+        return pa.table(
+            {
+                "node": pa.array(src_out, pa.string()),
+                "dst": pa.array(dst_out, pa.string()),
+                "deg": pa.array(deg_out, pa.int64()),
+                "r": pa.array([0] * len(src_out), pa.int64()),
+                "kind": pa.array([1] * len(src_out), pa.int8()),
+                "kb": _ubuckets(src_out),
+            }
+        )
+
+    edges = (
+        _oracle_visible_pages(sf_dir, include_text_route=False)
+        .map_batches(edge_rows, batch_format="pyarrow")
+        .materialize()  # reused every round; O(edges) blocks in the object store
+    )
+
+    _EMPTY_NODE = pd.DataFrame(
+        {"node": pd.array([], dtype="str"), "c": pd.array([], dtype="int64")}
+    )
+
+    def rebucket_union(batch: pa.Table) -> pa.Table:
+        # nodes can surface in either side's bucket; rebucket by node for
+        # the global dedup co-group
+        urls = batch["node"].to_pylist() + batch["dst"].to_pylist()
+        return pa.table({"node": pa.array(urls, pa.string()), "kb": _ubuckets(urls)})
+
+    def dedup_nodes(bucket: pd.DataFrame) -> pd.DataFrame:
+        if bucket.empty:
+            return _EMPTY_NODE
+        uniq = np.sort(pd.unique(bucket["node"]))
+        return pd.DataFrame(
+            {
+                "node": pd.Series(uniq, dtype="str"),
+                "c": pd.Series(np.zeros(len(uniq), dtype=np.int64), dtype="int64"),
+            }
+        )
+
+    nodes = (
+        edges.map_batches(rebucket_union, batch_format="pyarrow")
+        .groupby("kb")
+        .map_groups(dedup_nodes, batch_format="pandas")
+        .materialize()  # reused every round (zero-indegree keep-alive rows)
+    )
+    n = nodes.count()
+    tele = (15 * (SCALE // n)) // 100
+
+    def init_rank(batch: pa.Table) -> pa.Table:
+        urls = batch["node"].to_pylist()
+        return pa.table(
+            {
+                "node": batch["node"],
+                "dst": pa.array([None] * len(urls), pa.string()),
+                "deg": pa.array([0] * len(urls), pa.int64()),
+                "r": pa.array([SCALE // n] * len(urls), pa.int64()),
+                "kind": pa.array([0] * len(urls), pa.int8()),
+                "kb": _ubuckets(urls),
+            }
+        )
+
+    ranks = nodes.map_batches(init_rank, batch_format="pyarrow").materialize()
+
+    _DANG_KEY = "\x00dangling"
+    _EMPTY_MSG = pd.DataFrame(
+        {"node": pd.array([], dtype="str"), "c": pd.array([], dtype="int64")}
+    )
+
+    def contrib(bucket: pd.DataFrame) -> pd.DataFrame:
+        if bucket.empty:
+            return _EMPTY_MSG
+        rk = bucket[bucket["kind"] == 0]
+        ed = bucket[bucket["kind"] == 1]
+        rmap = dict(zip(rk["node"], rk["r"]))
+        out_c = (
+            ed["node"].map(rmap).to_numpy(dtype=np.int64)
+            // ed["deg"].to_numpy(dtype=np.int64)
+        )
+        dang = int(rk.loc[~rk["node"].isin(set(ed["node"])), "r"].sum())
+        return pd.DataFrame(
+            {
+                "node": pd.concat(
+                    [ed["dst"], pd.Series([_DANG_KEY])], ignore_index=True
+                ).astype("str"),
+                "c": pd.Series(
+                    np.concatenate([out_c, np.array([dang], dtype=np.int64)]),
+                    dtype="int64",
+                ),
+            }
+        )
+
+    for _round in range(K):
+        msgs = (
+            ranks.union(edges).groupby("kb").map_groups(contrib, batch_format="pandas")
+        ).materialize()
+
+        def dang_partial(batch: pa.Table) -> pa.Table:
+            kept = batch["c"].filter(pc.equal(batch["node"], _DANG_KEY))
+            s = pc.sum(kept).as_py() or 0
+            return pa.table({"d": pa.array([s], pa.int64())})
+
+        dang = int(
+            msgs.map_batches(dang_partial, batch_format="pyarrow").sum("d") or 0
+        )
+        share = dang // n
+
+        def msg_bucket(batch: pa.Table) -> pa.Table:
+            mask = pc.not_equal(batch["node"], _DANG_KEY)
+            kept = batch.filter(mask)
+            urls = kept["node"].to_pylist()
+            return pa.table({"node": kept["node"], "c": kept["c"], "kb": _ubuckets(urls)})
+
+        def node_bucket(batch: pa.Table) -> pa.Table:
+            urls = batch["node"].to_pylist()
+            return pa.table({"node": batch["node"], "c": batch["c"], "kb": _ubuckets(urls)})
+
+        def update(bucket: pd.DataFrame, *, _share=share) -> pd.DataFrame:
+            if bucket.empty:
+                return _EMPTY_NODE
+            g = bucket.groupby("node", as_index=False)["c"].sum()
+            r_new = tele + (85 * (g["c"].to_numpy(dtype=np.int64) + _share)) // 100
+            return pd.DataFrame(
+                {"node": g["node"].astype("str"), "c": pd.Series(r_new, dtype="int64")}
+            )
+
+        new_state = (
+            msgs.map_batches(msg_bucket, batch_format="pyarrow")
+            .union(nodes.map_batches(node_bucket, batch_format="pyarrow"))
+            .groupby("kb")
+            .map_groups(update, batch_format="pandas")
+        )
+
+        def as_rank(batch: pa.Table) -> pa.Table:
+            urls = batch["node"].to_pylist()
+            return pa.table(
+                {
+                    "node": batch["node"],
+                    "dst": pa.array([None] * len(urls), pa.string()),
+                    "deg": pa.array([0] * len(urls), pa.int64()),
+                    "r": batch["c"].cast(pa.int64()),
+                    "kind": pa.array([0] * len(urls), pa.int8()),
+                    "kb": _ubuckets(urls),
+                }
+            )
+
+        ranks = new_state.map_batches(as_rank, batch_format="pyarrow").materialize()
+
+    def local_top(batch: pa.Table) -> pa.Table:
+        df = (
+            batch.to_pandas()[["node", "r"]]
+            .sort_values(["r", "node"], ascending=[False, True])
+            .head(20)
+            .rename(columns={"node": "url", "r": "rank"})
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return (
+        ranks.map_batches(local_top, batch_format="pyarrow")
+        .sort(["rank", "url"], descending=[True, False])
+        .limit(20)
+    )
+
+
 def q_join_size_estimate(sf_dir: str):
     """Join-cardinality estimation via the COUNT-MIN INNER PRODUCT
     (AGMS/CM classic): |A ⋈_k B| ≤ min_d Σ_col A_d[col]·B_d[col], the
@@ -13460,6 +13683,7 @@ QUERIES = {
     "events_changepoint": q_events_changepoint,
     "event_type_entropy_rate": q_event_type_entropy_rate,
     "crawl_frontier": q_crawl_frontier,
+    "link_pagerank": q_link_pagerank,
     "join_size_estimate": q_join_size_estimate,
     "events_hourly_ewma": q_events_hourly_ewma,
     "cdc_merge_apply": q_cdc_merge_apply,
@@ -17077,6 +17301,69 @@ ORACLE_SQL = {
     """,
     # crawl frontier: resolve root-relative links against the page
     # authority, anti-join vs crawled urls, per-host top-3 window cap
+    # integer-exact PageRank: 4 unrolled rounds, rank = scaled int64,
+    # every engine/oracle op is an integer sum or floor division
+    "link_pagerank": """
+        WITH fx AS (SELECT * FROM read_parquet('/tmp/eds_pages_fixture/pages.parquet')),
+        m AS (
+          SELECT url, unnest(regexp_extract_all(page, '<a href="[^"]*">[^<]*</a>')) AS tag
+          FROM fx WHERE route = 'html' AND instr(page, chr(65533)) = 0
+        ),
+        hrefs AS (
+          SELECT url, regexp_extract(tag, '"([^"]*)"', 1) AS href FROM m
+        ),
+        edges0 AS (
+          SELECT DISTINCT url AS src,
+                 CASE WHEN href LIKE 'http://%' OR href LIKE 'https://%' THEN href
+                      WHEN href LIKE '/%' THEN regexp_extract(url, '^(https?://[^/]+)', 1) || href
+                      ELSE NULL END AS dst
+          FROM hrefs
+        ),
+        edges AS (SELECT src, dst FROM edges0 WHERE dst IS NOT NULL AND dst <> src),
+        deg AS (SELECT src, COUNT(*)::BIGINT AS deg FROM edges GROUP BY src),
+        nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        nn AS (SELECT COUNT(*)::BIGINT AS n FROM nodes),
+        tl AS (SELECT (15 * (1000000000000 // n)) // 100 AS tele, n FROM nn),
+        r0 AS (SELECT node, 1000000000000 // (SELECT n FROM tl) AS r FROM nodes),
+        c1 AS (SELECT e.dst AS node, CAST(SUM(r.r // d.deg) AS BIGINT) AS cin
+               FROM edges e JOIN r0 r ON r.node = e.src JOIN deg d ON d.src = e.src
+               GROUP BY e.dst),
+        d1 AS (SELECT CAST(COALESCE(SUM(r.r), 0) AS BIGINT) // (SELECT n FROM tl) AS share
+               FROM r0 r LEFT JOIN deg d ON d.src = r.node WHERE d.src IS NULL),
+        r1 AS (SELECT nd.node,
+                      (SELECT tele FROM tl)
+                        + (85 * (COALESCE(c.cin, 0) + (SELECT share FROM d1))) // 100 AS r
+               FROM nodes nd LEFT JOIN c1 c ON c.node = nd.node),
+        c2 AS (SELECT e.dst AS node, CAST(SUM(r.r // d.deg) AS BIGINT) AS cin
+               FROM edges e JOIN r1 r ON r.node = e.src JOIN deg d ON d.src = e.src
+               GROUP BY e.dst),
+        d2 AS (SELECT CAST(COALESCE(SUM(r.r), 0) AS BIGINT) // (SELECT n FROM tl) AS share
+               FROM r1 r LEFT JOIN deg d ON d.src = r.node WHERE d.src IS NULL),
+        r2 AS (SELECT nd.node,
+                      (SELECT tele FROM tl)
+                        + (85 * (COALESCE(c.cin, 0) + (SELECT share FROM d2))) // 100 AS r
+               FROM nodes nd LEFT JOIN c2 c ON c.node = nd.node),
+        c3 AS (SELECT e.dst AS node, CAST(SUM(r.r // d.deg) AS BIGINT) AS cin
+               FROM edges e JOIN r2 r ON r.node = e.src JOIN deg d ON d.src = e.src
+               GROUP BY e.dst),
+        d3 AS (SELECT CAST(COALESCE(SUM(r.r), 0) AS BIGINT) // (SELECT n FROM tl) AS share
+               FROM r2 r LEFT JOIN deg d ON d.src = r.node WHERE d.src IS NULL),
+        r3 AS (SELECT nd.node,
+                      (SELECT tele FROM tl)
+                        + (85 * (COALESCE(c.cin, 0) + (SELECT share FROM d3))) // 100 AS r
+               FROM nodes nd LEFT JOIN c3 c ON c.node = nd.node),
+        c4 AS (SELECT e.dst AS node, CAST(SUM(r.r // d.deg) AS BIGINT) AS cin
+               FROM edges e JOIN r3 r ON r.node = e.src JOIN deg d ON d.src = e.src
+               GROUP BY e.dst),
+        d4 AS (SELECT CAST(COALESCE(SUM(r.r), 0) AS BIGINT) // (SELECT n FROM tl) AS share
+               FROM r3 r LEFT JOIN deg d ON d.src = r.node WHERE d.src IS NULL),
+        r4 AS (SELECT nd.node,
+                      (SELECT tele FROM tl)
+                        + (85 * (COALESCE(c.cin, 0) + (SELECT share FROM d4))) // 100 AS r
+               FROM nodes nd LEFT JOIN c4 c ON c.node = nd.node)
+        SELECT node AS url, CAST(r AS BIGINT) AS rank
+        FROM r4 ORDER BY r DESC, node LIMIT 20
+    """,
     "crawl_frontier": """
         WITH fx AS (SELECT * FROM read_parquet('/tmp/eds_pages_fixture/pages.parquet')),
         m AS (

@@ -404,3 +404,23 @@ class TestRound4WrapOps:
         assert (got["i"] <= got["j"]).all()
         d = int(got["j"].max()) + 1
         assert len(got) == d * (d + 1) // 2
+
+
+class TestLinkPagerank:
+    def test_pagerank_invariants(self, ray_session):
+        """Integer PageRank over the extracted outlink graph: mass is
+        conserved up to floor losses, every rank carries at least the
+        teleport floor, and the top-20 are the in-link-rich landing pages
+        (doc pages have zero in-degree by construction of the synthetic
+        corpus — all links point at root-relative nav/footer targets)."""
+        from edge_deid_studio_ray.pipelines.queries import q_link_pagerank
+
+        df = q_link_pagerank("/root/testdata/sf0.001").to_pandas()
+        assert len(df) == 20
+        assert (df["rank"] > 0).all()
+        # sorted (rank desc, url asc)
+        assert list(df["rank"]) == sorted(df["rank"], reverse=True)
+        # top of the ranking is landing pages, not the zero-in-degree docs
+        assert not df["url"].str.contains("/doc").any()
+        # landing pages are root-relative resolutions on a crawled host
+        assert df["url"].str.match(r"https://site\d+\.example/").all()
