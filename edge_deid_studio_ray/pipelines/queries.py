@@ -13155,6 +13155,182 @@ def q_link_pagerank(sf_dir: str):
     )
 
 
+def q_allpairs_jaccard_join(sf_dir: str):
+    """EXACT set-similarity self-join by PREFIX FILTERING (the
+    AllPairs/PPJoin family — Bayardo et al. WWW'07, Xiao et al. WWW'08):
+    every document pair with word-5-gram-shingle Jaccard ≥ 0.8 over
+    documents ∪ perturbed copies.  Complements the MinHash path: LSH
+    gives probabilistic recall, prefix filtering is COMPLETE — if
+    J(A,B) ≥ τ then the (df asc, shingle asc)-ordered prefixes of length
+    |X| − ⌈τ·|X|⌉ + 1 must share an element (pigeonhole on the ⌈τ·|X|⌉
+    overlap a qualifying pair needs), so enumerating pairs per shared
+    prefix shingle misses nothing.  Shingling (not raw words) keeps the
+    join sparse: the synthetic corpus draws from a small vocabulary, so
+    word-set similarity is dense noise while 5-gram similarity isolates
+    true near-duplicates.
+
+    Scale shape: (1) distinct (doc, token) rows annotate exact global df
+    via ONE token-hash co-group (bucket-local row count IS the df — the
+    tfidf_top_terms pattern, no driver vocabulary); (2) a doc-hash
+    co-group orders each doc's tokens by the global (df, token) total
+    order and keeps only the prefix (rare tokens — posting lists stay
+    short precisely because prefixes prefer low-df tokens); (3) a
+    token-hash co-group enumerates candidate pairs per shared prefix
+    token with the integer length filter 10·min ≥ 8·max (sizes failing
+    it cannot reach τ); (4) pair-hash dedup; (5) exact verification via
+    the two-pass ``pair_text_metric`` join (corpus text ships once,
+    pair rows twice — never a broadcast corpus).  Unrounded int/int
+    division — bit-identical doubles vs the oracle's exact
+    inverted-index SQL."""
+    import zlib
+
+    from ..functions.dedup import pair_text_metric, word_ngram_jaccard
+
+    TAU = 0.8
+    TAU_N, TAU_D = 8, 10
+    nb = resolve_group_buckets()
+    _base, corpus = _docs_with_perturbed(sf_dir)
+
+    def tok_rows(batch: pa.Table) -> pa.Table:
+        _assert_id_headroom(batch["doc_id"], limit=1 << 31)
+        docs, terms, szs, tb = [], [], [], []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            words = (text or "").lower().split()
+            if not words:
+                continue
+            if len(words) < 5:
+                toks = {" ".join(words)}
+            else:
+                toks = {" ".join(words[i : i + 5]) for i in range(len(words) - 4)}
+            for t in toks:
+                docs.append(doc_id)
+                terms.append(t)
+                szs.append(len(toks))
+                tb.append(zlib.crc32(t.encode()) % nb)
+        return pa.table(
+            {
+                "doc_id": pa.array(docs, pa.int64()),
+                "term": pa.array(terms, pa.string()),
+                "sz": pa.array(szs, pa.int64()),
+                "tb": pa.array(tb, pa.int32()),
+            }
+        )
+
+    _EMPTY_TOK = pd.DataFrame(
+        {
+            "doc_id": pd.array([], dtype="int64"),
+            "term": pd.array([], dtype="str"),
+            "sz": pd.array([], dtype="int64"),
+            "df": pd.array([], dtype="int64"),
+            "db": pd.array([], dtype="int32"),
+        }
+    )
+
+    def annotate_df(bucket: pd.DataFrame) -> pd.DataFrame:
+        if bucket.empty:
+            return _EMPTY_TOK
+        # rows are distinct (doc, term) and a term's rows are all local ⇒
+        # the bucket-local per-term row count is the exact global df
+        df_map = bucket.groupby("term")["doc_id"].size()
+        out = bucket.assign(df=bucket["term"].map(df_map).astype("int64"))
+        out["db"] = (out["doc_id"].to_numpy() % nb).astype("int32")
+        return out[["doc_id", "term", "sz", "df", "db"]]
+
+    _EMPTY_PFX = pd.DataFrame(
+        {
+            "doc_id": pd.array([], dtype="int64"),
+            "term": pd.array([], dtype="str"),
+            "sz": pd.array([], dtype="int64"),
+            "tb": pd.array([], dtype="int32"),
+        }
+    )
+
+    def prefix_rows(bucket: pd.DataFrame) -> pd.DataFrame:
+        if bucket.empty:
+            return _EMPTY_PFX
+        srt = bucket.sort_values(["doc_id", "df", "term"], kind="mergesort")
+        grp = srt.groupby("doc_id", sort=False)
+        # prefix length p = sz − ⌈τ·sz⌉ + 1 (integer ceil: (8·sz+9)//10)
+        rank = grp.cumcount().to_numpy()
+        sz = srt["sz"].to_numpy(dtype=np.int64)
+        keep = rank < (sz - (TAU_N * sz + TAU_D - 1) // TAU_D + 1)
+        out = srt.loc[keep, ["doc_id", "term", "sz"]].copy()
+        out["tb"] = pd.array(
+            [zlib.crc32(t.encode()) % nb for t in out["term"]], dtype="int32"
+        )
+        return out
+
+    _EMPTY_PAIR = pd.DataFrame({"pair": pd.array([], dtype="int64")})
+
+    def cand_pairs(bucket: pd.DataFrame) -> pd.DataFrame:
+        if bucket.empty:
+            return _EMPTY_PAIR
+        pk: set[int] = set()
+        for _t, g in bucket.groupby("term", sort=False):
+            recs = sorted(zip(g["doc_id"].tolist(), g["sz"].tolist()))
+            for i in range(len(recs)):
+                a, sa = recs[i]
+                for j in range(i + 1, len(recs)):
+                    b, sb = recs[j]
+                    lo, hi = (sa, sb) if sa <= sb else (sb, sa)
+                    if TAU_D * lo < TAU_N * hi:
+                        continue  # sizes alone rule out J ≥ τ
+                    pk.add((a << 32) | b)
+        keys = np.fromiter(pk, dtype=np.int64, count=len(pk))
+        return pd.DataFrame({"pair": pd.Series(keys, dtype="int64")})
+
+    def pair_bucket(batch: pa.Table) -> pa.Table:
+        e = batch["pair"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "pair": pa.array(e, pa.int64()),
+                "pb": pa.array((e % nb).astype(np.int32), pa.int32()),
+            }
+        )
+
+    _EMPTY_LR = pd.DataFrame(
+        {"left": pd.array([], dtype="int64"), "right": pd.array([], dtype="int64")}
+    )
+
+    def dedup_decode(bucket: pd.DataFrame) -> pd.DataFrame:
+        if bucket.empty:
+            return _EMPTY_LR
+        u = np.unique(bucket["pair"].to_numpy())
+        return pd.DataFrame(
+            {
+                "left": pd.Series(u >> 32, dtype="int64"),
+                "right": pd.Series(u & 0xFFFFFFFF, dtype="int64"),
+            }
+        )
+
+    pairs = (
+        corpus.map_batches(tok_rows, batch_format="pyarrow")
+        .groupby("tb")
+        .map_groups(annotate_df, batch_format="pandas")
+        .groupby("db")
+        .map_groups(prefix_rows, batch_format="pandas")
+        .groupby("tb")
+        .map_groups(cand_pairs, batch_format="pandas")
+        .map_batches(pair_bucket, batch_format="pyarrow")
+        .groupby("pb")
+        .map_groups(dedup_decode, batch_format="pandas")
+    )
+
+    verified = pair_text_metric(
+        pairs,
+        corpus,
+        lambda a, b: word_ngram_jaccard(a, b, 5),
+        out_col="jaccard",
+    )
+
+    def keep_tau(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater_equal(batch["jaccard"], TAU))
+
+    return verified.map_batches(keep_tau, batch_format="pyarrow").select_columns(
+        ["left", "right", "jaccard"]
+    )
+
+
 def q_join_size_estimate(sf_dir: str):
     """Join-cardinality estimation via the COUNT-MIN INNER PRODUCT
     (AGMS/CM classic): |A ⋈_k B| ≤ min_d Σ_col A_d[col]·B_d[col], the
@@ -13684,6 +13860,7 @@ QUERIES = {
     "event_type_entropy_rate": q_event_type_entropy_rate,
     "crawl_frontier": q_crawl_frontier,
     "link_pagerank": q_link_pagerank,
+    "allpairs_jaccard_join": q_allpairs_jaccard_join,
     "join_size_estimate": q_join_size_estimate,
     "events_hourly_ewma": q_events_hourly_ewma,
     "cdc_merge_apply": q_cdc_merge_apply,
@@ -17301,6 +17478,41 @@ ORACLE_SQL = {
     """,
     # crawl frontier: resolve root-relative links against the page
     # authority, anti-join vs crawled urls, per-host top-3 window cap
+    # exact all-pairs set-similarity join: the oracle is the exact
+    # inverted-index SQL (shared-token counts give |A∩B|, unrounded
+    # int/int double division), against which the engine's prefix-filter
+    # join must be COMPLETE — any missed pair is a correctness failure
+    "allpairs_jaccard_join": r"""
+        WITH corpus AS (
+          SELECT doc_id, COALESCE(text,'') AS raw FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000, COALESCE(text,'') || ' appended' FROM documents
+        ),
+        toks AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(raw), '\s+'), x -> x <> '') AS w
+          FROM corpus
+        ),
+        sh AS (
+          SELECT doc_id,
+                 CASE WHEN len(w) = 0 THEN CAST([] AS VARCHAR[])
+                      WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+                      ELSE list_distinct([array_to_string(w[i:i+4], ' ') for i in range(1, len(w) - 3)])
+                 END AS g
+          FROM toks
+        ),
+        inv AS (SELECT doc_id, len(g) AS sz, unnest(g) AS t FROM sh WHERE len(g) > 0),
+        shared AS (
+          SELECT a.doc_id AS l, b.doc_id AS r, a.sz AS la, b.sz AS lb,
+                 COUNT(*)::BIGINT AS inter
+          FROM inv a JOIN inv b ON a.t = b.t AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4
+        )
+        SELECT l AS "left", r AS "right",
+               CAST(inter AS DOUBLE) / (la + lb - inter) AS jaccard
+        FROM shared
+        WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.8
+    """,
     # integer-exact PageRank: 4 unrolled rounds, rank = scaled int64,
     # every engine/oracle op is an integer sum or floor division
     "link_pagerank": """

@@ -424,3 +424,29 @@ class TestLinkPagerank:
         assert not df["url"].str.contains("/doc").any()
         # landing pages are root-relative resolutions on a crawled host
         assert df["url"].str.match(r"https://site\d+\.example/").all()
+
+
+class TestAllPairsJaccard:
+    def test_prefix_filter_join_invariants(self, ray_session):
+        """The exact prefix-filter join: ordered pairs, τ respected, and
+        every perturbed twin of a ≥5-word doc qualifies (appending one word
+        to a doc with g 5-grams gives J = g/(g+5) ≥ 0.8 whenever g ≥ 20)."""
+        import pyarrow.parquet as pq
+
+        from edge_deid_studio_ray.pipelines.queries import q_allpairs_jaccard_join
+
+        sf = "/root/testdata/sf0.001"
+        df = q_allpairs_jaccard_join(sf).to_pandas()
+        assert len(df) > 0
+        assert (df["left"] < df["right"]).all()
+        assert (df["jaccard"] >= 0.8).all() and (df["jaccard"] <= 1.0).all()
+        docs = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+        twins = set()
+        for _, r in docs.iterrows():
+            w = (r["text"] or "").lower().split()
+            g = max(len(w) - 4, 1) if w else 0
+            if g >= 20:
+                twins.add((int(r["doc_id"]), int(r["doc_id"]) + 1_000_000))
+        got = set(zip(df["left"], df["right"]))
+        missing = twins - got
+        assert not missing, f"prefix filter missed {len(missing)} guaranteed twins"
