@@ -13657,6 +13657,296 @@ def q_cdc_merge_apply(sf_dir: str):
     )
 
 
+def q_conjunctive_search(sf_dir: str):
+    """Boolean AND retrieval (conjunctive query evaluation over the
+    inverted-index view of the corpus): documents containing ALL of the
+    query terms, scored by total term frequency — the multi-term lookup
+    every search/RAG retrieval layer runs before ranking.
+
+    Scale shape: document rows are self-contained (one row = one doc), so
+    the AND evaluates INSIDE the map stage — zero shuffles, zero postings
+    materialized; only matching (doc_id, total_tf) rows leave the workers.
+    This is the map-side dual of `inverted_index_postings` (which builds
+    the postings themselves when the index IS the product).  Tokenization
+    contract: lowered whitespace split, same as the oracle's
+    regexp_split_to_array + empty filter."""
+    TERMS = ("hash", "join", "window")
+
+    def hits(batch: pa.Table) -> pa.Table:
+        out_id, out_tf = [], []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            counts = Counter((text or "").lower().split())
+            if all(counts.get(t, 0) > 0 for t in TERMS):
+                out_id.append(doc_id)
+                out_tf.append(sum(counts[t] for t in TERMS))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "total_tf": pa.array(out_tf, pa.int64()),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        hits, batch_format="pyarrow"
+    )
+
+
+def q_phrase_search(sf_dir: str):
+    """Exact phrase search via positional adjacency — the positional-index
+    operator behind quoted queries: count occurrences of the two-word
+    phrase "order sort" per document (token i matches word 1 AND token
+    i+1 matches word 2).
+
+    Scale shape: like `conjunctive_search`, the adjacency test runs
+    map-side on each self-contained document row (numpy shifted-compare
+    over the token array — no Python per-token loop), zero shuffles; the
+    oracle rebuilds bigrams with a SQL list comprehension."""
+    W1, W2 = "order", "sort"
+
+    def occurrences(batch: pa.Table) -> pa.Table:
+        out_id, out_n = [], []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            words = (text or "").lower().split()
+            if len(words) < 2:
+                continue
+            arr = np.asarray(words, dtype=object)
+            n = int(((arr[:-1] == W1) & (arr[1:] == W2)).sum())
+            if n > 0:
+                out_id.append(doc_id)
+                out_n.append(n)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "n_occ": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        occurrences, batch_format="pyarrow"
+    )
+
+
+def q_events_holt_linear(sf_dir: str):
+    """Holt's linear-trend double exponential smoothing over the hourly
+    count series (α = 0.3 level, β = 0.1 trend; l₀ = x₀, b₀ = x₁ − x₀)
+    — the trend-aware forecasting recurrence one step up from the EWMA
+    (`events_hourly_ewma`); two coupled ordered state variables, so the
+    oracle replays the identical recurrence through a recursive CTE
+    carrying BOTH columns and every intermediate double matches
+    bit-for-bit before the final 6dp round.
+
+    Scale shape: identical to the EWMA — the hourly series is
+    time-bounded (O(hours), never O(events)); per-batch (hour, count)
+    partials, one grouped sum, a driver-side O(hours) recurrence scan.
+    Output: the last 24 hours with level, trend and the one-step-ahead
+    forecast."""
+    from ray.data.aggregate import Sum
+
+    US_PER_HOUR = 3_600_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        hu, hc = np.unique(us // US_PER_HOUR, return_counts=True)
+        return pa.table(
+            {"hour": pa.array(hu, pa.int64()), "n_p": pa.array(hc.astype(np.int64))}
+        )
+
+    rows = (
+        _read(sf_dir, "events", ["ts"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("hour")
+        .aggregate(Sum("n_p", alias_name="n"))
+        .take_all()
+    )
+    counts = {int(r["hour"]): int(r["n"]) for r in rows}
+    h_lo, h_hi = min(counts), max(counts)
+    hours = list(range(h_lo, h_hi + 1))
+    x = [counts.get(h, 0) for h in hours]
+    alpha, beta = 0.3, 0.1
+    level = float(x[0])
+    trend = float(x[1] - x[0])
+    levels, trends = [level], [trend]
+    for v in x[1:]:
+        prev_level = level
+        level = alpha * v + (1.0 - alpha) * (level + trend)
+        trend = beta * (level - prev_level) + (1.0 - beta) * trend
+        levels.append(level)
+        trends.append(trend)
+    keep = slice(-24, None)
+    return pa.table(
+        {
+            "hour_us": pa.array([h * US_PER_HOUR for h in hours[keep]], pa.int64()),
+            "n": pa.array(x[keep], pa.int64()),
+            "level": pa.array([round(v, 6) for v in levels[keep]], pa.float64()),
+            "trend": pa.array([round(v, 6) for v in trends[keep]], pa.float64()),
+            "forecast_next": pa.array(
+                [round(lv + tv, 6) for lv, tv in zip(levels[keep], trends[keep])],
+                pa.float64(),
+            ),
+        }
+    )
+
+
+def q_user_erasure_audit(sf_dir: str):
+    """GDPR right-to-be-forgotten audit: erase a deterministic subject set
+    (users with ``user_id % 13 == 0``; customers with
+    ``c_custkey % 13 == 0``) and report, per table, rows erased, rows
+    remaining, and an order-independent md5 fingerprint of the REMAINING
+    rows — the compliance evidence a deletion run must produce.  The
+    erasure CASCADES: a forgotten customer's orders are erased by the
+    custkey predicate, and their lineitems by membership of the erased
+    orderkey set (a real foreign-key cascade, not a predicate rewrite).
+
+    Scale shape: events/customer/orders erase map-side (the subject set is
+    predicate-defined, so no membership state ships at all); the lineitem
+    cascade is ONE orderkey-hash bucketed co-group of erased-order marks
+    with lineitem keys (the `orders_exists_semi` semi-join shape — narrow
+    int rows, never payloads).  All four audits fold to per-batch
+    (table, n_erased, n_remaining, fp) partials and one tiny grouped sum;
+    fingerprints sum mod 1e9+7 (the `cdc_merge_apply` bridge) so
+    corpus-scale sums stay in int64."""
+    import hashlib
+
+    from ray.data.aggregate import Sum
+
+    nb = resolve_group_buckets()
+    MOD = 1_000_000_007
+
+    def _fp_many(strings) -> int:
+        total = 0
+        for s in strings:
+            digest = hashlib.md5(s.encode("utf-8", "replace")).digest()
+            total += int.from_bytes(digest[:8], "little") % MOD
+        return total
+
+    def events_partial(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        erased = (uid % 13) == 0
+        keep_e, keep_u = eid[~erased], uid[~erased]
+        fp = _fp_many(f"{e}|{u}" for e, u in zip(keep_e, keep_u))
+        return pa.table(
+            {
+                "tbl": pa.array(["events"], pa.string()),
+                "n_e": pa.array([int(erased.sum())], pa.int64()),
+                "n_r": pa.array([int((~erased).sum())], pa.int64()),
+                "fp": pa.array([fp], pa.int64()),
+            }
+        )
+
+    def customer_partial(batch: pa.Table) -> pa.Table:
+        ck = batch["c_custkey"].to_numpy(zero_copy_only=False)
+        erased = (ck % 13) == 0
+        fp = _fp_many(str(k) for k in ck[~erased])
+        return pa.table(
+            {
+                "tbl": pa.array(["customer"], pa.string()),
+                "n_e": pa.array([int(erased.sum())], pa.int64()),
+                "n_r": pa.array([int((~erased).sum())], pa.int64()),
+                "fp": pa.array([fp], pa.int64()),
+            }
+        )
+
+    def orders_partial(batch: pa.Table) -> pa.Table:
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        ok = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        erased = (ck % 13) == 0
+        fp = _fp_many(str(k) for k in ok[~erased])
+        return pa.table(
+            {
+                "tbl": pa.array(["orders"], pa.string()),
+                "n_e": pa.array([int(erased.sum())], pa.int64()),
+                "n_r": pa.array([int((~erased).sum())], pa.int64()),
+                "fp": pa.array([fp], pa.int64()),
+            }
+        )
+
+    # lineitem cascade: erased-order marks ∪ lineitem keys, one co-group
+    def erased_order_marks(batch: pa.Table) -> pa.Table:
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        ok = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        keys = ok[(ck % 13) == 0]
+        return pa.table(
+            {
+                "okey": pa.array(keys, pa.int64()),
+                "lnum": pa.array(np.full(len(keys), -1, dtype=np.int64)),
+                "kb": _ibuckets(keys, nb),
+            }
+        )
+
+    def lineitem_rows(batch: pa.Table) -> pa.Table:
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "okey": batch["l_orderkey"],
+                "lnum": pc.cast(batch["l_linenumber"], pa.int64()),
+                "kb": _ibuckets(ok, nb),
+            }
+        )
+
+    _EMPTY_AUDIT = pd.DataFrame(
+        {
+            "tbl": pd.array([], dtype="str"),
+            "n_e": pd.array([], dtype="int64"),
+            "n_r": pd.array([], dtype="int64"),
+            "fp": pd.array([], dtype="int64"),
+        }
+    )
+
+    def cascade(bucket: pd.DataFrame) -> pd.DataFrame:
+        if bucket.empty:
+            return _EMPTY_AUDIT
+        marks = bucket["lnum"].to_numpy() == -1
+        erased_keys = set(bucket.loc[marks, "okey"].tolist())
+        li = bucket.loc[~marks]
+        hit = li["okey"].isin(erased_keys).to_numpy()
+        keep = li.loc[~hit]
+        fp = _fp_many(
+            f"{o}|{l}" for o, l in zip(keep["okey"].tolist(), keep["lnum"].tolist())
+        )
+        return pd.DataFrame(
+            {
+                "tbl": pd.array(["lineitem"], dtype="str"),
+                "n_e": pd.array([int(hit.sum())], dtype="int64"),
+                "n_r": pd.array([int((~hit).sum())], dtype="int64"),
+                "fp": pd.array([fp], dtype="int64"),
+            }
+        )
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id"]).map_batches(
+        events_partial, batch_format="pyarrow"
+    )
+    cu = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        customer_partial, batch_format="pyarrow"
+    )
+    od = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        orders_partial, batch_format="pyarrow"
+    )
+    li = _arrow_blocks(
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+        .map_batches(erased_order_marks, batch_format="pyarrow")
+        .union(
+            _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"]).map_batches(
+                lineitem_rows, batch_format="pyarrow"
+            )
+        )
+        .groupby("kb")
+        .map_groups(cascade, batch_format="pandas")
+    )
+
+    return (
+        ev.union(cu)
+        .union(od)
+        .union(li)
+        .groupby("tbl")
+        .aggregate(
+            Sum("n_e", alias_name="n_erased"),
+            Sum("n_r", alias_name="n_remaining"),
+            Sum("fp", alias_name="remaining_fp"),
+        )
+    )
+
+
 QUERIES = {
     "doc_stats_by_lang": q_doc_stats_by_lang,
     "doc_token_stats": q_doc_token_stats,
@@ -13868,6 +14158,10 @@ QUERIES = {
     "events_mann_kendall": q_events_mann_kendall,
     "events_acf": q_events_acf,
     "user_retention_km": q_user_retention_km,
+    "conjunctive_search": q_conjunctive_search,
+    "phrase_search": q_phrase_search,
+    "events_holt_linear": q_events_holt_linear,
+    "user_erasure_audit": q_user_erasure_audit,
 }
 
 
@@ -17842,5 +18136,105 @@ ORACLE_SQL = {
         SELECT t AS t_hours, d AS n_deaths, n AS n_at_risk,
                ROUND(surv, 6) AS survival
         FROM km
+    """,
+    # conjunctive (boolean AND) retrieval: docs containing ALL query terms,
+    # scored by total tf; tokenization contract = lowered \s+ split
+    "conjunctive_search": r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(COALESCE(text,'')), '\s+'),
+                             x -> x <> '') AS w
+          FROM documents),
+        hits AS (
+          SELECT doc_id,
+                 len(list_filter(w, x -> x = 'hash'))   AS n1,
+                 len(list_filter(w, x -> x = 'join'))   AS n2,
+                 len(list_filter(w, x -> x = 'window')) AS n3
+          FROM toks)
+        SELECT doc_id, CAST(n1 + n2 + n3 AS BIGINT) AS total_tf
+        FROM hits WHERE n1 > 0 AND n2 > 0 AND n3 > 0
+    """,
+    # exact phrase search: bigram adjacency rebuilt with a list
+    # comprehension (w is 1-indexed; pairs (i, i+1) for i in 1..len-1)
+    "phrase_search": r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(COALESCE(text,'')), '\s+'),
+                             x -> x <> '') AS w
+          FROM documents),
+        big AS (
+          SELECT doc_id,
+                 CASE WHEN len(w) < 2 THEN 0
+                      ELSE len(list_filter(
+                             [w[i] || ' ' || w[i+1] for i in range(1, len(w))],
+                             x -> x = 'order sort'))
+                 END AS n_occ
+          FROM toks)
+        SELECT doc_id, CAST(n_occ AS BIGINT) AS n_occ
+        FROM big WHERE n_occ > 0
+    """,
+    # Holt linear smoothing: the recursive CTE carries BOTH state columns
+    # (level, trend) through the identical two-op recurrence chain
+    "events_holt_linear": """
+        WITH RECURSIVE b AS (
+          SELECT epoch_us(ts) // 3600000000 AS h, COUNT(*)::BIGINT AS n
+          FROM events GROUP BY h),
+        r AS (
+          SELECT unnest(range((SELECT min(h) FROM b), (SELECT max(h) FROM b) + 1)) AS h),
+        s AS (
+          SELECT r.h, CAST(COALESCE(b.n, 0) AS BIGINT) AS x,
+                 ROW_NUMBER() OVER (ORDER BY r.h) AS i
+          FROM r LEFT JOIN b USING (h)),
+        rec AS (
+          SELECT s1.i, s1.h, s1.x,
+                 CAST(s1.x AS DOUBLE) AS l,
+                 CAST(s2.x - s1.x AS DOUBLE) AS t
+          FROM s s1 JOIN s s2 ON s2.i = 2
+          WHERE s1.i = 1
+          UNION ALL
+          SELECT s.i, s.h, s.x,
+                 0.3 * s.x + (1.0 - 0.3) * (rec.l + rec.t),
+                 0.1 * ((0.3 * s.x + (1.0 - 0.3) * (rec.l + rec.t)) - rec.l)
+                   + (1.0 - 0.1) * rec.t
+          FROM rec JOIN s ON s.i = rec.i + 1),
+        tot AS (SELECT COUNT(*)::BIGINT AS n_hours FROM s)
+        SELECT h * 3600000000 AS hour_us, x AS n,
+               ROUND(l, 6) AS level, ROUND(t, 6) AS trend,
+               ROUND(l + t, 6) AS forecast_next
+        FROM rec WHERE i > (SELECT n_hours FROM tot) - 24
+    """,
+    # GDPR erasure audit: subject predicates + the orders→lineitem FK
+    # cascade; remaining-row fingerprints via the md5_number_upper bridge
+    "user_erasure_audit": """
+        WITH eo AS (SELECT o_orderkey FROM orders WHERE o_custkey % 13 = 0)
+        SELECT 'events' AS tbl,
+               (SELECT COUNT(*) FROM events WHERE user_id % 13 = 0)::BIGINT AS n_erased,
+               (SELECT COUNT(*) FROM events WHERE user_id % 13 <> 0)::BIGINT AS n_remaining,
+               (SELECT CAST(COALESCE(SUM(md5_number_upper(
+                          CAST(event_id AS VARCHAR) || '|' || CAST(user_id AS VARCHAR))
+                        % 1000000007), 0) AS BIGINT)
+                FROM events WHERE user_id % 13 <> 0) AS remaining_fp
+        UNION ALL
+        SELECT 'customer',
+               (SELECT COUNT(*) FROM customer WHERE c_custkey % 13 = 0)::BIGINT,
+               (SELECT COUNT(*) FROM customer WHERE c_custkey % 13 <> 0)::BIGINT,
+               (SELECT CAST(COALESCE(SUM(md5_number_upper(CAST(c_custkey AS VARCHAR))
+                        % 1000000007), 0) AS BIGINT)
+                FROM customer WHERE c_custkey % 13 <> 0)
+        UNION ALL
+        SELECT 'orders',
+               (SELECT COUNT(*) FROM orders WHERE o_custkey % 13 = 0)::BIGINT,
+               (SELECT COUNT(*) FROM orders WHERE o_custkey % 13 <> 0)::BIGINT,
+               (SELECT CAST(COALESCE(SUM(md5_number_upper(CAST(o_orderkey AS VARCHAR))
+                        % 1000000007), 0) AS BIGINT)
+                FROM orders WHERE o_custkey % 13 <> 0)
+        UNION ALL
+        SELECT 'lineitem',
+               (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM eo))::BIGINT,
+               (SELECT COUNT(*) FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM eo))::BIGINT,
+               (SELECT CAST(COALESCE(SUM(md5_number_upper(
+                          CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR))
+                        % 1000000007), 0) AS BIGINT)
+                FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM eo))
     """,
 }
