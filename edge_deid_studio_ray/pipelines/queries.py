@@ -13947,6 +13947,592 @@ def q_user_erasure_audit(sf_dir: str):
     )
 
 
+def q_zone_map_pruning(sf_dir: str):
+    """Zone-map (data-skipping) audit — the lakehouse layout question made
+    measurable: simulate 250-row storage blocks under two physical layouts
+    of ``orders`` (natural key order: blocks by ``o_orderkey // 250``;
+    date-clustered: blocks by global ``(o_orderdate, o_orderkey)`` rank),
+    record each block's min/max orderdate zone map, and report how many
+    blocks a half-year date-range predicate must actually read under each
+    layout.  This is the exact computation behind "sort your table by the
+    filter column" advice — the output quantifies the skipping win.
+
+    Scale shape: per-block min/max fold map-side into (blk, mn, mx)
+    partials (one narrow grouped Min/Max per layout); the date-rank layout
+    reuses the `docs_global_rank` two-phase pattern — a tiny per-DAY
+    histogram (O(days in corpus), never O(rows)) broadcast as prefix
+    offsets, then within-day ranking in a grouped fold.  The final audit
+    is a constant-size scalar fold."""
+    import ray
+    from ray.data.aggregate import Max, Min, Sum
+
+    B = 250
+    LO = int(pd.Timestamp("1998-01-01").value // 1000)
+    HI = int(pd.Timestamp("1998-07-01").value // 1000)
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+
+    def sel_partial(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch["o_orderdate"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"n_p": pa.array([int(((us >= LO) & (us < HI)).sum())], pa.int64())}
+        )
+
+    rows_selected = int(
+        ds.map_batches(sel_partial, batch_format="pyarrow").sum("n_p") or 0
+    )
+
+    def key_blocks(batch: pa.Table) -> pa.Table:
+        key = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        us = pc.cast(batch["o_orderdate"], pa.int64()).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"blk": key // B, "us": us})
+        g = df.groupby("blk")["us"].agg(["min", "max"]).reset_index()
+        return pa.table(
+            {
+                "blk": pa.array(g["blk"].to_numpy(), pa.int64()),
+                "mn_p": pa.array(g["min"].to_numpy(), pa.int64()),
+                "mx_p": pa.array(g["max"].to_numpy(), pa.int64()),
+            }
+        )
+
+    def audit(layout: str, blocks_ds) -> tuple[str, int, int]:
+        def part(batch: pa.Table) -> pa.Table:
+            mn = batch["mn"].to_numpy(zero_copy_only=False)
+            mx = batch["mx"].to_numpy(zero_copy_only=False)
+            scanned = int(((mn < HI) & (mx >= LO)).sum())
+            return pa.table(
+                {
+                    "nb_p": pa.array([len(mn)], pa.int64()),
+                    "sc_p": pa.array([scanned], pa.int64()),
+                }
+            )
+
+        totals = blocks_ds.map_batches(part, batch_format="pyarrow").aggregate(
+            Sum("nb_p", alias_name="nb"), Sum("sc_p", alias_name="sc")
+        )
+        return layout, int(totals["nb"]), int(totals["sc"])
+
+    key_layout = audit(
+        "key_order",
+        ds.map_batches(key_blocks, batch_format="pyarrow")
+        .groupby("blk")
+        .aggregate(Min("mn_p", alias_name="mn"), Max("mx_p", alias_name="mx")),
+    )
+
+    # date-clustered layout: global (date, key) rank via day-histogram prefix
+    def day_counts(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch["o_orderdate"], pa.int64()).to_numpy(zero_copy_only=False)
+        du, dc = np.unique(us, return_counts=True)
+        return pa.table(
+            {"us": pa.array(du, pa.int64()), "n_p": pa.array(dc.astype(np.int64))}
+        )
+
+    hist = (
+        ds.map_batches(day_counts, batch_format="pyarrow")
+        .groupby("us")
+        .aggregate(Sum("n_p", alias_name="n"))
+        .take_all()
+    )
+    hist.sort(key=lambda r: r["us"])
+    offsets, run = {}, 0
+    for r in hist:
+        offsets[int(r["us"])] = run
+        run += int(r["n"])
+    off_ref = ray.put(offsets)
+
+    def date_tag(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": batch["o_orderkey"],
+                "us": pc.cast(batch["o_orderdate"], pa.int64()),
+            }
+        )
+
+    _EMPTY_BLK = pd.DataFrame(
+        {
+            "blk": pd.array([], dtype="int64"),
+            "mn_p": pd.array([], dtype="int64"),
+            "mx_p": pd.array([], dtype="int64"),
+        }
+    )
+
+    def rank_blocks(group: pd.DataFrame) -> pd.DataFrame:
+        if group.empty:
+            return _EMPTY_BLK
+        us = int(group["us"].iloc[0])
+        base = ray.get(off_ref)[us]
+        n = len(group)
+        # all rows in this group share one date, so the within-day key
+        # order cannot move any block's min/max — the touched block range
+        # is base..base+n-1 regardless of intra-day permutation
+        blk = (base + np.arange(n, dtype=np.int64)) // B
+        ub = np.unique(blk)
+        return pd.DataFrame(
+            {
+                "blk": pd.Series(ub, dtype="int64"),
+                "mn_p": pd.Series(np.full(len(ub), us, dtype=np.int64), dtype="int64"),
+                "mx_p": pd.Series(np.full(len(ub), us, dtype=np.int64), dtype="int64"),
+            }
+        )
+
+    date_layout = audit(
+        "date_sorted",
+        _arrow_blocks(
+            ds.map_batches(date_tag, batch_format="pyarrow")
+            .groupby("us")
+            .map_groups(rank_blocks, batch_format="pandas")
+        )
+        .groupby("blk")
+        .aggregate(Min("mn_p", alias_name="mn"), Max("mx_p", alias_name="mx")),
+    )
+
+    layouts = [key_layout, date_layout]
+    return pa.table(
+        {
+            "layout": pa.array([r[0] for r in layouts], pa.string()),
+            "n_blocks": pa.array([r[1] for r in layouts], pa.int64()),
+            "blocks_scanned": pa.array([r[2] for r in layouts], pa.int64()),
+            "rows_selected": pa.array([rows_selected] * 2, pa.int64()),
+            "scan_fraction": pa.array(
+                [round(float(r[2]) / r[1], 6) for r in layouts], pa.float64()
+            ),
+        }
+    )
+
+
+def q_lineitem_corr_matrix(sf_dir: str):
+    """Exact Pearson correlation MATRIX over the four lineitem measures
+    (quantity, extendedprice, discount, tax) — the multi-column profiling
+    moment pass, generalizing `lineitem_qty_discount_corr` to all C(4,2)
+    pairs in ONE scan.  Integer-exact via the `embedding_covariance`
+    recipe: both engines lift with the identical IEEE chain
+    ``floor(x·scale + 0.5)`` (cents / percent points), so column sums and
+    the 4×4 product-moment matrix are integer partials; each batch ships
+    ONE fixed-size packed row, the driver folds arbitrary-precision
+    Python ints, and corr is one mirrored double chain
+    ``(n·Sxy − Sx·Sy) / (√(n·Sxx − Sx²)·√(n·Syy − Sy²))``.
+
+    Scale shape: partial size is O(d²)=constant per batch regardless of
+    rows; no shuffle at all (the all-reduce is the take_all of
+    O(#batches) 15-int rows).  batch_size=4096 bounds the int64 product
+    sums (cents² ≈ 1e14 × 4096 ≈ 4e17 < 2⁶³), with a loud magnitude
+    assert rather than silent wraparound."""
+    NAMES = ("quantity", "extendedprice", "discount", "tax")
+    SCALES = (1.0, 100.0, 100.0, 100.0)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        cols = []
+        for name, scale in zip(
+            ("l_quantity", "l_extendedprice", "l_discount", "l_tax"), SCALES
+        ):
+            x = batch[name].to_numpy(zero_copy_only=False)
+            cols.append(np.floor(x * scale + 0.5).astype(np.int64))
+        m = np.stack(cols, axis=1)
+        if m.size and not (np.abs(m).max() < (1 << 25) and m.shape[0] <= 8192):
+            raise ValueError(
+                "lineitem_corr_matrix int64 partial bound violated: "
+                f"max |lifted| {np.abs(m).max()} rows {m.shape[0]}"
+            )
+        return pa.table(
+            {
+                "n_p": pa.array([int(m.shape[0])], pa.int64()),
+                "s_p": pa.array([m.sum(axis=0).tobytes()], pa.binary()),
+                "p_p": pa.array([(m.T @ m).tobytes()], pa.binary()),
+            }
+        )
+
+    n = 0
+    s = np.zeros(4, dtype=object)
+    p = np.zeros((4, 4), dtype=object)
+    rows = (
+        _read(
+            sf_dir,
+            "lineitem",
+            ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        )
+        .map_batches(partials, batch_format="pyarrow", batch_size=4096)
+        .take_all()
+    )
+    for r in rows:
+        n += int(r["n_p"])
+        s = s + np.frombuffer(r["s_p"], dtype=np.int64)
+        p = p + np.frombuffer(r["p_p"], dtype=np.int64).reshape(4, 4)
+    import math
+
+    col_a, col_b, corr = [], [], []
+    for i in range(4):
+        for j in range(i + 1, 4):
+            num = n * int(p[i, j]) - int(s[i]) * int(s[j])
+            dx = n * int(p[i, i]) - int(s[i]) * int(s[i])
+            dy = n * int(p[j, j]) - int(s[j]) * int(s[j])
+            col_a.append(NAMES[i])
+            col_b.append(NAMES[j])
+            corr.append(
+                round(float(num) / (math.sqrt(float(dx)) * math.sqrt(float(dy))), 6)
+            )
+    return pa.table(
+        {
+            "col_a": pa.array(col_a, pa.string()),
+            "col_b": pa.array(col_b, pa.string()),
+            "corr": pa.array(corr, pa.float64()),
+        }
+    )
+
+
+def q_rake_word_scores(sf_dir: str):
+    """RAKE keyword scoring (Rose et al. 2010): candidate phrases are the
+    maximal stopword-free token runs of each document (the 10-word
+    `_STOP_WORDS` contract is the delimiter set); each word scores
+    deg(w)/freq(w) where freq counts occurrences inside phrases and deg
+    sums the lengths of the phrases containing each occurrence — words
+    that live in longer collocations outrank isolated frequent words.
+    Output: global top-20 words by (deg/freq desc, word asc) with exact
+    integer deg/freq and the 6dp-rounded score.
+
+    Scale shape: phrase runs and per-word (freq, deg) partials fold
+    map-side (one Counter pass per batch); the only exchange is a
+    word-hash bucketed co-group sum (the ≥5k-key `groupby.aggregate`
+    pathology rule — never a generic hash aggregate over an open
+    vocabulary), then per-bucket top-20 prune so the final sort sees
+    O(20·buckets) rows.  The selection key is the UNROUNDED quotient
+    (one IEEE div of exact ints — identical in both engines)."""
+    import zlib
+
+    from ray.data.aggregate import Sum
+
+    nb = resolve_group_buckets()
+    stop = set(_STOP_WORDS)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        freq: Counter = Counter()
+        deg: Counter = Counter()
+        for text in batch["text"].to_pylist():
+            words = (text or "").lower().split()
+            run: list[str] = []
+            for w in words + ["\x00stop"]:
+                if w in stop or w == "\x00stop":
+                    if run:
+                        plen = len(run)
+                        for rw in run:
+                            freq[rw] += 1
+                            deg[rw] += plen
+                        run = []
+                else:
+                    run.append(w)
+        keys = list(freq.keys())
+        return pa.table(
+            {
+                "word": pa.array(keys, pa.string()),
+                "freq_p": pa.array([freq[k] for k in keys], pa.int64()),
+                "deg_p": pa.array([deg[k] for k in keys], pa.int64()),
+                "kb": pa.array(
+                    [zlib.crc32(k.encode()) % nb for k in keys], pa.int32()
+                ),
+            }
+        )
+
+    _EMPTY_RAKE = pd.DataFrame(
+        {
+            "word": pd.array([], dtype="str"),
+            "freq": pd.array([], dtype="int64"),
+            "deg": pd.array([], dtype="int64"),
+            "sc": pd.array([], dtype="float64"),
+        }
+    )
+
+    def bucket_top(bucket: pd.DataFrame) -> pd.DataFrame:
+        if bucket.empty:
+            return _EMPTY_RAKE
+        g = bucket.groupby("word", as_index=False)[["freq_p", "deg_p"]].sum()
+        sc = g["deg_p"].to_numpy(dtype=np.float64) / g["freq_p"].to_numpy(
+            dtype=np.float64
+        )
+        out = pd.DataFrame(
+            {
+                "word": g["word"].astype("str"),
+                "freq": g["freq_p"].astype("int64"),
+                "deg": g["deg_p"].astype("int64"),
+                "sc": pd.Series(sc, dtype="float64"),
+            }
+        )
+        return out.sort_values(["sc", "word"], ascending=[False, True]).head(20)
+
+    top = (
+        _arrow_blocks(
+            _read(sf_dir, "documents", ["text"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("kb")
+            .map_groups(bucket_top, batch_format="pandas")
+        )
+        .sort(["sc", "word"], descending=[True, False])
+        .limit(20)
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        sc = batch["sc"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "word": batch["word"],
+                "freq": batch["freq"],
+                "deg": batch["deg"],
+                "score": pa.array([round(float(v), 6) for v in sc], pa.float64()),
+            }
+        )
+
+    return top.map_batches(finish, batch_format="pyarrow")
+
+
+def q_link_hits(sf_dir: str):
+    """HITS hubs & authorities (Kleinberg 1999) over the URL-level outlink
+    graph of the extraction pass — the second classical link-analysis
+    centrality next to `link_pagerank`, and the one that distinguishes
+    *pointing well* (hubs) from *being pointed at* (authorities).
+    INTEGER-EXACT like the PageRank: scores live as scaled int64
+    (S = 10⁶); each half-round is an integer message sum over edges, and
+    normalization divides by the round's MAX (max is associative and
+    order-free, unlike an L2 norm) via ``(v·S) // max`` — every
+    intermediate is bit-identical on both engines.  K = 2 full rounds,
+    unrolled in the oracle as chained CTEs over the same fixture-derived
+    edges (edge contract identical to `link_pagerank`).
+
+    Scale shape: Pregel-style bucketed message passing — the authority
+    half-round co-groups hub scores with edges by SRC hash and sums
+    messages by DST hash; the hub half-round mirrors it; per-round driver
+    state is ONE scalar (the max).  2 narrow (url, int64) shuffles per
+    half-round; score state lives in the object store between rounds."""
+    import zlib
+
+    from ..kernels.html_text import decode_html_bytes, extract_links
+
+    K = 2
+    S = 1_000_000
+    nb = resolve_group_buckets()
+    _ensure_pages_fixture(sf_dir)
+    base_re = re.compile(r"^(https?://[^/]+)")
+
+    def _ubuckets(urls: list) -> pa.Array:
+        return pa.array([zlib.crc32(u.encode()) % nb for u in urls], pa.int32())
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        src_out, dst_out = [], []
+        for url, raw in zip(batch["url"].to_pylist(), batch["html"].to_pylist()):
+            if not raw:
+                continue
+            base = base_re.match(url)
+            dsts = set()
+            for href, _anchor in extract_links(decode_html_bytes(raw)):
+                if href.startswith("http://") or href.startswith("https://"):
+                    absu = href
+                elif href.startswith("/") and base:
+                    absu = base.group(1) + href
+                else:
+                    continue
+                if absu != url:
+                    dsts.add(absu)
+            for d in dsts:
+                src_out.append(url)
+                dst_out.append(d)
+        return pa.table(
+            {
+                "node": pa.array(src_out, pa.string()),
+                "other": pa.array(dst_out, pa.string()),
+                "v": pa.array([0] * len(src_out), pa.int64()),
+                "kind": pa.array([1] * len(src_out), pa.int8()),
+                "kb": _ubuckets(src_out),
+            }
+        )
+
+    edges_by_src = (
+        _oracle_visible_pages(sf_dir, include_text_route=False)
+        .map_batches(edge_rows, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def flip(batch: pa.Table) -> pa.Table:
+        others = batch["other"].to_pylist()
+        return pa.table(
+            {
+                "node": batch["other"],
+                "other": batch["node"],
+                "v": batch["v"],
+                "kind": batch["kind"],
+                "kb": _ubuckets(others),
+            }
+        )
+
+    edges_by_dst = edges_by_src.map_batches(flip, batch_format="pyarrow").materialize()
+
+    def rebucket_union(batch: pa.Table) -> pa.Table:
+        urls = batch["node"].to_pylist() + batch["other"].to_pylist()
+        return pa.table({"node": pa.array(urls, pa.string()), "kb": _ubuckets(urls)})
+
+    _EMPTY_SCORE = pd.DataFrame(
+        {"node": pd.array([], dtype="str"), "v": pd.array([], dtype="int64")}
+    )
+
+    def dedup_nodes(bucket: pd.DataFrame) -> pd.DataFrame:
+        if bucket.empty:
+            return _EMPTY_SCORE
+        uniq = np.sort(pd.unique(bucket["node"]))
+        return pd.DataFrame(
+            {
+                "node": pd.Series(uniq, dtype="str"),
+                "v": pd.Series(np.zeros(len(uniq), dtype=np.int64), dtype="int64"),
+            }
+        )
+
+    nodes = (
+        edges_by_src.map_batches(rebucket_union, batch_format="pyarrow")
+        .groupby("kb")
+        .map_groups(dedup_nodes, batch_format="pandas")
+        .materialize()
+    )
+
+    def as_score_rows(ds, value: int | None = None):
+        def f(batch: pa.Table) -> pa.Table:
+            urls = batch["node"].to_pylist()
+            v = (
+                pa.array([value] * len(urls), pa.int64())
+                if value is not None
+                else batch["v"].cast(pa.int64())
+            )
+            return pa.table(
+                {
+                    "node": batch["node"],
+                    "other": pa.array([None] * len(urls), pa.string()),
+                    "v": v,
+                    "kind": pa.array([0] * len(urls), pa.int8()),
+                    "kb": _ubuckets(urls),
+                }
+            )
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    _EMPTY_MSG = _EMPTY_SCORE
+
+    def emit_msgs(bucket: pd.DataFrame) -> pd.DataFrame:
+        if bucket.empty:
+            return _EMPTY_MSG
+        sc = bucket[bucket["kind"] == 0]
+        ed = bucket[bucket["kind"] == 1]
+        if ed.empty:
+            return _EMPTY_MSG
+        vmap = dict(zip(sc["node"], sc["v"]))
+        # build both columns from numpy: mixing an original-index Series
+        # with a fresh Series would index-align into misrowed NaNs
+        return pd.DataFrame(
+            {
+                "node": pd.Series(ed["other"].to_numpy(), dtype="str"),
+                "v": pd.Series(
+                    ed["node"].map(vmap).to_numpy(dtype=np.int64), dtype="int64"
+                ),
+            }
+        )
+
+    def msg_bucket(batch: pa.Table) -> pa.Table:
+        urls = batch["node"].to_pylist()
+        return pa.table({"node": batch["node"], "v": batch["v"], "kb": _ubuckets(urls)})
+
+    def sum_scores(bucket: pd.DataFrame) -> pd.DataFrame:
+        if bucket.empty:
+            return _EMPTY_SCORE
+        g = bucket.groupby("node", as_index=False)["v"].sum()
+        return pd.DataFrame(
+            {"node": g["node"].astype("str"), "v": g["v"].astype("int64")}
+        )
+
+    def half_round(scores, edges_oriented):
+        # `scores` is a 2-col (node, v) dataset; wrap to the 5-col
+        # co-group schema, join onto the oriented edges, sum, normalize
+        raw = (
+            _arrow_blocks(
+                as_score_rows(scores)
+                .union(edges_oriented)
+                .groupby("kb")
+                .map_groups(emit_msgs, batch_format="pandas")
+            )
+            .map_batches(msg_bucket, batch_format="pyarrow")
+            .union(nodes.map_batches(msg_bucket, batch_format="pyarrow"))
+            .groupby("kb")
+            .map_groups(sum_scores, batch_format="pandas")
+        )
+        raw = _arrow_blocks(raw).materialize()
+        mx = int(raw.max("v") or 0)
+        if mx <= 0:
+            raise ValueError("link_hits: empty link graph (max score 0)")
+
+        def normalize(batch: pa.Table) -> pa.Table:
+            v = batch["v"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {"node": batch["node"], "v": pa.array((v * S) // mx, pa.int64())}
+            )
+
+        return raw.map_batches(normalize, batch_format="pyarrow").materialize()
+
+    def init_scores(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": batch["node"],
+                "v": pa.array([S] * batch.num_rows, pa.int64()),
+            }
+        )
+
+    hubs = nodes.map_batches(init_scores, batch_format="pyarrow").materialize()
+    auths = None
+    for _round in range(K):
+        auths = half_round(hubs, edges_by_src)
+        hubs = half_round(auths, edges_by_dst)
+
+    # join auth + hub per node (bucketed co-group), then global top-20
+    def tag(ds, col_kind: int):
+        def f(batch: pa.Table) -> pa.Table:
+            urls = batch["node"].to_pylist()
+            return pa.table(
+                {
+                    "node": batch["node"],
+                    "v": batch["v"].cast(pa.int64()),
+                    "kind": pa.array([col_kind] * len(urls), pa.int8()),
+                    "kb": _ubuckets(urls),
+                }
+            )
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    _EMPTY_OUT = pd.DataFrame(
+        {
+            "url": pd.array([], dtype="str"),
+            "auth": pd.array([], dtype="int64"),
+            "hub": pd.array([], dtype="int64"),
+        }
+    )
+
+    def join_top(bucket: pd.DataFrame) -> pd.DataFrame:
+        if bucket.empty:
+            return _EMPTY_OUT
+        a = bucket[bucket["kind"] == 0][["node", "v"]].rename(columns={"v": "auth"})
+        h = bucket[bucket["kind"] == 1][["node", "v"]].rename(columns={"v": "hub"})
+        m = a.merge(h, on="node", how="inner")
+        m = m.sort_values(["auth", "node"], ascending=[False, True]).head(20)
+        return pd.DataFrame(
+            {
+                "url": m["node"].astype("str"),
+                "auth": m["auth"].astype("int64"),
+                "hub": m["hub"].astype("int64"),
+            }
+        )
+
+    return (
+        _arrow_blocks(
+            tag(auths, 0)
+            .union(tag(hubs, 1))
+            .groupby("kb")
+            .map_groups(join_top, batch_format="pandas")
+        )
+        .sort(["auth", "url"], descending=[True, False])
+        .limit(20)
+    )
+
+
 QUERIES = {
     "doc_stats_by_lang": q_doc_stats_by_lang,
     "doc_token_stats": q_doc_token_stats,
@@ -14162,6 +14748,10 @@ QUERIES = {
     "phrase_search": q_phrase_search,
     "events_holt_linear": q_events_holt_linear,
     "user_erasure_audit": q_user_erasure_audit,
+    "zone_map_pruning": q_zone_map_pruning,
+    "lineitem_corr_matrix": q_lineitem_corr_matrix,
+    "rake_word_scores": q_rake_word_scores,
+    "link_hits": q_link_hits,
 }
 
 
@@ -18237,4 +18827,147 @@ ORACLE_SQL = {
                         % 1000000007), 0) AS BIGINT)
                 FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM eo))
     """,
+    # zone-map audit: 250-row blocks under key order (value-range blocks)
+    # vs global (date, key) rank; blocks_scanned = min/max overlap count
+    "zone_map_pruning": """
+        WITH kb AS (
+          SELECT o_orderkey // 250 AS blk, min(o_orderdate) AS mn, max(o_orderdate) AS mx
+          FROM orders GROUP BY 1),
+        dr AS (
+          SELECT o_orderdate AS d, ROW_NUMBER() OVER (ORDER BY o_orderdate, o_orderkey) - 1 AS rk
+          FROM orders),
+        db AS (SELECT rk // 250 AS blk, min(d) AS mn, max(d) AS mx FROM dr GROUP BY 1),
+        sel AS (SELECT COUNT(*)::BIGINT AS n FROM orders
+                WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+                  AND o_orderdate < TIMESTAMP '1998-07-01')
+        SELECT 'key_order' AS layout, COUNT(*)::BIGINT AS n_blocks,
+               CAST(SUM(CASE WHEN mn < TIMESTAMP '1998-07-01'
+                              AND mx >= TIMESTAMP '1998-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS blocks_scanned,
+               (SELECT n FROM sel) AS rows_selected,
+               ROUND(CAST(SUM(CASE WHEN mn < TIMESTAMP '1998-07-01'
+                              AND mx >= TIMESTAMP '1998-01-01' THEN 1 ELSE 0 END) AS DOUBLE)
+                     / COUNT(*), 6) AS scan_fraction
+        FROM kb
+        UNION ALL
+        SELECT 'date_sorted', COUNT(*)::BIGINT,
+               CAST(SUM(CASE WHEN mn < TIMESTAMP '1998-07-01'
+                              AND mx >= TIMESTAMP '1998-01-01' THEN 1 ELSE 0 END) AS BIGINT),
+               (SELECT n FROM sel),
+               ROUND(CAST(SUM(CASE WHEN mn < TIMESTAMP '1998-07-01'
+                              AND mx >= TIMESTAMP '1998-01-01' THEN 1 ELSE 0 END) AS DOUBLE)
+                     / COUNT(*), 6)
+        FROM db
+    """,
+    # exact Pearson correlation matrix from integer-lifted moments; the
+    # double chain (CAST num / (sqrt·sqrt)) mirrors the engine verbatim
+    "lineitem_corr_matrix": """
+        WITH q AS (
+          SELECT CAST(floor(l_quantity * 1.0 + 0.5) AS BIGINT) AS a0,
+                 CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS a1,
+                 CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT) AS a2,
+                 CAST(floor(l_tax * 100.0 + 0.5) AS BIGINT) AS a3
+          FROM lineitem),
+        m AS (
+          SELECT COUNT(*)::BIGINT AS n,
+                 SUM(a0) s0, SUM(a1) s1, SUM(a2) s2, SUM(a3) s3,
+                 SUM(a0*a0) p00, SUM(a0*a1) p01, SUM(a0*a2) p02, SUM(a0*a3) p03,
+                 SUM(a1*a1) p11, SUM(a1*a2) p12, SUM(a1*a3) p13,
+                 SUM(a2*a2) p22, SUM(a2*a3) p23, SUM(a3*a3) p33
+          FROM q)
+        SELECT 'quantity' AS col_a, 'extendedprice' AS col_b,
+               ROUND(CAST(n*p01 - s0*s1 AS DOUBLE)
+                     / (sqrt(CAST(n*p00 - s0*s0 AS DOUBLE)) * sqrt(CAST(n*p11 - s1*s1 AS DOUBLE))), 6) AS corr FROM m
+        UNION ALL SELECT 'quantity', 'discount',
+               ROUND(CAST(n*p02 - s0*s2 AS DOUBLE)
+                     / (sqrt(CAST(n*p00 - s0*s0 AS DOUBLE)) * sqrt(CAST(n*p22 - s2*s2 AS DOUBLE))), 6) FROM m
+        UNION ALL SELECT 'quantity', 'tax',
+               ROUND(CAST(n*p03 - s0*s3 AS DOUBLE)
+                     / (sqrt(CAST(n*p00 - s0*s0 AS DOUBLE)) * sqrt(CAST(n*p33 - s3*s3 AS DOUBLE))), 6) FROM m
+        UNION ALL SELECT 'extendedprice', 'discount',
+               ROUND(CAST(n*p12 - s1*s2 AS DOUBLE)
+                     / (sqrt(CAST(n*p11 - s1*s1 AS DOUBLE)) * sqrt(CAST(n*p22 - s2*s2 AS DOUBLE))), 6) FROM m
+        UNION ALL SELECT 'extendedprice', 'tax',
+               ROUND(CAST(n*p13 - s1*s3 AS DOUBLE)
+                     / (sqrt(CAST(n*p11 - s1*s1 AS DOUBLE)) * sqrt(CAST(n*p33 - s3*s3 AS DOUBLE))), 6) FROM m
+        UNION ALL SELECT 'discount', 'tax',
+               ROUND(CAST(n*p23 - s2*s3 AS DOUBLE)
+                     / (sqrt(CAST(n*p22 - s2*s2 AS DOUBLE)) * sqrt(CAST(n*p33 - s3*s3 AS DOUBLE))), 6) FROM m
+    """,
 }
+
+# RAKE keyword scoring: stopword-delimited phrase runs via gaps-and-islands
+# over the per-doc token index; selection key is the unrounded deg/freq
+ORACLE_SQL["rake_word_scores"] = rf"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(COALESCE(text,'')), '\s+'),
+                         x -> x <> '') AS w
+      FROM documents),
+    iw AS (
+      SELECT doc_id,
+             unnest([{{'i': i, 'word': w[i]}} for i in range(1, len(w)+1)],
+                    recursive := true)
+      FROM toks),
+    nw AS (SELECT doc_id, i, word FROM iw WHERE NOT list_contains({_STOP_SQL}, word)),
+    isl AS (
+      SELECT doc_id, i, word,
+             i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+      FROM nw),
+    phr AS (SELECT doc_id, grp, COUNT(*)::BIGINT AS plen FROM isl GROUP BY 1, 2),
+    scores AS (
+      SELECT word, COUNT(*)::BIGINT AS freq, CAST(SUM(p.plen) AS BIGINT) AS deg
+      FROM isl JOIN phr p USING (doc_id, grp) GROUP BY word)
+    SELECT word, freq, deg, ROUND(CAST(deg AS DOUBLE)/freq, 6) AS score
+    FROM scores
+    ORDER BY CAST(deg AS DOUBLE)/freq DESC, word LIMIT 20
+"""
+
+# HITS, 2 unrolled rounds: integer message sums over the fixture-derived
+# edges (same edge contract as link_pagerank), max-normalized via (v·S)//max
+ORACLE_SQL["link_hits"] = """
+    WITH fx AS (SELECT * FROM read_parquet('/tmp/eds_pages_fixture/pages.parquet')),
+    mt AS (
+      SELECT url, unnest(regexp_extract_all(page, '<a href="[^"]*">[^<]*</a>')) AS tag
+      FROM fx WHERE route = 'html' AND instr(page, chr(65533)) = 0
+    ),
+    hrefs AS (
+      SELECT url, regexp_extract(tag, '"([^"]*)"', 1) AS href FROM mt
+    ),
+    edges0 AS (
+      SELECT DISTINCT url AS src,
+             CASE WHEN href LIKE 'http://%' OR href LIKE 'https://%' THEN href
+                  WHEN href LIKE '/%' THEN regexp_extract(url, '^(https?://[^/]+)', 1) || href
+                  ELSE NULL END AS dst
+      FROM hrefs
+    ),
+    edges AS (SELECT src, dst FROM edges0 WHERE dst IS NOT NULL AND dst <> src),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS v FROM nodes),
+    a1r AS (SELECT nd.node, CAST(COALESCE(SUM(h.v), 0) AS BIGINT) AS v
+            FROM nodes nd
+            LEFT JOIN edges e ON e.dst = nd.node
+            LEFT JOIN h0 h ON h.node = e.src
+            GROUP BY nd.node),
+    a1 AS (SELECT node, CAST((v * 1000000) // (SELECT MAX(v) FROM a1r) AS BIGINT) AS v FROM a1r),
+    h1r AS (SELECT nd.node, CAST(COALESCE(SUM(a.v), 0) AS BIGINT) AS v
+            FROM nodes nd
+            LEFT JOIN edges e ON e.src = nd.node
+            LEFT JOIN a1 a ON a.node = e.dst
+            GROUP BY nd.node),
+    h1 AS (SELECT node, CAST((v * 1000000) // (SELECT MAX(v) FROM h1r) AS BIGINT) AS v FROM h1r),
+    a2r AS (SELECT nd.node, CAST(COALESCE(SUM(h.v), 0) AS BIGINT) AS v
+            FROM nodes nd
+            LEFT JOIN edges e ON e.dst = nd.node
+            LEFT JOIN h1 h ON h.node = e.src
+            GROUP BY nd.node),
+    a2 AS (SELECT node, CAST((v * 1000000) // (SELECT MAX(v) FROM a2r) AS BIGINT) AS v FROM a2r),
+    h2r AS (SELECT nd.node, CAST(COALESCE(SUM(a.v), 0) AS BIGINT) AS v
+            FROM nodes nd
+            LEFT JOIN edges e ON e.src = nd.node
+            LEFT JOIN a2 a ON a.node = e.dst
+            GROUP BY nd.node),
+    h2 AS (SELECT node, CAST((v * 1000000) // (SELECT MAX(v) FROM h2r) AS BIGINT) AS v FROM h2r)
+    SELECT a2.node AS url, a2.v AS auth, h2.v AS hub
+    FROM a2 JOIN h2 ON h2.node = a2.node
+    ORDER BY a2.v DESC, a2.node LIMIT 20
+"""
