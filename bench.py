@@ -193,6 +193,13 @@ def _bench_queries(sf_dir: str) -> dict[str, float]:
         "user_retention_km",
         "hll_user_overlap",
         "user_rfm_segments",
+        # round-4 session 3: retrieval, privacy, lakehouse layout, link analysis
+        "conjunctive_search",
+        "user_erasure_audit",
+        "zone_map_pruning",
+        "rake_word_scores",
+        "link_hits",
+        "lineitem_corr_matrix",
     ]
     timings: dict[str, float] = {}
     for name in names:

@@ -1,0 +1,200 @@
+"""Round-4 session-3 operators: retrieval (conjunctive/phrase), privacy
+erasure, lakehouse zone maps, correlation matrix, RAKE, HITS.
+
+The sf0.001 oracle sweep (test_queries_oracle) pins values against DuckDB;
+these tests pin the structural invariants and the loud-failure guards SQL
+comparison can't see."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _canon(result):
+    from ray.data import Dataset
+
+    if isinstance(result, Dataset):
+        df = result.to_pandas()
+    elif isinstance(result, pa.Table):
+        df = result.to_pandas()
+    else:
+        df = result
+    df = df[sorted(df.columns)].copy()
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+class TestBucketInvariance:
+    """The session-3 co-group operators must produce identical results
+    under any EDS_GROUP_BUCKETS value (physical knob only)."""
+
+    NAMES = ["user_erasure_audit", "rake_word_scores", "link_hits"]
+
+    def test_results_invariant_under_bucket_count(self, ray_session, monkeypatch):
+        from edge_deid_studio_ray.pipelines.queries import QUERIES
+
+        base = {n: _canon(QUERIES[n](SF)) for n in self.NAMES}
+        monkeypatch.setenv("EDS_GROUP_BUCKETS", "5")
+        for n in self.NAMES:
+            again = _canon(QUERIES[n](SF))
+            assert again.equals(base[n]), n
+
+
+class TestZoneMapPruning:
+    def test_date_layout_prunes_at_least_as_well(self, ray_session):
+        from edge_deid_studio_ray.pipelines.queries import q_zone_map_pruning
+
+        df = _canon(q_zone_map_pruning(SF))
+        by = {r["layout"]: r for _, r in df.iterrows()}
+        assert set(by) == {"key_order", "date_sorted"}
+        # rows_selected is layout-independent (same predicate, same rows)
+        assert by["key_order"]["rows_selected"] == by["date_sorted"]["rows_selected"]
+        # clustering by the filter column can never read MORE blocks than a
+        # random-ish layout at equal block size: the whole point of the op
+        assert (
+            by["date_sorted"]["blocks_scanned"] <= by["key_order"]["blocks_scanned"]
+        )
+        assert 0 < by["date_sorted"]["scan_fraction"] <= 1.0
+
+
+class TestCorrMatrix:
+    def test_overflow_guard_trips_loudly(self, ray_session, tmp_path):
+        """Lifted magnitudes past 2^25 must raise, not wrap (ADVICE-rule:
+        loud failure instead of silent corruption)."""
+        import ray.data as rd
+
+        from edge_deid_studio_ray.pipelines import queries as q
+
+        big = pa.table(
+            {
+                "l_quantity": pa.array([1.0], pa.float64()),
+                "l_extendedprice": pa.array([float(1 << 26)], pa.float64()),
+                "l_discount": pa.array([0.05], pa.float64()),
+                "l_tax": pa.array([0.02], pa.float64()),
+            }
+        )
+        d = tmp_path / "lineitem.parquet"
+        import pyarrow.parquet as pq
+
+        pq.write_table(big, d)
+        # the query computes eagerly (driver fold), so the guard surfaces
+        # here as a (Ray-wrapped) ValueError
+        with pytest.raises(Exception, match="int64 partial bound"):
+            q.q_lineitem_corr_matrix(str(tmp_path))
+
+    def test_matches_numpy_corrcoef(self, ray_session):
+        """The exact-integer path must agree with float corrcoef to ~1e-9
+        on the lifted values (sanity against an independent implementation)."""
+        import duckdb
+
+        from edge_deid_studio_ray.pipelines.queries import q_lineitem_corr_matrix
+
+        got = _canon(q_lineitem_corr_matrix(SF))
+        con = duckdb.connect()
+        m = con.sql(
+            f"""SELECT CAST(floor(l_quantity + 0.5) AS BIGINT) a0,
+                       CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) a1,
+                       CAST(floor(l_discount*100 + 0.5) AS BIGINT) a2,
+                       CAST(floor(l_tax*100 + 0.5) AS BIGINT) a3
+               FROM read_parquet('{SF}/lineitem.parquet')"""
+        ).df()
+        c = np.corrcoef(m.to_numpy(dtype=np.float64).T)
+        names = ["quantity", "extendedprice", "discount", "tax"]
+        for _, row in got.iterrows():
+            i, j = names.index(row["col_a"]), names.index(row["col_b"])
+            assert abs(row["corr"] - c[i, j]) < 1e-6, (row["col_a"], row["col_b"])
+
+
+class TestRakeWordScores:
+    def test_phrase_runs_hand_fixture(self, ray_session, tmp_path):
+        """RAKE freq/deg on a hand-computed corpus: phrases split at the
+        stopword contract, deg sums phrase lengths per occurrence."""
+        import pyarrow.parquet as pq
+
+        from edge_deid_studio_ray.pipelines.queries import q_rake_word_scores
+
+        # doc: "big data systems in big data" -> phrases under stopword
+        # 'in': [big data systems] [big data]
+        # freq: big 2, data 2, systems 1; deg: big 3+2=5, data 5, systems 3
+        t = pa.table(
+            {
+                "doc_id": pa.array([1], pa.int64()),
+                "text": pa.array(["big data systems in big data"], pa.string()),
+            }
+        )
+        pq.write_table(t, tmp_path / "documents.parquet")
+        df = q_rake_word_scores(str(tmp_path)).to_pandas()
+        by = dict(zip(df["word"], zip(df["freq"], df["deg"])))
+        assert by == {"big": (2, 5), "data": (2, 5), "systems": (1, 3)}
+
+
+class TestLinkHits:
+    def test_top_scores_normalized_to_scale(self, ray_session):
+        """After max-normalization the best authority/hub must sit exactly
+        at S = 10^6 (the integer contract the oracle unrolls)."""
+        from edge_deid_studio_ray.pipelines.queries import q_link_hits
+
+        df = q_link_hits(SF).to_pandas()
+        assert len(df) == 20
+        assert int(df["auth"].max()) == 1_000_000
+        assert (df["auth"] >= 0).all() and (df["hub"] >= 0).all()
+        # sorted by auth desc then url
+        a = df["auth"].to_numpy()
+        assert (a[:-1] >= a[1:]).all()
+
+
+class TestRetrievalOps:
+    def test_conjunctive_is_subset_of_each_term(self, ray_session):
+        """AND semantics: every hit must contain every query term."""
+        import duckdb
+
+        from edge_deid_studio_ray.pipelines.queries import q_conjunctive_search
+
+        hits = q_conjunctive_search(SF).to_pandas()
+        assert len(hits) > 0
+        con = duckdb.connect()
+        for term in ("hash", "join", "window"):
+            ok = con.sql(
+                f"""SELECT COUNT(*) FROM read_parquet('{SF}/documents.parquet')
+                    WHERE doc_id IN {tuple(hits['doc_id'].tolist())}
+                      AND NOT list_contains(
+                            regexp_split_to_array(lower(COALESCE(text,'')), '\\s+'),
+                            '{term}')"""
+            ).fetchone()[0]
+            assert ok == 0, term
+
+    def test_phrase_counts_positive_and_adjacent(self, ray_session):
+        from edge_deid_studio_ray.pipelines.queries import q_phrase_search
+
+        df = q_phrase_search(SF).to_pandas()
+        assert len(df) > 0
+        assert (df["n_occ"] >= 1).all()
+
+
+class TestErasureAudit:
+    def test_cascade_conservation(self, ray_session):
+        """Erased + remaining must equal the table row counts, and the
+        lineitem cascade must erase exactly the erased orders' lines."""
+        import duckdb
+
+        from edge_deid_studio_ray.pipelines.queries import q_user_erasure_audit
+
+        df = _canon(q_user_erasure_audit(SF))
+        by = {r["tbl"]: r for _, r in df.iterrows()}
+        con = duckdb.connect()
+        for tbl in ("events", "customer", "orders", "lineitem"):
+            n = con.sql(
+                f"SELECT COUNT(*) FROM read_parquet('{SF}/{tbl}.parquet')"
+            ).fetchone()[0]
+            assert by[tbl]["n_erased"] + by[tbl]["n_remaining"] == n, tbl
+        cascade = con.sql(
+            f"""SELECT COUNT(*) FROM read_parquet('{SF}/lineitem.parquet')
+                WHERE l_orderkey IN (
+                  SELECT o_orderkey FROM read_parquet('{SF}/orders.parquet')
+                  WHERE o_custkey % 13 = 0)"""
+        ).fetchone()[0]
+        assert by["lineitem"]["n_erased"] == cascade
