@@ -14533,6 +14533,725 @@ def q_link_hits(sf_dir: str):
     )
 
 
+def q_attribution_first_touch(sf_dir: str):
+    """First-touch conversion attribution — the marketing-analytics join of
+    sessionization and funnel logic: every 'purchase' event is attributed
+    to the FIRST event type of its session (30-min inactivity gap, the
+    `events_sessions` contract), and the output counts purchases per
+    first-touch channel.  Deterministic total order ``(ts, event_id)``
+    pins "first" under timestamp ties on both engines.
+
+    Scale shape: ONE user-hash bucketed co-group (each user's events are
+    co-resident); sessionize + first-value + purchase counting fold inside
+    the group, so the only exchange after the narrow (user, us, id, type)
+    shuffle is a tiny (first_touch, n) grouped sum."""
+    from ray.data.aggregate import Sum
+
+    GAP_US = 1_800_000_000
+    nb = resolve_group_buckets()
+
+    def to_rows(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "event_id": batch["event_id"],
+                "us": batch["ts"].cast(pa.int64()),
+                "event_type": batch["event_type"],
+                "kb": _ibuckets(batch["user_id"], nb),
+            }
+        )
+
+    _EMPTY_ATTR = pd.DataFrame(
+        {"first_touch": pd.array([], dtype="str"), "n_p": pd.array([], dtype="int64")}
+    )
+
+    def attribute(bucket: pd.DataFrame) -> pd.DataFrame:
+        if bucket.empty:
+            return _EMPTY_ATTR
+        counts: Counter = Counter()
+        for _, g in bucket.groupby("user_id", sort=False):
+            g = g.sort_values(["us", "event_id"], kind="mergesort")
+            sid = (g["us"].diff().fillna(GAP_US + 1) > GAP_US).cumsum()
+            first = g.groupby(sid)["event_type"].transform("first")
+            purchases = first[(g["event_type"] == "purchase").to_numpy()]
+            counts.update(purchases.tolist())
+        keys = list(counts.keys())
+        return pd.DataFrame(
+            {
+                "first_touch": pd.Series(keys, dtype="str"),
+                "n_p": pd.Series([counts[k] for k in keys], dtype="int64"),
+            }
+        )
+
+    return (
+        _arrow_blocks(
+            _read(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"])
+            .map_batches(to_rows, batch_format="pyarrow")
+            .groupby("kb")
+            .map_groups(attribute, batch_format="pandas")
+        )
+        .groupby("first_touch")
+        .aggregate(Sum("n_p", alias_name="n_purchases"))
+    )
+
+
+def q_user_weekly_retention(sf_dir: str):
+    """Weekly cohort retention matrix — the product-analytics staple:
+    users cohorted by first-activity week (weeks since corpus start),
+    counted once per (cohort_week, week_offset) they were active in.
+    Diagonal offset 0 is the cohort size; the decay along each row is
+    the retention curve.
+
+    Scale shape: one global min(ts) scalar, then ONE user-hash bucketed
+    co-group (per-batch (user, week) distinct partials ship instead of
+    raw events); per-user cohort + offsets fold in the group and only
+    (cohort, offset, n) partial counts reach the final tiny grouped
+    sum."""
+    from ray.data.aggregate import Sum
+
+    WEEK_US = 7 * 24 * 3_600_000_000
+    nb = resolve_group_buckets()
+
+    start = int(
+        _read(sf_dir, "events", ["ts"])
+        .map_batches(
+            lambda b: pa.table(
+                {"m": pa.array([pc.min(b["ts"].cast(pa.int64())).as_py()], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+        .min("m")
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        week = (us - start) // WEEK_US
+        pairs = np.unique(np.stack([uid, week], axis=1), axis=0)
+        return pa.table(
+            {
+                "user_id": pa.array(pairs[:, 0], pa.int64()),
+                "week": pa.array(pairs[:, 1], pa.int64()),
+                "kb": _ibuckets(pairs[:, 0], nb),
+            }
+        )
+
+    _EMPTY_RET = pd.DataFrame(
+        {
+            "cohort_week": pd.array([], dtype="int64"),
+            "week_offset": pd.array([], dtype="int64"),
+            "n_p": pd.array([], dtype="int64"),
+        }
+    )
+
+    def fold(bucket: pd.DataFrame) -> pd.DataFrame:
+        if bucket.empty:
+            return _EMPTY_RET
+        counts: Counter = Counter()
+        for _, g in bucket.groupby("user_id", sort=False):
+            weeks = np.unique(g["week"].to_numpy())
+            cohort = int(weeks.min())
+            for w in weeks:
+                counts[(cohort, int(w) - cohort)] += 1
+        keys = list(counts.keys())
+        return pd.DataFrame(
+            {
+                "cohort_week": pd.Series([k[0] for k in keys], dtype="int64"),
+                "week_offset": pd.Series([k[1] for k in keys], dtype="int64"),
+                "n_p": pd.Series([counts[k] for k in keys], dtype="int64"),
+            }
+        )
+
+    return (
+        _arrow_blocks(
+            _read(sf_dir, "events", ["user_id", "ts"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("kb")
+            .map_groups(fold, batch_format="pandas")
+        )
+        .groupby(["cohort_week", "week_offset"])
+        .aggregate(Sum("n_p", alias_name="n_users"))
+    )
+
+
+def q_conversion_latency_quantiles(sf_dir: str):
+    """Time-to-convert distribution: per user, seconds from first 'view'
+    to first 'purchase' (users with both, purchase not before view), and
+    the EXACT discrete p25/p50/p75/p90 of that latency — the funnel-speed
+    report next to `events_funnel`'s conversion counts.  Quantile element
+    selection mirrors DuckDB ``quantile_disc`` (1-based ``ceil(q·n)``), so
+    the picked values are bit-identical.
+
+    Scale shape: per-batch (user, min_view, min_purchase) partials, one
+    user-grouped min-merge, then latencies collapse to a (latency, n)
+    histogram whose driver-side merge is bounded by the corpus TIME SPAN
+    in seconds (like the hourly/ACF ops), never by event count."""
+    import math
+
+    from ray.data.aggregate import Min
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_pylist()
+        ty = batch["event_type"].to_pylist()
+        us = batch["ts"].cast(pa.int64()).to_pylist()
+        mv: dict[int, int] = {}
+        mp: dict[int, int] = {}
+        for u, t, s in zip(uid, ty, us):
+            if t == "view":
+                if u not in mv or s < mv[u]:
+                    mv[u] = s
+            elif t == "purchase":
+                if u not in mp or s < mp[u]:
+                    mp[u] = s
+        users = sorted(set(mv) | set(mp))
+        BIG = 1 << 62
+        return pa.table(
+            {
+                "user_id": pa.array(users, pa.int64()),
+                "v_p": pa.array([mv.get(u, BIG) for u in users], pa.int64()),
+                "p_p": pa.array([mp.get(u, BIG) for u in users], pa.int64()),
+            }
+        )
+
+    BIG = 1 << 62
+    per_user = (
+        _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Min("v_p", alias_name="v"), Min("p_p", alias_name="p"))
+    )
+
+    def lat_hist(batch: pa.Table) -> pa.Table:
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        p = batch["p"].to_numpy(zero_copy_only=False)
+        ok = (v < BIG) & (p < BIG) & (p >= v)
+        lat = (p[ok] - v[ok]) // 1_000_000
+        lu, lc = np.unique(lat, return_counts=True)
+        return pa.table(
+            {"lat": pa.array(lu, pa.int64()), "n_p": pa.array(lc.astype(np.int64))}
+        )
+
+    from ray.data.aggregate import Sum
+
+    rows = (
+        per_user.map_batches(lat_hist, batch_format="pyarrow")
+        .groupby("lat")
+        .aggregate(Sum("n_p", alias_name="n"))
+        .take_all()
+    )
+    rows.sort(key=lambda r: r["lat"])
+    values = np.array([r["lat"] for r in rows], dtype=np.int64)
+    cum = np.array([r["n"] for r in rows], dtype=np.int64).cumsum()
+    total = int(cum[-1]) if len(cum) else 0
+
+    def disc(q: float) -> int:
+        target = math.ceil(q * total)
+        return int(values[int((cum >= target).argmax())])
+
+    return pa.table(
+        {
+            "n_converted": pa.array([total], pa.int64()),
+            "p25": pa.array([disc(0.25)], pa.int64()),
+            "p50": pa.array([disc(0.50)], pa.int64()),
+            "p75": pa.array([disc(0.75)], pa.int64()),
+            "p90": pa.array([disc(0.90)], pa.int64()),
+        }
+    )
+
+
+def q_systematic_sample(sf_dir: str):
+    """Systematic (every k-th) sampling by global ``(ts, event_id)`` rank,
+    k = 997 — the deterministic, evenly-spaced alternative to Bernoulli
+    sampling when downstream wants uniform TIME coverage; returns the
+    sampled event ids with their ranks so the spacing is auditable.
+
+    Scale shape: the `docs_global_rank` two-phase zip-with-index — a tiny
+    per-HOUR histogram (O(hours), time-bounded) broadcast as exclusive
+    prefix offsets, then within-hour ranking in a grouped fold; only
+    sampled rows leave the group task.  Partitioning assumption: one
+    hour's events fit a group task (drop to minute granularity when they
+    don't)."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    K = 997
+    HOUR_US = 3_600_000_000
+
+    ds = _read(sf_dir, "events", ["event_id", "ts"])
+
+    def hour_counts(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hu, hc = np.unique(us // HOUR_US, return_counts=True)
+        return pa.table(
+            {"hour": pa.array(hu, pa.int64()), "n_p": pa.array(hc.astype(np.int64))}
+        )
+
+    hist = (
+        ds.map_batches(hour_counts, batch_format="pyarrow")
+        .groupby("hour")
+        .aggregate(Sum("n_p", alias_name="n"))
+        .take_all()
+    )
+    hist.sort(key=lambda r: r["hour"])
+    offsets, run = {}, 0
+    for r in hist:
+        offsets[int(r["hour"])] = run
+        run += int(r["n"])
+    off_ref = ray.put(offsets)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.int64())
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "us": us,
+                "hour": pc.divide(us, HOUR_US),
+            }
+        )
+
+    _EMPTY_SAMP = pd.DataFrame(
+        {"event_id": pd.array([], dtype="int64"), "rank": pd.array([], dtype="int64")}
+    )
+
+    def pick(group: pd.DataFrame) -> pd.DataFrame:
+        if group.empty:
+            return _EMPTY_SAMP
+        base = ray.get(off_ref)[int(group["hour"].iloc[0])]
+        g = group.sort_values(["us", "event_id"], kind="mergesort")
+        rank = base + np.arange(len(g), dtype=np.int64)
+        keep = rank % K == 0
+        return pd.DataFrame(
+            {
+                "event_id": pd.Series(
+                    g["event_id"].to_numpy()[keep], dtype="int64"
+                ),
+                "rank": pd.Series(rank[keep], dtype="int64"),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("hour")
+        .map_groups(pick, batch_format="pandas")
+    )
+
+
+def q_orders_constraint_audit(sf_dir: str):
+    """Data-validation constraint battery over ``orders`` — the
+    expectations-suite shape (unique key, non-negative amount, FK
+    integrity, domain membership, date bounds) reported as violation
+    counts per rule.  Zero counts are the PASSING result the audit
+    exists to prove; the uniqueness and FK rules still exercise the
+    real distributed machinery.
+
+    Scale shape: the value rules (amount, status, date) fold map-side
+    to scalar partials; uniqueness ships per-batch (key, count)
+    partials into a key-hash bucketed exact count; the FK orphan rule
+    is an orderkey… custkey-hash bucketed anti-join of order custkeys
+    against customer marks (narrow int rows).  One final tiny grouped
+    sum emits the five-row report."""
+    from ray.data.aggregate import Sum
+
+    nb = resolve_group_buckets()
+
+    def value_rules(batch: pa.Table) -> pa.Table:
+        tp = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        bad_price = int(np.isnan(tp).sum() + (tp <= 0).sum())
+        st = batch["o_orderstatus"].to_pylist()
+        bad_status = sum(1 for s in st if s not in ("O", "F", "P"))
+        us = batch["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        lo = int(pd.Timestamp("1990-01-01").value // 1000)
+        hi = int(pd.Timestamp("2010-01-01").value // 1000)
+        bad_date = int(((us < lo) | (us >= hi)).sum())
+        return pa.table(
+            {
+                "rule": pa.array(
+                    ["null_or_nonpositive_totalprice", "bad_orderstatus", "orderdate_out_of_range"],
+                    pa.string(),
+                ),
+                "n_p": pa.array([bad_price, bad_status, bad_date], pa.int64()),
+            }
+        )
+
+    values = (
+        _read(
+            sf_dir, "orders", ["o_totalprice", "o_orderstatus", "o_orderdate"]
+        ).map_batches(value_rules, batch_format="pyarrow")
+    )
+
+    # uniqueness: exact per-key counts via key-hash bucketed fold
+    def key_partial(batch: pa.Table) -> pa.Table:
+        k = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        ku, kc = np.unique(k, return_counts=True)
+        return pa.table(
+            {
+                "key": pa.array(ku, pa.int64()),
+                "n": pa.array(kc.astype(np.int64)),
+                "kb": _ibuckets(ku, nb),
+            }
+        )
+
+    _EMPTY_RULE = pd.DataFrame(
+        {"rule": pd.array([], dtype="str"), "n_p": pd.array([], dtype="int64")}
+    )
+
+    def dup_fold(bucket: pd.DataFrame) -> pd.DataFrame:
+        if bucket.empty:
+            return _EMPTY_RULE
+        g = bucket.groupby("key")["n"].sum()
+        dup_rows = int(g[g > 1].sum())
+        return pd.DataFrame(
+            {
+                "rule": pd.array(["duplicate_orderkey_rows"], dtype="str"),
+                "n_p": pd.array([dup_rows], dtype="int64"),
+            }
+        )
+
+    dups = _arrow_blocks(
+        _read(sf_dir, "orders", ["o_orderkey"])
+        .map_batches(key_partial, batch_format="pyarrow")
+        .groupby("kb")
+        .map_groups(dup_fold, batch_format="pandas")
+    )
+
+    # FK orphans: order custkeys vs customer marks, custkey-hash co-group
+    def order_cust(batch: pa.Table) -> pa.Table:
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        cu, cc = np.unique(ck, return_counts=True)
+        return pa.table(
+            {
+                "ckey": pa.array(cu, pa.int64()),
+                "n": pa.array(cc.astype(np.int64)),
+                "side": pa.array([0] * len(cu), pa.int8()),
+                "kb": _ibuckets(cu, nb),
+            }
+        )
+
+    def customer_marks(batch: pa.Table) -> pa.Table:
+        ck = batch["c_custkey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "ckey": pa.array(ck, pa.int64()),
+                "n": pa.array(np.zeros(len(ck), dtype=np.int64)),
+                "side": pa.array([1] * len(ck), pa.int8()),
+                "kb": _ibuckets(ck, nb),
+            }
+        )
+
+    def orphan_fold(bucket: pd.DataFrame) -> pd.DataFrame:
+        if bucket.empty:
+            return _EMPTY_RULE
+        known = set(bucket.loc[bucket["side"] == 1, "ckey"].tolist())
+        od = bucket[bucket["side"] == 0]
+        orphan_rows = int(od.loc[~od["ckey"].isin(known), "n"].sum())
+        return pd.DataFrame(
+            {
+                "rule": pd.array(["orphan_custkey_rows"], dtype="str"),
+                "n_p": pd.array([orphan_rows], dtype="int64"),
+            }
+        )
+
+    orphans = _arrow_blocks(
+        _read(sf_dir, "orders", ["o_custkey"])
+        .map_batches(order_cust, batch_format="pyarrow")
+        .union(
+            _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+                customer_marks, batch_format="pyarrow"
+            )
+        )
+        .groupby("kb")
+        .map_groups(orphan_fold, batch_format="pandas")
+    )
+
+    return (
+        values.union(dups)
+        .union(orphans)
+        .groupby("rule")
+        .aggregate(Sum("n_p", alias_name="n_violations"))
+    )
+
+
+def q_events_dow_hour_profile(sf_dir: str):
+    """Weekly seasonality heatmap: event counts per (day-of-week,
+    hour-of-day) with each cell's share of total traffic — the profile
+    behind load forecasting and anomaly baselines.  Day-of-week derives
+    from epoch arithmetic ``(days + 4) % 7`` (1970-01-01 was a Thursday;
+    0 = Sunday) IDENTICALLY in both engines — no engine-specific
+    calendar/locale builtin on either side.
+
+    Scale shape: embarrassingly parallel per-batch (dow, hour) partial
+    counts; one ≤168-key grouped sum; the share division is a single
+    IEEE op on exact integers."""
+    from ray.data.aggregate import Sum
+
+    DAY_US = 86_400_000_000
+    HOUR_US = 3_600_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        dow = ((us // DAY_US) + 4) % 7
+        hour = (us // HOUR_US) % 24
+        keys = dow * 24 + hour
+        ku, kc = np.unique(keys, return_counts=True)
+        return pa.table(
+            {
+                "dow": pa.array(ku // 24, pa.int64()),
+                "hour": pa.array(ku % 24, pa.int64()),
+                "n_p": pa.array(kc.astype(np.int64)),
+            }
+        )
+
+    cells = (
+        _read(sf_dir, "events", ["ts"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["dow", "hour"])
+        .aggregate(Sum("n_p", alias_name="n"))
+        .take_all()
+    )
+    total = sum(int(r["n"]) for r in cells)
+    cells.sort(key=lambda r: (r["dow"], r["hour"]))
+    return pa.table(
+        {
+            "dow": pa.array([int(r["dow"]) for r in cells], pa.int64()),
+            "hour": pa.array([int(r["hour"]) for r in cells], pa.int64()),
+            "n": pa.array([int(r["n"]) for r in cells], pa.int64()),
+            "share": pa.array(
+                [round(float(int(r["n"])) / total, 6) for r in cells], pa.float64()
+            ),
+        }
+    )
+
+
+def q_zorder_layout_audit(sf_dir: str):
+    """Z-ORDER clustering audit — the multi-dimensional sequel to
+    `zone_map_pruning`: quantize ``(o_custkey, o_orderdate)`` to 8 bits
+    each by value range, interleave the bits into a 16-bit Morton code,
+    lay 250-row blocks along the global ``(z, o_orderkey)`` rank, and
+    compare blocks scanned by a TWO-dimensional predicate (a custkey
+    band AND a half-year date window) against the key-ordered layout.
+    Single-column sorting optimizes one dimension; Z-order is what
+    actually helps conjunctive predicates — this op measures exactly
+    that.
+
+    Scale shape: quantization bounds come from two scalar aggregates;
+    the z-rank reuses the two-phase histogram pattern with a ≤2¹⁶-key
+    histogram (bounded by the code width, NOT by rows); per-block
+    min/max zone maps for BOTH dims fold map-side; the audit is a
+    constant-size scalar fold."""
+    import ray
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    B = 250
+    BITS = 8
+    DAY_US = 86_400_000_000
+    DLO = int(pd.Timestamp("1998-01-01").value // 1000)
+    DHI = int(pd.Timestamp("1998-07-01").value // 1000)
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    bounds = ds.map_batches(
+        lambda b: pa.table(
+            {
+                "cmax_p": pa.array(
+                    [pc.max(b["o_custkey"]).as_py()], pa.int64()
+                ),
+                "dmin_p": pa.array(
+                    [pc.min(b["o_orderdate"].cast(pa.int64())).as_py() // DAY_US],
+                    pa.int64(),
+                ),
+                "dmax_p": pa.array(
+                    [pc.max(b["o_orderdate"].cast(pa.int64())).as_py() // DAY_US],
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).aggregate(
+        Max("cmax_p", alias_name="cmax"),
+        Min("dmin_p", alias_name="dmin"),
+        Max("dmax_p", alias_name="dmax"),
+    )
+    cmax = int(bounds["cmax"])
+    dmin, dmax = int(bounds["dmin"]), int(bounds["dmax"])
+    CLO_P, CHI_P = cmax // 4, cmax // 2  # the custkey band predicate
+
+    def _morton(qx: np.ndarray, qy: np.ndarray) -> np.ndarray:
+        z = np.zeros_like(qx)
+        for i in range(BITS):
+            z |= ((qx >> i) & 1) << (2 * i)
+            z |= ((qy >> i) & 1) << (2 * i + 1)
+        return z
+
+    def z_tag(batch: pa.Table) -> pa.Table:
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        us = batch["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = us // DAY_US
+        qx = ck * 256 // (cmax + 1)
+        qy = (day - dmin) * 256 // (dmax - dmin + 1)
+        return pa.table(
+            {
+                "key": batch["o_orderkey"],
+                "ck": pa.array(ck, pa.int64()),
+                "us": pa.array(us, pa.int64()),
+                "z": pa.array(_morton(qx, qy), pa.int64()),
+            }
+        )
+
+    # reused by four downstream passes (histogram, both layouts, the
+    # selectivity count) — materialize the narrow 4-int projection once
+    tagged = ds.map_batches(z_tag, batch_format="pyarrow").materialize()
+
+    def z_counts(batch: pa.Table) -> pa.Table:
+        zu, zc = np.unique(
+            batch["z"].to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table(
+            {"z": pa.array(zu, pa.int64()), "n_p": pa.array(zc.astype(np.int64))}
+        )
+
+    hist = (
+        tagged.map_batches(z_counts, batch_format="pyarrow")
+        .groupby("z")
+        .aggregate(Sum("n_p", alias_name="n"))
+        .take_all()
+    )
+    hist.sort(key=lambda r: r["z"])
+    offsets, run = {}, 0
+    for r in hist:
+        offsets[int(r["z"])] = run
+        run += int(r["n"])
+    off_ref = ray.put(offsets)
+
+    _EMPTY_Z = pd.DataFrame(
+        {
+            "blk": pd.array([], dtype="int64"),
+            "cmn_p": pd.array([], dtype="int64"),
+            "cmx_p": pd.array([], dtype="int64"),
+            "dmn_p": pd.array([], dtype="int64"),
+            "dmx_p": pd.array([], dtype="int64"),
+        }
+    )
+
+    nb = resolve_group_buckets()
+
+    def z_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "kb", _ibuckets(batch["z"], nb)
+        )
+
+    def z_blocks(bucket: pd.DataFrame) -> pd.DataFrame:
+        # one co-group bucket holds MANY z codes (never one tiny group per
+        # code — 2^16 codes would be the ≥5k-key tiny-group pathology);
+        # rank each row as offsets[z] + its index within its z run
+        if bucket.empty:
+            return _EMPTY_Z
+        off = ray.get(off_ref)
+        g = bucket.sort_values(["z", "key"], kind="mergesort")
+        z_arr = g["z"].to_numpy()
+        n = len(g)
+        starts = np.r_[0, np.flatnonzero(np.diff(z_arr)) + 1]
+        counts = np.diff(np.r_[starts, n])
+        within = np.arange(n, dtype=np.int64) - np.repeat(starts, counts)
+        bases = np.array([off[int(z_arr[s])] for s in starts], dtype=np.int64)
+        rank = np.repeat(bases, counts) + within
+        df = pd.DataFrame(
+            {"blk": rank // B, "ck": g["ck"].to_numpy(), "us": g["us"].to_numpy()}
+        )
+        a = df.groupby("blk").agg(
+            cmn_p=("ck", "min"),
+            cmx_p=("ck", "max"),
+            dmn_p=("us", "min"),
+            dmx_p=("us", "max"),
+        )
+        return a.reset_index().astype("int64")
+
+    def key_blocks2(batch: pa.Table) -> pa.Table:
+        key = batch["key"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {
+                "blk": key // B,
+                "ck": batch["ck"].to_numpy(zero_copy_only=False),
+                "us": batch["us"].to_numpy(zero_copy_only=False),
+            }
+        )
+        a = df.groupby("blk").agg(
+            cmn_p=("ck", "min"),
+            cmx_p=("ck", "max"),
+            dmn_p=("us", "min"),
+            dmx_p=("us", "max"),
+        )
+        return pa.Table.from_pandas(
+            a.reset_index().astype("int64"), preserve_index=False
+        )
+
+    def audit(layout: str, blocks_ds) -> tuple[str, int, int]:
+        def part(batch: pa.Table) -> pa.Table:
+            cmn = batch["cmn"].to_numpy(zero_copy_only=False)
+            cmx = batch["cmx"].to_numpy(zero_copy_only=False)
+            dmn = batch["dmn"].to_numpy(zero_copy_only=False)
+            dmx = batch["dmx"].to_numpy(zero_copy_only=False)
+            hit = (cmn <= CHI_P) & (cmx >= CLO_P) & (dmn < DHI) & (dmx >= DLO)
+            return pa.table(
+                {
+                    "nb_p": pa.array([len(cmn)], pa.int64()),
+                    "sc_p": pa.array([int(hit.sum())], pa.int64()),
+                }
+            )
+
+        totals = blocks_ds.map_batches(part, batch_format="pyarrow").aggregate(
+            Sum("nb_p", alias_name="nb"), Sum("sc_p", alias_name="sc")
+        )
+        return layout, int(totals["nb"]), int(totals["sc"])
+
+    aggs = (
+        Min("cmn_p", alias_name="cmn"),
+        Max("cmx_p", alias_name="cmx"),
+        Min("dmn_p", alias_name="dmn"),
+        Max("dmx_p", alias_name="dmx"),
+    )
+    key_layout = audit(
+        "key_order",
+        tagged.map_batches(key_blocks2, batch_format="pyarrow")
+        .groupby("blk")
+        .aggregate(*aggs),
+    )
+    z_layout = audit(
+        "zorder",
+        _arrow_blocks(
+            tagged.map_batches(z_bucket, batch_format="pyarrow")
+            .groupby("kb")
+            .map_groups(z_blocks, batch_format="pandas")
+        )
+        .groupby("blk")
+        .aggregate(*aggs),
+    )
+
+    def sel_part(batch: pa.Table) -> pa.Table:
+        ck = batch["ck"].to_numpy(zero_copy_only=False)
+        us = batch["us"].to_numpy(zero_copy_only=False)
+        n = int(((ck >= CLO_P) & (ck <= CHI_P) & (us >= DLO) & (us < DHI)).sum())
+        return pa.table({"n_p": pa.array([n], pa.int64())})
+
+    rows_selected = int(
+        tagged.map_batches(sel_part, batch_format="pyarrow").sum("n_p") or 0
+    )
+
+    layouts = [key_layout, z_layout]
+    return pa.table(
+        {
+            "layout": pa.array([r[0] for r in layouts], pa.string()),
+            "n_blocks": pa.array([r[1] for r in layouts], pa.int64()),
+            "blocks_scanned": pa.array([r[2] for r in layouts], pa.int64()),
+            "rows_selected": pa.array([rows_selected] * 2, pa.int64()),
+            "scan_fraction": pa.array(
+                [round(float(r[2]) / r[1], 6) for r in layouts], pa.float64()
+            ),
+        }
+    )
+
+
 QUERIES = {
     "doc_stats_by_lang": q_doc_stats_by_lang,
     "doc_token_stats": q_doc_token_stats,
@@ -14752,6 +15471,13 @@ QUERIES = {
     "lineitem_corr_matrix": q_lineitem_corr_matrix,
     "rake_word_scores": q_rake_word_scores,
     "link_hits": q_link_hits,
+    "attribution_first_touch": q_attribution_first_touch,
+    "user_weekly_retention": q_user_weekly_retention,
+    "conversion_latency_quantiles": q_conversion_latency_quantiles,
+    "systematic_sample": q_systematic_sample,
+    "orders_constraint_audit": q_orders_constraint_audit,
+    "events_dow_hour_profile": q_events_dow_hour_profile,
+    "zorder_layout_audit": q_zorder_layout_audit,
 }
 
 
@@ -18920,6 +19646,159 @@ ORACLE_SQL["rake_word_scores"] = rf"""
     SELECT word, freq, deg, ROUND(CAST(deg AS DOUBLE)/freq, 6) AS score
     FROM scores
     ORDER BY CAST(deg AS DOUBLE)/freq DESC, word LIMIT 20
+"""
+
+# first-touch attribution: sessionize (30-min gap) under the (us, event_id)
+# total order, FIRST_VALUE per session, count purchases per first touch
+ORACLE_SQL["attribution_first_touch"] = """
+    WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+    lagd AS (
+      SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS pus
+      FROM e),
+    sess AS (
+      SELECT *, SUM(CASE WHEN pus IS NULL OR us - pus > 1800000000 THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY us, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM lagd),
+    ft AS (
+      SELECT *, FIRST_VALUE(event_type)
+                OVER (PARTITION BY user_id, sid ORDER BY us, event_id) AS first_touch
+      FROM sess)
+    SELECT first_touch, COUNT(*)::BIGINT AS n_purchases
+    FROM ft WHERE event_type = 'purchase' GROUP BY 1
+"""
+
+# weekly cohort retention: cohort = first-activity week since corpus start,
+# one count per (cohort, offset) a user was active in
+ORACLE_SQL["user_weekly_retention"] = """
+    WITH st AS (SELECT min(epoch_us(ts)) AS s FROM events),
+    uw AS (
+      SELECT DISTINCT user_id,
+             (epoch_us(ts) - (SELECT s FROM st)) // 604800000000 AS week
+      FROM events),
+    ch AS (SELECT user_id, min(week) AS cohort FROM uw GROUP BY 1)
+    SELECT CAST(ch.cohort AS BIGINT) AS cohort_week,
+           CAST(uw.week - ch.cohort AS BIGINT) AS week_offset,
+           COUNT(*)::BIGINT AS n_users
+    FROM uw JOIN ch USING (user_id) GROUP BY 1, 2
+"""
+
+# conversion latency: first view -> first purchase per user; quantile_disc
+# is the oracle's own ceil(q*n) discrete-element rule, mirrored exactly
+ORACLE_SQL["conversion_latency_quantiles"] = """
+    WITH u AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS v,
+             min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS p
+      FROM events GROUP BY 1),
+    lat AS (
+      SELECT (p - v) // 1000000 AS lat
+      FROM u WHERE v IS NOT NULL AND p IS NOT NULL AND p >= v)
+    SELECT COUNT(*)::BIGINT AS n_converted,
+           CAST(quantile_disc(lat, 0.25) AS BIGINT) AS p25,
+           CAST(quantile_disc(lat, 0.50) AS BIGINT) AS p50,
+           CAST(quantile_disc(lat, 0.75) AS BIGINT) AS p75,
+           CAST(quantile_disc(lat, 0.90) AS BIGINT) AS p90
+    FROM lat
+"""
+
+# systematic sampling: every 997th row of the global (ts, event_id) order
+ORACLE_SQL["systematic_sample"] = """
+    SELECT event_id, rk AS "rank" FROM (
+      SELECT event_id,
+             ROW_NUMBER() OVER (ORDER BY epoch_us(ts), event_id) - 1 AS rk
+      FROM events)
+    WHERE rk % 997 = 0
+"""
+
+# constraint battery: value rules + exact duplicate-key row count + FK
+# orphan row count (NOT IN is safe: customer keys are non-null)
+ORACLE_SQL["orders_constraint_audit"] = """
+    SELECT 'null_or_nonpositive_totalprice' AS rule,
+           (SELECT COUNT(*) FROM orders
+            WHERE o_totalprice IS NULL OR o_totalprice <= 0)::BIGINT AS n_violations
+    UNION ALL
+    SELECT 'bad_orderstatus',
+           (SELECT COUNT(*) FROM orders
+            WHERE o_orderstatus NOT IN ('O', 'F', 'P'))::BIGINT
+    UNION ALL
+    SELECT 'orderdate_out_of_range',
+           (SELECT COUNT(*) FROM orders
+            WHERE o_orderdate < TIMESTAMP '1990-01-01'
+               OR o_orderdate >= TIMESTAMP '2010-01-01')::BIGINT
+    UNION ALL
+    SELECT 'duplicate_orderkey_rows',
+           (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) FROM (
+              SELECT COUNT(*) AS c FROM orders
+              GROUP BY o_orderkey HAVING COUNT(*) > 1))
+    UNION ALL
+    SELECT 'orphan_custkey_rows',
+           (SELECT COUNT(*) FROM orders
+            WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))::BIGINT
+"""
+
+# weekly seasonality: dow from epoch arithmetic ((days+4)%7, 0=Sunday) —
+# the identical integer chain in both engines, no calendar builtin
+ORACLE_SQL["events_dow_hour_profile"] = """
+    WITH c AS (
+      SELECT ((epoch_us(ts) // 86400000000) + 4) % 7 AS dow,
+             (epoch_us(ts) // 3600000000) % 24 AS hour,
+             COUNT(*)::BIGINT AS n
+      FROM events GROUP BY 1, 2),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
+    SELECT CAST(dow AS BIGINT) AS dow, CAST(hour AS BIGINT) AS hour, n,
+           ROUND(CAST(n AS DOUBLE) / (SELECT total FROM t), 6) AS share
+    FROM c
+"""
+
+# Z-order audit: 8-bit range quantization, Morton interleave via a bit-op
+# list comprehension, blocks along the (z, key) global rank, 2-dim predicate
+ORACLE_SQL["zorder_layout_audit"] = """
+    WITH b AS (
+      SELECT max(o_custkey) AS cmax,
+             min(epoch_us(o_orderdate) // 86400000000) AS dmin,
+             max(epoch_us(o_orderdate) // 86400000000) AS dmax
+      FROM orders),
+    t AS (
+      SELECT o_orderkey AS key, o_custkey AS ck, epoch_us(o_orderdate) AS us,
+             (o_custkey * 256) // (b.cmax + 1) AS qx,
+             ((epoch_us(o_orderdate) // 86400000000 - b.dmin) * 256)
+               // (b.dmax - b.dmin + 1) AS qy
+      FROM orders, b),
+    z AS (
+      SELECT key, ck, us,
+             list_sum([(((qx >> i) & 1) << (2*i)) + (((qy >> i) & 1) << (2*i+1))
+                       for i in range(0, 8)]) AS z
+      FROM t),
+    zr AS (SELECT key, ck, us, ROW_NUMBER() OVER (ORDER BY z, key) - 1 AS rk FROM z),
+    zb AS (SELECT rk // 250 AS blk, min(ck) AS cmn, max(ck) AS cmx,
+                  min(us) AS dmn, max(us) AS dmx FROM zr GROUP BY 1),
+    kb AS (SELECT key // 250 AS blk, min(ck) AS cmn, max(ck) AS cmx,
+                  min(us) AS dmn, max(us) AS dmx FROM z GROUP BY 1),
+    pr AS (SELECT (SELECT cmax FROM b) // 4 AS clo, (SELECT cmax FROM b) // 2 AS chi,
+                  epoch_us(TIMESTAMP '1998-01-01') AS dlo,
+                  epoch_us(TIMESTAMP '1998-07-01') AS dhi),
+    sel AS (SELECT COUNT(*)::BIGINT AS n FROM z, pr
+            WHERE ck >= pr.clo AND ck <= pr.chi AND us >= pr.dlo AND us < pr.dhi)
+    SELECT 'key_order' AS layout, COUNT(*)::BIGINT AS n_blocks,
+           CAST(SUM(CASE WHEN cmn <= (SELECT chi FROM pr) AND cmx >= (SELECT clo FROM pr)
+                          AND dmn < (SELECT dhi FROM pr) AND dmx >= (SELECT dlo FROM pr)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS blocks_scanned,
+           (SELECT n FROM sel) AS rows_selected,
+           ROUND(CAST(SUM(CASE WHEN cmn <= (SELECT chi FROM pr) AND cmx >= (SELECT clo FROM pr)
+                          AND dmn < (SELECT dhi FROM pr) AND dmx >= (SELECT dlo FROM pr)
+                     THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS scan_fraction
+    FROM kb
+    UNION ALL
+    SELECT 'zorder', COUNT(*)::BIGINT,
+           CAST(SUM(CASE WHEN cmn <= (SELECT chi FROM pr) AND cmx >= (SELECT clo FROM pr)
+                          AND dmn < (SELECT dhi FROM pr) AND dmx >= (SELECT dlo FROM pr)
+                     THEN 1 ELSE 0 END) AS BIGINT),
+           (SELECT n FROM sel),
+           ROUND(CAST(SUM(CASE WHEN cmn <= (SELECT chi FROM pr) AND cmx >= (SELECT clo FROM pr)
+                          AND dmn < (SELECT dhi FROM pr) AND dmx >= (SELECT dlo FROM pr)
+                     THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+    FROM zb
 """
 
 # HITS, 2 unrolled rounds: integer message sums over the fixture-derived
