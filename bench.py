@@ -200,6 +200,9 @@ def _bench_queries(sf_dir: str) -> dict[str, float]:
         "rake_word_scores",
         "link_hits",
         "lineitem_corr_matrix",
+        "attribution_first_touch",
+        "user_weekly_retention",
+        "zorder_layout_audit",
     ]
     timings: dict[str, float] = {}
     for name in names:

@@ -15252,6 +15252,324 @@ def q_zorder_layout_audit(sf_dir: str):
     )
 
 
+def q_customer_order_gaps(sf_dir: str):
+    """Inter-purchase interval distribution: per customer with ≥2 orders,
+    the day gaps between consecutive orders (ordered by (date, orderkey)),
+    reported as repeat-customer count, gap count, mean gap and exact
+    discrete p50/p90 — the repeat-behavior profile behind churn and
+    replenishment models.
+
+    Scale shape: ONE custkey-hash bucketed co-group (narrow
+    (cust, us, key) rows); per-customer sorted diffs fold to a (gap, n)
+    histogram whose driver merge is bounded by the corpus span in DAYS,
+    never by order count."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    nb = resolve_group_buckets()
+    DAY_US = 86_400_000_000
+
+    def to_rows(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "ck": batch["o_custkey"],
+                "us": batch["o_orderdate"].cast(pa.int64()),
+                "key": batch["o_orderkey"],
+                "kb": _ibuckets(batch["o_custkey"], nb),
+            }
+        )
+
+    _EMPTY_GAP = pd.DataFrame(
+        {
+            "gap": pd.array([], dtype="int64"),
+            "n_p": pd.array([], dtype="int64"),
+            "multi_p": pd.array([], dtype="int64"),
+        }
+    )
+
+    def fold(bucket: pd.DataFrame) -> pd.DataFrame:
+        if bucket.empty:
+            return _EMPTY_GAP
+        hist: Counter = Counter()
+        multi = 0
+        for _, g in bucket.groupby("ck", sort=False):
+            if len(g) < 2:
+                continue
+            multi += 1
+            g = g.sort_values(["us", "key"], kind="mergesort")
+            gaps = np.diff(g["us"].to_numpy()) // DAY_US
+            for gp in gaps:
+                hist[int(gp)] += 1
+        keys = list(hist.keys())
+        return pd.DataFrame(
+            {
+                "gap": pd.Series(keys, dtype="int64"),
+                "n_p": pd.Series([hist[k] for k in keys], dtype="int64"),
+                "multi_p": pd.Series(
+                    [multi] + [0] * (len(keys) - 1) if keys else [], dtype="int64"
+                ),
+            }
+        )
+
+    rows = (
+        _arrow_blocks(
+            _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_orderkey"])
+            .map_batches(to_rows, batch_format="pyarrow")
+            .groupby("kb")
+            .map_groups(fold, batch_format="pandas")
+        )
+        .groupby("gap")
+        .aggregate(Sum("n_p", alias_name="n"), Sum("multi_p", alias_name="m"))
+        .take_all()
+    )
+    rows.sort(key=lambda r: r["gap"])
+    n_multi = sum(int(r["m"]) for r in rows)
+    values = np.array([r["gap"] for r in rows], dtype=np.int64)
+    counts = np.array([r["n"] for r in rows], dtype=np.int64)
+    cum = counts.cumsum()
+    n_gaps = int(cum[-1]) if len(cum) else 0
+    gap_sum = int((values * counts).sum())
+
+    def disc(q: float) -> int:
+        target = math.ceil(q * n_gaps)
+        return int(values[int((cum >= target).argmax())])
+
+    return pa.table(
+        {
+            "n_customers_multi": pa.array([n_multi], pa.int64()),
+            "n_gaps": pa.array([n_gaps], pa.int64()),
+            "mean_gap_days": pa.array(
+                [round(float(gap_sum) / n_gaps, 6)], pa.float64()
+            ),
+            "p50": pa.array([disc(0.50)], pa.int64()),
+            "p90": pa.array([disc(0.90)], pa.int64()),
+        }
+    )
+
+
+def q_events_funnel_windowed(sf_dir: str):
+    """Windowed strict-order funnel: users with a view → click → purchase
+    triple (strictly increasing timestamps) completing within 24 HOURS
+    end-to-end — the time-bounded conversion count `events_funnel`'s
+    unbounded ordering can't express.  Existence semantics: ∃ (v, c, p)
+    with v < c < p and p − v ≤ 24 h, evaluated per user.
+
+    Scale shape: one user-hash bucketed co-group; inside each user the
+    scan keeps sorted view/click arrays and answers each purchase with
+    two binary searches (exists view in [p − 24 h, latest-click-before-p))
+    — O(n log n) per user, no cross-user state, one scalar sum out."""
+    from ray.data.aggregate import Sum
+
+    WIN_US = 24 * 3_600_000_000
+    nb = resolve_group_buckets()
+
+    def to_rows(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "us": batch["ts"].cast(pa.int64()),
+                "event_type": batch["event_type"],
+                "kb": _ibuckets(batch["user_id"], nb),
+            }
+        )
+
+    def fold(bucket: pd.DataFrame) -> pd.DataFrame:
+        done = 0
+        for _, g in bucket.groupby("user_id", sort=False):
+            ty = g["event_type"].to_numpy()
+            us = g["us"].to_numpy()
+            views = np.sort(us[ty == "view"])
+            clicks = np.sort(us[ty == "click"])
+            purchases = us[ty == "purchase"]
+            if not (len(views) and len(clicks) and len(purchases)):
+                continue
+            for p in purchases:
+                # latest click strictly before p
+                ci = int(np.searchsorted(clicks, p, side="left")) - 1
+                if ci < 0:
+                    continue
+                c = int(clicks[ci])
+                # exists view v with p - WIN <= v < c
+                lo = int(np.searchsorted(views, p - WIN_US, side="left"))
+                if lo < len(views) and views[lo] < c:
+                    done += 1
+                    break
+        return pd.DataFrame({"n_p": pd.array([done], dtype="int64")})
+
+    totals = (
+        _arrow_blocks(
+            _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+            .map_batches(to_rows, batch_format="pyarrow")
+            .groupby("kb")
+            .map_groups(fold, batch_format="pandas")
+        )
+        .aggregate(Sum("n_p", alias_name="n"))
+    )
+    return pa.table({"n_users": pa.array([int(totals["n"])], pa.int64())})
+
+
+def q_events_hourly_top_types(sf_dir: str):
+    """Windowed heavy hitters: the top-3 event types of every hourly
+    tumbling window (count desc, type asc) with their rank — the
+    per-window leaderboard `heavy_hitter_words` computes globally.
+
+    Scale shape: per-batch (hour, type) partial counts (the shuffle
+    ships one row per distinct pair per batch); hours co-group by
+    hour-hash bucket (MANY windows per group task — never one tiny
+    group per hour) and the final output is ≤3 rows per window."""
+    nb = resolve_group_buckets()
+    HOUR_US = 3_600_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        c = Counter(zip((us // HOUR_US).tolist(), batch["event_type"].to_pylist()))
+        hours = np.array([k[0] for k in c], dtype=np.int64)
+        return pa.table(
+            {
+                "h": pa.array(hours, pa.int64()),
+                "event_type": pa.array([k[1] for k in c], pa.string()),
+                "n_p": pa.array(list(c.values()), pa.int64()),
+                "kb": _ibuckets(hours, nb),
+            }
+        )
+
+    _EMPTY_TOP = pd.DataFrame(
+        {
+            "hour_us": pd.array([], dtype="int64"),
+            "event_type": pd.array([], dtype="str"),
+            "n": pd.array([], dtype="int64"),
+            "rnk": pd.array([], dtype="int64"),
+        }
+    )
+
+    def top3(bucket: pd.DataFrame) -> pd.DataFrame:
+        if bucket.empty:
+            return _EMPTY_TOP
+        g = bucket.groupby(["h", "event_type"], as_index=False)["n_p"].sum()
+        g = g.sort_values(["h", "n_p", "event_type"], ascending=[True, False, True])
+        g["rnk"] = g.groupby("h").cumcount() + 1
+        g = g[g["rnk"] <= 3]
+        return pd.DataFrame(
+            {
+                "hour_us": pd.Series(g["h"].to_numpy() * HOUR_US, dtype="int64"),
+                "event_type": pd.Series(g["event_type"].to_numpy(), dtype="str"),
+                "n": pd.Series(g["n_p"].to_numpy(), dtype="int64"),
+                "rnk": pd.Series(g["rnk"].to_numpy(), dtype="int64"),
+            }
+        )
+
+    return _arrow_blocks(
+        _read(sf_dir, "events", ["ts", "event_type"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("kb")
+        .map_groups(top3, batch_format="pandas")
+    )
+
+
+def q_knn_mutual_pairs(sf_dir: str):
+    """Mutual k-nearest-neighbor pairs (k = 5, cosine): (a, b) such that
+    b ∈ knn(a) AND a ∈ knn(b) — the reciprocal-neighbor graph used for
+    density-aware dedup and cluster seeding (mutual-kNN is much more
+    precise than one-directional kNN near cluster boundaries).
+
+    Scale shape: reuses the proven `knn_bruteforce` kernel (broadcast
+    query matrix, per-batch matmul partials, tree-merged top-k) with the
+    WHOLE corpus as queries — exact all-vs-all is inherently O(N²); the
+    query-matrix broadcast is the documented exact-mode assumption (same
+    class as `embedding_near_dups`; at 10⁶+ rows switch to the LSH/IVF
+    candidate pruning in functions/simsearch.py).  k+1 neighbors are
+    fetched so self (cosine 1.0, always in the top set) drops out
+    locally; mutuality resolves in ONE unordered-pair-hash co-group
+    (count == 2 ⇒ both directions present)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..functions.simsearch import knn_bruteforce
+
+    K = 5
+    nb = resolve_group_buckets()
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    rows = ds.take_all()  # exact-mode query broadcast: O(N·d), documented
+    rows.sort(key=lambda r: r["vec_id"])
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    qmat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    ids_ref = ray.put(ids)
+
+    out = knn_bruteforce(ds, qmat, k=K + 1)
+
+    def directed(batch: pa.Table) -> pa.Table:
+        id_arr = ray.get(ids_ref)
+        src = id_arr[batch["query_id"].to_numpy(zero_copy_only=False)]
+        dst = batch["vec_id"].to_numpy(zero_copy_only=False)
+        cos = batch["cosine"].to_numpy(zero_copy_only=False)
+        keep = src != dst
+        return pa.table(
+            {
+                "src": pa.array(src[keep], pa.int64()),
+                "dst": pa.array(dst[keep], pa.int64()),
+                "cosine": pa.array(cos[keep], pa.float64()),
+                "kb": _ibuckets(src[keep], nb),
+            }
+        )
+
+    _EMPTY_DIR = pd.DataFrame(
+        {"lo": pd.array([], dtype="int64"), "hi": pd.array([], dtype="int64")}
+    )
+
+    def head_k(bucket: pd.DataFrame) -> pd.DataFrame:
+        # per query: self is gone; keep the first K by the kernel's own
+        # (cosine desc, id asc) order, emit unordered pair keys
+        if bucket.empty:
+            return _EMPTY_DIR
+        g = bucket.sort_values(
+            ["src", "cosine", "dst"], ascending=[True, False, True], kind="mergesort"
+        )
+        g = g.groupby("src", sort=False).head(K)
+        lo = np.minimum(g["src"].to_numpy(), g["dst"].to_numpy())
+        hi = np.maximum(g["src"].to_numpy(), g["dst"].to_numpy())
+        return pd.DataFrame(
+            {"lo": pd.Series(lo, dtype="int64"), "hi": pd.Series(hi, dtype="int64")}
+        )
+
+    def pair_bucket(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lo": batch["lo"],
+                "hi": batch["hi"],
+                "kb": _ibuckets(batch["lo"], nb),
+            }
+        )
+
+    _EMPTY_PAIR = pd.DataFrame(
+        {"left": pd.array([], dtype="int64"), "right": pd.array([], dtype="int64")}
+    )
+
+    def mutual(bucket: pd.DataFrame) -> pd.DataFrame:
+        if bucket.empty:
+            return _EMPTY_PAIR
+        g = bucket.groupby(["lo", "hi"]).size()
+        both = g[g == 2].index
+        return pd.DataFrame(
+            {
+                "left": pd.Series([p[0] for p in both], dtype="int64"),
+                "right": pd.Series([p[1] for p in both], dtype="int64"),
+            }
+        )
+
+    return _arrow_blocks(
+        _arrow_blocks(
+            out.map_batches(directed, batch_format="pyarrow")
+            .groupby("kb")
+            .map_groups(head_k, batch_format="pandas")
+        )
+        .map_batches(pair_bucket, batch_format="pyarrow")
+        .groupby("kb")
+        .map_groups(mutual, batch_format="pandas")
+    )
+
+
 QUERIES = {
     "doc_stats_by_lang": q_doc_stats_by_lang,
     "doc_token_stats": q_doc_token_stats,
@@ -15478,6 +15796,10 @@ QUERIES = {
     "orders_constraint_audit": q_orders_constraint_audit,
     "events_dow_hour_profile": q_events_dow_hour_profile,
     "zorder_layout_audit": q_zorder_layout_audit,
+    "customer_order_gaps": q_customer_order_gaps,
+    "events_funnel_windowed": q_events_funnel_windowed,
+    "events_hourly_top_types": q_events_hourly_top_types,
+    "knn_mutual_pairs": q_knn_mutual_pairs,
 }
 
 
@@ -19799,6 +20121,68 @@ ORACLE_SQL["zorder_layout_audit"] = """
                           AND dmn < (SELECT dhi FROM pr) AND dmx >= (SELECT dlo FROM pr)
                      THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
     FROM zb
+"""
+
+# inter-order gaps: lag window per customer, day floor-div, quantile_disc
+ORACLE_SQL["customer_order_gaps"] = """
+    WITH o AS (SELECT o_custkey, epoch_us(o_orderdate) AS us, o_orderkey FROM orders),
+    g AS (
+      SELECT o_custkey,
+             (us - lag(us) OVER (PARTITION BY o_custkey ORDER BY us, o_orderkey))
+               // 86400000000 AS gap
+      FROM o),
+    gg AS (SELECT gap FROM g WHERE gap IS NOT NULL)
+    SELECT (SELECT COUNT(*) FROM (
+              SELECT o_custkey FROM o GROUP BY 1 HAVING COUNT(*) >= 2))::BIGINT
+             AS n_customers_multi,
+           COUNT(*)::BIGINT AS n_gaps,
+           ROUND(CAST(CAST(SUM(gap) AS BIGINT) AS DOUBLE) / COUNT(*), 6)
+             AS mean_gap_days,
+           CAST(quantile_disc(gap, 0.50) AS BIGINT) AS p50,
+           CAST(quantile_disc(gap, 0.90) AS BIGINT) AS p90
+    FROM gg
+"""
+
+# windowed strict funnel: EXISTS a (view, click, purchase) triple per user,
+# strictly ordered, purchase within 24 h of the view
+ORACLE_SQL["events_funnel_windowed"] = """
+    SELECT COUNT(*)::BIGINT AS n_users FROM (
+      SELECT DISTINCT e1.user_id
+      FROM events e1
+      JOIN events e2 ON e2.user_id = e1.user_id
+      JOIN events e3 ON e3.user_id = e1.user_id
+      WHERE e1.event_type = 'view' AND e2.event_type = 'click'
+        AND e3.event_type = 'purchase'
+        AND epoch_us(e1.ts) < epoch_us(e2.ts)
+        AND epoch_us(e2.ts) < epoch_us(e3.ts)
+        AND epoch_us(e3.ts) - epoch_us(e1.ts) <= 86400000000)
+"""
+
+# hourly top-3 event types (count desc, type asc) with rank
+ORACLE_SQL["events_hourly_top_types"] = """
+    WITH c AS (
+      SELECT epoch_us(ts) // 3600000000 AS h, event_type, COUNT(*)::BIGINT AS n
+      FROM events GROUP BY 1, 2),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY h ORDER BY n DESC, event_type) AS rnk
+      FROM c)
+    SELECT h * 3600000000 AS hour_us, event_type, n, CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= 3
+"""
+
+# mutual kNN: reciprocal membership of the exact cosine top-5 (self
+# excluded), both directions required
+ORACLE_SQL["knn_mutual_pairs"] = """
+    WITH knn AS (
+      SELECT q.vec_id AS src, n.vec_id AS dst
+      FROM embeddings q, LATERAL (
+        SELECT e.vec_id FROM embeddings e
+        WHERE e.vec_id <> q.vec_id
+        ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC, e.vec_id ASC
+        LIMIT 5) n)
+    SELECT a.src AS "left", a.dst AS "right"
+    FROM knn a JOIN knn b ON b.src = a.dst AND b.dst = a.src
+    WHERE a.src < a.dst
 """
 
 # HITS, 2 unrolled rounds: integer message sums over the fixture-derived

@@ -267,3 +267,61 @@ class TestSystematicSample:
         r = df["rank"].to_numpy()
         assert (r % 997 == 0).all()
         assert (np.diff(r) == 997).all()
+
+
+class TestBatch4Ops:
+    def test_bucket_invariance(self, ray_session, monkeypatch):
+        from edge_deid_studio_ray.pipelines.queries import QUERIES
+
+        names = [
+            "customer_order_gaps",
+            "events_funnel_windowed",
+            "events_hourly_top_types",
+            "knn_mutual_pairs",
+        ]
+        base = {n: _canon(QUERIES[n](SF)) for n in names}
+        monkeypatch.setenv("EDS_GROUP_BUCKETS", "5")
+        for n in names:
+            again = _canon(QUERIES[n](SF))
+            assert again.equals(base[n]), n
+
+    def test_windowed_funnel_bounded_by_unwindowed_users(self, ray_session):
+        """The 24-hour window can only shrink the completing-user set vs
+        the unbounded ordered triple."""
+        import duckdb
+
+        from edge_deid_studio_ray.pipelines.queries import q_events_funnel_windowed
+
+        n_win = int(q_events_funnel_windowed(SF).to_pandas()["n_users"].iloc[0])
+        con = duckdb.connect()
+        n_any = con.sql(
+            f"""SELECT COUNT(*) FROM (
+                  SELECT DISTINCT e1.user_id
+                  FROM read_parquet('{SF}/events.parquet') e1
+                  JOIN read_parquet('{SF}/events.parquet') e2 USING (user_id)
+                  JOIN read_parquet('{SF}/events.parquet') e3 USING (user_id)
+                  WHERE e1.event_type='view' AND e2.event_type='click'
+                    AND e3.event_type='purchase'
+                    AND e1.ts < e2.ts AND e2.ts < e3.ts)"""
+        ).fetchone()[0]
+        assert 0 < n_win <= n_any
+
+    def test_mutual_pairs_are_symmetric_subset(self, ray_session):
+        """Every mutual pair must also appear in the one-directional kNN
+        edge set in BOTH directions (left < right, no duplicates)."""
+        from edge_deid_studio_ray.pipelines.queries import q_knn_mutual_pairs
+
+        df = q_knn_mutual_pairs(SF).to_pandas()
+        assert len(df) > 0
+        assert (df["left"] < df["right"]).all()
+        assert not df.duplicated(["left", "right"]).any()
+
+    def test_hourly_top_types_rank_contract(self, ray_session):
+        from edge_deid_studio_ray.pipelines.queries import q_events_hourly_top_types
+
+        df = q_events_hourly_top_types(SF).to_pandas()
+        for _, g in df.groupby("hour_us"):
+            g = g.sort_values("rnk")
+            assert list(g["rnk"]) == list(range(1, len(g) + 1))
+            n = g["n"].to_numpy()
+            assert (n[:-1] >= n[1:]).all()
