@@ -15570,6 +15570,277 @@ def q_knn_mutual_pairs(sf_dir: str):
     )
 
 
+def q_nb_lang_f1(sf_dir: str):
+    """Per-class precision / recall / F1 of the distributed Naive-Bayes
+    language classifier — the evaluation report on top of
+    `nb_lang_confusion`'s matrix (tp / fp / fn per class, exact integer
+    counts; each metric is the mirrored double chain
+    ``tp/(tp+fp)``, ``tp/(tp+fn)``, ``(2·p·r)/(p+r)``).  Per-class rows
+    only — no macro average, so no float SUM-ordering enters the
+    contract.
+
+    Scale shape: the confusion matrix is L² rows (languages², a
+    constant); deriving metrics from it is a driver-side fold over that
+    constant-size table — all the distributed work (NB train + apply)
+    happens inside the reused confusion pipeline."""
+    conf = q_nb_lang_confusion(sf_dir)
+    df = conf.to_pandas() if not isinstance(conf, pd.DataFrame) else conf
+    classes = sorted(set(df["lang"]) | set(df["nb_pred"]))
+    out = {"lang": [], "tp": [], "fp": [], "fn": [], "prec": [], "rec": [], "f1": []}
+    for c in classes:
+        tp = int(df.loc[(df["lang"] == c) & (df["nb_pred"] == c), "n"].sum())
+        fp = int(df.loc[(df["nb_pred"] == c) & (df["lang"] != c), "n"].sum())
+        fn = int(df.loc[(df["lang"] == c) & (df["nb_pred"] != c), "n"].sum())
+        p = 0.0 if tp + fp == 0 else float(tp) / (tp + fp)
+        r = 0.0 if tp + fn == 0 else float(tp) / (tp + fn)
+        f1 = 0.0 if p + r == 0.0 else (2.0 * p * r) / (p + r)
+        out["lang"].append(c)
+        out["tp"].append(tp)
+        out["fp"].append(fp)
+        out["fn"].append(fn)
+        out["prec"].append(round(p, 6))
+        out["rec"].append(round(r, 6))
+        out["f1"].append(round(f1, 6))
+    return pa.table(
+        {
+            "lang": pa.array(out["lang"], pa.string()),
+            "tp": pa.array(out["tp"], pa.int64()),
+            "fp": pa.array(out["fp"], pa.int64()),
+            "fn": pa.array(out["fn"], pa.int64()),
+            "prec": pa.array(out["prec"], pa.float64()),
+            "rec": pa.array(out["rec"], pa.float64()),
+            "f1": pa.array(out["f1"], pa.float64()),
+        }
+    )
+
+
+def q_events_bounce_rate(sf_dir: str):
+    """Bounce rate by entry event type: sessions (30-min gap, the
+    `events_sessions` contract) grouped by their FIRST event type, with
+    the share that are single-event bounces — the engagement report
+    attribution and sessionization exist to feed.
+
+    Scale shape: one user-hash bucketed co-group emits per-type
+    (n_sessions, n_bounces) partials; the rate divides two exact int64
+    sums in ONE double op after the tiny grouped sum."""
+    from ray.data.aggregate import Sum
+
+    GAP_US = 1_800_000_000
+    nb = resolve_group_buckets()
+
+    def to_rows(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "event_id": batch["event_id"],
+                "us": batch["ts"].cast(pa.int64()),
+                "event_type": batch["event_type"],
+                "kb": _ibuckets(batch["user_id"], nb),
+            }
+        )
+
+    _EMPTY_BNC = pd.DataFrame(
+        {
+            "first_touch": pd.array([], dtype="str"),
+            "s_p": pd.array([], dtype="int64"),
+            "b_p": pd.array([], dtype="int64"),
+        }
+    )
+
+    def fold(bucket: pd.DataFrame) -> pd.DataFrame:
+        if bucket.empty:
+            return _EMPTY_BNC
+        n_sess: Counter = Counter()
+        n_bounce: Counter = Counter()
+        for _, g in bucket.groupby("user_id", sort=False):
+            g = g.sort_values(["us", "event_id"], kind="mergesort")
+            sid = (g["us"].diff().fillna(GAP_US + 1) > GAP_US).cumsum()
+            for _, s in g.groupby(sid, sort=False):
+                ft = s["event_type"].iloc[0]
+                n_sess[ft] += 1
+                if len(s) == 1:
+                    n_bounce[ft] += 1
+        keys = list(n_sess.keys())
+        return pd.DataFrame(
+            {
+                "first_touch": pd.Series(keys, dtype="str"),
+                "s_p": pd.Series([n_sess[k] for k in keys], dtype="int64"),
+                "b_p": pd.Series([n_bounce[k] for k in keys], dtype="int64"),
+            }
+        )
+
+    sums = (
+        _arrow_blocks(
+            _read(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"])
+            .map_batches(to_rows, batch_format="pyarrow")
+            .groupby("kb")
+            .map_groups(fold, batch_format="pandas")
+        )
+        .groupby("first_touch")
+        .aggregate(
+            Sum("s_p", alias_name="n_sessions"), Sum("b_p", alias_name="n_bounces")
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        s = batch["n_sessions"].to_numpy(zero_copy_only=False)
+        b = batch["n_bounces"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "first_touch": batch["first_touch"],
+                "n_sessions": batch["n_sessions"],
+                "n_bounces": batch["n_bounces"],
+                "bounce_rate": pa.array(
+                    [round(float(bb) / ss, 6) for bb, ss in zip(b, s)], pa.float64()
+                ),
+            }
+        )
+
+    return sums.map_batches(finish, batch_format="pyarrow")
+
+
+_AUDIENCE_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_event_audience_jaccard(sf_dir: str):
+    """Audience overlap (Jaccard) between every pair of event types:
+    |users doing A ∩ users doing B| / |∪| — the segment-similarity
+    matrix behind campaign targeting, computed EXACTLY from a per-user
+    type BITMASK histogram: a user collapses to one 5-bit mask, masks
+    fold to a ≤2⁵-row histogram, and every pairwise intersection /
+    union derives from that constant-size table.  No per-pair scans, no
+    distinct-set shuffles per pair.
+
+    Scale shape: per-batch (user, mask-OR) partials → one user-hash
+    bucketed OR-fold → a ≤32-key histogram to the driver (constant,
+    independent of users)."""
+    from ray.data.aggregate import Sum
+
+    nb = resolve_group_buckets()
+    bit = {t: i for i, t in enumerate(_AUDIENCE_TYPES)}
+
+    def partial(batch: pa.Table) -> pa.Table:
+        masks: dict[int, int] = {}
+        for u, t in zip(batch["user_id"].to_pylist(), batch["event_type"].to_pylist()):
+            if t in bit:
+                masks[u] = masks.get(u, 0) | (1 << bit[t])
+        users = list(masks.keys())
+        return pa.table(
+            {
+                "user_id": pa.array(users, pa.int64()),
+                "mask": pa.array([masks[u] for u in users], pa.int64()),
+                "kb": pa.array([u % nb for u in users], pa.int32()),
+            }
+        )
+
+    _EMPTY_MASK = pd.DataFrame(
+        {"mask": pd.array([], dtype="int64"), "n_p": pd.array([], dtype="int64")}
+    )
+
+    def or_fold(bucket: pd.DataFrame) -> pd.DataFrame:
+        if bucket.empty:
+            return _EMPTY_MASK
+        per_user = bucket.groupby("user_id")["mask"].agg(lambda s: int(np.bitwise_or.reduce(s.to_numpy())))
+        mu, mc = np.unique(per_user.to_numpy(), return_counts=True)
+        return pd.DataFrame(
+            {
+                "mask": pd.Series(mu, dtype="int64"),
+                "n_p": pd.Series(mc.astype(np.int64), dtype="int64"),
+            }
+        )
+
+    hist = (
+        _arrow_blocks(
+            _read(sf_dir, "events", ["user_id", "event_type"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("kb")
+            .map_groups(or_fold, batch_format="pandas")
+        )
+        .groupby("mask")
+        .aggregate(Sum("n_p", alias_name="n"))
+        .take_all()
+    )
+    counts = {int(r["mask"]): int(r["n"]) for r in hist}
+
+    def size(bits: int) -> int:
+        return sum(n for m, n in counts.items() if (m & bits) == bits)
+
+    out = {"type_a": [], "type_b": [], "n_a": [], "n_b": [], "n_both": [], "jaccard": []}
+    for i, a in enumerate(_AUDIENCE_TYPES):
+        for b in _AUDIENCE_TYPES[i + 1 :]:
+            na, nb_, nab = size(1 << bit[a]), size(1 << bit[b]), size(
+                (1 << bit[a]) | (1 << bit[b])
+            )
+            union = na + nb_ - nab
+            out["type_a"].append(a)
+            out["type_b"].append(b)
+            out["n_a"].append(na)
+            out["n_b"].append(nb_)
+            out["n_both"].append(nab)
+            out["jaccard"].append(0.0 if union == 0 else round(float(nab) / union, 6))
+    return pa.table(
+        {
+            "type_a": pa.array(out["type_a"], pa.string()),
+            "type_b": pa.array(out["type_b"], pa.string()),
+            "n_a": pa.array(out["n_a"], pa.int64()),
+            "n_b": pa.array(out["n_b"], pa.int64()),
+            "n_both": pa.array(out["n_both"], pa.int64()),
+            "jaccard": pa.array(out["jaccard"], pa.float64()),
+        }
+    )
+
+
+def q_orders_basket_profile(sf_dir: str):
+    """Basket-size distribution: how many orders have k line items — the
+    order-composition histogram behind co-purchase and pricing analyses.
+
+    Scale shape: per-batch (orderkey, count) partials → one orderkey-hash
+    bucketed exact count fold (a key's partials all land in one bucket)
+    → per-bucket size histogram partials → tiny grouped sum.  Never a
+    generic hash aggregate over the open orderkey domain."""
+    from ray.data.aggregate import Sum
+
+    nb = resolve_group_buckets()
+
+    def key_partial(batch: pa.Table) -> pa.Table:
+        k = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        ku, kc = np.unique(k, return_counts=True)
+        return pa.table(
+            {
+                "key": pa.array(ku, pa.int64()),
+                "n": pa.array(kc.astype(np.int64)),
+                "kb": _ibuckets(ku, nb),
+            }
+        )
+
+    _EMPTY_BSK = pd.DataFrame(
+        {"n_lines": pd.array([], dtype="int64"), "n_p": pd.array([], dtype="int64")}
+    )
+
+    def hist_fold(bucket: pd.DataFrame) -> pd.DataFrame:
+        if bucket.empty:
+            return _EMPTY_BSK
+        per_key = bucket.groupby("key")["n"].sum()
+        su, sc = np.unique(per_key.to_numpy(), return_counts=True)
+        return pd.DataFrame(
+            {
+                "n_lines": pd.Series(su, dtype="int64"),
+                "n_p": pd.Series(sc.astype(np.int64), dtype="int64"),
+            }
+        )
+
+    return (
+        _arrow_blocks(
+            _read(sf_dir, "lineitem", ["l_orderkey"])
+            .map_batches(key_partial, batch_format="pyarrow")
+            .groupby("kb")
+            .map_groups(hist_fold, batch_format="pandas")
+        )
+        .groupby("n_lines")
+        .aggregate(Sum("n_p", alias_name="n_orders"))
+    )
+
+
 QUERIES = {
     "doc_stats_by_lang": q_doc_stats_by_lang,
     "doc_token_stats": q_doc_token_stats,
@@ -15800,6 +16071,10 @@ QUERIES = {
     "events_funnel_windowed": q_events_funnel_windowed,
     "events_hourly_top_types": q_events_hourly_top_types,
     "knn_mutual_pairs": q_knn_mutual_pairs,
+    "nb_lang_f1": q_nb_lang_f1,
+    "events_bounce_rate": q_events_bounce_rate,
+    "event_audience_jaccard": q_event_audience_jaccard,
+    "orders_basket_profile": q_orders_basket_profile,
 }
 
 
@@ -20168,6 +20443,84 @@ ORACLE_SQL["events_hourly_top_types"] = """
       FROM c)
     SELECT h * 3600000000 AS hour_us, event_type, n, CAST(rnk AS BIGINT) AS rnk
     FROM r WHERE rnk <= 3
+"""
+
+# NB per-class metrics: wrap the confusion-matrix oracle, derive
+# tp/fp/fn per class and the mirrored double chains
+ORACLE_SQL["nb_lang_f1"] = f"""
+    WITH conf AS ({{NB_CONF}}),
+    cls AS (SELECT DISTINCT lang FROM documents),
+    m AS (
+      SELECT cls.lang,
+        CAST(COALESCE((SELECT SUM(n) FROM conf
+                       WHERE conf.lang = cls.lang AND conf.nb_pred = cls.lang), 0) AS BIGINT) AS tp,
+        CAST(COALESCE((SELECT SUM(n) FROM conf
+                       WHERE conf.nb_pred = cls.lang AND conf.lang <> cls.lang), 0) AS BIGINT) AS fp,
+        CAST(COALESCE((SELECT SUM(n) FROM conf
+                       WHERE conf.lang = cls.lang AND conf.nb_pred <> cls.lang), 0) AS BIGINT) AS fn
+      FROM cls),
+    pr AS (
+      SELECT lang, tp, fp, fn,
+             CASE WHEN tp + fp = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / (tp + fp) END AS p,
+             CASE WHEN tp + fn = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / (tp + fn) END AS r
+      FROM m)
+    SELECT lang, tp, fp, fn,
+           ROUND(p, 6) AS prec, ROUND(r, 6) AS rec,
+           ROUND(CASE WHEN p + r = 0.0 THEN 0.0 ELSE (2.0 * p * r) / (p + r) END, 6) AS f1
+    FROM pr
+"""
+ORACLE_SQL["nb_lang_f1"] = ORACLE_SQL["nb_lang_f1"].replace(
+    "{NB_CONF}", ORACLE_SQL["nb_lang_confusion"]
+)
+
+# bounce rate: sessionize exactly as attribution, first type + size per
+# session, bounce = single-event session
+ORACLE_SQL["events_bounce_rate"] = """
+    WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+    lagd AS (
+      SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS pus
+      FROM e),
+    sess AS (
+      SELECT *, SUM(CASE WHEN pus IS NULL OR us - pus > 1800000000 THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY us, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM lagd),
+    s AS (
+      SELECT user_id, sid,
+             FIRST_VALUE(event_type)
+               OVER (PARTITION BY user_id, sid ORDER BY us, event_id) AS ft,
+             COUNT(*) OVER (PARTITION BY user_id, sid) AS sz,
+             ROW_NUMBER() OVER (PARTITION BY user_id, sid ORDER BY us, event_id) AS rn
+      FROM sess)
+    SELECT ft AS first_touch, COUNT(*)::BIGINT AS n_sessions,
+           CAST(SUM(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+           ROUND(CAST(SUM(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+             AS bounce_rate
+    FROM s WHERE rn = 1 GROUP BY ft
+"""
+
+# audience jaccard: per-user type flags, pairwise overlap from flag sums
+ORACLE_SQL["event_audience_jaccard"] = "\n    WITH f AS (SELECT user_id, " + ", ".join(
+    f"max(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS b_{t}"
+    for t in _AUDIENCE_TYPES
+) + " FROM events GROUP BY 1)\n    " + "\n    UNION ALL\n    ".join(
+    f"""SELECT '{a}' AS type_a, '{b}' AS type_b,
+           CAST(SUM(b_{a}) AS BIGINT) AS n_a,
+           CAST(SUM(b_{b}) AS BIGINT) AS n_b,
+           CAST(SUM(b_{a} * b_{b}) AS BIGINT) AS n_both,
+           ROUND(CAST(CAST(SUM(b_{a} * b_{b}) AS BIGINT) AS DOUBLE)
+                 / (CAST(SUM(b_{a}) AS BIGINT) + CAST(SUM(b_{b}) AS BIGINT)
+                    - CAST(SUM(b_{a} * b_{b}) AS BIGINT)), 6) AS jaccard
+    FROM f"""
+    for i, a in enumerate(_AUDIENCE_TYPES)
+    for b in _AUDIENCE_TYPES[i + 1 :]
+)
+
+# basket-size histogram: per-order line counts, then count per size
+ORACLE_SQL["orders_basket_profile"] = """
+    SELECT n_lines, COUNT(*)::BIGINT AS n_orders FROM (
+      SELECT l_orderkey, COUNT(*)::BIGINT AS n_lines FROM lineitem GROUP BY 1)
+    GROUP BY 1
 """
 
 # mutual kNN: reciprocal membership of the exact cosine top-5 (self

@@ -325,3 +325,68 @@ class TestBatch4Ops:
             assert list(g["rnk"]) == list(range(1, len(g) + 1))
             n = g["n"].to_numpy()
             assert (n[:-1] >= n[1:]).all()
+
+
+class TestBatch5Ops:
+    def test_bucket_invariance(self, ray_session, monkeypatch):
+        from edge_deid_studio_ray.pipelines.queries import QUERIES
+
+        names = [
+            "events_bounce_rate",
+            "event_audience_jaccard",
+            "orders_basket_profile",
+        ]
+        base = {n: _canon(QUERIES[n](SF)) for n in names}
+        monkeypatch.setenv("EDS_GROUP_BUCKETS", "5")
+        for n in names:
+            again = _canon(QUERIES[n](SF))
+            assert again.equals(base[n]), n
+
+    def test_f1_bounds_and_confusion_consistency(self, ray_session):
+        from edge_deid_studio_ray.pipelines.queries import (
+            q_nb_lang_confusion,
+            q_nb_lang_f1,
+        )
+
+        f1 = q_nb_lang_f1(SF).to_pandas()
+        conf = q_nb_lang_confusion(SF)
+        conf = conf.to_pandas() if not isinstance(conf, pd.DataFrame) else conf
+        assert ((f1["prec"] >= 0) & (f1["prec"] <= 1)).all()
+        assert ((f1["f1"] >= 0) & (f1["f1"] <= 1)).all()
+        # tp + fn per class == class truth total in the confusion matrix
+        for _, row in f1.iterrows():
+            truth = int(conf.loc[conf["lang"] == row["lang"], "n"].sum())
+            assert row["tp"] + row["fn"] == truth, row["lang"]
+
+    def test_audience_jaccard_bounds(self, ray_session):
+        from edge_deid_studio_ray.pipelines.queries import q_event_audience_jaccard
+
+        df = q_event_audience_jaccard(SF).to_pandas()
+        assert len(df) == 10
+        assert (df["n_both"] <= df[["n_a", "n_b"]].min(axis=1)).all()
+        assert ((df["jaccard"] >= 0) & (df["jaccard"] <= 1)).all()
+
+    def test_basket_profile_conserves_orders(self, ray_session):
+        import duckdb
+
+        from edge_deid_studio_ray.pipelines.queries import q_orders_basket_profile
+
+        df = q_orders_basket_profile(SF).to_pandas()
+        con = duckdb.connect()
+        n = con.sql(
+            f"SELECT COUNT(DISTINCT l_orderkey) FROM read_parquet('{SF}/lineitem.parquet')"
+        ).fetchone()[0]
+        assert int(df["n_orders"].sum()) == n
+        assert int((df["n_lines"] * df["n_orders"]).sum()) == con.sql(
+            f"SELECT COUNT(*) FROM read_parquet('{SF}/lineitem.parquet')"
+        ).fetchone()[0]
+
+    def test_bounce_sessions_match_session_count(self, ray_session):
+        from edge_deid_studio_ray.pipelines.queries import (
+            q_events_bounce_rate,
+            q_events_sessions,
+        )
+
+        bounce = q_events_bounce_rate(SF).to_pandas()
+        n_sessions = q_events_sessions(SF).count()
+        assert int(bounce["n_sessions"].sum()) == n_sessions
