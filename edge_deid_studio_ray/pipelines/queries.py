@@ -14282,7 +14282,7 @@ def q_rake_word_scores(sf_dir: str):
     return top.map_batches(finish, batch_format="pyarrow")
 
 
-def q_link_hits(sf_dir: str):
+def q_link_hits(sf_dir: str, *, broadcast_node_cap: int | None = 200_000):
     """HITS hubs & authorities (Kleinberg 1999) over the URL-level outlink
     graph of the extraction pass — the second classical link-analysis
     centrality next to `link_pagerank`, and the one that distinguishes
@@ -14295,11 +14295,19 @@ def q_link_hits(sf_dir: str):
     unrolled in the oracle as chained CTEs over the same fixture-derived
     edges (edge contract identical to `link_pagerank`).
 
-    Scale shape: Pregel-style bucketed message passing — the authority
-    half-round co-groups hub scores with edges by SRC hash and sums
-    messages by DST hash; the hub half-round mirrors it; per-round driver
-    state is ONE scalar (the max).  2 narrow (url, int64) shuffles per
-    half-round; score state lives in the object store between rounds."""
+    Scale shape — two paths, AUTO-SWITCHED on node count (the
+    `copurchase_triangles` pattern; integer sums make both paths
+    bit-identical, pinned by a forced-path test):
+    - nodes ≤ cap (default 200k): the score table broadcasts once per
+      half-round via ``ray.put`` (O(nodes) ints); edges are scanned
+      map-side ONLY (never shuffled), message partials pre-aggregate per
+      batch and ONE dst-hash co-group sums them — halves the all-to-all
+      count, which dominates wall at small graph sizes.
+    - larger graphs: Pregel-style bucketed message passing — the
+      authority half-round co-groups hub scores with edges by SRC hash
+      and sums messages by DST hash; the hub half-round mirrors it;
+      per-round driver state is ONE scalar (the max)."""
+    import ray
     import zlib
 
     from ..kernels.html_text import decode_html_bytes, extract_links
@@ -14342,9 +14350,15 @@ def q_link_hits(sf_dir: str):
             }
         )
 
+    # repartition to ~one block per core before materializing: the edge
+    # list is re-scanned 4× per run, and hundreds of page-sized micro
+    # blocks would pay per-task overhead each scan
     edges_by_src = (
         _oracle_visible_pages(sf_dir, include_text_route=False)
         .map_batches(edge_rows, batch_format="pyarrow")
+        .repartition(
+            max(8, min(64, int(ray.cluster_resources().get("CPU", 8))))
+        )
         .materialize()
     )
 
@@ -14359,8 +14373,6 @@ def q_link_hits(sf_dir: str):
                 "kb": _ubuckets(others),
             }
         )
-
-    edges_by_dst = edges_by_src.map_batches(flip, batch_format="pyarrow").materialize()
 
     def rebucket_union(batch: pa.Table) -> pa.Table:
         urls = batch["node"].to_pylist() + batch["other"].to_pylist()
@@ -14381,11 +14393,15 @@ def q_link_hits(sf_dir: str):
             }
         )
 
+    # _arrow_blocks: map_groups leaves pandas-format blocks, and both the
+    # co-group path's shuffles and the broadcast path's row gather hit the
+    # recorded pandas-block pathologies (~15× shuffle, ~ms/row take_all)
     nodes = (
-        edges_by_src.map_batches(rebucket_union, batch_format="pyarrow")
-        .groupby("kb")
-        .map_groups(dedup_nodes, batch_format="pandas")
-        .materialize()
+        _arrow_blocks(
+            edges_by_src.map_batches(rebucket_union, batch_format="pyarrow")
+            .groupby("kb")
+            .map_groups(dedup_nodes, batch_format="pandas")
+        ).materialize()
     )
 
     def as_score_rows(ds, value: int | None = None):
@@ -14440,6 +14456,59 @@ def q_link_hits(sf_dir: str):
         return pd.DataFrame(
             {"node": g["node"].astype("str"), "v": g["v"].astype("int64")}
         )
+
+    n_nodes = nodes.count()
+    if broadcast_node_cap is not None and n_nodes <= broadcast_node_cap:
+        # broadcast fast path: edges never shuffle (map-side per-batch
+        # message partials), the O(nodes)-bounded partial sums fold on
+        # the driver — zero all-to-alls per half-round.  Integer sums are
+        # associative, so this is bit-identical to the bucketed path
+        # (pinned by the forced-path test).
+        node_list = sorted(nodes.to_pandas()["node"].tolist())
+
+        def bc_half(smap: dict, tail_col: str, head_col: str) -> dict:
+            ref = ray.put(smap)
+
+            def msg_partial(batch: pa.Table) -> pa.Table:
+                m = ray.get(ref)
+                agg: dict[str, int] = {}
+                for t, h in zip(
+                    batch[tail_col].to_pylist(), batch[head_col].to_pylist()
+                ):
+                    agg[h] = agg.get(h, 0) + m[t]
+                ks = list(agg.keys())
+                return pa.table(
+                    {
+                        "node": pa.array(ks, pa.string()),
+                        "v": pa.array([agg[k] for k in ks], pa.int64()),
+                    }
+                )
+
+            raw: dict[str, int] = {}
+            for r in edges_by_src.map_batches(
+                msg_partial, batch_format="pyarrow"
+            ).take_all():
+                raw[r["node"]] = raw.get(r["node"], 0) + int(r["v"])
+            mx = max(raw.values(), default=0)
+            if mx <= 0:
+                raise ValueError("link_hits: empty link graph (max score 0)")
+            return {u: (raw.get(u, 0) * S) // mx for u in node_list}
+
+        hubs_m = {u: S for u in node_list}
+        auths_m: dict = {}
+        for _round in range(K):
+            auths_m = bc_half(hubs_m, "node", "other")
+            hubs_m = bc_half(auths_m, "other", "node")
+        top = sorted(node_list, key=lambda u: (-auths_m[u], u))[:20]
+        return pa.table(
+            {
+                "url": pa.array(top, pa.string()),
+                "auth": pa.array([auths_m[u] for u in top], pa.int64()),
+                "hub": pa.array([hubs_m[u] for u in top], pa.int64()),
+            }
+        )
+
+    edges_by_dst = edges_by_src.map_batches(flip, batch_format="pyarrow").materialize()
 
     def half_round(scores, edges_oriented):
         # `scores` is a 2-col (node, v) dataset; wrap to the 5-col
@@ -15841,6 +15910,307 @@ def q_orders_basket_profile(sf_dir: str):
     )
 
 
+def q_part_cheapest_supplier(sf_dir: str):
+    """Per-part ARGMIN-by-value: the supplier offering each part's lowest
+    observed line price (min total cents over that (part, supplier)'s
+    lines; ties by suppkey) — the TPC-H Q2 shape re-expressed over
+    lineitem since this corpus carries no partsupp table.  Complements
+    `events_last_per_user` (argmax-by-time) with the argmin-by-aggregate
+    flavor.
+
+    Scale shape: per-batch (part, supp, min-cents) partials → ONE
+    partkey-hash bucketed fold (a part's rows are co-resident, so the
+    per-(part, supp) min merge and the per-part argmin both resolve
+    locally).  Output is one row per part — never wider than the
+    catalog."""
+    nb = resolve_group_buckets()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        sk = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+        cents = np.floor(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        df = pd.DataFrame({"pk": pk, "sk": sk, "c": cents})
+        g = df.groupby(["pk", "sk"], as_index=False)["c"].min()
+        return pa.table(
+            {
+                "pk": pa.array(g["pk"].to_numpy(), pa.int64()),
+                "sk": pa.array(g["sk"].to_numpy(), pa.int64()),
+                "c": pa.array(g["c"].to_numpy(), pa.int64()),
+                "kb": _ibuckets(g["pk"].to_numpy(), nb),
+            }
+        )
+
+    _EMPTY_CHEAP = pd.DataFrame(
+        {
+            "l_partkey": pd.array([], dtype="int64"),
+            "l_suppkey": pd.array([], dtype="int64"),
+            "min_cents": pd.array([], dtype="int64"),
+        }
+    )
+
+    def argmin_fold(bucket: pd.DataFrame) -> pd.DataFrame:
+        if bucket.empty:
+            return _EMPTY_CHEAP
+        g = bucket.groupby(["pk", "sk"], as_index=False)["c"].min()
+        g = g.sort_values(["pk", "c", "sk"], kind="mergesort")
+        best = g.groupby("pk", as_index=False).head(1)
+        return pd.DataFrame(
+            {
+                "l_partkey": best["pk"].astype("int64"),
+                "l_suppkey": best["sk"].astype("int64"),
+                "min_cents": best["c"].astype("int64"),
+            }
+        )
+
+    return _arrow_blocks(
+        _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_extendedprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("kb")
+        .map_groups(argmin_fold, batch_format="pandas")
+    )
+
+
+def q_link_reciprocity(sf_dir: str):
+    """Link-graph reciprocity: the fraction of directed outlink edges
+    whose reverse edge also exists — the classic webgraph statistic
+    separating mutual-link communities from broadcast link structure
+    (near 0 on the open web, near 1 in navigation templates).
+
+    Scale shape: the edge extraction is the `link_pagerank` contract;
+    reciprocity resolves in ONE unordered-pair-hash co-group (a pair's
+    two possible directions land together; directed edges under a
+    reciprocated pair count 2).  Output is one scalar row."""
+    import zlib
+
+    from ray.data.aggregate import Sum
+
+    from ..kernels.html_text import decode_html_bytes, extract_links
+
+    nb = resolve_group_buckets()
+    _ensure_pages_fixture(sf_dir)
+    base_re = re.compile(r"^(https?://[^/]+)")
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        lo_out, hi_out = [], []
+        for url, raw in zip(batch["url"].to_pylist(), batch["html"].to_pylist()):
+            if not raw:
+                continue
+            base = base_re.match(url)
+            dsts = set()
+            for href, _anchor in extract_links(decode_html_bytes(raw)):
+                if href.startswith("http://") or href.startswith("https://"):
+                    absu = href
+                elif href.startswith("/") and base:
+                    absu = base.group(1) + href
+                else:
+                    continue
+                if absu != url:
+                    dsts.add(absu)
+            for d in dsts:
+                lo, hi = (url, d) if url < d else (d, url)
+                lo_out.append(lo)
+                hi_out.append(hi)
+        return pa.table(
+            {
+                "lo": pa.array(lo_out, pa.string()),
+                "hi": pa.array(hi_out, pa.string()),
+                "kb": pa.array(
+                    [zlib.crc32(u.encode()) % nb for u in lo_out], pa.int32()
+                ),
+            }
+        )
+
+    _EMPTY_REC = pd.DataFrame(
+        {"e_p": pd.array([], dtype="int64"), "r_p": pd.array([], dtype="int64")}
+    )
+
+    def fold(bucket: pd.DataFrame) -> pd.DataFrame:
+        if bucket.empty:
+            return _EMPTY_REC
+        g = bucket.groupby(["lo", "hi"]).size()
+        # each (lo, hi) key appears once per DIRECTION present (edges are
+        # per-page deduped, so counts are 1 or 2)
+        return pd.DataFrame(
+            {
+                "e_p": pd.array([int(g.sum())], dtype="int64"),
+                "r_p": pd.array([int(g[g == 2].sum())], dtype="int64"),
+            }
+        )
+
+    totals = (
+        _arrow_blocks(
+            _oracle_visible_pages(sf_dir, include_text_route=False)
+            .map_batches(edge_rows, batch_format="pyarrow")
+            .groupby("kb")
+            .map_groups(fold, batch_format="pandas")
+        )
+        .aggregate(Sum("e_p", alias_name="e"), Sum("r_p", alias_name="r"))
+    )
+    n_edges, n_recip = int(totals["e"]), int(totals["r"])
+    return pa.table(
+        {
+            "n_edges": pa.array([n_edges], pa.int64()),
+            "n_reciprocal": pa.array([n_recip], pa.int64()),
+            "reciprocity": pa.array(
+                [round(float(n_recip) / n_edges, 6)], pa.float64()
+            ),
+        }
+    )
+
+
+def q_link_degree_histogram(sf_dir: str):
+    """Webgraph IN-degree distribution: per link TARGET, the number of
+    distinct pages pointing at it (the `link_pagerank` edge contract —
+    absolute http(s) plus root-relative resolved against the page
+    authority, self-links dropped), histogrammed as (degree, n_targets)
+    — the popularity census behind hub detection and cache sizing.
+    (Out-degree is uniform by construction in this corpus — the
+    generator emits a fixed link block — so in-degree is the axis with
+    signal.)
+
+    Scale shape: per-page edges are deduped at emission; ONE
+    dst-hash bucketed fold computes exact in-degrees (a target's edges
+    are co-resident) and emits per-bucket (degree, n) histogram
+    partials; the final grouped sum is O(distinct degrees)."""
+    import zlib
+
+    from ray.data.aggregate import Sum
+
+    from ..kernels.html_text import decode_html_bytes, extract_links
+
+    nb = resolve_group_buckets()
+    _ensure_pages_fixture(sf_dir)
+    base_re = re.compile(r"^(https?://[^/]+)")
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        src_out, dst_out = [], []
+        for url, raw in zip(batch["url"].to_pylist(), batch["html"].to_pylist()):
+            if not raw:
+                continue
+            base = base_re.match(url)
+            dsts = set()
+            for href, _anchor in extract_links(decode_html_bytes(raw)):
+                if href.startswith("http://") or href.startswith("https://"):
+                    absu = href
+                elif href.startswith("/") and base:
+                    absu = base.group(1) + href
+                else:
+                    continue
+                if absu != url:
+                    dsts.add(absu)
+            for d in dsts:
+                src_out.append(url)
+                dst_out.append(d)
+        return pa.table(
+            {
+                "src": pa.array(src_out, pa.string()),
+                "dst": pa.array(dst_out, pa.string()),
+                "kb": pa.array(
+                    [zlib.crc32(d.encode()) % nb for d in dst_out], pa.int32()
+                ),
+            }
+        )
+
+    _EMPTY_DEG = pd.DataFrame(
+        {"degree": pd.array([], dtype="int64"), "n_p": pd.array([], dtype="int64")}
+    )
+
+    def indeg_fold(bucket: pd.DataFrame) -> pd.DataFrame:
+        if bucket.empty:
+            return _EMPTY_DEG
+        deg = bucket.groupby("dst").size()  # per-page dedup done at emission
+        du, dc = np.unique(deg.to_numpy(), return_counts=True)
+        return pd.DataFrame(
+            {
+                "degree": pd.Series(du.astype(np.int64), dtype="int64"),
+                "n_p": pd.Series(dc.astype(np.int64), dtype="int64"),
+            }
+        )
+
+    return (
+        _arrow_blocks(
+            _oracle_visible_pages(sf_dir, include_text_route=False)
+            .map_batches(edge_rows, batch_format="pyarrow")
+            .groupby("kb")
+            .map_groups(indeg_fold, batch_format="pandas")
+        )
+        .groupby("degree")
+        .aggregate(Sum("n_p", alias_name="n_targets"))
+    )
+
+
+def q_pages_route_stats(sf_dir: str):
+    """Per-route payload census over the pages corpus: page count, total
+    and max TEXT-LAYER characters (decoded html chars for the html
+    route, passthrough text length for the text route, 0 for the opaque
+    csv/pdf payloads — the fixture's visibility contract), and an
+    order-independent md5 fingerprint of (url, length) — the ingest-side
+    profile that catches a route's payload drift (encoding regressions,
+    truncation) before any extraction runs.  Routing mirrors the fixture
+    rule verbatim: text present / .csv suffix / %PDF- magic / html.
+
+    Scale shape: stateless per-batch partials (count/sum/max/fp per
+    route), one ≤4-key grouped fold — zero shuffles of page bytes."""
+    import hashlib
+
+    from ray.data.aggregate import Max, Sum
+
+    from ..kernels.html_text import decode_html_bytes
+    from ..kernels.pdf_text import is_pdf
+    from ..sources.pages import pages_dataset
+
+    MOD = 1_000_000_007
+    _ensure_pages_fixture(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        stats: dict[str, list[int]] = {}
+        for url, raw, text in zip(
+            batch["url"].to_pylist(),
+            batch["html"].to_pylist(),
+            batch["text"].to_pylist(),
+        ):
+            raw = raw or b""
+            if text is not None:
+                route, n = "text", len(text)
+            elif url.lower().endswith(".csv"):
+                route, n = "csv", 0
+            elif is_pdf(raw):
+                route, n = "pdf", 0
+            else:
+                route, n = "html", len(decode_html_bytes(raw))
+            digest = hashlib.md5(f"{url}|{n}".encode()).digest()
+            fp = int.from_bytes(digest[:8], "little") % MOD
+            s = stats.setdefault(route, [0, 0, 0, 0])
+            s[0] += 1
+            s[1] += n
+            s[2] = max(s[2], n)
+            s[3] += fp
+        routes = sorted(stats)
+        return pa.table(
+            {
+                "route": pa.array(routes, pa.string()),
+                "n_p": pa.array([stats[r][0] for r in routes], pa.int64()),
+                "c_p": pa.array([stats[r][1] for r in routes], pa.int64()),
+                "m_p": pa.array([stats[r][2] for r in routes], pa.int64()),
+                "f_p": pa.array([stats[r][3] for r in routes], pa.int64()),
+            }
+        )
+
+    return (
+        pages_dataset(pages_rows_for(sf_dir))
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("route")
+        .aggregate(
+            Sum("n_p", alias_name="n_pages"),
+            Sum("c_p", alias_name="total_chars"),
+            Max("m_p", alias_name="max_chars"),
+            Sum("f_p", alias_name="payload_fp"),
+        )
+    )
+
+
 QUERIES = {
     "doc_stats_by_lang": q_doc_stats_by_lang,
     "doc_token_stats": q_doc_token_stats,
@@ -16075,6 +16445,10 @@ QUERIES = {
     "events_bounce_rate": q_events_bounce_rate,
     "event_audience_jaccard": q_event_audience_jaccard,
     "orders_basket_profile": q_orders_basket_profile,
+    "part_cheapest_supplier": q_part_cheapest_supplier,
+    "link_reciprocity": q_link_reciprocity,
+    "link_degree_histogram": q_link_degree_histogram,
+    "pages_route_stats": q_pages_route_stats,
 }
 
 
@@ -20521,6 +20895,82 @@ ORACLE_SQL["orders_basket_profile"] = """
     SELECT n_lines, COUNT(*)::BIGINT AS n_orders FROM (
       SELECT l_orderkey, COUNT(*)::BIGINT AS n_lines FROM lineitem GROUP BY 1)
     GROUP BY 1
+"""
+
+# per-part argmin supplier by min line cents (tie: suppkey)
+ORACLE_SQL["part_cheapest_supplier"] = """
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(MIN(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS c
+      FROM lineitem GROUP BY 1, 2),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY l_partkey ORDER BY c, l_suppkey) AS rn
+      FROM ps)
+    SELECT l_partkey, l_suppkey, c AS min_cents FROM r WHERE rn = 1
+"""
+
+# reciprocity over the pagerank-contract edges: reciprocated directed
+# edges / all directed edges
+ORACLE_SQL["link_reciprocity"] = """
+    WITH fx AS (SELECT * FROM read_parquet('/tmp/eds_pages_fixture/pages.parquet')),
+    mt AS (
+      SELECT url, unnest(regexp_extract_all(page, '<a href="[^"]*">[^<]*</a>')) AS tag
+      FROM fx WHERE route = 'html' AND instr(page, chr(65533)) = 0),
+    hrefs AS (SELECT url, regexp_extract(tag, '"([^"]*)"', 1) AS href FROM mt),
+    edges0 AS (
+      SELECT DISTINCT url AS src,
+             CASE WHEN href LIKE 'http://%' OR href LIKE 'https://%' THEN href
+                  WHEN href LIKE '/%' THEN regexp_extract(url, '^(https?://[^/]+)', 1) || href
+                  ELSE NULL END AS dst
+      FROM hrefs),
+    edges AS (SELECT src, dst FROM edges0 WHERE dst IS NOT NULL AND dst <> src),
+    re AS (SELECT COUNT(*)::BIGINT AS n_recip
+           FROM edges a JOIN edges b ON b.src = a.dst AND b.dst = a.src),
+    ne AS (SELECT COUNT(*)::BIGINT AS n FROM edges)
+    SELECT (SELECT n FROM ne) AS n_edges,
+           (SELECT n_recip FROM re) AS n_reciprocal,
+           ROUND(CAST((SELECT n_recip FROM re) AS DOUBLE) / (SELECT n FROM ne), 6)
+             AS reciprocity
+"""
+
+# per-page resolved out-degree histogram (pagerank edge contract;
+# pages with zero resolvable links count at degree 0)
+ORACLE_SQL["link_degree_histogram"] = """
+    WITH fx AS (SELECT * FROM read_parquet('/tmp/eds_pages_fixture/pages.parquet')),
+    pg AS (SELECT url, page FROM fx
+           WHERE route = 'html' AND instr(page, chr(65533)) = 0),
+    mt AS (
+      SELECT url, unnest(regexp_extract_all(page, '<a href="[^"]*">[^<]*</a>')) AS tag
+      FROM pg),
+    hrefs AS (SELECT url, regexp_extract(tag, '"([^"]*)"', 1) AS href FROM mt),
+    edges0 AS (
+      SELECT DISTINCT url AS src,
+             CASE WHEN href LIKE 'http://%' OR href LIKE 'https://%' THEN href
+                  WHEN href LIKE '/%' THEN regexp_extract(url, '^(https?://[^/]+)', 1) || href
+                  ELSE NULL END AS dst
+      FROM hrefs),
+    edges AS (SELECT src, dst FROM edges0 WHERE dst IS NOT NULL AND dst <> src),
+    deg AS (
+      SELECT dst, COUNT(*)::BIGINT AS degree
+      FROM edges GROUP BY dst)
+    SELECT degree, COUNT(*)::BIGINT AS n_targets FROM deg GROUP BY 1
+"""
+
+# per-route text-layer census over the fixture's visibility contract
+ORACLE_SQL["pages_route_stats"] = """
+    WITH fx AS (SELECT * FROM read_parquet('/tmp/eds_pages_fixture/pages.parquet')),
+    c AS (
+      SELECT route, url,
+             CASE WHEN route = 'html' THEN length(page)
+                  WHEN route = 'text' THEN length(text)
+                  ELSE 0 END AS n
+      FROM fx)
+    SELECT route, COUNT(*)::BIGINT AS n_pages,
+           CAST(SUM(n) AS BIGINT) AS total_chars,
+           CAST(MAX(n) AS BIGINT) AS max_chars,
+           CAST(SUM(md5_number_upper(url || '|' || CAST(n AS VARCHAR)) % 1000000007)
+                AS BIGINT) AS payload_fp
+    FROM c GROUP BY route
 """
 
 # mutual kNN: reciprocal membership of the exact cosine top-5 (self

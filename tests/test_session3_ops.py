@@ -390,3 +390,57 @@ class TestBatch5Ops:
         bounce = q_events_bounce_rate(SF).to_pandas()
         n_sessions = q_events_sessions(SF).count()
         assert int(bounce["n_sessions"].sum()) == n_sessions
+
+
+class TestBatch6Ops:
+    def test_hits_broadcast_and_cogroup_paths_identical(self, ray_session):
+        """The auto-switched broadcast fast path must reproduce the bucketed
+        message-passing path exactly (integer sums are order-free)."""
+        from edge_deid_studio_ray.pipelines.queries import q_link_hits
+
+        fast = q_link_hits(SF).to_pandas()
+        slow = q_link_hits(SF, broadcast_node_cap=0).to_pandas().reset_index(drop=True)
+        assert fast.equals(slow)
+
+    def test_bucket_invariance(self, ray_session, monkeypatch):
+        from edge_deid_studio_ray.pipelines.queries import QUERIES
+
+        names = [
+            "part_cheapest_supplier",
+            "link_reciprocity",
+            "link_degree_histogram",
+        ]
+        base = {n: _canon(QUERIES[n](SF)) for n in names}
+        monkeypatch.setenv("EDS_GROUP_BUCKETS", "5")
+        for n in names:
+            again = _canon(QUERIES[n](SF))
+            assert again.equals(base[n]), n
+
+    def test_cheapest_supplier_dominates(self, ray_session):
+        """Every reported (part, supplier) min price must be <= any line
+        price of that part (spot-check via duckdb)."""
+        import duckdb
+
+        from edge_deid_studio_ray.pipelines.queries import q_part_cheapest_supplier
+
+        df = _canon(q_part_cheapest_supplier(SF))
+        con = duckdb.connect()
+        mins = con.sql(
+            f"""SELECT l_partkey, MIN(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS m
+                FROM read_parquet('{SF}/lineitem.parquet') GROUP BY 1"""
+        ).df().set_index("l_partkey")["m"]
+        for _, row in df.iterrows():
+            assert row["min_cents"] == mins[row["l_partkey"]], row["l_partkey"]
+
+    def test_route_stats_counts_match_fixture(self, ray_session):
+        import duckdb
+
+        from edge_deid_studio_ray.pipelines.queries import q_pages_route_stats
+
+        df = _canon(q_pages_route_stats(SF))
+        con = duckdb.connect()
+        fx = con.sql(
+            "SELECT route, COUNT(*) AS n FROM read_parquet('/tmp/eds_pages_fixture/pages.parquet') GROUP BY 1"
+        ).df().set_index("route")["n"]
+        for _, row in df.iterrows():
+            assert row["n_pages"] == fx[row["route"]], row["route"]
