@@ -203,6 +203,12 @@ def _bench_queries(sf_dir: str) -> dict[str, float]:
         "attribution_first_touch",
         "user_weekly_retention",
         "zorder_layout_audit",
+        "events_funnel_windowed",
+        "knn_mutual_pairs",
+        "event_audience_jaccard",
+        "customer_order_gaps",
+        "part_cheapest_supplier",
+        "pages_route_stats",
     ]
     timings: dict[str, float] = {}
     for name in names:

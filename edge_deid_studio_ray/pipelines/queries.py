@@ -16211,6 +16211,327 @@ def q_pages_route_stats(sf_dir: str):
     )
 
 
+def q_session_duration_quantiles(sf_dir: str):
+    """Session-shape distribution: exact discrete p50/p90 of session
+    duration (seconds) and of events-per-session over the 30-min-gap
+    session contract — the engagement-depth report sessionization feeds.
+    Quantile element selection is the ``quantile_disc`` ceil rule.
+
+    Scale shape: one user-hash bucketed co-group sessionizes and emits
+    per-bucket (duration-seconds, n) and (size, n) histogram partials;
+    the driver merges histograms bounded by the corpus time span in
+    seconds (durations) and by the max session length (sizes) — never
+    O(sessions) rows."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    GAP_US = 1_800_000_000
+    nb = resolve_group_buckets()
+
+    def to_rows(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "us": batch["ts"].cast(pa.int64()),
+                "kb": _ibuckets(batch["user_id"], nb),
+            }
+        )
+
+    _EMPTY_SD = pd.DataFrame(
+        {
+            "kind": pd.array([], dtype="str"),
+            "val": pd.array([], dtype="int64"),
+            "n_p": pd.array([], dtype="int64"),
+        }
+    )
+
+    def fold(bucket: pd.DataFrame) -> pd.DataFrame:
+        if bucket.empty:
+            return _EMPTY_SD
+        dur: Counter = Counter()
+        size: Counter = Counter()
+        for _, g in bucket.groupby("user_id", sort=False):
+            us = np.sort(g["us"].to_numpy())
+            sid = np.r_[0, (np.diff(us) > GAP_US).cumsum()]
+            for s in np.unique(sid):
+                w = us[sid == s]
+                dur[int((w[-1] - w[0]) // 1_000_000)] += 1
+                size[len(w)] += 1
+        rows = [("dur", k, v) for k, v in dur.items()] + [
+            ("size", k, v) for k, v in size.items()
+        ]
+        return pd.DataFrame(
+            {
+                "kind": pd.Series([r[0] for r in rows], dtype="str"),
+                "val": pd.Series([r[1] for r in rows], dtype="int64"),
+                "n_p": pd.Series([r[2] for r in rows], dtype="int64"),
+            }
+        )
+
+    rows = (
+        _arrow_blocks(
+            _read(sf_dir, "events", ["user_id", "ts"])
+            .map_batches(to_rows, batch_format="pyarrow")
+            .groupby("kb")
+            .map_groups(fold, batch_format="pandas")
+        )
+        .groupby(["kind", "val"])
+        .aggregate(Sum("n_p", alias_name="n"))
+        .take_all()
+    )
+
+    def disc(kind: str, q: float) -> int:
+        sub = sorted((int(r["val"]), int(r["n"])) for r in rows if r["kind"] == kind)
+        values = np.array([s[0] for s in sub], dtype=np.int64)
+        cum = np.array([s[1] for s in sub], dtype=np.int64).cumsum()
+        target = math.ceil(q * int(cum[-1]))
+        return int(values[int((cum >= target).argmax())])
+
+    n_sessions = sum(int(r["n"]) for r in rows if r["kind"] == "size")
+    return pa.table(
+        {
+            "n_sessions": pa.array([n_sessions], pa.int64()),
+            "dur_p50_sec": pa.array([disc("dur", 0.5)], pa.int64()),
+            "dur_p90_sec": pa.array([disc("dur", 0.9)], pa.int64()),
+            "size_p50": pa.array([disc("size", 0.5)], pa.int64()),
+            "size_p90": pa.array([disc("size", 0.9)], pa.int64()),
+        }
+    )
+
+
+def q_vocab_coverage_k(sf_dir: str):
+    """Vocabulary coverage curve point: the minimum number of distinct
+    words (ranked by frequency desc) whose cumulative frequency covers
+    ≥ 90% of all tokens — the Zipf-economy statistic behind tokenizer
+    vocab sizing.  INTEGER-EXACT: the boundary test is
+    ``100·cum ≥ 90·total`` and within the boundary frequency the word
+    count needed is exact integer arithmetic — no float enters.
+
+    Scale shape: exact word counts via a word-hash bucketed fold; the
+    bucket emits a (frequency-value, n_words) HISTOGRAM partial — Zipf
+    keeps distinct frequency values ~O(√tokens), so the driver merge is
+    sublinear in vocabulary and independent of the raw corpus."""
+    import zlib
+
+    from ray.data.aggregate import Sum
+
+    nb = resolve_group_buckets()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for text in batch["text"].to_pylist():
+            c.update((text or "").lower().split())
+        keys = list(c.keys())
+        return pa.table(
+            {
+                "word": pa.array(keys, pa.string()),
+                "n_p": pa.array([c[k] for k in keys], pa.int64()),
+                "kb": pa.array(
+                    [zlib.crc32(k.encode()) % nb for k in keys], pa.int32()
+                ),
+            }
+        )
+
+    _EMPTY_FH = pd.DataFrame(
+        {"freq": pd.array([], dtype="int64"), "nw_p": pd.array([], dtype="int64")}
+    )
+
+    def freq_hist(bucket: pd.DataFrame) -> pd.DataFrame:
+        if bucket.empty:
+            return _EMPTY_FH
+        per_word = bucket.groupby("word")["n_p"].sum()
+        fu, fc = np.unique(per_word.to_numpy(), return_counts=True)
+        return pd.DataFrame(
+            {
+                "freq": pd.Series(fu, dtype="int64"),
+                "nw_p": pd.Series(fc.astype(np.int64), dtype="int64"),
+            }
+        )
+
+    rows = (
+        _arrow_blocks(
+            _read(sf_dir, "documents", ["text"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("kb")
+            .map_groups(freq_hist, batch_format="pandas")
+        )
+        .groupby("freq")
+        .aggregate(Sum("nw_p", alias_name="nw"))
+        .take_all()
+    )
+    rows.sort(key=lambda r: -int(r["freq"]))
+    total_tokens = sum(int(r["freq"]) * int(r["nw"]) for r in rows)
+    total_words = sum(int(r["nw"]) for r in rows)
+    cum = 0
+    k = 0
+    for r in rows:
+        f, nw = int(r["freq"]), int(r["nw"])
+        if 100 * (cum + f * nw) >= 90 * total_tokens:
+            # the boundary frequency: take just enough words of this freq
+            need = (90 * total_tokens - 100 * cum + 100 * f - 1) // (100 * f)
+            k += int(need)
+            cum += int(need) * f
+            break
+        cum += f * nw
+        k += nw
+    return pa.table(
+        {
+            "total_tokens": pa.array([total_tokens], pa.int64()),
+            "vocab_size": pa.array([total_words], pa.int64()),
+            "k_90pct": pa.array([k], pa.int64()),
+        }
+    )
+
+
+def q_top_word_per_lang(sf_dir: str):
+    """ARGMAX over an open domain: the most frequent word of each
+    language (count desc, word asc tie-break) — grouped-argmax where the
+    value domain (vocabulary) is unbounded, so no engine may hash-aggregate
+    it whole.
+
+    Scale shape: per-batch (lang, word, n) partials → ONE word-hash
+    bucketed fold (a word's rows co-locate, so per-(lang, word) totals
+    are exact in-bucket) emitting each bucket's per-lang champion; the
+    final argmax scans ≤ buckets·langs candidate rows."""
+    import zlib
+
+    nb = resolve_group_buckets()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for lang, text in zip(batch["lang"].to_pylist(), batch["text"].to_pylist()):
+            for w in (text or "").lower().split():
+                c[(lang, w)] += 1
+        keys = list(c.keys())
+        return pa.table(
+            {
+                "lang": pa.array([k[0] for k in keys], pa.string()),
+                "word": pa.array([k[1] for k in keys], pa.string()),
+                "n_p": pa.array([c[k] for k in keys], pa.int64()),
+                "kb": pa.array(
+                    [zlib.crc32(k[1].encode()) % nb for k in keys], pa.int32()
+                ),
+            }
+        )
+
+    _EMPTY_TW = pd.DataFrame(
+        {
+            "lang": pd.array([], dtype="str"),
+            "word": pd.array([], dtype="str"),
+            "n": pd.array([], dtype="int64"),
+        }
+    )
+
+    def champion(bucket: pd.DataFrame) -> pd.DataFrame:
+        if bucket.empty:
+            return _EMPTY_TW
+        g = bucket.groupby(["lang", "word"], as_index=False)["n_p"].sum()
+        g = g.sort_values(["lang", "n_p", "word"], ascending=[True, False, True])
+        best = g.groupby("lang", as_index=False).head(1)
+        return pd.DataFrame(
+            {
+                "lang": best["lang"].astype("str"),
+                "word": best["word"].astype("str"),
+                "n": best["n_p"].astype("int64"),
+            }
+        )
+
+    cands = (
+        _arrow_blocks(
+            _read(sf_dir, "documents", ["lang", "text"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("kb")
+            .map_groups(champion, batch_format="pandas")
+        )
+        .take_all()
+    )
+    best: dict[str, tuple[int, str]] = {}
+    for r in cands:
+        key = (-int(r["n"]), r["word"])
+        if r["lang"] not in best or key < best[r["lang"]]:
+            best[r["lang"]] = key
+    langs = sorted(best)
+    return pa.table(
+        {
+            "lang": pa.array(langs, pa.string()),
+            "word": pa.array([best[l][1] for l in langs], pa.string()),
+            "n": pa.array([-best[l][0] for l in langs], pa.int64()),
+        }
+    )
+
+
+def q_events_error_pchart(sf_dir: str):
+    """SPC p-chart over the daily error share: each day's error rate
+    against 3σ control limits derived from the overall rate
+    (p̄ ± 3·√(p̄(1−p̄)/n_day)) — the monitoring primitive behind
+    "did the pipeline break today".  The out-of-control flag compares
+    the UNROUNDED doubles through the identical IEEE chain on both
+    engines.
+
+    Scale shape: per-batch (day, n, n_err) partials, one day-keyed
+    grouped sum (days are time-bounded), scalar p̄, stateless limit
+    arithmetic."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    DAY_US = 86_400_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = us // DAY_US
+        err = np.array(
+            [t == "error" for t in batch["event_type"].to_pylist()], dtype=np.int64
+        )
+        df = pd.DataFrame({"day": day, "e": err})
+        g = df.groupby("day")["e"].agg(["size", "sum"]).reset_index()
+        return pa.table(
+            {
+                "day": pa.array(g["day"].to_numpy(), pa.int64()),
+                "n_p": pa.array(g["size"].to_numpy().astype(np.int64)),
+                "e_p": pa.array(g["sum"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    rows = (
+        _read(sf_dir, "events", ["ts", "event_type"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("n_p", alias_name="n"), Sum("e_p", alias_name="e"))
+        .take_all()
+    )
+    rows.sort(key=lambda r: r["day"])
+    total_n = sum(int(r["n"]) for r in rows)
+    total_e = sum(int(r["e"]) for r in rows)
+    pbar = float(total_e) / total_n
+    day_us, n_col, e_col, rate_col, ucl_col, lcl_col, flag = [], [], [], [], [], [], []
+    for r in rows:
+        n, e = int(r["n"]), int(r["e"])
+        rate = float(e) / n
+        sigma = math.sqrt(pbar * (1.0 - pbar) / n)
+        ucl = pbar + 3.0 * sigma
+        lcl = pbar - 3.0 * sigma
+        day_us.append(int(r["day"]) * DAY_US)
+        n_col.append(n)
+        e_col.append(e)
+        rate_col.append(round(rate, 6))
+        ucl_col.append(round(ucl, 6))
+        lcl_col.append(round(lcl, 6))
+        flag.append(1 if (rate > ucl or rate < lcl) else 0)
+    return pa.table(
+        {
+            "day_us": pa.array(day_us, pa.int64()),
+            "n": pa.array(n_col, pa.int64()),
+            "n_err": pa.array(e_col, pa.int64()),
+            "err_rate": pa.array(rate_col, pa.float64()),
+            "ucl": pa.array(ucl_col, pa.float64()),
+            "lcl": pa.array(lcl_col, pa.float64()),
+            "out_of_control": pa.array(flag, pa.int64()),
+        }
+    )
+
+
 QUERIES = {
     "doc_stats_by_lang": q_doc_stats_by_lang,
     "doc_token_stats": q_doc_token_stats,
@@ -16449,6 +16770,10 @@ QUERIES = {
     "link_reciprocity": q_link_reciprocity,
     "link_degree_histogram": q_link_degree_histogram,
     "pages_route_stats": q_pages_route_stats,
+    "session_duration_quantiles": q_session_duration_quantiles,
+    "vocab_coverage_k": q_vocab_coverage_k,
+    "top_word_per_lang": q_top_word_per_lang,
+    "events_error_pchart": q_events_error_pchart,
 }
 
 
@@ -20895,6 +21220,86 @@ ORACLE_SQL["orders_basket_profile"] = """
     SELECT n_lines, COUNT(*)::BIGINT AS n_orders FROM (
       SELECT l_orderkey, COUNT(*)::BIGINT AS n_lines FROM lineitem GROUP BY 1)
     GROUP BY 1
+"""
+
+# session duration/size discrete quantiles over the 30-min-gap contract
+ORACLE_SQL["session_duration_quantiles"] = """
+    WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+    lagd AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us) AS pus FROM e),
+    sess AS (
+      SELECT *, SUM(CASE WHEN pus IS NULL OR us - pus > 1800000000 THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY us
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM lagd),
+    s AS (
+      SELECT user_id, sid, (max(us) - min(us)) // 1000000 AS dur,
+             COUNT(*)::BIGINT AS sz
+      FROM sess GROUP BY 1, 2)
+    SELECT COUNT(*)::BIGINT AS n_sessions,
+           CAST(quantile_disc(dur, 0.5) AS BIGINT) AS dur_p50_sec,
+           CAST(quantile_disc(dur, 0.9) AS BIGINT) AS dur_p90_sec,
+           CAST(quantile_disc(sz, 0.5) AS BIGINT) AS size_p50,
+           CAST(quantile_disc(sz, 0.9) AS BIGINT) AS size_p90
+    FROM s
+"""
+
+# Zipf coverage point: window cumsum over the (freq desc) frequency
+# histogram + the identical integer boundary arithmetic
+ORACLE_SQL["vocab_coverage_k"] = r"""
+    WITH toks AS (
+      SELECT unnest(regexp_split_to_array(lower(COALESCE(text,'')), '\s+')) AS w
+      FROM documents),
+    wf AS (SELECT w, COUNT(*)::BIGINT AS f FROM toks WHERE w <> '' GROUP BY w),
+    fh AS (SELECT f, COUNT(*)::BIGINT AS nw FROM wf GROUP BY f),
+    tot AS (SELECT CAST(SUM(f*nw) AS BIGINT) AS T, CAST(SUM(nw) AS BIGINT) AS V FROM fh),
+    c AS (
+      SELECT f, nw,
+             CAST(COALESCE(SUM(f*nw) OVER (ORDER BY f DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before,
+             CAST(COALESCE(SUM(nw) OVER (ORDER BY f DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS k_before
+      FROM fh),
+    b AS (
+      SELECT c.*, tot.T, tot.V FROM c, tot
+      WHERE 100 * (cum_before + f * nw) >= 90 * tot.T
+        AND 100 * cum_before < 90 * tot.T)
+    SELECT T AS total_tokens, V AS vocab_size,
+           CAST(k_before + (90*T - 100*cum_before + 100*f - 1) // (100*f) AS BIGINT)
+             AS k_90pct
+    FROM b
+"""
+
+# grouped argmax over the open vocabulary (count desc, word asc)
+ORACLE_SQL["top_word_per_lang"] = r"""
+    WITH toks AS (
+      SELECT lang,
+             unnest(list_filter(regexp_split_to_array(lower(COALESCE(text,'')), '\s+'),
+                    x -> x <> '')) AS w
+      FROM documents),
+    wf AS (SELECT lang, w, COUNT(*)::BIGINT AS n FROM toks GROUP BY 1, 2),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, w) AS rn
+      FROM wf)
+    SELECT lang, w AS word, n FROM r WHERE rn = 1
+"""
+
+# SPC p-chart: daily error share vs 3-sigma limits from the overall rate;
+# the flag compares the UNROUNDED doubles through the identical chain
+ORACLE_SQL["events_error_pchart"] = """
+    WITH d AS (
+      SELECT epoch_us(ts) // 86400000000 AS day, COUNT(*)::BIGINT AS n,
+             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS e
+      FROM events GROUP BY 1),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS tn, CAST(SUM(e) AS BIGINT) AS te FROM d),
+    p AS (SELECT CAST(te AS DOUBLE) / tn AS pbar FROM t)
+    SELECT day * 86400000000 AS day_us, n, e AS n_err,
+           ROUND(CAST(e AS DOUBLE) / n, 6) AS err_rate,
+           ROUND(pbar + 3.0 * sqrt(pbar * (1.0 - pbar) / n), 6) AS ucl,
+           ROUND(pbar - 3.0 * sqrt(pbar * (1.0 - pbar) / n), 6) AS lcl,
+           CAST(CASE WHEN CAST(e AS DOUBLE) / n > pbar + 3.0 * sqrt(pbar * (1.0 - pbar) / n)
+                       OR CAST(e AS DOUBLE) / n < pbar - 3.0 * sqrt(pbar * (1.0 - pbar) / n)
+                THEN 1 ELSE 0 END AS BIGINT) AS out_of_control
+    FROM d, p
 """
 
 # per-part argmin supplier by min line cents (tie: suppkey)

@@ -444,3 +444,52 @@ class TestBatch6Ops:
         ).df().set_index("route")["n"]
         for _, row in df.iterrows():
             assert row["n_pages"] == fx[row["route"]], row["route"]
+
+
+class TestBatch7Ops:
+    def test_bucket_invariance(self, ray_session, monkeypatch):
+        from edge_deid_studio_ray.pipelines.queries import QUERIES
+
+        names = [
+            "session_duration_quantiles",
+            "vocab_coverage_k",
+            "top_word_per_lang",
+        ]
+        base = {n: _canon(QUERIES[n](SF)) for n in names}
+        monkeypatch.setenv("EDS_GROUP_BUCKETS", "5")
+        for n in names:
+            again = _canon(QUERIES[n](SF))
+            assert again.equals(base[n]), n
+
+    def test_vocab_coverage_boundary_exact(self, ray_session):
+        """k_90pct must be the MINIMUM k: k words cover >= 90%, k-1 do not
+        (re-derived from exact duckdb word frequencies)."""
+        import duckdb
+
+        from edge_deid_studio_ray.pipelines.queries import q_vocab_coverage_k
+
+        row = q_vocab_coverage_k(SF).to_pandas().iloc[0]
+        con = duckdb.connect()
+        freqs = [
+            r[0]
+            for r in con.sql(
+                f"""SELECT COUNT(*) AS f FROM (
+                      SELECT unnest(regexp_split_to_array(lower(COALESCE(text,'')), '\\s+')) AS w
+                      FROM read_parquet('{SF}/documents.parquet')) WHERE w <> ''
+                    GROUP BY w ORDER BY f DESC"""
+            ).fetchall()
+        ]
+        total = sum(freqs)
+        k = int(row["k_90pct"])
+        assert 100 * sum(freqs[:k]) >= 90 * total
+        assert 100 * sum(freqs[: k - 1]) < 90 * total
+        assert row["total_tokens"] == total
+
+    def test_pchart_limits_bracket_mean(self, ray_session):
+        from edge_deid_studio_ray.pipelines.queries import q_events_error_pchart
+
+        df = q_events_error_pchart(SF).to_pandas()
+        assert (df["lcl"] <= df["ucl"]).all()
+        # overall rate sits inside every day's limits by construction
+        pbar = df["n_err"].sum() / df["n"].sum()
+        assert ((df["lcl"] <= pbar + 1e-9) & (pbar <= df["ucl"] + 1e-9)).all()
