@@ -15542,19 +15542,21 @@ def q_knn_mutual_pairs(sf_dir: str):
     density-aware dedup and cluster seeding (mutual-kNN is much more
     precise than one-directional kNN near cluster boundaries).
 
-    Scale shape: reuses the proven `knn_bruteforce` kernel (broadcast
-    query matrix, per-batch matmul partials, tree-merged top-k) with the
-    WHOLE corpus as queries — exact all-vs-all is inherently O(N²); the
-    query-matrix broadcast is the documented exact-mode assumption (same
-    class as `embedding_near_dups`; at 10⁶+ rows switch to the LSH/IVF
-    candidate pruning in functions/simsearch.py).  k+1 neighbors are
-    fetched so self (cosine 1.0, always in the top set) drops out
-    locally; mutuality resolves in ONE unordered-pair-hash co-group
+    Scale shape: reuses `_batch_topk_fn` (broadcast query matrix,
+    per-batch matmul top-(k+1) partials) with the WHOLE corpus as
+    queries — exact all-vs-all is inherently O(N²); the query-matrix
+    broadcast is the documented exact-mode assumption (same class as
+    `embedding_near_dups`; at 10⁶+ rows switch to the LSH/IVF candidate
+    pruning in functions/simsearch.py).  The final per-query selection
+    happens inside the SAME query-hash co-group that drops self and
+    emits pair keys — NOT `_merge_topk`'s one-group-per-query finale,
+    which at Q = N is the recorded tiny-group pathology (20 s → 3 s at
+    sf0.1).  Mutuality resolves in ONE unordered-pair-hash co-group
     (count == 2 ⇒ both directions present)."""
     import ray
     from ray.data.aggregate import Sum
 
-    from ..functions.simsearch import knn_bruteforce
+    from ..functions.simsearch import _batch_topk_fn
 
     K = 5
     nb = resolve_group_buckets()
@@ -15566,7 +15568,12 @@ def q_knn_mutual_pairs(sf_dir: str):
     qmat = np.array([r["embedding"] for r in rows], dtype=np.float64)
     ids_ref = ray.put(ids)
 
-    out = knn_bruteforce(ds, qmat, k=K + 1)
+    # per-batch (query, candidate, cosine) partials: ≤ (k+1)·batches rows
+    # per query, all landing in the query's hash bucket below
+    out = ds.map_batches(
+        _batch_topk_fn(ray.put(qmat), K + 1, "embedding", "vec_id"),
+        batch_format="pyarrow",
+    )
 
     def directed(batch: pa.Table) -> pa.Table:
         id_arr = ray.get(ids_ref)
@@ -16532,6 +16539,181 @@ def q_events_error_pchart(sf_dir: str):
     )
 
 
+def q_events_value_psi_bins(sf_dir: str):
+    """Population-stability-index (PSI) drift report between the first and
+    second time-halves of the event stream: decile bins cut on the
+    REFERENCE (first) half's value distribution, per-bin shares p/q and
+    the PSI term (p−q)·ln(p/q) — the standard model-monitoring drift
+    screen.  Per-BIN rows only (no float-sum-ordered total enters the
+    contract); values are cents-exact in this corpus so the lift
+    ``floor(v·100 + 0.5)`` and the decile cuts (quantile_disc ceil rule)
+    are integer-exact on both engines.
+
+    Scale shape: per-batch (half, cent, n) histogram partials — the
+    shuffle ships one row per distinct cent per batch, and the driver
+    merge is bounded by the value DOMAIN (range × 100), not by event
+    count."""
+    import math
+
+    from ray.data.aggregate import Min, Max, Sum
+
+    bounds = (
+        _read(sf_dir, "events", ["ts"])
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "mn_p": pa.array(
+                        [pc.min(b["ts"].cast(pa.int64())).as_py()], pa.int64()
+                    ),
+                    "mx_p": pa.array(
+                        [pc.max(b["ts"].cast(pa.int64())).as_py()], pa.int64()
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .aggregate(Min("mn_p", alias_name="mn"), Max("mx_p", alias_name="mx"))
+    )
+    mid = (int(bounds["mn"]) + int(bounds["mx"])) // 2
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch["value"]))
+        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        cents = np.floor(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        half = (us >= mid).astype(np.int64)
+        df = pd.DataFrame({"half": half, "cent": cents})
+        g = df.groupby(["half", "cent"]).size().reset_index(name="n")
+        return pa.table(
+            {
+                "half": pa.array(g["half"].to_numpy(), pa.int64()),
+                "cent": pa.array(g["cent"].to_numpy(), pa.int64()),
+                "n_p": pa.array(g["n"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    rows = (
+        _read(sf_dir, "events", ["ts", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["half", "cent"])
+        .aggregate(Sum("n_p", alias_name="n"))
+        .take_all()
+    )
+    ref = sorted((int(r["cent"]), int(r["n"])) for r in rows if r["half"] == 0)
+    cur = {int(r["cent"]): int(r["n"]) for r in rows if r["half"] == 1}
+    values = np.array([t[0] for t in ref], dtype=np.int64)
+    counts = np.array([t[1] for t in ref], dtype=np.int64)
+    cum = counts.cumsum()
+    n_ref = int(cum[-1])
+    cuts = []
+    for i in range(1, 10):
+        # integer ceil(i·n/10): no float q enters the cut rule
+        target = (i * n_ref + 9) // 10
+        cuts.append(int(values[int((cum >= target).argmax())]))
+    cuts_arr = np.array(cuts, dtype=np.int64)
+
+    ref_bins = np.zeros(10, dtype=np.int64)
+    for c, n in ref:
+        ref_bins[int(np.searchsorted(cuts_arr, c, side="left"))] += n
+    cur_bins = np.zeros(10, dtype=np.int64)
+    for c, n in cur.items():
+        cur_bins[int(np.searchsorted(cuts_arr, c, side="left"))] += n
+    n_cur = int(cur_bins.sum())
+
+    out_bin, out_nr, out_nc, out_p, out_q, out_term = [], [], [], [], [], []
+    for b in range(10):
+        p = float(int(ref_bins[b])) / n_ref
+        q = float(int(cur_bins[b])) / n_cur
+        term = 0.0 if (p == 0.0 or q == 0.0) else (p - q) * math.log(p / q)
+        out_bin.append(b)
+        out_nr.append(int(ref_bins[b]))
+        out_nc.append(int(cur_bins[b]))
+        out_p.append(round(p, 6))
+        out_q.append(round(q, 6))
+        out_term.append(round(term, 6))
+    return pa.table(
+        {
+            "bin": pa.array(out_bin, pa.int64()),
+            "n_ref": pa.array(out_nr, pa.int64()),
+            "n_cur": pa.array(out_nc, pa.int64()),
+            "p": pa.array(out_p, pa.float64()),
+            "q": pa.array(out_q, pa.float64()),
+            "psi_term": pa.array(out_term, pa.float64()),
+        }
+    )
+
+
+def q_sessions_concurrency_profile(sf_dir: str):
+    """Interval-overlap census: for every hour, how many sessions
+    (30-min-gap contract) were ACTIVE during it (session interval
+    [start, end] overlaps the hour) — the capacity-planning profile
+    point events can't give.  Exposes the interval-join-to-grid shape:
+    each session explodes to its covered hour cells.
+
+    Scale shape: one user-hash bucketed co-group sessionizes; each
+    session emits per-HOUR partial counts (bounded by duration/3600 s —
+    gap-bounded sessions are short); a tiny hour-keyed grouped sum
+    finishes.  No pairwise interval join anywhere."""
+    from ray.data.aggregate import Sum
+
+    GAP_US = 1_800_000_000
+    HOUR_US = 3_600_000_000
+    nb = resolve_group_buckets()
+
+    def to_rows(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "us": batch["ts"].cast(pa.int64()),
+                "kb": _ibuckets(batch["user_id"], nb),
+            }
+        )
+
+    _EMPTY_CC = pd.DataFrame(
+        {"hour": pd.array([], dtype="int64"), "n_p": pd.array([], dtype="int64")}
+    )
+
+    def fold(bucket: pd.DataFrame) -> pd.DataFrame:
+        if bucket.empty:
+            return _EMPTY_CC
+        hours: Counter = Counter()
+        for _, g in bucket.groupby("user_id", sort=False):
+            us = np.sort(g["us"].to_numpy())
+            sid = np.r_[0, (np.diff(us) > GAP_US).cumsum()]
+            for s in np.unique(sid):
+                w = us[sid == s]
+                for h in range(int(w[0] // HOUR_US), int(w[-1] // HOUR_US) + 1):
+                    hours[h] += 1
+        keys = list(hours.keys())
+        return pd.DataFrame(
+            {
+                "hour": pd.Series(keys, dtype="int64"),
+                "n_p": pd.Series([hours[k] for k in keys], dtype="int64"),
+            }
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "hour_us": pc.multiply(batch["hour"], HOUR_US),
+                "n_active_sessions": batch["n_active_sessions"],
+            }
+        )
+
+    return (
+        _arrow_blocks(
+            _read(sf_dir, "events", ["user_id", "ts"])
+            .map_batches(to_rows, batch_format="pyarrow")
+            .groupby("kb")
+            .map_groups(fold, batch_format="pandas")
+        )
+        .groupby("hour")
+        .aggregate(Sum("n_p", alias_name="n_active_sessions"))
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
 QUERIES = {
     "doc_stats_by_lang": q_doc_stats_by_lang,
     "doc_token_stats": q_doc_token_stats,
@@ -16774,6 +16956,8 @@ QUERIES = {
     "vocab_coverage_k": q_vocab_coverage_k,
     "top_word_per_lang": q_top_word_per_lang,
     "events_error_pchart": q_events_error_pchart,
+    "events_value_psi_bins": q_events_value_psi_bins,
+    "sessions_concurrency_profile": q_sessions_concurrency_profile,
 }
 
 
@@ -21300,6 +21484,65 @@ ORACLE_SQL["events_error_pchart"] = """
                        OR CAST(e AS DOUBLE) / n < pbar - 3.0 * sqrt(pbar * (1.0 - pbar) / n)
                 THEN 1 ELSE 0 END AS BIGINT) AS out_of_control
     FROM d, p
+"""
+
+# PSI drift bins: explicit window-cumsum decile cuts with the integer
+# ceil(i*n/10) target; per-bin p/q and the mirrored (p-q)*ln(p/q) term
+ORACLE_SQL["events_value_psi_bins"] = """
+    WITH bnd AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx FROM events),
+    e AS (
+      SELECT CASE WHEN epoch_us(ts) >= (bnd.mn + bnd.mx) // 2 THEN 1 ELSE 0 END AS half,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cent
+      FROM events, bnd WHERE value IS NOT NULL),
+    ref AS (SELECT cent, COUNT(*)::BIGINT AS n FROM e WHERE half = 0 GROUP BY 1),
+    nr AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM ref),
+    ch AS (SELECT cent, CAST(SUM(n) OVER (ORDER BY cent) AS BIGINT) AS cum FROM ref),
+    cuts AS (
+      SELECT i.i,
+             (SELECT min(cent) FROM ch
+              WHERE cum >= (i.i * (SELECT t FROM nr) + 9) // 10) AS cut
+      FROM (SELECT unnest(range(1, 10)) AS i) i),
+    binned AS (
+      SELECT e.half,
+             (SELECT COUNT(*) FROM cuts WHERE e.cent > cuts.cut) AS bin
+      FROM e),
+    pb AS (
+      SELECT bin,
+             CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+             CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+      FROM binned GROUP BY 1),
+    allb AS (SELECT unnest(range(0, 10)) AS bin),
+    j AS (
+      SELECT CAST(allb.bin AS BIGINT) AS bin,
+             COALESCE(pb.n_ref, 0) AS n_ref, COALESCE(pb.n_cur, 0) AS n_cur
+      FROM allb LEFT JOIN pb USING (bin)),
+    t2 AS (SELECT CAST(SUM(n_ref) AS BIGINT) AS tr, CAST(SUM(n_cur) AS BIGINT) AS tc FROM j)
+    SELECT bin, n_ref, n_cur,
+           ROUND(CAST(n_ref AS DOUBLE) / (SELECT tr FROM t2), 6) AS p,
+           ROUND(CAST(n_cur AS DOUBLE) / (SELECT tc FROM t2), 6) AS q,
+           ROUND(CASE WHEN n_ref = 0 OR n_cur = 0 THEN 0.0
+                 ELSE (CAST(n_ref AS DOUBLE) / (SELECT tr FROM t2)
+                       - CAST(n_cur AS DOUBLE) / (SELECT tc FROM t2))
+                      * ln((CAST(n_ref AS DOUBLE) / (SELECT tr FROM t2))
+                           / (CAST(n_cur AS DOUBLE) / (SELECT tc FROM t2)))
+                 END, 6) AS psi_term
+    FROM j
+"""
+
+# hourly active-session census: sessions explode to covered hour cells
+ORACLE_SQL["sessions_concurrency_profile"] = """
+    WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+    lagd AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us) AS pus FROM e),
+    sess AS (
+      SELECT *, SUM(CASE WHEN pus IS NULL OR us - pus > 1800000000 THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY us
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM lagd),
+    s AS (SELECT user_id, sid, min(us) AS a, max(us) AS b FROM sess GROUP BY 1, 2),
+    hours AS (
+      SELECT unnest(range(a // 3600000000, b // 3600000000 + 1)) AS hour FROM s)
+    SELECT hour * 3600000000 AS hour_us, COUNT(*)::BIGINT AS n_active_sessions
+    FROM hours GROUP BY 1
 """
 
 # per-part argmin supplier by min line cents (tie: suppkey)

@@ -493,3 +493,41 @@ class TestBatch7Ops:
         # overall rate sits inside every day's limits by construction
         pbar = df["n_err"].sum() / df["n"].sum()
         assert ((df["lcl"] <= pbar + 1e-9) & (pbar <= df["ucl"] + 1e-9)).all()
+
+
+class TestBatch8Ops:
+    def test_bucket_invariance(self, ray_session, monkeypatch):
+        from edge_deid_studio_ray.pipelines.queries import QUERIES
+
+        names = ["events_value_psi_bins", "sessions_concurrency_profile"]
+        base = {n: _canon(QUERIES[n](SF)) for n in names}
+        monkeypatch.setenv("EDS_GROUP_BUCKETS", "5")
+        for n in names:
+            again = _canon(QUERIES[n](SF))
+            assert again.equals(base[n]), n
+
+    def test_psi_bins_conserve_and_reference_deciles(self, ray_session):
+        from edge_deid_studio_ray.pipelines.queries import q_events_value_psi_bins
+
+        df = q_events_value_psi_bins(SF).to_pandas()
+        assert len(df) == 10
+        # reference deciles: each bin holds ~10% of the reference half
+        n_ref = df["n_ref"].sum()
+        assert (df["n_ref"] >= 0).all() and n_ref > 0
+        assert abs(df["p"].sum() - 1.0) < 1e-4
+        assert abs(df["q"].sum() - 1.0) < 1e-4
+
+    def test_concurrency_bounds(self, ray_session):
+        """Hourly active sessions are bounded below by sessions STARTING
+        that hour and above by total sessions."""
+        from edge_deid_studio_ray.pipelines.queries import (
+            q_events_sessions,
+            q_sessions_concurrency_profile,
+        )
+
+        prof = q_sessions_concurrency_profile(SF).to_pandas()
+        n_sessions = q_events_sessions(SF).count()
+        assert (prof["n_active_sessions"] >= 1).all()
+        assert (prof["n_active_sessions"] <= n_sessions).all()
+        # hour cells sum >= total sessions (every session covers >=1 hour)
+        assert prof["n_active_sessions"].sum() >= n_sessions
