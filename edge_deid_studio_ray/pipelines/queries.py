@@ -16714,6 +16714,292 @@ def q_sessions_concurrency_profile(sf_dir: str):
     )
 
 
+_SEARCH_INDEX_STAGING = "/tmp/eds_search_index"
+
+
+def q_search_index_pipeline(sf_dir: str):
+    """End-to-end search-index build + query: tokenize the corpus, write a
+    PERSISTED inverted index (term-hash-partitioned postings parquet + a
+    doc-length table), then answer a 3-term BM25 query {hash, join,
+    window} FROM THE STAGED INDEX — the composite that ties the IR
+    operators (postings, BM25, retrieval) into the offline-index /
+    online-query split every search stack uses.  k1 = 1.2, b = 0.75,
+    Lucene idf, the `q_bm25_top20` float contract (identical expression
+    tree, fixed term order, 6dp round, doc_id ties).
+
+    Scale shape: the index build is one term-hash bucketed fold written
+    as partitioned parquet (resumable, never one giant file); query
+    stats (N, avgdl, per-term df) fold from the STAGED tables; scoring
+    joins the 3 query terms' postings with doc lengths in one doc-hash
+    co-group and keeps per-bucket top-10 — the corpus text is never
+    touched at query time.
+
+    Oracle: re-derives tokenization, index statistics, scoring and the
+    top-10 from `documents` in SQL — checking the staged index against
+    first principles, not against itself."""
+    import math
+    import shutil
+    import zlib
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    K1, B = 1.2, 0.75
+    TERMS = ("hash", "join", "window")
+    nb = resolve_group_buckets()
+
+    # ---- offline: build + persist the index ----
+    def postings(batch: pa.Table) -> pa.Table:
+        out_t, out_d, out_tf, out_kb = [], [], [], []
+        dl_d, dl_n = [], []
+        for d, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            words = (text or "").split(" ")
+            dl_d.append(d)
+            dl_n.append(len(words))
+            c = Counter(words)
+            for t, tf in c.items():
+                out_t.append(t)
+                out_d.append(d)
+                out_tf.append(tf)
+                out_kb.append(zlib.crc32(t.encode()) % nb)
+        return pa.table(
+            {
+                "term": pa.array(out_t, pa.string()),
+                "doc_id": pa.array(out_d, pa.int64()),
+                "tf": pa.array(out_tf, pa.int64()),
+                "kb": pa.array(out_kb, pa.int32()),
+            }
+        )
+
+    def doclens(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "dl": pa.array(
+                    [len((t or "").split(" ")) for t in batch["text"].to_pylist()],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    shutil.rmtree(_SEARCH_INDEX_STAGING, ignore_errors=True)
+    docs.map_batches(postings, batch_format="pyarrow").write_parquet(
+        os.path.join(_SEARCH_INDEX_STAGING, "postings"), partition_cols=["kb"]
+    )
+    docs.map_batches(doclens, batch_format="pyarrow").write_parquet(
+        os.path.join(_SEARCH_INDEX_STAGING, "doclens")
+    )
+
+    # ---- online: stats + scoring from the staged index only ----
+    dl_ds = rd.read_parquet(os.path.join(_SEARCH_INDEX_STAGING, "doclens")).map_batches(
+        _strip_meta, batch_format="pyarrow"
+    )
+    agg = dl_ds.map_batches(
+        lambda b: pa.table(
+            {
+                "nd": pa.array([b.num_rows], pa.int64()),
+                "nw": pa.array([int(pc.sum(b["dl"]).as_py() or 0)], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).aggregate(Sum("nd", alias_name="nd"), Sum("nw", alias_name="nw"))
+    n_docs = int(agg["nd"])
+    avgdl = float(agg["nw"]) / n_docs
+
+    post_ds = rd.read_parquet(
+        os.path.join(_SEARCH_INDEX_STAGING, "postings")
+    ).map_batches(_strip_meta, batch_format="pyarrow")
+
+    def term_rows(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch["term"], value_set=pa.array(TERMS))
+        kept = batch.filter(mask)
+        return pa.table(
+            {
+                "term": kept["term"],
+                "doc_id": kept["doc_id"],
+                "tf": pc.cast(kept["tf"], pa.int64()),
+            }
+        )
+
+    qpost = post_ds.map_batches(term_rows, batch_format="pyarrow").materialize()
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        c = Counter(batch["term"].to_pylist())
+        return pa.table(
+            {
+                "df0": pa.array([c.get(TERMS[0], 0)], pa.int64()),
+                "df1": pa.array([c.get(TERMS[1], 0)], pa.int64()),
+                "df2": pa.array([c.get(TERMS[2], 0)], pa.int64()),
+            }
+        )
+
+    dfa = qpost.map_batches(df_partial, batch_format="pyarrow").aggregate(
+        Sum("df0", alias_name="df0"),
+        Sum("df1", alias_name="df1"),
+        Sum("df2", alias_name="df2"),
+    )
+    idf = [
+        math.log(1.0 + (n_docs - int(dfa[f"df{i}"]) + 0.5) / (int(dfa[f"df{i}"]) + 0.5))
+        for i in range(3)
+    ]
+    tindex = {t: i for i, t in enumerate(TERMS)}
+
+    def qp_bucket(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "ti": pa.array(
+                    [tindex[t] for t in batch["term"].to_pylist()], pa.int64()
+                ),
+                "tf": batch["tf"],
+                "dl": pa.array([-1] * batch.num_rows, pa.int64()),
+                "kb": _ibuckets(batch["doc_id"], nb),
+            }
+        )
+
+    def dl_bucket(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "ti": pa.array([-1] * batch.num_rows, pa.int64()),
+                "tf": pa.array([0] * batch.num_rows, pa.int64()),
+                "dl": pc.cast(batch["dl"], pa.int64()),
+                "kb": _ibuckets(batch["doc_id"], nb),
+            }
+        )
+
+    _EMPTY_BM = pd.DataFrame(
+        {"doc_id": pd.array([], dtype="int64"), "bm25": pd.array([], dtype="float64")}
+    )
+
+    def score_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        if bucket.empty:
+            return _EMPTY_BM
+        dls = dict(
+            zip(
+                bucket.loc[bucket["ti"] == -1, "doc_id"],
+                bucket.loc[bucket["ti"] == -1, "dl"],
+            )
+        )
+        posts = bucket[bucket["ti"] >= 0]
+        if posts.empty:
+            return _EMPTY_BM
+        rows = []
+        for d, grp in posts.groupby("doc_id", sort=False):
+            dl = int(dls[d])
+            denom = K1 * (1.0 - B + B * dl / avgdl)
+            tfs = dict(zip(grp["ti"], grp["tf"]))
+            score = 0.0
+            for i in range(3):
+                tf = int(tfs.get(i, 0))
+                score += idf[i] * (tf * (K1 + 1.0)) / (tf + denom)
+            rows.append((round(score, 6), int(d)))
+        rows.sort(key=lambda r: (-r[0], r[1]))
+        rows = rows[:10]
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([r[1] for r in rows], dtype="int64"),
+                "bm25": pd.Series([r[0] for r in rows], dtype="float64"),
+            }
+        )
+
+    def final_topk(batch: pa.Table) -> pa.Table:
+        order = sorted(
+            zip(batch["bm25"].to_pylist(), batch["doc_id"].to_pylist()),
+            key=lambda r: (-r[0], r[1]),
+        )[:10]
+        return pa.table(
+            {
+                "doc_id": pa.array([r[1] for r in order], pa.int64()),
+                "bm25": pa.array([r[0] for r in order], pa.float64()),
+            }
+        )
+
+    return (
+        _arrow_blocks(
+            qpost.map_batches(qp_bucket, batch_format="pyarrow")
+            .union(dl_ds.map_batches(dl_bucket, batch_format="pyarrow"))
+            .groupby("kb")
+            .map_groups(score_bucket, batch_format="pandas")
+        )
+        .repartition(1)
+        .map_batches(final_topk, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def q_stump_lang_classifier(sf_dir: str):
+    """Exact 1R decision stump: the best single threshold on the integer
+    stopword-rate feature ``f = (1000·stopword_hits) // n_tokens``
+    separating English from non-English documents (predict en iff
+    f ≥ t) — trained by exhaustive exact search over every candidate
+    threshold, the baseline every fancier classifier must beat.
+    Candidates are the distinct feature values plus the reject-all
+    sentinel max+1; errors are exact integer counts; ties prefer the
+    smallest threshold.
+
+    Scale shape: a (feature, n_en, n_other) histogram folds map-side —
+    the feature domain is ≤1001 values by construction, so the driver
+    scan is constant-size regardless of corpus scale."""
+    from ray.data.aggregate import Sum
+
+    stop = set(_STOP_WORDS)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for lang, text in zip(batch["lang"].to_pylist(), batch["text"].to_pylist()):
+            words = (text or "").lower().split()
+            if not words:
+                continue
+            hits = sum(1 for w in words if w in stop)
+            f = (1000 * hits) // len(words)
+            c[(f, 1 if lang == "en" else 0)] += 1
+        keys = list(c.keys())
+        return pa.table(
+            {
+                "f": pa.array([k[0] for k in keys], pa.int64()),
+                "en": pa.array([k[1] for k in keys], pa.int64()),
+                "n_p": pa.array([c[k] for k in keys], pa.int64()),
+            }
+        )
+
+    rows = (
+        _read(sf_dir, "documents", ["lang", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["f", "en"])
+        .aggregate(Sum("n_p", alias_name="n"))
+        .take_all()
+    )
+    hist: dict[int, list[int]] = {}
+    for r in rows:
+        slot = hist.setdefault(int(r["f"]), [0, 0])
+        slot[int(r["en"])] += int(r["n"])
+    feats = sorted(hist)
+    total_en = sum(hist[f][1] for f in feats)
+    total_ot = sum(hist[f][0] for f in feats)
+    n_docs = total_en + total_ot
+    best_t, best_err = None, None
+    en_below = ot_below = 0
+    for t in feats + [feats[-1] + 1]:
+        errs = en_below + (total_ot - ot_below)
+        if best_err is None or errs < best_err:
+            best_t, best_err = t, errs
+        if t <= feats[-1]:
+            ot_below += hist[t][0]
+            en_below += hist[t][1]
+    return pa.table(
+        {
+            "threshold": pa.array([best_t], pa.int64()),
+            "n_errors": pa.array([best_err], pa.int64()),
+            "n_docs": pa.array([n_docs], pa.int64()),
+            "accuracy": pa.array(
+                [round(float(n_docs - best_err) / n_docs, 6)], pa.float64()
+            ),
+        }
+    )
+
+
 QUERIES = {
     "doc_stats_by_lang": q_doc_stats_by_lang,
     "doc_token_stats": q_doc_token_stats,
@@ -16958,6 +17244,8 @@ QUERIES = {
     "events_error_pchart": q_events_error_pchart,
     "events_value_psi_bins": q_events_value_psi_bins,
     "sessions_concurrency_profile": q_sessions_concurrency_profile,
+    "search_index_pipeline": q_search_index_pipeline,
+    "stump_lang_classifier": q_stump_lang_classifier,
 }
 
 
@@ -21484,6 +21772,82 @@ ORACLE_SQL["events_error_pchart"] = """
                        OR CAST(e AS DOUBLE) / n < pbar - 3.0 * sqrt(pbar * (1.0 - pbar) / n)
                 THEN 1 ELSE 0 END AS BIGINT) AS out_of_control
     FROM d, p
+"""
+
+# staged-index BM25: the oracle re-derives tokenization, stats, scoring
+# and the top-10 from documents — first principles, not the index itself
+ORACLE_SQL["search_index_pipeline"] = """
+    WITH w AS (
+        SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS words
+        FROM documents
+    ),
+    stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS nd,
+               CAST(SUM(len(words)) AS BIGINT) AS nw,
+               CAST(count(*) FILTER (list_contains(words, 'hash')) AS BIGINT) AS df0,
+               CAST(count(*) FILTER (list_contains(words, 'join')) AS BIGINT) AS df1,
+               CAST(count(*) FILTER (list_contains(words, 'window')) AS BIGINT) AS df2
+        FROM w
+    ),
+    scored AS (
+        SELECT doc_id,
+               len(list_filter(words, x -> x = 'hash'))
+                 + len(list_filter(words, x -> x = 'join'))
+                 + len(list_filter(words, x -> x = 'window')) AS any_tf,
+               round(
+                 ((ln(1.0 + (nd - df0 + 0.5) / (df0 + 0.5))
+                    * (len(list_filter(words, x -> x = 'hash')) * 2.2))
+                   / (len(list_filter(words, x -> x = 'hash'))
+                      + 1.2 * (0.25 + (0.75 * len(words)) / (CAST(nw AS DOUBLE) / nd)))
+                 + (ln(1.0 + (nd - df1 + 0.5) / (df1 + 0.5))
+                    * (len(list_filter(words, x -> x = 'join')) * 2.2))
+                   / (len(list_filter(words, x -> x = 'join'))
+                      + 1.2 * (0.25 + (0.75 * len(words)) / (CAST(nw AS DOUBLE) / nd))))
+                 + (ln(1.0 + (nd - df2 + 0.5) / (df2 + 0.5))
+                    * (len(list_filter(words, x -> x = 'window')) * 2.2))
+                   / (len(list_filter(words, x -> x = 'window'))
+                      + 1.2 * (0.25 + (0.75 * len(words)) / (CAST(nw AS DOUBLE) / nd))),
+                 6) AS bm25
+        FROM w, stats
+    )
+    SELECT doc_id, bm25 FROM scored WHERE any_tf > 0
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 10
+"""
+
+# exact 1R stump: window cumsums over the bounded feature histogram +
+# the reject-all sentinel; min errors, smallest-threshold tie-break
+ORACLE_SQL["stump_lang_classifier"] = rf"""
+    WITH toks AS (
+      SELECT lang,
+             list_filter(regexp_split_to_array(lower(COALESCE(text,'')), '\s+'),
+                         x -> x <> '') AS w
+      FROM documents),
+    feat AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS en,
+             (1000 * len(list_filter(w, x -> list_contains({_STOP_SQL}, x)))) // len(w) AS f
+      FROM toks WHERE len(w) > 0),
+    h AS (SELECT f, CAST(SUM(en) AS BIGINT) AS n_en,
+                 CAST(SUM(1 - en) AS BIGINT) AS n_ot
+          FROM feat GROUP BY f),
+    tot AS (SELECT CAST(SUM(n_en) AS BIGINT) AS te, CAST(SUM(n_ot) AS BIGINT) AS to_,
+                   CAST(SUM(n_en) + SUM(n_ot) AS BIGINT) AS n FROM h),
+    c AS (
+      SELECT f,
+             CAST(COALESCE(SUM(n_en) OVER (ORDER BY f
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS en_below,
+             CAST(COALESCE(SUM(n_ot) OVER (ORDER BY f
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS ot_below
+      FROM h),
+    cand AS (
+      SELECT f AS t, en_below + ((SELECT to_ FROM tot) - ot_below) AS errs FROM c
+      UNION ALL
+      SELECT (SELECT max(f) FROM h) + 1, (SELECT te FROM tot))
+    SELECT CAST(t AS BIGINT) AS threshold, CAST(errs AS BIGINT) AS n_errors,
+           (SELECT n FROM tot) AS n_docs,
+           ROUND(CAST((SELECT n FROM tot) - errs AS DOUBLE) / (SELECT n FROM tot), 6)
+             AS accuracy
+    FROM cand ORDER BY errs, t LIMIT 1
 """
 
 # PSI drift bins: explicit window-cumsum decile cuts with the integer

@@ -531,3 +531,62 @@ class TestBatch8Ops:
         assert (prof["n_active_sessions"] <= n_sessions).all()
         # hour cells sum >= total sessions (every session covers >=1 hour)
         assert prof["n_active_sessions"].sum() >= n_sessions
+
+
+class TestBatch9Ops:
+    def test_search_index_staged_files_exist_and_partitioned(self, ray_session):
+        """The composite must leave a partitioned postings index plus
+        doclens on disk (resumable-output contract)."""
+        import glob
+
+        from edge_deid_studio_ray.pipelines.queries import (
+            _SEARCH_INDEX_STAGING,
+            q_search_index_pipeline,
+        )
+
+        df = q_search_index_pipeline(SF).to_pandas()
+        assert len(df) == 10
+        assert (df["bm25"] > 0).all()
+        parts = glob.glob(f"{_SEARCH_INDEX_STAGING}/postings/kb=*/")
+        assert len(parts) > 1, "postings must be hash-partitioned directories"
+        assert glob.glob(f"{_SEARCH_INDEX_STAGING}/doclens/*.parquet")
+
+    def test_stump_is_optimal_vs_bruteforce(self, ray_session):
+        """Exhaustively re-check optimality of the reported threshold with
+        an independent duckdb reconstruction."""
+        import duckdb
+
+        from edge_deid_studio_ray.pipelines.queries import q_stump_lang_classifier
+
+        row = q_stump_lang_classifier(SF).to_pandas().iloc[0]
+        con = duckdb.connect()
+        feats = con.sql(
+            f"""SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS en,
+                       (1000 * len(list_filter(w, x -> list_contains(
+                          ['the','of','and','to','a','in','is','it','you','that'], x))))
+                         // len(w) AS f
+                FROM (SELECT lang, list_filter(
+                        regexp_split_to_array(lower(COALESCE(text,'')), '\\s+'),
+                        x -> x <> '') AS w
+                      FROM read_parquet('{SF}/documents.parquet'))
+                WHERE len(w) > 0"""
+        ).df()
+        import numpy as np
+
+        f = feats["f"].to_numpy()
+        en = feats["en"].to_numpy()
+        best = None
+        for t in sorted(set(f.tolist())) + [int(f.max()) + 1]:
+            errs = int(((f < t) & (en == 1)).sum() + ((f >= t) & (en == 0)).sum())
+            if best is None or errs < best[1]:
+                best = (t, errs)
+        assert (int(row["threshold"]), int(row["n_errors"])) == best
+        assert row["n_docs"] == len(feats)
+
+    def test_bucket_invariance(self, ray_session, monkeypatch):
+        from edge_deid_studio_ray.pipelines.queries import QUERIES
+
+        base = _canon(QUERIES["search_index_pipeline"](SF))
+        monkeypatch.setenv("EDS_GROUP_BUCKETS", "5")
+        again = _canon(QUERIES["search_index_pipeline"](SF))
+        assert again.equals(base)
