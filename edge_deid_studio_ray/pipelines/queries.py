@@ -1501,6 +1501,34 @@ def pages_rows_for(sf_dir: str) -> int:
 # engine just processed.
 _PAGES_FIXTURE = "/tmp/eds_pages_fixture/pages.parquet"
 
+_OUTLINK_BASE_RE = re.compile(r"^(https?://[^/]+)")
+
+
+def _resolve_outlinks(url: str, raw) -> set:
+    """The ONE outlink-resolution contract shared by every link-analysis
+    query (pagerank / HITS / reciprocity / in-degree census) and mirrored
+    by every edge-deriving oracle CTE: absolute http(s) hrefs pass
+    through, root-relative hrefs resolve against the page authority,
+    everything else drops, self-links drop.  Change it here and in the
+    fixture SQL TOGETHER — a one-sided edit forks the edge contract."""
+    from ..kernels.html_text import decode_html_bytes, extract_links
+
+    if not raw:
+        return set()
+    base = _OUTLINK_BASE_RE.match(url)
+    dsts = set()
+    for href, _anchor in extract_links(decode_html_bytes(raw)):
+        if href.startswith("http://") or href.startswith("https://"):
+            absu = href
+        elif href.startswith("/") and base:
+            absu = base.group(1) + href
+        else:
+            continue
+        if absu != url:
+            dsts.add(absu)
+    return dsts
+
+
 
 def _ensure_pages_fixture(sf_dir: str) -> str:
     """Materialize the DECODED synthetic pages corpus once per (n, seed,
@@ -12962,13 +12990,10 @@ def q_link_pagerank(sf_dir: str):
     chained CTEs over the same fixture-derived edges."""
     import zlib
 
-    from ..kernels.html_text import decode_html_bytes, extract_links
-
     K = 4
     SCALE = 1_000_000_000_000
     nb = resolve_group_buckets()
     _ensure_pages_fixture(sf_dir)
-    base_re = re.compile(r"^(https?://[^/]+)")
 
     def _ubuckets(urls: list) -> pa.Array:
         return pa.array([zlib.crc32(u.encode()) % nb for u in urls], pa.int32())
@@ -12976,19 +13001,7 @@ def q_link_pagerank(sf_dir: str):
     def edge_rows(batch: pa.Table) -> pa.Table:
         src_out, dst_out, deg_out = [], [], []
         for url, raw in zip(batch["url"].to_pylist(), batch["html"].to_pylist()):
-            if not raw:
-                continue
-            base = base_re.match(url)
-            dsts = set()
-            for href, _anchor in extract_links(decode_html_bytes(raw)):
-                if href.startswith("http://") or href.startswith("https://"):
-                    absu = href
-                elif href.startswith("/") and base:
-                    absu = base.group(1) + href
-                else:
-                    continue
-                if absu != url:
-                    dsts.add(absu)
+            dsts = _resolve_outlinks(url, raw)
             for d in dsts:
                 src_out.append(url)
                 dst_out.append(d)
@@ -13762,6 +13775,17 @@ def q_events_holt_linear(sf_dir: str):
     h_lo, h_hi = min(counts), max(counts)
     hours = list(range(h_lo, h_hi + 1))
     x = [counts.get(h, 0) for h in hours]
+    if len(x) < 2:  # trend seed needs x[1]; the oracle's recursive seed
+        # (JOIN s2 ON s2.i = 2) likewise yields zero rows on one hour
+        return pa.table(
+            {
+                "hour_us": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "level": pa.array([], pa.float64()),
+                "trend": pa.array([], pa.float64()),
+                "forecast_next": pa.array([], pa.float64()),
+            }
+        )
     alpha, beta = 0.3, 0.1
     level = float(x[0])
     trend = float(x[1] - x[0])
@@ -13970,7 +13994,22 @@ def q_zone_map_pruning(sf_dir: str):
     LO = int(pd.Timestamp("1998-01-01").value // 1000)
     HI = int(pd.Timestamp("1998-07-01").value // 1000)
 
-    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    # four passes read this projection (selectivity, key blocks, day
+    # histogram, date tagging) — materialize the 2-int columns once
+    # (the same fix the sibling z-order audit applies to `tagged`)
+    ds = (
+        _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "o_orderkey": b["o_orderkey"],
+                    "o_orderdate": pc.cast(b["o_orderdate"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
 
     def sel_partial(batch: pa.Table) -> pa.Table:
         us = pc.cast(batch["o_orderdate"], pa.int64()).to_numpy(zero_copy_only=False)
@@ -14310,13 +14349,10 @@ def q_link_hits(sf_dir: str, *, broadcast_node_cap: int | None = 200_000):
     import ray
     import zlib
 
-    from ..kernels.html_text import decode_html_bytes, extract_links
-
     K = 2
     S = 1_000_000
     nb = resolve_group_buckets()
     _ensure_pages_fixture(sf_dir)
-    base_re = re.compile(r"^(https?://[^/]+)")
 
     def _ubuckets(urls: list) -> pa.Array:
         return pa.array([zlib.crc32(u.encode()) % nb for u in urls], pa.int32())
@@ -14324,20 +14360,7 @@ def q_link_hits(sf_dir: str, *, broadcast_node_cap: int | None = 200_000):
     def edge_rows(batch: pa.Table) -> pa.Table:
         src_out, dst_out = [], []
         for url, raw in zip(batch["url"].to_pylist(), batch["html"].to_pylist()):
-            if not raw:
-                continue
-            base = base_re.match(url)
-            dsts = set()
-            for href, _anchor in extract_links(decode_html_bytes(raw)):
-                if href.startswith("http://") or href.startswith("https://"):
-                    absu = href
-                elif href.startswith("/") and base:
-                    absu = base.group(1) + href
-                else:
-                    continue
-                if absu != url:
-                    dsts.add(absu)
-            for d in dsts:
+            for d in _resolve_outlinks(url, raw):
                 src_out.append(url)
                 dst_out.append(d)
         return pa.table(
@@ -14928,7 +14951,8 @@ def q_orders_constraint_audit(sf_dir: str):
         tp = batch["o_totalprice"].to_numpy(zero_copy_only=False)
         bad_price = int(np.isnan(tp).sum() + (tp <= 0).sum())
         st = batch["o_orderstatus"].to_pylist()
-        bad_status = sum(1 for s in st if s not in ("O", "F", "P"))
+        # NULL is a violation too (and SQL NOT IN alone would skip it)
+        bad_status = sum(1 for s in st if s is None or s not in ("O", "F", "P"))
         us = batch["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
         lo = int(pd.Timestamp("1990-01-01").value // 1000)
         hi = int(pd.Timestamp("2010-01-01").value // 1000)
@@ -15556,7 +15580,7 @@ def q_knn_mutual_pairs(sf_dir: str):
     import ray
     from ray.data.aggregate import Sum
 
-    from ..functions.simsearch import _batch_topk_fn
+    from ..functions.simsearch import _normalize, _vec_matrix
 
     K = 5
     nb = resolve_group_buckets()
@@ -15567,13 +15591,40 @@ def q_knn_mutual_pairs(sf_dir: str):
     ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
     qmat = np.array([r["embedding"] for r in rows], dtype=np.float64)
     ids_ref = ray.put(ids)
+    qref = ray.put(_normalize(qmat))
 
-    # per-batch (query, candidate, cosine) partials: ≤ (k+1)·batches rows
-    # per query, all landing in the query's hash bucket below
-    out = ds.map_batches(
-        _batch_topk_fn(ray.put(qmat), K + 1, "embedding", "vec_id"),
-        batch_format="pyarrow",
-    )
+    def topk_partial(batch: pa.Table) -> pa.Table:
+        # per-batch top-(K+1) per query with EXACT boundary-tie handling:
+        # keep every candidate whose cosine equals the (K+1)-th largest
+        # (argpartition alone keeps an arbitrary tie member, which could
+        # drop the smallest-id candidate the oracle's tie-break keeps)
+        q = ray.get(qref)
+        mat = _normalize(_vec_matrix(batch["embedding"]))
+        keys = batch["vec_id"].to_numpy(zero_copy_only=False)
+        sims = q @ mat.T  # (Q, B)
+        kk = min(K + 1, sims.shape[1])
+        out_q, out_k, out_c = [], [], []
+        for qi in range(sims.shape[0]):
+            row = sims[qi]
+            cb = np.partition(row, len(row) - kk)[len(row) - kk]
+            idx = np.flatnonzero(row >= cb)
+            # exact (cosine desc, key asc) order inside the tie set: the
+            # first kk entries ARE the batch's exact top-kk under the
+            # oracle's tie-break
+            order = idx[np.lexsort((keys[idx], -row[idx]))][:kk]
+            for j in order:
+                out_q.append(qi)
+                out_k.append(int(keys[j]))
+                out_c.append(float(row[j]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_k, pa.int64()),
+                "cosine": pa.array(out_c, pa.float64()),
+            }
+        )
+
+    out = ds.map_batches(topk_partial, batch_format="pyarrow")
 
     def directed(batch: pa.Table) -> pa.Table:
         id_arr = ray.get(ids_ref)
@@ -15993,29 +16044,13 @@ def q_link_reciprocity(sf_dir: str):
 
     from ray.data.aggregate import Sum
 
-    from ..kernels.html_text import decode_html_bytes, extract_links
-
     nb = resolve_group_buckets()
     _ensure_pages_fixture(sf_dir)
-    base_re = re.compile(r"^(https?://[^/]+)")
 
     def edge_rows(batch: pa.Table) -> pa.Table:
         lo_out, hi_out = [], []
         for url, raw in zip(batch["url"].to_pylist(), batch["html"].to_pylist()):
-            if not raw:
-                continue
-            base = base_re.match(url)
-            dsts = set()
-            for href, _anchor in extract_links(decode_html_bytes(raw)):
-                if href.startswith("http://") or href.startswith("https://"):
-                    absu = href
-                elif href.startswith("/") and base:
-                    absu = base.group(1) + href
-                else:
-                    continue
-                if absu != url:
-                    dsts.add(absu)
-            for d in dsts:
+            for d in _resolve_outlinks(url, raw):
                 lo, hi = (url, d) if url < d else (d, url)
                 lo_out.append(lo)
                 hi_out.append(hi)
@@ -16085,29 +16120,13 @@ def q_link_degree_histogram(sf_dir: str):
 
     from ray.data.aggregate import Sum
 
-    from ..kernels.html_text import decode_html_bytes, extract_links
-
     nb = resolve_group_buckets()
     _ensure_pages_fixture(sf_dir)
-    base_re = re.compile(r"^(https?://[^/]+)")
 
     def edge_rows(batch: pa.Table) -> pa.Table:
         src_out, dst_out = [], []
         for url, raw in zip(batch["url"].to_pylist(), batch["html"].to_pylist()):
-            if not raw:
-                continue
-            base = base_re.match(url)
-            dsts = set()
-            for href, _anchor in extract_links(decode_html_bytes(raw)):
-                if href.startswith("http://") or href.startswith("https://"):
-                    absu = href
-                elif href.startswith("/") and base:
-                    absu = base.group(1) + href
-                else:
-                    continue
-                if absu != url:
-                    dsts.add(absu)
-            for d in dsts:
+            for d in _resolve_outlinks(url, raw):
                 src_out.append(url)
                 dst_out.append(d)
         return pa.table(
@@ -16714,7 +16733,13 @@ def q_sessions_concurrency_profile(sf_dir: str):
     )
 
 
-_SEARCH_INDEX_STAGING = "/tmp/eds_search_index"
+def _search_index_staging() -> str:
+    """Per-process staging root: a fixed path would let concurrent runs
+    (parallel pytest + bench on one host) rmtree each other's index
+    mid-read — the pages fixture avoids this with an idempotent
+    version-marker write, but this index is rebuilt per invocation by
+    design, so isolation comes from the path instead."""
+    return f"/tmp/eds_search_index_{os.getpid()}"
 
 
 def q_search_index_pipeline(sf_dir: str):
@@ -16747,6 +16772,7 @@ def q_search_index_pipeline(sf_dir: str):
     K1, B = 1.2, 0.75
     TERMS = ("hash", "join", "window")
     nb = resolve_group_buckets()
+    staging = _search_index_staging()
 
     # ---- offline: build + persist the index ----
     def postings(batch: pa.Table) -> pa.Table:
@@ -16772,7 +16798,6 @@ def q_search_index_pipeline(sf_dir: str):
         )
 
     def doclens(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_pylist()
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
@@ -16784,16 +16809,16 @@ def q_search_index_pipeline(sf_dir: str):
         )
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    shutil.rmtree(_SEARCH_INDEX_STAGING, ignore_errors=True)
+    shutil.rmtree(staging, ignore_errors=True)
     docs.map_batches(postings, batch_format="pyarrow").write_parquet(
-        os.path.join(_SEARCH_INDEX_STAGING, "postings"), partition_cols=["kb"]
+        os.path.join(staging, "postings"), partition_cols=["kb"]
     )
     docs.map_batches(doclens, batch_format="pyarrow").write_parquet(
-        os.path.join(_SEARCH_INDEX_STAGING, "doclens")
+        os.path.join(staging, "doclens")
     )
 
     # ---- online: stats + scoring from the staged index only ----
-    dl_ds = rd.read_parquet(os.path.join(_SEARCH_INDEX_STAGING, "doclens")).map_batches(
+    dl_ds = rd.read_parquet(os.path.join(staging, "doclens")).map_batches(
         _strip_meta, batch_format="pyarrow"
     )
     agg = dl_ds.map_batches(
@@ -16809,7 +16834,7 @@ def q_search_index_pipeline(sf_dir: str):
     avgdl = float(agg["nw"]) / n_docs
 
     post_ds = rd.read_parquet(
-        os.path.join(_SEARCH_INDEX_STAGING, "postings")
+        os.path.join(staging, "postings")
     ).map_batches(_strip_meta, batch_format="pyarrow")
 
     def term_rows(batch: pa.Table) -> pa.Table:
@@ -21488,7 +21513,8 @@ ORACLE_SQL["orders_constraint_audit"] = """
     UNION ALL
     SELECT 'bad_orderstatus',
            (SELECT COUNT(*) FROM orders
-            WHERE o_orderstatus NOT IN ('O', 'F', 'P'))::BIGINT
+            WHERE o_orderstatus IS NULL
+               OR o_orderstatus NOT IN ('O', 'F', 'P'))::BIGINT
     UNION ALL
     SELECT 'orderdate_out_of_range',
            (SELECT COUNT(*) FROM orders
@@ -21945,8 +21971,8 @@ ORACLE_SQL["link_reciprocity"] = """
              AS reciprocity
 """
 
-# per-page resolved out-degree histogram (pagerank edge contract;
-# pages with zero resolvable links count at degree 0)
+# link-target IN-degree histogram over the pagerank-contract edges
+# (targets only — a page with zero in-links emits no row)
 ORACLE_SQL["link_degree_histogram"] = """
     WITH fx AS (SELECT * FROM read_parquet('/tmp/eds_pages_fixture/pages.parquet')),
     pg AS (SELECT url, page FROM fx

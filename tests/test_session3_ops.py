@@ -157,10 +157,11 @@ class TestRetrievalOps:
         hits = q_conjunctive_search(SF).to_pandas()
         assert len(hits) > 0
         con = duckdb.connect()
+        id_list = "(" + ",".join(str(i) for i in hits["doc_id"].tolist()) + ")"
         for term in ("hash", "join", "window"):
             ok = con.sql(
                 f"""SELECT COUNT(*) FROM read_parquet('{SF}/documents.parquet')
-                    WHERE doc_id IN {tuple(hits['doc_id'].tolist())}
+                    WHERE doc_id IN {id_list}
                       AND NOT list_contains(
                             regexp_split_to_array(lower(COALESCE(text,'')), '\\s+'),
                             '{term}')"""
@@ -540,16 +541,17 @@ class TestBatch9Ops:
         import glob
 
         from edge_deid_studio_ray.pipelines.queries import (
-            _SEARCH_INDEX_STAGING,
+            _search_index_staging,
             q_search_index_pipeline,
         )
 
         df = q_search_index_pipeline(SF).to_pandas()
         assert len(df) == 10
         assert (df["bm25"] > 0).all()
-        parts = glob.glob(f"{_SEARCH_INDEX_STAGING}/postings/kb=*/")
+        staging = _search_index_staging()
+        parts = glob.glob(f"{staging}/postings/kb=*/")
         assert len(parts) > 1, "postings must be hash-partitioned directories"
-        assert glob.glob(f"{_SEARCH_INDEX_STAGING}/doclens/*.parquet")
+        assert glob.glob(f"{staging}/doclens/*.parquet")
 
     def test_stump_is_optimal_vs_bruteforce(self, ray_session):
         """Exhaustively re-check optimality of the reported threshold with
