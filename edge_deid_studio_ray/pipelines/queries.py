@@ -17025,6 +17025,192 @@ def q_stump_lang_classifier(sf_dir: str):
     )
 
 
+def q_word_burstiness_top20(sf_dir: str):
+    """Word burstiness (Fano factor) of the 20 most frequent words: the
+    variance-to-mean ratio of per-document counts — near 1 for
+    Poisson-scattered function words, ≫1 for topically bursty content
+    words (Church & Gale 1995); the corpus-linguistics screen behind
+    stopword lists and term-weighting choices.  EXACT: per-word
+    total and sum-of-squares are integer moments over ALL documents
+    (absent docs contribute 0 to both), and mean/fano are mirrored
+    double chains over exact ints.
+
+    Scale shape: per-batch (word, n, sq, docs-with) partials → ONE
+    word-hash bucketed fold (a word's moments finalize in-bucket; each
+    bucket emits only its top-20-by-frequency champions) → the final
+    selection scans ≤ 20·buckets rows; n_docs is one scalar."""
+    import zlib
+
+    nb = resolve_group_buckets()
+    n_docs = int(_read(sf_dir, "documents", ["doc_id"]).count())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tot: Counter = Counter()
+        sq: Counter = Counter()
+        for text in batch["text"].to_pylist():
+            c = Counter((text or "").lower().split())
+            for w, k in c.items():
+                tot[w] += k
+                sq[w] += k * k
+        keys = list(tot.keys())
+        return pa.table(
+            {
+                "word": pa.array(keys, pa.string()),
+                "n_p": pa.array([tot[k] for k in keys], pa.int64()),
+                "sq_p": pa.array([sq[k] for k in keys], pa.int64()),
+                "kb": pa.array(
+                    [zlib.crc32(k.encode()) % nb for k in keys], pa.int32()
+                ),
+            }
+        )
+
+    _EMPTY_BURST = pd.DataFrame(
+        {
+            "word": pd.array([], dtype="str"),
+            "n": pd.array([], dtype="int64"),
+            "sq": pd.array([], dtype="int64"),
+        }
+    )
+
+    def champions(bucket: pd.DataFrame) -> pd.DataFrame:
+        if bucket.empty:
+            return _EMPTY_BURST
+        g = bucket.groupby("word", as_index=False)[["n_p", "sq_p"]].sum()
+        g = g.sort_values(["n_p", "word"], ascending=[False, True]).head(20)
+        return pd.DataFrame(
+            {
+                "word": g["word"].astype("str"),
+                "n": g["n_p"].astype("int64"),
+                "sq": g["sq_p"].astype("int64"),
+            }
+        )
+
+    cands = (
+        _arrow_blocks(
+            _read(sf_dir, "documents", ["text"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("kb")
+            .map_groups(champions, batch_format="pandas")
+        )
+        .take_all()
+    )
+    cands.sort(key=lambda r: (-int(r["n"]), r["word"]))
+    cands = cands[:20]
+    words, n_col, mean_col, fano_col = [], [], [], []
+    for r in cands:
+        n, s2 = int(r["n"]), int(r["sq"])
+        # population variance over ALL docs: (D·Σc² − (Σc)²) / D²; fano =
+        # var/mean = (D·Σc² − n²) / (D·n) — one double division of exact ints
+        words.append(r["word"])
+        n_col.append(n)
+        mean_col.append(round(float(n) / n_docs, 6))
+        fano_col.append(round(float(n_docs * s2 - n * n) / (n_docs * n), 6))
+    return pa.table(
+        {
+            "word": pa.array(words, pa.string()),
+            "n": pa.array(n_col, pa.int64()),
+            "mean_per_doc": pa.array(mean_col, pa.float64()),
+            "fano": pa.array(fano_col, pa.float64()),
+        }
+    )
+
+
+def q_markov_next_accuracy(sf_dir: str):
+    """Next-event prediction accuracy of the first-order Markov argmax
+    model: train transition counts over user-ordered event bigrams,
+    predict next = argmax row of the CURRENT type (count desc, type asc
+    ties), score on the same transitions — the self-consistency ceiling
+    of a Markov recommender, integer-exact end to end.
+
+    Scale shape: bigram counts fold per user inside ONE user-hash
+    co-group (the `event_type_transitions` shape) into a ≤|types|² count
+    table; the argmax and the accuracy division are driver arithmetic on
+    that constant-size table."""
+    from ray.data.aggregate import Sum
+
+    nb = resolve_group_buckets()
+
+    def to_rows(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "event_id": batch["event_id"],
+                "us": batch["ts"].cast(pa.int64()),
+                "event_type": batch["event_type"],
+                "kb": _ibuckets(batch["user_id"], nb),
+            }
+        )
+
+    _EMPTY_TR = pd.DataFrame(
+        {
+            "cur": pd.array([], dtype="str"),
+            "nxt": pd.array([], dtype="str"),
+            "n_p": pd.array([], dtype="int64"),
+        }
+    )
+
+    def fold(bucket: pd.DataFrame) -> pd.DataFrame:
+        if bucket.empty:
+            return _EMPTY_TR
+        c: Counter = Counter()
+        for _, g in bucket.groupby("user_id", sort=False):
+            g = g.sort_values(["us", "event_id"], kind="mergesort")
+            ty = g["event_type"].tolist()
+            for a, b in zip(ty, ty[1:]):
+                c[(a, b)] += 1
+        keys = list(c.keys())
+        return pd.DataFrame(
+            {
+                "cur": pd.Series([k[0] for k in keys], dtype="str"),
+                "nxt": pd.Series([k[1] for k in keys], dtype="str"),
+                "n_p": pd.Series([c[k] for k in keys], dtype="int64"),
+            }
+        )
+
+    rows = (
+        _arrow_blocks(
+            _read(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"])
+            .map_batches(to_rows, batch_format="pyarrow")
+            .groupby("kb")
+            .map_groups(fold, batch_format="pandas")
+        )
+        .groupby(["cur", "nxt"])
+        .aggregate(Sum("n_p", alias_name="n"))
+        .take_all()
+    )
+    by_cur: dict[str, list[tuple[str, int]]] = {}
+    for r in rows:
+        by_cur.setdefault(r["cur"], []).append((r["nxt"], int(r["n"])))
+    cur_col, pred_col, n_col, hit_col, acc_col = [], [], [], [], []
+    total_n = total_hit = 0
+    for cur in sorted(by_cur):
+        outs = by_cur[cur]
+        pred = min(outs, key=lambda t: (-t[1], t[0]))[0]
+        n_cur = sum(n for _, n in outs)
+        hits = sum(n for nx, n in outs if nx == pred)
+        total_n += n_cur
+        total_hit += hits
+        cur_col.append(cur)
+        pred_col.append(pred)
+        n_col.append(n_cur)
+        hit_col.append(hits)
+        acc_col.append(round(float(hits) / n_cur, 6))
+    cur_col.append("__overall__")
+    pred_col.append("")
+    n_col.append(total_n)
+    hit_col.append(total_hit)
+    acc_col.append(round(float(total_hit) / total_n, 6))
+    return pa.table(
+        {
+            "cur": pa.array(cur_col, pa.string()),
+            "predicted": pa.array(pred_col, pa.string()),
+            "n_transitions": pa.array(n_col, pa.int64()),
+            "n_correct": pa.array(hit_col, pa.int64()),
+            "accuracy": pa.array(acc_col, pa.float64()),
+        }
+    )
+
+
 QUERIES = {
     "doc_stats_by_lang": q_doc_stats_by_lang,
     "doc_token_stats": q_doc_token_stats,
@@ -17271,6 +17457,8 @@ QUERIES = {
     "sessions_concurrency_profile": q_sessions_concurrency_profile,
     "search_index_pipeline": q_search_index_pipeline,
     "stump_lang_classifier": q_stump_lang_classifier,
+    "word_burstiness_top20": q_word_burstiness_top20,
+    "markov_next_accuracy": q_markov_next_accuracy,
 }
 
 
@@ -21798,6 +21986,58 @@ ORACLE_SQL["events_error_pchart"] = """
                        OR CAST(e AS DOUBLE) / n < pbar - 3.0 * sqrt(pbar * (1.0 - pbar) / n)
                 THEN 1 ELSE 0 END AS BIGINT) AS out_of_control
     FROM d, p
+"""
+
+# burstiness: per-doc count moments (absent docs contribute 0), top-20
+# by frequency, mirrored double chains for mean and Fano
+ORACLE_SQL["word_burstiness_top20"] = r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(COALESCE(text,'')), '\s+'),
+                    x -> x <> '')) AS w
+      FROM documents),
+    dc AS (SELECT doc_id, w, COUNT(*)::BIGINT AS c FROM toks GROUP BY 1, 2),
+    agg AS (SELECT w, CAST(SUM(c) AS BIGINT) AS n, CAST(SUM(c*c) AS BIGINT) AS sq
+            FROM dc GROUP BY w),
+    top AS (SELECT * FROM agg ORDER BY n DESC, w LIMIT 20),
+    d AS (SELECT COUNT(*)::BIGINT AS nd FROM documents)
+    SELECT w AS word, n,
+           ROUND(CAST(n AS DOUBLE) / (SELECT nd FROM d), 6) AS mean_per_doc,
+           ROUND(CAST((SELECT nd FROM d) * sq - n*n AS DOUBLE)
+                 / ((SELECT nd FROM d) * n), 6) AS fano
+    FROM top
+"""
+
+# Markov argmax self-consistency: transition counts via lead(), per-cur
+# argmax prediction (count desc, type asc), exact hit accounting
+ORACLE_SQL["markov_next_accuracy"] = """
+    WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+    big AS (
+      SELECT event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS nxt
+      FROM e),
+    tc AS (SELECT cur, nxt, COUNT(*)::BIGINT AS n FROM big
+           WHERE nxt IS NOT NULL GROUP BY 1, 2),
+    pr AS (
+      SELECT cur, nxt AS predicted,
+             ROW_NUMBER() OVER (PARTITION BY cur ORDER BY n DESC, nxt) AS rn
+      FROM tc),
+    per AS (
+      SELECT tc.cur, p.predicted,
+             CAST(SUM(tc.n) AS BIGINT) AS n_transitions,
+             CAST(SUM(CASE WHEN tc.nxt = p.predicted THEN tc.n ELSE 0 END) AS BIGINT)
+               AS n_correct
+      FROM tc JOIN (SELECT cur, predicted FROM pr WHERE rn = 1) p USING (cur)
+      GROUP BY 1, 2)
+    SELECT cur, predicted, n_transitions, n_correct,
+           ROUND(CAST(n_correct AS DOUBLE) / n_transitions, 6) AS accuracy
+    FROM per
+    UNION ALL
+    SELECT '__overall__', '',
+           CAST(SUM(n_transitions) AS BIGINT), CAST(SUM(n_correct) AS BIGINT),
+           ROUND(CAST(CAST(SUM(n_correct) AS BIGINT) AS DOUBLE)
+                 / CAST(SUM(n_transitions) AS BIGINT), 6)
+    FROM per
 """
 
 # staged-index BM25: the oracle re-derives tokenization, stats, scoring

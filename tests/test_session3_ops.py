@@ -592,3 +592,35 @@ class TestBatch9Ops:
         monkeypatch.setenv("EDS_GROUP_BUCKETS", "5")
         again = _canon(QUERIES["search_index_pipeline"](SF))
         assert again.equals(base)
+
+
+class TestBatch10Ops:
+    def test_bucket_invariance(self, ray_session, monkeypatch):
+        from edge_deid_studio_ray.pipelines.queries import QUERIES
+
+        names = ["word_burstiness_top20", "markov_next_accuracy"]
+        base = {n: _canon(QUERIES[n](SF)) for n in names}
+        monkeypatch.setenv("EDS_GROUP_BUCKETS", "5")
+        for n in names:
+            again = _canon(QUERIES[n](SF))
+            assert again.equals(base[n]), n
+
+    def test_burstiness_nonnegative_and_topfreq(self, ray_session):
+        from edge_deid_studio_ray.pipelines.queries import q_word_burstiness_top20
+
+        df = q_word_burstiness_top20(SF).to_pandas()
+        assert len(df) == 20
+        assert (df["fano"] >= 0).all()
+        assert df["n"].min() > 0
+
+    def test_markov_overall_consistency(self, ray_session):
+        from edge_deid_studio_ray.pipelines.queries import q_markov_next_accuracy
+
+        df = q_markov_next_accuracy(SF).to_pandas()
+        per = df[df["cur"] != "__overall__"]
+        ov = df[df["cur"] == "__overall__"].iloc[0]
+        assert per["n_transitions"].sum() == ov["n_transitions"]
+        assert per["n_correct"].sum() == ov["n_correct"]
+        assert (per["n_correct"] <= per["n_transitions"]).all()
+        # argmax prediction can never score below uniform-over-observed
+        assert ov["accuracy"] >= 1.0 / 5 - 1e-9
