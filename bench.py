@@ -209,6 +209,13 @@ def _bench_queries(sf_dir: str) -> dict[str, float]:
         "customer_order_gaps",
         "part_cheapest_supplier",
         "pages_route_stats",
+        # session-3 wrap: staged-index composite, IR/corpus stats, drift
+        "search_index_pipeline",
+        "vocab_coverage_k",
+        "sessions_concurrency_profile",
+        "events_value_psi_bins",
+        "word_burstiness_top20",
+        "markov_next_accuracy",
     ]
     timings: dict[str, float] = {}
     for name in names:
