@@ -17211,6 +17211,24 @@ def q_markov_next_accuracy(sf_dir: str):
     )
 
 
+def q_near_dup_cluster_sizes(sf_dir: str):
+    """Near-dup family-size census: the histogram of connected-component
+    sizes over the MinHash-LSH near-dup graph — the one-line report
+    ("how much of my corpus is duplicated, and in how big families")
+    that the full cluster table is usually reduced to.
+
+    Scale shape: layers one ≤|distinct sizes|-key grouped count on top of
+    `q_near_dup_clusters` (LSH → pointer-doubling CC); no new shuffle of
+    corpus data."""
+    from ray.data.aggregate import Count
+
+    return (
+        q_near_dup_clusters(sf_dir)
+        .groupby("cluster_size")
+        .aggregate(Count(alias_name="n_clusters"))
+    )
+
+
 QUERIES = {
     "doc_stats_by_lang": q_doc_stats_by_lang,
     "doc_token_stats": q_doc_token_stats,
@@ -17459,6 +17477,7 @@ QUERIES = {
     "stump_lang_classifier": q_stump_lang_classifier,
     "word_burstiness_top20": q_word_burstiness_top20,
     "markov_next_accuracy": q_markov_next_accuracy,
+    "near_dup_cluster_sizes": q_near_dup_cluster_sizes,
 }
 
 
@@ -21856,6 +21875,13 @@ ORACLE_SQL["nb_lang_f1"] = f"""
 """
 ORACLE_SQL["nb_lang_f1"] = ORACLE_SQL["nb_lang_f1"].replace(
     "{NB_CONF}", ORACLE_SQL["nb_lang_confusion"]
+)
+
+# family-size census: wrap the cluster oracle, count clusters per size
+ORACLE_SQL["near_dup_cluster_sizes"] = (
+    "SELECT cluster_size, COUNT(*)::BIGINT AS n_clusters FROM ("
+    + ORACLE_SQL["near_dup_clusters"]
+    + ") GROUP BY 1"
 )
 
 # bounce rate: sessionize exactly as attribution, first type + size per
