@@ -17229,6 +17229,85 @@ def q_near_dup_cluster_sizes(sf_dir: str):
     )
 
 
+def q_lang_hapax_ratio(sf_dir: str):
+    """Hapax-legomenon share per language: vocabulary size, number of
+    words occurring exactly once, and their ratio — the lexical-richness
+    / OCR-noise screen (clean prose sits near ~0.4–0.6; corrupted text
+    and ID-heavy crawl spam spike toward 1).  Integer-exact counts; the
+    ratio is one double division.
+
+    Scale shape: exact per-(lang, word) counts via a word-hash bucketed
+    fold; each bucket emits ONE (lang, vocab_p, hapax_p) partial — the
+    open vocabulary never reaches a generic hash aggregate or the
+    driver."""
+    import zlib
+
+    from ray.data.aggregate import Sum
+
+    nb = resolve_group_buckets()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for lang, text in zip(batch["lang"].to_pylist(), batch["text"].to_pylist()):
+            for w in (text or "").lower().split():
+                c[(lang, w)] += 1
+        keys = list(c.keys())
+        return pa.table(
+            {
+                "lang": pa.array([k[0] for k in keys], pa.string()),
+                "word": pa.array([k[1] for k in keys], pa.string()),
+                "n_p": pa.array([c[k] for k in keys], pa.int64()),
+                "kb": pa.array(
+                    [zlib.crc32(k[1].encode()) % nb for k in keys], pa.int32()
+                ),
+            }
+        )
+
+    _EMPTY_HPX = pd.DataFrame(
+        {
+            "lang": pd.array([], dtype="str"),
+            "v_p": pd.array([], dtype="int64"),
+            "h_p": pd.array([], dtype="int64"),
+        }
+    )
+
+    def fold(bucket: pd.DataFrame) -> pd.DataFrame:
+        if bucket.empty:
+            return _EMPTY_HPX
+        g = bucket.groupby(["lang", "word"], as_index=False)["n_p"].sum()
+        a = g.groupby("lang").agg(
+            v_p=("n_p", "size"), h_p=("n_p", lambda s: int((s == 1).sum()))
+        )
+        return a.reset_index().astype({"v_p": "int64", "h_p": "int64"})
+
+    sums = (
+        _arrow_blocks(
+            _read(sf_dir, "documents", ["lang", "text"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("kb")
+            .map_groups(fold, batch_format="pandas")
+        )
+        .groupby("lang")
+        .aggregate(Sum("v_p", alias_name="vocab"), Sum("h_p", alias_name="hapax"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        v = batch["vocab"].to_numpy(zero_copy_only=False)
+        h = batch["hapax"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "lang": batch["lang"],
+                "vocab": batch["vocab"],
+                "hapax": batch["hapax"],
+                "hapax_ratio": pa.array(
+                    [round(float(hh) / vv, 6) for hh, vv in zip(h, v)], pa.float64()
+                ),
+            }
+        )
+
+    return sums.map_batches(finish, batch_format="pyarrow")
+
+
 QUERIES = {
     "doc_stats_by_lang": q_doc_stats_by_lang,
     "doc_token_stats": q_doc_token_stats,
@@ -17478,6 +17557,7 @@ QUERIES = {
     "word_burstiness_top20": q_word_burstiness_top20,
     "markov_next_accuracy": q_markov_next_accuracy,
     "near_dup_cluster_sizes": q_near_dup_cluster_sizes,
+    "lang_hapax_ratio": q_lang_hapax_ratio,
 }
 
 
@@ -21883,6 +21963,21 @@ ORACLE_SQL["near_dup_cluster_sizes"] = (
     + ORACLE_SQL["near_dup_clusters"]
     + ") GROUP BY 1"
 )
+
+# hapax share per language: per-(lang, word) exact counts, one ratio div
+ORACLE_SQL["lang_hapax_ratio"] = r"""
+    WITH toks AS (
+      SELECT lang,
+             unnest(list_filter(regexp_split_to_array(lower(COALESCE(text,'')), '\s+'),
+                    x -> x <> '')) AS w
+      FROM documents),
+    wf AS (SELECT lang, w, COUNT(*)::BIGINT AS n FROM toks GROUP BY 1, 2)
+    SELECT lang, COUNT(*)::BIGINT AS vocab,
+           CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+           ROUND(CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+             AS hapax_ratio
+    FROM wf GROUP BY lang
+"""
 
 # bounce rate: sessionize exactly as attribution, first type + size per
 # session, bounce = single-event session
