@@ -17308,6 +17308,153 @@ def q_lang_hapax_ratio(sf_dir: str):
     return sums.map_batches(finish, batch_format="pyarrow")
 
 
+def q_lang_yule_k(sf_dir: str):
+    """Yule's K lexical-diversity characteristic per language
+    (K = 10⁴·(Σ r²·V_r − N) / N² over the frequency spectrum V_r —
+    Yule 1944): the classical repeat-rate statistic that, unlike
+    type-token ratio, is (asymptotically) text-length invariant — the
+    standard comparably-sized knob for corpus mixing.  EXACT: the
+    spectrum moments are integers (Σ r²·V_r = Σ_w f_w²), K is one
+    mirrored double chain.
+
+    Scale shape: per-(lang, word) exact counts in a word-hash bucketed
+    fold; each bucket emits ONE (lang, Σf, Σf²) partial — constant rows
+    per bucket, open vocabulary never aggregated globally."""
+    import zlib
+
+    from ray.data.aggregate import Sum
+
+    nb = resolve_group_buckets()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for lang, text in zip(batch["lang"].to_pylist(), batch["text"].to_pylist()):
+            for w in (text or "").lower().split():
+                c[(lang, w)] += 1
+        keys = list(c.keys())
+        return pa.table(
+            {
+                "lang": pa.array([k[0] for k in keys], pa.string()),
+                "word": pa.array([k[1] for k in keys], pa.string()),
+                "n_p": pa.array([c[k] for k in keys], pa.int64()),
+                "kb": pa.array(
+                    [zlib.crc32(k[1].encode()) % nb for k in keys], pa.int32()
+                ),
+            }
+        )
+
+    _EMPTY_YK = pd.DataFrame(
+        {
+            "lang": pd.array([], dtype="str"),
+            "n_p": pd.array([], dtype="int64"),
+            "sq_p": pd.array([], dtype="int64"),
+        }
+    )
+
+    def fold(bucket: pd.DataFrame) -> pd.DataFrame:
+        if bucket.empty:
+            return _EMPTY_YK
+        g = bucket.groupby(["lang", "word"], as_index=False)["n_p"].sum()
+        g["sq"] = g["n_p"] * g["n_p"]
+        a = g.groupby("lang")[["n_p", "sq"]].sum()
+        return pd.DataFrame(
+            {
+                "lang": pd.Series(a.index, dtype="str"),
+                "n_p": pd.Series(a["n_p"].to_numpy(), dtype="int64"),
+                "sq_p": pd.Series(a["sq"].to_numpy(), dtype="int64"),
+            }
+        )
+
+    sums = (
+        _arrow_blocks(
+            _read(sf_dir, "documents", ["lang", "text"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("kb")
+            .map_groups(fold, batch_format="pandas")
+        )
+        .groupby("lang")
+        .aggregate(Sum("n_p", alias_name="n_tokens"), Sum("sq_p", alias_name="sq"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch["n_tokens"].to_numpy(zero_copy_only=False)
+        sq = batch["sq"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "lang": batch["lang"],
+                "n_tokens": batch["n_tokens"],
+                "yule_k": pa.array(
+                    [
+                        round(10000.0 * float(int(s) - int(t)) / (int(t) * int(t)), 6)
+                        for t, s in zip(n, sq)
+                    ],
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return sums.map_batches(finish, batch_format="pyarrow")
+
+
+def q_source_lang_diversity(sf_dir: str):
+    """Simpson diversity of languages per source
+    (D = 1 − Σ nᵢ(nᵢ−1) / (N(N−1)) — the unbiased finite-sample form):
+    how language-mixed each source's output is — the mix screen a
+    multilingual corpus curator reads before setting sampling rates.
+    EXACT: the numerator and denominator are integers; one mirrored
+    double division.
+
+    Scale shape: per-batch (source, lang) partial counts; one grouped
+    sum over the ≤|sources|·|langs| key domain; driver-free arithmetic
+    in a final stateless map."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = Counter(
+            zip(batch["source"].to_pylist(), batch["lang"].to_pylist())
+        )
+        keys = list(c.keys())
+        return pa.table(
+            {
+                "source": pa.array([k[0] for k in keys], pa.string()),
+                "lang": pa.array([k[1] for k in keys], pa.string()),
+                "n_p": pa.array([c[k] for k in keys], pa.int64()),
+            }
+        )
+
+    rows = (
+        _read(sf_dir, "documents", ["source", "lang"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "lang"])
+        .aggregate(Sum("n_p", alias_name="n"))
+        .take_all()
+    )
+    per: dict[str, list[int]] = {}
+    for r in rows:
+        s = per.setdefault(r["source"], [0, 0])
+        n = int(r["n"])
+        s[0] += n
+        s[1] += n * (n - 1)
+    sources = sorted(per)
+    return pa.table(
+        {
+            "source": pa.array(sources, pa.string()),
+            "n_docs": pa.array([per[s][0] for s in sources], pa.int64()),
+            "simpson_diversity": pa.array(
+                [
+                    round(
+                        1.0 - float(per[s][1]) / (per[s][0] * (per[s][0] - 1)), 6
+                    )
+                    if per[s][0] > 1
+                    else 0.0
+                    for s in sources
+                ],
+                pa.float64(),
+            ),
+        }
+    )
+
+
 QUERIES = {
     "doc_stats_by_lang": q_doc_stats_by_lang,
     "doc_token_stats": q_doc_token_stats,
@@ -17558,6 +17705,8 @@ QUERIES = {
     "markov_next_accuracy": q_markov_next_accuracy,
     "near_dup_cluster_sizes": q_near_dup_cluster_sizes,
     "lang_hapax_ratio": q_lang_hapax_ratio,
+    "lang_yule_k": q_lang_yule_k,
+    "source_lang_diversity": q_source_lang_diversity,
 }
 
 
@@ -21978,6 +22127,37 @@ ORACLE_SQL["lang_hapax_ratio"] = r"""
              AS hapax_ratio
     FROM wf GROUP BY lang
 """
+
+# Yule's K: spectrum moments are Σf and Σf² per lang; one double chain
+ORACLE_SQL["lang_yule_k"] = r"""
+    WITH toks AS (
+      SELECT lang,
+             unnest(list_filter(regexp_split_to_array(lower(COALESCE(text,'')), '\s+'),
+                    x -> x <> '')) AS w
+      FROM documents),
+    wf AS (SELECT lang, w, COUNT(*)::BIGINT AS f FROM toks GROUP BY 1, 2),
+    m AS (SELECT lang, CAST(SUM(f) AS BIGINT) AS n_tokens,
+                 CAST(SUM(f*f) AS BIGINT) AS sq
+          FROM wf GROUP BY lang)
+    SELECT lang, n_tokens,
+           ROUND(10000.0 * CAST(sq - n_tokens AS DOUBLE) / (n_tokens * n_tokens), 6)
+             AS yule_k
+    FROM m
+"""
+
+# Simpson diversity (unbiased form) of langs per source
+ORACLE_SQL["source_lang_diversity"] = """
+    WITH c AS (SELECT source, lang, COUNT(*)::BIGINT AS n FROM documents GROUP BY 1, 2),
+    m AS (SELECT source, CAST(SUM(n) AS BIGINT) AS nd,
+                 CAST(SUM(n * (n - 1)) AS BIGINT) AS pairs
+          FROM c GROUP BY source)
+    SELECT source, nd AS n_docs,
+           CASE WHEN nd > 1
+                THEN ROUND(1.0 - CAST(pairs AS DOUBLE) / (nd * (nd - 1)), 6)
+                ELSE 0.0 END AS simpson_diversity
+    FROM m
+"""
+
 
 # bounce rate: sessionize exactly as attribution, first type + size per
 # session, bounce = single-event session

@@ -624,3 +624,34 @@ class TestBatch10Ops:
         assert (per["n_correct"] <= per["n_transitions"]).all()
         # argmax prediction can never score below uniform-over-observed
         assert ov["accuracy"] >= 1.0 / 5 - 1e-9
+
+
+class TestBatch12Ops:
+    def test_bucket_invariance(self, ray_session, monkeypatch):
+        from edge_deid_studio_ray.pipelines.queries import QUERIES
+
+        names = ["lang_hapax_ratio", "lang_yule_k"]
+        base = {n: _canon(QUERIES[n](SF)) for n in names}
+        monkeypatch.setenv("EDS_GROUP_BUCKETS", "5")
+        for n in names:
+            again = _canon(QUERIES[n](SF))
+            assert again.equals(base[n]), n
+
+    def test_diversity_bounds(self, ray_session):
+        from edge_deid_studio_ray.pipelines.queries import q_source_lang_diversity
+
+        df = q_source_lang_diversity(SF).to_pandas()
+        assert ((df["simpson_diversity"] >= 0) & (df["simpson_diversity"] <= 1)).all()
+        assert df["n_docs"].sum() > 0
+
+    def test_yule_k_positive_and_hapax_bounded(self, ray_session):
+        from edge_deid_studio_ray.pipelines.queries import (
+            q_lang_hapax_ratio,
+            q_lang_yule_k,
+        )
+
+        yk = q_lang_yule_k(SF).to_pandas()
+        assert (yk["yule_k"] >= 0).all()
+        hp = q_lang_hapax_ratio(SF).to_pandas()
+        assert ((hp["hapax_ratio"] >= 0) & (hp["hapax_ratio"] <= 1)).all()
+        assert (hp["hapax"] <= hp["vocab"]).all()
