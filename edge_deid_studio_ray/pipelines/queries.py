@@ -13772,9 +13772,11 @@ def q_events_holt_linear(sf_dir: str):
         .take_all()
     )
     counts = {int(r["hour"]): int(r["n"]) for r in rows}
-    h_lo, h_hi = min(counts), max(counts)
-    hours = list(range(h_lo, h_hi + 1))
-    x = [counts.get(h, 0) for h in hours]
+    x = []
+    if counts:
+        h_lo, h_hi = min(counts), max(counts)
+        hours = list(range(h_lo, h_hi + 1))
+        x = [counts.get(h, 0) for h in hours]
     if len(x) < 2:  # trend seed needs x[1]; the oracle's recursive seed
         # (JOIN s2 ON s2.i = 2) likewise yields zero rows on one hour
         return pa.table(
@@ -16742,7 +16744,7 @@ def _search_index_staging() -> str:
     return f"/tmp/eds_search_index_{os.getpid()}"
 
 
-def q_search_index_pipeline(sf_dir: str):
+def q_search_index_pipeline(sf_dir: str, *, keep_index: bool = False):
     """End-to-end search-index build + query: tokenize the corpus, write a
     PERSISTED inverted index (term-hash-partitioned postings parquet + a
     doc-length table), then answer a 3-term BM25 query {hash, join,
@@ -16942,7 +16944,7 @@ def q_search_index_pipeline(sf_dir: str):
             }
         )
 
-    return (
+    result = (
         _arrow_blocks(
             qpost.map_batches(qp_bucket, batch_format="pyarrow")
             .union(dl_ds.map_batches(dl_bucket, batch_format="pyarrow"))
@@ -16951,6 +16953,20 @@ def q_search_index_pipeline(sf_dir: str):
         )
         .repartition(1)
         .map_batches(final_topk, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+    )
+    # the top-10 is materialized above, so the staged index can be
+    # reclaimed now — per-pid paths would otherwise accumulate in /tmp
+    # across fresh processes (stale dirs from crashed processes are
+    # ordinary /tmp debris; sibling pids' live dirs are never touched);
+    # keep_index=True lets tests inspect the partitioned layout
+    if not keep_index:
+        shutil.rmtree(staging, ignore_errors=True)
+    return pa.table(
+        {
+            "doc_id": pa.array(result["doc_id"].to_numpy(), pa.int64()),
+            "bm25": pa.array(result["bm25"].to_numpy(), pa.float64()),
+        }
     )
 
 
@@ -17181,6 +17197,16 @@ def q_markov_next_accuracy(sf_dir: str):
     by_cur: dict[str, list[tuple[str, int]]] = {}
     for r in rows:
         by_cur.setdefault(r["cur"], []).append((r["nxt"], int(r["n"])))
+    if not by_cur:  # no user has 2+ events; oracle likewise yields 0 rows
+        return pa.table(
+            {
+                "cur": pa.array([], pa.string()),
+                "predicted": pa.array([], pa.string()),
+                "n_transitions": pa.array([], pa.int64()),
+                "n_correct": pa.array([], pa.int64()),
+                "accuracy": pa.array([], pa.float64()),
+            }
+        )
     cur_col, pred_col, n_col, hit_col, acc_col = [], [], [], [], []
     total_n = total_hit = 0
     for cur in sorted(by_cur):
@@ -17229,22 +17255,13 @@ def q_near_dup_cluster_sizes(sf_dir: str):
     )
 
 
-def q_lang_hapax_ratio(sf_dir: str):
-    """Hapax-legomenon share per language: vocabulary size, number of
-    words occurring exactly once, and their ratio — the lexical-richness
-    / OCR-noise screen (clean prose sits near ~0.4–0.6; corrupted text
-    and ID-heavy crawl spam spike toward 1).  Integer-exact counts; the
-    ratio is one double division.
 
-    Scale shape: exact per-(lang, word) counts via a word-hash bucketed
-    fold; each bucket emits ONE (lang, vocab_p, hapax_p) partial — the
-    open vocabulary never reaches a generic hash aggregate or the
-    driver."""
+def _lang_word_count_partial(nb: int):
+    """Per-batch exact (lang, word, count) partial with word-hash bucket —
+    the ONE tokenize-and-count contract shared by the per-language
+    lexical statistics (hapax ratio, Yule's K); lowercased whitespace
+    split, mirrored by the oracles' regexp_split + empty filter."""
     import zlib
-
-    from ray.data.aggregate import Sum
-
-    nb = resolve_group_buckets()
 
     def partial(batch: pa.Table) -> pa.Table:
         c: Counter = Counter()
@@ -17262,6 +17279,24 @@ def q_lang_hapax_ratio(sf_dir: str):
                 ),
             }
         )
+
+    return partial
+
+def q_lang_hapax_ratio(sf_dir: str):
+    """Hapax-legomenon share per language: vocabulary size, number of
+    words occurring exactly once, and their ratio — the lexical-richness
+    / OCR-noise screen (clean prose sits near ~0.4–0.6; corrupted text
+    and ID-heavy crawl spam spike toward 1).  Integer-exact counts; the
+    ratio is one double division.
+
+    Scale shape: exact per-(lang, word) counts via a word-hash bucketed
+    fold; each bucket emits ONE (lang, vocab_p, hapax_p) partial — the
+    open vocabulary never reaches a generic hash aggregate or the
+    driver."""
+    from ray.data.aggregate import Sum
+
+    nb = resolve_group_buckets()
+    partial = _lang_word_count_partial(nb)
 
     _EMPTY_HPX = pd.DataFrame(
         {
@@ -17320,28 +17355,10 @@ def q_lang_yule_k(sf_dir: str):
     Scale shape: per-(lang, word) exact counts in a word-hash bucketed
     fold; each bucket emits ONE (lang, Σf, Σf²) partial — constant rows
     per bucket, open vocabulary never aggregated globally."""
-    import zlib
-
     from ray.data.aggregate import Sum
 
     nb = resolve_group_buckets()
-
-    def partial(batch: pa.Table) -> pa.Table:
-        c: Counter = Counter()
-        for lang, text in zip(batch["lang"].to_pylist(), batch["text"].to_pylist()):
-            for w in (text or "").lower().split():
-                c[(lang, w)] += 1
-        keys = list(c.keys())
-        return pa.table(
-            {
-                "lang": pa.array([k[0] for k in keys], pa.string()),
-                "word": pa.array([k[1] for k in keys], pa.string()),
-                "n_p": pa.array([c[k] for k in keys], pa.int64()),
-                "kb": pa.array(
-                    [zlib.crc32(k[1].encode()) % nb for k in keys], pa.int32()
-                ),
-            }
-        )
+    partial = _lang_word_count_partial(nb)
 
     _EMPTY_YK = pd.DataFrame(
         {
@@ -22339,6 +22356,7 @@ ORACLE_SQL["markov_next_accuracy"] = """
            ROUND(CAST(CAST(SUM(n_correct) AS BIGINT) AS DOUBLE)
                  / CAST(SUM(n_transitions) AS BIGINT), 6)
     FROM per
+    HAVING COUNT(*) > 0
 """
 
 # staged-index BM25: the oracle re-derives tokenization, stats, scoring

@@ -545,13 +545,19 @@ class TestBatch9Ops:
             q_search_index_pipeline,
         )
 
-        df = q_search_index_pipeline(SF).to_pandas()
+        import shutil
+
+        df = q_search_index_pipeline(SF, keep_index=True).to_pandas()
         assert len(df) == 10
         assert (df["bm25"] > 0).all()
         staging = _search_index_staging()
         parts = glob.glob(f"{staging}/postings/kb=*/")
         assert len(parts) > 1, "postings must be hash-partitioned directories"
         assert glob.glob(f"{staging}/doclens/*.parquet")
+        shutil.rmtree(staging, ignore_errors=True)
+        # the default path cleans up after itself
+        q_search_index_pipeline(SF)
+        assert not glob.glob(f"{staging}/postings/*")
 
     def test_stump_is_optimal_vs_bruteforce(self, ray_session):
         """Exhaustively re-check optimality of the reported threshold with
