@@ -661,3 +661,101 @@ class TestBatch12Ops:
         hp = q_lang_hapax_ratio(SF).to_pandas()
         assert ((hp["hapax_ratio"] >= 0) & (hp["hapax_ratio"] <= 1)).all()
         assert (hp["hapax"] <= hp["vocab"]).all()
+
+
+class TestReviewRegressionFixtures:
+    """Dirty-input fixtures the shipped corpus cannot produce — pinning
+    the two review-pass correctness fixes on inputs that actually bite."""
+
+    def test_mutual_knn_exact_under_duplicate_embeddings(self, ray_session, tmp_path):
+        """Duplicated vectors create cosine-1.0 tie sets straddling the
+        per-batch top-k boundary; the engine must still match the
+        LATERAL oracle's (cosine desc, vec_id asc) selection."""
+        import duckdb
+        import pyarrow.parquet as pq
+
+        from edge_deid_studio_ray.pipelines.queries import q_knn_mutual_pairs
+
+        rng = np.random.default_rng(11)
+        base = rng.normal(size=(6, 8))
+        vecs = []
+        for i in range(30):
+            v = base[i % 3] if i < 18 else base[3 + (i % 3)]  # heavy duplication
+            vecs.append((v / np.linalg.norm(v)).tolist())
+        t = pa.table(
+            {
+                "vec_id": pa.array(range(30), pa.int64()),
+                "embedding": pa.array(vecs, pa.list_(pa.float64())),
+            }
+        )
+        pq.write_table(t, tmp_path / "embeddings.parquet")
+        got = (
+            q_knn_mutual_pairs(str(tmp_path))
+            .to_pandas()
+            .sort_values(["left", "right"])
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        want = con.sql(
+            f"""WITH knn AS (
+                  SELECT q.vec_id AS src, n.vec_id AS dst
+                  FROM read_parquet('{tmp_path}/embeddings.parquet') q, LATERAL (
+                    SELECT e.vec_id FROM read_parquet('{tmp_path}/embeddings.parquet') e
+                    WHERE e.vec_id <> q.vec_id
+                    ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC,
+                             e.vec_id ASC
+                    LIMIT 5) n)
+                SELECT a.src AS "left", a.dst AS "right"
+                FROM knn a JOIN knn b ON b.src = a.dst AND b.dst = a.src
+                WHERE a.src < a.dst ORDER BY 1, 2"""
+        ).df()
+        assert got["left"].tolist() == want["left"].tolist()
+        assert got["right"].tolist() == want["right"].tolist()
+
+    def test_constraint_audit_counts_null_status(self, ray_session, tmp_path):
+        """A NULL o_orderstatus must count as a bad_orderstatus violation
+        on BOTH engines (plain NOT IN would silently skip it in SQL)."""
+        import duckdb
+        import pyarrow.parquet as pq
+
+        from edge_deid_studio_ray.pipelines.queries import (
+            ORACLE_SQL,
+            q_orders_constraint_audit,
+        )
+
+        orders = pa.table(
+            {
+                "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+                "o_custkey": pa.array([1, 1, 2], pa.int64()),
+                "o_orderstatus": pa.array(["O", None, "X"], pa.string()),
+                "o_totalprice": pa.array([10.0, 20.0, 30.0], pa.float64()),
+                "o_orderdate": pa.array(
+                    [pd.Timestamp("1995-01-01")] * 3, pa.timestamp("us")
+                ),
+                "o_orderpriority": pa.array(["1-URGENT"] * 3, pa.string()),
+            }
+        )
+        customer = pa.table(
+            {
+                "c_custkey": pa.array([1, 2], pa.int64()),
+                "c_name": pa.array(["a", "b"], pa.string()),
+                "c_nationkey": pa.array([0, 0], pa.int32()),
+                "c_acctbal": pa.array([0.0, 0.0], pa.float64()),
+                "c_mktsegment": pa.array(["BUILDING"] * 2, pa.string()),
+            }
+        )
+        pq.write_table(orders, tmp_path / "orders.parquet")
+        pq.write_table(customer, tmp_path / "customer.parquet")
+        df = q_orders_constraint_audit(str(tmp_path)).to_pandas()
+        bad = int(df.loc[df["rule"] == "bad_orderstatus", "n_violations"].iloc[0])
+        assert bad == 2  # the NULL and the 'X'
+        con = duckdb.connect()
+        con.sql(
+            f"CREATE VIEW orders AS SELECT * FROM read_parquet('{tmp_path}/orders.parquet')"
+        )
+        con.sql(
+            f"CREATE VIEW customer AS SELECT * FROM read_parquet('{tmp_path}/customer.parquet')"
+        )
+        ora = con.sql(ORACLE_SQL["orders_constraint_audit"]).df()
+        obad = int(ora.loc[ora["rule"] == "bad_orderstatus", "n_violations"].iloc[0])
+        assert obad == 2
