@@ -14837,6 +14837,16 @@ def q_conversion_latency_quantiles(sf_dir: str):
     values = np.array([r["lat"] for r in rows], dtype=np.int64)
     cum = np.array([r["n"] for r in rows], dtype=np.int64).cumsum()
     total = int(cum[-1]) if len(cum) else 0
+    if total == 0:  # no conversions: the oracle yields (0, NULL × 4)
+        return pa.table(
+            {
+                "n_converted": pa.array([0], pa.int64()),
+                "p25": pa.array([None], pa.int64()),
+                "p50": pa.array([None], pa.int64()),
+                "p75": pa.array([None], pa.int64()),
+                "p90": pa.array([None], pa.int64()),
+            }
+        )
 
     def disc(q: float) -> int:
         target = math.ceil(q * total)
@@ -15425,6 +15435,16 @@ def q_customer_order_gaps(sf_dir: str):
     cum = counts.cumsum()
     n_gaps = int(cum[-1]) if len(cum) else 0
     gap_sum = int((values * counts).sum())
+    if n_gaps == 0:  # no repeat customers: the oracle yields (0, 0, NULL × 3)
+        return pa.table(
+            {
+                "n_customers_multi": pa.array([0], pa.int64()),
+                "n_gaps": pa.array([0], pa.int64()),
+                "mean_gap_days": pa.array([None], pa.float64()),
+                "p50": pa.array([None], pa.int64()),
+                "p90": pa.array([None], pa.int64()),
+            }
+        )
 
     def disc(q: float) -> int:
         target = math.ceil(q * n_gaps)
@@ -16309,14 +16329,24 @@ def q_session_duration_quantiles(sf_dir: str):
         .take_all()
     )
 
+    n_sessions = sum(int(r["n"]) for r in rows if r["kind"] == "size")
+    if n_sessions == 0:  # empty stream: the oracle yields (0, NULL × 4)
+        return pa.table(
+            {
+                "n_sessions": pa.array([0], pa.int64()),
+                "dur_p50_sec": pa.array([None], pa.int64()),
+                "dur_p90_sec": pa.array([None], pa.int64()),
+                "size_p50": pa.array([None], pa.int64()),
+                "size_p90": pa.array([None], pa.int64()),
+            }
+        )
+
     def disc(kind: str, q: float) -> int:
         sub = sorted((int(r["val"]), int(r["n"])) for r in rows if r["kind"] == kind)
         values = np.array([s[0] for s in sub], dtype=np.int64)
         cum = np.array([s[1] for s in sub], dtype=np.int64).cumsum()
         target = math.ceil(q * int(cum[-1]))
         return int(values[int((cum >= target).argmax())])
-
-    n_sessions = sum(int(r["n"]) for r in rows if r["kind"] == "size")
     return pa.table(
         {
             "n_sessions": pa.array([n_sessions], pa.int64()),

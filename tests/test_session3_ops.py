@@ -759,3 +759,80 @@ class TestReviewRegressionFixtures:
         ora = con.sql(ORACLE_SQL["orders_constraint_audit"]).df()
         obad = int(ora.loc[ora["rule"] == "bad_orderstatus", "n_violations"].iloc[0])
         assert obad == 2
+
+
+class TestDegenerateInputGuards:
+    """Empty / degenerate inputs where the oracle yields a 1-row NULL (or
+    empty) result: the engine must degrade identically, never crash."""
+
+    def _mini_events(self, tmp_path, rows):
+        import pyarrow.parquet as pq
+
+        t = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([pd.Timestamp(r[1]) for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        )
+        pq.write_table(t, tmp_path / "events.parquet")
+        return str(tmp_path)
+
+    def test_holt_single_hour_returns_typed_empty(self, ray_session, tmp_path):
+        from edge_deid_studio_ray.pipelines.queries import q_events_holt_linear
+
+        sf = self._mini_events(
+            tmp_path, [(1, "2024-01-01 10:00:01", 1, "view"), (2, "2024-01-01 10:30:00", 1, "click")]
+        )
+        out = q_events_holt_linear(sf)
+        assert out.num_rows == 0
+        assert out.column_names == ["hour_us", "n", "level", "trend", "forecast_next"]
+
+    def test_markov_no_transitions_returns_typed_empty(self, ray_session, tmp_path):
+        from edge_deid_studio_ray.pipelines.queries import q_markov_next_accuracy
+
+        sf = self._mini_events(
+            tmp_path, [(1, "2024-01-01 10:00:01", 1, "view"), (2, "2024-01-02 09:00:00", 2, "click")]
+        )
+        out = q_markov_next_accuracy(sf)
+        assert out.num_rows == 0
+
+    def test_latency_no_conversions_matches_oracle_nulls(self, ray_session, tmp_path):
+        from edge_deid_studio_ray.pipelines.queries import (
+            q_conversion_latency_quantiles,
+        )
+
+        sf = self._mini_events(
+            tmp_path, [(1, "2024-01-01 10:00:01", 1, "view"), (2, "2024-01-01 11:00:00", 2, "view")]
+        )
+        df = q_conversion_latency_quantiles(sf).to_pandas()
+        assert len(df) == 1
+        assert int(df["n_converted"].iloc[0]) == 0
+        assert df["p50"].isna().all()
+
+    def test_order_gaps_no_repeats_matches_oracle_nulls(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from edge_deid_studio_ray.pipelines.queries import q_customer_order_gaps
+
+        orders = pa.table(
+            {
+                "o_orderkey": pa.array([1, 2], pa.int64()),
+                "o_custkey": pa.array([1, 2], pa.int64()),
+                "o_orderstatus": pa.array(["O", "F"], pa.string()),
+                "o_totalprice": pa.array([1.0, 2.0], pa.float64()),
+                "o_orderdate": pa.array(
+                    [pd.Timestamp("1995-01-01"), pd.Timestamp("1995-02-01")],
+                    pa.timestamp("us"),
+                ),
+                "o_orderpriority": pa.array(["1-URGENT"] * 2, pa.string()),
+            }
+        )
+        pq.write_table(orders, tmp_path / "orders.parquet")
+        df = q_customer_order_gaps(str(tmp_path)).to_pandas()
+        assert len(df) == 1
+        assert int(df["n_gaps"].iloc[0]) == 0
+        assert df["mean_gap_days"].isna().all()
