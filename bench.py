@@ -216,6 +216,10 @@ def _bench_queries(sf_dir: str) -> dict[str, float]:
         "events_value_psi_bins",
         "word_burstiness_top20",
         "markov_next_accuracy",
+        "lang_hapax_ratio",
+        "lang_yule_k",
+        "source_lang_diversity",
+        "events_error_pchart",
     ]
     timings: dict[str, float] = {}
     for name in names:
