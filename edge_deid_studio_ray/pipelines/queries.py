@@ -14247,19 +14247,24 @@ def q_rake_word_scores(sf_dir: str):
     def partial(batch: pa.Table) -> pa.Table:
         freq: Counter = Counter()
         deg: Counter = Counter()
+        def flush(run: list[str]) -> None:
+            plen = len(run)
+            for rw in run:
+                freq[rw] += 1
+                deg[rw] += plen
+
         for text in batch["text"].to_pylist():
             words = (text or "").lower().split()
             run: list[str] = []
-            for w in words + ["\x00stop"]:
-                if w in stop or w == "\x00stop":
+            for w in words:
+                if w in stop:
                     if run:
-                        plen = len(run)
-                        for rw in run:
-                            freq[rw] += 1
-                            deg[rw] += plen
+                        flush(run)
                         run = []
                 else:
                     run.append(w)
+            if run:  # trailing phrase — no in-band sentinel token
+                flush(run)
         keys = list(freq.keys())
         return pa.table(
             {
@@ -16560,6 +16565,18 @@ def q_events_error_pchart(sf_dir: str):
         .take_all()
     )
     rows.sort(key=lambda r: r["day"])
+    if not rows:  # empty stream: the oracle's day histogram is empty → 0 rows
+        return pa.table(
+            {
+                "day_us": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "n_err": pa.array([], pa.int64()),
+                "err_rate": pa.array([], pa.float64()),
+                "ucl": pa.array([], pa.float64()),
+                "lcl": pa.array([], pa.float64()),
+                "out_of_control": pa.array([], pa.int64()),
+            }
+        )
     total_n = sum(int(r["n"]) for r in rows)
     total_e = sum(int(r["e"]) for r in rows)
     pbar = float(total_e) / total_n
@@ -16625,7 +16642,10 @@ def q_events_value_psi_bins(sf_dir: str):
         )
         .aggregate(Min("mn_p", alias_name="mn"), Max("mx_p", alias_name="mx"))
     )
-    mid = (int(bounds["mn"]) + int(bounds["mx"])) // 2
+    if bounds["mn"] is None:  # empty stream: any mid works — the value scan
+        mid = 0  # below yields zero rows and the NULL-share path takes over
+    else:
+        mid = (int(bounds["mn"]) + int(bounds["mx"])) // 2
 
     def partial(batch: pa.Table) -> pa.Table:
         batch = batch.filter(pc.is_valid(batch["value"]))
@@ -16653,35 +16673,46 @@ def q_events_value_psi_bins(sf_dir: str):
     )
     ref = sorted((int(r["cent"]), int(r["n"])) for r in rows if r["half"] == 0)
     cur = {int(r["cent"]): int(r["n"]) for r in rows if r["half"] == 1}
-    values = np.array([t[0] for t in ref], dtype=np.int64)
-    counts = np.array([t[1] for t in ref], dtype=np.int64)
-    cum = counts.cumsum()
-    n_ref = int(cum[-1])
-    cuts = []
-    for i in range(1, 10):
-        # integer ceil(i·n/10): no float q enters the cut rule
-        target = (i * n_ref + 9) // 10
-        cuts.append(int(values[int((cum >= target).argmax())]))
-    cuts_arr = np.array(cuts, dtype=np.int64)
-
     ref_bins = np.zeros(10, dtype=np.int64)
-    for c, n in ref:
-        ref_bins[int(np.searchsorted(cuts_arr, c, side="left"))] += n
     cur_bins = np.zeros(10, dtype=np.int64)
-    for c, n in cur.items():
-        cur_bins[int(np.searchsorted(cuts_arr, c, side="left"))] += n
+    if ref:
+        values = np.array([t[0] for t in ref], dtype=np.int64)
+        counts = np.array([t[1] for t in ref], dtype=np.int64)
+        cum = counts.cumsum()
+        n_ref = int(cum[-1])
+        cuts = []
+        for i in range(1, 10):
+            # integer ceil(i·n/10): no float q enters the cut rule
+            target = (i * n_ref + 9) // 10
+            cuts.append(int(values[int((cum >= target).argmax())]))
+        cuts_arr = np.array(cuts, dtype=np.int64)
+
+        for c, n in ref:
+            ref_bins[int(np.searchsorted(cuts_arr, c, side="left"))] += n
+        for c, n in cur.items():
+            cur_bins[int(np.searchsorted(cuts_arr, c, side="left"))] += n
+    else:
+        # empty reference half: every oracle cut is NULL, so `cent > cut`
+        # counts zero cuts and every current row lands in bin 0
+        n_ref = 0
+        cur_bins[0] = sum(cur.values())
     n_cur = int(cur_bins.sum())
 
     out_bin, out_nr, out_nc, out_p, out_q, out_term = [], [], [], [], [], []
     for b in range(10):
-        p = float(int(ref_bins[b])) / n_ref
-        q = float(int(cur_bins[b])) / n_cur
-        term = 0.0 if (p == 0.0 or q == 0.0) else (p - q) * math.log(p / q)
+        # NULL shares when a half is empty (oracle's x/0 → NULL arithmetic)
+        p = None if n_ref == 0 else float(int(ref_bins[b])) / n_ref
+        q = None if n_cur == 0 else float(int(cur_bins[b])) / n_cur
+        term = (
+            0.0
+            if (not p or not q)
+            else (p - q) * math.log(p / q)
+        )
         out_bin.append(b)
         out_nr.append(int(ref_bins[b]))
         out_nc.append(int(cur_bins[b]))
-        out_p.append(round(p, 6))
-        out_q.append(round(q, 6))
+        out_p.append(None if p is None else round(p, 6))
+        out_q.append(None if q is None else round(q, 6))
         out_term.append(round(term, 6))
     return pa.table(
         {
@@ -17047,6 +17078,16 @@ def q_stump_lang_classifier(sf_dir: str):
         slot = hist.setdefault(int(r["f"]), [0, 0])
         slot[int(r["en"])] += int(r["n"])
     feats = sorted(hist)
+    if not feats:  # every doc tokenized empty: the oracle's sentinel-only
+        # candidate row carries NULL threshold/errors (SUM over empty = NULL)
+        return pa.table(
+            {
+                "threshold": pa.array([None], pa.int64()),
+                "n_errors": pa.array([None], pa.int64()),
+                "n_docs": pa.array([None], pa.int64()),
+                "accuracy": pa.array([None], pa.float64()),
+            }
+        )
     total_en = sum(hist[f][1] for f in feats)
     total_ot = sum(hist[f][0] for f in feats)
     n_docs = total_en + total_ot

@@ -836,3 +836,104 @@ class TestDegenerateInputGuards:
         assert len(df) == 1
         assert int(df["n_gaps"].iloc[0]) == 0
         assert df["mean_gap_days"].isna().all()
+
+
+class TestAdviceR5Guards:
+    """Round-5 review fixes: degenerate guards for pchart / stump / PSI and
+    the RAKE in-band sentinel removal — each pinned against the oracle's
+    degraded output shape on a dirty mini-fixture."""
+
+    def _events(self, tmp_path, rows):
+        import pyarrow.parquet as pq
+
+        t = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([pd.Timestamp(r[1]) for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        )
+        pq.write_table(t, tmp_path / "events.parquet")
+        return str(tmp_path)
+
+    def _documents(self, tmp_path, texts, langs=None):
+        import pyarrow.parquet as pq
+
+        langs = langs or ["en"] * len(texts)
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(1, len(texts) + 1), pa.int64()),
+                "url": pa.array([f"u{i}" for i in range(len(texts))], pa.string()),
+                "source": pa.array(["s"] * len(texts), pa.string()),
+                "lang": pa.array(langs, pa.string()),
+                "text": pa.array(texts, pa.string()),
+                "ts": pa.array(
+                    [pd.Timestamp("2024-01-01")] * len(texts), pa.timestamp("us")
+                ),
+            }
+        )
+        pq.write_table(t, tmp_path / "documents.parquet")
+        return str(tmp_path)
+
+    def test_pchart_empty_events_returns_typed_empty(self, ray_session, tmp_path):
+        from edge_deid_studio_ray.pipelines.queries import q_events_error_pchart
+
+        sf = self._events(tmp_path, [])
+        out = q_events_error_pchart(sf)
+        assert out.num_rows == 0
+        assert out.column_names == [
+            "day_us", "n", "n_err", "err_rate", "ucl", "lcl", "out_of_control",
+        ]
+
+    def test_psi_empty_events_matches_oracle_nulls(self, ray_session, tmp_path):
+        from edge_deid_studio_ray.pipelines.queries import q_events_value_psi_bins
+
+        sf = self._events(tmp_path, [])
+        df = q_events_value_psi_bins(sf).to_pandas()
+        assert len(df) == 10
+        assert df["p"].isna().all() and df["q"].isna().all()
+        assert (df["psi_term"] == 0.0).all()
+
+    def test_psi_empty_reference_half_bins_all_cur_in_bin0(self, ray_session, tmp_path):
+        from edge_deid_studio_ray.pipelines.queries import q_events_value_psi_bins
+
+        # the only non-null values sit in the SECOND time-half: every oracle
+        # cut is NULL, so all current rows land in bin 0 with p = NULL
+        sf = self._events(
+            tmp_path,
+            [
+                (1, "2024-01-01 10:00:00", 1, "view", None),
+                (2, "2024-01-05 10:00:00", 1, "click", 3.25),
+                (3, "2024-01-05 11:00:00", 2, "error", 4.75),
+            ],
+        )
+        df = q_events_value_psi_bins(sf).to_pandas()
+        assert len(df) == 10
+        assert df["p"].isna().all()
+        assert int(df.loc[df["bin"] == 0, "n_cur"].iloc[0]) == 2
+        assert int(df["n_cur"].sum()) == 2
+        assert (df["psi_term"] == 0.0).all()
+
+    def test_stump_all_empty_docs_matches_oracle_sentinel(self, ray_session, tmp_path):
+        from edge_deid_studio_ray.pipelines.queries import q_stump_lang_classifier
+
+        sf = self._documents(tmp_path, ["", "   "], langs=["en", "de"])
+        df = q_stump_lang_classifier(sf).to_pandas()
+        assert len(df) == 1
+        assert df["threshold"].isna().all()
+        assert df["n_docs"].isna().all()
+
+    def test_rake_literal_sentinel_token_is_ordinary_word(self, ray_session, tmp_path):
+        from edge_deid_studio_ray.pipelines.queries import q_rake_word_scores
+
+        # a document literally containing "\x00stop" must treat it as a
+        # phrase member (deg 4 for every word of the 4-token run), not a
+        # delimiter
+        sf = self._documents(tmp_path, ["alpha \x00stop beta gamma"])
+        df = q_rake_word_scores(sf).to_pandas()
+        assert len(df) == 4
+        assert (df["deg"] == 4).all() and (df["freq"] == 1).all()
+        assert "\x00stop" in set(df["word"])
