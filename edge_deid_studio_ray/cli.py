@@ -30,6 +30,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--extract-mode", default="full", choices=["full", "main_content"])
     parser.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     parser.add_argument("--shards", type=int, default=1, help="resumable shard count")
+    parser.add_argument(
+        "--max-in-flight",
+        type=int,
+        default=1,
+        help="bounded window of concurrently executing shards (driver threads)",
+    )
     parser.add_argument("--partitions", type=int, default=64, help="url-hash partition count")
     parser.add_argument("--batch-size", type=int, default=256)
     parser.add_argument("--no-resume", action="store_true", help="clear committed manifests first")
@@ -94,7 +100,7 @@ def main(argv: list[str] | None = None) -> int:
         for i, paths in enumerate(groups)
         if paths
     ]
-    report = run_deid_job(shards, args.output, cfg)
+    report = run_deid_job(shards, args.output, cfg, max_in_flight=args.max_in_flight)
     print(json.dumps(report))
 
     if owns_ray:

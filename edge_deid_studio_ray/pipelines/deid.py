@@ -57,21 +57,28 @@ def _shard_counters(shard_dir: str):
         # resume past that shard
         return 0, 0, 0, {}, {}
     # hive layout: pid lives in the directory names (pid=K/), not the files
+    import pyarrow.compute as pc
+
     data = pads.dataset(shard_dir, format="parquet", partitioning="hive")
     table = data.to_table(
         columns=["pid", "n_bytes", "n_spans", "t_extract_ms", "t_detect_ms", "t_replace_ms"]
     )
-    per_pid: dict[str, dict[str, int]] = {}
-    pids = table["pid"].to_pylist()
-    nb = table["n_bytes"].to_pylist()
-    ns = table["n_spans"].to_pylist()
-    for p, b, s in zip(pids, nb, ns):
-        slot = per_pid.setdefault(str(p), {"docs": 0, "bytes": 0, "spans": 0})
-        slot["docs"] += 1
-        slot["bytes"] += int(b)
-        slot["spans"] += int(s)
+    # one vectorized hash aggregate (pids ≤ num_partitions keys) — never a
+    # per-row Python loop on the driver
+    agg = table.group_by("pid").aggregate(
+        [("pid", "count"), ("n_bytes", "sum"), ("n_spans", "sum")]
+    )
+    per_pid = {
+        str(p): {"docs": int(d), "bytes": int(b), "spans": int(s)}
+        for p, d, b, s in zip(
+            agg["pid"].to_pylist(),
+            agg["pid_count"].to_pylist(),
+            agg["n_bytes_sum"].to_pylist(),
+            agg["n_spans_sum"].to_pylist(),
+        )
+    }
     timings_ms = {
-        stage: round(sum(table[col].to_pylist()), 1)
+        stage: round(float(pc.sum(table[col]).as_py() or 0.0), 1)
         for stage, col in (
             ("extract", "t_extract_ms"),
             ("detect", "t_detect_ms"),
@@ -79,12 +86,74 @@ def _shard_counters(shard_dir: str):
         )
     }
     return (
-        len(pids),
-        sum(int(b) for b in nb),
-        sum(int(s) for s in ns),
+        table.num_rows,
+        int(pc.sum(table["n_bytes"]).as_py() or 0),
+        int(pc.sum(table["n_spans"]).as_py() or 0),
         per_pid,
         timings_ms,
     )
+
+
+def _warm_fsspec_http_probe() -> None:
+    """Make Ray's per-write ``from fsspec.implementations.http import
+    HTTPFileSystem`` probe deterministic under shard threads.
+
+    With aiohttp absent that import fails with ModuleNotFoundError, which
+    Ray's ``_is_http_filesystem`` catches — but a FAILED import is never
+    cached, so concurrent shard threads re-execute the module body and the
+    import-lock deadlock-avoidance can hand one thread a partially
+    initialized module, surfacing ``ImportError: cannot import name
+    'HTTPFileSystem'`` (not a ModuleNotFoundError; uncaught).  Cache a
+    sentinel module once on the driver thread: ``isinstance(fs, sentinel)``
+    is always False, which is exactly the right answer for the local and
+    parquet filesystems these jobs write to."""
+    import sys
+    import types
+
+    try:
+        from fsspec.implementations.http import HTTPFileSystem  # noqa: F401
+
+        return
+    except ModuleNotFoundError:
+        pass
+    except ImportError:
+        pass
+    mod = types.ModuleType("fsspec.implementations.http")
+
+    class HTTPFileSystem:  # sentinel: nothing is ever an instance
+        pass
+
+    mod.HTTPFileSystem = HTTPFileSystem
+    sys.modules["fsspec.implementations.http"] = mod
+
+
+def _process_shard(
+    out_dir: str, shard_id: str, factory: Callable[[], Any], fp: str, cfg: EngineConfig
+) -> ShardManifest:
+    """Process one shard end to end and commit it (data write → manifest
+    rename).  Thread-safe: every path it touches is derived from shard_id."""
+    clear_partial_output(out_dir, shard_id)
+    ds = build_deid_pipeline(factory(), cfg)
+    sdir = shard_output_dir(out_dir, shard_id)
+    # url-hash partitioned layout (north rule): each shard's output is
+    # split into pid=K subdirectories, so downstream consumers and
+    # re-runs address balanced key ranges instead of whole files
+    ds.write_parquet(sdir, partition_cols=["pid"])
+    docs, n_bytes, spans, per_pid, timings_ms = _shard_counters(sdir)
+    manifest = ShardManifest(
+        shard_id=shard_id,
+        docs=docs,
+        bytes=n_bytes,
+        spans=spans,
+        per_pid=per_pid,
+        timings_ms=timings_ms,
+        # the caller-supplied INPUT fingerprint when given ('' when
+        # not): a sha of the shard_id carried zero lineage
+        # information beyond the id it sat next to
+        input_fingerprint=fp,
+    )
+    write_manifest(out_dir, manifest)
+    return manifest
 
 
 def run_deid_job(
@@ -92,6 +161,7 @@ def run_deid_job(
     out_dir: str,
     cfg: EngineConfig | None = None,
     fingerprints: dict[str, str] | None = None,
+    max_in_flight: int = 1,
 ) -> dict[str, Any]:
     """Run (or resume) the deid job over input shards.
 
@@ -106,45 +176,66 @@ def run_deid_job(
     content hash).  A committed shard whose stored fingerprint differs is
     re-run instead of skipped — without it, resume trusts the shard_id
     alone (the factory is opaque, so the engine cannot fingerprint the
-    input itself)."""
+    input itself).
+
+    ``max_in_flight`` > 1 keeps a bounded window of shards executing
+    concurrently (driver threads, one streaming Dataset each — Ray Data
+    pipelines from separate threads share the cluster).  On a real cluster
+    this stops a small straggler shard from idling the other nodes; the
+    per-shard commit protocol is unchanged, so a crash mid-window still
+    resumes exactly (committed shards skip, in-flight shards redo)."""
     cfg = cfg or EngineConfig()
     already = committed_shards(out_dir)
     report: dict[str, Any] = {"shards_total": len(shards), "shards_skipped": 0, "shards_run": 0}
-    totals = {"docs": 0, "bytes": 0, "spans": 0}
 
     fingerprints = fingerprints or {}
+    manifests: dict[str, ShardManifest] = {}
+    to_run: list[tuple[str, Callable[[], Any], str]] = []
     for shard_id, factory in shards:
         fp = fingerprints.get(shard_id, "")
         prior = already.get(shard_id)
         if prior is not None and (not fp or prior.input_fingerprint == fp):
-            manifest = prior
+            manifests[shard_id] = prior
             report["shards_skipped"] += 1
         else:
-            clear_partial_output(out_dir, shard_id)
-            ds = build_deid_pipeline(factory(), cfg)
-            sdir = shard_output_dir(out_dir, shard_id)
-            # url-hash partitioned layout (north rule): each shard's output is
-            # split into pid=K subdirectories, so downstream consumers and
-            # re-runs address balanced key ranges instead of whole files
-            ds.write_parquet(sdir, partition_cols=["pid"])
-            docs, n_bytes, spans, per_pid, timings_ms = _shard_counters(sdir)
-            manifest = ShardManifest(
-                shard_id=shard_id,
-                docs=docs,
-                bytes=n_bytes,
-                spans=spans,
-                per_pid=per_pid,
-                timings_ms=timings_ms,
-                # the caller-supplied INPUT fingerprint when given ('' when
-                # not): a sha of the shard_id carried zero lineage
-                # information beyond the id it sat next to
-                input_fingerprint=fp,
-            )
-            write_manifest(out_dir, manifest)
+            to_run.append((shard_id, factory, fp))
+
+    if max_in_flight <= 1 or len(to_run) <= 1:
+        for shard_id, factory, fp in to_run:
+            manifests[shard_id] = _process_shard(out_dir, shard_id, factory, fp, cfg)
             report["shards_run"] += 1
+    else:
+        from concurrent.futures import CancelledError, ThreadPoolExecutor, as_completed
+
+        _warm_fsspec_http_probe()
+        first_err: BaseException | None = None
+        with ThreadPoolExecutor(
+            max_workers=max_in_flight, thread_name_prefix="deid-shard"
+        ) as ex:
+            futs = {
+                ex.submit(_process_shard, out_dir, sid, fac, fp, cfg): sid
+                for sid, fac, fp in to_run
+            }
+            for fut in as_completed(futs):
+                try:
+                    manifests[futs[fut]] = fut.result()
+                    report["shards_run"] += 1
+                except CancelledError:
+                    continue
+                except BaseException as err:  # noqa: BLE001 — first failure wins,
+                    # queued shards are cancelled, in-flight ones drain (their
+                    # commits stay valid for resume)
+                    if first_err is None:
+                        first_err = err
+                        ex.shutdown(wait=False, cancel_futures=True)
+        if first_err is not None:
+            raise first_err
+
+    totals = {"docs": 0, "bytes": 0, "spans": 0}
+    for shard_id, _ in shards:  # input order — deterministic report
+        manifest = manifests[shard_id]
         totals["docs"] += manifest.docs
         totals["bytes"] += manifest.bytes
         totals["spans"] += manifest.spans
-
     report.update(totals)
     return report

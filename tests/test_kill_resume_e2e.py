@@ -16,7 +16,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 @pytest.mark.slow
-def test_sigkill_mid_job_then_resume(tmp_path):
+@pytest.mark.parametrize("max_in_flight", [1, 3])
+def test_sigkill_mid_job_then_resume(tmp_path, max_in_flight):
     # build a small pages corpus (own Ray session in a subprocess so the
     # pytest session's Ray is untouched)
     pages_dir = str(tmp_path / "pages")
@@ -48,6 +49,8 @@ def test_sigkill_mid_job_then_resume(tmp_path):
         "4",
         "--shards",
         "4",
+        "--max-in-flight",
+        str(max_in_flight),
     ]
     env = {**os.environ, "PYTHONPATH": REPO}
 

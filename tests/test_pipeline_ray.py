@@ -334,3 +334,93 @@ def test_changed_fingerprint_reruns_shard(ray_session, tmp_path):
     # changed fingerprint: re-run
     r3 = run_deid_job(shards, out, fingerprints={"s0": "crawl-v2"})
     assert r3["shards_run"] == 1 and r3["shards_skipped"] == 0
+
+
+def test_shard_counters_vectorized_multi_pid_equality(ray_session, tmp_path):
+    """The pyarrow group_by counter path must equal a per-row re-derivation
+    over the written shard (multi-pid: 120 urls spread across pid dirs)."""
+    import pyarrow.dataset as pads
+
+    from edge_deid_studio_ray.pipelines.deid import _shard_counters, run_deid_job
+    from edge_deid_studio_ray.state.manifest import shard_output_dir
+
+    out = str(tmp_path / "out")
+    run_deid_job([("s0", _shard_factory(0, 120))], out)
+    sdir = shard_output_dir(out, "s0")
+    docs, n_bytes, spans, per_pid, timings = _shard_counters(sdir)
+
+    table = pads.dataset(sdir, format="parquet", partitioning="hive").to_table(
+        columns=["pid", "n_bytes", "n_spans"]
+    )
+    want: dict[str, dict[str, int]] = {}
+    for p, b, s in zip(
+        table["pid"].to_pylist(), table["n_bytes"].to_pylist(), table["n_spans"].to_pylist()
+    ):
+        slot = want.setdefault(str(p), {"docs": 0, "bytes": 0, "spans": 0})
+        slot["docs"] += 1
+        slot["bytes"] += int(b)
+        slot["spans"] += int(s)
+    assert per_pid == want
+    assert len(per_pid) > 1  # genuinely multi-pid
+    assert docs == 120
+    assert n_bytes == sum(v["bytes"] for v in want.values())
+    assert spans == sum(v["spans"] for v in want.values())
+    assert set(timings) == {"extract", "detect", "replace"}
+
+
+def test_concurrent_shard_window_matches_sequential(ray_session, tmp_path):
+    from edge_deid_studio_ray.pipelines.deid import run_deid_job
+    from edge_deid_studio_ray.state.manifest import committed_shards
+
+    shards = [(f"s{i}", _shard_factory(60 * i, 60 * (i + 1))) for i in range(4)]
+
+    seq_out = str(tmp_path / "seq")
+    con_out = str(tmp_path / "con")
+    seq = run_deid_job(shards, seq_out)
+    con = run_deid_job(shards, con_out, max_in_flight=3)
+    assert con["shards_run"] == 4
+    assert (con["docs"], con["bytes"], con["spans"]) == (
+        seq["docs"],
+        seq["bytes"],
+        seq["spans"],
+    )
+    seq_m = committed_shards(seq_out)
+    con_m = committed_shards(con_out)
+    assert {k: (m.docs, m.bytes, m.spans, m.per_pid) for k, m in seq_m.items()} == {
+        k: (m.docs, m.bytes, m.spans, m.per_pid) for k, m in con_m.items()
+    }
+
+    # resume over the concurrent output must skip everything
+    again = run_deid_job(shards, con_out, max_in_flight=3)
+    assert again["shards_run"] == 0 and again["shards_skipped"] == 4
+    assert again["docs"] == con["docs"]
+
+
+def test_concurrent_window_failure_keeps_commits_and_resumes(ray_session, tmp_path):
+    from edge_deid_studio_ray.pipelines.deid import run_deid_job
+    from edge_deid_studio_ray.state.manifest import committed_shards
+
+    def boom():
+        raise RuntimeError("shard input unreadable")
+
+    out = str(tmp_path / "out")
+    shards_bad = [
+        ("s0", _shard_factory(0, 60)),
+        ("s1", boom),
+        ("s2", _shard_factory(120, 180)),
+    ]
+    with pytest.raises(RuntimeError, match="unreadable"):
+        run_deid_job(shards_bad, out, max_in_flight=2)
+    # the healthy in-flight shards' commits survive the failure
+    ok = set(committed_shards(out))
+    assert "s1" not in ok
+
+    shards_fixed = [
+        ("s0", _shard_factory(0, 60)),
+        ("s1", _shard_factory(60, 120)),
+        ("s2", _shard_factory(120, 180)),
+    ]
+    report = run_deid_job(shards_fixed, out, max_in_flight=2)
+    assert report["shards_skipped"] == len(ok)
+    assert report["shards_run"] == 3 - len(ok)
+    assert report["docs"] == 180
