@@ -1591,27 +1591,43 @@ def _ensure_pages_fixture(sf_dir: str) -> str:
     return _PAGES_FIXTURE
 
 
+_PPC_STAGING = "/tmp/eds_ppc_staging"
+
+
 def q_pages_pipeline_counters(sf_dir: str):
-    """Flagship extraction+deid over synthetic pages; per-partition lineage
-    counters (pid → docs/spans/bytes) — the north-rule metrics surface.
+    """Flagship extraction+deid over synthetic pages, run through the REAL
+    resumable job (parquet shard write + atomic manifest commit); returns
+    the MANIFEST's per-partition lineage counters (pid → docs/spans/bytes)
+    — the north-rule metrics surface, reference report shape
+    (run_multi_dataset_pipeline.py:805-830).
 
-    Rows-only by necessity: n_spans comes from the full YAML regex detector
-    + composite conflict resolution over ALL routes (pdf/csv/malformed
-    included) — re-implementing that rule set in SQL would be a second
-    engine, not an oracle.  The extraction half is oracled by
-    pages_extract_hashes / pages_main_content / pages_link_stats; the
-    detector by deid_entity_counts; determinism is pinned by the
-    rows-only double-run check."""
-    from ray.data.aggregate import Count, Sum
+    Oracle-checked via the staged-output pattern (same contract as
+    training_data_pipeline): the job's written shard parquet
+    (``shard=s0/pid=K/`` hive dirs) IS the fixture, and the SQL re-derives
+    docs/spans/bytes per pid from those rows — so the whole counter path
+    (pyarrow group_by in _shard_counters + manifest JSON roundtrip) is
+    value-checked, not just executed.  The n_spans VALUES come from the
+    full YAML regex detector over all routes, whose per-row semantics are
+    oracled by pages_extract_hashes / deid_entity_counts; this query's
+    oracle pins the aggregation + lineage layer above them."""
+    import shutil
 
-    from ..pipelines.deid import build_deid_pipeline
+    from ..pipelines.deid import run_deid_job
     from ..sources.pages import pages_dataset
+    from ..state.manifest import committed_shards
 
-    ds = build_deid_pipeline(pages_dataset(pages_rows_for(sf_dir)))
-    return ds.groupby("pid").aggregate(
-        Count(alias_name="docs"),
-        Sum("n_spans", alias_name="spans"),
-        Sum("n_bytes", alias_name="bytes"),
+    n = pages_rows_for(sf_dir)
+    shutil.rmtree(_PPC_STAGING, ignore_errors=True)
+    run_deid_job([("s0", lambda: pages_dataset(n))], _PPC_STAGING)
+    manifest = committed_shards(_PPC_STAGING)["s0"]
+    pids = sorted(manifest.per_pid, key=int)
+    return pa.table(
+        {
+            "pid": pa.array([int(p) for p in pids], pa.int64()),
+            "docs": pa.array([manifest.per_pid[p]["docs"] for p in pids], pa.int64()),
+            "spans": pa.array([manifest.per_pid[p]["spans"] for p in pids], pa.int64()),
+            "bytes": pa.array([manifest.per_pid[p]["bytes"] for p in pids], pa.int64()),
+        }
     )
 
 
@@ -22704,4 +22720,17 @@ ORACLE_SQL["link_hits"] = """
     SELECT a2.node AS url, a2.v AS auth, h2.v AS hub
     FROM a2 JOIN h2 ON h2.node = a2.node
     ORDER BY a2.v DESC, a2.node LIMIT 20
+"""
+
+# staged-output oracle for the flagship lineage counters: re-derives
+# docs/spans/bytes per pid in SQL from the shard parquet the job itself
+# wrote (shard=s0/pid=K hive layout) — value-checks the _shard_counters
+# aggregation and the manifest JSON roundtrip above the per-row kernels
+ORACLE_SQL["pages_pipeline_counters"] = f"""
+    SELECT CAST(pid AS BIGINT) AS pid,
+           COUNT(*)::BIGINT AS docs,
+           CAST(SUM(n_spans) AS BIGINT) AS spans,
+           CAST(SUM(n_bytes) AS BIGINT) AS bytes
+    FROM read_parquet('{_PPC_STAGING}/shard=s0/*/*.parquet', hive_partitioning = true)
+    GROUP BY pid
 """
