@@ -160,25 +160,181 @@ class TokenLabelBackend:
         return decode_bio_spans(offsets, labels, confidences, offset=offset)
 
 
-class OnnxNerBackend:  # pragma: no cover - optional dependency
-    """ONNX Runtime token-classification backend (import-gated).
+def _softmax(logits):
+    """Row-stable softmax (bert_onnx_detector.py:17-20)."""
+    import numpy as np
 
-    Mirrors bert_onnx_detector.py:26-174: windowed tokenization, softmax,
-    BIO decode with confidence threshold, ENTITY_TYPE_MAP normalization.
+    shifted = logits - np.max(logits, axis=-1, keepdims=True)
+    exp = np.exp(shifted)
+    return exp / np.sum(exp, axis=-1, keepdims=True)
+
+
+class SimpleNerTokenizer:
+    """Minimal offsets-preserving tokenizer with the HF overflow-window
+    encoding SHAPE (``input_ids`` / ``attention_mask`` / ``offset_mapping``
+    as ``[n_windows, max_len]`` arrays, cls/sep/pad specials at offset
+    ``(0, 0)``, ``stride`` tokens of overlap between windows) — what
+    ``AutoTokenizer(..., return_overflowing_tokens=True,
+    padding="max_length")`` produces for the reference detector
+    (bert_onnx_detector.py:67-76), minus subword splitting: tokens are
+    ``\\S+`` runs looked up in a plain vocabulary dict (unk=1).
     """
 
-    def __init__(self, model_path: str, tokenizer_dir: str, confidence: float = 0.85):
-        try:
-            import onnxruntime  # type: ignore  # noqa: F401
-            from transformers import AutoTokenizer  # type: ignore  # noqa: F401
-        except ImportError as exc:
-            raise NotImplementedError(
-                "onnxruntime/transformers not installed; use StubNerBackend"
-            ) from exc
-        raise NotImplementedError("ONNX backend requires a local model artifact")
+    PAD_ID, UNK_ID, CLS_ID, SEP_ID = 0, 1, 2, 3
+
+    def __init__(self, vocab: dict[str, int]):
+        import re as _re
+
+        self.token_re = _re.compile(r"\S+")
+        self.vocab = dict(vocab)
+        self.special_ids = {self.PAD_ID, self.CLS_ID, self.SEP_ID}
+
+    def encode(self, text: str, max_len: int, overlap: int) -> dict[str, Any]:
+        import numpy as np
+
+        tokens = [
+            (m.start(), m.end(), m.group().lower())
+            for m in self.token_re.finditer(text)
+        ]
+        capacity = max(1, max_len - 2)  # room for cls + sep
+        step = max(1, capacity - overlap)
+        windows: list[list[tuple[int, int, str]]] = []
+        pos = 0
+        while True:
+            windows.append(tokens[pos : pos + capacity])
+            if pos + capacity >= len(tokens):
+                break
+            pos += step
+        n = len(windows)
+        input_ids = np.full((n, max_len), self.PAD_ID, dtype=np.int64)
+        attention = np.zeros((n, max_len), dtype=np.int64)
+        offsets = np.zeros((n, max_len, 2), dtype=np.int64)
+        for w, body in enumerate(windows):
+            input_ids[w, 0] = self.CLS_ID
+            for j, (s, e, tok) in enumerate(body, start=1):
+                input_ids[w, j] = self.vocab.get(tok, self.UNK_ID)
+                offsets[w, j] = (s, e)
+            input_ids[w, len(body) + 1] = self.SEP_ID
+            attention[w, : len(body) + 2] = 1
+        return {
+            "input_ids": input_ids,
+            "attention_mask": attention,
+            "offset_mapping": offsets,
+        }
+
+
+class OnnxNerBackend:
+    """ONNX Runtime token-classification backend.
+
+    Real inference semantics of the reference (bert_onnx_detector.py:26-174):
+    overflow-windowed encoding, ONE batched ``session.run`` over all
+    windows, softmax → argmax + max-prob confidence, per-chunk BIO decode
+    that skips special/pad tokens and drops sub-threshold labels
+    (BERT_CONFIDENCE_THRESHOLD 0.85, reference config.py:101), then the
+    0.5-overlap same-type merge.
+
+    Only the SESSION is import-gated: pass ``model_path`` to build a real
+    ``onnxruntime.InferenceSession``, or inject any object with
+    ``get_inputs() / get_outputs() / run()`` (tests drive the full path
+    with a numpy matmul session, so every line here executes without
+    onnxruntime installed)."""
+
+    def __init__(
+        self,
+        model_path: str | None = None,
+        *,
+        session: Any | None = None,
+        vocab: dict[str, int] | None = None,
+        id2label: dict[int, str] | None = None,
+        confidence: float = 0.85,
+        max_len: int = 512,
+        window_stride: float = 0.5,
+    ):
+        if session is None:
+            try:
+                import onnxruntime  # type: ignore
+            except ImportError as exc:
+                raise NotImplementedError(
+                    "onnxruntime not installed; inject session= or use StubNerBackend"
+                ) from exc
+            session = onnxruntime.InferenceSession(
+                str(model_path), providers=["CPUExecutionProvider"]
+            )
+        self.session = session
+        self.input_names = {i.name for i in session.get_inputs()}
+        self.output_name = session.get_outputs()[0].name
+        self.tokenizer = SimpleNerTokenizer(vocab or {})
+        self.id2label = {int(k): str(v) for k, v in (id2label or {}).items()}
+        self.confidence = float(confidence)
+        self.max_len = int(max_len)
+        capacity = self.max_len - 2
+        # HF stride semantics: number of overlapping tokens between windows
+        # (reference clamps to [0, max_len-1]; capacity-1 here since specials
+        # don't carry text)
+        self.overlap = max(0, min(capacity - 1, int(self.max_len * float(window_stride))))
+
+    def detect(self, text: str) -> list[dict[str, Any]]:
+        enc = self.tokenizer.encode(text, self.max_len, self.overlap)
+        feeds = {k: enc[k] for k in self.input_names if k in enc}
+        logits = self.session.run([self.output_name], feeds)[0]
+        probs = _softmax(logits)
+        pred_ids = probs.argmax(axis=-1)
+        pred_conf = probs.max(axis=-1)
+
+        entities: list[dict[str, Any]] = []
+        input_ids = enc["input_ids"]
+        offsets = enc["offset_mapping"]
+        for chunk in range(input_ids.shape[0]):
+            current: dict[str, Any] | None = None
+            for token_id, label_id, conf, (tok_start, tok_end) in zip(
+                input_ids[chunk].tolist(),
+                pred_ids[chunk].tolist(),
+                pred_conf[chunk].tolist(),
+                offsets[chunk].tolist(),
+            ):
+                if token_id in self.tokenizer.special_ids:
+                    continue
+                if tok_start == tok_end == 0:
+                    continue
+                label = self.id2label.get(int(label_id), "O")
+                confidence = float(conf)
+                if label == "O" or confidence < self.confidence:
+                    if current is not None:
+                        entities.append(current)
+                        current = None
+                    continue
+                base = label.replace("B-", "").replace("I-", "")
+                entity_type = ENTITY_TYPE_MAP.get(base, base)
+                if label.startswith("B-"):
+                    if current is not None:
+                        entities.append(current)
+                    current = {
+                        "span": [int(tok_start), int(tok_end)],
+                        "type": str(entity_type),
+                        "score": confidence,
+                        "source": "onnx",
+                    }
+                elif (
+                    label.startswith("I-")
+                    and current is not None
+                    and current.get("type") == str(entity_type)
+                ):
+                    current["span"][1] = int(tok_end)
+                    current["score"] = max(float(current["score"]), confidence)
+                else:
+                    if current is not None:
+                        entities.append(current)
+                    current = None
+            if current is not None:
+                entities.append(current)
+        return merge_ner_entities(entities)
 
     def detect_chunk(self, text: str, offset: int) -> list[dict[str, Any]]:
-        raise NotImplementedError
+        """NerDetectStage seam: document offsets for a char-window chunk."""
+        return [
+            {**e, "span": [e["span"][0] + offset, e["span"][1] + offset]}
+            for e in self.detect(text)
+        ]
 
 
 def merge_ner_entities(entities: list[dict[str, Any]]) -> list[dict[str, Any]]:
