@@ -132,9 +132,72 @@ class MaskProvider(Provider):
         return _placeholder(entity_type, f"{entity_type}:{original}:{context_hash}")
 
 
+class Gpt2Provider(Provider):
+    """Generate-style provider shell — the reference's GPT-2 surrogate path
+    (fake_provider.py:184-223): prompt the causal LM with
+
+        Replace the following {TYPE} value with a fictional value that fits
+        the context: '{original}'.\\nReplacement:
+
+    greedy-decode ``len(prompt)+20`` tokens, and take the text after the
+    final ``Replacement:`` marker.
+
+    Only the MODEL is import-gated: pass ``model_path`` to load a local HF
+    checkpoint (transformers+torch, absent in this sandbox), or inject any
+    ``(tokenizer, model)`` pair with the HF call shape —
+    ``tokenizer(prompt, return_tensors=...)`` → ``.input_ids`` with
+    ``.shape``, ``model.generate(input_ids, max_length=, do_sample=False,
+    pad_token_id=)`` → sequences, ``tokenizer.decode(seq,
+    skip_special_tokens=True)`` — so the whole prompting/decode path runs
+    under test with a deterministic fake LM.  Determinism across workers
+    requires a deterministic model (greedy decode, fixed weights); like the
+    reference's GPT-2/faker paths it is therefore excluded from the
+    byte-identity oracle and plugs in through the Provider seam."""
+
+    MAX_NEW_TOKENS = 20  # reference: max_length = prompt_len + 20
+
+    def __init__(self, model_path: str | None = None, *, tokenizer: Any = None, model: Any = None):
+        if tokenizer is None or model is None:
+            try:
+                import torch  # type: ignore  # noqa: F401
+                from transformers import (  # type: ignore
+                    AutoModelForCausalLM,
+                    AutoTokenizer,
+                )
+            except ImportError as exc:
+                raise NotImplementedError(
+                    "transformers/torch not installed; inject tokenizer=/model= "
+                    "or use the 'fallback' provider"
+                ) from exc
+            tokenizer = AutoTokenizer.from_pretrained(str(model_path), local_files_only=True)
+            model = AutoModelForCausalLM.from_pretrained(str(model_path), local_files_only=True)
+            model.eval()
+        self.tokenizer = tokenizer
+        self.model = model
+
+    def generate(self, entity_type: str, original: str, context_hash: str, locale: str) -> str:
+        prompt = (
+            f"Replace the following {entity_type} value with a fictional value "
+            f"that fits the context: '{original}'.\nReplacement:"
+        )
+        inputs = self.tokenizer(prompt, return_tensors="pt")
+        outputs = self.model.generate(
+            inputs.input_ids,
+            max_length=int(inputs.input_ids.shape[1]) + self.MAX_NEW_TOKENS,
+            num_return_sequences=1,
+            do_sample=False,
+            pad_token_id=getattr(self.tokenizer, "eos_token_id", 0),
+        )
+        generated = self.tokenizer.decode(outputs[0], skip_special_tokens=True)
+        if "Replacement:" in generated:
+            return generated.split("Replacement:", 1)[-1].strip()
+        return generated.replace(prompt, "").strip()
+
+
 _PROVIDERS: dict[str, type[Provider]] = {
     "fallback": FallbackProvider,
     "mask": MaskProvider,
+    "gpt2": Gpt2Provider,
 }
 
 

@@ -162,3 +162,93 @@ class TestProviderSeam:
 
         with pytest.raises(KeyError, match="unknown provider"):
             get_provider("nope-not-registered")
+
+
+class TestGpt2Provider:
+    """The GPT-2 generate provider shell (reference fake_provider.py:184-223)
+    driven end to end with a deterministic fake causal LM — the prompting /
+    greedy-decode / 'Replacement:'-split path all execute; only the HF model
+    load is import-gated."""
+
+    @staticmethod
+    def _fake_lm():
+        import numpy as np
+
+        class Enc:
+            def __init__(self, ids):
+                self.input_ids = np.array([ids], dtype=np.int64)
+
+        class FakeTokenizer:
+            """Char-codepoint 'tokens'; decode == chr-join. Greedy LM below
+            appends a deterministic surrogate derived from the prompt."""
+
+            eos_token_id = 0
+
+            def __call__(self, prompt, return_tensors=None):
+                return Enc([ord(c) for c in prompt])
+
+            def decode(self, ids, skip_special_tokens=False):
+                return "".join(chr(int(i)) for i in ids if int(i) != 0)
+
+        class FakeCausalLM:
+            def generate(self, input_ids, max_length, num_return_sequences, do_sample, pad_token_id):
+                import numpy as np
+
+                assert do_sample is False  # greedy, as the reference pins
+                prompt = "".join(chr(int(i)) for i in input_ids[0])
+                # deterministic function of the prompt: surrogate token
+                tag = f" FAKE-{sum(input_ids[0].tolist()) % 9973:04d}"
+                new = [ord(c) for c in tag][: max_length - input_ids.shape[1]]
+                out = np.concatenate([input_ids[0], np.array(new, dtype=np.int64)])
+                return out[None, :]
+
+        return FakeTokenizer(), FakeCausalLM()
+
+    def test_generate_path_prompting_and_split(self):
+        from edge_deid_studio_ray.kernels.replace import Gpt2Provider
+
+        tok, lm = self._fake_lm()
+        provider = Gpt2Provider(tokenizer=tok, model=lm)
+        out = provider.generate("NAME", "John Smith", "h1", "en_US")
+        assert out.startswith("FAKE-") and len(out) == 9
+        # deterministic: same inputs → same surrogate
+        assert out == provider.generate("NAME", "John Smith", "h2", "zh_TW")
+        # different original → different prompt → different surrogate
+        assert out != provider.generate("NAME", "Alice Chen", "h1", "en_US")
+
+    def test_replace_text_through_gpt2_seam(self):
+        from edge_deid_studio_ray.kernels.replace import Gpt2Provider, replace_text
+
+        tok, lm = self._fake_lm()
+        provider = Gpt2Provider(tokenizer=tok, model=lm)
+        text = "patient John Smith arrived"
+        ents = [{"type": "NAME", "span": (8, 18)}]
+        clean, events = replace_text(text, ents, "replace", provider=provider)
+        assert clean.startswith("patient FAKE-") and clean.endswith(" arrived")
+        assert events[0]["original"] == "John Smith"
+
+    def test_registry_name_and_import_gate(self):
+        import pytest as _pytest
+
+        from edge_deid_studio_ray.kernels.replace import _PROVIDERS, Gpt2Provider
+
+        assert _PROVIDERS["gpt2"] is Gpt2Provider
+        with _pytest.raises(NotImplementedError, match="transformers"):
+            Gpt2Provider("/nonexistent/gpt2")
+
+    def test_custom_registration_with_injected_lm(self):
+        from edge_deid_studio_ray.kernels.replace import (
+            Gpt2Provider,
+            get_provider,
+            register_provider,
+        )
+
+        fake = self._fake_lm()
+
+        class TestLmProvider(Gpt2Provider):
+            def __init__(self):
+                super().__init__(tokenizer=fake[0], model=fake[1])
+
+        register_provider("gpt2_test", TestLmProvider)
+        p = get_provider("gpt2_test")
+        assert p.generate("PHONE", "0912-345-678", "h", "zh_TW").startswith("FAKE-")
