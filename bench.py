@@ -14,6 +14,10 @@ Common-Crawl-style parquet → fused deid stage → partitioned parquet write),
 measured over a pre-materialized input (generation excluded; OS cache warmed
 by an untimed read).
 
+``--suite full`` (or GRAFT_SUITE=full): benches EVERY registry query
+instead of the curated 97-name suite, so no operator's cost regresses
+silently; curated names keep best-of-2, the long tail runs once.
+
 ``--scaling``: reruns the headline in fresh processes at RAY_GRAFT_CPUS=8
 and =32 on the SAME input and reports both throughputs + efficiency
 (the sandbox substitute for the N vs 4N cluster-size criterion).  Exits
@@ -103,7 +107,7 @@ def _bench_pages(ray) -> dict:
     }
 
 
-def _bench_queries(sf_dir: str) -> dict[str, float]:
+def _bench_queries(sf_dir: str, full: bool = False) -> dict[str, float]:
     from edge_deid_studio_ray.pipelines.queries import QUERIES
 
     names = [
@@ -221,12 +225,21 @@ def _bench_queries(sf_dir: str) -> dict[str, float]:
         "source_lang_diversity",
         "events_error_pchart",
     ]
+    curated = set(names)
+    if full:
+        # --suite full: EVERY registry query, so no operator's cost can
+        # regress silently between rounds.  Curated names keep best-of-2
+        # (steady-state, comparable across artifacts); the long tail runs
+        # once — coverage is the point there, and 2x reps over ~250
+        # queries would double a multi-minute sweep for noise reduction
+        # the delta table doesn't need at this granularity.
+        names = sorted(QUERIES)
     timings: dict[str, float] = {}
     for name in names:
         # best-of-2: join/shuffle-heavy queries swing 2-3x run to run from
         # actor-pool placement; the min is the steady-state capability
         best = float("inf")
-        for _ in range(2):
+        for _ in range(2 if name in curated else 1):
             t0 = time.perf_counter()
             result = QUERIES[name](sf_dir)
             # consume: aggregates are small; per-doc sets consumed via count
@@ -356,10 +369,14 @@ def run_once() -> tuple[dict, dict]:
     ctx.enable_progress_bars = False
 
     skip_queries = bool(os.environ.get("GRAFT_SKIP_QUERIES"))
+    full_suite = (
+        "--suite" in sys.argv
+        and sys.argv[sys.argv.index("--suite") + 1 :][:1] == ["full"]
+    ) or os.environ.get("GRAFT_SUITE") == "full"
     pages = _bench_pages(ray)
     # scaling subprocesses measure the headline only — the query suite adds
     # minutes per rep without informing the 8-vs-32 ratio
-    queries = {} if skip_queries else _bench_queries(SF_DIR)
+    queries = {} if skip_queries else _bench_queries(SF_DIR, full=full_suite)
     skew = None if skip_queries else _bench_skew(ray)
 
     result = {

@@ -2267,16 +2267,26 @@ def q_synthetic_quality_report(sf_dir: str):
     return pa.table({"metric": pa.array(rows["metric"], pa.string()), "value": pa.array(rows["value"], pa.int64())})
 
 
+_NER_STUB_STAGING = "/tmp/eds_ner_stub_staging"
+
+
 def q_ner_stub_entity_counts(sf_dir: str):
     """NER actor-pool stage (stub backend + regex backstop + composite
     resolution) over the synthetic corpus; counts by (type, source).
 
-    Rows-only by necessity: the output mixes the stub NER regexes with the
-    full YAML detector + composite overlap-priority resolution — a SQL
-    re-derivation would re-implement the detector rule set wholesale.
-    The composite semantics are parity-tested against the reference
-    resolver; determinism pinned by the double-run check."""
-    from ray.data.aggregate import Sum
+    Oracle-checked at the AGGREGATION layer via the staged-output pattern
+    (same contract as pages_pipeline_counters): the detected per-entity
+    rows are staged to parquet, the Ray side runs its distributed
+    groupby-count over the staged rows, and the SQL re-derives the same
+    counts — so the shuffle/aggregate machinery is value-checked.  The
+    per-row DETECTION semantics (stub regexes + full YAML detector +
+    composite overlap-priority resolution) stay pinned by the reference
+    parity tests — re-deriving that rule set in SQL would be a second
+    engine, not an oracle."""
+    import shutil
+
+    import ray.data as rd
+    from ray.data.aggregate import Count
 
     from ..pipelines.training_data import synthetic_span_dataset
     from ..stages.ner import NerDetectStage
@@ -2287,23 +2297,32 @@ def q_ner_stub_entity_counts(sf_dir: str):
     )
 
     def explode(batch: pa.Table) -> pa.Table:
-        agg: dict[tuple[str, str], int] = {}
-        for ents in batch["entities"].to_pylist():
+        ex_ids: list[str] = []
+        types: list[str] = []
+        sources: list[str] = []
+        for ex_id, ents in zip(
+            batch["example_id"].to_pylist(), batch["entities"].to_pylist()
+        ):
             for e in ents:
-                key = (e["type"], e["source"])
-                agg[key] = agg.get(key, 0) + 1
+                ex_ids.append(str(ex_id))
+                types.append(e["type"])
+                sources.append(e["source"])
         return pa.table(
             {
-                "type": pa.array([k[0] for k in agg], pa.string()),
-                "source": pa.array([k[1] for k in agg], pa.string()),
-                "partial": pa.array(list(agg.values()), pa.int64()),
+                "example_id": pa.array(ex_ids, pa.string()),
+                "type": pa.array(types, pa.string()),
+                "source": pa.array(sources, pa.string()),
             }
         )
 
+    shutil.rmtree(_NER_STUB_STAGING, ignore_errors=True)
+    detected.map_batches(explode, batch_format="pyarrow").write_parquet(
+        _NER_STUB_STAGING
+    )
     return (
-        detected.map_batches(explode, batch_format="pyarrow")
+        rd.read_parquet(_NER_STUB_STAGING)
         .groupby(["type", "source"])
-        .aggregate(Sum("partial", alias_name="n"))
+        .aggregate(Count(alias_name="n"))
     )
 
 
@@ -2869,13 +2888,25 @@ def q_main_content_roundtrip(sf_dir: str):
     )
 
 
+_IMG_STUB_STAGING = "/tmp/eds_img_stub_staging"
+
+
 def q_image_deid_stub_stats(sf_dir: str):
     """Multimodal actor-pool surface: binary payloads (derived
     deterministically from document text) through the image-deid stage —
     OCR backend loaded once per actor, per-char offset maps merged to
-    entity bboxes, black-box rects planned.  Deterministic rows-only (the
-    OCR backend here is the fake; real engines are import-gated and slot
-    into the same actor signature)."""
+    entity bboxes, black-box rects planned.  The OCR backend here is the
+    fake; real engines are import-gated and slot into the same actor
+    signature.
+
+    Oracle-checked at the AGGREGATION layer via the staged-output pattern:
+    per-media (n_spans, n_boxes) rows are staged to parquet, the Ray side
+    computes its global Count/Sum aggregate from the staged rows, and the
+    SQL re-derives the same three metrics — the per-media OCR/bbox
+    semantics stay pinned by the imageproc parity tests."""
+    import shutil
+
+    import ray.data as rd
     from ray.data.aggregate import Count, Sum
 
     from ..stages.image_deid import ImageDeidStage
@@ -2904,12 +2935,17 @@ def q_image_deid_stub_stats(sf_dir: str):
         boxes = batch["redaction_boxes"].to_pylist()
         return pa.table(
             {
+                "media_id": batch["media_id"],
                 "n_spans": batch["n_spans"],
                 "n_boxes": pa.array([len(b) for b in boxes], pa.int64()),
             }
         )
 
-    agg = processed.map_batches(stats, batch_format="pyarrow").aggregate(
+    shutil.rmtree(_IMG_STUB_STAGING, ignore_errors=True)
+    processed.map_batches(stats, batch_format="pyarrow").write_parquet(
+        _IMG_STUB_STAGING
+    )
+    agg = rd.read_parquet(_IMG_STUB_STAGING).aggregate(
         Count(alias_name="n_media"),
         Sum("n_spans", alias_name="total_spans"),
         Sum("n_boxes", alias_name="total_boxes"),
@@ -22733,4 +22769,21 @@ ORACLE_SQL["pages_pipeline_counters"] = f"""
            CAST(SUM(n_bytes) AS BIGINT) AS bytes
     FROM read_parquet('{_PPC_STAGING}/shard=s0/*/*.parquet', hive_partitioning = true)
     GROUP BY pid
+"""
+
+# aggregation-layer oracles for the two stub-backend actor-pool queries:
+# re-derive the distributed counts from the staged per-entity / per-media
+# rows the queries themselves wrote (detection/OCR semantics stay pinned
+# by parity tests — SQL checks the shuffle/aggregate machinery)
+ORACLE_SQL["ner_stub_entity_counts"] = f"""
+    SELECT type, source, COUNT(*)::BIGINT AS n
+    FROM read_parquet('{_NER_STUB_STAGING}/*.parquet')
+    GROUP BY type, source
+"""
+
+ORACLE_SQL["image_deid_stub_stats"] = f"""
+    WITH s AS (SELECT * FROM read_parquet('{_IMG_STUB_STAGING}/*.parquet'))
+    SELECT 'n_media' AS metric, COUNT(*)::BIGINT AS value FROM s
+    UNION ALL SELECT 'total_boxes', CAST(SUM(n_boxes) AS BIGINT) FROM s
+    UNION ALL SELECT 'total_spans', CAST(SUM(n_spans) AS BIGINT) FROM s
 """
