@@ -3128,13 +3128,16 @@ def q_sources_except(sf_dir: str):
         .aggregate(Max("has_en", alias_name="has_en"), Max("has_zh", alias_name="has_zh"))
     )
 
-    def keep(batch: pa.Table) -> pa.Table:
-        mask = pc.and_(
-            pc.equal(batch["has_en"], pa.scalar(1)), pc.equal(batch["has_zh"], pa.scalar(0))
-        )
-        return pa.table({"source": batch.filter(mask)["source"]})
-
-    return flags.map_batches(keep, batch_format="pyarrow")
+    # finalize driver-side over the tiny flag table (≤ distinct sources):
+    # an all-excluded result from a lazy map_batches loses its schema in
+    # empty blocks (first seen at sf0.1, where every en source also has
+    # zh), while a typed table keeps the ['source'] column at zero rows
+    kept = sorted(
+        r["source"]
+        for r in flags.take_all()
+        if int(r["has_en"]) == 1 and int(r["has_zh"]) == 0
+    )
+    return pa.table({"source": pa.array(kept, pa.string())})
 
 
 def q_embedding_near_dups_lsh(sf_dir: str):
@@ -18519,12 +18522,16 @@ ORACLE_SQL = {
     """,
     "pages_main_content": """
         WITH mains AS (
-          SELECT url, array_to_string(
+          -- COALESCE: DuckDB's array_to_string over an EMPTY list is NULL,
+          -- but a page whose every block is boilerplate extracts to '' in
+          -- the engine (first seen at sf0.1: 5 zh pages with one short,
+          -- punctuation-free paragraph)
+          SELECT url, COALESCE(array_to_string(
             list_filter(
               list_transform(regexp_extract_all(page, '<p>([^<]*)</p>', 1),
                              x -> trim(regexp_replace(x, ' +', ' ', 'g'))),
               t -> length(t) >= 25 OR regexp_matches(t, '[.!?。！？…"”]$')
-            ), chr(10)) AS main
+            ), chr(10)), '') AS main
           FROM read_parquet('/tmp/eds_pages_fixture/pages.parquet')
           WHERE route = 'html' AND instr(page, chr(65533)) = 0
         )

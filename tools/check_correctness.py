@@ -60,6 +60,14 @@ def main(sf_dir: str, only: set[str] | None = None) -> int:
     import __ray_entry__ as entrymod
 
     con = duckdb.connect()
+    memlimit = os.environ.get("EDS_ORACLE_MEMLIMIT")
+    if memlimit:
+        # cap the oracle side: a superlinear SQL re-derivation should FAIL
+        # loudly (duckdb OutOfMemoryException) instead of OOMing the box.
+        # Spill goes to /tmp — duckdb's default ./.tmp would land inside
+        # the repo working tree.
+        con.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
+        con.execute(f"SET memory_limit='{memlimit}'")
     for table in TABLES:
         con.sql(
             f"CREATE VIEW {table} AS SELECT * FROM read_parquet('{sf_dir}/{table}.parquet')"
