@@ -1,6 +1,7 @@
 """1M-page soak: scale rehearsal for the flagship extraction+deid pipeline.
 
-Generates a ~2.6 GB synthetic Common-Crawl-style corpus (1M pages, one
+Generates a 1M-page synthetic Common-Crawl-style corpus (~0.5 GB as
+snappy parquet, one
 mega page per 2000 — the bench skew mix), runs the flagship end to end
 (read parquet → fused deid → partitioned parquet write), then the N
 slowest registry queries at the bench SF, while a sampler thread records
@@ -50,7 +51,7 @@ class MemSampler(threading.Thread):
         super().__init__(daemon=True)
         self.min_available_kb: int | None = None
         self.max_spill_bytes = 0
-        self._stop = threading.Event()
+        self._halt = threading.Event()
 
     @staticmethod
     def _available_kb() -> int:
@@ -75,15 +76,17 @@ class MemSampler(threading.Thread):
         return total
 
     def run(self) -> None:
-        while not self._stop.is_set():
+        while not self._halt.is_set():
             kb = self._available_kb()
             if self.min_available_kb is None or kb < self.min_available_kb:
                 self.min_available_kb = kb
             self.max_spill_bytes = max(self.max_spill_bytes, self._spill_bytes())
-            self._stop.wait(0.5)
+            self._halt.wait(0.5)
 
     def stop(self) -> None:
-        self._stop.set()
+        # NB: Thread defines a private _stop() METHOD — shadowing it with an
+        # Event breaks join(); hence _halt
+        self._halt.set()
         self.join(timeout=5)
 
 
