@@ -205,7 +205,7 @@ def run_deid_job(
             manifests[shard_id] = _process_shard(out_dir, shard_id, factory, fp, cfg)
             report["shards_run"] += 1
     else:
-        from concurrent.futures import CancelledError, ThreadPoolExecutor, as_completed
+        from concurrent.futures import FIRST_EXCEPTION, ThreadPoolExecutor, wait
 
         _warm_fsspec_http_probe()
         first_err: BaseException | None = None
@@ -216,18 +216,24 @@ def run_deid_job(
                 ex.submit(_process_shard, out_dir, sid, fac, fp, cfg): sid
                 for sid, fac, fp in to_run
             }
-            for fut in as_completed(futs):
-                try:
-                    manifests[futs[fut]] = fut.result()
-                    report["shards_run"] += 1
-                except CancelledError:
+            done, not_done = wait(futs, return_when=FIRST_EXCEPTION)
+            # a failure stops the window: cancel whatever is still QUEUED
+            # and drain only the in-flight shards (their commits stay valid
+            # for resume).  NB: never as_completed + shutdown(cancel_futures)
+            # — a future cancelled while queued skips
+            # set_running_or_notify_cancel, so as_completed's waiter is
+            # never notified and the loop hangs forever.
+            still_running = {fut for fut in not_done if not fut.cancel()}
+            wait(still_running)
+            for fut, sid in futs.items():
+                if fut.cancelled():
                     continue
-                except BaseException as err:  # noqa: BLE001 — first failure wins,
-                    # queued shards are cancelled, in-flight ones drain (their
-                    # commits stay valid for resume)
+                try:
+                    manifests[sid] = fut.result()
+                    report["shards_run"] += 1
+                except BaseException as err:  # noqa: BLE001 — first failure wins
                     if first_err is None:
                         first_err = err
-                        ex.shutdown(wait=False, cancel_futures=True)
         if first_err is not None:
             raise first_err
 

@@ -1135,3 +1135,70 @@ class TestSupplierBalanceGini:
         )
         (row,) = QUERIES["supplier_balance_gini"](str(tmp_path)).to_pylist()
         assert (row["n_suppliers"], row["gini"]) == (3, 0.0)
+
+
+class TestReferentialOrphansFallback:
+    def test_bucketed_fallback_equals_broadcast(self, ray_session, tmp_path, monkeypatch):
+        """EDS_BROADCAST_KEYS_MAX=0 forces the big-parent bucketed co-group;
+        both paths must produce identical edge counts on a fixture with
+        orphans and NULL keys."""
+        from edge_deid_studio_ray.pipelines.queries import QUERIES
+
+        pq.write_table(
+            pa.table({"r_regionkey": pa.array([0], pa.int64())}),
+            tmp_path / "region.parquet",
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "n_nationkey": pa.array([0, 1], pa.int64()),
+                    "n_regionkey": pa.array([0, 7], pa.int64()),  # 7 = orphan
+                }
+            ),
+            tmp_path / "nation.parquet",
+        )
+        pq.write_table(
+            pa.table(
+                {"c_custkey": pa.array([1], pa.int64()), "c_nationkey": pa.array([0], pa.int64())}
+            ),
+            tmp_path / "customer.parquet",
+        )
+        pq.write_table(
+            pa.table(
+                {"s_suppkey": pa.array([1], pa.int64()), "s_nationkey": pa.array([None], pa.int64())}
+            ),
+            tmp_path / "supplier.parquet",
+        )
+        pq.write_table(
+            pa.table({"p_partkey": pa.array([1], pa.int64())}), tmp_path / "part.parquet"
+        )
+        pq.write_table(
+            pa.table(
+                {"o_orderkey": pa.array([1, 2], pa.int64()), "o_custkey": pa.array([1, 9], pa.int64())}
+            ),
+            tmp_path / "orders.parquet",
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "l_orderkey": pa.array([1, 9], pa.int64()),
+                    "l_partkey": pa.array([1, 1], pa.int64()),
+                    "l_suppkey": pa.array([1, 9], pa.int64()),
+                }
+            ),
+            tmp_path / "lineitem.parquet",
+        )
+
+        def run():
+            return {
+                r["edge"]: (r["n_child_rows"], r["n_orphans"])
+                for r in QUERIES["referential_orphans"](str(tmp_path)).to_pylist()
+            }
+
+        broadcast = run()
+        monkeypatch.setenv("EDS_BROADCAST_KEYS_MAX", "0")
+        bucketed = run()
+        assert broadcast == bucketed
+        assert broadcast["orders.o_custkey->customer"] == (2, 1)
+        assert broadcast["supplier.s_nationkey->nation"] == (1, 1)
+        assert broadcast["nation.n_regionkey->region"] == (2, 1)

@@ -424,3 +424,47 @@ def test_concurrent_window_failure_keeps_commits_and_resumes(ray_session, tmp_pa
     assert report["shards_skipped"] == len(ok)
     assert report["shards_run"] == 3 - len(ok)
     assert report["docs"] == 180
+
+
+def test_concurrent_window_cancels_queued_shards_deterministically(ray_session, tmp_path):
+    """Regression for the as_completed + shutdown(cancel_futures) hang: a
+    shard that fails while another is mid-flight and MORE are still queued
+    must cancel the queued ones and raise — never wait forever on a
+    cancelled future that no worker will ever notify."""
+    import time as _time
+
+    from edge_deid_studio_ray.pipelines.deid import run_deid_job
+    from edge_deid_studio_ray.state.manifest import committed_shards
+
+    def slow(lo, hi):
+        inner = _shard_factory(lo, hi)
+
+        def f():
+            _time.sleep(3.0)  # holds one window slot while s1 fails
+            return inner()
+
+        return f
+
+    def boom():
+        raise RuntimeError("bad shard input")
+
+    out = str(tmp_path / "out")
+    shards = [
+        ("s0", slow(0, 40)),
+        ("s1", boom),
+        ("s2", _shard_factory(80, 120)),   # queued behind the window
+        ("s3", _shard_factory(120, 160)),  # queued behind the window
+    ]
+    t0 = _time.monotonic()
+    with pytest.raises(RuntimeError, match="bad shard"):
+        run_deid_job(shards, out, max_in_flight=2)
+    assert _time.monotonic() - t0 < 60  # the old code hung here forever
+    ok = set(committed_shards(out))
+    assert "s1" not in ok
+    assert "s0" in ok  # in-flight shard drained and committed
+
+    fixed = [(s, _shard_factory(40 * i, 40 * (i + 1))) for i, s in
+             enumerate(["s0", "s1", "s2", "s3"])]
+    report = run_deid_job(fixed, out, max_in_flight=2)
+    assert report["shards_skipped"] == len(ok)
+    assert report["shards_run"] == 4 - len(ok)
