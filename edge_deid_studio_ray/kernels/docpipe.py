@@ -173,9 +173,23 @@ def process_document(
     t1 = perf_counter()
 
     patterns = compile_rules(str(cfg.rules_path(lang)))
-    raw_entities = resolve_conflicts(
-        regex_detect(extracted_text, patterns), cfg.entity_priority
-    )
+    detected = regex_detect(extracted_text, patterns)
+    if cfg.ner_backend:
+        # get_detector composition (reference pii/detectors/__init__.py:20-76):
+        # NER first, regex backstop appended, one composite resolve.  The
+        # backend resolves by name per worker process (lazy import keeps the
+        # kernel layer stage-free at module load).
+        from ..stages.ner import detect_with_windows, get_ner_backend
+
+        detected = (
+            detect_with_windows(
+                extracted_text,
+                get_ner_backend(cfg.ner_backend),
+                window=cfg.ner_window,
+            )
+            + detected
+        )
+    raw_entities = resolve_conflicts(detected, cfg.entity_priority)
     t2 = perf_counter()
 
     from .replace import get_provider

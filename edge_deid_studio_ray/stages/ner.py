@@ -337,6 +337,39 @@ class OnnxNerBackend:
         ]
 
 
+_NER_BACKEND_FACTORIES: dict[str, Callable[[], Any]] = {
+    "stub": StubNerBackend,
+    "token_label": TokenLabelBackend,
+}
+_NER_BACKEND_INSTANCES: dict[str, Any] = {}
+
+
+def register_ner_backend(name: str, factory: Callable[[], Any]) -> None:
+    """Register a backend factory resolvable by ``EngineConfig.ner_backend``
+    (e.g. a partial of :class:`OnnxNerBackend` with a model path).  The
+    name travels in the frozen config; the instance builds lazily per
+    worker process."""
+    _NER_BACKEND_FACTORIES[name] = factory
+    _NER_BACKEND_INSTANCES.pop(name, None)
+
+
+def get_ner_backend(name: str) -> Any:
+    """Per-worker-process backend cache — the task-pool analogue of the
+    actor-pool ``__init__`` load, mirroring the reference's process-global
+    ``lru_cache`` registry (runtime/registry.py:10-51): a worker builds the
+    backend once and every subsequent task on that worker reuses it."""
+    if name not in _NER_BACKEND_INSTANCES:
+        try:
+            factory = _NER_BACKEND_FACTORIES[name]
+        except KeyError:
+            raise ValueError(
+                f"unknown NER backend {name!r}; registered: "
+                f"{sorted(_NER_BACKEND_FACTORIES)}"
+            ) from None
+        _NER_BACKEND_INSTANCES[name] = factory()
+    return _NER_BACKEND_INSTANCES[name]
+
+
 def merge_ner_entities(entities: list[dict[str, Any]]) -> list[dict[str, Any]]:
     """Cross-window merge (bert_detector.py:138-160): sort by start; merge an
     overlapping same-type pair when overlap > 0.5·min_len, keep max score."""

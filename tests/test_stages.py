@@ -583,3 +583,92 @@ class TestOnnxBackendRealPath:
 
         with _pytest.raises(NotImplementedError, match="onnxruntime"):
             OnnxNerBackend("/nonexistent/model.onnx")
+
+
+class TestNerBackendConfigWiring:
+    """EngineConfig.ner_backend now reaches the fused kernel: the flagship
+    composes NER + regex backstop + composite resolve (get_detector
+    semantics) when the knob is set; None keeps the regex-only default."""
+
+    def test_stub_backend_through_process_document(self):
+        from edge_deid_studio_ray.config import EngineConfig
+        from edge_deid_studio_ray.kernels.docpipe import process_document
+
+        text = "id A123456789 and phone 0912-345-678"
+        plain = process_document(text=text, lang="zh")
+        wired = process_document(
+            text=text, lang="zh", cfg=EngineConfig(ner_backend="stub")
+        )
+        # the stub regexes overlap the YAML rules: the composite resolve
+        # keeps one entity per span either way
+        assert [(e["start"], e["end"]) for e in wired["entities"]] == [
+            (e["start"], e["end"]) for e in plain["entities"]
+        ]
+        assert wired["n_spans"] == plain["n_spans"]
+
+    def test_matches_ner_detect_stage_composition(self, ray_session):
+        import ray.data as rd
+
+        from edge_deid_studio_ray.config import EngineConfig
+        from edge_deid_studio_ray.kernels.docpipe import process_document
+        from edge_deid_studio_ray.stages.ner import NerDetectStage
+
+        text = "contact A123456789 maybe 0912-345-678 done"
+        row = process_document(text=text, lang="zh", cfg=EngineConfig(ner_backend="stub"))
+        out = (
+            rd.from_arrow(pa.table({"text": [text], "lang": ["zh"]}))
+            .map_batches(NerDetectStage, batch_format="pyarrow", batch_size=8, concurrency=1)
+            .take_all()
+        )
+        stage_spans = [(e["start"], e["end"], e["type"]) for e in out[0]["entities"]]
+        kernel_spans = [
+            (e["start"], e["end"], e["type"]) for e in row["entities"]
+        ]
+        assert kernel_spans == stage_spans
+
+    def test_registered_onnx_backend_in_flagship_kernel(self):
+        import numpy as np
+
+        from edge_deid_studio_ray.config import EngineConfig
+        from edge_deid_studio_ray.kernels.docpipe import process_document
+        from edge_deid_studio_ray.stages.ner import OnnxNerBackend, register_ner_backend
+
+        class NumpySession:
+            def __init__(self, W):
+                self.W = W
+
+            def get_inputs(self):
+                from types import SimpleNamespace
+
+                return [SimpleNamespace(name="input_ids")]
+
+            def get_outputs(self):
+                from types import SimpleNamespace
+
+                return [SimpleNamespace(name="logits")]
+
+            def run(self, names, feeds):
+                return [np.eye(self.W.shape[0])[feeds["input_ids"]] @ self.W]
+
+        W = np.zeros((16, 2))
+        W[:, 0] = 8.0
+        W[10] = [0.0, 8.0]  # "alice" → B-PER
+        register_ner_backend(
+            "onnx_test",
+            lambda: OnnxNerBackend(
+                session=NumpySession(W), vocab={"alice": 10}, id2label={0: "O", 1: "B-PER"}
+            ),
+        )
+        row = process_document(
+            text="met alice today", lang="en", cfg=EngineConfig(ner_backend="onnx_test")
+        )
+        got = [(e["start"], e["end"], e["type"], e["source"]) for e in row["entities"]]
+        assert (4, 9, "NAME", "onnx") in got
+
+    def test_unknown_backend_name_is_loud(self):
+        import pytest as _pytest
+
+        from edge_deid_studio_ray.stages.ner import get_ner_backend
+
+        with _pytest.raises(ValueError, match="unknown NER backend"):
+            get_ner_backend("typo")
