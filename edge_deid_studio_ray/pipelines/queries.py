@@ -13150,6 +13150,13 @@ def q_link_pagerank(sf_dir: str):
     K = 4
     SCALE = 1_000_000_000_000
     nb = resolve_group_buckets()
+    # graph-state block width: ~2.5k pages of rank/edge rows per block.
+    # Coalescing matters more than parallelism here — at sf0.1 the rank
+    # state is ~30k narrow rows, and leaving it in ~200 read-sized blocks
+    # made task scheduling 5x the compute (17.6 s → 3.3 s at 32 cpus);
+    # the width grows linearly with the corpus so web-scale graphs still
+    # spread across the cluster.
+    width = max(8, pages_rows_for(sf_dir) // 2_500)
     _ensure_pages_fixture(sf_dir)
 
     def _ubuckets(urls: list) -> pa.Array:
@@ -13177,6 +13184,7 @@ def q_link_pagerank(sf_dir: str):
     edges = (
         _oracle_visible_pages(sf_dir, include_text_route=False)
         .map_batches(edge_rows, batch_format="pyarrow")
+        .repartition(width)
         .materialize()  # reused every round; O(edges) blocks in the object store
     )
 
@@ -13223,14 +13231,27 @@ def q_link_pagerank(sf_dir: str):
             }
         )
 
-    ranks = nodes.map_batches(init_rank, batch_format="pyarrow").materialize()
+    ranks = (
+        nodes.map_batches(init_rank, batch_format="pyarrow")
+        .repartition(width)
+        .materialize()
+    )
 
     _DANG_KEY = "\x00dangling"
     _EMPTY_MSG = pd.DataFrame(
-        {"node": pd.array([], dtype="str"), "c": pd.array([], dtype="int64")}
+        {
+            "node": pd.array([], dtype="str"),
+            "c": pd.array([], dtype="int64"),
+            "kb": pd.array([], dtype="int32"),
+        }
     )
 
     def contrib(bucket: pd.DataFrame) -> pd.DataFrame:
+        # messages carry their DESTINATION bucket; the bucket's dangling
+        # partial replicates to EVERY bucket (nb tiny rows), so the global
+        # dangling mass is summable inside each update group and no
+        # per-round driver barrier / extra execution is needed — the K
+        # rounds chain into ONE streaming DAG.
         if bucket.empty:
             return _EMPTY_MSG
         rk = bucket[bucket["kind"] == 0]
@@ -13240,74 +13261,78 @@ def q_link_pagerank(sf_dir: str):
             ed["node"].map(rmap).to_numpy(dtype=np.int64)
             // ed["deg"].to_numpy(dtype=np.int64)
         )
+        dsts = ed["dst"].astype("str")
+        dst_kb = np.fromiter(
+            (zlib.crc32(u.encode()) % nb for u in dsts), dtype=np.int32, count=len(dsts)
+        )
         dang = int(rk.loc[~rk["node"].isin(set(ed["node"])), "r"].sum())
         return pd.DataFrame(
             {
                 "node": pd.concat(
-                    [ed["dst"], pd.Series([_DANG_KEY])], ignore_index=True
+                    [dsts, pd.Series([_DANG_KEY] * nb)], ignore_index=True
                 ).astype("str"),
                 "c": pd.Series(
-                    np.concatenate([out_c, np.array([dang], dtype=np.int64)]),
+                    np.concatenate([out_c, np.full(nb, dang, dtype=np.int64)]),
                     dtype="int64",
                 ),
+                "kb": pd.Series(
+                    np.concatenate([dst_kb, np.arange(nb, dtype=np.int32)]),
+                    dtype="int32",
+                ),
+            }
+        )
+
+    def node_bucket(batch: pa.Table) -> pa.Table:
+        urls = batch["node"].to_pylist()
+        return pa.table({"node": batch["node"], "c": batch["c"], "kb": _ubuckets(urls)})
+
+    def update(bucket: pd.DataFrame) -> pd.DataFrame:
+        if bucket.empty:
+            return _EMPTY_NODE
+        dang_mask = bucket["node"] == _DANG_KEY
+        share = int(bucket.loc[dang_mask, "c"].sum()) // n  # global dang mass
+        g = bucket.loc[~dang_mask].groupby("node", as_index=False)["c"].sum()
+        r_new = tele + (85 * (g["c"].to_numpy(dtype=np.int64) + share)) // 100
+        return pd.DataFrame(
+            {"node": g["node"].astype("str"), "c": pd.Series(r_new, dtype="int64")}
+        )
+
+    def as_rank(batch: pa.Table) -> pa.Table:
+        urls = batch["node"].to_pylist()
+        return pa.table(
+            {
+                "node": batch["node"],
+                "dst": pa.array([None] * len(urls), pa.string()),
+                "deg": pa.array([0] * len(urls), pa.int64()),
+                "r": batch["c"].cast(pa.int64()),
+                "kind": pa.array([0] * len(urls), pa.int8()),
+                "kb": _ubuckets(urls),
             }
         )
 
     for _round in range(K):
         msgs = (
-            ranks.union(edges).groupby("kb").map_groups(contrib, batch_format="pandas")
-        ).materialize()
-
-        def dang_partial(batch: pa.Table) -> pa.Table:
-            kept = batch["c"].filter(pc.equal(batch["node"], _DANG_KEY))
-            s = pc.sum(kept).as_py() or 0
-            return pa.table({"d": pa.array([s], pa.int64())})
-
-        dang = int(
-            msgs.map_batches(dang_partial, batch_format="pyarrow").sum("d") or 0
+            ranks.union(edges)
+            .groupby("kb")
+            .map_groups(contrib, batch_format="pandas")
+            .map_batches(_as_arrow, batch_format="pyarrow")
         )
-        share = dang // n
-
-        def msg_bucket(batch: pa.Table) -> pa.Table:
-            mask = pc.not_equal(batch["node"], _DANG_KEY)
-            kept = batch.filter(mask)
-            urls = kept["node"].to_pylist()
-            return pa.table({"node": kept["node"], "c": kept["c"], "kb": _ubuckets(urls)})
-
-        def node_bucket(batch: pa.Table) -> pa.Table:
-            urls = batch["node"].to_pylist()
-            return pa.table({"node": batch["node"], "c": batch["c"], "kb": _ubuckets(urls)})
-
-        def update(bucket: pd.DataFrame, *, _share=share) -> pd.DataFrame:
-            if bucket.empty:
-                return _EMPTY_NODE
-            g = bucket.groupby("node", as_index=False)["c"].sum()
-            r_new = tele + (85 * (g["c"].to_numpy(dtype=np.int64) + _share)) // 100
-            return pd.DataFrame(
-                {"node": g["node"].astype("str"), "c": pd.Series(r_new, dtype="int64")}
-            )
-
         new_state = (
-            msgs.map_batches(msg_bucket, batch_format="pyarrow")
-            .union(nodes.map_batches(node_bucket, batch_format="pyarrow"))
+            msgs.union(nodes.map_batches(node_bucket, batch_format="pyarrow"))
             .groupby("kb")
             .map_groups(update, batch_format="pandas")
+            .map_batches(_as_arrow, batch_format="pyarrow")
         )
-
-        def as_rank(batch: pa.Table) -> pa.Table:
-            urls = batch["node"].to_pylist()
-            return pa.table(
-                {
-                    "node": batch["node"],
-                    "dst": pa.array([None] * len(urls), pa.string()),
-                    "deg": pa.array([0] * len(urls), pa.int64()),
-                    "r": batch["c"].cast(pa.int64()),
-                    "kind": pa.array([0] * len(urls), pa.int8()),
-                    "kb": _ubuckets(urls),
-                }
-            )
-
-        ranks = new_state.map_batches(as_rank, batch_format="pyarrow").materialize()
+        # one execution per round: a single K-round DAG (8 chained
+        # all-to-alls) schedules WORSE on the streaming executor (28 s vs
+        # 13 s at sf0.1/32 cpus); per-round materialization keeps each
+        # execution small while the in-band dangling replication still
+        # saves the old per-round driver barrier + extra scan
+        ranks = (
+            new_state.map_batches(as_rank, batch_format="pyarrow")
+            .repartition(width)
+            .materialize()
+        )
 
     def local_top(batch: pa.Table) -> pa.Table:
         df = (
