@@ -1195,6 +1195,7 @@ def q_minhash_near_dups(sf_dir: str):
     num_hashes=128 → miss ≈ 1.6e-8) before trusting an equality oracle."""
 
     _base, corpus = _docs_with_perturbed(sf_dir)
+    corpus = corpus.materialize()  # feeds candidates AND verify once
     pairs = minhash_candidates(
         corpus,
         jaccard_threshold=0.7,
@@ -1232,6 +1233,7 @@ def q_ngram_jaccard_pairs(sf_dir: str):
     from ..functions.dedup import word_ngram_jaccard
 
     _base, corpus = _docs_with_perturbed(sf_dir)
+    corpus = corpus.materialize()  # feeds candidates AND verify once
     pairs = minhash_candidates(
         corpus,
         jaccard_threshold=0.7,
@@ -13385,6 +13387,9 @@ def q_allpairs_jaccard_join(sf_dir: str):
     TAU_N, TAU_D = 8, 10
     nb = resolve_group_buckets()
     _base, corpus = _docs_with_perturbed(sf_dir)
+    # two consumers (prefix chain + exact-verify join) would each re-run
+    # the read∪perturb; one narrow materialization feeds both
+    corpus = corpus.materialize()
 
     def tok_rows(batch: pa.Table) -> pa.Table:
         _assert_id_headroom(batch["doc_id"], limit=1 << 31)
