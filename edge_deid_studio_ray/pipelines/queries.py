@@ -3104,6 +3104,9 @@ def q_near_dedup_survivors(sf_dir: str):
     from ..functions.dedup import near_dedup
 
     _base, corpus = _docs_with_perturbed(sf_dir)
+    # near_dedup consumes the corpus twice (LSH candidates + the survivor
+    # anti-join); one narrow materialization feeds both
+    corpus = corpus.materialize()
     survivors = near_dedup(
         corpus, jaccard_threshold=0.7, num_hashes=64, num_bands=16, verify="text"
     )
