@@ -5504,8 +5504,17 @@ def q_customer_name_editdist_pairs(sf_dir: str):
             }
         )
 
-    def first_of_pair(group: pd.DataFrame) -> pa.Table:
-        g = group.head(1)
+    def pair_hash_bucket(batch: pa.Table) -> pa.Table:
+        keys = batch["pair_key"].to_pylist()
+        return batch.append_column(
+            "pb", pa.array([zlib.crc32(k.encode()) % nb for k in keys], pa.int32())
+        )
+
+    def dedup_bucket(group: pd.DataFrame) -> pa.Table:
+        # cross-block repeats of a pair dedupe inside ONE pair-hash bucket
+        # (one group per pair_key was the >=2k-keys map_groups pathology:
+        # ~10 ms of group overhead x every candidate pair)
+        g = group.drop_duplicates("pair_key")
         return pa.table(
             {
                 "name_a": pa.array(g["name_a"].tolist(), pa.string()),
@@ -5519,8 +5528,9 @@ def q_customer_name_editdist_pairs(sf_dir: str):
         .groupby("kb")
         .map_groups(bucket_pairs, batch_format="pandas")
         .map_batches(_as_arrow, batch_format="pyarrow")
-        .groupby("pair_key")
-        .map_groups(first_of_pair, batch_format="pandas")
+        .map_batches(pair_hash_bucket, batch_format="pyarrow")
+        .groupby("pb")
+        .map_groups(dedup_bucket, batch_format="pandas")
         .map_batches(_as_arrow, batch_format="pyarrow")
         .sort(["name_a", "name_b"])
     )
